@@ -1,0 +1,104 @@
+"""Table I/O: parquet readers and keyed sinks.
+
+The reference's sinks are ArangoDB ``importBulk`` calls with per-key conflict
+policies (reference: arango_queries.py:211-258):
+
+- ``onDuplicate='update'``  -> :func:`merge_upsert`   (last write wins per key)
+- ``onDuplicate='ignore'``  -> :func:`merge_ignore`   (first write wins per key)
+- AQL retention delete      -> :func:`apply_retention` (arango_queries.py:90-99)
+
+Here the "collections" are keyed parquet tables.  Both merge flavors are pure
+DataFrame plans (left-anti join + unionByName), so Catalyst plans the join
+(broadcast when the delta is small — the common incremental case) and the
+writer stays idempotent: re-running a sync with the same inputs produces a
+byte-identical table, which is the reference's core operational guarantee
+(etl.py:143-147 cursor advance + content-hash keys).
+
+Scale notes: the left-anti join shuffles on ``_key`` only when both sides are
+large; incremental deltas are broadcast by AQE.  For truly huge targets,
+partition the stored table by a stable bucket of ``_key``
+(``F.pmod(F.xxhash64('_key'), N)``) so the anti-join becomes partition-local.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table from a scale-factor directory.
+
+    Reference analog: the SQLAlchemy ORM table scan (blockchain_queries.py:44,
+    74).  Predicate pushdown and column pruning into the parquet scan are
+    Catalyst's job — callers just filter/select.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark rejects
+    natively; we read nanos as long (legacy flag, safe to set per-session at
+    runtime) and floor-convert to a microsecond timestamp — the same
+    truncation DuckDB applies when fetching TIMESTAMP_NS.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # integer `div`, not `/`: epoch-nanos (~1.7e18) overflows double precision
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql() plans."""
+    for name in TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def merge_upsert(old: DataFrame, new: DataFrame, key: str = "_key") -> DataFrame:
+    """Insert-or-replace by key: rows in ``new`` win over same-keyed ``old``.
+
+    Reference: importBulk(onDuplicate='update'), arango_queries.py:222-227.
+    """
+    surviving_old = old.join(new.select(key), on=key, how="left_anti")
+    return new.unionByName(surviving_old, allowMissingColumns=True)
+
+
+def merge_ignore(old: DataFrame, new: DataFrame, key: str = "_key") -> DataFrame:
+    """Insert-if-absent by key: first write wins, duplicates dropped.
+
+    Reference: importBulk(onDuplicate='ignore'), default at
+    arango_queries.py:322 — used for payments, witnesses, cities.
+    ``new`` is also deduped within itself (the reference relies on Arango
+    dropping intra-batch duplicate keys).
+    """
+    fresh = new.dropDuplicates([key]).join(old.select(key), on=key, how="left_anti")
+    return old.unionByName(fresh, allowMissingColumns=True)
+
+
+def apply_retention(df: DataFrame, time_col: str, cutoff) -> DataFrame:
+    """Keep rows at/after ``cutoff`` — the witness retention delete.
+
+    Reference: AQL ``FILTER w.time < @cutoff REMOVE w`` (arango_queries.py:
+    90-99, invoked etl.py:97).  As a declarative rewrite this is just the
+    complement filter; at scale it is a metadata-cheap rewrite of recent
+    partitions when the table is date-partitioned.
+    """
+    return df.filter(F.col(time_col) >= F.lit(cutoff))
+
+
+def write_keyed(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist a keyed collection table."""
+    df.write.mode(mode).parquet(path)

@@ -1,0 +1,199 @@
+"""Driver-contract registry: name -> Spark callable + equivalent DuckDB SQL.
+
+Every SQL-expressible operator from SURVEY.md §2 has BOTH entries; the
+non-SQL-expressible ones (graph metrics via applyInPandas, streaming) appear
+only in QUERIES and get the driver's rows-only check.
+
+Column names are aligned 1:1 between the Spark plan and the oracle SQL —
+the driver sorts columns by name before hashing values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import relational as R
+from .operators import windows as W
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- relational core (SURVEY §2 A/B/C/D/F/H/I) ---
+    "rewards_5d": R.rewards_5d,
+    "hotspot_snapshot": R.hotspot_snapshot,
+    "cities": R.cities,
+    "current_height": R.current_height,
+    "block_by_timestamp": R.block_by_timestamp,
+    "timestamp_by_block": R.timestamp_by_block,
+    "rewards_by_type": R.rewards_by_type,
+    "topk_accounts": R.topk_accounts,
+    "scalar_battery": R.scalar_battery,
+    "date_battery": R.date_battery,
+    "haversine_pairs": R.haversine_pairs,
+    "payments_from_events": R.payments_from_events,
+    "token_explode": R.token_explode,
+    # --- windows / dedup semantics (SURVEY §2 E) ---
+    "keep_latest_witness": W.keep_latest_witness,
+    "last_balance_per_day": W.last_balance_per_day,
+    "groupwise_max_join": W.groupwise_max_join,
+    "daily_balances": W.daily_balances,
+    "normalize_by_group_mean": W.normalize_by_group_mean,
+}
+
+ORACLE: dict[str, str] = {
+    "rewards_5d": """
+        SELECT s.s_suppkey, s.s_name, r.rewards_5d
+        FROM supplier s
+        LEFT JOIN (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rewards_5d
+            FROM lineitem
+            WHERE l_shipdate > TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey
+        ) r ON s.s_suppkey = r.l_suppkey
+    """,
+    "hotspot_snapshot": """
+        SELECT s.s_suppkey AS address,
+               s.s_name AS name,
+               st.online,
+               n.n_name AS long_city,
+               r.r_name AS long_country,
+               md5(concat_ws('|', n.n_name, r.r_name)) AS city_key,
+               CAST(NULL AS DECIMAL(18,2)) AS rewards_5d,
+               CAST(NULL AS DOUBLE) AS betweenness_centrality,
+               CAST(NULL AS DOUBLE) AS pagerank,
+               CAST(NULL AS DOUBLE) AS hub_score,
+               CAST(NULL AS DOUBLE) AS authority_score
+        FROM supplier s
+        LEFT JOIN (
+            SELECT s_suppkey AS st_suppkey, 'online' AS online
+            FROM supplier WHERE s_suppkey % 2 = 1
+        ) st ON s.s_suppkey = st.st_suppkey
+        LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+        LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    "cities": """
+        SELECT md5(concat_ws('|', n_name, r_name)) AS city_key,
+               n_name AS long_city,
+               r_name AS long_country
+        FROM (
+            SELECT DISTINCT n_name, r_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+        ) t
+    """,
+    "current_height": "SELECT max(o_orderkey) AS height FROM orders",
+    "block_by_timestamp": """
+        SELECT min(o_orderkey) AS height FROM orders
+        WHERE o_orderdate > TIMESTAMP '1999-06-01'
+    """,
+    "timestamp_by_block": """
+        SELECT o_orderkey AS height, o_orderdate AS block_ts
+        FROM orders WHERE o_orderkey = 42
+    """,
+    "rewards_by_type": """
+        SELECT o.o_orderpriority,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_amount
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND o.o_orderdate > TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o.o_orderpriority
+    """,
+    "topk_accounts": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        ORDER BY c_acctbal DESC, c_custkey ASC
+        LIMIT 10
+    """,
+    "scalar_battery": """
+        SELECT c_custkey,
+               md5(c_name) AS "_key",
+               'accounts/' || CAST(c_custkey AS VARCHAR) AS doc_id,
+               split_part('accounts/' || CAST(c_custkey AS VARCHAR), '/', 2) AS bare_key
+        FROM customer
+    """,
+    "date_battery": """
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS block_date,
+               strftime(o_orderdate, '%Y-%m-%d') AS block_date_iso,
+               CAST(epoch(CAST(CAST(o_orderdate AS DATE) + 1 AS TIMESTAMP)) AS BIGINT) AS end_of_day_unix
+        FROM orders
+    """,
+    "haversine_pairs": """
+        WITH coords AS (
+            SELECT n_nationkey,
+                   CAST((n_nationkey * 37) % 120 - 60 AS DOUBLE) AS lat,
+                   CAST((n_nationkey * 91) % 360 - 180 AS DOUBLE) AS lon
+            FROM nation
+        )
+        SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
+               round(2 * 6371008.8 * asin(sqrt(
+                   power(sin(radians(b.lat - a.lat) / 2), 2) +
+                   cos(radians(a.lat)) * cos(radians(b.lat)) *
+                   power(sin(radians(b.lon - a.lon) / 2), 2)
+               )), 3) AS distance_m
+        FROM coords a JOIN coords b ON a.n_nationkey < b.n_nationkey
+    """,
+    "payments_from_events": """
+        SELECT md5(concat_ws('|',
+                   COALESCE(CAST(event_id AS VARCHAR), ''),
+                   COALESCE(CAST(user_id AS VARCHAR), ''),
+                   COALESCE(CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS VARCHAR), '')
+               )) AS "_key",
+               'accounts/' || CAST(user_id AS VARCHAR) AS "_from",
+               user_id AS payer,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS amount,
+               ts AS payment_ts
+        FROM events
+        WHERE event_type IN ('purchase', 'signup')
+          AND ts > TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+    """,
+    "token_explode": """
+        SELECT token, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        WHERE token <> ''
+        GROUP BY token
+    """,
+    "keep_latest_witness": """
+        SELECT user_id, event_type, ts, event_id, value
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+        ) = 1
+    """,
+    "last_balance_per_day": """
+        SELECT user_id, CAST(ts AS DATE) AS balance_date, event_id AS balance
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC
+        ) = 1
+    """,
+    "groupwise_max_join": """
+        SELECT e.user_id, m.balance_date, m.max_ts, max(e.event_id) AS balance
+        FROM events e
+        JOIN (
+            SELECT user_id, CAST(ts AS DATE) AS balance_date, max(ts) AS max_ts
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ) m ON e.user_id = m.user_id AND e.ts = m.max_ts
+        GROUP BY e.user_id, m.balance_date, m.max_ts
+    """,
+    "daily_balances": """
+        SELECT user_id,
+               string_agg(strftime(balance_date, '%Y-%m-%d') || ':' || CAST(balance AS VARCHAR),
+                          ';' ORDER BY balance_date) AS daily_balances
+        FROM (
+            SELECT user_id, CAST(ts AS DATE) AS balance_date, event_id AS balance
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC
+            ) = 1
+        ) t
+        GROUP BY user_id
+    """,
+    "normalize_by_group_mean": """
+        SELECT event_id, event_type,
+               round(value / avg(value) OVER (PARTITION BY event_type), 6) AS value_normalized
+        FROM events
+    """,
+}
