@@ -1,0 +1,75 @@
+"""Benchmark harness — driver contract (BASELINE.md §3).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the `noop` writer — full execution, no
+driver-side collect overhead.  First a warmup pass on the flagship query
+absorbs JVM/codegen startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from helium_arango_etl_spark.registry import QUERIES  # noqa: E402
+from helium_arango_etl_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family (SURVEY.md §2). Extend as families land.
+HEADLINE = [
+    "rewards_5d",            # flagship: filter→agg→broadcast-join (D1/C2/B2)
+    "hotspot_snapshot",      # 3-way broadcast left join (C2/C3)
+    "rewards_by_type",       # fact-fact shuffle join + agg (C1/D1)
+    "payments_from_events",  # JSON extraction + content keys (H2/H11)
+    "token_explode",         # explode fan-out + agg (M3)
+    "keep_latest_witness",   # window dedup (E1)
+    "last_balance_per_day",  # window, the reference-disabled query (E2)
+    "daily_balances",        # window + collect_list nesting (D6)
+    "normalize_by_group_mean",  # window avg normalization (E3)
+    "haversine_pairs",       # trig battery (H7)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+
+    # warmup: JVM + codegen + parquet footer caches
+    QUERIES[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
