@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .operators import graph as G
 from .operators import relational as R
 from .operators import windows as W
 
@@ -38,6 +39,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupwise_max_join": W.groupwise_max_join,
     "daily_balances": W.daily_balances,
     "normalize_by_group_mean": W.normalize_by_group_mean,
+    # --- graph / analytics (SURVEY §2 J) ---
+    "witness_subgraph": G.witness_subgraph,
+    "city_graph_metrics": G.city_graph_metrics,  # rows-only: networkx-equivalent numerics
+    "hotspot_metrics_writeback": G.hotspot_metrics_writeback,  # rows-only: depends on metrics
 }
 
 ORACLE: dict[str, str] = {
@@ -195,5 +200,27 @@ ORACLE: dict[str, str] = {
         SELECT event_id, event_type,
                round(value / avg(value) OVER (PARTITION BY event_type), 6) AS value_normalized
         FROM events
+    """,
+    "witness_subgraph": """
+        SELECT md5(concat_ws('|', n.n_name, r.r_name)) AS city_key,
+               'S' || CAST(l.l_suppkey AS VARCHAR) AS src,
+               'C' || CAST(o.o_custkey AS VARCHAR) AS dst,
+               round(2 * 6371008.8 * asin(sqrt(
+                   power(sin(radians(
+                       CAST((o.o_custkey * 37) % 120 - 60 AS DOUBLE) -
+                       CAST((l.l_suppkey * 37) % 120 - 60 AS DOUBLE)) / 2), 2) +
+                   cos(radians(CAST((l.l_suppkey * 37) % 120 - 60 AS DOUBLE))) *
+                   cos(radians(CAST((o.o_custkey * 37) % 120 - 60 AS DOUBLE))) *
+                   power(sin(radians(
+                       CAST((o.o_custkey * 91) % 360 - 180 AS DOUBLE) -
+                       CAST((l.l_suppkey * 91) % 360 - 180 AS DOUBLE)) / 2), 2)
+               )), 3) AS distance_m,
+               l.l_shipdate AS edge_ts
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE l.l_returnflag = 'N'
     """,
 }

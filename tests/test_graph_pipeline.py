@@ -1,0 +1,56 @@
+"""Invariant + determinism tests for the per-city graph metrics pipeline
+(J2/J3/J4 have no SQL oracle — these carry their correctness, SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from helium_arango_etl_spark.operators.graph import city_graph_metrics, witness_subgraph
+
+
+@pytest.fixture(scope="module")
+def metrics(spark, sf_dir):
+    df = city_graph_metrics(spark, sf_dir)
+    df.cache()
+    df.count()
+    return df
+
+
+def test_pagerank_sums_to_one_per_city(metrics):
+    sums = metrics.groupBy("city_key").agg(F.sum("pagerank").alias("s")).collect()
+    assert len(sums) > 0
+    for r in sums:
+        assert r["s"] == pytest.approx(1.0, abs=1e-6), r["city_key"]
+
+
+def test_betweenness_nonnegative(metrics):
+    assert metrics.filter(F.col("betweenness_centrality") < 0).count() == 0
+
+
+def test_normalized_means_are_one(metrics):
+    # pagerank_n = pagerank / city mean  =>  mean(pagerank_n) == 1 per city
+    rows = metrics.groupBy("city_key").agg(F.avg("pagerank_n").alias("m")).collect()
+    for r in rows:
+        assert r["m"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_min_city_size_threshold(spark, sf_dir, metrics):
+    # every city with >= MIN_CITY_SIZE deduped edges appears; smaller ones don't
+    from pyspark.sql import Window
+
+    from helium_arango_etl_spark.operators.graph import MIN_CITY_SIZE
+
+    edges = witness_subgraph(spark, sf_dir)
+    w = Window.partitionBy("city_key", "src", "dst").orderBy(F.col("edge_ts").desc(), F.col("distance_m").desc())
+    deduped = edges.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    counts = {r["city_key"]: r["c"] for r in deduped.groupBy("city_key").agg(F.count("*").alias("c")).collect()}
+    emitted = {r["city_key"] for r in metrics.select("city_key").distinct().collect()}
+    expected = {c for c, n in counts.items() if n >= MIN_CITY_SIZE}
+    assert emitted == expected
+
+
+def test_metrics_deterministic(spark, sf_dir, metrics):
+    a = sorted(map(str, metrics.collect()))
+    b = sorted(map(str, city_graph_metrics(spark, sf_dir).collect()))
+    assert a == b

@@ -1,0 +1,76 @@
+"""Closed-form and invariant tests for the native graph algorithms
+(these replace networkx, so they carry the J2/J3 correctness burden —
+SURVEY.md §5 item 2)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from helium_arango_etl_spark.functions.graphalgs import betweenness_centrality, pagerank
+
+
+def test_pagerank_two_cycle():
+    pr = pagerank([("a", "b", 1.0), ("b", "a", 1.0)])
+    assert pr["a"] == pytest.approx(0.5, abs=1e-9)
+    assert pr["b"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_pagerank_sums_to_one_with_dangling():
+    pr = pagerank([("a", "b", 1.0)])  # b is dangling
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
+    assert pr["b"] > pr["a"]
+
+
+def test_pagerank_weight_sensitivity():
+    # a splits rank 3:1 between b and c — heavier arc gets more
+    pr = pagerank([("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)])
+    assert pr["b"] > pr["c"]
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-8)
+    # the rank above teleport baseline should split exactly 3:1 (n=3 nodes)
+    extra_b = pr["b"] - (1 - 0.85) / 3
+    extra_c = pr["c"] - (1 - 0.85) / 3
+    assert extra_b / extra_c == pytest.approx(3.0, rel=1e-4)
+
+
+def test_pagerank_duplicate_arc_last_wins():
+    # DiGraph.add_weighted_edges_from overwrites the weight for dup arcs
+    a = pagerank([("a", "b", 9.0), ("a", "c", 1.0), ("a", "b", 1.0)])
+    b = pagerank([("a", "b", 1.0), ("a", "c", 1.0)])
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
+def test_betweenness_path3():
+    # a->b->c: b carries the single (a,c) shortest path; scale 1/((3-1)(3-2))=1/2
+    bc = betweenness_centrality([("a", "b", 1.0), ("b", "c", 1.0)])
+    assert bc["b"] == pytest.approx(0.5, abs=1e-12)
+    assert bc["a"] == 0.0 and bc["c"] == 0.0
+
+
+def test_betweenness_path4():
+    bc = betweenness_centrality([("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0)])
+    # b on (a,c),(a,d); c on (a,d),(b,d); scale 1/(3*2)
+    assert bc["b"] == pytest.approx(2 / 6, abs=1e-12)
+    assert bc["c"] == pytest.approx(2 / 6, abs=1e-12)
+
+
+def test_betweenness_split_paths():
+    # two equal-length paths a->{b,c}->d: each intermediate carries 0.5 of (a,d)
+    bc = betweenness_centrality(
+        [("a", "b", 1.0), ("a", "c", 1.0), ("b", "d", 1.0), ("c", "d", 1.0)]
+    )
+    assert bc["b"] == pytest.approx(0.5 / 6, abs=1e-12)
+    assert bc["c"] == pytest.approx(0.5 / 6, abs=1e-12)
+
+
+def test_tiny_graphs_zero():
+    assert betweenness_centrality([("a", "b", 1.0)]) == {"a": 0.0, "b": 0.0}
+    assert pagerank([]) == {}
+    assert betweenness_centrality([]) == {}
+
+
+def test_pagerank_no_nan():
+    pr = pagerank([("a", "a", 1.0)])  # self-loop
+    assert not any(math.isnan(v) for v in pr.values())
