@@ -1,0 +1,175 @@
+"""Deduplication operators for the training-data pipeline: exact,
+MinHash+LSH, SimHash, and exact n-gram Jaccard verification.
+
+Engine-portable hashing: every hash is md5 over canonical strings, so the
+DuckDB oracle reproduces signatures bit-for-bit (Spark's xxhash64/hash are
+engine-specific; md5 is not).
+
+Scale design (the whole point of LSH):
+- signatures: per-row map work, zero shuffle;
+- banding: explode to (band, hash) and shuffle ONCE on band hash — candidate
+  pairs only ever form inside a bucket, never via an O(n²) cross join;
+- verification (exact Jaccard) runs only on the candidate set.
+A 100 TB corpus shuffles its (doc, band-hash) pairs — ~8 small rows per doc —
+instead of comparing documents pairwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .textops import TOKS
+
+NUM_HASHES = 16
+BAND_ROWS = 2
+NUM_BANDS = NUM_HASHES // BAND_ROWS  # 8 bands of 2 rows: catches jaccard ≳ 0.5
+SHINGLE_K = 3
+
+# 3-token shingles over the token array (empty when the doc is too short).
+SHINGLES = (
+    f"CASE WHEN size({TOKS}) < {SHINGLE_K} THEN array()"
+    f" ELSE transform(sequence(1, size({TOKS}) - {SHINGLE_K - 1}),"
+    f" i -> array_join(slice({TOKS}, i, {SHINGLE_K}), ' ')) END"
+)
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by full-content hash, keep the smallest doc_id as
+    canonical (hash-groupBy; partial aggregation makes this one shuffle of
+    (hash, id) pairs, never document bodies)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _signature_cols() -> list:
+    """mh0..mh15: min over shingles of md5('<seed>|' || shingle)."""
+    return [
+        F.expr(f"array_min(transform(sh, s -> md5(concat('{h}|', s))))").alias(f"mh{h}")
+        for h in range(NUM_HASHES)
+    ]
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature + LSH band hashes per document.
+
+    sig is the '|'-joined 16-hash signature; band{b} = md5 of its b-th
+    2-hash slice.  Documents with < K tokens get null signatures (no
+    shingles), mirroring the oracle.
+    """
+    docs = read_table(spark, sf_dir, "documents").withColumn("sh", F.expr(SHINGLES))
+    sig = docs.select("doc_id", *_signature_cols())
+    band_cols = [
+        F.md5(F.concat_ws("|", *[f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS)])).alias(f"band{b}")
+        for b in range(NUM_BANDS)
+    ]
+    return sig.filter(F.col("mh0").isNotNull()).select(
+        "doc_id",
+        F.concat_ws("|", *[f"mh{h}" for h in range(NUM_HASHES)]).alias("sig"),
+        *band_cols,
+    )
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs: equal band hash in any band, plus the
+    signature-estimated Jaccard (fraction of equal minhashes).
+
+    The self-join key is (band_index, band_hash): one shuffle, bucket-local
+    pairing.  est_jaccard ≥ 1/16 by construction (they share a band).
+    """
+    sig = minhash_signatures(spark, sf_dir)
+    bands_arr = F.array(*[F.col(f"band{b}") for b in range(NUM_BANDS)])
+    exploded = sig.select("doc_id", "sig", F.posexplode(bands_arr).alias("band_idx", "band_hash"))
+    a = exploded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
+    )
+    est = (
+        f"round(aggregate(transform(sequence(1, {NUM_HASHES}),"
+        " i -> IF(element_at(split(sig_a, '[|]'), i) = element_at(split(sig_b, '[|]'), i), 1, 0)),"
+        f" 0, (acc, v) -> acc + v) / cast({NUM_HASHES} as double), 4)"
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+        .select("doc_a", "doc_b", F.expr(est).alias("est_jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard for the LSH candidate pairs (the verify
+    stage of the dedup pipeline): |A∩B| via a join of exploded distinct
+    shingles, |A∪B| = |A|+|B|−|A∩B|.  Only candidates are verified — the
+    expensive exact computation never touches non-candidate pairs."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.expr(SHINGLES)).alias("sh")
+    )
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    cand = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b", "est_jaccard")
+    ex_a = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
+    ex_b = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(ex_a, "doc_a")
+        .join(ex_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "est_jaccard")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash as a bitstring: bit j is the sign of the sum over
+    tokens of ±1 depending on the j-th hex nibble of md5(token).
+
+    Engine-portable: md5 nibbles instead of native 64-bit hashes.  Token
+    multiplicity weights naturally (classic SimHash uses term frequency).
+    """
+    docs = read_table(spark, sf_dir, "documents").withColumn("t", F.expr(TOKS))
+    bits = []
+    for j in range(1, 33):
+        bits.append(
+            f"IF(aggregate(transform(t, tok -> IF(substring(md5(tok), {j}, 1) >= '8', 1, -1)),"
+            " 0, (acc, v) -> acc + v) > 0, '1', '0')"
+        )
+    return docs.select("doc_id", F.expr("concat(" + ", ".join(bits) + ")").alias("simhash32"))
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming distance over the LSH candidate set (composing the two
+    sketches: LSH proposes, SimHash distance scores)."""
+    sh = simhash(spark, sf_dir)
+    cand = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash32").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash32").alias("sh_b"))
+    ham = (
+        "aggregate(transform(sequence(1, 32),"
+        " i -> IF(substring(sh_a, i, 1) = substring(sh_b, i, 1), 0, 1)), 0, (acc, v) -> acc + v)"
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.expr(ham).alias("hamming"))
+    )

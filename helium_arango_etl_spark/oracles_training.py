@@ -1,0 +1,233 @@
+"""DuckDB oracle SQL for the training-data operators (dedup / similarity /
+text analysis).  Generated programmatically so the MinHash/SimHash/LSH
+constants stay in lockstep with the Spark implementations in
+``operators.dedup`` / ``operators.similarity`` / ``operators.textops``.
+
+Every hash is md5 over canonical strings -> bit-identical across engines.
+DuckDB syntax notes vs Spark: list indexing is 1-based (`t[i:i+2]` is an
+inclusive slice), `string_split` is literal (Spark's `split` is regex),
+`regexp_replace` needs the 'g' flag for global.
+"""
+
+from __future__ import annotations
+
+from .operators.dedup import BAND_ROWS, NUM_BANDS, NUM_HASHES, SHINGLE_K
+from .operators.similarity import DIM, NUM_PLANES, QUERY_VEC_ID, TOP_K
+from .operators.textops import LANG_MARKERS, STOPWORDS
+
+# ---------- shared fragments ----------
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_SHINGLES = (
+    f"CASE WHEN len(t) < {SHINGLE_K} THEN [] "
+    f"ELSE list_transform(range(1, len(t) - {SHINGLE_K - 2}), "
+    f"i -> array_to_string(t[i:i+{SHINGLE_K - 1}], ' ')) END"
+)
+
+_MH = ", ".join(
+    f"list_min(list_transform(sh, s -> md5('{h}|' || s))) AS mh{h}" for h in range(NUM_HASHES)
+)
+_BANDS = ", ".join(
+    "md5(concat_ws('|', "
+    + ", ".join(f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS))
+    + f")) AS band{b}"
+    for b in range(NUM_BANDS)
+)
+_BAND_LIST = ", ".join(f"band{b}" for b in range(NUM_BANDS))
+
+_SIG_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh_t AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM toks
+), sig0 AS (
+  SELECT doc_id, {_MH} FROM sh_t
+), sig AS (
+  SELECT doc_id,
+         concat_ws('|', {", ".join(f"mh{h}" for h in range(NUM_HASHES))}) AS sig,
+         {_BANDS}
+  FROM sig0 WHERE mh0 IS NOT NULL
+)"""
+
+_EST_J = (
+    "round(list_sum(list_transform(range(1, "
+    + str(NUM_HASHES + 1)
+    + "), i -> CASE WHEN string_split(sig_a, '|')[i] = string_split(sig_b, '|')[i]"
+    " THEN 1 ELSE 0 END)) / "
+    + f"CAST({NUM_HASHES} AS DOUBLE), 4)"
+)
+
+_CAND_CTE = f"""
+, exploded AS (
+  SELECT doc_id, sig, unnest([{_BAND_LIST}]) AS band_hash,
+         unnest(range(0, {NUM_BANDS})) AS band_idx
+  FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM exploded a
+  JOIN exploded b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+)"""
+
+# ---------- similarity fragments ----------
+
+_CAST64 = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_DOT = f"list_sum(list_transform(range(1, {DIM + 1}), i -> vb[i] * va[i]))"
+_NA = f"sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> va[i] * va[i])))"
+_NB = f"sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> vb[i] * vb[i])))"
+_COSINE = f"round({_DOT} / ({_NA} * {_NB}), 6)"
+
+
+def _plane_coef(plane: int) -> str:
+    return f"((((i + 1) * {plane * 2 + 1} * 2654435761) % 1000) / 1000.0 - 0.5)"
+
+
+def _bucket(vec: str) -> str:
+    bits = []
+    for p in range(NUM_PLANES):
+        proj = f"list_sum(list_transform(range(0, {DIM}), i -> {vec}[i + 1] * {_plane_coef(p)}))"
+        bits.append(f"CASE WHEN {proj} > 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+_BUCKET_CTE = f"""
+WITH b AS (
+  SELECT vec_id, label, {_CAST64} AS v, {_bucket(_CAST64)} AS bucket
+  FROM embeddings
+)"""
+
+# ---------- the oracle dict ----------
+
+_sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+ORACLE_TRAINING: dict[str, str] = {
+    "exact_dedup": """
+        SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "text_stats": f"""
+        WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               length(text) AS n_chars,
+               round(list_sum(list_transform(t, x -> length(x))) / CAST(len(t) AS DOUBLE), 4) AS avg_token_len,
+               round(len(list_filter(t, x -> x IN ({_sw}))) / CAST(len(t) AS DOUBLE), 4) AS stopword_ratio,
+               round((length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) / CAST(length(text) AS DOUBLE), 4) AS alpha_ratio,
+               round(0.4 * (len(list_filter(t, x -> x IN ({_sw}))) / CAST(len(t) AS DOUBLE))
+                     + 0.3 * least(len(t) / 100.0, 1.0)
+                     + 0.3 * ((length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) / CAST(length(text) AS DOUBLE)),
+                     4) AS quality_score
+        FROM toks
+    """,
+    "lang_id": f"""
+        WITH c AS (
+          SELECT doc_id, lang AS actual_lang,
+                 {", ".join(f"len(list_filter({_TOKS}, x -> x = '{m}')) AS c_{lg}" for lg, m in LANG_MARKERS)}
+          FROM documents
+        )
+        SELECT doc_id, actual_lang, {", ".join(f"c_{lg}" for lg, _ in LANG_MARKERS)},
+               CASE WHEN greatest({", ".join(f"c_{lg}" for lg, _ in LANG_MARKERS)}) = 0 THEN 'und'
+                    {" ".join(f"WHEN c_{lg} = greatest({', '.join(f'c_{l2}' for l2, _ in LANG_MARKERS)}) THEN '{lg}'" for lg, _ in LANG_MARKERS)}
+                    ELSE 'und' END AS predicted_lang
+        FROM c
+    """,
+    "doc_fingerprint": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS bow_fingerprint,
+               md5(array_to_string(t[1:8], ' ')) AS prefix_fingerprint
+        FROM toks
+    """,
+    "minhash_signatures": _SIG_CTE + f"""
+        SELECT doc_id, sig, {_BAND_LIST} FROM sig
+    """,
+    "lsh_candidate_pairs": _SIG_CTE + _CAND_CTE + f"""
+        SELECT doc_a, doc_b, {_EST_J} AS est_jaccard FROM cand
+    """,
+    "ngram_jaccard_pairs": _SIG_CTE + _CAND_CTE + f"""
+        , shset AS (
+          SELECT doc_id, list_distinct({_SHINGLES}) AS sh
+          FROM (SELECT doc_id, {_TOKS} AS t FROM documents) toks
+        ), sizes AS (
+          SELECT doc_id, len(sh) AS n_sh FROM shset
+        ), ex AS (
+          SELECT doc_id, unnest(sh) AS shingle FROM shset
+        ), inter AS (
+          SELECT c.doc_a, c.doc_b, {_EST_J} AS est_jaccard, count(*) AS n_inter
+          FROM cand c
+          JOIN ex a ON a.doc_id = c.doc_a
+          JOIN ex b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b, c.sig_a, c.sig_b
+        )
+        SELECT i.doc_a, i.doc_b, i.est_jaccard,
+               round(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+    """,
+    "simhash": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+        SELECT doc_id,
+               {" || ".join(
+                   f"(CASE WHEN list_sum(list_transform(t, tok -> CASE WHEN substr(md5(tok), {j}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END)"
+                   for j in range(1, 33)
+               )} AS simhash32
+        FROM toks
+    """,
+    "simhash_near_pairs": _SIG_CTE + _CAND_CTE + f"""
+        , sh32 AS (
+          SELECT doc_id,
+                 {" || ".join(
+                     f"(CASE WHEN list_sum(list_transform(t, tok -> CASE WHEN substr(md5(tok), {j}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END)"
+                     for j in range(1, 33)
+                 )} AS simhash32
+          FROM (SELECT doc_id, {_TOKS} AS t FROM documents) toks
+        )
+        SELECT c.doc_a, c.doc_b,
+               list_sum(list_transform(range(1, 33),
+                 i -> CASE WHEN substr(a.simhash32, i, 1) = substr(b.simhash32, i, 1) THEN 0 ELSE 1 END)) AS hamming
+        FROM cand c
+        JOIN sh32 a ON a.doc_id = c.doc_a
+        JOIN sh32 b ON b.doc_id = c.doc_b
+    """,
+    "ann_cosine_topk": f"""
+        WITH q AS (
+          SELECT {_CAST64} AS va FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+        ), scored AS (
+          SELECT e.vec_id, e.label, {_CAST64.replace("embedding", "e.embedding")} AS vb, q.va
+          FROM embeddings e, q
+        )
+        SELECT vec_id, label, {_COSINE} AS cosine_sim
+        FROM scored
+        ORDER BY cosine_sim DESC, vec_id ASC
+        LIMIT {TOP_K}
+    """,
+    "lsh_bucket_topk": _BUCKET_CTE + f"""
+        , q AS (SELECT v AS va, bucket AS q_bucket FROM b WHERE vec_id = {QUERY_VEC_ID})
+        SELECT b.vec_id, b.label,
+               {_COSINE.replace("vb", "b.v").replace("va", "q.va")} AS cosine_sim
+        FROM b, q
+        WHERE b.bucket = q.q_bucket
+        ORDER BY cosine_sim DESC, vec_id ASC
+        LIMIT {TOP_K}
+    """,
+    "cosine_near_dup_pairs": _BUCKET_CTE + f"""
+        SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+               {_COSINE.replace("va", "a.v").replace("vb", "b2.v")} AS cosine_sim
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        WHERE {_COSINE.replace("va", "a.v").replace("vb", "b2.v")} >= 0.99
+    """,
+    "embedding_norms": f"""
+        WITH n AS (
+          SELECT label,
+                 round(sqrt(list_sum(list_transform({_CAST64}, x -> x * x))), 6) AS l2_norm
+          FROM embeddings
+        )
+        SELECT label, count(*) AS n_vectors,
+               round(avg(l2_norm), 4) AS avg_norm,
+               round(min(l2_norm), 4) AS min_norm,
+               round(max(l2_norm), 4) AS max_norm
+        FROM n GROUP BY label
+    """,
+}

@@ -14,9 +14,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .operators import dedup as D
 from .operators import graph as G
 from .operators import relational as R
+from .operators import similarity as S
+from .operators import textops as T
 from .operators import windows as W
+from .oracles_training import ORACLE_TRAINING
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- relational core (SURVEY §2 A/B/C/D/F/H/I) ---
@@ -43,6 +47,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "witness_subgraph": G.witness_subgraph,
     "city_graph_metrics": G.city_graph_metrics,  # rows-only: networkx-equivalent numerics
     "hotspot_metrics_writeback": G.hotspot_metrics_writeback,  # rows-only: depends on metrics
+    # --- training-data pipeline: text analysis ---
+    "text_stats": T.text_stats,
+    "lang_id": T.lang_id,
+    "doc_fingerprint": T.doc_fingerprint,
+    # --- training-data pipeline: dedup ---
+    "exact_dedup": D.exact_dedup,
+    "minhash_signatures": D.minhash_signatures,
+    "lsh_candidate_pairs": D.lsh_candidate_pairs,
+    "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
+    "simhash": D.simhash,
+    "simhash_near_pairs": D.simhash_near_pairs,
+    # --- training-data pipeline: similarity search ---
+    "ann_cosine_topk": S.ann_cosine_topk,
+    "lsh_bucket_topk": S.lsh_bucket_topk,
+    "cosine_near_dup_pairs": S.cosine_near_dup_pairs,
+    "embedding_norms": S.embedding_norms,
 }
 
 ORACLE: dict[str, str] = {
@@ -224,3 +244,5 @@ ORACLE: dict[str, str] = {
         WHERE l.l_returnflag = 'N'
     """,
 }
+
+ORACLE.update(ORACLE_TRAINING)
