@@ -1,0 +1,141 @@
+"""Multimodal column plumbing: images/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The container has no image/audio libraries, so the *decode* step is stubbed
+(deterministic fake behind an import-try — see ``_decode_rgb``); everything
+Spark-side is real and tested: schema, binary payload handling, metadata
+structs, Arrow batch shapes, partition-parallel UDF execution, frame
+explosion.
+
+Scale notes: mapInPandas streams Arrow record batches through the Python
+worker — memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+regardless of partition size, which is what makes a 100 TB binary-column
+scan feasible (no row-at-a-time pickling, no whole-partition buffering).
+Binary payloads stay columnar end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+
+try:  # pragma: no cover - not installed in this container
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, format string, "
+    "n_bytes int, mean_byte double, byte_histogram array<int>"
+)
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes binary, frame_mean double"
+
+
+def attach_binary_payload(docs: DataFrame) -> DataFrame:
+    """Materialize an opaque binary column + typed metadata struct from the
+    documents table (stand-in for a real image/audio bytes column; the
+    payload is the utf-8 text so it is deterministic and content-correlated).
+    """
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("fake/rgb8").alias("format"),
+            (F.pmod(F.col("doc_id"), F.lit(64)) + 16).cast("int").alias("width"),
+            (F.pmod(F.col("doc_id"), F.lit(48)) + 16).cast("int").alias("height"),
+            F.length("text").cast("int").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+def _decode_rgb(payload: bytes, width: int, height: int):
+    """Decode stub.  With a real imaging library this would be
+    ``Image.open(io.BytesIO(payload))``; here it raises unless the
+    deterministic fake is acceptable (the fake treats the raw bytes as the
+    pixel buffer, which keeps every downstream number reproducible)."""
+    if _HAVE_PIL:  # pragma: no cover
+        raise NotImplementedError("real decode intentionally unwired in this container")
+    return payload  # deterministic fake: bytes ARE the pixels
+
+
+def extract_image_features(binary_df: DataFrame) -> DataFrame:
+    """Feature extraction over the binary column via mapInPandas: per-batch
+    vectorized numpy over the raw bytes (mean, 8-bin histogram)."""
+    import numpy as np
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_meta"], strict=True
+            ):
+                pixels = np.frombuffer(
+                    _decode_rgb(payload, meta["width"], meta["height"]), dtype=np.uint8
+                )
+                hist = np.bincount(pixels >> 5, minlength=8)[:8]
+                out.append(
+                    (
+                        doc_id,
+                        int(meta["width"]),
+                        int(meta["height"]),
+                        meta["format"],
+                        int(pixels.size),
+                        float(round(pixels.mean(), 4)) if pixels.size else 0.0,
+                        [int(x) for x in hist],
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "format",
+                    "n_bytes",
+                    "mean_byte",
+                    "byte_histogram",
+                ],
+            )
+
+    return binary_df.mapInPandas(features, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(binary_df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for "video" payloads: slice the byte stream into
+    n_frames equal windows (1 row -> N frame rows) — the UDTF-shaped
+    multimodal fan-out, mirroring the witness-explode pattern (M3)."""
+    import numpy as np
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"], strict=True):
+                buf = bytes(payload)
+                step = max(1, len(buf) // n_frames)
+                for i in range(n_frames):
+                    frame = buf[i * step : (i + 1) * step]
+                    arr = np.frombuffer(frame, dtype=np.uint8)
+                    out.append(
+                        (doc_id, i, frame, float(round(arr.mean(), 4)) if arr.size else 0.0)
+                    )
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_bytes", "frame_mean"])
+
+    return binary_df.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: documents -> binary payload -> decoded features."""
+    return extract_image_features(attach_binary_payload(read_table(spark, sf_dir, "documents")))
+
+
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: documents -> binary payload -> 4 sampled frames each."""
+    return sample_frames(attach_binary_payload(read_table(spark, sf_dir, "documents")))

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import dedup as D
 from .operators import graph as G
+from .operators import multimodal as M
 from .operators import relational as R
 from .operators import similarity as S
 from .operators import textops as T
@@ -63,6 +64,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_bucket_topk": S.lsh_bucket_topk,
     "cosine_near_dup_pairs": S.cosine_near_dup_pairs,
     "embedding_norms": S.embedding_norms,
+    # --- training-data pipeline: multimodal (rows-only: binary mapInPandas) ---
+    "image_features": M.image_features,
+    "video_frame_sample": M.video_frame_sample,
 }
 
 ORACLE: dict[str, str] = {

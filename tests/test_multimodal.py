@@ -1,0 +1,44 @@
+"""Multimodal plumbing tests: binary payload schema, Arrow-batched feature
+extraction, frame fan-out — the decode step is a deterministic fake (no
+imaging libs in this container), the Spark plumbing is real."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from helium_arango_etl_spark.operators.multimodal import (
+    attach_binary_payload,
+    image_features,
+    video_frame_sample,
+)
+from helium_arango_etl_spark.io import read_table
+
+
+def test_binary_payload_schema(spark, sf_dir):
+    df = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types["payload"] == "binary"
+    assert types["media_meta"].startswith("struct<format:string,width:int,height:int")
+
+
+def test_image_features_deterministic_and_complete(spark, sf_dir):
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    feats = image_features(spark, sf_dir)
+    rows = feats.collect()
+    assert len(rows) == n_docs
+    r = {x["doc_id"]: x for x in rows}[0]
+    assert r["n_bytes"] > 0 and sum(r["byte_histogram"]) == r["n_bytes"]
+    assert 0.0 < r["mean_byte"] < 255.0
+    # re-run identical (fake decode is deterministic)
+    again = {x["doc_id"]: x for x in image_features(spark, sf_dir).collect()}[0]
+    assert again == r
+
+
+def test_frame_sampling_fanout(spark, sf_dir):
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    frames = video_frame_sample(spark, sf_dir)
+    assert frames.count() == 4 * n_docs
+    per_doc = frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] == 4 for r in per_doc)
+    f0 = frames.filter((F.col("doc_id") == 0) & (F.col("frame_idx") == 0)).first()
+    assert isinstance(f0["frame_bytes"], (bytes, bytearray)) and len(f0["frame_bytes"]) > 0
