@@ -26,12 +26,27 @@ NUM_HASHES = 16
 BAND_ROWS = 2
 NUM_BANDS = NUM_HASHES // BAND_ROWS  # 8 bands of 2 rows: catches jaccard ≳ 0.5
 SHINGLE_K = 3
+MOD_P = 1_000_000_007  # prime modulus for the Kirsch-Mitzenmacher hash family
 
-# 3-token shingles over the token array (empty when the doc is too short).
-SHINGLES = (
-    f"CASE WHEN size({TOKS}) < {SHINGLE_K} THEN array()"
-    f" ELSE transform(sequence(1, size({TOKS}) - {SHINGLE_K - 1}),"
-    f" i -> array_join(slice({TOKS}, i, {SHINGLE_K}), ' ')) END"
+# 3-token shingles over a MATERIALIZED token-array column (empty when the doc
+# is too short).  The token array must be a plain column reference, never the
+# tokenizer expression itself: a lambda body is re-evaluated per element, so
+# inlining `split(text, ...)` here makes shingling O(tokens²) per document —
+# quadratic in doc length, catastrophic on long documents at corpus scale.
+SHINGLES_OVER_T = (
+    f"CASE WHEN size(t) < {SHINGLE_K} THEN array()"
+    f" ELSE transform(sequence(1, size(t) - {SHINGLE_K - 1}),"
+    f" i -> array_join(slice(t, i, {SHINGLE_K}), ' ')) END"
+)
+
+# One md5 per shingle -> two 28-bit ints (hex digits 1-7 and 9-15); the 16
+# minhash functions are h1 + i*h2 mod P (Kirsch & Mitzenmacher 2006: two base
+# hashes generate a family with the same collision behavior).  16x fewer md5
+# evaluations per shingle than hashing '<seed>|shingle' per function — md5 is
+# the dominant cost of signature building at corpus scale.
+HASH_PAIRS = (
+    "transform(sh, s -> array(cast(conv(substring(md5(s), 1, 7), 16, 10) as bigint),"
+    " cast(conv(substring(md5(s), 9, 7), 16, 10) as bigint)))"
 )
 
 
@@ -48,10 +63,11 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _signature_cols() -> list:
-    """mh0..mh15: min over shingles of md5('<seed>|' || shingle)."""
+    """mh0..mh15: min over shingles of (h1 + i*h2) mod P on the per-shingle
+    md5-derived hash pair."""
     return [
-        F.expr(f"array_min(transform(sh, s -> md5(concat('{h}|', s))))").alias(f"mh{h}")
-        for h in range(NUM_HASHES)
+        F.expr(f"array_min(transform(hs, h -> (element_at(h, 1) + {i} * element_at(h, 2)) % {MOD_P}))").alias(f"mh{i}")
+        for i in range(NUM_HASHES)
     ]
 
 
@@ -62,7 +78,12 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-hash slice.  Documents with < K tokens get null signatures (no
     shingles), mirroring the oracle.
     """
-    docs = read_table(spark, sf_dir, "documents").withColumn("sh", F.expr(SHINGLES))
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .withColumn("t", F.expr(TOKS))
+        .withColumn("sh", F.expr(SHINGLES_OVER_T))
+        .withColumn("hs", F.expr(HASH_PAIRS))
+    )
     sig = docs.select("doc_id", *_signature_cols())
     band_cols = [
         F.md5(F.concat_ws("|", *[f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS)])).alias(f"band{b}")
@@ -79,17 +100,29 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs: equal band hash in any band, plus the
     signature-estimated Jaccard (fraction of equal minhashes).
 
-    The self-join key is (band_index, band_hash): one shuffle, bucket-local
-    pairing.  est_jaccard ≥ 1/16 by construction (they share a band).
+    Shape: ONE signature pass -> explode to (band_idx, band_hash) -> groupBy
+    bucket -> collect members -> emit pairs from inside each bucket array.
+    A bucketed self-join would express the same thing but evaluates the
+    signature pipeline twice (Spark cannot reuse the exchange across the two
+    differently-projected join branches); the groupBy form scans the corpus
+    once, shuffles ~NUM_BANDS small rows per doc, and never forms a pair
+    across buckets.  Buckets are tiny by construction (docs sharing a band
+    hash); a pathological hot bucket — thousands of identical docs — is
+    exactly the case exact_dedup removes upstream.
     """
     sig = minhash_signatures(spark, sf_dir)
     bands_arr = F.array(*[F.col(f"band{b}") for b in range(NUM_BANDS)])
     exploded = sig.select("doc_id", "sig", F.posexplode(bands_arr).alias("band_idx", "band_hash"))
-    a = exploded.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
+    buckets = (
+        exploded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
     )
-    b = exploded.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
+    # all ordered pairs within the bucket; ds sorted by doc_id so a < b holds
+    pair_gen = (
+        "flatten(transform(ds, (a, i) ->"
+        " transform(slice(ds, i + 2, size(ds) - i - 1),"
+        " b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b))))"
     )
     est = (
         f"round(aggregate(transform(sequence(1, {NUM_HASHES}),"
@@ -97,9 +130,8 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" 0, (acc, v) -> acc + v) / cast({NUM_HASHES} as double), 4)"
     )
     return (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        buckets.select(F.explode(F.expr(pair_gen)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
         .distinct()
         .select("doc_a", "doc_b", F.expr(est).alias("est_jaccard"))
     )
@@ -110,8 +142,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage of the dedup pipeline): |A∩B| via a join of exploded distinct
     shingles, |A∪B| = |A|+|B|−|A∩B|.  Only candidates are verified — the
     expensive exact computation never touches non-candidate pairs."""
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(F.expr(SHINGLES)).alias("sh")
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .withColumn("t", F.expr(TOKS))
+        .select("doc_id", F.array_distinct(F.expr(SHINGLES_OVER_T)).alias("sh"))
     )
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     ex = docs.select("doc_id", F.explode("sh").alias("shingle"))
@@ -147,11 +181,14 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine-portable: md5 nibbles instead of native 64-bit hashes.  Token
     multiplicity weights naturally (classic SimHash uses term frequency).
     """
-    docs = read_table(spark, sf_dir, "documents").withColumn("t", F.expr(TOKS))
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        # md5 once per token; the 32 bit positions read substrings of it
+        "mds", F.expr(f"transform({TOKS}, tok -> md5(tok))")
+    )
     bits = []
     for j in range(1, 33):
         bits.append(
-            f"IF(aggregate(transform(t, tok -> IF(substring(md5(tok), {j}, 1) >= '8', 1, -1)),"
+            f"IF(aggregate(transform(mds, m -> IF(substring(m, {j}, 1) >= '8', 1, -1)),"
             " 0, (acc, v) -> acc + v) > 0, '1', '0')"
         )
     return docs.select("doc_id", F.expr("concat(" + ", ".join(bits) + ")").alias("simhash32"))

@@ -27,11 +27,14 @@ QUERY_VEC_ID = 0
 TOP_K = 10
 NUM_PLANES = 8
 
-# cosine(a, b) in float64 over zip_with fold — deterministic sequential sum
+# cosine(a, b) in float64 over zip_with fold — deterministic sequential sum.
+# Norms are precomputed per VECTOR (na/nb columns) before any pair join, so
+# per-pair work is one dot product, not three folds — at corpus scale the
+# pair count dwarfs the vector count.  Same arithmetic as dividing inside
+# the pair (na is bit-identical either way), so the oracle needs no change.
 _DOT = "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"
-_NA = "sqrt(aggregate(transform(va, x -> x * x), cast(0 as double), (acc, v) -> acc + v))"
-_NB = "sqrt(aggregate(transform(vb, x -> x * x), cast(0 as double), (acc, v) -> acc + v))"
-COSINE = f"round({_DOT} / ({_NA} * {_NB}), 6)"
+_NORM = "sqrt(aggregate(transform({v}, x -> x * x), cast(0 as double), (acc, v) -> acc + v))"
+COSINE = f"round({_DOT} / (na * nb), 6)"
 
 _CAST64 = "transform(embedding, x -> cast(x as double))"
 
@@ -60,8 +63,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against the query vector (vec_id=0): the
     exact-answer baseline every ANN variant is judged against."""
     emb = read_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.expr(_CAST64).alias("va"))
-    corpus = emb.select("vec_id", "label", F.expr(_CAST64).alias("vb"))
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.expr(_CAST64).alias("va")
+    ).withColumn("na", F.expr(_NORM.format(v="va")))
+    corpus = emb.select("vec_id", "label", F.expr(_CAST64).alias("vb")).withColumn(
+        "nb", F.expr(_NORM.format(v="vb"))
+    )
     return (
         corpus.join(F.broadcast(q))
         .select("vec_id", "label", F.expr(COSINE).alias("cosine_sim"))
@@ -74,13 +81,20 @@ def lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF/LSH-bucketed ANN: score only vectors sharing the query's
     hyperplane-sign bucket.  Approximate by design — recall depends on
     NUM_PLANES — but the scan is 1/2^planes of the corpus in expectation."""
-    emb = read_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", F.expr(_bucket_expr(_CAST64))
+    # materialize the float64 vector BEFORE the bucket expression: element_at
+    # inside the plane lambdas would otherwise re-run the cast-transform per
+    # element (O(DIM²) per plane per row)
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .withColumn("v64", F.expr(_CAST64))
+        .withColumn("bucket", F.expr(_bucket_expr("v64")))
     )
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.expr(_CAST64).alias("va"), F.col("bucket").alias("q_bucket")
+        F.col("v64").alias("va"), F.col("bucket").alias("q_bucket")
+    ).withColumn("na", F.expr(_NORM.format(v="va")))
+    corpus = emb.select("vec_id", "label", F.col("v64").alias("vb"), "bucket").withColumn(
+        "nb", F.expr(_NORM.format(v="vb"))
     )
-    corpus = emb.select("vec_id", "label", F.expr(_CAST64).alias("vb"), "bucket")
     return (
         corpus.join(F.broadcast(q), corpus.bucket == q.q_bucket)
         .select("vec_id", "label", F.expr(COSINE).alias("cosine_sim"))
@@ -94,16 +108,28 @@ def near_dup_pairs_for(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
     DataFrame: LSH-bucketed self-join, cosine ≥ threshold.  A real near-dup
     (cosine→1) lands in the same bucket with high probability; the quadratic
     pair formation happens only inside buckets."""
-    bucketed = emb.withColumn("bucket", F.expr(_bucket_expr(_CAST64)))
-    a = bucketed.select(
-        F.col("vec_id").alias("vec_a"), F.expr(_CAST64).alias("va"), "bucket"
+    # one pass: bucket -> collect members -> pairs from inside the bucket
+    # array (same single-scan shape as dedup.lsh_candidate_pairs; a self-join
+    # would compute the bucket+norm pipeline twice)
+    bucketed = (
+        emb.withColumn("v64", F.expr(_CAST64))
+        .withColumn("bucket", F.expr(_bucket_expr("v64")))
+        .withColumn("nv", F.expr(_NORM.format(v="v64")))
     )
-    b = bucketed.select(
-        F.col("vec_id").alias("vec_b"), F.expr(_CAST64).alias("vb"), "bucket"
+    buckets = (
+        bucketed.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col("vec_id"), F.col("v64"), F.col("nv")))).alias("vs"))
+        .filter(F.size("vs") >= 2)
+    )
+    pair_gen = (
+        "flatten(transform(vs, (a, i) ->"
+        " transform(slice(vs, i + 2, size(vs) - i - 1),"
+        " b -> struct(a.vec_id AS vec_a, b.vec_id AS vec_b,"
+        " a.v64 AS va, b.v64 AS vb, a.nv AS na, b.nv AS nb))))"
     )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        buckets.select(F.explode(F.expr(pair_gen)).alias("p"))
+        .select("p.vec_a", "p.vec_b", "p.va", "p.vb", "p.na", "p.nb")
         .select("vec_a", "vec_b", F.expr(COSINE).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )

@@ -11,7 +11,7 @@ inclusive slice), `string_split` is literal (Spark's `split` is regex),
 
 from __future__ import annotations
 
-from .operators.dedup import BAND_ROWS, NUM_BANDS, NUM_HASHES, SHINGLE_K
+from .operators.dedup import BAND_ROWS, MOD_P, NUM_BANDS, NUM_HASHES, SHINGLE_K
 from .operators.similarity import DIM, NUM_PLANES, QUERY_VEC_ID, TOP_K
 from .operators.textops import LANG_MARKERS, STOPWORDS
 
@@ -24,8 +24,15 @@ _SHINGLES = (
     f"i -> array_to_string(t[i:i+{SHINGLE_K - 1}], ' ')) END"
 )
 
+# One md5 per shingle -> two 28-bit ints; minhash i = h1 + i*h2 mod P
+# (Kirsch-Mitzenmacher — in lockstep with operators.dedup.HASH_PAIRS).
+_HASH_PAIRS = (
+    "list_transform(sh, s -> [('0x' || substr(md5(s), 1, 7))::BIGINT,"
+    " ('0x' || substr(md5(s), 9, 7))::BIGINT])"
+)
 _MH = ", ".join(
-    f"list_min(list_transform(sh, s -> md5('{h}|' || s))) AS mh{h}" for h in range(NUM_HASHES)
+    f"list_min(list_transform(hs, h -> (h[1] + {i} * h[2]) % {MOD_P})) AS mh{i}"
+    for i in range(NUM_HASHES)
 )
 _BANDS = ", ".join(
     "md5(concat_ws('|', "
@@ -40,8 +47,10 @@ WITH toks AS (
   SELECT doc_id, {_TOKS} AS t FROM documents
 ), sh_t AS (
   SELECT doc_id, {_SHINGLES} AS sh FROM toks
+), hp AS (
+  SELECT doc_id, {_HASH_PAIRS} AS hs FROM sh_t
 ), sig0 AS (
-  SELECT doc_id, {_MH} FROM sh_t
+  SELECT doc_id, {_MH} FROM hp
 ), sig AS (
   SELECT doc_id,
          concat_ws('|', {", ".join(f"mh{h}" for h in range(NUM_HASHES))}) AS sig,
