@@ -131,6 +131,96 @@ def sample_frames(binary_df: DataFrame, n_frames: int = 4) -> DataFrame:
     return binary_df.mapInPandas(frames, schema=FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id bigint, out_width int, out_height int, resized binary, resized_mean double"
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, n_samples int, rms double, peak int, zero_crossings int, "
+    "window_rms array<double>"
+)
+
+
+def resize_images(binary_df: DataFrame, out_width: int = 8, out_height: int = 8) -> DataFrame:
+    """Nearest-neighbor resize over the binary column via mapInPandas.
+
+    The decode is the deterministic fake (bytes = pixel buffer); the resize
+    math — index grid, gather, re-serialize — is the real thing and is what a
+    PIL/opencv-backed decode would feed at 100 TB."""
+    import numpy as np
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_meta"], strict=True
+            ):
+                w, h = int(meta["width"]), int(meta["height"])
+                pixels = np.frombuffer(_decode_rgb(payload, w, h), dtype=np.uint8)
+                # pad/trim the fake buffer to the declared geometry
+                img = np.resize(pixels, (h, w))
+                ys = (np.arange(out_height) * h) // out_height
+                xs = (np.arange(out_width) * w) // out_width
+                small = img[np.ix_(ys, xs)]
+                out.append(
+                    (
+                        doc_id,
+                        out_width,
+                        out_height,
+                        small.tobytes(),
+                        float(round(small.mean(), 4)),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "out_width", "out_height", "resized", "resized_mean"]
+            )
+
+    return binary_df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+def extract_audio_features(binary_df: DataFrame, n_windows: int = 4) -> DataFrame:
+    """Audio feature extraction: treat the payload as signed 8-bit PCM and
+    compute RMS / peak / zero-crossing count plus per-window RMS.  With a
+    real codec the `np.frombuffer` line becomes the decoder output; the
+    Spark-side contract (binary in, fixed-schema features out, Arrow batches)
+    is identical."""
+    import numpy as np
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"], strict=True):
+                samples = np.frombuffer(bytes(payload), dtype=np.int8).astype(np.float64)
+                n = samples.size
+                if n == 0:
+                    out.append((doc_id, 0, 0.0, 0, 0, [0.0] * n_windows))
+                    continue
+                signs = np.sign(samples)
+                nz = signs != 0
+                zc = int(np.count_nonzero(np.diff(signs[nz]) != 0))
+                step = max(1, n // n_windows)
+                wins = [
+                    float(round(float(np.sqrt(np.mean(np.square(samples[i * step : (i + 1) * step])))), 4))
+                    if samples[i * step : (i + 1) * step].size
+                    else 0.0
+                    for i in range(n_windows)
+                ]
+                out.append(
+                    (
+                        doc_id,
+                        int(n),
+                        float(round(float(np.sqrt(np.mean(np.square(samples)))), 4)),
+                        int(np.abs(samples).max()),
+                        zc,
+                        wins,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_samples", "rms", "peak", "zero_crossings", "window_rms"],
+            )
+
+    return binary_df.mapInPandas(features, schema=AUDIO_SCHEMA)
+
+
 def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: documents -> binary payload -> decoded features."""
     return extract_image_features(attach_binary_payload(read_table(spark, sf_dir, "documents")))
@@ -139,3 +229,13 @@ def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: documents -> binary payload -> 4 sampled frames each."""
     return sample_frames(attach_binary_payload(read_table(spark, sf_dir, "documents")))
+
+
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: documents -> binary payload -> 8x8 nearest-neighbor."""
+    return resize_images(attach_binary_payload(read_table(spark, sf_dir, "documents")))
+
+
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: documents -> binary payload as PCM -> waveform stats."""
+    return extract_audio_features(attach_binary_payload(read_table(spark, sf_dir, "documents")))

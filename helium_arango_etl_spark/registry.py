@@ -67,6 +67,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- training-data pipeline: multimodal (rows-only: binary mapInPandas) ---
     "image_features": M.image_features,
     "video_frame_sample": M.video_frame_sample,
+    "image_resize": M.image_resize,
+    "audio_features": M.audio_features,
 }
 
 ORACLE: dict[str, str] = {

@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 
 from helium_arango_etl_spark.operators.multimodal import (
     attach_binary_payload,
+    audio_features,
     image_features,
+    image_resize,
     video_frame_sample,
 )
 from helium_arango_etl_spark.io import read_table
@@ -42,3 +44,27 @@ def test_frame_sampling_fanout(spark, sf_dir):
     assert all(r["n"] == 4 for r in per_doc)
     f0 = frames.filter((F.col("doc_id") == 0) & (F.col("frame_idx") == 0)).first()
     assert isinstance(f0["frame_bytes"], (bytes, bytearray)) and len(f0["frame_bytes"]) > 0
+
+
+def test_image_resize_geometry(spark, sf_dir):
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    rows = image_resize(spark, sf_dir).collect()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r["out_width"] == 8 and r["out_height"] == 8
+        assert len(r["resized"]) == 64  # 8x8 single-channel fake pixels
+        assert 0.0 <= r["resized_mean"] <= 255.0
+
+
+def test_audio_features_waveform_stats(spark, sf_dir):
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    rows = audio_features(spark, sf_dir).collect()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r["n_samples"] > 0
+        assert 0.0 < r["rms"] <= 128.0
+        assert 0 <= r["peak"] <= 128
+        assert len(r["window_rms"]) == 4
+    # determinism
+    again = audio_features(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
