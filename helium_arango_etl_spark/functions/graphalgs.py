@@ -149,3 +149,44 @@ def betweenness_centrality(
     else:
         bc[:] = 0.0
     return {node: float(bc[idx[node]]) for node in order}
+
+
+def hits(
+    edges: list[tuple[str, str, float]],
+    max_iter: int = 100,
+    tol: float = 1.0e-8,
+) -> tuple[dict[str, float], dict[str, float]]:
+    """HITS hub/authority scores (J5 — the reference reserves the columns but
+    leaves ``nx.algorithms.hits(g)`` commented out, arango_queries.py:168;
+    implemented here so the capability exists).  Power iteration with
+    networkx semantics: unweighted adjacency, per-iteration max-normalization,
+    final sum-normalization, convergence on L1 hub error."""
+    order, idx, n, arc_weight = _build(edges)
+    if n == 0:
+        return {}, {}
+    src = np.fromiter((idx[u] for (u, v) in arc_weight), dtype=np.int64, count=len(arc_weight))
+    dst = np.fromiter((idx[v] for (u, v) in arc_weight), dtype=np.int64, count=len(arc_weight))
+    h = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        hlast = h
+        a = np.zeros(n)
+        np.add.at(a, dst, hlast[src])
+        amax = a.max()
+        if amax > 0:
+            a /= amax
+        h = np.zeros(n)
+        np.add.at(h, src, a[dst])
+        hmax = h.max()
+        if hmax > 0:
+            h /= hmax
+        if np.abs(h - hlast).sum() < tol:
+            break
+    hsum, asum = h.sum(), a.sum()
+    if hsum > 0:
+        h /= hsum
+    if asum > 0:
+        a /= asum
+    return (
+        {node: float(h[idx[node]]) for node in order},
+        {node: float(a[idx[node]]) for node in order},
+    )

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
-from ..functions.graphalgs import betweenness_centrality, pagerank
+from ..functions.graphalgs import betweenness_centrality, hits, pagerank
 from ..functions.scalars import haversine_m, synthetic_lat, synthetic_lon
 from ..io import read_table
 
@@ -141,6 +141,45 @@ def city_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("city_key", "src", "dst", "distance_m")
     )
     return deduped.groupBy("city_key").applyInPandas(_city_metrics, schema=_METRICS_SCHEMA)
+
+
+_HITS_SCHEMA = StructType(
+    [
+        StructField("city_key", StringType()),
+        StructField("address", StringType()),
+        StructField("hub_score", DoubleType()),
+        StructField("authority_score", DoubleType()),
+    ]
+)
+
+
+def _city_hits(pdf: pd.DataFrame) -> pd.DataFrame:
+    if len(pdf) < MIN_CITY_SIZE:
+        return pd.DataFrame(columns=[f.name for f in _HITS_SCHEMA.fields])
+    city = pdf["city_key"].iloc[0]
+    edges = list(
+        pdf.sort_values(["src", "dst"])[["src", "dst", "distance_m"]].itertuples(index=False, name=None)
+    )
+    hubs, auths = hits(edges)
+    rows = [(city, node, hubs[node], auths[node]) for node in sorted(hubs)]
+    return pd.DataFrame(rows, columns=[f.name for f in _HITS_SCHEMA.fields])
+
+
+def city_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: HITS hub/authority per city graph — the metric the reference
+    reserves schema columns for but leaves commented out
+    (arango_queries.py:168, arango_schema.py:59-60).  Same dedup + shuffle +
+    applyInPandas harness as city_graph_metrics."""
+    from pyspark.sql import Window
+
+    edges = witness_subgraph(spark, sf_dir)
+    w = Window.partitionBy("city_key", "src", "dst").orderBy(F.col("edge_ts").desc(), F.col("distance_m").desc())
+    deduped = (
+        edges.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("city_key", "src", "dst", "distance_m")
+    )
+    return deduped.groupBy("city_key").applyInPandas(_city_hits, schema=_HITS_SCHEMA)
 
 
 def hotspot_metrics_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:

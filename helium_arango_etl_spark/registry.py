@@ -47,6 +47,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- graph / analytics (SURVEY §2 J) ---
     "witness_subgraph": G.witness_subgraph,
     "city_graph_metrics": G.city_graph_metrics,  # rows-only: networkx-equivalent numerics
+    "city_hits": G.city_hits,  # rows-only: J5 hub/authority scores
     "hotspot_metrics_writeback": G.hotspot_metrics_writeback,  # rows-only: depends on metrics
     # --- training-data pipeline: text analysis ---
     "text_stats": T.text_stats,

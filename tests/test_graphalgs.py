@@ -8,7 +8,7 @@ import math
 
 import pytest
 
-from helium_arango_etl_spark.functions.graphalgs import betweenness_centrality, pagerank
+from helium_arango_etl_spark.functions.graphalgs import betweenness_centrality, hits, pagerank
 
 
 def test_pagerank_two_cycle():
@@ -74,3 +74,40 @@ def test_tiny_graphs_zero():
 def test_pagerank_no_nan():
     pr = pagerank([("a", "a", 1.0)])  # self-loop
     assert not any(math.isnan(v) for v in pr.values())
+
+
+def test_hits_star():
+    # hub h points at a,b,c: h is the only hub; a,b,c equal authorities
+    hubs, auths = hits([("h", "a", 1.0), ("h", "b", 1.0), ("h", "c", 1.0)])
+    assert hubs["h"] == pytest.approx(1.0, abs=1e-9)
+    assert hubs["a"] == hubs["b"] == hubs["c"] == 0.0
+    for k in ("a", "b", "c"):
+        assert auths[k] == pytest.approx(1 / 3, abs=1e-9)
+    assert sum(hubs.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(auths.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hits_two_cycle_symmetric():
+    hubs, auths = hits([("a", "b", 1.0), ("b", "a", 1.0)])
+    assert hubs["a"] == pytest.approx(hubs["b"], abs=1e-9)
+    assert auths["a"] == pytest.approx(auths["b"], abs=1e-9)
+
+
+def test_hits_empty():
+    assert hits([]) == ({}, {})
+
+
+def test_h3_fallback_latlng_null_safe(spark):
+    from helium_arango_etl_spark.functions.h3geo import geojson_point, h3_to_latlng
+
+    df = spark.createDataFrame(
+        [("8828308281fffff",), ("8828308281fffff",), (None,)], ["cell"]
+    )
+    rows = df.select(h3_to_latlng("cell").alias("ll"), geojson_point(df.cell).alias("pt")).collect()
+    # deterministic, valid ranges, identical for identical cells
+    assert rows[0]["ll"] == rows[1]["ll"]
+    assert -90 <= rows[0]["ll"]["lat"] <= 90 and -180 <= rows[0]["ll"]["lon"] <= 180
+    # GeoJSON coordinate order is [lon, lat]
+    assert rows[0]["pt"]["coordinates"] == [rows[0]["ll"]["lon"], rows[0]["ll"]["lat"]]
+    # null cell -> null coordinates (reference's TypeError branch)
+    assert rows[2]["ll"]["lat"] is None and rows[2]["pt"]["coordinates"] is None
