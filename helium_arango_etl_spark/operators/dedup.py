@@ -81,6 +81,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         read_table(spark, sf_dir, "documents")
         .withColumn("t", F.expr(TOKS))
+        # filter short docs HERE, on the cheap token count: the equivalent
+        # `mh0 IS NOT NULL` post-filter would re-evaluate the whole signature
+        # expression once for the predicate and again for the projection
+        .filter(F.expr(f"size(t) >= {SHINGLE_K}"))
         .withColumn("sh", F.expr(SHINGLES_OVER_T))
         .withColumn("hs", F.expr(HASH_PAIRS))
     )
@@ -89,7 +93,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws("|", *[f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS)])).alias(f"band{b}")
         for b in range(NUM_BANDS)
     ]
-    return sig.filter(F.col("mh0").isNotNull()).select(
+    return sig.select(
         "doc_id",
         F.concat_ws("|", *[f"mh{h}" for h in range(NUM_HASHES)]).alias("sig"),
         *band_cols,
@@ -124,9 +128,11 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         " transform(slice(ds, i + 2, size(ds) - i - 1),"
         " b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b))))"
     )
+    # zip_with over the two split arrays: each sig string is split ONCE
+    # (element_at(split(...), i) per position would re-split per comparison)
     est = (
-        f"round(aggregate(transform(sequence(1, {NUM_HASHES}),"
-        " i -> IF(element_at(split(sig_a, '[|]'), i) = element_at(split(sig_b, '[|]'), i), 1, 0)),"
+        "round(aggregate(zip_with(split(sig_a, '[|]'), split(sig_b, '[|]'),"
+        " (x, y) -> IF(x = y, 1, 0)),"
         f" 0, (acc, v) -> acc + v) / cast({NUM_HASHES} as double), 4)"
     )
     return (
@@ -139,36 +145,31 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard for the LSH candidate pairs (the verify
-    stage of the dedup pipeline): |A∩B| via a join of exploded distinct
-    shingles, |A∪B| = |A|+|B|−|A∩B|.  Only candidates are verified — the
-    expensive exact computation never touches non-candidate pairs."""
+    stage of the dedup pipeline): |A∩B| = size(array_intersect),
+    |A∪B| = |A|+|B|−|A∩B|.  Only candidates are verified — the expensive
+    exact computation never touches non-candidate pairs, and the shingle
+    sets travel as arrays through two keyed joins of the (small) candidate
+    set rather than as an exploded row-per-shingle shuffle."""
     docs = (
         read_table(spark, sf_dir, "documents")
         .withColumn("t", F.expr(TOKS))
         .select("doc_id", F.array_distinct(F.expr(SHINGLES_OVER_T)).alias("sh"))
     )
-    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
-    ex = docs.select("doc_id", F.explode("sh").alias("shingle"))
     cand = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b", "est_jaccard")
-    ex_a = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
-    ex_b = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(ex_a, "doc_a")
-        .join(ex_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "est_jaccard")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
-        inter.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .select(
             "doc_a",
             "doc_b",
             "est_jaccard",
             F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"), 4
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")).cast("double"),
+                4,
             ).alias("jaccard"),
         )
     )
