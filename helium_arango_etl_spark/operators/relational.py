@@ -267,3 +267,77 @@ def token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def _payment_payload() -> F.Column:
+    """Deterministic v1/v2-shaped JSON payload column synthesized from events
+    (the testdata's props carries no array payloads, so the payload is BUILT
+    with to_json and then parsed back with from_json — the parse/dispatch/
+    explode machinery under test is the real thing; SURVEY §1.3).
+
+    even event_id -> payment_v1 {payer, payee, amount}
+    odd  event_id -> payment_v2 {payer, payments: [{payee, amount}, {payee, amount}]}
+    """
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    payee1 = F.pmod(F.col("user_id") * 7 + k, F.lit(1000))
+    payee2 = F.pmod(F.col("user_id") * 11 + k, F.lit(1000))
+    v1 = F.to_json(
+        F.struct(F.col("user_id").alias("payer"), payee1.alias("payee"), k.alias("amount"))
+    )
+    v2 = F.to_json(
+        F.struct(
+            F.col("user_id").alias("payer"),
+            F.array(
+                F.struct(payee1.alias("payee"), k.alias("amount")),
+                F.struct(payee2.alias("payee"), (k + 1).alias("amount")),
+            ).alias("payments"),
+        )
+    )
+    return F.when(F.col("event_id") % 2 == 0, v1).otherwise(v2)
+
+
+_V1_SCHEMA = "payer BIGINT, payee BIGINT, amount INT"
+_V2_SCHEMA = "payer BIGINT, payments ARRAY<STRUCT<payee: BIGINT, amount: INT>>"
+
+
+def payment_shape_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H16: payment_v1/payment_v2 shape dispatch as coalesce over both
+    from_json extraction paths (the reference's try/except KeyError,
+    blockchain_queries.py:244-257).
+
+    KNOWN-QUIRK (SURVEY §1.3): payment_v2 takes only payments[0] — the tail
+    of a multi-payee payment is silently dropped, exactly like the reference
+    at blockchain_queries.py:253-257.  See payment_v2_exploded for the
+    idiomatic full-fan-out variant.
+    """
+    ev = read_table(spark, sf_dir, "events").withColumn("payload", _payment_payload())
+    f1 = F.from_json(F.col("payload"), _V1_SCHEMA)
+    f2 = F.from_json(F.col("payload"), _V2_SCHEMA)
+    first = F.element_at(f2["payments"], 1)
+    return ev.select(
+        F.col("event_id"),
+        F.coalesce(f1["payer"], f2["payer"]).alias("payer"),
+        F.coalesce(f1["payee"], first["payee"]).alias("payee"),
+        F.coalesce(f1["amount"], first["amount"]).alias("amount"),
+    )
+
+
+def payment_v2_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The idiomatic alternative to the v2 first-payee quirk: explode the
+    payments array so every payee lands (1 v2 tx -> N payment rows; v1 rows
+    normalized into a 1-element array so one explode covers both shapes)."""
+    ev = read_table(spark, sf_dir, "events").withColumn("payload", _payment_payload())
+    f1 = F.from_json(F.col("payload"), _V1_SCHEMA)
+    f2 = F.from_json(F.col("payload"), _V2_SCHEMA)
+    payments = F.coalesce(
+        f2["payments"],
+        F.array(F.struct(f1["payee"].alias("payee"), f1["amount"].alias("amount"))),
+    )
+    return (
+        ev.select(
+            F.col("event_id"),
+            F.coalesce(f1["payer"], f2["payer"]).alias("payer"),
+            F.posexplode(payments).alias("payment_idx", "p"),
+        )
+        .select("event_id", "payer", "payment_idx", F.col("p.payee").alias("payee"), F.col("p.amount").alias("amount"))
+    )

@@ -37,6 +37,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "date_battery": R.date_battery,
     "haversine_pairs": R.haversine_pairs,
     "payments_from_events": R.payments_from_events,
+    "payment_shape_dispatch": R.payment_shape_dispatch,
+    "payment_v2_exploded": R.payment_v2_exploded,
     "token_explode": R.token_explode,
     # --- windows / dedup semantics (SURVEY §2 E) ---
     "keep_latest_witness": W.keep_latest_witness,
@@ -186,6 +188,28 @@ ORACLE: dict[str, str] = {
         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         WHERE token <> ''
         GROUP BY token
+    """,
+    # oracle derives the dispatch/explode semantics JSON-free: the Spark side
+    # builds the v1/v2 payload with to_json and parses it back (the machinery
+    # under test); both must land on the same extracted values
+    "payment_shape_dispatch": """
+        SELECT event_id, user_id AS payer,
+               (user_id * 7 + CAST(json_extract_string(props, '$.k') AS INTEGER)) % 1000 AS payee,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS amount
+        FROM events
+    """,
+    "payment_v2_exploded": """
+        WITH base AS (
+          SELECT event_id, user_id,
+                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+          FROM events
+        )
+        SELECT event_id, user_id AS payer, 0 AS payment_idx,
+               (user_id * 7 + k) % 1000 AS payee, k AS amount
+        FROM base
+        UNION ALL
+        SELECT event_id, user_id, 1, (user_id * 11 + k) % 1000, k + 1
+        FROM base WHERE event_id % 2 = 1
     """,
     "keep_latest_witness": """
         SELECT user_id, event_type, ts, event_id, value
