@@ -88,17 +88,33 @@ _METRICS_SCHEMA = StructType(
 )
 
 
+def _dedup_edges(pdf: pd.DataFrame) -> pd.DataFrame | None:
+    """Keep-latest dedup per (src,dst) INSIDE the pandas group (E1): sorting
+    ascending by (src, dst, edge_ts, distance_m) and letting the last row
+    win per arc is exactly the window row_number()==1 on desc ordering — but
+    done group-locally it saves the whole extra shuffle+sort stage a window
+    over (city,src,dst) would cost before the city_key shuffle.  Returns
+    None when the deduped edge count is under MIN_CITY_SIZE (J6 — the
+    reference thresholds on the witness collection's deduped edges)."""
+    deduped = pdf.sort_values(["src", "dst", "edge_ts", "distance_m"]).drop_duplicates(
+        ["src", "dst"], keep="last"
+    )
+    if len(deduped) < MIN_CITY_SIZE:
+        return None
+    return deduped
+
+
 def _city_metrics(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-city group: DiGraph metrics exactly as arango_queries.py:159-175.
 
-    Edge rows arrive deduped (keep-latest per (src,dst)); sort for float
-    determinism, weights = distance_m (DiGraph last-wins is moot post-dedup).
+    Sort for float determinism; weights = distance_m.
     """
-    if len(pdf) < MIN_CITY_SIZE:  # J6: threshold on edge count
+    deduped = _dedup_edges(pdf)
+    if deduped is None:
         return pd.DataFrame(columns=[f.name for f in _METRICS_SCHEMA.fields])
     city = pdf["city_key"].iloc[0]
     edges = list(
-        pdf.sort_values(["src", "dst"])[["src", "dst", "distance_m"]].itertuples(index=False, name=None)
+        deduped[["src", "dst", "distance_m"]].itertuples(index=False, name=None)
     )
     bc = betweenness_centrality(edges)
     pg = pagerank(edges)
@@ -125,22 +141,17 @@ def _city_metrics(pdf: pd.DataFrame) -> pd.DataFrame:
 def city_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/J3/J4: per-city betweenness + PageRank, normalized by city mean.
 
-    Plan: witness subgraph -> keep-latest dedup per (city,src,dst) (E1, the
-    semantic the reference gets from onDuplicate='ignore' insert order) ->
-    shuffle on city_key -> Arrow-batched pandas per group.  Replaces the
-    reference's fork-per-city-chunk orchestration (arango_queries.py:184-208)
-    — and fixes its chunk-indexing bug by construction (K2).
+    Plan: witness subgraph -> ONE shuffle on city_key -> Arrow-batched
+    pandas per group, where keep-latest dedup per (src,dst) (E1, the
+    semantic the reference gets from onDuplicate='ignore' insert order)
+    happens group-locally before the graph build.  Replaces the reference's
+    fork-per-city-chunk orchestration (arango_queries.py:184-208) — and
+    fixes its chunk-indexing bug by construction (K2).
     """
-    edges = witness_subgraph(spark, sf_dir)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("city_key", "src", "dst").orderBy(F.col("edge_ts").desc(), F.col("distance_m").desc())
-    deduped = (
-        edges.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("city_key", "src", "dst", "distance_m")
+    edges = witness_subgraph(spark, sf_dir).select(
+        "city_key", "src", "dst", "distance_m", "edge_ts"
     )
-    return deduped.groupBy("city_key").applyInPandas(_city_metrics, schema=_METRICS_SCHEMA)
+    return edges.groupBy("city_key").applyInPandas(_city_metrics, schema=_METRICS_SCHEMA)
 
 
 _HITS_SCHEMA = StructType(
@@ -154,11 +165,12 @@ _HITS_SCHEMA = StructType(
 
 
 def _city_hits(pdf: pd.DataFrame) -> pd.DataFrame:
-    if len(pdf) < MIN_CITY_SIZE:
+    deduped = _dedup_edges(pdf)
+    if deduped is None:
         return pd.DataFrame(columns=[f.name for f in _HITS_SCHEMA.fields])
     city = pdf["city_key"].iloc[0]
     edges = list(
-        pdf.sort_values(["src", "dst"])[["src", "dst", "distance_m"]].itertuples(index=False, name=None)
+        deduped[["src", "dst", "distance_m"]].itertuples(index=False, name=None)
     )
     hubs, auths = hits(edges)
     rows = [(city, node, hubs[node], auths[node]) for node in sorted(hubs)]
@@ -168,18 +180,12 @@ def _city_hits(pdf: pd.DataFrame) -> pd.DataFrame:
 def city_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: HITS hub/authority per city graph — the metric the reference
     reserves schema columns for but leaves commented out
-    (arango_queries.py:168, arango_schema.py:59-60).  Same dedup + shuffle +
-    applyInPandas harness as city_graph_metrics."""
-    from pyspark.sql import Window
-
-    edges = witness_subgraph(spark, sf_dir)
-    w = Window.partitionBy("city_key", "src", "dst").orderBy(F.col("edge_ts").desc(), F.col("distance_m").desc())
-    deduped = (
-        edges.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("city_key", "src", "dst", "distance_m")
+    (arango_queries.py:168, arango_schema.py:59-60).  Same single-shuffle
+    group-local-dedup applyInPandas harness as city_graph_metrics."""
+    edges = witness_subgraph(spark, sf_dir).select(
+        "city_key", "src", "dst", "distance_m", "edge_ts"
     )
-    return deduped.groupBy("city_key").applyInPandas(_city_hits, schema=_HITS_SCHEMA)
+    return edges.groupBy("city_key").applyInPandas(_city_hits, schema=_HITS_SCHEMA)
 
 
 def hotspot_metrics_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
