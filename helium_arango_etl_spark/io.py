@@ -88,6 +88,29 @@ def merge_ignore(old: DataFrame, new: DataFrame, key: str = "_key") -> DataFrame
     return old.unionByName(fresh, allowMissingColumns=True)
 
 
+def merge_array_append(
+    old: DataFrame, new: DataFrame, key: str = "_key", array_col: str = "daily_balances"
+) -> DataFrame:
+    """Upsert with array append: matched keys get ``old.array ++ new.array``,
+    new keys insert as-is.
+
+    Reference: the deprecated per-row AQL ``UPSERT ... UPDATE {daily_balances:
+    APPEND(OLD.daily_balances, ...)}`` (arango_queries.py:77-87) — A8 in
+    SURVEY.md §2.  As one declarative plan: full-outer join on the key,
+    concat the arrays (null-safe on either side).  The reference replaced
+    this with snapshot recomputation (daily_balances_nested does that here);
+    this sink exists for capability parity and for true append-only stores.
+    """
+    o = old.select(key, F.col(array_col).alias("_old_arr"))
+    n = new.select(key, F.col(array_col).alias("_new_arr"))
+    appended = (
+        F.when(F.col("_old_arr").isNull(), F.col("_new_arr"))
+        .when(F.col("_new_arr").isNull(), F.col("_old_arr"))
+        .otherwise(F.concat("_old_arr", "_new_arr"))
+    )
+    return o.join(n, on=key, how="full_outer").select(key, appended.alias(array_col))
+
+
 def apply_retention(df: DataFrame, time_col: str, cutoff) -> DataFrame:
     """Keep rows at/after ``cutoff`` — the witness retention delete.
 

@@ -72,3 +72,20 @@ def test_witnesses_keep_latest_unique_pairs(spark, sf_dir):
     w = build_witnesses(spark, sf_dir)
     assert w.count() == w.select("_key").distinct().count()
     assert w.filter(~F.col("_from").startswith("hotspots/")).count() == 0
+
+
+def test_merge_array_append(spark):
+    """A8: upsert-with-array-append (the reference's deprecated AQL form)."""
+    from helium_arango_etl_spark.io import merge_array_append
+
+    old = spark.createDataFrame(
+        [("a", [1, 2]), ("b", [3])], ["_key", "daily_balances"]
+    )
+    new = spark.createDataFrame(
+        [("b", [4, 5]), ("c", [6])], ["_key", "daily_balances"]
+    )
+    got = {
+        r["_key"]: r["daily_balances"]
+        for r in merge_array_append(old, new).collect()
+    }
+    assert got == {"a": [1, 2], "b": [3, 4, 5], "c": [6]}
