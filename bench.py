@@ -28,6 +28,7 @@ HEADLINE = [
     "hotspot_snapshot",      # 3-way broadcast left join (C2/C3)
     "rewards_by_type",       # fact-fact shuffle join + agg (C1/D1)
     "payments_from_events",  # JSON extraction + content keys (H2/H11)
+    "payment_v2_exploded",   # from_json + posexplode fan-out (H16/M3)
     "token_explode",         # explode fan-out + agg (M3)
     "keep_latest_witness",   # window dedup (E1)
     "last_balance_per_day",  # window, the reference-disabled query (E2)
@@ -36,6 +37,7 @@ HEADLINE = [
     "haversine_pairs",       # trig battery (H7)
     "witness_subgraph",      # graph-hop join + distance (J1/C6)
     "city_graph_metrics",    # applyInPandas BC+PageRank (J2/J3)
+    "city_hits",             # applyInPandas HITS (J5)
     "exact_dedup",           # hash-groupBy dedup
     "lsh_candidate_pairs",   # minhash + LSH banding self-join
     "ngram_jaccard_pairs",   # exact jaccard verify over candidates

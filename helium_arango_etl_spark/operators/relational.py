@@ -277,8 +277,11 @@ def _payment_payload() -> F.Column:
 
     even event_id -> payment_v1 {payer, payee, amount}
     odd  event_id -> payment_v2 {payer, payments: [{payee, amount}, {payee, amount}]}
+
+    Expects a materialized ``k`` column (callers parse props once;
+    referencing from_json(props) here would re-parse it per use site).
     """
-    k = F.from_json(F.col("props"), "k INT")["k"]
+    k = F.col("k")
     payee1 = F.pmod(F.col("user_id") * 7 + k, F.lit(1000))
     payee2 = F.pmod(F.col("user_id") * 11 + k, F.lit(1000))
     v1 = F.to_json(
@@ -310,15 +313,24 @@ def payment_shape_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     at blockchain_queries.py:253-257.  See payment_v2_exploded for the
     idiomatic full-fan-out variant.
     """
-    ev = read_table(spark, sf_dir, "events").withColumn("payload", _payment_payload())
-    f1 = F.from_json(F.col("payload"), _V1_SCHEMA)
-    f2 = F.from_json(F.col("payload"), _V2_SCHEMA)
-    first = F.element_at(f2["payments"], 1)
-    return ev.select(
+    # parse each schema ONCE into a struct column; extracting fields from
+    # repeated from_json(...) expressions re-parses the JSON per field
+    parsed = (
+        read_table(spark, sf_dir, "events")
+        .withColumn("k", F.from_json(F.col("props"), "k INT")["k"])
+        .withColumn("payload", _payment_payload())
+        .select(
+            "event_id",
+            F.from_json(F.col("payload"), _V1_SCHEMA).alias("f1"),
+            F.from_json(F.col("payload"), _V2_SCHEMA).alias("f2"),
+        )
+    )
+    first = F.element_at(F.col("f2.payments"), 1)
+    return parsed.select(
         F.col("event_id"),
-        F.coalesce(f1["payer"], f2["payer"]).alias("payer"),
-        F.coalesce(f1["payee"], first["payee"]).alias("payee"),
-        F.coalesce(f1["amount"], first["amount"]).alias("amount"),
+        F.coalesce(F.col("f1.payer"), F.col("f2.payer")).alias("payer"),
+        F.coalesce(F.col("f1.payee"), first["payee"]).alias("payee"),
+        F.coalesce(F.col("f1.amount"), first["amount"]).alias("amount"),
     )
 
 
@@ -326,17 +338,24 @@ def payment_v2_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The idiomatic alternative to the v2 first-payee quirk: explode the
     payments array so every payee lands (1 v2 tx -> N payment rows; v1 rows
     normalized into a 1-element array so one explode covers both shapes)."""
-    ev = read_table(spark, sf_dir, "events").withColumn("payload", _payment_payload())
-    f1 = F.from_json(F.col("payload"), _V1_SCHEMA)
-    f2 = F.from_json(F.col("payload"), _V2_SCHEMA)
+    parsed = (
+        read_table(spark, sf_dir, "events")
+        .withColumn("k", F.from_json(F.col("props"), "k INT")["k"])
+        .withColumn("payload", _payment_payload())
+        .select(
+            "event_id",
+            F.from_json(F.col("payload"), _V1_SCHEMA).alias("f1"),
+            F.from_json(F.col("payload"), _V2_SCHEMA).alias("f2"),
+        )
+    )
     payments = F.coalesce(
-        f2["payments"],
-        F.array(F.struct(f1["payee"].alias("payee"), f1["amount"].alias("amount"))),
+        F.col("f2.payments"),
+        F.array(F.struct(F.col("f1.payee").alias("payee"), F.col("f1.amount").alias("amount"))),
     )
     return (
-        ev.select(
+        parsed.select(
             F.col("event_id"),
-            F.coalesce(f1["payer"], f2["payer"]).alias("payer"),
+            F.coalesce(F.col("f1.payer"), F.col("f2.payer")).alias("payer"),
             F.posexplode(payments).alias("payment_idx", "p"),
         )
         .select("event_id", "payer", "payment_idx", F.col("p.payee").alias("payee"), F.col("p.amount").alias("amount"))
