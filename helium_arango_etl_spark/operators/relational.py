@@ -360,3 +360,26 @@ def payment_v2_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "payer", "payment_idx", F.col("p.payee").alias("payee"), F.col("p.amount").alias("amount"))
     )
+
+
+def sql_rewards_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: the raw-SQL execution surface (reference: engine-level SQL text at
+    blockchain_queries.py:181-192) — the same engine capabilities through
+    ``spark.sql`` over registered views instead of the DataFrame API.
+    Catalyst compiles both to identical plans; this query exists to pin the
+    SQL entry point (TPC-H Q1-shaped: filter -> grouped decimal sums)."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate > TIMESTAMP '{WINDOW_START}'
+          AND l_shipdate < TIMESTAMP '{WINDOW_END}'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )

@@ -38,6 +38,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "haversine_pairs": R.haversine_pairs,
     "payments_from_events": R.payments_from_events,
     "payment_shape_dispatch": R.payment_shape_dispatch,
+    "sql_rewards_summary": R.sql_rewards_summary,
     "payment_v2_exploded": R.payment_v2_exploded,
     "token_explode": R.token_explode,
     # --- windows / dedup semantics (SURVEY §2 E) ---
@@ -116,6 +117,15 @@ ORACLE: dict[str, str] = {
         ) t
     """,
     "current_height": "SELECT max(o_orderkey) AS height FROM orders",
+    "sql_rewards_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate > TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
     "block_by_timestamp": """
         SELECT min(o_orderkey) AS height FROM orders
         WHERE o_orderdate > TIMESTAMP '1999-06-01'
