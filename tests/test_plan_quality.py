@@ -72,6 +72,17 @@ def test_scalar_work_is_codegened(spark, sf_dir):
     assert "codegen id" in plan, plan
 
 
+def test_city_metrics_single_shuffle(spark, sf_dir):
+    """city_graph_metrics must shuffle exactly once (on city_key): the
+    keep-latest dedup happens inside the pandas group, so a second
+    window-style exchange is a regression."""
+    plan = plan_of(QUERIES["city_graph_metrics"](spark, sf_dir))
+    # formatted mode: shuffle nodes print as "(N) Exchange"; broadcasts as
+    # "(N) BroadcastExchange" — count only the former
+    shuffles = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert shuffles == 1, plan
+
+
 def test_single_scan_lsh_pipeline(spark, sf_dir):
     """lsh_candidate_pairs must scan `documents` exactly once — the
     bucketed-self-join formulation evaluated the whole signature pipeline
