@@ -29,26 +29,29 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic quality score: 0.4·stopword_ratio + 0.3·min(n_tokens/100,1)
     + 0.3·alpha_ratio — a classic cheap-heuristic filter stage.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    # tokenize ONCE into t; referencing the tokenizer expression 7 times
+    # would re-split the text per use site (multi-use aliases survive
+    # CollapseProject, single-use ones get inlined — keep them multi-use)
+    docs = read_table(spark, sf_dir, "documents").withColumn("t", F.expr(TOKS))
     sw = ", ".join(f"'{w}'" for w in STOPWORDS)
     return docs.select(
         "doc_id",
-        F.expr(f"size({TOKS})").alias("n_tokens"),
+        F.expr("size(t)").alias("n_tokens"),
         F.length("text").alias("n_chars"),
         F.expr(
-            f"round(aggregate(transform({TOKS}, x -> length(x)), 0, (acc, v) -> acc + v)"
-            f" / cast(size({TOKS}) as double), 4)"
+            "round(aggregate(transform(t, x -> length(x)), 0, (acc, v) -> acc + v)"
+            " / cast(size(t) as double), 4)"
         ).alias("avg_token_len"),
         F.expr(
-            f"round(size(filter({TOKS}, x -> x in ({sw}))) / cast(size({TOKS}) as double), 4)"
+            f"round(size(filter(t, x -> x in ({sw}))) / cast(size(t) as double), 4)"
         ).alias("stopword_ratio"),
         F.expr(
             "round((length(text) - length(regexp_replace(text, '[a-z]', '')))"
             " / cast(length(text) as double), 4)"
         ).alias("alpha_ratio"),
         F.expr(
-            f"round(0.4 * (size(filter({TOKS}, x -> x in ({sw}))) / cast(size({TOKS}) as double))"
-            f" + 0.3 * least(size({TOKS}) / 100.0, 1.0)"
+            f"round(0.4 * (size(filter(t, x -> x in ({sw}))) / cast(size(t) as double))"
+            " + 0.3 * least(size(t) / 100.0, 1.0)"
             " + 0.3 * ((length(text) - length(regexp_replace(text, '[a-z]', '')))"
             " / cast(length(text) as double)), 4)"
         ).alias("quality_score"),
@@ -60,10 +63,10 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax with deterministic priority-order tie-break.  (The heuristic's
     *accuracy* is data-dependent; the operator contract is the deterministic
     scoring formula, oracle-checked.)"""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").withColumn("t", F.expr(TOKS))
     cols = [F.col("doc_id"), F.col("lang").alias("actual_lang")]
     for lang, marker in LANG_MARKERS:
-        cols.append(F.expr(f"size(filter({TOKS}, x -> x = '{marker}'))").alias(f"c_{lang}"))
+        cols.append(F.expr(f"size(filter(t, x -> x = '{marker}'))").alias(f"c_{lang}"))
     df = docs.select(*cols)
     # argmax in priority order: first lang whose count equals the row max
     counts = [F.col(f"c_{lang}") for lang, _ in LANG_MARKERS]
@@ -78,9 +81,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: order-insensitive bag-of-words hash + an
     order-sensitive prefix hash (cheap rolling-hash stand-in; both engines
     compute identical md5-based values)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").withColumn("t", F.expr(TOKS))
     return docs.select(
         "doc_id",
-        F.expr(f"md5(array_join(array_sort(array_distinct({TOKS})), ' '))").alias("bow_fingerprint"),
-        F.expr(f"md5(array_join(slice({TOKS}, 1, 8), ' '))").alias("prefix_fingerprint"),
+        F.expr("md5(array_join(array_sort(array_distinct(t)), ' '))").alias("bow_fingerprint"),
+        F.expr("md5(array_join(slice(t, 1, 8), ' '))").alias("prefix_fingerprint"),
     )
