@@ -61,6 +61,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Round-robin repartition to the cluster's parallelism — but ONLY when
+    the source is under-split (fewer than parallelism/min_factor partitions).
+
+    A parquet file is splittable at row-group boundaries only; a file written
+    as one row group (or a gzip text file, etc.) scans as ONE task, so every
+    CPU-heavy map stage downstream runs single-threaded no matter how many
+    cores exist.  This helper is the principled fix: pay one small shuffle of
+    the raw rows to unlock N-way map parallelism.  On a well-split source
+    (the 100 TB case: thousands of row groups) it is a no-op, so pipelines
+    keep the shuffle-free scan path at scale.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // min_factor):
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql() plans."""
     for name in TABLES:

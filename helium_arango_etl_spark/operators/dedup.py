@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import read_table
+from ..io import read_table, spread
 from .textops import TOKS
 
 NUM_HASHES = 16
@@ -79,7 +79,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles), mirroring the oracle.
     """
     docs = (
-        read_table(spark, sf_dir, "documents")
+        spread(read_table(spark, sf_dir, "documents"))
         .withColumn("t", F.expr(TOKS))
         # filter short docs HERE, on the cheap token count: the equivalent
         # `mh0 IS NOT NULL` post-filter would re-evaluate the whole signature
@@ -151,7 +151,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets travel as arrays through two keyed joins of the (small) candidate
     set rather than as an exploded row-per-shingle shuffle."""
     docs = (
-        read_table(spark, sf_dir, "documents")
+        spread(read_table(spark, sf_dir, "documents"))
         .withColumn("t", F.expr(TOKS))
         .select("doc_id", F.array_distinct(F.expr(SHINGLES_OVER_T)).alias("sh"))
     )
@@ -182,7 +182,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine-portable: md5 nibbles instead of native 64-bit hashes.  Token
     multiplicity weights naturally (classic SimHash uses term frequency).
     """
-    docs = read_table(spark, sf_dir, "documents").withColumn(
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn(
         # md5 once per token; the 32 bit positions read substrings of it
         "mds", F.expr(f"transform({TOKS}, tok -> md5(tok))")
     )

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import read_table
+from ..io import read_table, spread
 
 try:  # pragma: no cover - not installed in this container
     from PIL import Image  # noqa: F401
@@ -223,19 +223,19 @@ def extract_audio_features(binary_df: DataFrame, n_windows: int = 4) -> DataFram
 
 def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: documents -> binary payload -> decoded features."""
-    return extract_image_features(attach_binary_payload(read_table(spark, sf_dir, "documents")))
+    return extract_image_features(attach_binary_payload(spread(read_table(spark, sf_dir, "documents"))))
 
 
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: documents -> binary payload -> 4 sampled frames each."""
-    return sample_frames(attach_binary_payload(read_table(spark, sf_dir, "documents")))
+    return sample_frames(attach_binary_payload(spread(read_table(spark, sf_dir, "documents"))))
 
 
 def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: documents -> binary payload -> 8x8 nearest-neighbor."""
-    return resize_images(attach_binary_payload(read_table(spark, sf_dir, "documents")))
+    return resize_images(attach_binary_payload(spread(read_table(spark, sf_dir, "documents"))))
 
 
 def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: documents -> binary payload as PCM -> waveform stats."""
-    return extract_audio_features(attach_binary_payload(read_table(spark, sf_dir, "documents")))
+    return extract_audio_features(attach_binary_payload(spread(read_table(spark, sf_dir, "documents"))))

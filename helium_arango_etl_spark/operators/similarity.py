@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import read_table
+from ..io import read_table, spread
 
 DIM = 64
 QUERY_VEC_ID = 0
@@ -85,7 +85,7 @@ def lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside the plane lambdas would otherwise re-run the cast-transform per
     # element (O(DIM²) per plane per row)
     emb = (
-        read_table(spark, sf_dir, "embeddings")
+        spread(read_table(spark, sf_dir, "embeddings"))
         .withColumn("v64", F.expr(_CAST64))
         .withColumn("bucket", F.expr(_bucket_expr("v64")))
     )
@@ -140,7 +140,7 @@ def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog of MinHash near-dup detection.  (Empty on the synthetic testdata,
     whose max pairwise cosine is ~0.37; tests/test_training_ops.py proves the
     detection path on constructed near-dups.)"""
-    return near_dup_pairs_for(read_table(spark, sf_dir, "embeddings"))
+    return near_dup_pairs_for(spread(read_table(spark, sf_dir, "embeddings")))
 
 
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import read_table
+from ..io import read_table, spread
 
 # token array: whitespace split, empties dropped (both engines agree on this)
 TOKS = "filter(split(text, ' '), x -> x != '')"
@@ -32,7 +32,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize ONCE into t; referencing the tokenizer expression 7 times
     # would re-split the text per use site (multi-use aliases survive
     # CollapseProject, single-use ones get inlined — keep them multi-use)
-    docs = read_table(spark, sf_dir, "documents").withColumn("t", F.expr(TOKS))
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
     sw = ", ".join(f"'{w}'" for w in STOPWORDS)
     return docs.select(
         "doc_id",
@@ -63,7 +63,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax with deterministic priority-order tie-break.  (The heuristic's
     *accuracy* is data-dependent; the operator contract is the deterministic
     scoring formula, oracle-checked.)"""
-    docs = read_table(spark, sf_dir, "documents").withColumn("t", F.expr(TOKS))
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
     cols = [F.col("doc_id"), F.col("lang").alias("actual_lang")]
     for lang, marker in LANG_MARKERS:
         cols.append(F.expr(f"size(filter(t, x -> x = '{marker}'))").alias(f"c_{lang}"))
@@ -81,7 +81,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: order-insensitive bag-of-words hash + an
     order-sensitive prefix hash (cheap rolling-hash stand-in; both engines
     compute identical md5-based values)."""
-    docs = read_table(spark, sf_dir, "documents").withColumn("t", F.expr(TOKS))
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
     return docs.select(
         "doc_id",
         F.expr("md5(array_join(array_sort(array_distinct(t)), ' '))").alias("bow_fingerprint"),

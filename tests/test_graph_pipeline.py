@@ -14,7 +14,9 @@ def metrics(spark, sf_dir):
     df = city_graph_metrics(spark, sf_dir)
     df.cache()
     df.count()
-    return df
+    yield df
+    # unpersist so later plan-shape tests don't see an InMemoryTableScan
+    df.unpersist()
 
 
 def test_pagerank_sums_to_one_per_city(metrics):
