@@ -1,0 +1,151 @@
+"""Property-based tests (hypothesis).
+
+graphalgs carry the J2/J3 correctness burden with no oracle — here they are
+checked against independent brute-force implementations on random small
+graphs.  Merge sinks are checked for their algebraic contracts on random
+keyed tables (slow path: few examples, Spark per example).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from helium_arango_etl_spark.functions.graphalgs import betweenness_centrality, pagerank
+
+# --- random small digraphs: list of (u, v, w) over <= 8 nodes ---
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 7).map(lambda i: f"n{i}"),
+        st.integers(0, 7).map(lambda i: f"n{i}"),
+        st.floats(0.5, 10.0, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=20,
+).filter(lambda es: any(u != v for u, v, _ in es))
+
+
+def _naive_bc(edges):
+    """Brandes-free reference: enumerate ALL shortest paths via BFS layer
+    DAG counting, accumulate pair dependencies directly."""
+    nodes = sorted({u for u, v, _ in edges} | {v for u, v, _ in edges})
+    adj = {n: set() for n in nodes}
+    for u, v, _ in edges:
+        adj[u].add(v)
+    n = len(nodes)
+    bc = dict.fromkeys(nodes, 0.0)
+    for s in nodes:
+        # BFS distances
+        dist = {s: 0}
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in sorted(adj[u]):
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        nxt.append(v)
+            frontier = sorted(set(nxt))
+        # path counts in distance order, from explicit predecessor scan
+        sigma = dict.fromkeys(nodes, 0)
+        sigma[s] = 1
+        for u in sorted(dist, key=lambda x: dist[x]):
+            if u == s:
+                continue
+            sigma[u] = sum(sigma[p] for p in nodes if u in adj[p] and dist.get(p) == dist[u] - 1)
+        # dependency accumulation from explicit predecessor scan
+        delta = dict.fromkeys(nodes, 0.0)
+        for w in sorted(dist, key=lambda x: -dist[x]):
+            for p in nodes:
+                if w in adj[p] and dist.get(p) == dist[w] - 1:
+                    delta[p] += sigma[p] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    if n > 2:
+        for k in bc:
+            bc[k] /= (n - 1) * (n - 2)
+    else:
+        bc = dict.fromkeys(nodes, 0.0)
+    return bc
+
+
+@given(edges_strategy)
+@settings(max_examples=80, deadline=None)
+def test_betweenness_matches_naive(edges):
+    arc = {}
+    for u, v, w in edges:
+        arc[(u, v)] = w
+    dedup = [(u, v, w) for (u, v), w in arc.items()]
+    got = betweenness_centrality(dedup)
+    want = _naive_bc(dedup)
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), (k, dedup)
+
+
+def _naive_pagerank(edges, alpha=0.85, iters=200):
+    nodes = sorted({u for u, v, _ in edges} | {v for u, v, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for u, v, w in edges:
+        W[idx[u], idx[v]] = w
+    out = W.sum(axis=1)
+    P = np.divide(W, out[:, None], out=np.zeros_like(W), where=out[:, None] > 0)
+    x = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangle = alpha * x[out == 0].sum()
+        x = alpha * x @ P + (dangle + 1 - alpha) / n
+    return {node: x[idx[node]] for node in nodes}
+
+
+@given(edges_strategy)
+@settings(max_examples=80, deadline=None)
+def test_pagerank_matches_dense_power_iteration(edges):
+    arc = {}
+    for u, v, w in edges:
+        arc[(u, v)] = w
+    dedup = [(u, v, w) for (u, v), w in arc.items()]
+    got = pagerank(dedup)
+    want = _naive_pagerank(dedup)
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=1e-4), (k, dedup)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+# --- merge sink contracts on random keyed tables ---
+
+rows_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 1000)), min_size=0, max_size=12
+)
+
+
+@given(old_rows=rows_strategy, new_rows=rows_strategy)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_contracts(spark, old_rows, new_rows):
+    from helium_arango_etl_spark.io import merge_ignore, merge_upsert
+
+    def mk(rows):
+        # last occurrence wins inside a batch for determinism
+        d = {}
+        for k, v in rows:
+            d[str(k)] = v
+        return (
+            spark.createDataFrame(
+                [(k, v) for k, v in d.items()], "_key STRING, val LONG"
+            ),
+            d,
+        )
+
+    old_df, old_d = mk(old_rows)
+    new_df, new_d = mk(new_rows)
+
+    up = {r["_key"]: r["val"] for r in merge_upsert(old_df, new_df).collect()}
+    ig = {r["_key"]: r["val"] for r in merge_ignore(old_df, new_df).collect()}
+
+    assert up == {**old_d, **new_d}  # new wins
+    assert ig == {**new_d, **old_d}  # old wins
