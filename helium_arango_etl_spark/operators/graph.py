@@ -48,6 +48,18 @@ def witness_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     region = read_table(spark, sf_dir, "region")
 
+    # city_key is a function of the (tiny) nation×region dim: hash it ONCE
+    # per city before the broadcast, not once per edge row after the join —
+    # the classic compute-on-the-dim rewrite Catalyst can't do for you
+    # (it cannot know md5 commutes with the join)
+    city_dim = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "n_nationkey",
+            F.md5(F.concat_ws("|", "n_name", "r_name")).alias("city_key"),
+        )
+    )
+
     dist = haversine_m(
         synthetic_lat(F.col("l_suppkey")),
         synthetic_lon(F.col("l_suppkey")),
@@ -57,10 +69,9 @@ def witness_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(city_dim), sup.s_nationkey == city_dim.n_nationkey)
         .select(
-            F.md5(F.concat_ws("|", "n_name", "r_name")).alias("city_key"),
+            "city_key",
             F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
             F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
             (F.col("l_returnflag") == "N").alias("is_valid"),
