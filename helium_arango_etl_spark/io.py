@@ -144,3 +144,34 @@ def apply_retention(df: DataFrame, time_col: str, cutoff) -> DataFrame:
 def write_keyed(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Persist a keyed collection table."""
     df.write.mode(mode).parquet(path)
+
+
+def write_keyed_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
+    """Persist a keyed collection partitioned by a (date-shaped) column.
+
+    Partitioning by event date is what turns the A7/L3 retention delete into
+    a metadata operation at scale — see :func:`apply_retention_partitioned`.
+    """
+    df.write.partitionBy(partition_col).mode("overwrite").parquet(path)
+
+
+def apply_retention_partitioned(path: str, partition_col: str, cutoff: str) -> int:
+    """Retention delete as a PARTITION DROP: remove whole `col=value`
+    directories whose value sorts below the cutoff.  No data is read or
+    rewritten — at 100 TB this is the only viable form of the reference's
+    witness retention (AQL row-delete, arango_queries.py:90-99); the
+    row-level :func:`apply_retention` remains for unpartitioned stores.
+
+    Partition values must compare lexically (zero-padded dates: yyyy-MM-dd).
+    Returns the number of partitions dropped.
+    """
+    import shutil
+
+    dropped = 0
+    for entry in os.listdir(path):
+        if not entry.startswith(f"{partition_col}="):
+            continue
+        if entry.split("=", 1)[1] < cutoff:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped += 1
+    return dropped

@@ -158,3 +158,67 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l2_norm"), 4).alias("max_norm"),
         )
     )
+
+
+NUM_CENTROIDS = 16
+NPROBE = 2
+
+
+def _with_centroid_assignment(emb: DataFrame) -> DataFrame:
+    """IVF coarse quantization: centroids are the NUM_CENTROIDS seed vectors
+    (vec_id 0..15 — training-free, deterministic, oracle-reproducible);
+    every vector is assigned to the centroid with the highest dot product.
+
+    Scale shape: the centroid table is broadcast (it is tiny by
+    construction); assignment is one map-side pass — the inverted-file
+    build never shuffles the corpus.
+    """
+    seeds = (
+        emb.filter(F.col("vec_id") < NUM_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid_id"), F.expr(_CAST64).alias("cv"))
+    )
+    scored = (
+        emb.select("vec_id", "label", F.expr(_CAST64).alias("v64"))
+        .join(F.broadcast(seeds))
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(v64, cv, (x, y) -> x * y),"
+                " cast(0 as double), (acc, v) -> acc + v)"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= NPROBE)
+        .select("vec_id", "label", "v64", "centroid_id", F.col("rnk").alias("probe_rank"))
+    )
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: scan only the inverted lists of the query's NPROBE nearest
+    centroids.  Complements lsh_bucket_topk (hyperplane signs) with the
+    coarse-quantizer family — each vector is indexed under its NPROBE best
+    centroids, the query probes its own best list, so recall comes from
+    multi-assignment rather than multi-probe.
+    """
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    assigned = _with_centroid_assignment(emb)
+    q = (
+        assigned.filter((F.col("vec_id") == QUERY_VEC_ID) & (F.col("probe_rank") == 1))
+        .select(F.col("v64").alias("va"), F.col("centroid_id").alias("q_centroid"))
+        .withColumn("na", F.expr(_NORM.format(v="va")))
+    )
+    corpus = assigned.select(
+        "vec_id", "label", F.col("v64").alias("vb"), "centroid_id"
+    ).withColumn("nb", F.expr(_NORM.format(v="vb")))
+    return (
+        corpus.join(F.broadcast(q), corpus.centroid_id == q.q_centroid)
+        .select("vec_id", "label", F.expr(COSINE).alias("cosine_sim"))
+        .dropDuplicates(["vec_id"])
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )

@@ -12,7 +12,14 @@ inclusive slice), `string_split` is literal (Spark's `split` is regex),
 from __future__ import annotations
 
 from .operators.dedup import BAND_ROWS, MOD_P, NUM_BANDS, NUM_HASHES, SHINGLE_K
-from .operators.similarity import DIM, NUM_PLANES, QUERY_VEC_ID, TOP_K
+from .operators.similarity import (
+    DIM,
+    NPROBE,
+    NUM_CENTROIDS,
+    NUM_PLANES,
+    QUERY_VEC_ID,
+    TOP_K,
+)
 from .operators.textops import LANG_MARKERS, STOPWORDS
 
 # ---------- shared fragments ----------
@@ -226,6 +233,33 @@ ORACLE_TRAINING: dict[str, str] = {
                {_COSINE.replace("va", "a.v").replace("vb", "b2.v")} AS cosine_sim
         FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
         WHERE {_COSINE.replace("va", "a.v").replace("vb", "b2.v")} >= 0.99
+    """,
+    "ivf_topk": f"""
+        WITH e AS (
+          SELECT vec_id, label, {_CAST64} AS v FROM embeddings
+        ), seeds AS (
+          SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {NUM_CENTROIDS}
+        ), scored AS (
+          SELECT e.vec_id, e.label, e.v, s.centroid_id,
+                 list_sum(list_transform(range(1, {DIM + 1}), i -> e.v[i] * s.cv[i])) AS dot
+          FROM e, seeds s
+        ), assigned AS (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, centroid_id ASC) AS rnk
+          FROM scored
+        ), probes AS (
+          SELECT vec_id, label, v, centroid_id FROM assigned WHERE rnk <= {NPROBE}
+        ), q AS (
+          SELECT v AS va, centroid_id AS q_centroid,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS na
+          FROM assigned WHERE vec_id = {QUERY_VEC_ID} AND rnk = 1
+        )
+        SELECT p.vec_id, p.label,
+               round(list_sum(list_transform(range(1, {DIM + 1}), i -> p.v[i] * q.va[i]))
+                     / (sqrt(list_sum(list_transform(p.v, x -> x * x))) * q.na), 6) AS cosine_sim
+        FROM probes p, q
+        WHERE p.centroid_id = q.q_centroid
+        ORDER BY cosine_sim DESC, vec_id ASC
+        LIMIT {TOP_K}
     """,
     "embedding_norms": f"""
         WITH n AS (

@@ -66,6 +66,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- training-data pipeline: similarity search ---
     "ann_cosine_topk": S.ann_cosine_topk,
     "lsh_bucket_topk": S.lsh_bucket_topk,
+    "ivf_topk": S.ivf_topk,
     "cosine_near_dup_pairs": S.cosine_near_dup_pairs,
     "embedding_norms": S.embedding_norms,
     # --- training-data pipeline: multimodal (rows-only: binary mapInPandas) ---

@@ -89,3 +89,35 @@ def test_merge_array_append(spark):
         for r in merge_array_append(old, new).collect()
     }
     assert got == {"a": [1, 2], "b": [3, 4, 5], "c": [6]}
+
+
+def test_partitioned_retention_drop(spark, sf_dir, tmp_path):
+    """A7/L3 at scale: partition-drop retention equals the row-level filter
+    without reading or rewriting surviving data."""
+    import pyspark.sql.functions as F
+
+    from helium_arango_etl_spark.io import (
+        apply_retention_partitioned,
+        write_keyed_partitioned,
+    )
+    from helium_arango_etl_spark.plans.sync import build_witnesses
+
+    wit = build_witnesses(spark, sf_dir).withColumn(
+        "edge_date", F.date_format("time", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "witnesses_part")
+    write_keyed_partitioned(wit, path, "edge_date")
+
+    dates = sorted(r["edge_date"] for r in wit.select("edge_date").distinct().collect())
+    assert len(dates) >= 3
+    cutoff = dates[len(dates) // 2]
+    expected = wit.filter(F.col("edge_date") >= cutoff)
+
+    dropped = apply_retention_partitioned(path, "edge_date", cutoff)
+    assert dropped == sum(1 for d in dates if d < cutoff) > 0
+
+    kept = spark.read.parquet(path)
+    assert kept.count() == expected.count()
+    assert sorted(r["_key"] for r in kept.select("_key").collect()) == sorted(
+        r["_key"] for r in expected.select("_key").collect()
+    )

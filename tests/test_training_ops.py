@@ -56,3 +56,17 @@ def test_ann_bucket_subset_of_bruteforce_universe(spark, sf_oracle_dir):
     for r in bucket:
         if r["vec_id"] in brute:
             assert r["cosine_sim"] == pytest.approx(brute[r["vec_id"]], abs=1e-6)
+
+
+def test_ivf_topk_agrees_with_bruteforce(spark, sf_oracle_dir):
+    """IVF probes a coarse-quantizer list: scores for returned ids must be
+    identical to the brute-force values and the query must match itself."""
+    from helium_arango_etl_spark.operators.similarity import ann_cosine_topk, ivf_topk
+
+    brute = {r["vec_id"]: r["cosine_sim"] for r in ann_cosine_topk(spark, sf_oracle_dir).collect()}
+    ivf = ivf_topk(spark, sf_oracle_dir).collect()
+    assert len(ivf) > 0
+    assert ivf[0]["vec_id"] == 0 and ivf[0]["cosine_sim"] == pytest.approx(1.0, abs=1e-6)
+    for r in ivf:
+        if r["vec_id"] in brute:
+            assert r["cosine_sim"] == pytest.approx(brute[r["vec_id"]], abs=1e-6)
