@@ -155,6 +155,25 @@ def write_keyed_partitioned(df: DataFrame, path: str, partition_col: str) -> Non
     df.write.partitionBy(partition_col).mode("overwrite").parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame, table: str, key: str, num_buckets: int, path: str | None = None
+) -> None:
+    """Persist as a bucketed+sorted table: rows hash-partitioned into
+    `num_buckets` files by `key`, sorted within each bucket.
+
+    This is the 100 TB co-located join: two fact tables bucketed the same
+    way (same key semantics, same bucket count) sort-merge join with ZERO
+    exchange — the shuffle the reference pays in Postgres on every sync
+    cycle (blockchain_queries.py:173 rewards⋈transactions) is paid once at
+    write time and amortized over every subsequent join.  Bucket metadata
+    lives in the session catalog; pass `path` to keep the data external.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, key).sortBy(key)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def apply_retention_partitioned(path: str, partition_col: str, cutoff: str) -> int:
     """Retention delete as a PARTITION DROP: remove whole `col=value`
     directories whose value sorts below the cutoff.  No data is read or

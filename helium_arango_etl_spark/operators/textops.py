@@ -22,6 +22,12 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in")
 # lang marker tokens -> language guess, in deterministic priority order
 LANG_MARKERS = [("en", "the"), ("es", "la"), ("de", "der"), ("fr", "le"), ("zh", "zh")]
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation —
+# the GPT-2 pre-tokenization shape reduced to classes both Java regex
+# (Spark) and RE2 (DuckDB) evaluate identically.  Space is excluded
+# explicitly (not \s) so the engines never disagree on the class.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + token counting per document.
@@ -75,6 +81,27 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang, _ in reversed(LANG_MARKERS):
         pred = F.when(F.col(f"c_{lang}") == mx, F.lit(lang)).otherwise(pred)
     return df.withColumn("predicted_lang", F.when(mx > 0, pred).otherwise(F.lit("und")))
+
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-pre-tokenizer flavor (task brief: "whitespace +
+    a BPE-ish regex"): letter-run / digit-run / punctuation tokens per
+    document plus the tokens-per-word fan-out ratio a real BPE vocabulary
+    would amplify.  Pure codegen'd column expressions — per-row, zero
+    shuffle, linear scan at any scale."""
+    docs = (
+        spread(read_table(spark, sf_dir, "documents"))
+        .withColumn("b", F.expr(f"regexp_extract_all(lower(text), '{BPE_RE}', 0)"))
+        .withColumn("t", F.expr(TOKS))
+    )
+    return docs.select(
+        "doc_id",
+        F.expr("size(b)").alias("n_bpe_tokens"),
+        F.expr("size(filter(b, x -> x rlike '^[a-z]'))").alias("n_word_tokens"),
+        F.expr("size(filter(b, x -> x rlike '^[0-9]'))").alias("n_digit_tokens"),
+        F.expr("size(filter(b, x -> x rlike '^[^a-z0-9]'))").alias("n_punct_tokens"),
+        F.expr("round(size(b) / cast(size(t) as double), 4)").alias("tokens_per_word"),
+    )
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,7 +20,7 @@ from .operators.similarity import (
     QUERY_VEC_ID,
     TOP_K,
 )
-from .operators.textops import LANG_MARKERS, STOPWORDS
+from .operators.textops import BPE_RE, LANG_MARKERS, STOPWORDS
 
 # ---------- shared fragments ----------
 
@@ -147,6 +147,21 @@ ORACLE_TRAINING: dict[str, str] = {
                     {" ".join(f"WHEN c_{lg} = greatest({', '.join(f'c_{l2}' for l2, _ in LANG_MARKERS)}) THEN '{lg}'" for lg, _ in LANG_MARKERS)}
                     ELSE 'und' END AS predicted_lang
         FROM c
+    """,
+    "bpe_token_stats": f"""
+        WITH b AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '{BPE_RE}') AS bt,
+                 {_TOKS} AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               len(bt) AS n_bpe_tokens,
+               len(list_filter(bt, x -> regexp_matches(x, '^[a-z]'))) AS n_word_tokens,
+               len(list_filter(bt, x -> regexp_matches(x, '^[0-9]'))) AS n_digit_tokens,
+               len(list_filter(bt, x -> regexp_matches(x, '^[^a-z0-9]'))) AS n_punct_tokens,
+               round(len(bt) / CAST(len(t) AS DOUBLE), 4) AS tokens_per_word
+        FROM b
     """,
     "doc_fingerprint": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)

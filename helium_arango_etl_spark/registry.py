@@ -56,6 +56,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": T.text_stats,
     "lang_id": T.lang_id,
     "doc_fingerprint": T.doc_fingerprint,
+    "bpe_token_stats": T.bpe_token_stats,
     # --- training-data pipeline: dedup ---
     "exact_dedup": D.exact_dedup,
     "minhash_signatures": D.minhash_signatures,

@@ -83,6 +83,38 @@ def test_city_metrics_single_shuffle(spark, sf_dir):
     assert shuffles == 1, plan
 
 
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Two tables bucketed on their join keys (same bucket count) must
+    sort-merge join with ZERO Exchange: the write-time bucketing pre-pays
+    the shuffle once, every later fact-fact join rides it for free — the
+    co-location strategy for repeated 100 TB joins."""
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_spark.io import read_table, write_bucketed
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    write_bucketed(li, "li_bucketed", "l_orderkey", 8, str(tmp_path / "li_b"))
+    write_bucketed(orders, "ord_bucketed", "o_orderkey", 8, str(tmp_path / "ord_b"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_bucketed").join(
+            spark.table("ord_bucketed"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert not re.findall(r"\(\d+\) Exchange\b", plan), plan
+        assert joined.count() == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
 def test_single_scan_lsh_pipeline(spark, sf_dir):
     """lsh_candidate_pairs must scan `documents` exactly once — the
     bucketed-self-join formulation evaluated the whole signature pipeline
