@@ -175,6 +175,35 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_DUP_THRESH = 0.5  # verified-Jaccard threshold for dropping a document
+
+
+def near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup retention: the kept document set after (1) exact
+    dedup — only the min-doc_id copy of each byte-identical text survives —
+    and (2) near-dup removal — any doc that is the larger-id member of a
+    verified pair with Jaccard >= NEAR_DUP_THRESH is dropped (greedy
+    keep-smallest, single pass; no iterative connected components).
+
+    Both removals are left-anti joins against small keyed sets (canonical
+    ids; dominated ids), so at corpus scale the plan is the LSH pipeline
+    plus two anti-joins — document bodies never shuffle.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    canon = exact_dedup(spark, sf_dir).select(F.col("canonical_doc_id").alias("doc_id"))
+    dropped = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= NEAR_DUP_THRESH)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.select("doc_id")
+        .join(canon, "doc_id", "left_semi")
+        .join(dropped, "doc_id", "left_anti")
+    )
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash as a bitstring: bit j is the sign of the sum over
     tokens of ±1 depending on the j-th hex nibble of md5(token).

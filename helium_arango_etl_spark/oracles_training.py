@@ -11,7 +11,14 @@ inclusive slice), `string_split` is literal (Spark's `split` is regex),
 
 from __future__ import annotations
 
-from .operators.dedup import BAND_ROWS, MOD_P, NUM_BANDS, NUM_HASHES, SHINGLE_K
+from .operators.dedup import (
+    BAND_ROWS,
+    MOD_P,
+    NEAR_DUP_THRESH,
+    NUM_BANDS,
+    NUM_HASHES,
+    SHINGLE_K,
+)
 from .operators.similarity import (
     DIM,
     NPROBE,
@@ -196,6 +203,32 @@ ORACLE_TRAINING: dict[str, str] = {
         FROM inter i
         JOIN sizes sa ON sa.doc_id = i.doc_a
         JOIN sizes sb ON sb.doc_id = i.doc_b
+    """,
+    "near_dup_keep": _SIG_CTE + _CAND_CTE + f"""
+        , shset AS (
+          SELECT doc_id, list_distinct({_SHINGLES}) AS sh
+          FROM (SELECT doc_id, {_TOKS} AS t FROM documents) toks
+        ), sizes AS (
+          SELECT doc_id, len(sh) AS n_sh FROM shset
+        ), ex AS (
+          SELECT doc_id, unnest(sh) AS shingle FROM shset
+        ), inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c
+          JOIN ex a ON a.doc_id = c.doc_a
+          JOIN ex b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b
+        ), dropped AS (
+          SELECT DISTINCT i.doc_b AS doc_id
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+          WHERE round(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 4) >= {NEAR_DUP_THRESH}
+        ), canon AS (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        )
+        SELECT c.doc_id FROM canon c
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)
     """,
     "simhash": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)

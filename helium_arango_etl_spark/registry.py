@@ -62,6 +62,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": D.minhash_signatures,
     "lsh_candidate_pairs": D.lsh_candidate_pairs,
     "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
+    "near_dup_keep": D.near_dup_keep,
     "simhash": D.simhash,
     "simhash_near_pairs": D.simhash_near_pairs,
     # --- training-data pipeline: similarity search ---
