@@ -299,8 +299,13 @@ def _payment_payload() -> F.Column:
     return F.when(F.col("event_id") % 2 == 0, v1).otherwise(v2)
 
 
-_V1_SCHEMA = "payer BIGINT, payee BIGINT, amount INT"
-_V2_SCHEMA = "payer BIGINT, payments ARRAY<STRUCT<payee: BIGINT, amount: INT>>"
+# one superset schema covers both shapes (field names don't clash): v1 rows
+# fill payer/payee/amount and leave payments null, v2 rows the reverse — so
+# the payload is parsed ONCE, not once per shape (JSON parsing dominates
+# this pipeline's cost at corpus scale)
+_PAY_SCHEMA = (
+    "payer BIGINT, payee BIGINT, amount INT, payments ARRAY<STRUCT<payee: BIGINT, amount: INT>>"
+)
 
 
 def payment_shape_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,24 +318,18 @@ def payment_shape_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     at blockchain_queries.py:253-257.  See payment_v2_exploded for the
     idiomatic full-fan-out variant.
     """
-    # parse each schema ONCE into a struct column; extracting fields from
-    # repeated from_json(...) expressions re-parses the JSON per field
     parsed = (
         read_table(spark, sf_dir, "events")
         .withColumn("k", F.from_json(F.col("props"), "k INT")["k"])
         .withColumn("payload", _payment_payload())
-        .select(
-            "event_id",
-            F.from_json(F.col("payload"), _V1_SCHEMA).alias("f1"),
-            F.from_json(F.col("payload"), _V2_SCHEMA).alias("f2"),
-        )
+        .select("event_id", F.from_json(F.col("payload"), _PAY_SCHEMA).alias("f"))
     )
-    first = F.element_at(F.col("f2.payments"), 1)
+    first = F.element_at(F.col("f.payments"), 1)
     return parsed.select(
         F.col("event_id"),
-        F.coalesce(F.col("f1.payer"), F.col("f2.payer")).alias("payer"),
-        F.coalesce(F.col("f1.payee"), first["payee"]).alias("payee"),
-        F.coalesce(F.col("f1.amount"), first["amount"]).alias("amount"),
+        F.col("f.payer").alias("payer"),
+        F.coalesce(F.col("f.payee"), first["payee"]).alias("payee"),
+        F.coalesce(F.col("f.amount"), first["amount"]).alias("amount"),
     )
 
 
@@ -342,20 +341,16 @@ def payment_v2_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "events")
         .withColumn("k", F.from_json(F.col("props"), "k INT")["k"])
         .withColumn("payload", _payment_payload())
-        .select(
-            "event_id",
-            F.from_json(F.col("payload"), _V1_SCHEMA).alias("f1"),
-            F.from_json(F.col("payload"), _V2_SCHEMA).alias("f2"),
-        )
+        .select("event_id", F.from_json(F.col("payload"), _PAY_SCHEMA).alias("f"))
     )
     payments = F.coalesce(
-        F.col("f2.payments"),
-        F.array(F.struct(F.col("f1.payee").alias("payee"), F.col("f1.amount").alias("amount"))),
+        F.col("f.payments"),
+        F.array(F.struct(F.col("f.payee").alias("payee"), F.col("f.amount").alias("amount"))),
     )
     return (
         parsed.select(
             F.col("event_id"),
-            F.coalesce(F.col("f1.payer"), F.col("f2.payer")).alias("payer"),
+            F.col("f.payer").alias("payer"),
             F.posexplode(payments).alias("payment_idx", "p"),
         )
         .select("event_id", "payer", "payment_idx", F.col("p.payee").alias("payee"), F.col("p.amount").alias("amount"))
