@@ -41,8 +41,10 @@ HEADLINE = [
     "exact_dedup",           # hash-groupBy dedup
     "lsh_candidate_pairs",   # minhash + LSH banding self-join
     "ngram_jaccard_pairs",   # exact jaccard verify over candidates
+    "near_dup_keep",         # end-to-end dedup retention (exact + LSH verify)
     "text_stats",            # quality/token scoring battery
     "ann_cosine_topk",       # brute-force cosine top-k
+    "ivf_topk",              # IVF coarse-quantizer ANN (scale path)
     "cosine_near_dup_pairs", # LSH-bucketed embedding self-join
     "image_features",        # binary mapInPandas feature extraction
 ]

@@ -121,3 +121,13 @@ def test_single_scan_lsh_pipeline(spark, sf_dir):
     twice and this pins the single-pass shape."""
     plan = plan_of(QUERIES["lsh_candidate_pairs"](spark, sf_dir))
     assert plan.count("documents.parquet") == 1, plan
+
+
+def test_near_dup_keep_no_cartesian(spark, sf_dir):
+    """near_dup_keep composes exact dedup + LSH verify + two anti-joins; at
+    corpus scale any cartesian/nested-loop pair formation would be fatal, and
+    the final removals must stay semi/anti joins (keyed sets, no bodies)."""
+    plan = plan_of(QUERIES["near_dup_keep"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "LeftSemi" in plan, plan
