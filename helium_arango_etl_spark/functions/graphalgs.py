@@ -62,8 +62,9 @@ def pagerank(
     src = np.fromiter((idx[u] for (u, v) in arc_weight), dtype=np.int64, count=len(arc_weight))
     dst = np.fromiter((idx[v] for (u, v) in arc_weight), dtype=np.int64, count=len(arc_weight))
     w = np.fromiter(arc_weight.values(), dtype=np.float64, count=len(arc_weight))
-    out_weight = np.zeros(n)
-    np.add.at(out_weight, src, w)
+    # bincount is the fast scatter-add: np.add.at is unbuffered and ~10x
+    # slower on the per-iteration hot path of these power iterations
+    out_weight = np.bincount(src, weights=w, minlength=n)
     dangling = out_weight == 0.0
     # row-stochastic transition: weight / total out-weight of the source
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -73,8 +74,7 @@ def pagerank(
     teleport = np.full(n, 1.0 / n)
     for _ in range(max_iter):
         xlast = x
-        contrib = np.zeros(n)
-        np.add.at(contrib, dst, alpha * xlast[src] * p)
+        contrib = np.bincount(dst, weights=alpha * xlast[src] * p, minlength=n)
         danglesum = alpha * xlast[dangling].sum()
         x = contrib + (danglesum + (1.0 - alpha)) * teleport
         if np.abs(x - xlast).sum() < n * tol:
@@ -169,13 +169,11 @@ def hits(
     h = np.full(n, 1.0 / n)
     for _ in range(max_iter):
         hlast = h
-        a = np.zeros(n)
-        np.add.at(a, dst, hlast[src])
+        a = np.bincount(dst, weights=hlast[src], minlength=n)
         amax = a.max()
         if amax > 0:
             a /= amax
-        h = np.zeros(n)
-        np.add.at(h, src, a[dst])
+        h = np.bincount(src, weights=a[dst], minlength=n)
         hmax = h.max()
         if hmax > 0:
             h /= hmax
