@@ -238,5 +238,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
-        .select("doc_a", "doc_b", F.expr(ham).alias("hamming"))
+        # BIGINT, not the aggregate's INT: DuckDB's list_sum yields a wider
+        # integer (HUGEINT -> float64 in pandas), so both sides pin int64
+        .select("doc_a", "doc_b", F.expr(ham).cast("bigint").alias("hamming"))
     )

@@ -15,7 +15,12 @@ Mapping used throughout (FIXTURES.md):
 
 Money aggregates are cast to DECIMAL(18,2) *before* summing so results are
 exact and engine-independent (double summation is order-dependent across
-shuffle partitions; decimal is not).
+shuffle partitions; decimal is not).  The FINAL money column is then cast to
+DOUBLE on both the Spark and the oracle side: the decimal sum is exact, so
+the single final cast is deterministic, and a float64 result column avoids
+the Decimal-object vs float64 rendering divergence in downstream pandas
+materialization (Spark toPandas keeps Decimal objects; DuckDB's .df() gives
+float64 — value-identical but hash-divergent).
 """
 
 from __future__ import annotations
@@ -57,7 +62,7 @@ def rewards_5d(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         li.filter((F.col("l_shipdate") > F.lit(WINDOW_START)) & (F.col("l_shipdate") < F.lit(WINDOW_END)))
         .groupBy("l_suppkey")
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("rewards_5d"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("rewards_5d"))
     )
     sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return sup.join(agg, sup.s_suppkey == agg.l_suppkey, "left").select("s_suppkey", "s_name", "rewards_5d")
@@ -91,7 +96,7 @@ def hotspot_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("long_city"),
             F.col("r_name").alias("long_country"),
             F.md5(F.concat_ws("|", "n_name", "r_name")).alias("city_key"),
-            F.lit(None).cast("decimal(18,2)").alias("rewards_5d"),
+            F.lit(None).cast("double").alias("rewards_5d"),
             F.lit(None).cast("double").alias("betweenness_centrality"),
             F.lit(None).cast("double").alias("pagerank"),
             F.lit(None).cast("double").alias("hub_score"),
@@ -166,7 +171,7 @@ def rewards_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
         .filter((F.col("o_orderdate") > F.lit(WINDOW_START)) & (F.col("o_orderdate") < F.lit(WINDOW_END)))
         .groupBy("o_orderpriority")
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_amount"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total_amount"))
     )
 
 
@@ -369,7 +374,7 @@ def sql_rewards_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
                CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
                COUNT(*) AS n_rows
         FROM lineitem

@@ -249,8 +249,8 @@ ORACLE_TRAINING: dict[str, str] = {
           FROM (SELECT doc_id, {_TOKS} AS t FROM documents) toks
         )
         SELECT c.doc_a, c.doc_b,
-               list_sum(list_transform(range(1, 33),
-                 i -> CASE WHEN substr(a.simhash32, i, 1) = substr(b.simhash32, i, 1) THEN 0 ELSE 1 END)) AS hamming
+               CAST(list_sum(list_transform(range(1, 33),
+                 i -> CASE WHEN substr(a.simhash32, i, 1) = substr(b.simhash32, i, 1) THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
         FROM cand c
         JOIN sh32 a ON a.doc_id = c.doc_a
         JOIN sh32 b ON b.doc_id = c.doc_b
@@ -322,3 +322,103 @@ ORACLE_TRAINING: dict[str, str] = {
         FROM n GROUP BY label
     """,
 }
+
+# ---------- multimodal oracles ----------
+#
+# The binary payload is encode(text) (operators.multimodal.attach_binary_payload)
+# and the testdata documents are pure ASCII, so per-byte math is expressible
+# over character codes: byte i == ascii(substr(text, i+1, 1)).  Means/RMS are
+# exact integer-sum / n divisions (both engines produce the identical float64)
+# and byte buffers compare as uppercase hex — no rounding, no blob-rendering
+# ambiguity.  These verify the full fake-decode path bit-for-bit; a real-codec
+# environment is covered by the PIL gate tests instead.
+
+_CODES = "list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1)))"
+
+
+def _win_rms(i: int) -> str:
+    sl = f"s[CAST({i} * step + 1 AS INT):CAST(least({i + 1} * step, n) AS INT)]"
+    return (
+        f"CASE WHEN len({sl}) = 0 THEN 0.0"
+        f" ELSE sqrt(CAST(list_sum(list_transform({sl}, x -> x * x)) AS DOUBLE) / len({sl}))"
+        f" END AS win_rms_{i}"
+    )
+
+
+ORACLE_TRAINING.update(
+    {
+        "image_features": f"""
+        WITH c AS (
+          SELECT doc_id, text,
+                 doc_id % 64 + 16 AS width, doc_id % 48 + 16 AS height,
+                 length(text) AS n, {_CODES} AS codes
+          FROM documents
+        )
+        SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+               'fake/rgb8' AS format, CAST(n AS INT) AS n_bytes,
+               CAST(list_sum(codes) AS DOUBLE) / n AS mean_byte,
+               array_to_string(list_transform(range(0, 8),
+                   b -> len(list_filter(codes, x -> x // 32 = b))), ',') AS byte_histogram
+        FROM c
+    """,
+        "video_frame_sample": """
+        WITH c AS (
+          SELECT doc_id, text, length(text) AS n,
+                 greatest(1, length(text) // 4) AS step
+          FROM documents
+        ), f AS (
+          SELECT doc_id, text, n, step, unnest(range(0, 4)) AS fi FROM c
+        ), g AS (
+          SELECT doc_id, fi,
+                 substr(text, CAST(fi * step + 1 AS INT), CAST(step AS INT)) AS fr
+          FROM f
+        )
+        SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+               hex(encode(fr)) AS frame_hex,
+               CASE WHEN length(fr) = 0 THEN 0.0
+                    ELSE CAST(list_sum(list_transform(range(1, length(fr) + 1),
+                             i -> ascii(substr(fr, i, 1)))) AS DOUBLE) / length(fr)
+               END AS frame_mean
+        FROM g
+    """,
+        "image_resize": """
+        WITH c AS (
+          SELECT doc_id, text, length(text) AS n,
+                 doc_id % 64 + 16 AS w, doc_id % 48 + 16 AS h
+          FROM documents
+        ), px AS (
+          SELECT doc_id,
+            list_transform(range(0, 64), i ->
+              substr(text,
+                     CAST(((((i // 8) * h) // 8) * w + (((i % 8) * w) // 8)) % n + 1 AS INT),
+                     1)) AS chars
+          FROM c
+        )
+        SELECT doc_id, CAST(8 AS INT) AS out_width, CAST(8 AS INT) AS out_height,
+               hex(encode(array_to_string(chars, ''))) AS resized_hex,
+               CAST(list_sum(list_transform(chars, ch -> ascii(ch))) AS DOUBLE) / 64 AS resized_mean
+        FROM px
+    """,
+        "audio_features": f"""
+        WITH c AS (
+          SELECT doc_id, length(text) AS n,
+                 greatest(1, length(text) // 4) AS step,
+                 {_CODES} AS s
+          FROM documents
+        ), sg AS (
+          SELECT doc_id, n, step, s,
+                 list_filter(list_transform(s,
+                     x -> CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END),
+                     x -> x <> 0) AS nz
+          FROM c
+        )
+        SELECT doc_id, CAST(n AS INT) AS n_samples,
+               sqrt(CAST(list_sum(list_transform(s, x -> x * x)) AS DOUBLE) / n) AS rms,
+               CAST(list_max(list_transform(s, x -> abs(x))) AS INT) AS peak,
+               CAST(len(list_filter(range(1, len(nz)), i -> nz[i] <> nz[i + 1])) AS INT)
+                   AS zero_crossings,
+               {", ".join(_win_rms(i) for i in range(4))}
+        FROM sg
+    """,
+    }
+)

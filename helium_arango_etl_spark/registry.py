@@ -84,7 +84,7 @@ ORACLE: dict[str, str] = {
         FROM supplier s
         LEFT JOIN (
             SELECT l_suppkey,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rewards_5d
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rewards_5d
             FROM lineitem
             WHERE l_shipdate > TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
             GROUP BY l_suppkey
@@ -97,7 +97,7 @@ ORACLE: dict[str, str] = {
                n.n_name AS long_city,
                r.r_name AS long_country,
                md5(concat_ws('|', n.n_name, r.r_name)) AS city_key,
-               CAST(NULL AS DECIMAL(18,2)) AS rewards_5d,
+               CAST(NULL AS DOUBLE) AS rewards_5d,
                CAST(NULL AS DOUBLE) AS betweenness_centrality,
                CAST(NULL AS DOUBLE) AS pagerank,
                CAST(NULL AS DOUBLE) AS hub_score,
@@ -122,7 +122,7 @@ ORACLE: dict[str, str] = {
     "current_height": "SELECT max(o_orderkey) AS height FROM orders",
     "sql_rewards_summary": """
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
                CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
                COUNT(*) AS n_rows
         FROM lineitem
@@ -139,7 +139,7 @@ ORACLE: dict[str, str] = {
     """,
     "rewards_by_type": """
         SELECT o.o_orderpriority,
-               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_amount
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
