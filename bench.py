@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from helium_arango_etl_spark.operators import graph as G  # noqa: E402
 from helium_arango_etl_spark.registry import QUERIES  # noqa: E402
 from helium_arango_etl_spark.session import get_spark  # noqa: E402
 
@@ -60,6 +61,14 @@ def main() -> None:
     names = [n for n in HEADLINE if n in QUERIES]
 
     def run(name: str) -> float:
+        # the combined city-metrics table is persisted per session by design
+        # (city_graph_metrics materializes it; city_hits projects it) — drop
+        # it before each timed city_graph_metrics so every measurement pass
+        # pays one full materialization and city_hits rides the cache, the
+        # designed per-sync-cycle cost, not a free cache re-read
+        if name == "city_graph_metrics":
+            for df in G._METRICS_CACHE.pop(spark, {}).values():
+                df.unpersist(blocking=True)
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0

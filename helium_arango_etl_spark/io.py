@@ -61,6 +61,64 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def jdbc_scan_options(
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
+    fetchsize: int = 10_000,
+    **extra: object,
+) -> dict[str, str]:
+    """Option dict for a (partitioned) JDBC scan — separated from the reader
+    call so the plumbing is unit-testable without a live database.
+
+    A partition spec must be complete: Spark silently falls back to a
+    SINGLE-connection scan when any of column/bounds/numPartitions is
+    missing, which at warehouse scale is the difference between a parallel
+    read and an hours-long serial one — so an incomplete spec raises here.
+    """
+    opts: dict[str, str] = {"url": url, "dbtable": table, "fetchsize": str(fetchsize)}
+    partition_spec = (partition_column, lower_bound, upper_bound, num_partitions)
+    if any(v is not None for v in partition_spec):
+        if any(v is None for v in partition_spec):
+            raise ValueError(
+                "partitioned JDBC scan needs ALL of partition_column, "
+                "lower_bound, upper_bound, num_partitions"
+            )
+        opts.update(
+            {
+                "partitionColumn": str(partition_column),
+                "lowerBound": str(lower_bound),
+                "upperBound": str(upper_bound),
+                "numPartitions": str(num_partitions),
+            }
+        )
+    opts.update({k: str(v) for k, v in extra.items()})
+    return opts
+
+
+def read_jdbc_table(spark: SparkSession, url: str, table: str, **kwargs) -> DataFrame:
+    """Partitioned JDBC source — the reference's ACTUAL input is Postgres
+    (blockchain_queries.py:44,74 scan SQLAlchemy models over one
+    connection, paging with block-height bounds).  Here N executor
+    connections each read one stride of the partition column concurrently;
+    the reference's LIMIT/OFFSET + keyset pagination (SURVEY §4 F5/F6/K3)
+    collapses into the partition bounds.  Typical call for the rewards
+    fact::
+
+        read_jdbc_table(spark, url, "rewards",
+                        partition_column="block", lower_bound=first_block,
+                        upper_bound=current_height, num_partitions=256)
+
+    Catalyst pushes filters/projections into the generated per-partition
+    queries (JDBC relation supports predicate pushdown), so the B2/B3
+    operators prune at the database, same as the parquet path.
+    """
+    return spark.read.format("jdbc").options(**jdbc_scan_options(url, table, **kwargs)).load()
+
+
 def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
     """Round-robin repartition to the cluster's parallelism — but ONLY when
     the source is under-split (fewer than parallelism/min_factor partitions).

@@ -100,34 +100,67 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs: equal band hash in any band, plus the
-    signature-estimated Jaccard (fraction of equal minhashes).
+# Hot-bucket cap for production runs: a boilerplate-heavy corpus can drop a
+# near-identical (not byte-identical) cluster into ONE (band, hash) bucket,
+# where uncapped pair generation is O(k²) in a single task.  With the cap,
+# pair gen inside an oversized bucket is restricted to doc_id-contiguous
+# chunks of this size: O(k·cap) total pairs, bounded per-element work, no
+# second corpus scan.  Dropped cross-chunk pairs are ACCOUNTED, not silent —
+# lsh_bucket_stats reports candidate/capped/dropped pair counts for any cap.
+LSH_MAX_BUCKET = 256
 
-    Shape: ONE signature pass -> explode to (band_idx, band_hash) -> groupBy
-    bucket -> collect members -> emit pairs from inside each bucket array.
-    A bucketed self-join would express the same thing but evaluates the
-    signature pipeline twice (Spark cannot reuse the exchange across the two
-    differently-projected join branches); the groupBy form scans the corpus
-    once, shuffles ~NUM_BANDS small rows per doc, and never forms a pair
-    across buckets.  Buckets are tiny by construction (docs sharing a band
-    hash); a pathological hot bucket — thousands of identical docs — is
-    exactly the case exact_dedup removes upstream.
-    """
-    sig = minhash_signatures(spark, sf_dir)
+
+def _exploded_bands(sig: DataFrame) -> DataFrame:
     bands_arr = F.array(*[F.col(f"band{b}") for b in range(NUM_BANDS)])
-    exploded = sig.select("doc_id", "sig", F.posexplode(bands_arr).alias("band_idx", "band_hash"))
+    return sig.select("doc_id", "sig", F.posexplode(bands_arr).alias("band_idx", "band_hash"))
+
+
+def _bucket_pairs(sig: DataFrame, max_bucket: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, sig_a, sig_b) candidate pairs from a signature table:
+    explode to (band_idx, band_hash) -> groupBy bucket -> collect members ->
+    emit pairs from inside each bucket array.  A bucketed self-join would
+    express the same thing but evaluates the signature pipeline twice (Spark
+    cannot reuse the exchange across two differently-projected join
+    branches); the groupBy form scans the corpus once, shuffles ~NUM_BANDS
+    small rows per doc, and never forms a pair across buckets.
+
+    ``max_bucket`` caps in-bucket pair generation to doc_id-contiguous
+    chunks of that size (see LSH_MAX_BUCKET).  None = exact, every pair.
+    """
     buckets = (
-        exploded.groupBy("band_idx", "band_hash")
+        _exploded_bands(sig)
+        .groupBy("band_idx", "band_hash")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
-    # all ordered pairs within the bucket; ds sorted by doc_id so a < b holds
+    # all ordered pairs within the bucket (chunk under the cap); ds sorted by
+    # doc_id so a < b holds
+    if max_bucket is None:
+        end = "size(ds)"
+    else:
+        end = f"least((i div {max_bucket} + 1) * {max_bucket}, size(ds))"
     pair_gen = (
         "flatten(transform(ds, (a, i) ->"
-        " transform(slice(ds, i + 2, size(ds) - i - 1),"
+        f" transform(slice(ds, i + 2, {end} - i - 1),"
         " b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b))))"
     )
+    return (
+        buckets.select(F.explode(F.expr(pair_gen)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+) -> DataFrame:
+    """Near-dup candidate pairs: equal band hash in any band, plus the
+    signature-estimated Jaccard (fraction of equal minhashes).
+
+    The registry/oracle form runs uncapped (exact semantics); production
+    pipelines pass ``max_bucket=LSH_MAX_BUCKET`` and read the drop
+    accounting from :func:`lsh_bucket_stats`.
+    """
     # zip_with over the two split arrays: each sig string is split ONCE
     # (element_at(split(...), i) per position would re-split per comparison)
     est = (
@@ -135,11 +168,38 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (x, y) -> IF(x = y, 1, 0)),"
         f" 0, (acc, v) -> acc + v) / cast({NUM_HASHES} as double), 4)"
     )
-    return (
-        buckets.select(F.explode(F.expr(pair_gen)).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
-        .distinct()
-        .select("doc_a", "doc_b", F.expr(est).alias("est_jaccard"))
+    return _bucket_pairs(minhash_signatures(spark, sf_dir), max_bucket).select(
+        "doc_a", "doc_b", F.expr(est).alias("est_jaccard")
+    )
+
+
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-size distribution + cap accounting for the LSH pipeline: how
+    many (band, hash) buckets exist, the largest member count, the exact
+    candidate-pair count, and how many pairs a LSH_MAX_BUCKET-capped run
+    generates vs drops.  This is the no-silent-caps surface: a capped
+    production run is always paired with this (cheap — sizes only, no pair
+    materialization) accounting query."""
+    sizes = (
+        _exploded_bands(minhash_signatures(spark, sf_dir))
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    m = LSH_MAX_BUCKET
+    per = sizes.select(
+        "k",
+        F.expr("k * (k - 1) div 2").alias("all_pairs"),
+        F.expr(
+            f"(k div {m}) * ({m} * ({m} - 1) div 2) + (k % {m}) * (k % {m} - 1) div 2"
+        ).alias("capped_pairs"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.when(F.col("k") >= 2, 1).otherwise(0)).cast("bigint").alias("n_multi_buckets"),
+        F.max("k").cast("bigint").alias("max_bucket_size"),
+        F.sum("all_pairs").cast("bigint").alias("candidate_pairs"),
+        F.sum("capped_pairs").cast("bigint").alias("capped_pairs"),
+        (F.sum("all_pairs") - F.sum("capped_pairs")).cast("bigint").alias("dropped_pairs"),
     )
 
 

@@ -68,6 +68,24 @@ def rewards_5d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sup.join(agg, sup.s_suppkey == agg.l_suppkey, "left").select("s_suppkey", "s_name", "rewards_5d")
 
 
+TARGET_ADDRESS = 7  # the fixed lookup key for the per-address reward query
+
+
+def rewards_by_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-address reward lookup: ``get_hotspot_rewards_by_address``
+    (reference: blockchain_queries.py:172-178) — the flagship's grouped sum
+    restricted to one gateway, i.e. B3 equality + B2 window + D4 scalar SUM.
+    The equality predicate pushes into the parquet scan, so at scale this
+    reads one gateway's row groups, not the fact table."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_shipdate")
+    return (
+        li.filter(F.col("l_suppkey") == TARGET_ADDRESS)
+        .filter((F.col("l_shipdate") > F.lit(WINDOW_START)) & (F.col("l_shipdate") < F.lit(WINDOW_END)))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("rewards"))
+        .select(F.lit(TARGET_ADDRESS).cast("bigint").alias("address"), "rewards")
+    )
+
+
 def hotspot_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hotspot inventory snapshot: the reference's 3-way left join
     (gateway_inventory ⟕ gateway_status ⟕ locations,

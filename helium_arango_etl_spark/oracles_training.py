@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from .operators.dedup import (
     BAND_ROWS,
+    LSH_MAX_BUCKET,
     MOD_P,
     NEAR_DUP_THRESH,
     NUM_BANDS,
@@ -238,6 +239,28 @@ ORACLE_TRAINING: dict[str, str] = {
                    for j in range(1, 33)
                )} AS simhash32
         FROM toks
+    """,
+    "lsh_bucket_stats": _SIG_CTE + f"""
+        , exploded AS (
+          SELECT doc_id, unnest([{_BAND_LIST}]) AS band_hash,
+                 unnest(range(0, {NUM_BANDS})) AS band_idx
+          FROM sig
+        ), sizes AS (
+          SELECT band_idx, band_hash, count(*) AS k
+          FROM exploded GROUP BY band_idx, band_hash
+        ), per AS (
+          SELECT k, k * (k - 1) // 2 AS all_pairs,
+                 (k // {LSH_MAX_BUCKET}) * ({LSH_MAX_BUCKET} * ({LSH_MAX_BUCKET} - 1) // 2)
+                   + (k % {LSH_MAX_BUCKET}) * (k % {LSH_MAX_BUCKET} - 1) // 2 AS capped_pairs
+          FROM sizes
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_buckets,
+               CAST(max(k) AS BIGINT) AS max_bucket_size,
+               CAST(sum(all_pairs) AS BIGINT) AS candidate_pairs,
+               CAST(sum(capped_pairs) AS BIGINT) AS capped_pairs,
+               CAST(sum(all_pairs) - sum(capped_pairs) AS BIGINT) AS dropped_pairs
+        FROM per
     """,
     "simhash_near_pairs": _SIG_CTE + _CAND_CTE + f"""
         , sh32 AS (

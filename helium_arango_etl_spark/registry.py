@@ -41,6 +41,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_rewards_summary": R.sql_rewards_summary,
     "payment_v2_exploded": R.payment_v2_exploded,
     "token_explode": R.token_explode,
+    "rewards_by_address": R.rewards_by_address,
     # --- windows / dedup semantics (SURVEY §2 E) ---
     "keep_latest_witness": W.keep_latest_witness,
     "last_balance_per_day": W.last_balance_per_day,
@@ -52,6 +53,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "city_graph_metrics": G.city_graph_metrics,  # rows-only: networkx-equivalent numerics
     "city_hits": G.city_hits,  # rows-only: J5 hub/authority scores
     "hotspot_metrics_writeback": G.hotspot_metrics_writeback,  # rows-only: depends on metrics
+    "city_graph_nodes": G.city_graph_nodes,  # oracled skeleton of the metrics rows
+    "hotspot_writeback_surface": G.hotspot_writeback_surface,  # oracled writeback join surface
     # --- training-data pipeline: text analysis ---
     "text_stats": T.text_stats,
     "lang_id": T.lang_id,
@@ -61,6 +64,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": D.exact_dedup,
     "minhash_signatures": D.minhash_signatures,
     "lsh_candidate_pairs": D.lsh_candidate_pairs,
+    "lsh_bucket_stats": D.lsh_bucket_stats,
     "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
     "near_dup_keep": D.near_dup_keep,
     "simhash": D.simhash,
@@ -77,6 +81,31 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_resize": M.image_resize,
     "audio_features": M.audio_features,
 }
+
+# The witness edge set, shared by witness_subgraph and the graph-skeleton
+# oracles built on top of it (city_graph_nodes, hotspot_writeback_surface).
+_WITNESS_SQL = """
+        SELECT md5(concat_ws('|', n.n_name, r.r_name)) AS city_key,
+               'S' || CAST(l.l_suppkey AS VARCHAR) AS src,
+               'C' || CAST(o.o_custkey AS VARCHAR) AS dst,
+               round(2 * 6371008.8 * asin(sqrt(
+                   power(sin(radians(
+                       CAST((o.o_custkey * 37) % 120 - 60 AS DOUBLE) -
+                       CAST((l.l_suppkey * 37) % 120 - 60 AS DOUBLE)) / 2), 2) +
+                   cos(radians(CAST((l.l_suppkey * 37) % 120 - 60 AS DOUBLE))) *
+                   cos(radians(CAST((o.o_custkey * 37) % 120 - 60 AS DOUBLE))) *
+                   power(sin(radians(
+                       CAST((o.o_custkey * 91) % 360 - 180 AS DOUBLE) -
+                       CAST((l.l_suppkey * 91) % 360 - 180 AS DOUBLE)) / 2), 2)
+               )), 3) AS distance_m,
+               l.l_shipdate AS edge_ts
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE l.l_returnflag = 'N'
+    """
 
 ORACLE: dict[str, str] = {
     "rewards_5d": """
@@ -265,27 +294,51 @@ ORACLE: dict[str, str] = {
                round(value / avg(value) OVER (PARTITION BY event_type), 6) AS value_normalized
         FROM events
     """,
-    "witness_subgraph": """
-        SELECT md5(concat_ws('|', n.n_name, r.r_name)) AS city_key,
-               'S' || CAST(l.l_suppkey AS VARCHAR) AS src,
-               'C' || CAST(o.o_custkey AS VARCHAR) AS dst,
-               round(2 * 6371008.8 * asin(sqrt(
-                   power(sin(radians(
-                       CAST((o.o_custkey * 37) % 120 - 60 AS DOUBLE) -
-                       CAST((l.l_suppkey * 37) % 120 - 60 AS DOUBLE)) / 2), 2) +
-                   cos(radians(CAST((l.l_suppkey * 37) % 120 - 60 AS DOUBLE))) *
-                   cos(radians(CAST((o.o_custkey * 37) % 120 - 60 AS DOUBLE))) *
-                   power(sin(radians(
-                       CAST((o.o_custkey * 91) % 360 - 180 AS DOUBLE) -
-                       CAST((l.l_suppkey * 91) % 360 - 180 AS DOUBLE)) / 2), 2)
-               )), 3) AS distance_m,
-               l.l_shipdate AS edge_ts
-        FROM lineitem l
-        JOIN orders o ON l.l_orderkey = o.o_orderkey
-        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        JOIN nation n ON s.s_nationkey = n.n_nationkey
-        JOIN region r ON n.n_regionkey = r.r_regionkey
-        WHERE l.l_returnflag = 'N'
+    "witness_subgraph": _WITNESS_SQL,
+    "city_graph_nodes": f"""
+        WITH edges AS ({_WITNESS_SQL}),
+        arcs AS (SELECT DISTINCT city_key, src, dst FROM edges),
+        big AS (SELECT city_key FROM arcs GROUP BY city_key HAVING count(*) >= {G.MIN_CITY_SIZE}),
+        nodes AS (
+          SELECT a.city_key, unnest([a.src, a.dst]) AS address
+          FROM arcs a JOIN big b ON a.city_key = b.city_key
+        )
+        SELECT DISTINCT city_key, address FROM nodes
+    """,
+    "hotspot_writeback_surface": f"""
+        WITH edges AS ({_WITNESS_SQL}),
+        arcs AS (SELECT DISTINCT city_key, src, dst FROM edges),
+        big AS (SELECT city_key FROM arcs GROUP BY city_key HAVING count(*) >= {G.MIN_CITY_SIZE}),
+        nodes AS (
+          SELECT a.city_key, unnest([a.src, a.dst]) AS address
+          FROM arcs a JOIN big b ON a.city_key = b.city_key
+        ),
+        snodes AS (
+          SELECT DISTINCT CAST(substr(address, 2) AS BIGINT) AS address, TRUE AS has_metrics
+          FROM nodes WHERE address LIKE 'S%'
+        )
+        SELECT s.s_suppkey AS address,
+               s.s_name AS name,
+               st.online,
+               n.n_name AS long_city,
+               r.r_name AS long_country,
+               md5(concat_ws('|', n.n_name, r.r_name)) AS city_key,
+               COALESCE(sn.has_metrics, FALSE) AS has_metrics
+        FROM supplier s
+        LEFT JOIN (
+            SELECT s_suppkey AS st_suppkey, 'online' AS online
+            FROM supplier WHERE s_suppkey % 2 = 1
+        ) st ON s.s_suppkey = st.st_suppkey
+        LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+        LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        LEFT JOIN snodes sn ON s.s_suppkey = sn.address
+    """,
+    "rewards_by_address": f"""
+        SELECT CAST({R.TARGET_ADDRESS} AS BIGINT) AS address,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rewards
+        FROM lineitem
+        WHERE l_suppkey = {R.TARGET_ADDRESS}
+          AND l_shipdate > TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
     """,
 }
 

@@ -56,3 +56,15 @@ def test_metrics_deterministic(spark, sf_dir, metrics):
     a = sorted(map(str, metrics.collect()))
     b = sorted(map(str, city_graph_metrics(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_metrics_rows_match_oracled_skeleton(spark, sf_dir, metrics):
+    """city_graph_nodes is the oracled SQL skeleton of the applyInPandas
+    metrics: identical (city_key, address) row sets means the driver's hash
+    check on the skeleton transitively pins the pandas path's grouping,
+    threshold, and dedup behavior."""
+    from helium_arango_etl_spark.operators.graph import city_graph_nodes
+
+    skel = {(r["city_key"], r["address"]) for r in city_graph_nodes(spark, sf_dir).collect()}
+    got = {(r["city_key"], r["address"]) for r in metrics.select("city_key", "address").collect()}
+    assert got == skel

@@ -76,7 +76,15 @@ def test_city_metrics_single_shuffle(spark, sf_dir):
     """city_graph_metrics must shuffle exactly once (on city_key): the
     keep-latest dedup happens inside the pandas group, so a second
     window-style exchange is a regression."""
+    from helium_arango_etl_spark.operators import graph as G
+
+    # pin the UNCACHED build: registry calls serve a persisted combined
+    # metrics table, so drop any cache entry before reading the plan
+    for df in G._METRICS_CACHE.pop(spark, {}).values():
+        df.unpersist()
     plan = plan_of(QUERIES["city_graph_metrics"](spark, sf_dir))
+    for df in G._METRICS_CACHE.pop(spark, {}).values():
+        df.unpersist()
     # formatted mode: shuffle nodes print as "(N) Exchange"; broadcasts as
     # "(N) BroadcastExchange" — count only the former
     shuffles = len(re.findall(r"\(\d+\) Exchange\b", plan))

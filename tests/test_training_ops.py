@@ -70,3 +70,51 @@ def test_ivf_topk_agrees_with_bruteforce(spark, sf_oracle_dir):
     for r in ivf:
         if r["vec_id"] in brute:
             assert r["cosine_sim"] == pytest.approx(brute[r["vec_id"]], abs=1e-6)
+
+
+def test_hot_bucket_cap_bounds_pair_generation(spark):
+    """ADVICE r1: a 10k-member near-identical bucket must not O(k^2)-explode
+    one task.  With max_bucket=64, pair gen stays within doc_id-contiguous
+    chunks: O(k * cap) pairs total, and every pair is intra-chunk."""
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_spark.operators.dedup import _bucket_pairs
+
+    n, cap = 10_000, 64
+    sig = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("string").alias("sig"),
+        F.lit("HOT").alias("band0"),
+        *[F.concat(F.lit(f"u{b}_"), F.col("id")).alias(f"band{b}") for b in range(1, 8)],
+    )
+    pairs = _bucket_pairs(sig, max_bucket=cap)
+    got = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.expr(f"doc_a div {cap} != doc_b div {cap}"), 1).otherwise(0)).alias(
+            "cross_chunk"
+        ),
+    ).first()
+    full, rem = n // cap, n % cap
+    expected = full * (cap * (cap - 1) // 2) + rem * (rem - 1) // 2
+    assert got["n"] == expected
+    assert got["cross_chunk"] == 0
+
+
+def test_bucket_stats_accounting_matches_cap(spark):
+    """lsh_bucket_stats' capped/dropped arithmetic equals what _bucket_pairs
+    actually generates for the same signature table (no silent caps)."""
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_spark.operators.dedup import LSH_MAX_BUCKET, _bucket_pairs
+
+    n = 1000  # > LSH_MAX_BUCKET so the cap engages
+    sig = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("string").alias("sig"),
+        F.lit("HOT").alias("band0"),
+        *[F.concat(F.lit(f"u{b}_"), F.col("id")).alias(f"band{b}") for b in range(1, 8)],
+    )
+    capped_n = _bucket_pairs(sig, max_bucket=LSH_MAX_BUCKET).count()
+    m = LSH_MAX_BUCKET
+    expected_capped = (n // m) * (m * (m - 1) // 2) + (n % m) * ((n % m) - 1) // 2
+    assert capped_n == expected_capped
