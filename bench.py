@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from helium_arango_etl_spark.operators import dedup as D  # noqa: E402
 from helium_arango_etl_spark.operators import graph as G  # noqa: E402
 from helium_arango_etl_spark.registry import QUERIES  # noqa: E402
 from helium_arango_etl_spark.session import get_spark  # noqa: E402
@@ -69,6 +70,10 @@ def main() -> None:
         if name == "city_graph_metrics":
             for df in G._METRICS_CACHE.pop(spark, {}).values():
                 df.unpersist(blocking=True)
+        # same for the shared signature table: the first dedup-chain query
+        # pays the corpus scan + hashing, the verify/retention stages ride it
+        if name == "lsh_candidate_pairs":
+            D.clear_sig_cache(spark)
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0

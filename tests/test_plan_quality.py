@@ -124,10 +124,13 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
 
 
 def test_single_scan_lsh_pipeline(spark, sf_dir):
-    """lsh_candidate_pairs must scan `documents` exactly once — the
+    """The signature build must scan `documents` exactly once — the
     bucketed-self-join formulation evaluated the whole signature pipeline
-    twice and this pins the single-pass shape."""
-    plan = plan_of(QUERIES["lsh_candidate_pairs"](spark, sf_dir))
+    twice and this pins the single-pass shape (registry calls additionally
+    persist the table, sharing the one scan across the dedup chain)."""
+    from helium_arango_etl_spark.operators.dedup import _bucket_pairs, _build_signature_table
+
+    plan = plan_of(_bucket_pairs(_build_signature_table(spark, sf_dir)))
     assert plan.count("documents.parquet") == 1, plan
 
 
@@ -135,7 +138,11 @@ def test_near_dup_keep_no_cartesian(spark, sf_dir):
     """near_dup_keep composes exact dedup + LSH verify + two anti-joins; at
     corpus scale any cartesian/nested-loop pair formation would be fatal, and
     the final removals must stay semi/anti joins (keyed sets, no bodies)."""
+    from helium_arango_etl_spark.operators.dedup import clear_sig_cache
+
+    clear_sig_cache(spark)
     plan = plan_of(QUERIES["near_dup_keep"](spark, sf_dir))
+    clear_sig_cache(spark)
     assert "CartesianProduct" not in plan, plan
     assert "LeftAnti" in plan, plan
     assert "LeftSemi" in plan, plan
