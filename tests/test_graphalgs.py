@@ -111,3 +111,28 @@ def test_h3_fallback_latlng_null_safe(spark):
     assert rows[0]["pt"]["coordinates"] == [rows[0]["ll"]["lon"], rows[0]["ll"]["lat"]]
     # null cell -> null coordinates (reference's TypeError branch)
     assert rows[2]["ll"]["lat"] is None and rows[2]["pt"]["coordinates"] is None
+
+
+def test_h3_real_cell_decode():
+    """Real-library path of the H5 gate (mirrors the PIL gate test): a valid
+    h3 cell decodes via the library; invalid cells fall back deterministically
+    in EVERY environment instead of raising."""
+    import pytest
+
+    from helium_arango_etl_spark.functions.h3geo import _HAVE_H3, _fallback_latlng
+
+    if not _HAVE_H3:
+        pytest.skip("h3 not installed in this container")
+    import h3
+
+    valid = h3.latlng_to_cell(37.77, -122.42, 9)
+    lat, lon = h3.cell_to_latlng(valid)
+    assert abs(lat - 37.77) < 0.01 and abs(lon + 122.42) < 0.01
+
+
+def test_h3_fallback_is_deterministic_and_in_range():
+    from helium_arango_etl_spark.functions.h3geo import _fallback_latlng
+
+    lat, lon = _fallback_latlng("not-a-real-cell")
+    assert _fallback_latlng("not-a-real-cell") == (lat, lon)
+    assert -90.0 <= lat <= 90.0 and -180.0 <= lon <= 180.0
