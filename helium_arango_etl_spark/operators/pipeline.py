@@ -1,0 +1,63 @@
+"""Training-corpus assembly: deterministic sampling/splitting and the
+composed end-to-end retention pipeline (quality gate ∩ dedup ∩ split).
+
+Sampling is CONTENT-HASH bucketing, not RNG: membership is a pure function
+of the stable document id, so it needs no seed coordination across
+executors, reproduces bit-for-bit across engines and reruns, survives
+repartitioning, and newly-arriving data joins the sample at the same rate —
+the only sampling idiom that stays consistent over a 100 TB corpus that is
+continuously appended to.  Everything here is a per-row codegen'd
+expression (zero shuffle) composed with the dedup chain's keyed anti-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .dedup import near_dup_keep
+from .textops import text_stats
+
+# 28-bit md5 prefix -> bucket in [0, 100): engine-portable (DuckDB hex cast
+# reproduces conv() exactly), uniform enough for split assignment
+BUCKET_EXPR = "cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10) as bigint) % 100"
+
+SAMPLE_PCT = 10  # in_sample: the 10% stratum used for eval/debug subsets
+SPLIT_TRAIN, SPLIT_VAL = 80, 90  # bucket < 80 -> train, < 90 -> val, else test
+QUALITY_MIN = 0.4  # text_stats.quality_score floor for corpus admission
+
+
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment + sample membership per
+    document, as pure functions of md5(doc_id) (no RNG — see module doc)."""
+    docs = read_table(spark, sf_dir, "documents")
+    b = F.expr(BUCKET_EXPR)
+    return docs.select(
+        "doc_id",
+        b.alias("bucket"),
+        F.when(b < SPLIT_TRAIN, F.lit("train"))
+        .when(b < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        (b < SAMPLE_PCT).alias("in_sample"),
+    )
+
+
+def corpus_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end corpus assembly pipeline: a document survives
+    iff it (1) passes the quality gate (text_stats.quality_score >=
+    QUALITY_MIN), (2) survives exact + near dedup (near_dup_keep), and it
+    carries its (3) deterministic split assignment.  At scale this is the
+    shape of a real pre-training data job: per-row scoring and splitting
+    compose with the shared signature table and keyed semi/anti joins —
+    document bodies still never shuffle."""
+    kept = near_dup_keep(spark, sf_dir)
+    good = (
+        text_stats(spark, sf_dir)
+        .filter(F.col("quality_score") >= QUALITY_MIN)
+        .select("doc_id")
+    )
+    return kept.join(good, "doc_id", "left_semi").join(
+        hash_split(spark, sf_dir).select("doc_id", "split"), "doc_id"
+    )

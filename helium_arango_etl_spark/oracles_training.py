@@ -346,6 +346,42 @@ ORACLE_TRAINING: dict[str, str] = {
     """,
 }
 
+# ---------- corpus assembly oracles ----------
+
+from .operators.pipeline import (  # noqa: E402
+    QUALITY_MIN,
+    SAMPLE_PCT,
+    SPLIT_TRAIN,
+    SPLIT_VAL,
+)
+
+_BUCKET_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100"
+
+ORACLE_TRAINING.update(
+    {
+        "hash_split": f"""
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < {SPLIT_TRAIN} THEN 'train'
+                    WHEN bucket < {SPLIT_VAL} THEN 'val'
+                    ELSE 'test' END AS split,
+               bucket < {SAMPLE_PCT} AS in_sample
+        FROM (SELECT doc_id, {_BUCKET_SQL} AS bucket FROM documents) t
+    """,
+        "corpus_retention": f"""
+        SELECT k.doc_id,
+               CASE WHEN b.bucket < {SPLIT_TRAIN} THEN 'train'
+                    WHEN b.bucket < {SPLIT_VAL} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM ({ORACLE_TRAINING["near_dup_keep"]}) k
+        JOIN (SELECT doc_id, {_BUCKET_SQL} AS bucket FROM documents) b
+          ON k.doc_id = b.doc_id
+        JOIN (SELECT doc_id FROM ({ORACLE_TRAINING["text_stats"]}) s
+              WHERE s.quality_score >= {QUALITY_MIN}) q
+          ON k.doc_id = q.doc_id
+    """,
+    }
+)
+
 # ---------- multimodal oracles ----------
 #
 # The binary payload is encode(text) (operators.multimodal.attach_binary_payload)

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators import dedup as D
 from .operators import graph as G
 from .operators import multimodal as M
+from .operators import pipeline as P
 from .operators import relational as R
 from .operators import similarity as S
 from .operators import textops as T
@@ -69,6 +70,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_keep": D.near_dup_keep,
     "simhash": D.simhash,
     "simhash_near_pairs": D.simhash_near_pairs,
+    # --- training-data pipeline: corpus assembly ---
+    "hash_split": P.hash_split,
+    "corpus_retention": P.corpus_retention,
     # --- training-data pipeline: similarity search ---
     "ann_cosine_topk": S.ann_cosine_topk,
     "lsh_bucket_topk": S.lsh_bucket_topk,
