@@ -70,6 +70,12 @@ def main() -> None:
         if name == "city_graph_metrics":
             for df in G._METRICS_CACHE.pop(spark, {}).values():
                 df.unpersist(blocking=True)
+        # the witness-edge table is likewise materialized once per sync
+        # cycle and shared by every downstream graph query: witness_subgraph
+        # (first in the chain) pays the fact-fact join + persist, the
+        # metrics/skeleton queries ride it
+        if name == "witness_subgraph":
+            G.clear_edge_cache(spark)
         # same for the shared signature table: the first dedup-chain query
         # pays the corpus scan + hashing, the verify/retention stages ride it
         if name == "lsh_candidate_pairs":
@@ -78,11 +84,16 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
-    # pass 1 warms JVM/codegen/file-index caches; pass 2 is the measurement
-    # (steady-state is what a resident engine delivers; min-of-2 also damps
-    # one-off GC noise)
+    # pass 1 warms JVM/codegen/file-index caches and Python workers; passes
+    # 2-3 are measurements (steady-state is what a resident engine
+    # delivers).  min-of-3 rather than min-of-2: the bench host shows
+    # noisy-neighbor spikes lasting tens of seconds, long enough to hit the
+    # same query in two consecutive passes — a third sample makes a clean
+    # measurement overwhelmingly likely while keeping bench wall-time
+    # bounded.
     first = {name: run(name) for name in names}
-    timings = {name: round(min(first[name], run(name)), 3) for name in names}
+    second = {name: min(first[name], run(name)) for name in names}
+    timings = {name: round(min(second[name], run(name)), 3) for name in names}
     total = sum(timings.values())
 
     print(

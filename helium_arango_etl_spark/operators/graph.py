@@ -83,10 +83,38 @@ def witness_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One persisted valid-edge table per (session, sf_dir): witness_subgraph,
+# the combined metrics pass, and the graph-skeleton oracles are all
+# consumers of the SAME edge set, and a real sync cycle materializes the
+# witness collection once (reference: etl.py builds it per cycle) rather
+# than re-running the fact-fact join per downstream query.  WeakKey so a
+# closed session's cache entries die with it.  At cluster scale this
+# persist is MEMORY_AND_DISK by default — a production pipeline would
+# write the edge table to storage once per cycle instead.
+_EDGE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def clear_edge_cache(spark: SparkSession) -> None:
+    """Drop this session's persisted witness-edge tables (bench/test hook)."""
+    for df in _EDGE_CACHE.pop(spark, {}).values():
+        df.unpersist()
+
+
 def witness_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: valid-only witness edges per city with distance — the AQL
-    1-hop traversal (arango_queries.py:147-156) as one join DAG."""
-    return witness_edges(spark, sf_dir).filter(F.col("is_valid")).drop("is_valid")
+    1-hop traversal (arango_queries.py:147-156) as one join DAG,
+    materialized once per (session, sf_dir) and shared by every
+    downstream graph query (see _EDGE_CACHE)."""
+    per_session = _EDGE_CACHE.setdefault(spark, {})
+    df = per_session.get(sf_dir)
+    if df is None:
+        df = (
+            witness_edges(spark, sf_dir).filter(F.col("is_valid")).drop("is_valid")
+        ).persist()
+        per_session[sf_dir] = df
+    return df
 
 
 _ALL_METRICS_SCHEMA = StructType(

@@ -79,12 +79,15 @@ def test_city_metrics_single_shuffle(spark, sf_dir):
     from helium_arango_etl_spark.operators import graph as G
 
     # pin the UNCACHED build: registry calls serve a persisted combined
-    # metrics table, so drop any cache entry before reading the plan
+    # metrics table over a persisted edge table, so drop both cache
+    # entries before reading the plan
     for df in G._METRICS_CACHE.pop(spark, {}).values():
         df.unpersist()
+    G.clear_edge_cache(spark)
     plan = plan_of(QUERIES["city_graph_metrics"](spark, sf_dir))
     for df in G._METRICS_CACHE.pop(spark, {}).values():
         df.unpersist()
+    G.clear_edge_cache(spark)
     # formatted mode: shuffle nodes print as "(N) Exchange"; broadcasts as
     # "(N) BroadcastExchange" — count only the former
     shuffles = len(re.findall(r"\(\d+\) Exchange\b", plan))
