@@ -1,0 +1,177 @@
+"""Temporal operators Spark lacks natively, built scale-first: an as-of
+join (running chain height at every fact timestamp) and sequence packing
+(token-budget bin assignment), both on the same distributed prefix-scan
+pattern.
+
+The classic single-machine form of both is a GLOBAL ordered window — which
+in Spark means one partition doing all the work.  The pattern here instead:
+
+1. bucket every row by a DETERMINISTIC coarse key derived from the order
+   column (calendar month for time, id-range for doc ids) — never
+   ``repartitionByRange``, whose sampled boundaries are not stable across
+   stage re-computation;
+2. run the prefix aggregate (max / sum) inside each bucket with an ordinary
+   partitioned window — embarrassingly parallel;
+3. reduce each bucket to ONE carry row, close the prefix over the tiny
+   carry table (a window over ≤ thousands of rows), and broadcast it back.
+
+Total cost: two shuffles of (row, bucket) pairs + one broadcast — no global
+sort, no driver-side collect, no single hot partition.  At 100 TB the
+bucket granularity is chosen so each bucket is a few GB (e.g. hourly for
+dense event streams); the carry table stays tiny regardless.
+
+Reference parity: generalizes SURVEY §2 I3 (``get_current_height``,
+blockchain_queries.py:96-100) from "height now" to "height as of every
+fact row" — the lookup the reference performs per-query becomes one
+distributed join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .textops import TOKS
+
+# sequence packing: fixed token budget per training sequence
+SEQ_LEN = 512
+# id-range bucket width for the packing prefix-sum (≈1k docs per bucket
+# keeps the carry table tiny while the per-bucket window stays parallel)
+PACK_BUCKET = 1000
+
+
+def height_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every shipment, the chain height as of its ship
+    date — max(o_orderkey) over orders with o_orderdate <= l_shipdate
+    (I3 at every t).  Shipments before the first block get NULL.
+
+    Plan: union the block timeline and the fact stream, bucket by calendar
+    month, running max within each month-bucket, then close the prefix
+    with a per-bucket carry (see module doc).  The running max makes tie
+    order irrelevant (max is order-insensitive), so no global tiebreak is
+    needed — only blocks-before-facts at the same timestamp, which the
+    is_event sort key provides.
+    """
+    blocks = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("height"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("l_orderkey"),
+        F.lit(None).cast("int").alias("l_linenumber"),
+    )
+    facts = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").alias("ts"),
+        F.lit(None).cast("bigint").alias("height"),
+        F.lit(1).alias("is_event"),
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+    )
+    u = blocks.unionByName(facts).withColumn(
+        "tb", F.year("ts") * 12 + F.month("ts")
+    )
+    w_run = (
+        Window.partitionBy("tb")
+        .orderBy("ts", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # ONE carry row per month: the max block height inside the bucket
+    per_bucket = u.groupBy("tb").agg(F.max("height").alias("bh"))
+    w_carry = Window.orderBy("tb").rowsBetween(Window.unboundedPreceding, -1)
+    carry = per_bucket.select(
+        "tb", F.max("bh").over(w_carry).alias("carry")
+    )
+    return (
+        u.withColumn("run", F.max("height").over(w_run))
+        .join(F.broadcast(carry), "tb")
+        .filter(F.col("is_event") == 1)
+        # greatest skips NULLs: a month with no blocks yet has run NULL
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("ts").alias("l_shipdate"),
+            F.greatest("run", "carry").alias("height"),
+        )
+    )
+
+
+def height_asof_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-partition global-window form of :func:`height_asof` —
+    the correctness reference the distributed form is pinned against
+    (tests/test_temporal.py); never use at scale."""
+    blocks = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("height"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("l_orderkey"),
+        F.lit(None).cast("int").alias("l_linenumber"),
+    )
+    facts = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").alias("ts"),
+        F.lit(None).cast("bigint").alias("height"),
+        F.lit(1).alias("is_event"),
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+    )
+    w = Window.orderBy("ts", "is_event").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        blocks.unionByName(facts)
+        .withColumn("height_asof", F.max("height").over(w))
+        .filter(F.col("is_event") == 1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("ts").alias("l_shipdate"),
+            F.col("height_asof").alias("height"),
+        )
+    )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate the corpus in doc_id order and split
+    at SEQ_LEN token boundaries; each document gets its (start_bin,
+    start_offset, end_bin) placement — the assignment a pre-training
+    loader needs to build fixed-length sequences, without materializing
+    the concatenation.
+
+    Same prefix pattern as :func:`height_asof` with SUM instead of MAX:
+    id-range buckets -> per-bucket running token sum -> per-bucket total
+    -> tiny cumulative-carry table broadcast back.  Zero-token documents
+    occupy no space: they sit at their boundary with n_bins = 1 span of
+    zero width (end_bin = start_bin).
+    """
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .withColumn("t", F.expr(TOKS))
+        .select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+        .withColumn("pb", F.expr(f"doc_id div {PACK_BUCKET}"))
+    )
+    w_run = (
+        Window.partitionBy("pb")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_bucket = docs.groupBy("pb").agg(F.sum("n_tokens").alias("tot"))
+    w_carry = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, -1)
+    carry = per_bucket.select(
+        "pb", F.coalesce(F.sum("tot").over(w_carry), F.lit(0)).alias("carry")
+    )
+    return (
+        docs.withColumn("run", F.sum("n_tokens").over(w_run))
+        .join(F.broadcast(carry), "pb")
+        .withColumn("cum_end", F.col("run") + F.col("carry"))
+        .withColumn("cum_start", F.col("cum_end") - F.col("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"cum_start div {SEQ_LEN}").alias("start_bin"),
+            (F.col("cum_start") % SEQ_LEN).alias("start_offset"),
+            F.expr(
+                f"IF(n_tokens = 0, cum_start div {SEQ_LEN},"
+                f" (cum_end - 1) div {SEQ_LEN})"
+            ).alias("end_bin"),
+        )
+        .withColumn("n_bins", F.col("end_bin") - F.col("start_bin") + 1)
+    )

@@ -20,6 +20,8 @@ from .operators import multimodal as M
 from .operators import pipeline as P
 from .operators import relational as R
 from .operators import similarity as S
+from .operators import sketch as K
+from .operators import temporal as TP
 from .operators import textops as T
 from .operators import windows as W
 from .oracles_training import ORACLE_TRAINING
@@ -73,6 +75,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- training-data pipeline: corpus assembly ---
     "hash_split": P.hash_split,
     "corpus_retention": P.corpus_retention,
+    "pack_sequences": TP.pack_sequences,
+    # --- temporal: distributed as-of join (I3 at every t) ---
+    "height_asof": TP.height_asof,
+    # --- sketches: engine-portable HLL ---
+    "hll_distinct": K.hll_distinct,
     # --- training-data pipeline: similarity search ---
     "ann_cosine_topk": S.ann_cosine_topk,
     "lsh_bucket_topk": S.lsh_bucket_topk,
@@ -336,6 +343,79 @@ ORACLE: dict[str, str] = {
         LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
         LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
         LEFT JOIN snodes sn ON s.s_suppkey = sn.address
+    """,
+    "height_asof": """
+        WITH u AS (
+          SELECT o_orderdate AS ts, o_orderkey AS height, 0 AS is_event,
+                 CAST(NULL AS BIGINT) AS l_orderkey, CAST(NULL AS INT) AS l_linenumber
+          FROM orders
+          UNION ALL
+          SELECT l_shipdate, NULL, 1, l_orderkey, CAST(l_linenumber AS INT)
+          FROM lineitem
+        ), r AS (
+          SELECT l_orderkey, l_linenumber, ts, is_event,
+                 max(height) OVER (ORDER BY ts, is_event
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS height
+          FROM u
+        )
+        SELECT l_orderkey, l_linenumber, ts AS l_shipdate, height
+        FROM r WHERE is_event = 1
+    """,
+    "pack_sequences": """
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+          FROM t
+        )
+        SELECT doc_id, n_tokens,
+               (cum_end - n_tokens) // 512 AS start_bin,
+               (cum_end - n_tokens) % 512 AS start_offset,
+               CASE WHEN n_tokens = 0 THEN (cum_end - n_tokens) // 512
+                    ELSE (cum_end - 1) // 512 END AS end_bin,
+               CASE WHEN n_tokens = 0 THEN (cum_end - n_tokens) // 512
+                    ELSE (cum_end - 1) // 512 END
+                 - (cum_end - n_tokens) // 512 + 1 AS n_bins
+        FROM c
+    """,
+    "hll_distinct": """
+        WITH h AS (
+          SELECT md5(CAST(event_id AS VARCHAR)) AS h FROM events
+        ), b AS (
+          SELECT ('0x' || substr(h, 1, 2))::BIGINT % 64 AS reg,
+                 ('0x' || substr(h, 3, 6))::BIGINT AS x
+          FROM h
+        ), k AS (
+          SELECT reg,
+                 CASE WHEN strpos(lpad(bin(x), 24, '0'), '1') = 0 THEN 25
+                      ELSE strpos(lpad(bin(x), 24, '0'), '1') END AS rank
+          FROM b
+        ), g AS (
+          SELECT reg, max(rank) AS mr FROM k GROUP BY reg
+        ), a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_present,
+                 sum(power(2.0, -mr)) AS sp
+          FROM g
+        ), s AS (
+          SELECT 0.709 * 64 * 64 / (sp + (64 - n_present)) AS raw,
+                 64 - n_present AS zeros
+          FROM a
+        ), e AS (
+          SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact FROM events
+        )
+        SELECT e.n_exact,
+               round(CASE WHEN s.raw <= 160 AND s.zeros > 0
+                          THEN 64 * ln(CAST(64 AS DOUBLE) / s.zeros)
+                          ELSE s.raw END, 4) AS hll_estimate,
+               round((CASE WHEN s.raw <= 160 AND s.zeros > 0
+                           THEN 64 * ln(CAST(64 AS DOUBLE) / s.zeros)
+                           ELSE s.raw END - e.n_exact) / e.n_exact, 4) AS rel_error,
+               CAST(64 AS INT) AS n_registers
+        FROM s, e
     """,
     "rewards_by_address": f"""
         SELECT CAST({R.TARGET_ADDRESS} AS BIGINT) AS address,
