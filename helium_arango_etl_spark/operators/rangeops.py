@@ -1,0 +1,84 @@
+"""Range join + quantile surfaces.
+
+``block_activity_7d`` is the banded range join: Spark has no native
+interval join, and the naive formulation (theta-join on an inequality) is
+a broadcast-nested-loop or cartesian — fatal at fact-fact scale.  The
+band trick makes it a plain equi-join: bucket both sides by a window-width
+time band, explode the probe side into the (<= 2) bands its window
+overlaps, equi-join on the band, then apply the exact range predicate.
+Pairs only ever form inside a band, so the shuffle is keyed and bounded
+by events-per-band — the same containment idea as LSH banding, applied to
+time.
+
+``price_quantiles`` is the exact grouped-quantile surface: Spark's
+``percentile`` and DuckDB's ``quantile_cont`` share the same
+(1-f)·a + f·b interpolation at rank p·(n-1), and produce bit-identical
+float64 on the same data, so exact quantiles are oracle-checkable.
+Exact percentile buffers each group's values (O(group) memory): right for
+bounded reporting groups (here: 3 return flags), wrong for high-cardinality
+keys at 100 TB — there, use ``approx_percentile`` (t-digest, mergeable,
+bounded memory), which is engine-specific and therefore tested against a
+tolerance band instead of an oracle (tests/test_rangeops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+
+WINDOW_DAYS = 7
+_BAND = f"datediff(ts, DATE '1970-01-01') div {WINDOW_DAYS}"
+
+
+def block_activity_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block activity window: for every block (order), the count and
+    value of shipments with l_shipdate in [o_orderdate, o_orderdate + 7d).
+    Blocks with no shipments keep a zero-count row (left join semantics).
+    """
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_shipdate").alias("ts"),
+            F.col("l_orderkey").alias("l_key"),
+            "l_extendedprice",
+        )
+        .withColumn("band", F.expr(_BAND))
+    )
+    # a 7-day window starting anywhere overlaps at most 2 width-7 bands
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("height"), F.col("o_orderdate").alias("ts"))
+        .withColumn("b0", F.expr(_BAND))
+        .withColumn("band", F.explode(F.array(F.col("b0"), F.col("b0") + 1)))
+        .select("height", F.col("ts").alias("o_ts"), "band")
+    )
+    joined = orders.join(
+        li,
+        (orders.band == li.band)
+        & (li.ts >= orders.o_ts)
+        & (li.ts < F.col("o_ts") + F.expr(f"INTERVAL {WINDOW_DAYS} DAYS")),
+        "left",
+    )
+    return joined.groupBy("height").agg(
+        F.count("l_key").alias("n_shipments"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of extended price per return flag (see module doc
+    for the exact-vs-approx scale tradeoff)."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.expr(f"percentile(l_extendedprice, {q})").alias(f"p{int(q * 100)}")
+            for q in QUANTILES
+        ]
+    )

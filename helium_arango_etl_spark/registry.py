@@ -18,6 +18,7 @@ from .operators import dedup as D
 from .operators import graph as G
 from .operators import multimodal as M
 from .operators import pipeline as P
+from .operators import rangeops as RG
 from .operators import relational as R
 from .operators import similarity as S
 from .operators import sketch as K
@@ -78,6 +79,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": TP.pack_sequences,
     # --- temporal: distributed as-of join (I3 at every t) ---
     "height_asof": TP.height_asof,
+    # --- range join + quantiles ---
+    "block_activity_7d": RG.block_activity_7d,
+    "price_quantiles": RG.price_quantiles,
     # --- sketches: engine-portable HLL ---
     "hll_distinct": K.hll_distinct,
     # --- training-data pipeline: similarity search ---
@@ -381,6 +385,24 @@ ORACLE: dict[str, str] = {
                     ELSE (cum_end - 1) // 512 END
                  - (cum_end - n_tokens) // 512 + 1 AS n_bins
         FROM c
+    """,
+    "block_activity_7d": """
+        SELECT o.o_orderkey AS height,
+               count(l.l_orderkey) AS n_shipments,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM orders o
+        LEFT JOIN lineitem l
+          ON l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        GROUP BY o.o_orderkey
+    """,
+    "price_quantiles": """
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS p50,
+               quantile_cont(l_extendedprice, 0.9) AS p90,
+               quantile_cont(l_extendedprice, 0.99) AS p99
+        FROM lineitem
+        GROUP BY l_returnflag
     """,
     "hll_distinct": """
         WITH h AS (
