@@ -33,18 +33,29 @@ from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
 from ..functions.graphalgs import betweenness_centrality, hits, pagerank
 from ..functions.scalars import haversine_m, synthetic_lat, synthetic_lon
-from ..io import read_table
+from ..io import read_table, spread
 
 MIN_CITY_SIZE = 5  # reference: etl.py:106-108 MIN_CITY_SIZE env, threshold on edge rows
 
 
-def witness_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def witness_edges(spark: SparkSession, sf_dir: str, valid_only: bool = False) -> DataFrame:
     """Raw witness edge set with per-edge haversine distance (J1 before the
     validity filter).  src = challengee hotspot ('S<suppkey>'), dst = witness
-    ('C<custkey>'), city = challengee's nation."""
+    ('C<custkey>'), city = challengee's nation.
+
+    ``valid_only`` applies the validity predicate AT THE SCAN (parquet
+    pushdown) before spreading — the is_valid column is still emitted
+    (constant true on surviving rows) so downstream filter/drop stays
+    uniform."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate"
     )
+    if valid_only:
+        li = li.filter(F.col("l_returnflag") == "N")
+    # spread: the fact file scans as a handful of row groups locally, which
+    # would run the per-edge trig on as many cores; a no-op on a well-split
+    # 100 TB source (see io.spread)
+    li = spread(li)
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
@@ -111,7 +122,9 @@ def witness_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = per_session.get(sf_dir)
     if df is None:
         df = (
-            witness_edges(spark, sf_dir).filter(F.col("is_valid")).drop("is_valid")
+            witness_edges(spark, sf_dir, valid_only=True)
+            .filter(F.col("is_valid"))
+            .drop("is_valid")
         ).persist()
         per_session[sf_dir] = df
     return df

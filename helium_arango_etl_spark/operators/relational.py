@@ -36,7 +36,7 @@ from ..functions.scalars import (
     synthetic_lat,
     synthetic_lon,
 )
-from ..io import read_table
+from ..io import read_table, spread
 
 # Fixed analysis window used by window-filtered queries (B2: both bounds
 # strict, reproducing the reference's chunk-seam quirk at
@@ -341,8 +341,11 @@ def payment_shape_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     at blockchain_queries.py:253-257.  See payment_v2_exploded for the
     idiomatic full-fan-out variant.
     """
+    # spread: the events file is a single row group, so without the
+    # repartition the whole JSON round-trip (parse + build + re-parse)
+    # runs on ONE core; on a well-split 100 TB source this is a no-op
     parsed = (
-        read_table(spark, sf_dir, "events")
+        spread(read_table(spark, sf_dir, "events"))
         .withColumn("k", F.from_json(F.col("props"), "k INT")["k"])
         .withColumn("payload", _payment_payload())
         .select("event_id", F.from_json(F.col("payload"), _PAY_SCHEMA).alias("f"))
@@ -361,7 +364,7 @@ def payment_v2_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     payments array so every payee lands (1 v2 tx -> N payment rows; v1 rows
     normalized into a 1-element array so one explode covers both shapes)."""
     parsed = (
-        read_table(spark, sf_dir, "events")
+        spread(read_table(spark, sf_dir, "events"))  # see payment_shape_dispatch
         .withColumn("k", F.from_json(F.col("props"), "k INT")["k"])
         .withColumn("payload", _payment_payload())
         .select("event_id", F.from_json(F.col("payload"), _PAY_SCHEMA).alias("f"))

@@ -134,7 +134,7 @@ def build_witnesses(spark: SparkSession, sf_dir: str) -> DataFrame:
     _key = md5(challengee+witness) (blockchain_queries.py:306)."""
     from pyspark.sql import Window
 
-    edges = witness_edges(spark, sf_dir).filter(F.col("is_valid"))
+    edges = witness_edges(spark, sf_dir, valid_only=True).filter(F.col("is_valid"))
     w = Window.partitionBy("src", "dst").orderBy(F.col("edge_ts").desc(), F.col("distance_m").desc())
     return (
         edges.withColumn("rn", F.row_number().over(w))
