@@ -343,6 +343,47 @@ def near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# benchmark-decontamination eval slice: documents with doc_id below this
+# are "the eval set"; training docs sharing any SHINGLE_K-gram with them
+# are contamination
+EVAL_MAX_ID = 10
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document (doc_id >=
+    EVAL_MAX_ID) that shares at least one SHINGLE_K-token shingle with the
+    eval slice — the train/eval overlap scrub every pre-training corpus
+    needs.
+
+    Scale shape: eval sets are small and bounded (benchmarks), so the
+    eval shingle set aggregates to ONE array broadcast to every executor;
+    contamination is then a per-row ``arrays_overlap`` over the shared
+    signature table's shingles — map-side only, zero extra corpus
+    shuffle.  (For an unusually large probe set, switch to the exploded
+    shingle semi-join instead of the broadcast array.)  Documents too
+    short to shingle have no signature row and are never contaminated
+    (left join -> false)."""
+    sig = signature_table(spark, sf_dir)
+    eval_sh = (
+        sig.filter(F.col("doc_id") < EVAL_MAX_ID)
+        .agg(F.array_distinct(F.flatten(F.collect_list("sh"))).alias("esh"))
+    )
+    train = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") >= EVAL_MAX_ID)
+    )
+    flagged = (
+        sig.filter(F.col("doc_id") >= EVAL_MAX_ID)
+        .select("doc_id", "sh")
+        .join(F.broadcast(eval_sh))
+        .select("doc_id", F.arrays_overlap("sh", "esh").alias("contaminated"))
+    )
+    return train.join(flagged, "doc_id", "left").withColumn(
+        "contaminated", F.coalesce("contaminated", F.lit(False))
+    )
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash as a bitstring: bit j is the sign of the sum over
     tokens of ±1 depending on the j-th hex nibble of md5(token).

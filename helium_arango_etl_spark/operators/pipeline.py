@@ -44,6 +44,30 @@ def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Target mixture: per-language acceptance percentage (a training-data
+# recipe's source-mixing weights).  Languages not listed get the default.
+MIX_RATES = {"en": 100, "es": 50, "de": 40, "fr": 30, "zh": 20}
+MIX_DEFAULT = 25
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: accept each document with its
+    language's target rate, decided by the same content-hash bucket as
+    :func:`hash_split` — no RNG, so the mixture is reproducible across
+    engines/reruns and newly-arriving documents join their language's
+    stratum at the target rate.  Per-row codegen'd expression, zero
+    shuffle; the realized mixture converges to the recipe weights by the
+    uniformity of the hash."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    b = F.expr(BUCKET_EXPR)
+    rate = F.lit(MIX_DEFAULT)
+    for lang, pct in MIX_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return docs.select(
+        "doc_id", "lang", b.alias("bucket"), (b < rate).alias("accepted")
+    )
+
+
 def corpus_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed end-to-end corpus assembly pipeline: a document survives
     iff it (1) passes the quality gate (text_stats.quality_score >=

@@ -348,7 +348,10 @@ ORACLE_TRAINING: dict[str, str] = {
 
 # ---------- corpus assembly oracles ----------
 
+from .operators.dedup import EVAL_MAX_ID  # noqa: E402
 from .operators.pipeline import (  # noqa: E402
+    MIX_DEFAULT,
+    MIX_RATES,
     QUALITY_MIN,
     SAMPLE_PCT,
     SPLIT_TRAIN,
@@ -357,8 +360,30 @@ from .operators.pipeline import (  # noqa: E402
 
 _BUCKET_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100"
 
+_MIX_CASE = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{lg}' THEN {pct}" for lg, pct in MIX_RATES.items())
+    + f" ELSE {MIX_DEFAULT} END"
+)
+
 ORACLE_TRAINING.update(
     {
+        "mixture_sample": f"""
+        SELECT doc_id, lang, bucket, bucket < {_MIX_CASE} AS accepted
+        FROM (SELECT doc_id, lang, {_BUCKET_SQL} AS bucket FROM documents) t
+    """,
+        "decontaminate": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+        ), sh_t AS (
+          SELECT doc_id, {_SHINGLES} AS sh FROM toks
+        ), ev AS (
+          SELECT flatten(list(sh)) AS esh FROM sh_t WHERE doc_id < {EVAL_MAX_ID}
+        )
+        SELECT s.doc_id, COALESCE(list_has_any(s.sh, ev.esh), FALSE) AS contaminated
+        FROM sh_t s CROSS JOIN ev
+        WHERE s.doc_id >= {EVAL_MAX_ID}
+    """,
         "hash_split": f"""
         SELECT doc_id, bucket,
                CASE WHEN bucket < {SPLIT_TRAIN} THEN 'train'

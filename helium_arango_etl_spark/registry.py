@@ -73,9 +73,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_keep": D.near_dup_keep,
     "simhash": D.simhash,
     "simhash_near_pairs": D.simhash_near_pairs,
+    "decontaminate": D.decontaminate,
     # --- training-data pipeline: corpus assembly ---
     "hash_split": P.hash_split,
     "corpus_retention": P.corpus_retention,
+    "mixture_sample": P.mixture_sample,
     "pack_sequences": TP.pack_sequences,
     # --- temporal: distributed as-of join (I3 at every t) ---
     "height_asof": TP.height_asof,

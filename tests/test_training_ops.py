@@ -118,3 +118,62 @@ def test_bucket_stats_accounting_matches_cap(spark):
     m = LSH_MAX_BUCKET
     expected_capped = (n // m) * (m * (m - 1) // 2) + (n % m) * ((n % m) - 1) // 2
     assert capped_n == expected_capped
+
+
+def test_decontaminate_flags_shingle_overlap(spark, sf_dir):
+    """A training doc that shares a shingle with the eval slice must be
+    flagged; eval docs themselves never appear in the output."""
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_spark.io import read_table
+    from helium_arango_etl_spark.operators.dedup import EVAL_MAX_ID, decontaminate
+
+    out = decontaminate(spark, sf_dir)
+    assert out.filter(F.col("doc_id") < EVAL_MAX_ID).count() == 0
+    n_train = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= EVAL_MAX_ID)
+        .count()
+    )
+    assert out.count() == n_train
+    # an exact copy of an eval doc (byte-identical text) must be flagged
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev_texts = {r.text for r in docs.filter(F.col("doc_id") < EVAL_MAX_ID).collect()}
+    copies = [
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") >= EVAL_MAX_ID).collect()
+        if r.text in ev_texts
+    ]
+    if copies:
+        flagged = {
+            r.doc_id: r.contaminated
+            for r in out.filter(F.col("doc_id").isin(copies)).collect()
+        }
+        assert all(flagged.values()), flagged
+
+
+def test_mixture_sample_hits_target_rates(spark, sf_dir):
+    """Realized per-language acceptance must track the recipe weights
+    (hash uniformity gives a few-percent band at 500 docs)."""
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_spark.operators.pipeline import (
+        MIX_DEFAULT,
+        MIX_RATES,
+        mixture_sample,
+    )
+
+    rows = (
+        mixture_sample(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("accepted").cast("int")).alias("acc"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        target = MIX_RATES.get(r.lang, MIX_DEFAULT) / 100.0
+        realized = r.acc / r.n
+        assert abs(realized - target) < 0.25, (r.lang, realized, target)
