@@ -103,6 +103,41 @@ def lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NUM_QUERIES = 10
+BATCH_K = 5
+
+
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch brute-force ANN: top-BATCH_K corpus vectors per query for a
+    whole query SET (vec_id < NUM_QUERIES) in one pass — the shape a
+    retrieval pipeline actually runs (N queries, not 1).
+
+    The query block broadcasts (bounded by construction); scoring is one
+    map-side pass over the corpus; per-query top-k is a rank window on
+    q_id.  At large Q·corpus the brute-force score table itself is the
+    bottleneck — that is what the bucketed (lsh_bucket_topk) and
+    inverted-list (ivf_topk) variants bound, by scoring only each query's
+    probe lists; this operator is their exact-baseline yardstick."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < NUM_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.expr(_CAST64).alias("va"))
+        .withColumn("na", F.expr(_NORM.format(v="va")))
+    )
+    corpus = emb.select("vec_id", "label", F.expr(_CAST64).alias("vb")).withColumn(
+        "nb", F.expr(_NORM.format(v="vb"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+    return (
+        corpus.join(F.broadcast(q))
+        .select("q_id", "vec_id", "label", F.expr(COSINE).alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BATCH_K)
+    )
+
+
 def near_dup_pairs_for(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
     """Core of embedding near-dup detection over any (vec_id, embedding)
     DataFrame: LSH-bucketed self-join, cosine ≥ threshold.  A real near-dup

@@ -29,15 +29,56 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import read_table
+from ..io import read_table, spread
 
 HLL_M = 64  # registers
 HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. 2007, table for m = 64)
+
+CMS_D = 4  # count-min hash rows
+CMS_W = 64  # count-min columns per row
 
 # md5 hex -> (register, 24-bit tail) -> rank of first set bit
 _REG = f"cast(conv(substring(h, 1, 2), 16, 10) as bigint) % {HLL_M}"
 _TAIL = "cast(conv(substring(h, 3, 6), 16, 10) as bigint)"
 _RANK = "IF(instr(lpad(bin(x), 24, '0'), '1') = 0, 25, instr(lpad(bin(x), 24, '0'), '1'))"
+
+
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream (Cormode &
+    Muthukrishnan 2005), engine-portable like :func:`hll_distinct`: cell
+    assignment is md5('<d>|<token>') so both engines build the identical
+    CMS_D x CMS_W counter table, and the per-token estimate
+    (min over rows of the hashed cell) is exactly reproducible.
+
+    Output: per distinct token, the exact count next to the sketch
+    estimate and its overcount (always >= 0: CMS never undercounts).
+    At scale only the 4x64 counter table is kept — it merges across
+    partitions/days by cell-wise addition; the exact counts here exist to
+    verify the estimate surface."""
+    from .textops import TOKS
+
+    toks = (
+        spread(read_table(spark, sf_dir, "documents"))
+        .select(F.explode(F.expr(TOKS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    d = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("d")
+    cell = f"cast(conv(substring(md5(concat(d, '|', token)), 1, 7), 16, 10) as bigint) % {CMS_W}"
+    hashed = toks.select("token", "n_exact", d).withColumn("cell", F.expr(cell))
+    # the 4x64 counter table: counts of EVERY token land in their cells
+    counters = hashed.groupBy("d", "cell").agg(F.sum("n_exact").alias("cnt"))
+    est = (
+        hashed.join(F.broadcast(counters), ["d", "cell"])
+        .groupBy("token", "n_exact")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "token",
+        "n_exact",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n_exact")).alias("overcount"),
+    )
 
 
 def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,10 +21,12 @@ from .operators.dedup import (
     SHINGLE_K,
 )
 from .operators.similarity import (
+    BATCH_K,
     DIM,
     NPROBE,
     NUM_CENTROIDS,
     NUM_PLANES,
+    NUM_QUERIES,
     QUERY_VEC_ID,
     TOP_K,
 )
@@ -277,6 +279,43 @@ ORACLE_TRAINING: dict[str, str] = {
         FROM cand c
         JOIN sh32 a ON a.doc_id = c.doc_a
         JOIN sh32 b ON b.doc_id = c.doc_b
+    """,
+    "ann_batch_topk": f"""
+        WITH q AS (
+          SELECT vec_id AS q_id, {_CAST64} AS va
+          FROM embeddings WHERE vec_id < {NUM_QUERIES}
+        ), scored AS (
+          SELECT q.q_id, e.vec_id, e.label,
+                 {_CAST64.replace("embedding", "e.embedding")} AS vb, q.va
+          FROM embeddings e, q
+        ), ranked AS (
+          SELECT q_id, vec_id, label, {_COSINE} AS cosine_sim,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY {_COSINE} DESC, vec_id ASC) AS rank
+          FROM scored
+        )
+        SELECT q_id, vec_id, label, cosine_sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {BATCH_K}
+    """,
+    "cms_token_counts": """
+        WITH toks AS (
+          SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+          FROM documents
+        ), tc AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM toks GROUP BY token
+        ), hashed AS (
+          SELECT token, n_exact, d,
+                 ('0x' || substr(md5(CAST(d AS VARCHAR) || '|' || token), 1, 7))::BIGINT % 64 AS cell
+          FROM tc, (SELECT unnest([0, 1, 2, 3]) AS d) ds
+        ), counters AS (
+          SELECT d, cell, CAST(sum(n_exact) AS BIGINT) AS cnt
+          FROM hashed GROUP BY d, cell
+        )
+        SELECT h.token, h.n_exact,
+               CAST(min(c.cnt) AS BIGINT) AS cms_estimate,
+               CAST(min(c.cnt) - h.n_exact AS BIGINT) AS overcount
+        FROM hashed h JOIN counters c ON h.d = c.d AND h.cell = c.cell
+        GROUP BY h.token, h.n_exact
     """,
     "ann_cosine_topk": f"""
         WITH q AS (

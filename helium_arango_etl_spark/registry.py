@@ -84,10 +84,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- range join + quantiles ---
     "block_activity_7d": RG.block_activity_7d,
     "price_quantiles": RG.price_quantiles,
-    # --- sketches: engine-portable HLL ---
+    # --- sketches: engine-portable HLL + count-min ---
     "hll_distinct": K.hll_distinct,
+    "cms_token_counts": K.cms_token_counts,
     # --- training-data pipeline: similarity search ---
     "ann_cosine_topk": S.ann_cosine_topk,
+    "ann_batch_topk": S.ann_batch_topk,
     "lsh_bucket_topk": S.lsh_bucket_topk,
     "ivf_topk": S.ivf_topk,
     "cosine_near_dup_pairs": S.cosine_near_dup_pairs,

@@ -118,3 +118,37 @@ def test_hll_merges_across_partitions(spark, sf_dir):
     )
     assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
     assert base.n_exact > 0
+
+
+def test_cms_never_undercounts_and_merges(spark, sf_dir):
+    """CMS guarantees estimate >= exact; the counter table must merge by
+    cell-wise addition across corpus splits."""
+    from helium_arango_etl_spark.operators.sketch import cms_token_counts
+
+    rows = cms_token_counts(spark, sf_dir).collect()
+    assert rows
+    assert all(r.overcount >= 0 for r in rows)
+    assert all(r.cms_estimate >= r.n_exact for r in rows)
+
+
+def test_ann_batch_topk_consistent_with_single_query(spark, sf_dir):
+    """Batch top-k restricted to the single-query op's query vector must be
+    a prefix of its ranking (same ordering, same scores)."""
+    from helium_arango_etl_spark.operators.similarity import (
+        BATCH_K,
+        QUERY_VEC_ID,
+        ann_batch_topk,
+        ann_cosine_topk,
+    )
+    from pyspark.sql import functions as F
+
+    batch = (
+        ann_batch_topk(spark, sf_dir)
+        .filter(F.col("q_id") == QUERY_VEC_ID)
+        .orderBy("rank")
+        .collect()
+    )
+    single = ann_cosine_topk(spark, sf_dir).collect()[:BATCH_K]
+    assert [(r.vec_id, r.cosine_sim) for r in batch] == [
+        (r.vec_id, r.cosine_sim) for r in single
+    ]
