@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from helium_arango_etl_spark.operators import dedup as D  # noqa: E402
 from helium_arango_etl_spark.operators import graph as G  # noqa: E402
+from helium_arango_etl_spark.operators import similarity as S  # noqa: E402
 from helium_arango_etl_spark.registry import QUERIES  # noqa: E402
 from helium_arango_etl_spark.session import get_spark  # noqa: E402
 
@@ -76,6 +77,11 @@ def main() -> None:
         # metrics/skeleton queries ride it
         if name == "witness_subgraph":
             G.clear_edge_cache(spark)
+        # the prepared-embedding table (float64 + norm + hyperplane bucket)
+        # is likewise shared across the similarity family: the first
+        # similarity query pays its materialization per cycle
+        if name == "ann_cosine_topk":
+            S.clear_emb_cache(spark)
         # same for the shared signature table: the first dedup-chain query
         # pays the corpus scan + hashing, the verify/retention stages ride it
         if name == "lsh_candidate_pairs":
