@@ -119,3 +119,80 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(m).cast("int").alias("n_registers"),
         )
     )
+
+
+BLOOM_M = 262_144  # bits (2^18)
+BLOOM_K = 3  # hash functions
+
+# bit position for hash row d of a key: md5('<d>|<key>') like the CMS cell
+_BLOOM_POS = f"cast(conv(substring(md5(concat(d, '|', k)), 1, 8), 16, 10) as bigint) % {BLOOM_M}"
+
+
+def bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable Bloom filter as a join-prune: build a BLOOM_M-bit /
+    BLOOM_K-hash filter over the urgent-order keys, probe every lineitem
+    against it, and report the prune quality next to the exact semi-join
+    answer — one row: (n_probe, n_bloom_pass, n_exact_match,
+    n_false_positive, n_set_bits).
+
+    Spark 4.1 has runtime bloom pruning internally
+    (InjectRuntimeFilter) but exposes neither ``bloom_filter_agg`` nor
+    ``might_contain`` to SQL, and its filter bits are not reproducible in
+    another engine; this md5-positioned construction is (same portability
+    argument as :func:`hll_distinct` / :func:`cms_token_counts`).
+
+    Scale shape: the filter is a distinct-agg down to <= BLOOM_M ints
+    (map-side partial, tiny shuffle), broadcast once; the probe is a
+    map-only pass over the fact — exactly where you'd place it at 100 TB:
+    BEFORE the fact shuffles for the real join, cutting the shuffle to
+    pass-rate x |fact|.  BLOOM_K x |build| / BLOOM_M is the fill ratio;
+    re-size BLOOM_M per deployment, it only needs to be constant per run.
+    """
+    build = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").cast("string").alias("k"))
+        .distinct()
+    )
+    d = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("d")
+    bits = (
+        build.select("k", d)
+        .select(F.expr(_BLOOM_POS).alias("b"))
+        .groupBy()
+        .agg(F.sort_array(F.collect_set("b")).alias("bits"))
+    )
+    # probe unit = distinct fact key (the thing the real join would shuffle)
+    probe = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"))
+        .distinct()
+        .withColumn("k", F.col("okey").cast("string"))
+    )
+    passed = (
+        probe.select("okey", "k", d)
+        .withColumn("b", F.expr(_BLOOM_POS))
+        .crossJoin(F.broadcast(bits))
+        .groupBy("okey")
+        .agg(F.min(F.expr("array_contains(bits, b)").cast("int")).alias("all_hit"))
+    )
+    exact = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("okey"))
+    )
+    flagged = passed.join(exact, "okey", "left_semi").select("okey")
+    return (
+        passed.agg(
+            F.count(F.lit(1)).alias("n_probe"),
+            F.sum("all_hit").alias("n_bloom_pass"),
+        )
+        .crossJoin(F.broadcast(flagged.agg(F.count(F.lit(1)).alias("n_exact_match"))))
+        .crossJoin(F.broadcast(bits.select(F.size("bits").cast("bigint").alias("n_set_bits"))))
+        .select(
+            "n_probe",
+            "n_bloom_pass",
+            "n_exact_match",
+            (F.col("n_bloom_pass") - F.col("n_exact_match")).alias("n_false_positive"),
+            "n_set_bits",
+        )
+    )

@@ -175,3 +175,76 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_bins", F.col("end_bin") - F.col("start_bin") + 1)
     )
+
+
+# sessionization: a new session starts after this much user inactivity
+SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6 hours, in microseconds
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts at a user's first
+    event or after > 6 h of inactivity; ``session_idx`` is the 1-based
+    running session number within the user.
+
+    The canonical clickstream/telemetry operator the reference has no
+    analog for (its streams are block-ordered, etl.py:109-147); a
+    training-data pipeline needs it to turn raw event logs into
+    interaction episodes.
+
+    Scale shape: ONE shuffle on ``user_id``; both windows (the lag and the
+    running flag sum) share the same partitioning + ordering, so Catalyst
+    plans a single Exchange + single Sort.  Per-user event counts are
+    bounded in practice (a user emits what a user emits); a runaway-bot
+    key is a salting candidate, not a plan change.
+
+    Gap arithmetic is integer microseconds (``unix_micros``) — double
+    seconds would lose sub-second precision at epoch scale and could flip
+    a boundary decision across engines.
+    """
+    return _with_sessions(read_table(spark, sf_dir, "events")).select(
+        "event_id", "user_id", "ts", "session_idx", "is_session_start"
+    )
+
+
+def _with_sessions(ev: DataFrame) -> DataFrame:
+    """events columns + (is_session_start, session_idx) — shared by the
+    per-event and per-session surfaces so stats never join back to the
+    assignment (that join would re-shuffle on event_id for nothing)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    return (
+        ev.withColumn("gap_us", gap)
+        .withColumn(
+            "is_session_start",
+            F.col("gap_us").isNull() | (F.col("gap_us") > SESSION_GAP_US),
+        )
+        .withColumn(
+            "session_idx",
+            F.sum(F.col("is_session_start").cast("bigint"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+
+
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup over :func:`sessionize`: bounds, duration, event
+    count, total value.  The groupBy key (user_id, session_idx) is already
+    co-partitioned with the sessionize window's Exchange, so the rollup
+    is a partial-agg + same-key shuffle, never a second wide stage."""
+    return (
+        _with_sessions(read_table(spark, sf_dir, "events"))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / F.lit(1_000_000.0)
+            ).alias("duration_s"),
+            # decimal-sum pattern (see operators.relational module doc):
+            # values carry 2 decimals, so the decimal sum is exact and the
+            # single final cast to double is deterministic across engines
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )

@@ -114,3 +114,118 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("md5(array_join(array_sort(array_distinct(t)), ' '))").alias("bow_fingerprint"),
         F.expr("md5(array_join(slice(t, 1, 8), ' '))").alias("prefix_fingerprint"),
     )
+
+
+# max-run expression over a SORTED token array: linear scan per row, zero
+# shuffle — the per-doc "most frequent token count" without exploding the
+# corpus token stream into a (doc_id, token) shuffle.  Initial prev = ''
+# can never match a real token (the tokenizer drops empties).
+_MAX_RUN = """aggregate(sort_array(t),
+  named_struct('prev', '', 'run', 0L, 'best', 0L),
+  (acc, x) -> named_struct('prev', x,
+     'run', IF(x = acc.prev, acc.run + 1L, 1L),
+     'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
+  acc -> acc.best)"""
+
+# adjacent 2-grams of the token array; the size guard matters under ANSI
+# mode, where sequence(2, 1) counts DOWN and element_at(t, 0) is an error
+_GRAMS2 = (
+    "IF(size(t) < 2, array(),"
+    " transform(sequence(2, size(t)),"
+    " i -> concat(element_at(t, i - 1), ' ', element_at(t, i))))"
+)
+
+# Gopher-style rule thresholds (Rae et al. 2021 adapted to this corpus's
+# single-line word-soup shape; line-based rules are vacuous here)
+MIN_WORDS, MAX_WORDS = 20, 100_000
+MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN = 3.0, 10.0
+MIN_STOPWORD_HITS = 2
+MAX_TOP_TOKEN_FRAC = 0.12
+MAX_DUP_2GRAM_FRAC = 0.05
+
+
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (the Gopher rep-* family): most-frequent-token
+    fraction and duplicate-2-gram fraction per document.
+
+    Scale shape: both signals are per-row array computations (a sort + one
+    linear fold, and a distinct over adjacent 2-grams) — zero shuffle, in
+    contrast to the naive explode -> groupBy(doc_id, token) plan whose
+    shuffle is the size of the corpus token stream.
+    """
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
+    return (
+        docs.withColumn("g", F.expr(_GRAMS2))
+        .select(
+            "doc_id",
+            F.expr("size(t)").alias("n_tokens"),
+            F.expr(_MAX_RUN).alias("top_token_count"),
+            F.expr(
+                f"round({_MAX_RUN} / cast(greatest(size(t), 1) as double), 6)"
+            ).alias("top_token_frac"),
+            F.expr(
+                "round(IF(size(t) < 2, 0.0,"
+                " 1.0 - size(array_distinct(g)) / cast(size(g) as double)), 6)"
+            ).alias("dup_2gram_frac"),
+        )
+    )
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality rule battery: per-document boolean flags +
+    the final keep decision, all thresholds module constants so the filter
+    is auditable.  One per-row pass (shares the zero-shuffle signal
+    expressions with :func:`repetition_signals`); at 100 TB this is a
+    map-only stage whose selectivity is the knob that sizes every
+    downstream dedup/pack stage.
+    """
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
+    sig = (
+        docs.withColumn("g", F.expr(_GRAMS2))
+        .withColumn("n_tokens", F.expr("size(t)"))
+        .withColumn(
+            "mean_word_len",
+            F.expr(
+                "aggregate(transform(t, x -> length(x)), 0, (acc, v) -> acc + v)"
+                " / cast(greatest(size(t), 1) as double)"
+            ),
+        )
+        .withColumn("stopword_hits", F.expr(f"size(filter(t, x -> x in ({sw})))"))
+        .withColumn(
+            "top_token_frac",
+            F.expr(f"{_MAX_RUN} / cast(greatest(size(t), 1) as double)"),
+        )
+        .withColumn(
+            "dup_2gram_frac",
+            F.expr(
+                "IF(size(t) < 2, 0.0,"
+                " 1.0 - size(array_distinct(g)) / cast(size(g) as double))"
+            ),
+        )
+    )
+    flags = {
+        "flag_word_count": (F.col("n_tokens") >= MIN_WORDS)
+        & (F.col("n_tokens") <= MAX_WORDS),
+        "flag_mean_word_len": (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= MAX_MEAN_WORD_LEN),
+        "flag_stopwords": F.col("stopword_hits") >= MIN_STOPWORD_HITS,
+        "flag_top_token": F.col("top_token_frac") <= MAX_TOP_TOKEN_FRAC,
+        "flag_dup_2gram": F.col("dup_2gram_frac") <= MAX_DUP_2GRAM_FRAC,
+    }
+    out = sig
+    for name, cond in flags.items():
+        out = out.withColumn(name, cond)
+    keep = None
+    for name in flags:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep).select(
+        "doc_id",
+        "n_tokens",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        "stopword_hits",
+        F.round("top_token_frac", 6).alias("top_token_frac"),
+        F.round("dup_2gram_frac", 6).alias("dup_2gram_frac"),
+        *flags.keys(),
+        "keep",
+    )

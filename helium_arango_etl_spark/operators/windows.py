@@ -125,3 +125,30 @@ def normalize_by_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.nanvl(norm, F.lit(0.0)), 6).alias("value_normalized"),
     )
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by account balance per nation: the grouped top-k
+    every leaderboard/sampling stage needs, as one rank window.
+
+    Scale shape: ONE shuffle on the group key; the (c_acctbal DESC,
+    c_custkey) ordering is total, so row_number is deterministic.  For
+    extreme k or heavy groups, the same query runs as a per-partition
+    partial top-k + re-rank (Spark's TakeOrderedAndProject generalization);
+    at k=3 the window is already map-side cheap.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("rk").cast("bigint").alias("rk"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+        )
+    )

@@ -30,7 +30,18 @@ from .operators.similarity import (
     QUERY_VEC_ID,
     TOP_K,
 )
-from .operators.textops import BPE_RE, LANG_MARKERS, STOPWORDS
+from .operators.textops import (
+    BPE_RE,
+    LANG_MARKERS,
+    MAX_DUP_2GRAM_FRAC,
+    MAX_MEAN_WORD_LEN,
+    MAX_TOP_TOKEN_FRAC,
+    MAX_WORDS,
+    MIN_MEAN_WORD_LEN,
+    MIN_STOPWORD_HITS,
+    MIN_WORDS,
+    STOPWORDS,
+)
 
 # ---------- shared fragments ----------
 
@@ -384,6 +395,76 @@ ORACLE_TRAINING: dict[str, str] = {
         FROM n GROUP BY label
     """,
 }
+
+# ---------- repetition / quality-rule oracles ----------
+#
+# Lockstep notes vs operators.textops: the Spark side computes the
+# most-frequent-token count as a linear fold over the sorted token array;
+# the oracle computes the same number as max-count-per-distinct-token
+# (O(distinct x n) is fine at oracle scale).  2-grams are adjacent token
+# concatenations; both engines divide int counts as float64 and round(6).
+
+_GRAMS2_DK = (
+    "CASE WHEN len(t) < 2 THEN [] "
+    "ELSE list_transform(range(2, len(t) + 1), i -> t[i-1] || ' ' || t[i]) END"
+)
+_TOPCNT_DK = (
+    "CASE WHEN len(t) = 0 THEN 0 "
+    "ELSE list_max(list_transform(list_distinct(t), d -> len(list_filter(t, x -> x = d)))) END"
+)
+
+ORACLE_TRAINING.update(
+    {
+        "repetition_signals": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        g2 AS (
+          SELECT doc_id, t, {_GRAMS2_DK} AS g, {_TOPCNT_DK} AS top_cnt FROM toks
+        )
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               CAST(top_cnt AS BIGINT) AS top_token_count,
+               round(top_cnt / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS top_token_frac,
+               round(CASE WHEN len(t) < 2 THEN 0.0
+                          ELSE 1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE)
+                     END, 6) AS dup_2gram_frac
+        FROM g2
+    """,
+        "gopher_quality": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        g2 AS (
+          SELECT doc_id, t, {_GRAMS2_DK} AS g, {_TOPCNT_DK} AS top_cnt FROM toks
+        ),
+        sig AS (
+          SELECT doc_id,
+                 len(t) AS n_tokens,
+                 COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+                   / CAST(greatest(len(t), 1) AS DOUBLE) AS mwl_raw,
+                 len(list_filter(t, x -> x IN ({_sw}))) AS stopword_hits,
+                 top_cnt / CAST(greatest(len(t), 1) AS DOUBLE) AS ttf_raw,
+                 CASE WHEN len(t) < 2 THEN 0.0
+                      ELSE 1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE)
+                 END AS dgf_raw
+          FROM g2
+        )
+        SELECT doc_id, n_tokens,
+               round(mwl_raw, 6) AS mean_word_len,
+               stopword_hits,
+               round(ttf_raw, 6) AS top_token_frac,
+               round(dgf_raw, 6) AS dup_2gram_frac,
+               (n_tokens >= {MIN_WORDS} AND n_tokens <= {MAX_WORDS}) AS flag_word_count,
+               (mwl_raw >= {MIN_MEAN_WORD_LEN} AND mwl_raw <= {MAX_MEAN_WORD_LEN}) AS flag_mean_word_len,
+               (stopword_hits >= {MIN_STOPWORD_HITS}) AS flag_stopwords,
+               (ttf_raw <= {MAX_TOP_TOKEN_FRAC}) AS flag_top_token,
+               (dgf_raw <= {MAX_DUP_2GRAM_FRAC}) AS flag_dup_2gram,
+               ((n_tokens >= {MIN_WORDS} AND n_tokens <= {MAX_WORDS})
+                AND (mwl_raw >= {MIN_MEAN_WORD_LEN} AND mwl_raw <= {MAX_MEAN_WORD_LEN})
+                AND (stopword_hits >= {MIN_STOPWORD_HITS})
+                AND (ttf_raw <= {MAX_TOP_TOKEN_FRAC})
+                AND (dgf_raw <= {MAX_DUP_2GRAM_FRAC})) AS keep
+        FROM sig
+    """,
+    }
+)
 
 # ---------- corpus assembly oracles ----------
 

@@ -48,6 +48,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rewards_by_address": R.rewards_by_address,
     # --- windows / dedup semantics (SURVEY §2 E) ---
     "keep_latest_witness": W.keep_latest_witness,
+    "topk_per_group": W.topk_per_group,
     "last_balance_per_day": W.last_balance_per_day,
     "groupwise_max_join": W.groupwise_max_join,
     "daily_balances": W.daily_balances,
@@ -64,6 +65,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": T.lang_id,
     "doc_fingerprint": T.doc_fingerprint,
     "bpe_token_stats": T.bpe_token_stats,
+    "repetition_signals": T.repetition_signals,
+    "gopher_quality": T.gopher_quality,
     # --- training-data pipeline: dedup ---
     "exact_dedup": D.exact_dedup,
     "minhash_signatures": D.minhash_signatures,
@@ -81,12 +84,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": TP.pack_sequences,
     # --- temporal: distributed as-of join (I3 at every t) ---
     "height_asof": TP.height_asof,
+    "sessionize": TP.sessionize,
+    "session_stats": TP.session_stats,
     # --- range join + quantiles ---
     "block_activity_7d": RG.block_activity_7d,
     "price_quantiles": RG.price_quantiles,
-    # --- sketches: engine-portable HLL + count-min ---
+    # --- sketches: engine-portable HLL + count-min + bloom prune ---
     "hll_distinct": K.hll_distinct,
     "cms_token_counts": K.cms_token_counts,
+    "bloom_prune_stats": K.bloom_prune_stats,
     # --- training-data pipeline: similarity search ---
     "ann_cosine_topk": S.ann_cosine_topk,
     "ann_batch_topk": S.ann_batch_topk,
@@ -442,6 +448,90 @@ ORACLE: dict[str, str] = {
                            ELSE s.raw END - e.n_exact) / e.n_exact, 4) AS rel_error,
                CAST(64 AS INT) AS n_registers
         FROM s, e
+    """,
+    "topk_per_group": """
+        SELECT c_nationkey AS nationkey,
+               CAST(row_number() OVER (PARTITION BY c_nationkey
+                                       ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rk,
+               c_custkey AS custkey,
+               c_name AS name,
+               CAST(c_acctbal AS DOUBLE) AS acctbal
+        FROM customer
+        QUALIFY row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey ASC) <= 3
+    """,
+    "sessionize": f"""
+        WITH g AS (
+          SELECT event_id, user_id, ts,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events
+        )
+        SELECT event_id, user_id, ts,
+               CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > {TP.SESSION_GAP_US}
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_idx,
+               (gap_us IS NULL OR gap_us > {TP.SESSION_GAP_US}) AS is_session_start
+        FROM g
+    """,
+    "session_stats": f"""
+        WITH g AS (
+          SELECT event_id, user_id, ts, value,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events
+        ), s AS (
+          SELECT user_id, ts, value,
+                 CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > {TP.SESSION_GAP_US}
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                     AS session_idx
+          FROM g
+        )
+        SELECT user_id, session_idx,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_s,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM s GROUP BY user_id, session_idx
+    """,
+    "bloom_prune_stats": f"""
+        WITH build AS (
+          SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k
+          FROM orders WHERE o_orderpriority = '1-URGENT'
+        ), ds AS (SELECT unnest(range(0, {K.BLOOM_K})) AS d),
+        bits AS (
+          SELECT DISTINCT
+                 ('0x' || substr(md5(CAST(d AS VARCHAR) || '|' || k), 1, 8))::BIGINT
+                     % {K.BLOOM_M} AS b
+          FROM build, ds
+        ),
+        probe AS (SELECT DISTINCT l_orderkey AS okey FROM lineitem),
+        hits AS (
+          SELECT p.okey,
+                 min(CASE WHEN ('0x' || substr(md5(CAST(d.d AS VARCHAR) || '|'
+                                  || CAST(p.okey AS VARCHAR)), 1, 8))::BIGINT % {K.BLOOM_M}
+                               IN (SELECT b FROM bits)
+                          THEN 1 ELSE 0 END) AS all_hit
+          FROM probe p, ds d
+          GROUP BY p.okey
+        ),
+        urgent AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        ex AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_exact_match
+          FROM hits h JOIN urgent u ON h.okey = u.o_orderkey
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_probe,
+               CAST(sum(all_hit) AS BIGINT) AS n_bloom_pass,
+               ex.n_exact_match,
+               CAST(sum(all_hit) AS BIGINT) - ex.n_exact_match AS n_false_positive,
+               (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_set_bits
+        FROM hits, ex
+        GROUP BY ex.n_exact_match
     """,
     "rewards_by_address": f"""
         SELECT CAST({R.TARGET_ADDRESS} AS BIGINT) AS address,
