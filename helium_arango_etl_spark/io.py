@@ -48,16 +48,35 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     74).  Predicate pushdown and column pruning into the parquet scan are
     Catalyst's job — callers just filter/select.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark rejects
-    natively; we read nanos as long (legacy flag, safe to set per-session at
-    runtime) and floor-convert to a microsecond timestamp — the same
-    truncation DuckDB applies when fetching TIMESTAMP_NS.
+    ``events.ts`` has shipped in two physical forms across testdata
+    generations: parquet TIMESTAMP(NANOS) (which Spark only reads as long,
+    via the legacy flag) and plain TIMESTAMP(MICROS).  Normalize
+    schema-adaptively so callers always see a microsecond timestamp — the
+    same value DuckDB yields for either physical type.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # integer `div`, not `/`: epoch-nanos (~1.7e18) overflows double precision
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = normalize_event_ts(df)
+    return df
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Canonicalize ``ts`` to a session-TZ (UTC-pinned) microsecond timestamp.
+
+    Three physical forms have shipped across testdata generations:
+    epoch-nanos long (floor-divided to micros — integer ``div``, not ``/``:
+    epoch-nanos ~1.7e18 overflows double precision), TIMESTAMP_NTZ (cast is
+    value-preserving because the session timezone is pinned to UTC, matching
+    DuckDB's naive-timestamp reading), and plain TIMESTAMP (passthrough).
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

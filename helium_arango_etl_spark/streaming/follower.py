@@ -28,9 +28,11 @@ from ..functions.scalars import arango_id, content_key
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table.  The parquet file stores
-    ts as TIMESTAMP(NANOS) (read as long via the legacy flag, then
-    floor-converted — same convention as io.read_table)."""
+    """File-source stream over the events table.  ``ts`` is normalized
+    schema-adaptively (epoch-nanos long or native timestamp — same
+    convention as io.read_table)."""
+    from ..io import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
@@ -39,7 +41,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(stream)
 
 
 def payments_from_stream(events: DataFrame) -> DataFrame:
