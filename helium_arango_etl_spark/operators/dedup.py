@@ -384,6 +384,152 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Connected-components convergence bound.  Hash-to-min propagation moves the
+# component-minimum one hop per iteration, so iterations ~ cluster diameter;
+# near-dup clusters are shallow (star-ish around a template).  For an
+# adversarial long-chain graph at corpus scale, switch to the large-star/
+# small-star alternation (Kiveris et al., "Connected Components in MapReduce
+# and Beyond"), which converges in O(log²) rounds — the per-iteration join
+# shape below is unchanged.
+MAX_CC_ITERS = 20
+
+
+def _verified_near_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) pairs whose exact shingle Jaccard clears
+    NEAR_DUP_THRESH — LSH proposes, exact verification confirms."""
+    cand = candidate_pair_table(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        _exact_jaccard(cand, signature_table(spark, sf_dir))
+        .filter(F.col("jaccard") >= NEAR_DUP_THRESH)
+        .select("doc_a", "doc_b")
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the union of
+    exact-duplicate edges (doc ↔ its byte-identical canonical) and verified
+    near-dup edges.  Every document gets a ``cluster_id`` = the smallest
+    doc_id reachable through duplicate links ("pairs → clusters → keep one
+    per cluster", the final stage of a production dedup pipeline; greedy
+    pairwise drops like :func:`near_dup_keep` over-delete chains A~B~C where
+    A≁C).
+
+    Scale shape: iterative min-label propagation — labels (doc_id, label)
+    join the undirected edge list, propagate, and fold with a min groupBy.
+    Only (id, id) pairs ever shuffle; document bodies stay out of the loop
+    entirely.  Each iteration is localCheckpoint'ed to truncate lineage (on
+    a cluster, ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``).
+    The driver-side loop is orchestration only (convergence check on a
+    monotone-decreasing label sum — one scalar per iteration, mirroring the
+    reference's own follower loop at /root/reference/src/etl.py:132-149).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.md5("text").alias("h"))
+    canon = ex.groupBy("h").agg(F.min("doc_id").alias("c"))
+    exact_edges = (
+        ex.join(canon, "h")
+        .filter(F.col("doc_id") != F.col("c"))
+        .select(F.col("c").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    edges = exact_edges.unionByName(_verified_near_edges(spark, sf_dir)).distinct()
+    und = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(MAX_CC_ITERS):
+        prop = und.join(
+            labels.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+        ).select(F.col("doc_b").alias("doc_id"), "label")
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    und.unpersist()
+    from pyspark.sql import Window
+
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .cast("bigint")
+        .alias("cluster_size"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
+
+
+# Segment-level (RefinedWeb/C4 line-dedup analog) constants: documents are
+# chunked into non-overlapping SEG_TOKENS-token segments (the testdata has no
+# newlines; with newline-delimited text, split on '\n' instead — every other
+# part of the plan is unchanged), and a segment appearing in at least
+# BOILER_MIN_DOCS distinct documents is corpus-level boilerplate.
+SEG_TOKENS = 8
+BOILER_MIN_DOCS = 2
+
+# non-overlapping SEG_TOKENS-token chunks over the materialized token array
+# (empty-array guard: Spark's sequence(0, -1) DESCENDS instead of returning
+# an empty array)
+_SEGS_OVER_T = (
+    "CASE WHEN size(t) = 0 THEN array() ELSE "
+    f"transform(sequence(0, cast(ceil(size(t) / {SEG_TOKENS}.0) as int) - 1),"
+    f" i -> array_join(slice(t, i * {SEG_TOKENS} + 1, {SEG_TOKENS}), ' ')) END"
+)
+
+
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-segment removal (the RefinedWeb/C4 "line dedup"
+    pass): drop every segment that occurs in >= BOILER_MIN_DOCS distinct
+    documents, and rebuild each document from its surviving segments in
+    order.
+
+    Scale shape: the exploded relation carries only (doc_id, seg_idx,
+    md5(segment)) — 3 scalar columns, never segment text — so the
+    boilerplate count (groupBy seg_hash) and the per-doc bad-position set
+    (semi-join + collect) shuffle hashes, not bodies.  Reconstruction is a
+    single join of documents against the (small — only docs that contain
+    boilerplate) bad-position table, broadcast by AQE when it fits, then a
+    map-side index-filtered array_join.
+    """
+    docs = (
+        spread(read_table(spark, sf_dir, "documents"))
+        .withColumn("t", F.expr(TOKS))
+        .withColumn("segs", F.expr(_SEGS_OVER_T))
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode("segs").alias("seg_idx", "seg")
+    ).select("doc_id", "seg_idx", F.md5("seg").alias("seg_hash"))
+    boiler = (
+        exploded.groupBy("seg_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BOILER_MIN_DOCS)
+        .select("seg_hash")
+    )
+    bad_pos = (
+        exploded.join(boiler, "seg_hash", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("seg_idx")).alias("bad"))
+    )
+    return (
+        docs.join(bad_pos, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("segs").cast("bigint").alias("n_segments"),
+            F.coalesce(F.size("bad"), F.lit(0)).cast("bigint").alias("n_boiler_segments"),
+            F.expr(
+                "array_join(filter(segs,"
+                " (s, i) -> NOT array_contains(coalesce(bad, array()), i)), ' ')"
+            ).alias("clean_text"),
+        )
+    )
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash as a bitstring: bit j is the sign of the sum over
     tokens of ±1 depending on the j-th hex nibble of md5(token).

@@ -229,3 +229,40 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         *flags.keys(),
         "keep",
     )
+
+
+# TF-IDF: top terms per document.  Natural-log idf over raw document
+# frequency; scores rounded to 6dp BEFORE ranking so both engines rank the
+# same values (ties broken by term ascending — fully deterministic).
+TFIDF_TOP_K = 3
+
+
+def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_TOP_K terms per document: score = tf · ln(n_docs / df).
+
+    Scale shape: tf is one shuffle of (doc_id, term) pairs with map-side
+    partial counts; df folds the (already doc-distinct) tf relation by term
+    — a second, smaller shuffle; the corpus size joins in as a broadcast
+    1-row aggregate (no driver-side count action).  Ranking is a top-k
+    window per doc_id over the scored relation.  Document bodies never
+    shuffle — only (doc_id, term, count) triples.
+    """
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
+    tf = (
+        docs.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("score", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )

@@ -626,3 +626,119 @@ ORACLE_TRAINING.update(
     """,
     }
 )
+
+# ---------- dedup clustering / segment dedup / tf-idf ----------
+
+from .operators.dedup import BOILER_MIN_DOCS, SEG_TOKENS  # noqa: E402
+from .operators.textops import TFIDF_TOP_K  # noqa: E402
+
+# non-overlapping SEG_TOKENS-token chunks, 0-based seg_idx (lockstep with
+# operators.dedup._SEGS_OVER_T; DuckDB range(0, n) is empty when n <= 0 so
+# no empty-array guard is needed)
+_SEGS = (
+    f"list_transform(range(0, CAST(ceil(len(t) / {SEG_TOKENS}.0) AS INT)),"
+    f" i -> array_to_string(t[i * {SEG_TOKENS} + 1 : i * {SEG_TOKENS} + {SEG_TOKENS}], ' '))"
+)
+
+ORACLE_TRAINING.update(
+    {
+        "dedup_clusters": "WITH RECURSIVE "
+        + _SIG_CTE.replace("WITH ", "", 1)
+        + _CAND_CTE
+        + f"""
+        , shset AS (
+          SELECT doc_id, list_distinct({_SHINGLES}) AS sh
+          FROM (SELECT doc_id, {_TOKS} AS t FROM documents) toks2
+        ), sizes AS (
+          SELECT doc_id, len(sh) AS n_sh FROM shset
+        ), shex AS (
+          SELECT doc_id, unnest(sh) AS shingle FROM shset
+        ), inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c
+          JOIN shex a ON a.doc_id = c.doc_a
+          JOIN shex b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b
+        ), near AS (
+          SELECT i.doc_a, i.doc_b
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+          WHERE round(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 4)
+                >= {NEAR_DUP_THRESH}
+        ), exact_e AS (
+          SELECT c AS doc_a, doc_id AS doc_b
+          FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS c
+                FROM documents)
+          WHERE doc_id <> c
+        ), und AS (
+          SELECT doc_a, doc_b FROM near
+          UNION SELECT doc_b, doc_a FROM near
+          UNION SELECT doc_a, doc_b FROM exact_e
+          UNION SELECT doc_b, doc_a FROM exact_e
+        ), reach AS (
+          SELECT doc_id, doc_id AS label FROM documents
+          UNION
+          SELECT u.doc_b AS doc_id, r.label
+          FROM reach r JOIN und u ON u.doc_a = r.doc_id
+        ), lab AS (
+          SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+        )
+        SELECT doc_id, cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+               doc_id = cluster_id AS is_canonical
+        FROM lab
+    """,
+        "segment_dedup": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+        ), segt AS (
+          SELECT doc_id, {_SEGS} AS segs FROM toks
+        ), ex AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(segs) + 1),
+                        i -> {{'i': i - 1, 'h': md5(segs[i])}})) AS u
+          FROM segt
+        ), e2 AS (
+          SELECT doc_id, u.i AS seg_idx, u.h AS seg_hash FROM ex
+        ), boiler AS (
+          SELECT seg_hash FROM e2
+          GROUP BY seg_hash HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+        ), bad AS (
+          SELECT doc_id, list_sort(list(seg_idx)) AS bad
+          FROM e2 WHERE seg_hash IN (SELECT seg_hash FROM boiler)
+          GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               CAST(len(s.segs) AS BIGINT) AS n_segments,
+               CAST(coalesce(len(b.bad), 0) AS BIGINT) AS n_boiler_segments,
+               coalesce(array_to_string(
+                   [s.segs[i] FOR i IN range(1, len(s.segs) + 1)
+                    IF NOT list_contains(coalesce(b.bad, []), i - 1)], ' '), '')
+                   AS clean_text
+        FROM segt s LEFT JOIN bad b ON b.doc_id = s.doc_id
+    """,
+        "tf_idf_top_terms": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+          GROUP BY doc_id, term
+        ), df AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (
+          SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+          SELECT doc_id, term, tf, df,
+                 round(tf * ln(n_docs / df), 6) AS score
+          FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, score, rank
+        FROM (SELECT *, row_number() OVER
+                  (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+              FROM scored)
+        WHERE rank <= {TFIDF_TOP_K}
+    """,
+    }
+)

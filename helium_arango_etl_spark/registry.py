@@ -67,6 +67,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_stats": T.bpe_token_stats,
     "repetition_signals": T.repetition_signals,
     "gopher_quality": T.gopher_quality,
+    "tf_idf_top_terms": T.tf_idf_top_terms,
     # --- training-data pipeline: dedup ---
     "exact_dedup": D.exact_dedup,
     "minhash_signatures": D.minhash_signatures,
@@ -77,6 +78,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": D.simhash,
     "simhash_near_pairs": D.simhash_near_pairs,
     "decontaminate": D.decontaminate,
+    "dedup_clusters": D.dedup_clusters,
+    "segment_dedup": D.segment_dedup,
     # --- training-data pipeline: corpus assembly ---
     "hash_split": P.hash_split,
     "corpus_retention": P.corpus_retention,

@@ -177,3 +177,59 @@ def test_mixture_sample_hits_target_rates(spark, sf_dir):
         target = MIX_RATES.get(r.lang, MIX_DEFAULT) / 100.0
         realized = r.acc / r.n
         assert abs(realized - target) < 0.25, (r.lang, realized, target)
+
+
+def test_dedup_clusters_transitive_chain(spark, tmp_path):
+    """A ~ B and B ~ C (but A !~ C directly) must land in ONE cluster with
+    cluster_id = min doc_id — the transitivity that greedy pairwise
+    keep-smallest (near_dup_keep) cannot express."""
+    from helium_arango_etl_spark.operators.dedup import clear_sig_cache, dedup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    drift = base.split()
+    mid = " ".join(drift[2:] + ["lambda", "mu"])       # overlaps both ends
+    far = " ".join(drift[4:] + ["lambda", "mu", "nu", "xi"])
+    rows = [
+        (0, base, "en", "web", len(base)),
+        (1, mid, "en", "web", len(mid)),
+        (2, far, "en", "web", len(far)),
+        (3, "totally different content about completely other things entirely", "en", "web", 60),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    clear_sig_cache(spark)
+    try:
+        out = {r["doc_id"]: r for r in dedup_clusters(spark, str(tmp_path)).collect()}
+        # the chain 0-1-2 collapses to cluster 0 whether or not 0~2 verifies
+        # directly; 3 stays alone
+        assert out[0]["cluster_id"] == 0 and out[0]["is_canonical"]
+        assert out[1]["cluster_id"] == 0 and not out[1]["is_canonical"]
+        assert out[2]["cluster_id"] == 0
+        assert out[0]["cluster_size"] == 3
+        assert out[3]["cluster_id"] == 3 and out[3]["cluster_size"] == 1
+    finally:
+        clear_sig_cache(spark)
+
+
+def test_segment_dedup_strips_shared_boilerplate(spark, tmp_path):
+    """A segment (8-token chunk) shared by two docs is boilerplate and is
+    removed from both; unique segments survive in order."""
+    from helium_arango_etl_spark.operators.dedup import clear_sig_cache, segment_dedup
+
+    boiler = "one two three four five six seven eight"
+    u1 = "u1a u1b u1c u1d u1e u1f u1g u1h"
+    u2 = "u2a u2b u2c u2d u2e u2f u2g u2h"
+    rows = [
+        (0, boiler + " " + u1, "en", "web", 0),
+        (1, boiler + " " + u2, "en", "web", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    clear_sig_cache(spark)
+    try:
+        out = {r["doc_id"]: r for r in segment_dedup(spark, str(tmp_path)).collect()}
+        assert out[0]["n_segments"] == 2 and out[0]["n_boiler_segments"] == 1
+        assert out[0]["clean_text"] == u1
+        assert out[1]["clean_text"] == u2
+    finally:
+        clear_sig_cache(spark)
