@@ -320,3 +320,69 @@ def hotspot_metrics_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics = city_graph_metrics(spark, sf_dir).filter(F.col("address").startswith("S"))
     keyed = metrics.withColumn("address", F.expr("substring(address, 2)").cast("bigint"))
     return snap.join(keyed.drop("city_key"), on="address", how="left")
+
+
+# Weakly-connected-components convergence bound (see operators.dedup
+# MAX_CC_ITERS for the large-star/small-star note — same trade-off).
+MAX_WCC_ITERS = 25
+
+
+def witness_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components per city over the valid witness edge set
+    — "which hotspots/witnesses actually form one connected mesh" (the
+    structural question behind the reference's per-city centrality loop,
+    arango_queries.py:145-167, answered exactly instead of via scores).
+
+    Node ids are integer-encoded (suppkey·2 for 'S' nodes, custkey·2+1 for
+    'C' nodes) so min-label propagation folds longs, giving a monotone
+    label-sum convergence scalar; the component id decodes back to the
+    minimum-encoded member.  Scale shape mirrors dedup_clusters: per
+    iteration one join + one min-groupBy over (city_key, node, label)
+    triples — edges come from the shared persisted witness table, and
+    nothing wider than three scalar columns ever shuffles.  Fully oracled
+    (DuckDB recursive CTE).
+    """
+    enc_src = (F.expr("cast(substring(src, 2) as bigint)") * 2).alias("a")
+    enc_dst = (F.expr("cast(substring(dst, 2) as bigint)") * 2 + 1).alias("b")
+    edges = (
+        witness_subgraph(spark, sf_dir)
+        .select("city_key", enc_src, enc_dst)
+        .distinct()
+    )
+    und = edges.unionByName(
+        edges.select("city_key", F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        und.select("city_key", F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(MAX_WCC_ITERS):
+        prop = und.join(
+            labels.withColumnRenamed("node", "a"), ["city_key", "a"]
+        ).select("city_key", F.col("b").alias("node"), "label")
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("city_key", "node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    und.unpersist()
+    from pyspark.sql import Window
+
+    dec = "IF(%s %% 2 = 0, concat('S', cast(%s div 2 as string)), concat('C', cast(%s div 2 as string)))"
+    return labels.select(
+        "city_key",
+        F.expr(dec % (("node",) * 3)).alias("node"),
+        F.expr(dec % (("label",) * 3)).alias("component_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("city_key", "label"))
+        .cast("bigint")
+        .alias("component_size"),
+    )

@@ -59,6 +59,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "city_hits": G.city_hits,  # rows-only: J5 hub/authority scores
     "hotspot_metrics_writeback": G.hotspot_metrics_writeback,  # rows-only: depends on metrics
     "city_graph_nodes": G.city_graph_nodes,  # oracled skeleton of the metrics rows
+    "witness_components": G.witness_components,  # oracled per-city WCC (min-label propagation)
     "hotspot_writeback_surface": G.hotspot_writeback_surface,  # oracled writeback join surface
     # --- training-data pipeline: text analysis ---
     "text_stats": T.text_stats,
@@ -323,6 +324,37 @@ ORACLE: dict[str, str] = {
         FROM events
     """,
     "witness_subgraph": _WITNESS_SQL,
+    "witness_components": f"""
+        WITH RECURSIVE edges AS ({_WITNESS_SQL}),
+        e AS (
+          SELECT DISTINCT city_key,
+                 CAST(substr(src, 2) AS BIGINT) * 2 AS a,
+                 CAST(substr(dst, 2) AS BIGINT) * 2 + 1 AS b
+          FROM edges
+        ),
+        und AS (
+          SELECT city_key, a, b FROM e
+          UNION SELECT city_key, b AS a, a AS b FROM e
+        ),
+        reach AS (
+          SELECT DISTINCT city_key, a AS node, a AS label FROM und
+          UNION
+          SELECT u.city_key, u.b AS node, r.label
+          FROM reach r JOIN und u ON u.city_key = r.city_key AND u.a = r.node
+        ),
+        lab AS (
+          SELECT city_key, node, min(label) AS lbl
+          FROM reach GROUP BY city_key, node
+        )
+        SELECT city_key,
+               CASE WHEN node % 2 = 0 THEN 'S' || CAST(node // 2 AS VARCHAR)
+                    ELSE 'C' || CAST(node // 2 AS VARCHAR) END AS node,
+               CASE WHEN lbl % 2 = 0 THEN 'S' || CAST(lbl // 2 AS VARCHAR)
+                    ELSE 'C' || CAST(lbl // 2 AS VARCHAR) END AS component_id,
+               CAST(count(*) OVER (PARTITION BY city_key, lbl) AS BIGINT)
+                   AS component_size
+        FROM lab
+    """,
     "city_graph_nodes": f"""
         WITH edges AS ({_WITNESS_SQL}),
         arcs AS (SELECT DISTINCT city_key, src, dst FROM edges),
