@@ -290,3 +290,92 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
         .limit(TOP_K)
     )
+
+
+# Lloyd's k-means: fixed iteration count + per-iteration centroid
+# quantization (round 6dp) so the iterative float state is bit-reproducible
+# across engines — the assignment argmax reads identical quantized
+# centroids on both sides, which is what makes an iterative float algorithm
+# oracle-checkable at all.
+KMEANS_ITERS = 2
+
+
+def _kmeans_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assign every vector to its best centroid (max dot product, ties to
+    the smallest centroid_id).  The centroid table is broadcast — K×DIM
+    doubles — so assignment is one map-side pass over the corpus."""
+    from pyspark.sql import Window
+
+    dot = (
+        "aggregate(zip_with(v64, cv, (x, y) -> x * y),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("centroid_id").asc())
+    return (
+        emb.select("vec_id", "v64")
+        .join(F.broadcast(cent))
+        .withColumn("dot", F.expr(dot))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "v64", "centroid_id", "cv")
+    )
+
+
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus: KMEANS_ITERS
+    update steps from the deterministic seed centroids (vec_id <
+    NUM_CENTROIDS — the same training-free seeds :func:`ivf_topk` uses;
+    this operator is the trained upgrade of that coarse quantizer).
+
+    Scale shape per iteration: assignment is a broadcast-join map pass
+    (never shuffles the corpus); the centroid update explodes assigned
+    vectors to (centroid, dim, x) triples and mean-reduces them — map-side
+    partial aggregation folds each partition to at most K·DIM cells before
+    the shuffle, so the exchange is O(partitions · K · DIM), independent of
+    corpus size.  Empty clusters keep their previous centroid (left-join
+    coalesce).  Output is the per-centroid summary (members, norm, inertia)
+    — scalar columns only, driver-canonicalizer-safe.
+    """
+    emb = embedding_table(spark, sf_dir)
+    cent = (
+        emb.filter(F.col("vec_id") < NUM_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.expr("transform(v64, x -> round(x, 6))").alias("cv"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = _kmeans_assign(emb, cent)
+        upd = (
+            assigned.select("centroid_id", F.posexplode("v64").alias("d", "x"))
+            .groupBy("centroid_id", "d")
+            .agg(F.round(F.avg("x"), 6).alias("ax"))
+            .groupBy("centroid_id")
+            .agg(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(d, ax))), s -> s.ax)"
+                ).alias("cv_new")
+            )
+        )
+        cent = (
+            cent.join(upd, "centroid_id", "left")
+            .select("centroid_id", F.coalesce("cv_new", "cv").alias("cv"))
+            .localCheckpoint()
+        )
+    final = _kmeans_assign(emb, cent)
+    dist2 = (
+        "aggregate(zip_with(v64, cv, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    cnorm = "sqrt(aggregate(transform(cv, x -> x * x), cast(0 as double), (acc, v) -> acc + v))"
+    return (
+        final.withColumn("d2", F.expr(dist2))
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.sum("d2"), 2).alias("inertia"),
+        )
+        .join(cent.select("centroid_id", F.round(F.expr(cnorm), 6).alias("centroid_norm")), "centroid_id")
+        .select("centroid_id", "n_members", "inertia", "centroid_norm")
+    )

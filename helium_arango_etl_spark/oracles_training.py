@@ -742,3 +742,71 @@ ORACLE_TRAINING.update(
     """,
     }
 )
+
+# ---------- k-means (unrolled Lloyd iterations, quantized state) ----------
+
+from .operators.similarity import KMEANS_ITERS  # noqa: E402
+
+_KM_DOT = f"list_sum(list_transform(range(1, {DIM + 1}), i -> e.v[i] * c.cv[i]))"
+
+
+def _km_assign(emb_cte: str, cent_cte: str, out: str) -> str:
+    """Assignment CTE: argmax-dot centroid per vector, ties to the smallest
+    centroid_id (lockstep with operators.similarity._kmeans_assign)."""
+    return f"""
+, {out} AS (
+  SELECT vec_id, v, centroid_id, cv FROM (
+    SELECT e.vec_id, e.v, c.centroid_id, c.cv,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_KM_DOT} DESC, c.centroid_id) AS rnk
+    FROM emb e CROSS JOIN {cent_cte} c
+  ) WHERE rnk = 1
+)"""
+
+
+def _km_update(assign_cte: str, prev_cent: str, out: str) -> str:
+    """Update CTE: per-dimension mean, quantized to 6dp; empty clusters
+    keep the previous centroid."""
+    return f"""
+, {out}u AS (
+  SELECT centroid_id, list(ax ORDER BY d) AS cv FROM (
+    SELECT centroid_id, d, round(avg(x), 6) AS ax FROM (
+      SELECT centroid_id, unnest(v) AS x, unnest(range(1, {DIM + 1})) AS d
+      FROM {assign_cte}
+    ) GROUP BY centroid_id, d
+  ) GROUP BY centroid_id
+), {out} AS (
+  SELECT p.centroid_id, coalesce(u.cv, p.cv) AS cv
+  FROM {prev_cent} p LEFT JOIN {out}u u USING (centroid_id)
+)"""
+
+
+def _kmeans_sql() -> str:
+    parts = [
+        f"""
+        WITH emb AS (
+          SELECT vec_id, {_CAST64} AS v FROM embeddings
+        ), c0 AS (
+          SELECT vec_id AS centroid_id, list_transform(v, x -> round(x, 6)) AS cv
+          FROM emb WHERE vec_id < {NUM_CENTROIDS}
+        )"""
+    ]
+    for it in range(KMEANS_ITERS):
+        parts.append(_km_assign("emb", f"c{it}", f"a{it + 1}"))
+        parts.append(_km_update(f"a{it + 1}", f"c{it}", f"c{it + 1}"))
+    last = f"c{KMEANS_ITERS}"
+    parts.append(_km_assign("emb", last, "afinal"))
+    d2 = f"list_sum(list_transform(range(1, {DIM + 1}), i -> (v[i] - cv[i]) * (v[i] - cv[i])))"
+    cnorm = f"sqrt(list_sum(list_transform(cv, x -> x * x)))"
+    parts.append(f"""
+        SELECT f.centroid_id, f.n_members, f.inertia,
+               round({cnorm}, 6) AS centroid_norm
+        FROM (
+          SELECT centroid_id, count(*) AS n_members, round(sum({d2}), 2) AS inertia
+          FROM afinal GROUP BY centroid_id
+        ) f JOIN {last} USING (centroid_id)
+    """)
+    return "".join(parts)
+
+
+ORACLE_TRAINING["kmeans_centroids"] = _kmeans_sql()

@@ -104,6 +104,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": S.ivf_topk,
     "cosine_near_dup_pairs": S.cosine_near_dup_pairs,
     "embedding_norms": S.embedding_norms,
+    "kmeans_centroids": S.kmeans_centroids,
     # --- training-data pipeline: multimodal (rows-only: binary mapInPandas) ---
     "image_features": M.image_features,
     "video_frame_sample": M.video_frame_sample,
