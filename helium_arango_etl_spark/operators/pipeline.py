@@ -85,3 +85,30 @@ def corpus_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(good, "doc_id", "left_semi").join(
         hash_split(spark, sf_dir).select("doc_id", "split"), "doc_id"
     )
+
+
+PER_SOURCE_CAP = 10  # max documents kept per source (per-domain cap)
+
+
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the per-domain cap of web-corpus assembly:
+    no single site/source may dominate the mixture): keep at most
+    PER_SOURCE_CAP documents per source, chosen by deterministic
+    content-hash rank — no RNG, so the kept set is reproducible and stable
+    under appends (a new document displaces the previous rank-boundary doc
+    only if its hash ranks earlier, never reshuffling the whole stratum).
+
+    Scale shape: one shuffle on source (bounded cardinality) + a top-k
+    window; ties cannot occur (md5 of distinct doc_ids collide only if md5
+    collides; doc_id breaks even that).
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("hash_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("hash_rank") <= PER_SOURCE_CAP)
+        .select("doc_id", "source", "hash_rank")
+    )

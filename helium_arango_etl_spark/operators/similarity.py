@@ -376,6 +376,11 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_members"),
             F.round(F.sum("d2"), 2).alias("inertia"),
         )
-        .join(cent.select("centroid_id", F.round(F.expr(cnorm), 6).alias("centroid_norm")), "centroid_id")
+        .join(
+            F.broadcast(
+                cent.select("centroid_id", F.round(F.expr(cnorm), 6).alias("centroid_norm"))
+            ),
+            "centroid_id",
+        )
         .select("centroid_id", "n_members", "inertia", "centroid_norm")
     )

@@ -266,3 +266,59 @@ def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TFIDF_TOP_K)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+
+
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (the hygiene stage every corpus runs
+    before hashing/dedup): lowercase, strip characters outside
+    [a-z0-9 ], collapse whitespace runs, trim.  Pure per-row codegen'd
+    expressions — zero shuffle at any scale.  Both engines apply the same
+    literal character classes, so normalized text (and therefore every
+    downstream content hash) is bit-identical."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length("text").cast("bigint").alias("n_chars_before"),
+        F.length(norm).cast("bigint").alias("n_chars_after"),
+    )
+
+
+# PII masking patterns: literal classes both Java regex (Spark) and RE2
+# (DuckDB) evaluate identically.  Long digit runs and email-shaped tokens.
+PII_NUM_RE = "[0-9]{4,}"
+PII_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: mask email-shaped tokens then long digit runs with
+    typed placeholders, counting masks per document.  Per-row regex work,
+    zero shuffle.  (The synthetic corpus contains no PII — n_masked is 0
+    here — the masking path itself is pinned on constructed documents in
+    tests/test_training_ops.py, the same pattern as cosine_near_dup_pairs.)
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    n_emails = F.size(F.expr(f"regexp_extract_all(text, '{PII_EMAIL_RE}', 0)"))
+    masked = F.regexp_replace(
+        F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+        PII_NUM_RE,
+        "<NUM>",
+    )
+    # digit runs counted AFTER email masking so an address's digits are not
+    # double-counted
+    n_nums = F.size(
+        F.expr(
+            f"regexp_extract_all(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>'),"
+            f" '{PII_NUM_RE}', 0)"
+        )
+    )
+    return docs.select(
+        "doc_id",
+        masked.alias("scrubbed_text"),
+        (n_emails + n_nums).cast("bigint").alias("n_masked"),
+    )

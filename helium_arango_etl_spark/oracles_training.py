@@ -810,3 +810,47 @@ def _kmeans_sql() -> str:
 
 
 ORACLE_TRAINING["kmeans_centroids"] = _kmeans_sql()
+
+# ---------- text hygiene + per-source cap ----------
+
+from .operators.pipeline import PER_SOURCE_CAP  # noqa: E402
+from .operators.textops import PII_EMAIL_RE, PII_NUM_RE  # noqa: E402
+
+ORACLE_TRAINING.update(
+    {
+        "normalize_text": """
+        WITH n AS (
+          SELECT doc_id, text,
+                 trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                     ' +', ' ', 'g')) AS norm_text
+          FROM documents
+        )
+        SELECT doc_id, norm_text,
+               CAST(length(text) AS BIGINT) AS n_chars_before,
+               CAST(length(norm_text) AS BIGINT) AS n_chars_after
+        FROM n
+    """,
+        "pii_scrub": f"""
+        WITH m AS (
+          SELECT doc_id, text,
+                 regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS em
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(em, '{PII_NUM_RE}', '<NUM>', 'g') AS scrubbed_text,
+               CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}'))
+                    + len(regexp_extract_all(em, '{PII_NUM_RE}')) AS BIGINT) AS n_masked
+        FROM m
+    """,
+        "per_source_cap": f"""
+        SELECT doc_id, source, hash_rank FROM (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (
+                     PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+                     AS hash_rank
+          FROM documents
+        ) WHERE hash_rank <= {PER_SOURCE_CAP}
+    """,
+    }
+)

@@ -69,6 +69,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": T.repetition_signals,
     "gopher_quality": T.gopher_quality,
     "tf_idf_top_terms": T.tf_idf_top_terms,
+    "normalize_text": T.normalize_text,
+    "pii_scrub": T.pii_scrub,
     # --- training-data pipeline: dedup ---
     "exact_dedup": D.exact_dedup,
     "minhash_signatures": D.minhash_signatures,
@@ -85,6 +87,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": P.hash_split,
     "corpus_retention": P.corpus_retention,
     "mixture_sample": P.mixture_sample,
+    "per_source_cap": P.per_source_cap,
     "pack_sequences": TP.pack_sequences,
     # --- temporal: distributed as-of join (I3 at every t) ---
     "height_asof": TP.height_asof,

@@ -152,3 +152,31 @@ def test_near_dup_keep_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "LeftAnti" in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_tf_idf_scan_is_pruned_and_corpus_size_broadcast(spark, sf_dir):
+    """tf_idf_top_terms: the documents scan must read only (doc_id, text),
+    and the 1-row corpus-size aggregate must join in as a broadcast —
+    never a shuffle of the tf relation against it."""
+    plan = plan_of(QUERIES["tf_idf_top_terms"](spark, sf_dir))
+    widths = scan_widths(plan)
+    assert widths and max(widths) <= 2, (widths, plan)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_segment_dedup_no_cartesian_and_pruned(spark, sf_dir):
+    """segment_dedup: hash-keyed joins only (no cartesian pair blowup) and
+    a (doc_id, text)-only scan."""
+    plan = plan_of(QUERIES["segment_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    widths = scan_widths(plan)
+    assert widths and max(widths) <= 2, (widths, plan)
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """kmeans_centroids: the K×DIM centroid table must broadcast into the
+    assignment pass — a SortMergeJoin there would shuffle the corpus per
+    iteration."""
+    plan = plan_of(QUERIES["kmeans_centroids"](spark, sf_dir))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -233,3 +233,24 @@ def test_segment_dedup_strips_shared_boilerplate(spark, tmp_path):
         assert out[1]["clean_text"] == u2
     finally:
         clear_sig_cache(spark)
+
+
+def test_pii_scrub_masks_constructed_pii(spark, tmp_path):
+    """The synthetic corpus has no PII, so the masking path is pinned on
+    constructed documents: emails and long digit runs are replaced with
+    typed placeholders and counted; short digit runs survive."""
+    from helium_arango_etl_spark.operators.textops import pii_scrub
+
+    rows = [
+        (0, "contact me at alice.w@example.com or call 5551234567 now", "en", "web", 0),
+        (1, "pin 123 is short but 98765 is long", "en", "web", 0),
+        (2, "nothing sensitive here", "en", "web", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in pii_scrub(spark, str(tmp_path)).collect()}
+    assert out[0]["scrubbed_text"] == "contact me at <EMAIL> or call <NUM> now"
+    assert out[0]["n_masked"] == 2
+    assert out[1]["scrubbed_text"] == "pin 123 is short but <NUM> is long"
+    assert out[1]["n_masked"] == 1
+    assert out[2]["n_masked"] == 0
