@@ -568,3 +568,45 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer (HUGEINT -> float64 in pandas), so both sides pin int64
         .select("doc_a", "doc_b", F.expr(ham).cast("bigint").alias("hamming"))
     )
+
+
+# Incremental-ingestion boundary: doc_id >= NEW_MIN_ID is "the arriving
+# batch", below it "the existing corpus" (in production: the previous
+# snapshot's signature table read back from storage).
+NEW_MIN_ID = 400
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: which documents of the arriving batch are
+    verified near-dups of the EXISTING corpus, and of which document —
+    the continuous-corpus-building scenario, where re-deduplicating the
+    whole corpus per ingest is the thing a 100 TB pipeline cannot afford.
+
+    Scale shape: the existing corpus contributes only its (persisted)
+    signature table — its bodies are never re-read; candidate pairs come
+    from the shared banding pass restricted to boundary-crossing pairs
+    (old, new), exact Jaccard verifies only those, and each new doc keeps
+    its best verified match (max jaccard, ties to the smallest old id).
+    """
+    from pyspark.sql import Window
+
+    cand = (
+        candidate_pair_table(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        # doc_a < doc_b by construction, so "crosses the boundary" is
+        # exactly: old on the a side, new on the b side
+        .filter((F.col("doc_a") < NEW_MIN_ID) & (F.col("doc_b") >= NEW_MIN_ID))
+    )
+    verified = _exact_jaccard(cand, signature_table(spark, sf_dir)).filter(
+        F.col("jaccard") >= NEAR_DUP_THRESH
+    )
+    w = Window.partitionBy("doc_b").orderBy(F.col("jaccard").desc(), F.col("doc_a").asc())
+    return (
+        verified.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("dup_of"),
+            "jaccard",
+        )
+    )

@@ -112,3 +112,47 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hash_rank") <= PER_SOURCE_CAP)
         .select("doc_id", "source", "hash_rank")
     )
+
+
+def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus health rollup: doc/token counts, quality
+    pass rate inputs, exact-dup counts, mean quality — the monitoring
+    query a corpus-assembly pipeline runs per ingest cycle.
+
+    Scale shape: per-row scoring composes with one (text_hash, id)-pair
+    shuffle for the dup flag and one bounded-cardinality groupBy on
+    (source, lang); map-side partial aggregation folds each partition to
+    at most |sources|·|langs| cells before the exchange.
+    """
+    from .dedup import exact_dedup
+    from .textops import TOKS, text_stats
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .withColumn("n_tokens", F.size(F.expr(TOKS)))
+        .withColumn("text_hash", F.md5("text"))
+    )
+    quality = text_stats(spark, sf_dir).select("doc_id", "quality_score")
+    canon = exact_dedup(spark, sf_dir).select("text_hash", "canonical_doc_id")
+    return (
+        docs.join(quality, "doc_id")
+        .join(canon, "text_hash")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.when(F.col("quality_score") >= QUALITY_MIN, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_quality_pass"),
+            F.sum(F.when(F.col("doc_id") != F.col("canonical_doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact_dups"),
+            # decimal-exact sum, cast to double AFTER (the rewards_5d
+            # pattern): a rounded double MEAN of 4dp scores lands on the
+            # x.xxxx5 half-boundary constantly and the engines' rounding
+            # of the binary double disagrees there
+            F.sum(F.col("quality_score").cast("decimal(8,4)"))
+            .cast("double")
+            .alias("sum_quality"),
+        )
+    )

@@ -854,3 +854,63 @@ ORACLE_TRAINING.update(
     """,
     }
 )
+
+# ---------- incremental dedup + corpus summary ----------
+
+from .operators.dedup import NEW_MIN_ID  # noqa: E402
+from .operators.pipeline import QUALITY_MIN  # noqa: E402
+
+ORACLE_TRAINING.update(
+    {
+        "incremental_dedup": _SIG_CTE + _CAND_CTE + f"""
+        , shset AS (
+          SELECT doc_id, list_distinct({_SHINGLES}) AS sh
+          FROM (SELECT doc_id, {_TOKS} AS t FROM documents) toks2
+        ), sizes AS (
+          SELECT doc_id, len(sh) AS n_sh FROM shset
+        ), shex AS (
+          SELECT doc_id, unnest(sh) AS shingle FROM shset
+        ), bcand AS (
+          SELECT doc_a, doc_b FROM cand
+          WHERE doc_a < {NEW_MIN_ID} AND doc_b >= {NEW_MIN_ID}
+        ), inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM bcand c
+          JOIN shex a ON a.doc_id = c.doc_a
+          JOIN shex b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b
+        ), verified AS (
+          SELECT i.doc_a, i.doc_b,
+                 round(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 4)
+                     AS jaccard
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+        )
+        SELECT doc_b AS doc_id, doc_a AS dup_of, jaccard FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_b
+                                       ORDER BY jaccard DESC, doc_a) AS rnk
+          FROM verified WHERE jaccard >= {NEAR_DUP_THRESH}
+        ) WHERE rnk = 1
+    """,
+        "corpus_summary": f"""
+        WITH q AS ({ORACLE_TRAINING["text_stats"]}),
+        d AS (
+          SELECT doc_id, source, lang,
+                 len({_TOKS}) AS n_tokens,
+                 min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id
+          FROM documents
+        )
+        SELECT d.source, d.lang,
+               count(*) AS n_docs,
+               CAST(sum(d.n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN q.quality_score >= {QUALITY_MIN} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_quality_pass,
+               CAST(sum(CASE WHEN d.doc_id <> d.canonical_doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exact_dups,
+               CAST(sum(CAST(q.quality_score AS DECIMAL(8,4))) AS DOUBLE) AS sum_quality
+        FROM d JOIN q ON q.doc_id = d.doc_id
+        GROUP BY d.source, d.lang
+    """,
+    }
+)

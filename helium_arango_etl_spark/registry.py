@@ -82,12 +82,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_pairs": D.simhash_near_pairs,
     "decontaminate": D.decontaminate,
     "dedup_clusters": D.dedup_clusters,
+    "incremental_dedup": D.incremental_dedup,
     "segment_dedup": D.segment_dedup,
     # --- training-data pipeline: corpus assembly ---
     "hash_split": P.hash_split,
     "corpus_retention": P.corpus_retention,
     "mixture_sample": P.mixture_sample,
     "per_source_cap": P.per_source_cap,
+    "corpus_summary": P.corpus_summary,
     "pack_sequences": TP.pack_sequences,
     # --- temporal: distributed as-of join (I3 at every t) ---
     "height_asof": TP.height_asof,
