@@ -321,22 +321,10 @@ def _kmeans_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd's k-means over the embedding corpus: KMEANS_ITERS
-    update steps from the deterministic seed centroids (vec_id <
-    NUM_CENTROIDS — the same training-free seeds :func:`ivf_topk` uses;
-    this operator is the trained upgrade of that coarse quantizer).
-
-    Scale shape per iteration: assignment is a broadcast-join map pass
-    (never shuffles the corpus); the centroid update explodes assigned
-    vectors to (centroid, dim, x) triples and mean-reduces them — map-side
-    partial aggregation folds each partition to at most K·DIM cells before
-    the shuffle, so the exchange is O(partitions · K · DIM), independent of
-    corpus size.  Empty clusters keep their previous centroid (left-join
-    coalesce).  Output is the per-centroid summary (members, norm, inertia)
-    — scalar columns only, driver-canonicalizer-safe.
-    """
-    emb = embedding_table(spark, sf_dir)
+def _kmeans_fit(emb: DataFrame) -> DataFrame:
+    """Run KMEANS_ITERS Lloyd updates from the quantized seed centroids;
+    returns the fitted (centroid_id, cv) table (16 rows,
+    localCheckpoint'ed — lineage is truncated each iteration)."""
     cent = (
         emb.filter(F.col("vec_id") < NUM_CENTROIDS)
         .select(
@@ -363,6 +351,26 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("centroid_id", F.coalesce("cv_new", "cv").alias("cv"))
             .localCheckpoint()
         )
+    return cent
+
+
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus: KMEANS_ITERS
+    update steps from the deterministic seed centroids (vec_id <
+    NUM_CENTROIDS — the same training-free seeds :func:`ivf_topk` uses;
+    this operator is the trained upgrade of that coarse quantizer).
+
+    Scale shape per iteration: assignment is a broadcast-join map pass
+    (never shuffles the corpus); the centroid update explodes assigned
+    vectors to (centroid, dim, x) triples and mean-reduces them — map-side
+    partial aggregation folds each partition to at most K·DIM cells before
+    the shuffle, so the exchange is O(partitions · K · DIM), independent of
+    corpus size.  Empty clusters keep their previous centroid (left-join
+    coalesce).  Output is the per-centroid summary (members, norm, inertia)
+    — scalar columns only, driver-canonicalizer-safe.
+    """
+    emb = embedding_table(spark, sf_dir)
+    cent = _kmeans_fit(emb)
     final = _kmeans_assign(emb, cent)
     dist2 = (
         "aggregate(zip_with(v64, cv, (x, y) -> (x - y) * (x - y)),"
@@ -383,4 +391,50 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_id",
         )
         .select("centroid_id", "n_members", "inertia", "centroid_norm")
+    )
+
+
+def ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over TRAINED centroids: the full train → index → query
+    composition (:func:`kmeans_centroids` fits the coarse quantizer,
+    multi-assignment builds the inverted lists, the query probes its best
+    list) — the production counterpart of the training-free
+    :func:`ivf_topk`.
+
+    Scale shape is identical to ivf_topk — the fitted centroid table is
+    K×DIM and broadcasts everywhere; the corpus is scanned once for
+    assignment and only the probed lists are scored.
+    """
+    from pyspark.sql import Window
+
+    emb = embedding_table(spark, sf_dir)
+    cent = _kmeans_fit(emb)
+    dot = (
+        "aggregate(zip_with(v64, cv, (x, y) -> x * y),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("centroid_id").asc())
+    assigned = (
+        emb.select("vec_id", "label", "v64", "nv")
+        .join(F.broadcast(cent))
+        .withColumn("dot", F.expr(dot))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= NPROBE)
+    )
+    q = assigned.filter(
+        (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rnk") == 1)
+    ).select(
+        F.col("v64").alias("va"),
+        F.col("centroid_id").alias("q_centroid"),
+        F.col("nv").alias("na"),
+    )
+    corpus = assigned.select(
+        "vec_id", "label", F.col("v64").alias("vb"), "centroid_id", F.col("nv").alias("nb")
+    )
+    return (
+        corpus.join(F.broadcast(q), corpus.centroid_id == q.q_centroid)
+        .select("vec_id", "label", F.expr(COSINE).alias("cosine_sim"))
+        .dropDuplicates(["vec_id"])
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
     )

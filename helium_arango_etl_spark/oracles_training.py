@@ -914,3 +914,49 @@ ORACLE_TRAINING.update(
     """,
     }
 )
+
+# ---------- trained IVF (kmeans centroids -> inverted lists -> probe) ----------
+
+
+def _ivf_trained_sql() -> str:
+    parts = [
+        f"""
+        WITH emb AS (
+          SELECT vec_id, label, {_CAST64} AS v FROM embeddings
+        ), c0 AS (
+          SELECT vec_id AS centroid_id, list_transform(v, x -> round(x, 6)) AS cv
+          FROM emb WHERE vec_id < {NUM_CENTROIDS}
+        )"""
+    ]
+    for it in range(KMEANS_ITERS):
+        parts.append(_km_assign("emb", f"c{it}", f"a{it + 1}"))
+        parts.append(_km_update(f"a{it + 1}", f"c{it}", f"c{it + 1}"))
+    last = f"c{KMEANS_ITERS}"
+    parts.append(f"""
+        , scored AS (
+          SELECT e.vec_id, e.label, e.v, c.centroid_id, {_KM_DOT} AS dot
+          FROM emb e CROSS JOIN {last} c
+        ), assigned AS (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dot DESC, centroid_id ASC) AS rnk
+          FROM scored
+        ), probes AS (
+          SELECT vec_id, label, v, centroid_id FROM assigned WHERE rnk <= {NPROBE}
+        ), q AS (
+          SELECT v AS va, centroid_id AS q_centroid,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS na
+          FROM assigned WHERE vec_id = {QUERY_VEC_ID} AND rnk = 1
+        )
+        SELECT p.vec_id, p.label,
+               round(list_sum(list_transform(range(1, {DIM + 1}), i -> p.v[i] * q.va[i]))
+                     / (sqrt(list_sum(list_transform(p.v, x -> x * x))) * q.na), 6)
+                   AS cosine_sim
+        FROM probes p, q
+        WHERE p.centroid_id = q.q_centroid
+        ORDER BY cosine_sim DESC, vec_id ASC
+        LIMIT {TOP_K}
+    """)
+    return "".join(parts)
+
+
+ORACLE_TRAINING["ivf_topk_trained"] = _ivf_trained_sql()
