@@ -277,3 +277,90 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zero_crossings",
         *[F.element_at("window_rms", i + 1).alias(f"win_rms_{i}") for i in range(4)],
     )
+
+
+PHASH_SCHEMA = "doc_id bigint, phash string"
+
+# prefix-bucket width (hex chars) for phash pair generation, and the
+# Hamming radius for "near-duplicate image"
+PHASH_BUCKET_HEX = 4
+PHASH_MAX_HAMMING = 10
+
+
+def compute_phash(binary_df: DataFrame, out: int = 8) -> DataFrame:
+    """Perceptual average-hash over the decoded image: nearest-neighbor
+    resize to out×out (same gather math as resize_images), threshold each
+    pixel against the block mean, pack the 64 bits into 16 lowercase hex
+    chars (bit 0 = MSB, row-major).  Byte-deterministic, so the DuckDB
+    oracle reproduces it from the utf-8 payload."""
+    import numpy as np
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_meta"], strict=True
+            ):
+                w, h = int(meta["width"]), int(meta["height"])
+                pixels = np.frombuffer(_decode_rgb(payload, w, h), dtype=np.uint8)
+                img = np.resize(pixels, (h, w))
+                ys = (np.arange(out) * h) // out
+                xs = (np.arange(out) * w) // out
+                small = img[np.ix_(ys, xs)].astype(np.float64)
+                bits = (small.flatten() > small.mean()).astype(np.uint64)
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                rows.append((doc_id, format(val, "016x")))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return binary_df.mapInPandas(phash, schema=PHASH_SCHEMA)
+
+
+def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: documents -> binary payload -> 64-bit perceptual
+    hash — the image-dedup fingerprint (images that survive re-encoding /
+    mild edits keep a small phash Hamming distance)."""
+    return compute_phash(
+        attach_binary_payload(spread(read_table(spark, sf_dir, "documents")))
+    )
+
+
+def phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by phash Hamming distance — the
+    multimodal analog of SimHash text dedup.
+
+    Scale shape: the quadratic pair formation is bucketed on the
+    PHASH_BUCKET_HEX-char hash prefix (identical/near-identical images
+    share it; the multi-band generalization is the LSH banding already
+    used for text), so only same-prefix images are compared, via the same
+    single-scan groupBy-collect pair generation as the text pipelines —
+    never an all-pairs self-join.  Only (doc_id, 16-char hash) pairs ever
+    shuffle."""
+    ph = compute_phash(
+        attach_binary_payload(spread(read_table(spark, sf_dir, "documents")))
+    )
+    buckets = (
+        ph.withColumn("bucket", F.substring("phash", 1, PHASH_BUCKET_HEX))
+        .groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "phash"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pair_gen = (
+        "flatten(transform(ds, (a, i) ->"
+        " transform(slice(ds, i + 2, size(ds) - i - 1),"
+        " b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        " a.phash AS ph_a, b.phash AS ph_b))))"
+    )
+    ham = (
+        "aggregate(transform(sequence(1, 16),"
+        " i -> bit_count(cast(conv(substring(ph_a, i, 1), 16, 10) as int)"
+        " ^ cast(conv(substring(ph_b, i, 1), 16, 10) as int))),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    return (
+        buckets.select(F.explode(F.expr(pair_gen)).alias("p"))
+        .select("p.doc_a", "p.doc_b", F.expr(ham.replace("ph_a", "p.ph_a").replace("ph_b", "p.ph_b")).cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .distinct()
+    )

@@ -960,3 +960,63 @@ def _ivf_trained_sql() -> str:
 
 
 ORACLE_TRAINING["ivf_topk_trained"] = _ivf_trained_sql()
+
+# ---------- perceptual image hash ----------
+
+from .operators.multimodal import PHASH_BUCKET_HEX, PHASH_MAX_HAMMING  # noqa: E402
+
+
+def _phash_nibbles() -> str:
+    def b(i: int) -> str:
+        return f"(CASE WHEN ascii(chars[{i}]) > mn THEN 1 ELSE 0 END)"
+
+    out = []
+    for j in range(16):
+        i0 = 4 * j + 1
+        val = f"(8 * {b(i0)} + 4 * {b(i0 + 1)} + 2 * {b(i0 + 2)} + {b(i0 + 3)})"
+        out.append(f"substr('0123456789abcdef', {val} + 1, 1)")
+    return " || ".join(out)
+
+
+_PHASH_CTE = f"""
+        WITH c AS (
+          SELECT doc_id, text, length(text) AS n,
+                 doc_id % 64 + 16 AS w, doc_id % 48 + 16 AS h
+          FROM documents
+        ), px AS (
+          SELECT doc_id,
+            list_transform(range(0, 64), i ->
+              substr(text,
+                     CAST(((((i // 8) * h) // 8) * w + (((i % 8) * w) // 8)) % n + 1 AS INT),
+                     1)) AS chars
+          FROM c
+        ), mpx AS (
+          SELECT doc_id, chars,
+                 CAST(list_sum(list_transform(chars, ch -> ascii(ch))) AS DOUBLE) / 64 AS mn
+          FROM px
+        ), ph AS (
+          SELECT doc_id, {_phash_nibbles()} AS phash FROM mpx
+        )"""
+
+_PH_HAM = (
+    "list_sum(list_transform(range(1, 17),"
+    " i -> bit_count(xor(('0x' || substr(a.phash, i, 1))::BIGINT,"
+    " ('0x' || substr(b.phash, i, 1))::BIGINT))))"
+)
+
+ORACLE_TRAINING.update(
+    {
+        "image_phash": _PHASH_CTE + """
+        SELECT doc_id, phash FROM ph
+    """,
+        "phash_near_pairs": _PHASH_CTE + f"""
+        SELECT doc_a, doc_b, hamming FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST({_PH_HAM} AS BIGINT) AS hamming
+          FROM ph a JOIN ph b
+            ON substr(a.phash, 1, {PHASH_BUCKET_HEX}) = substr(b.phash, 1, {PHASH_BUCKET_HEX})
+           AND a.doc_id < b.doc_id
+        ) WHERE hamming <= {PHASH_MAX_HAMMING}
+    """,
+    }
+)

@@ -116,6 +116,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_frame_sample": M.video_frame_sample,
     "image_resize": M.image_resize,
     "audio_features": M.audio_features,
+    "image_phash": M.image_phash,
+    "phash_near_pairs": M.phash_near_pairs,
 }
 
 # The witness edge set, shared by witness_subgraph and the graph-skeleton
