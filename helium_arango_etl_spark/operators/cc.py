@@ -1,0 +1,49 @@
+"""Shared connected-components core: iterative min-label propagation.
+
+Used by operators.dedup.dedup_clusters (duplicate clusters over verified
+near-dup edges) and operators.graph.witness_components (per-city WCC).
+Per iteration: one keyed join of the undirected edge list against the
+current labels, then a min-groupBy fold — only (key, node, label) scalar
+triples ever shuffle, and each iteration is localCheckpoint'ed to truncate
+lineage (on a cluster: setCheckpointDir + checkpoint()).  Convergence is
+detected via the monotone-decreasing label sum — one scalar action per
+iteration, orchestration-only driver work.
+
+Hash-to-min propagation moves the component minimum one hop per iteration
+(iterations ~ component diameter); for adversarial long-chain graphs at
+corpus scale switch to large-star/small-star (Kiveris et al.), which
+converges in O(log²) rounds with the same per-iteration join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def propagate_min_labels(
+    labels: DataFrame, und: DataFrame, keys: list[str], max_iters: int
+) -> DataFrame:
+    """Fixpoint of label[n] <- min(label[n], min over in-neighbors).
+
+    ``labels``: (*keys, node, label) with numeric labels (initially
+    label = node); ``und``: (*keys, a, b) UNDIRECTED edge list (both
+    directions present).  Returns converged (*keys, node, label).
+    """
+    labels = labels.localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iters):
+        prop = und.join(
+            labels.withColumnRenamed("node", "a"), [*keys, "a"]
+        ).select(*keys, F.col("b").alias("node"), "label")
+        labels = (
+            labels.unionByName(prop)
+            .groupBy(*keys, "node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

@@ -432,36 +432,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
     edges = exact_edges.unionByName(_verified_near_edges(spark, sf_dir)).distinct()
-    und = edges.unionByName(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    und = edges.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     ).persist()
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(MAX_CC_ITERS):
-        prop = und.join(
-            labels.withColumnRenamed("doc_id", "doc_a"), "doc_a"
-        ).select(F.col("doc_b").alias("doc_id"), "label")
-        labels = (
-            labels.unionByName(prop)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    from .cc import propagate_min_labels
+
+    labels = propagate_min_labels(
+        docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label")),
+        und,
+        keys=[],
+        max_iters=MAX_CC_ITERS,
+    )
     und.unpersist()
     from pyspark.sql import Window
 
     return labels.select(
-        "doc_id",
+        F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1))
         .over(Window.partitionBy("label"))
         .cast("bigint")
         .alias("cluster_size"),
-        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
     )
 
 

@@ -352,27 +352,16 @@ def witness_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.unionByName(
         edges.select("city_key", F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
-    labels = (
+    from .cc import propagate_min_labels
+
+    labels = propagate_min_labels(
         und.select("city_key", F.col("a").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .withColumn("label", F.col("node")),
+        und,
+        keys=["city_key"],
+        max_iters=MAX_WCC_ITERS,
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(MAX_WCC_ITERS):
-        prop = und.join(
-            labels.withColumnRenamed("node", "a"), ["city_key", "a"]
-        ).select("city_key", F.col("b").alias("node"), "label")
-        labels = (
-            labels.unionByName(prop)
-            .groupBy("city_key", "node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
     und.unpersist()
     from pyspark.sql import Window
 

@@ -438,3 +438,49 @@ def ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
         .limit(TOP_K)
     )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per embedding (the storage/serving
+    compression step of a production vector index — 4× smaller than
+    float32, 8× than float64): scale = max|v| / 127, code_i =
+    floor(v_i / scale + 0.5) — floor(x + 0.5) rather than round() because
+    double round-half behavior differs across engines while floor is
+    exact — plus the L2 reconstruction error.
+
+    Pure per-row codegen'd expressions over the prepared embedding table:
+    zero shuffle at any scale.  Codes render as a ','-joined string
+    (driver-canonicalizer-safe; int formatting is engine-identical).
+    """
+    emb = embedding_table(spark, sf_dir)
+    amax = "array_max(transform(v64, x -> abs(x)))"
+    q = emb.select(
+        "vec_id",
+        "label",
+        "v64",
+        F.expr(amax).alias("amax"),
+    ).select(
+        "vec_id",
+        "label",
+        "v64",
+        (F.col("amax") / 127).alias("scale"),
+    )
+    codes = (
+        "transform(v64, x -> cast(floor(x / scale + 0.5d) as int))"
+    )
+    recon = (
+        "sqrt(aggregate(zip_with(codes, v64, (c, x) -> (c * scale - x) * (c * scale - x)),"
+        " cast(0 as double), (acc, v) -> acc + v))"
+    )
+    return (
+        q.withColumn("codes", F.expr(codes))
+        .select(
+            "vec_id",
+            "label",
+            "scale",
+            F.expr("array_join(transform(codes, c -> cast(c as string)), ',')").alias(
+                "codes"
+            ),
+            F.expr(recon).alias("recon_err"),
+        )
+    )

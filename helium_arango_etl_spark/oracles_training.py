@@ -1020,3 +1020,26 @@ ORACLE_TRAINING.update(
     """,
     }
 )
+
+# ---------- int8 embedding quantization ----------
+
+ORACLE_TRAINING["embedding_quantize"] = f"""
+        WITH e AS (
+          SELECT vec_id, label, {_CAST64} AS v FROM embeddings
+        ), s AS (
+          SELECT vec_id, label, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+          FROM e
+        ), c AS (
+          SELECT vec_id, label, v, scale,
+                 list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS codes
+          FROM s
+        )
+        SELECT vec_id, label, scale,
+               array_to_string(list_transform(codes, cc -> CAST(cc AS VARCHAR)), ',')
+                   AS codes,
+               sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+                    i -> (codes[i] * scale - v[i]) * (codes[i] * scale - v[i]))))
+                   AS recon_err
+        FROM c
+    """

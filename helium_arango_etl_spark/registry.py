@@ -111,6 +111,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norms": S.embedding_norms,
     "kmeans_centroids": S.kmeans_centroids,
     "ivf_topk_trained": S.ivf_topk_trained,
+    "embedding_quantize": S.embedding_quantize,
     # --- training-data pipeline: multimodal (rows-only: binary mapInPandas) ---
     "image_features": M.image_features,
     "video_frame_sample": M.video_frame_sample,

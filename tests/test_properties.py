@@ -149,3 +149,57 @@ def test_merge_contracts(spark, old_rows, new_rows):
 
     assert up == {**old_d, **new_d}  # new wins
     assert ig == {**new_d, **old_d}  # old wins
+
+
+# --- min-label propagation vs union-find on random undirected graphs ---
+
+cc_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _union_find_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # canonical label = min node id in component
+    out = {}
+    for x in range(n_nodes):
+        root = find(x)
+        out.setdefault(root, []).append(x)
+    return {x: min(members) for root, members in out.items() for x in members}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=cc_edges_strategy)
+def test_min_label_propagation_matches_union_find(spark, edges):
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_spark.operators.cc import propagate_min_labels
+
+    n = 12
+    expected = _union_find_components(n, edges)
+    nodes = spark.range(n).select(
+        F.col("id").alias("node"), F.col("id").alias("label")
+    )
+    und_rows = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    if und_rows:
+        und = spark.createDataFrame(und_rows, "a long, b long")
+    else:
+        und = spark.createDataFrame([], "a long, b long")
+    got = {
+        r["node"]: r["label"]
+        for r in propagate_min_labels(nodes, und, keys=[], max_iters=20).collect()
+    }
+    assert got == expected
