@@ -604,3 +604,15 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+def cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-based dedup retention: keep exactly one document (the
+    minimum doc_id) per connected duplicate cluster — the
+    chain-transitive alternative to :func:`near_dup_keep`'s greedy
+    pairwise drops (A~B~C with A≁C keeps {A, C} there, {A} here)."""
+    return (
+        dedup_clusters(spark, sf_dir)
+        .filter(F.col("is_canonical"))
+        .select("doc_id", "cluster_size")
+    )

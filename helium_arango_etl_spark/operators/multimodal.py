@@ -364,3 +364,36 @@ def phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
         .distinct()
     )
+
+
+RESAMPLE_FACTOR = 4
+
+RESAMPLE_SCHEMA = "doc_id bigint, n_in int, n_out int, resampled_hex string, out_rms double"
+
+
+def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decimation by RESAMPLE_FACTOR (keep every R-th sample of the
+    signed-8-bit PCM payload) with before/after sample counts and the
+    resampled RMS — the rate-reduction step of an audio ingest pipeline.
+    (A production resampler low-pass-filters first; the Spark-side
+    contract — binary in, fixed schema out, Arrow batches — is what this
+    pins.)  Byte-deterministic, fully oracled."""
+    import numpy as np
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"], strict=True):
+                samples = np.frombuffer(bytes(payload), dtype=np.int8)
+                kept = samples[::RESAMPLE_FACTOR]
+                f = kept.astype(np.float64)
+                rms = float(np.sqrt(np.mean(np.square(f)))) if kept.size else 0.0
+                out.append(
+                    (doc_id, int(samples.size), int(kept.size), kept.tobytes().hex(), rms)
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_in", "n_out", "resampled_hex", "out_rms"]
+            )
+
+    binary_df = attach_binary_payload(spread(read_table(spark, sf_dir, "documents")))
+    return binary_df.mapInPandas(resample, schema=RESAMPLE_SCHEMA)

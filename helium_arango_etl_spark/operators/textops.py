@@ -322,3 +322,44 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         masked.alias("scrubbed_text"),
         (n_emails + n_nums).cast("bigint").alias("n_masked"),
     )
+
+
+VOCAB_TOP_N = 50
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary coverage curve: the VOCAB_TOP_N most frequent
+    tokens with rank, corpus count, and the cumulative fraction of all
+    token occurrences they cover (the Zipf curve a tokenizer-budget or
+    stopword decision reads).
+
+    Scale shape: one (term, partial-count) shuffle with map-side combine,
+    then ranking/cumulation over the (vocabulary-sized, tiny) aggregate —
+    the running-total window runs on the aggregated relation, never the
+    corpus.  Deterministic ordering: count desc, term asc.
+    """
+    from pyspark.sql import Window
+
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
+    counts = (
+        docs.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= VOCAB_TOP_N)
+        .select(
+            "rank",
+            "term",
+            F.col("n").alias("n_occurrences"),
+            F.round(
+                F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("total"),
+                6,
+            ).alias("cum_coverage"),
+        )
+    )

@@ -1043,3 +1043,58 @@ ORACLE_TRAINING["embedding_quantize"] = f"""
                    AS recon_err
         FROM c
     """
+
+# ---------- vocab coverage / audio resample / cluster retention ----------
+
+from .operators.multimodal import RESAMPLE_FACTOR  # noqa: E402
+from .operators.textops import VOCAB_TOP_N  # noqa: E402
+
+# ascii payload chars are < 128, so the signed-int8 bytes equal the unsigned
+# codes and hex-pack directly as (v // 16, v % 16)
+_HEX1 = "substr('0123456789abcdef', x // 16 + 1, 1) || substr('0123456789abcdef', x % 16 + 1, 1)"
+
+ORACLE_TRAINING.update(
+    {
+        "vocab_coverage": f"""
+        WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+        tf AS (
+          SELECT term, count(*) AS n
+          FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term
+        ), tot AS (SELECT sum(n) AS total FROM tf),
+        ranked AS (
+          SELECT term, n,
+                 row_number() OVER (ORDER BY n DESC, term) AS rank,
+                 sum(n) OVER (ORDER BY n DESC, term ROWS UNBOUNDED PRECEDING) AS cum
+          FROM tf
+        )
+        SELECT rank, term, n AS n_occurrences,
+               round(cum / total, 6) AS cum_coverage
+        FROM ranked CROSS JOIN tot
+        WHERE rank <= {VOCAB_TOP_N}
+    """,
+        "audio_resample": f"""
+        WITH c AS (
+          SELECT doc_id, {_CODES} AS s FROM documents
+        ), k AS (
+          SELECT doc_id, s,
+                 [s[i] FOR i IN range(1, len(s) + 1)
+                  IF (i - 1) % {RESAMPLE_FACTOR} = 0] AS kept
+          FROM c
+        )
+        SELECT doc_id,
+               CAST(len(s) AS INT) AS n_in,
+               CAST(len(kept) AS INT) AS n_out,
+               coalesce(array_to_string(list_transform(kept, x -> {_HEX1}), ''), '')
+                   AS resampled_hex,
+               CASE WHEN len(kept) = 0 THEN 0.0
+                    ELSE sqrt(CAST(list_sum(list_transform(kept, x -> x * x)) AS DOUBLE)
+                              / len(kept)) END AS out_rms
+        FROM k
+    """,
+        "cluster_keep": f"""
+        SELECT doc_id, cluster_size
+        FROM ({ORACLE_TRAINING["dedup_clusters"]})
+        WHERE is_canonical
+    """,
+    }
+)

@@ -71,6 +71,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_idf_top_terms": T.tf_idf_top_terms,
     "normalize_text": T.normalize_text,
     "pii_scrub": T.pii_scrub,
+    "vocab_coverage": T.vocab_coverage,
     # --- training-data pipeline: dedup ---
     "exact_dedup": D.exact_dedup,
     "minhash_signatures": D.minhash_signatures,
@@ -84,6 +85,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": D.dedup_clusters,
     "incremental_dedup": D.incremental_dedup,
     "segment_dedup": D.segment_dedup,
+    "cluster_keep": D.cluster_keep,
     # --- training-data pipeline: corpus assembly ---
     "hash_split": P.hash_split,
     "corpus_retention": P.corpus_retention,
@@ -119,6 +121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_features": M.audio_features,
     "image_phash": M.image_phash,
     "phash_near_pairs": M.phash_near_pairs,
+    "audio_resample": M.audio_resample,
 }
 
 # The witness edge set, shared by witness_subgraph and the graph-skeleton
