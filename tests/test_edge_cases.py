@@ -1,0 +1,101 @@
+"""Degenerate-input robustness: empty corpus and pathological documents
+(empty text, single token) must not crash any registered operator and
+must produce shape-sane outputs.  Real corpora always contain a few of
+these rows; an operator that throws on them takes down a 100 TB job."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from helium_arango_etl_spark.operators.dedup import clear_sig_cache
+from helium_arango_etl_spark.registry import QUERIES
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+# documents-table operators that must survive degenerate rows
+DOC_OPS = [
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "near_dup_keep",
+    "dedup_clusters",
+    "cluster_keep",
+    "segment_dedup",
+    "incremental_dedup",
+    "simhash",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "bpe_token_stats",
+    "tf_idf_top_terms",
+    "vocab_coverage",
+    "normalize_text",
+    "pii_scrub",
+    "per_source_cap",
+    "hash_split",
+    "mixture_sample",
+    "corpus_summary",
+    "image_features",
+    "image_phash",
+    "phash_near_pairs",
+    "image_resize",
+    "video_frame_sample",
+    "audio_features",
+    "audio_resample",
+]
+
+
+@pytest.fixture()
+def degenerate_dir(spark, tmp_path):
+    rows = [
+        (0, "", "en", "src0", 0),                       # empty text
+        (1, "solo", "en", "src0", 4),                   # single token
+        (2, "a b", "en", "src1", 3),                    # below shingle K
+        (3, "the quick brown fox jumps over it", "en", "src1", 33),
+        (4, "the quick brown fox jumps over it", "en", "src2", 33),  # exact dup
+    ]
+    spark.createDataFrame(rows, DOC_SCHEMA).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    clear_sig_cache(spark)
+    yield str(tmp_path)
+    clear_sig_cache(spark)
+
+
+@pytest.fixture()
+def empty_dir(spark, tmp_path):
+    spark.createDataFrame([], DOC_SCHEMA).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    clear_sig_cache(spark)
+    yield str(tmp_path)
+    clear_sig_cache(spark)
+
+
+@pytest.mark.parametrize("name", DOC_OPS)
+def test_degenerate_documents_do_not_crash(spark, degenerate_dir, name):
+    df = QUERIES[name](spark, degenerate_dir)
+    assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", DOC_OPS)
+def test_empty_corpus_yields_empty_results(spark, empty_dir, name):
+    df = QUERIES[name](spark, empty_dir)
+    # vocab_coverage/tf_idf etc. must return 0 rows, never crash
+    assert df.count() == 0
+
+
+def test_degenerate_semantics(spark, degenerate_dir):
+    """Spot-check semantics on the degenerate corpus: the exact dup pair
+    collapses, short docs have no signatures, empty text survives hygiene."""
+    from helium_arango_etl_spark.operators.dedup import exact_dedup, minhash_signatures
+
+    assert exact_dedup(spark, degenerate_dir).count() == 4  # 5 docs, 1 dup
+    # docs 0-2 are too short to shingle -> no signature rows
+    assert sorted(
+        r["doc_id"] for r in minhash_signatures(spark, degenerate_dir).collect()
+    ) == [3, 4]
+    nt = {r["doc_id"]: r["norm_text"] for r in QUERIES["normalize_text"](spark, degenerate_dir).collect()}
+    assert nt[0] == ""
