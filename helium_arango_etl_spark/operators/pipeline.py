@@ -156,3 +156,31 @@ def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_quality"),
         )
     )
+
+
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed manifest of the assembled corpus (the version
+    stamp a reproducible data pipeline publishes per release): kept-doc
+    count, total tokens, and an ORDER-INDEPENDENT corpus hash — the XOR
+    of each kept doc's md5-derived 60-bit integer.  XOR is associative,
+    commutative, and overflow-free, so the hash combines map-side under
+    any partitioning and merges across appends (a SUM of 60-bit values
+    would overflow int64 — which Spark wraps and DuckDB silently promotes
+    to HUGEINT, diverging).  Two corpora match iff their kept doc-id sets
+    match (up to the 60-bit collision bound; ids are unique so XOR's
+    even-multiplicity blindness is moot).
+    """
+    from .textops import TOKS
+
+    kept = corpus_retention(spark, sf_dir).select("doc_id")
+    docs = read_table(spark, sf_dir, "documents").join(kept, "doc_id", "left_semi")
+    h = "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+    return docs.select(
+        "doc_id",
+        F.expr(h).alias("h"),
+        F.size(F.expr(TOKS)).alias("nt"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+        F.expr("bit_xor(h)").cast("bigint").alias("corpus_hash"),
+    )

@@ -1098,3 +1098,16 @@ ORACLE_TRAINING.update(
     """,
     }
 )
+
+# ---------- corpus manifest ----------
+
+ORACLE_TRAINING["corpus_manifest"] = f"""
+        WITH kept AS (
+          SELECT k.doc_id FROM ({ORACLE_TRAINING["corpus_retention"]}) k
+        )
+        SELECT count(*) AS n_docs,
+               CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+               CAST(bit_xor(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT)
+                    AS BIGINT) AS corpus_hash
+        FROM documents d JOIN kept USING (doc_id)
+    """
