@@ -248,3 +248,42 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+EWMA_ALPHA = 0.5  # exact binary fraction: the fold arithmetic is engine-identical
+
+
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values in
+    event-time order: s_1 = v_1, s_i = α·v_i + (1−α)·s_{i−1} — the
+    time-decayed feature a behavioral model reads per entity.
+
+    Scale shape: an EWMA is inherently a per-key sequential fold, so the
+    scalable form is exactly this — one shuffle on user_id, collect the
+    key's (bounded) event history in order, fold it with a higher-order
+    ``aggregate`` inside codegen.  State per key is O(1) during the fold;
+    no window-function global sort, no iterative joins.  α = 0.5 is an
+    exact binary fraction and the fold order is pinned by (ts, event_id),
+    so the result doubles are bit-identical across engines (no rounding
+    needed).
+    """
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    grouped = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(ts, event_id, value))),"
+                " s -> s.value)"
+            ).alias("vs")
+        )
+    )
+    a = EWMA_ALPHA
+    fold = (
+        f"aggregate(slice(vs, 2, size(vs) - 1), cast(element_at(vs, 1) as double),"
+        f" (acc, x) -> {a} * x + {1 - a} * acc)"
+    )
+    return grouped.select(
+        "user_id",
+        F.size("vs").cast("bigint").alias("n_events"),
+        F.expr(fold).alias("ewma_value"),
+    )

@@ -98,6 +98,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "height_asof": TP.height_asof,
     "sessionize": TP.sessionize,
     "session_stats": TP.session_stats,
+    "user_value_ewma": TP.user_value_ewma,
     # --- range join + quantiles ---
     "block_activity_7d": RG.block_activity_7d,
     "price_quantiles": RG.price_quantiles,
@@ -547,6 +548,20 @@ ORACLE: dict[str, str] = {
                (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_s,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM s GROUP BY user_id, session_idx
+    """,
+    "user_value_ewma": f"""
+        WITH g AS (
+          SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(len(vs) AS BIGINT) AS n_events,
+               CASE WHEN len(vs) = 1 THEN vs[1]
+                    ELSE list_reduce(list_transform(vs, x -> CAST(x AS DOUBLE)),
+                                     (acc, x) -> {TP.EWMA_ALPHA} * x
+                                                 + {1 - TP.EWMA_ALPHA} * acc) END
+                   AS ewma_value
+        FROM g
     """,
     "bloom_prune_stats": f"""
         WITH build AS (
