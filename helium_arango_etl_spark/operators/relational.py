@@ -404,3 +404,41 @@ def sql_rewards_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+PROFILE_COLS = ["event_id", "user_id", "value"]
+
+
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile of the events fact table (the data-quality gate an
+    ingest pipeline runs per batch): row count, null count, exact distinct
+    count, min/max per numeric column, one output row per column.
+
+    Scale shape: a single wide aggregate computes every per-column metric
+    in one pass (count-distinct expands via Spark's Expand operator with
+    map-side partials — still one scan), then the 1×N metric row unpivots
+    to N rows with ``stack`` — driver-free, and the unpivot runs on one
+    tiny row.  For 100 TB profiling swap count(DISTINCT) for
+    approx_count_distinct and keep the identical surface.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+        ]
+    wide = ev.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack})"
+            " as (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )

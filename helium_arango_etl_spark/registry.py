@@ -46,6 +46,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "payment_v2_exploded": R.payment_v2_exploded,
     "token_explode": R.token_explode,
     "rewards_by_address": R.rewards_by_address,
+    "events_profile": R.events_profile,
     # --- windows / dedup semantics (SURVEY §2 E) ---
     "keep_latest_witness": W.keep_latest_witness,
     "topk_per_group": W.topk_per_group,
@@ -548,6 +549,29 @@ ORACLE: dict[str, str] = {
                (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_s,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM s GROUP BY user_id, session_idx
+    """,
+    "events_profile": """
+        SELECT column_name, n_rows, n_nulls, n_distinct, min_value, max_value
+        FROM (
+          SELECT 'event_id' AS column_name, count(*) AS n_rows,
+                 CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                 count(DISTINCT event_id) AS n_distinct,
+                 CAST(min(event_id) AS DOUBLE) AS min_value,
+                 CAST(max(event_id) AS DOUBLE) AS max_value
+          FROM events
+          UNION ALL
+          SELECT 'user_id', count(*),
+                 CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 count(DISTINCT user_id),
+                 CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+          FROM events
+          UNION ALL
+          SELECT 'value', count(*),
+                 CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 count(DISTINCT value),
+                 CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
+          FROM events
+        )
     """,
     "user_value_ewma": f"""
         WITH g AS (
