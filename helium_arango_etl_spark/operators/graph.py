@@ -375,3 +375,76 @@ def witness_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("component_size"),
     )
+
+
+# Declarative PageRank: fixed iteration count + per-iteration state
+# quantization (round 9dp), the same trick that makes k-means
+# oracle-checkable — both engines iterate from identical quantized ranks,
+# so the joins/aggregations produce identical results.
+PR_ITERS = 3
+PR_DAMPING = 0.85
+
+
+def city_pagerank_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-city PageRank as PURE DataFrame joins — the declarative,
+    fully-oracled counterpart of the applyInPandas/networkx-exact path
+    (city_graph_metrics): PR_ITERS damped power-iteration steps with
+    uniform edge weights and dangling-mass redistribution, over the valid
+    witness edge set.
+
+    Scale shape per iteration: rank/out-degree join (keyed on (city,
+    node)), edge-contribution shuffle keyed on (city, dst) with map-side
+    partial sums, and a per-city dangling scalar that broadcasts — the
+    textbook distributed PageRank data flow, no driver-side graph, no
+    Python.  Every iteration localCheckpoints to truncate lineage.
+    """
+    edges = (
+        witness_subgraph(spark, sf_dir).select("city_key", "src", "dst").distinct()
+    ).persist()
+    nodes = (
+        edges.select("city_key", F.col("src").alias("node"))
+        .unionByName(edges.select("city_key", F.col("dst").alias("node")))
+        .distinct()
+    )
+    nn = nodes.groupBy("city_key").agg(F.count(F.lit(1)).alias("n"))
+    outdeg = edges.groupBy("city_key", "src").agg(F.count(F.lit(1)).alias("deg"))
+    base = nodes.join(F.broadcast(nn), "city_key")
+    d = PR_DAMPING
+    r = base.select(
+        "city_key", "node", "n", F.round(F.expr("cast(1 as double) / n"), 9).alias("r")
+    ).localCheckpoint()
+    for _ in range(PR_ITERS):
+        rd = r.join(
+            outdeg.withColumnRenamed("src", "node"), ["city_key", "node"]
+        ).select("city_key", F.col("node").alias("src"), (F.col("r") / F.col("deg")).alias("w"))
+        contrib = (
+            edges.join(rd, ["city_key", "src"])
+            .groupBy("city_key", F.col("dst").alias("node"))
+            .agg(F.sum("w").alias("c"))
+        )
+        dang = (
+            r.join(
+                outdeg.withColumnRenamed("src", "node"),
+                ["city_key", "node"],
+                "left_anti",
+            )
+            .groupBy("city_key")
+            .agg(F.sum("r").alias("dsum"))
+        )
+        r = (
+            base.join(contrib, ["city_key", "node"], "left")
+            .join(F.broadcast(dang), "city_key", "left")
+            .select(
+                "city_key",
+                "node",
+                "n",
+                F.round(
+                    (1 - d) / F.col("n")
+                    + d * (F.coalesce("c", F.lit(0.0)) + F.coalesce("dsum", F.lit(0.0)) / F.col("n")),
+                    9,
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    return r.select("city_key", "node", F.round("r", 6).alias("pagerank"))

@@ -631,3 +631,67 @@ ORACLE: dict[str, str] = {
 }
 
 ORACLE.update(ORACLE_TRAINING)
+
+
+# ---------- declarative PageRank oracle (unrolled quantized iterations) ----------
+#
+# Damping constants are embedded via repr() and CAST(... AS DOUBLE): DuckDB
+# parses bare decimal literals as DECIMAL (exact), Spark received the Python
+# doubles — the cast pins both engines to the identical float64 values
+# (note 1 - 0.85 is 0.15000000000000002 in binary, not 0.15).
+
+
+def _pagerank_sql() -> str:
+    d = repr(G.PR_DAMPING)
+    um = repr(1 - G.PR_DAMPING)
+    parts = [
+        f"""
+        WITH edges0 AS ({_WITNESS_SQL}),
+        edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        nodes AS (
+          SELECT DISTINCT city_key, node FROM (
+            SELECT city_key, src AS node FROM edges
+            UNION ALL SELECT city_key, dst FROM edges
+          )
+        ),
+        nn AS (SELECT city_key, count(*) AS n FROM nodes GROUP BY city_key),
+        outdeg AS (
+          SELECT city_key, src, count(*) AS deg FROM edges GROUP BY city_key, src
+        ),
+        r0 AS (
+          SELECT nodes.city_key, node, n, round(CAST(1 AS DOUBLE) / n, 9) AS r
+          FROM nodes JOIN nn USING (city_key)
+        )"""
+    ]
+    for i in range(1, G.PR_ITERS + 1):
+        p = f"r{i - 1}"
+        parts.append(f"""
+        , rd{i} AS (
+          SELECT r.city_key, r.node AS src, r.r / o.deg AS w
+          FROM {p} r JOIN outdeg o ON o.city_key = r.city_key AND o.src = r.node
+        ), co{i} AS (
+          SELECT e.city_key, e.dst AS node, sum(w) AS c
+          FROM edges e JOIN rd{i} USING (city_key, src)
+          GROUP BY e.city_key, e.dst
+        ), dg{i} AS (
+          SELECT r.city_key, sum(r.r) AS dsum
+          FROM {p} r LEFT JOIN outdeg o ON o.city_key = r.city_key AND o.src = r.node
+          WHERE o.src IS NULL GROUP BY r.city_key
+        ), r{i} AS (
+          SELECT nd.city_key, nd.node, nn.n,
+                 round(CAST({um} AS DOUBLE) / nn.n
+                       + CAST({d} AS DOUBLE)
+                         * (coalesce(c.c, 0) + coalesce(g.dsum, 0) / nn.n), 9) AS r
+          FROM nodes nd
+          JOIN nn USING (city_key)
+          LEFT JOIN co{i} c ON c.city_key = nd.city_key AND c.node = nd.node
+          LEFT JOIN dg{i} g ON g.city_key = nd.city_key
+        )""")
+    parts.append(f"""
+        SELECT city_key, node, round(r, 6) AS pagerank FROM r{G.PR_ITERS}
+    """)
+    return "".join(parts)
+
+
+QUERIES["city_pagerank_joins"] = G.city_pagerank_joins
+ORACLE["city_pagerank_joins"] = _pagerank_sql()

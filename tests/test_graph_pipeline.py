@@ -68,3 +68,22 @@ def test_metrics_rows_match_oracled_skeleton(spark, sf_dir, metrics):
     skel = {(r["city_key"], r["address"]) for r in city_graph_nodes(spark, sf_dir).collect()}
     got = {(r["city_key"], r["address"]) for r in metrics.select("city_key", "address").collect()}
     assert got == skel
+
+
+def test_city_pagerank_joins_sums_to_one_per_city(spark, sf_dir):
+    """Declarative PageRank invariant: damped power iteration with dangling
+    redistribution conserves probability mass — ranks in every city sum to
+    ~1 (up to the per-iteration 9dp quantization)."""
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_spark.operators.graph import city_pagerank_joins
+
+    sums = (
+        city_pagerank_joins(spark, sf_dir)
+        .groupBy("city_key")
+        .agg(F.sum("pagerank").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sums
+    for row in sums:
+        assert abs(row["s"] - 1.0) < 1e-4, (row["city_key"], row["s"])
