@@ -448,3 +448,63 @@ def city_pagerank_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     edges.unpersist()
     return r.select("city_key", "node", F.round("r", 6).alias("pagerank"))
+
+
+HITS_ITERS = 3
+
+
+def city_hits_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-city HITS as pure DataFrame joins — declarative, fully-oracled
+    counterpart of the applyInPandas path (city_hits): HITS_ITERS
+    mutual-reinforcement steps with L1 normalization per step, over the
+    valid witness edge set.  authority = normalized in-flow of hub scores,
+    hub = normalized out-flow of authority scores.
+
+    Same scale shape as city_pagerank_joins: per step, two keyed
+    join+aggregate passes (map-side partial sums) and a per-city
+    normalizing scalar that broadcasts; 9dp quantization per step pins
+    both engines to identical state.
+    """
+    edges = (
+        witness_subgraph(spark, sf_dir).select("city_key", "src", "dst").distinct()
+    ).persist()
+    nodes = (
+        edges.select("city_key", F.col("src").alias("node"))
+        .unionByName(edges.select("city_key", F.col("dst").alias("node")))
+        .distinct()
+    )
+    nn = nodes.groupBy("city_key").agg(F.count(F.lit(1)).alias("n"))
+    h = nodes.join(F.broadcast(nn), "city_key").select(
+        "city_key", "node", F.round(F.expr("cast(1 as double) / n"), 9).alias("h")
+    ).localCheckpoint()
+
+    def _flow(scores, score_col, from_col, to_col, out_col):
+        """Sum `score_col` over edges from `from_col` endpoints onto
+        `to_col` endpoints, L1-normalize per city, quantize."""
+        raw = (
+            edges.join(
+                scores.withColumnRenamed("node", from_col), ["city_key", from_col]
+            )
+            .groupBy("city_key", F.col(to_col).alias("node"))
+            .agg(F.sum(score_col).alias("raw"))
+        )
+        filled = nodes.join(raw, ["city_key", "node"], "left").select(
+            "city_key", "node", F.coalesce("raw", F.lit(0.0)).alias("raw")
+        )
+        tot = filled.groupBy("city_key").agg(F.sum("raw").alias("tot"))
+        return filled.join(F.broadcast(tot), "city_key").select(
+            "city_key", "node", F.round(F.col("raw") / F.col("tot"), 9).alias(out_col)
+        )
+
+    for _ in range(HITS_ITERS):
+        a = _flow(h, "h", "src", "dst", "a").localCheckpoint()
+        h = _flow(a, "a", "dst", "src", "h").localCheckpoint()
+    return (
+        h.join(a, ["city_key", "node"])
+        .select(
+            "city_key",
+            "node",
+            F.round("h", 6).alias("hub_score"),
+            F.round("a", 6).alias("authority_score"),
+        )
+    )

@@ -695,3 +695,59 @@ def _pagerank_sql() -> str:
 
 QUERIES["city_pagerank_joins"] = G.city_pagerank_joins
 ORACLE["city_pagerank_joins"] = _pagerank_sql()
+
+
+def _hits_sql() -> str:
+    parts = [
+        f"""
+        WITH edges0 AS ({_WITNESS_SQL}),
+        edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        nodes AS (
+          SELECT DISTINCT city_key, node FROM (
+            SELECT city_key, src AS node FROM edges
+            UNION ALL SELECT city_key, dst FROM edges
+          )
+        ),
+        nn AS (SELECT city_key, count(*) AS n FROM nodes GROUP BY city_key),
+        h0 AS (
+          SELECT nodes.city_key, node, round(CAST(1 AS DOUBLE) / n, 9) AS s
+          FROM nodes JOIN nn USING (city_key)
+        )"""
+    ]
+
+    def flow(i, src_cte, from_col, to_col, out):
+        return f"""
+        , {out}raw{i} AS (
+          SELECT e.city_key, e.{to_col} AS node, sum(p.s) AS raw
+          FROM edges e JOIN {src_cte} p
+            ON p.city_key = e.city_key AND p.node = e.{from_col}
+          GROUP BY e.city_key, e.{to_col}
+        ), {out}f{i} AS (
+          SELECT nd.city_key, nd.node, coalesce(r.raw, 0) AS raw
+          FROM nodes nd LEFT JOIN {out}raw{i} r
+            ON r.city_key = nd.city_key AND r.node = nd.node
+        ), {out}{i} AS (
+          SELECT f.city_key, f.node,
+                 round(f.raw / t.tot, 9) AS s
+          FROM {out}f{i} f
+          JOIN (SELECT city_key, sum(raw) AS tot FROM {out}f{i} GROUP BY city_key) t
+            USING (city_key)
+        )"""
+
+    prev_h = "h0"
+    for i in range(1, G.HITS_ITERS + 1):
+        parts.append(flow(i, prev_h, "src", "dst", "a"))
+        parts.append(flow(i, f"a{i}", "dst", "src", "h"))
+        prev_h = f"h{i}"
+    n = G.HITS_ITERS
+    parts.append(f"""
+        SELECT h.city_key, h.node,
+               round(h.s, 6) AS hub_score,
+               round(a.s, 6) AS authority_score
+        FROM h{n} h JOIN a{n} a ON a.city_key = h.city_key AND a.node = h.node
+    """)
+    return "".join(parts)
+
+
+QUERIES["city_hits_joins"] = G.city_hits_joins
+ORACLE["city_hits_joins"] = _hits_sql()
