@@ -508,3 +508,38 @@ def city_hits_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("a", 6).alias("authority_score"),
         )
     )
+
+
+def co_witness_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the witness graph onto hotspots: two
+    hotspots are co-witnesses when the same witness node saw both, with
+    edge weight = number of shared witnesses (the classic one-mode
+    projection that turns S→C sightings into an S–S similarity graph).
+
+    Scale shape: single-scan groupBy on the witness side → in-group pair
+    generation from the sorted member array (identical shape to the LSH
+    bucket pair gen — never a self-join of the edge table), then a
+    groupBy on the (sparse) pair key to accumulate shared-witness counts.
+    Only (city, src, dst) id triples ever shuffle.  A "celebrity" witness
+    with fan-in k emits k·(k−1)/2 pairs in one task; a production corpus
+    with unbounded fan-in caps the group exactly like the LSH hot-bucket
+    cap (dedup._bucket_pairs max_bucket + lsh_bucket_stats accounting).
+    """
+    edges = (
+        witness_subgraph(spark, sf_dir).select("city_key", "src", "dst").distinct()
+    )
+    groups = (
+        edges.groupBy("city_key", "dst")
+        .agg(F.sort_array(F.collect_list("src")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pair_gen = (
+        "flatten(transform(ss, (a, i) ->"
+        " transform(slice(ss, i + 2, size(ss) - i - 1),"
+        " b -> struct(a AS src_a, b AS src_b))))"
+    )
+    return (
+        groups.select("city_key", F.explode(F.expr(pair_gen)).alias("p"))
+        .groupBy("city_key", F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("shared_witnesses"))
+    )

@@ -751,3 +751,15 @@ def _hits_sql() -> str:
 
 QUERIES["city_hits_joins"] = G.city_hits_joins
 ORACLE["city_hits_joins"] = _hits_sql()
+
+
+QUERIES["co_witness_pairs"] = G.co_witness_pairs
+ORACLE["co_witness_pairs"] = f"""
+        WITH edges0 AS ({_WITNESS_SQL}),
+        edges AS (SELECT DISTINCT city_key, src, dst FROM edges0)
+        SELECT a.city_key, a.src AS src_a, b.src AS src_b,
+               count(*) AS shared_witnesses
+        FROM edges a
+        JOIN edges b ON a.city_key = b.city_key AND a.dst = b.dst AND a.src < b.src
+        GROUP BY a.city_key, a.src, b.src
+    """
