@@ -287,3 +287,50 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vs").cast("bigint").alias("n_events"),
         F.expr(fold).alias("ewma_value"),
     )
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis over the event stream: how many users
+    reached step k of FUNNEL_STEPS IN ORDER (each step strictly after the
+    previous step's FIRST occurrence) — the product-analytics query every
+    event warehouse serves.
+
+    Scale shape: one conditional aggregation pass groups events by user
+    (map-side partial min/filter per step), computing the first qualifying
+    timestamp of each step via nested conditional MINs — no self-joins, no
+    window over the global stream, no per-user explode.  The final rollup
+    is a COUNT over step-reach flags — one row out.
+    """
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("ts"))).alias("t0"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("event_type").isin(FUNNEL_STEPS[1], FUNNEL_STEPS[2]),
+                    F.struct("ts", "event_type"),
+                )
+            )
+        ).alias("later"),
+    )
+    # step k's first qualifying time = first event of that type AFTER the
+    # previous step's qualifying time: a linear scan over the user's
+    # (sorted, small) later-step events — array fold, no join
+    t1 = (
+        f"array_min(transform(filter(later, x -> x.event_type = '{FUNNEL_STEPS[1]}'"
+        " AND t0 IS NOT NULL AND x.ts > t0), x -> x.ts))"
+    )
+    t2 = (
+        f"array_min(transform(filter(later, x -> x.event_type = '{FUNNEL_STEPS[2]}'"
+        " AND t1 IS NOT NULL AND x.ts > t1), x -> x.ts))"
+    )
+    staged = per_user.withColumn("t1", F.expr(t1)).withColumn("t2", F.expr(t2))
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t0").isNotNull(), 1).otherwise(0)).cast("bigint").alias("reached_view"),
+        F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).cast("bigint").alias("reached_click"),
+        F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).cast("bigint").alias("reached_purchase"),
+    )

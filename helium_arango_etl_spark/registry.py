@@ -763,3 +763,31 @@ ORACLE["co_witness_pairs"] = f"""
         JOIN edges b ON a.city_key = b.city_key AND a.dst = b.dst AND a.src < b.src
         GROUP BY a.city_key, a.src, b.src
     """
+
+
+QUERIES["funnel_conversion"] = TP.funnel_conversion
+ORACLE["funnel_conversion"] = f"""
+        WITH t0s AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = '{TP.FUNNEL_STEPS[0]}' THEN ts END) AS t0
+          FROM events GROUP BY user_id
+        ), t1s AS (
+          SELECT e.user_id, min(e.ts) AS t1
+          FROM events e JOIN t0s USING (user_id)
+          WHERE e.event_type = '{TP.FUNNEL_STEPS[1]}' AND t0s.t0 IS NOT NULL AND e.ts > t0s.t0
+          GROUP BY e.user_id
+        ), t2s AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN t1s USING (user_id)
+          WHERE e.event_type = '{TP.FUNNEL_STEPS[2]}' AND e.ts > t1s.t1
+          GROUP BY e.user_id
+        )
+        SELECT count(*) AS n_users,
+               CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS reached_{TP.FUNNEL_STEPS[0]},
+               CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS reached_{TP.FUNNEL_STEPS[1]},
+               CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS reached_{TP.FUNNEL_STEPS[2]}
+        FROM t0s LEFT JOIN t1s USING (user_id) LEFT JOIN t2s USING (user_id)
+    """
