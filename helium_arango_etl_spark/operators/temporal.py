@@ -334,3 +334,50 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).cast("bigint").alias("reached_click"),
         F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).cast("bigint").alias("reached_purchase"),
     )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted by how
+    many were active again N days later — the companion query to
+    funnel_conversion in every event warehouse.
+
+    Scale shape: first-seen day is one grouped MIN over (user, day)
+    pairs; activity offsets join that (small, one row per user) table
+    back to the distinct (user, day) activity relation — both shuffles
+    are keyed on user_id and combiner-folded; the final rollup has at
+    most |days|² cells.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    activity = ev.distinct()
+    first_seen = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day event-type matrix via Spark's native pivot (explicit value
+    list, so the plan is a single conditional aggregation — no second
+    pass to discover pivot values, and the oracle's CASE columns are the
+    same computation).  One combiner-folded shuffle on day."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    types = ["view", "click", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in types]
+    )

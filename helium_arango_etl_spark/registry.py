@@ -791,3 +791,29 @@ ORACLE["funnel_conversion"] = f"""
                    AS reached_{TP.FUNNEL_STEPS[2]}
         FROM t0s LEFT JOIN t1s USING (user_id) LEFT JOIN t2s USING (user_id)
     """
+
+
+QUERIES["cohort_retention"] = TP.cohort_retention
+ORACLE["cohort_retention"] = """
+        WITH activity AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), first_seen AS (
+          SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+        )
+        SELECT f.cohort_day,
+               CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
+               count(DISTINCT a.user_id) AS n_active_users
+        FROM activity a JOIN first_seen f USING (user_id)
+        GROUP BY f.cohort_day, a.day - f.cohort_day
+    """
+
+QUERIES["daily_event_pivot"] = TP.daily_event_pivot
+ORACLE["daily_event_pivot"] = """
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        FROM events GROUP BY CAST(ts AS DATE)
+    """
