@@ -152,3 +152,56 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal").cast("double").alias("acctbal"),
         )
     )
+
+
+TRAILING_US = 7 * 86400 * 1_000_000  # 7 days in microseconds
+
+
+def user_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event, the user's trailing-7-day value sum (inclusive of the
+    current event) — a RANGE-framed event-time window, the per-row rolling
+    feature a behavioral model reads.
+
+    Scale shape: one shuffle on user_id; the RANGE frame is evaluated
+    with a sliding two-pointer over each key's sorted events (Spark's
+    bounded-range window), never a self-join.  Sum in DECIMAL then one
+    final double cast (the rewards_5d pattern) so accumulation order
+    cannot drift the hash.
+    """
+    from ..io import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("unix_micros(ts)"))
+        .rangeBetween(-TRAILING_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d_value"),
+    )
+
+
+def balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance decile assignment (ntile(10), ties broken by key —
+    fully deterministic), plus each account's exact percent_rank.  One
+    global-sort window over the (small) customer dim; at fact scale the
+    same query runs per-partition-key or over a sampled quantile sketch
+    (rangeops.price_quantiles is the grouped-exact form)."""
+    from ..io import read_table
+
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return cust.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )

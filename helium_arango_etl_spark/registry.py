@@ -817,3 +817,23 @@ ORACLE["daily_event_pivot"] = """
                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
         FROM events GROUP BY CAST(ts AS DATE)
     """
+
+
+QUERIES["user_trailing_7d"] = W.user_trailing_7d
+ORACLE["user_trailing_7d"] = f"""
+        SELECT event_id, user_id, ts,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN {W.TRAILING_US} PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS trailing_7d_value
+        FROM events
+    """
+
+QUERIES["balance_deciles"] = W.balance_deciles
+ORACLE["balance_deciles"] = """
+        SELECT c_custkey,
+               CAST(c_acctbal AS DOUBLE) AS acctbal,
+               CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS decile,
+               round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank
+        FROM customer
+    """
