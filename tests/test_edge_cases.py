@@ -99,3 +99,32 @@ def test_degenerate_semantics(spark, degenerate_dir):
     ) == [3, 4]
     nt = {r["doc_id"]: r["norm_text"] for r in QUERIES["normalize_text"](spark, degenerate_dir).collect()}
     assert nt[0] == ""
+
+
+EMB_SCHEMA = "vec_id long, label string, embedding array<float>"
+
+EMB_OPS = [
+    "ann_cosine_topk",
+    "ann_batch_topk",
+    "lsh_bucket_topk",
+    "ivf_topk",
+    "ivf_topk_trained",
+    "kmeans_centroids",
+    "embedding_quantize",
+    "cosine_near_dup_pairs",
+    "embedding_norms",
+]
+
+
+@pytest.mark.parametrize("name", EMB_OPS)
+def test_empty_embeddings_yield_empty_results(spark, tmp_path, name):
+    from helium_arango_etl_spark.operators.similarity import clear_emb_cache
+
+    spark.createDataFrame([], EMB_SCHEMA).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    clear_emb_cache(spark)
+    try:
+        assert QUERIES[name](spark, str(tmp_path)).count() == 0
+    finally:
+        clear_emb_cache(spark)
