@@ -616,3 +616,37 @@ def cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_canonical"))
         .select("doc_id", "cluster_size")
     )
+
+
+def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty: the fraction of the doc's distinct
+    shingles that appear in NO other document — a memorization-risk /
+    boilerplate proxy (novelty 1.0 = fully unique content, ~0 = the doc is
+    assembled from corpus-common fragments).
+
+    Scale shape: one exploded (shingle-hash, doc_id) shuffle computes each
+    shingle's document frequency (hashes, never shingle text); a second
+    keyed aggregation folds per-doc novel counts.  Both are combiner-
+    friendly; the shared signature table supplies the shingle sets, so no
+    extra corpus scan.
+    """
+    sh = signature_table(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    ).select("doc_id", F.md5("shingle").alias("sid"))
+    df_ = sh.groupBy("sid").agg(F.countDistinct("doc_id").alias("docfreq"))
+    return (
+        sh.join(df_, "sid")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("docfreq") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )

@@ -363,3 +363,33 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_coverage"),
         )
     )
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: actual vs predicted counts — the
+    evaluation rollup that tells you whether the n-gram heuristic is good
+    enough to gate the mixture on.  Composes the per-doc classifier with
+    one bounded-cardinality (|langs|²) combiner-folded groupBy."""
+    return (
+        lang_id(spark, sf_dir)
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score distribution in 0.1-wide buckets — the calibration
+    view for choosing a retention threshold.  Bucket id is an integer
+    floor (exact, no float rounding ambiguity); per-row map work + one
+    tiny combiner-folded groupBy."""
+    return (
+        text_stats(spark, sf_dir)
+        .select(F.floor(F.col("quality_score") * 10).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "bucket",
+            (F.col("bucket") / 10.0).alias("bucket_lo"),
+            "n_docs",
+        )
+    )

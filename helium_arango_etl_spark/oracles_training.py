@@ -1111,3 +1111,44 @@ ORACLE_TRAINING["corpus_manifest"] = f"""
                     AS BIGINT) AS corpus_hash
         FROM documents d JOIN kept USING (doc_id)
     """
+
+# ---------- evaluation rollups + shingle novelty ----------
+
+ORACLE_TRAINING.update(
+    {
+        "lang_id_confusion": f"""
+        SELECT actual_lang, predicted_lang, count(*) AS n_docs
+        FROM ({ORACLE_TRAINING["lang_id"]})
+        GROUP BY actual_lang, predicted_lang
+    """,
+        "quality_histogram": f"""
+        SELECT bucket, bucket / 10.0 AS bucket_lo, count(*) AS n_docs
+        FROM (
+          SELECT CAST(floor(quality_score * 10) AS BIGINT) AS bucket
+          FROM ({ORACLE_TRAINING["text_stats"]})
+        )
+        GROUP BY bucket
+    """,
+        "shingle_novelty": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+        ), shset AS (
+          SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM toks
+        ), ex AS (
+          SELECT doc_id, unnest(sh) AS shingle FROM shset
+        ), e2 AS (
+          SELECT doc_id, md5(shingle) AS sid FROM ex
+        ), dfx AS (
+          SELECT sid, count(DISTINCT doc_id) AS docfreq FROM e2 GROUP BY sid
+        )
+        SELECT e2.doc_id,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN dfx.docfreq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel,
+               round(sum(CASE WHEN dfx.docfreq = 1 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS novelty
+        FROM e2 JOIN dfx USING (sid)
+        GROUP BY e2.doc_id
+    """,
+    }
+)

@@ -73,6 +73,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_text": T.normalize_text,
     "pii_scrub": T.pii_scrub,
     "vocab_coverage": T.vocab_coverage,
+    "lang_id_confusion": T.lang_id_confusion,
+    "quality_histogram": T.quality_histogram,
     # --- training-data pipeline: dedup ---
     "exact_dedup": D.exact_dedup,
     "minhash_signatures": D.minhash_signatures,
@@ -87,6 +89,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": D.incremental_dedup,
     "segment_dedup": D.segment_dedup,
     "cluster_keep": D.cluster_keep,
+    "shingle_novelty": D.shingle_novelty,
     # --- training-data pipeline: corpus assembly ---
     "hash_split": P.hash_split,
     "corpus_retention": P.corpus_retention,
