@@ -442,3 +442,45 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
         )
     )
+
+
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the fact/dim graph: for each
+    declared relationship, total child rows and orphan count (children
+    whose parent key is missing) — the load-validation gate an ETL runs
+    before publishing a sync (the reference trusts Postgres FKs; an
+    object-store lakehouse has to check).
+
+    Scale shape: each relationship is one left join against the distinct
+    parent-key set (broadcast when the parent is a dim, shuffle-keyed when
+    fact-fact) folded to a single counts row — the three 1-row aggregates
+    union into one declarative plan, no driver-side actions.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supplier = read_table(spark, sf_dir, "supplier")
+    customer = read_table(spark, sf_dir, "customer")
+
+    def check(name, child, child_key, parent, parent_key):
+        parents = (
+            parent.select(F.col(parent_key).alias("k"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        return (
+            child.select(F.col(child_key).alias("k"))
+            .join(parents, "k", "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("relationship"), "n_child_rows", "n_orphans")
+        )
+
+    return (
+        check("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(check("lineitem->supplier", li, "l_suppkey", supplier, "s_suppkey"))
+        .unionByName(check("orders->customer", orders, "o_custkey", customer, "c_custkey"))
+    )

@@ -840,3 +840,27 @@ ORACLE["balance_deciles"] = """
                round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank
         FROM customer
     """
+
+
+QUERIES["referential_integrity"] = R.referential_integrity
+ORACLE["referential_integrity"] = """
+        SELECT 'lineitem->orders' AS relationship,
+               count(*) AS n_child_rows,
+               CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_orphans
+        FROM lineitem l
+        LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'lineitem->supplier', count(*),
+               CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem l
+        LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+          ON l.l_suppkey = s.s_suppkey
+        UNION ALL
+        SELECT 'orders->customer', count(*),
+               CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders o
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON o.o_custkey = c.c_custkey
+    """
