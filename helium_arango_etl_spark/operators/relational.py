@@ -484,3 +484,37 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(check("lineitem->supplier", li, "l_suppkey", supplier, "s_suppkey"))
         .unionByName(check("orders->customer", orders, "o_custkey", customer, "c_custkey"))
     )
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped conditional-ratio aggregate: per part type, revenue
+    and its share of total windowed revenue — fact⋈dim broadcast join +
+    decimal-exact conditional sums (A1/C4/D1/H13 composed; completes table
+    coverage — `part` is the one testdata table no other query reads).
+
+    Scale shape: the part dim broadcasts; revenue sums are map-side
+    partial decimal aggregations; the total joins back as a broadcast
+    1-row aggregate (no second scan, no driver action).
+    """
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") > F.lit(WINDOW_START)) & (F.col("l_shipdate") < F.lit(WINDOW_END))
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    per_type = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev_d"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    total = per_type.agg(F.sum("rev_d").alias("tot_d"))
+    return (
+        per_type.crossJoin(F.broadcast(total))
+        .select(
+            "p_type",
+            "n_items",
+            F.col("rev_d").cast("double").alias("revenue"),
+            F.round((F.col("rev_d") / F.col("tot_d")).cast("double"), 6).alias("revenue_share"),
+        )
+    )

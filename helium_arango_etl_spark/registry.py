@@ -842,6 +842,7 @@ ORACLE["balance_deciles"] = """
     """
 
 
+QUERIES["promo_revenue_share"] = R.promo_revenue_share
 QUERIES["referential_integrity"] = R.referential_integrity
 ORACLE["referential_integrity"] = """
         SELECT 'lineitem->orders' AS relationship,
@@ -863,4 +864,21 @@ ORACLE["referential_integrity"] = """
         FROM orders o
         LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
           ON o.o_custkey = c.c_custkey
+    """
+
+
+ORACLE["promo_revenue_share"] = """
+        WITH per_type AS (
+          SELECT p.p_type,
+                 SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev_d,
+                 count(*) AS n_items
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE l.l_shipdate > TIMESTAMP '1996-01-01'
+            AND l.l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY p.p_type
+        ), tot AS (SELECT sum(rev_d) AS tot_d FROM per_type)
+        SELECT p_type, n_items,
+               CAST(rev_d AS DOUBLE) AS revenue,
+               round(CAST(rev_d / tot_d AS DOUBLE), 6) AS revenue_share
+        FROM per_type CROSS JOIN tot
     """
