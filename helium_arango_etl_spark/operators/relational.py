@@ -518,3 +518,30 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("rev_d") / F.col("tot_d")).cast("double"), 6).alias("revenue_share"),
         )
     )
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup: windowed revenue by (returnflag, linestatus)
+    with per-flag subtotals and a grand total in ONE pass — Spark's
+    ROLLUP lowers to a single Expand + aggregate, not three scans (the
+    OLAP subtotal family the other aggregates don't exercise).
+
+    NULL group markers are rendered as 'ALL' (coalesce) so the subtotal
+    rows are driver-hash-stable and self-describing.
+    """
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") > F.lit(WINDOW_START)) & (F.col("l_shipdate") < F.lit(WINDOW_END))
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_rows",
+        )
+    )

@@ -882,3 +882,16 @@ ORACLE["promo_revenue_share"] = """
                round(CAST(rev_d / tot_d AS DOUBLE), 6) AS revenue_share
         FROM per_type CROSS JOIN tot
     """
+
+
+QUERIES["revenue_rollup"] = R.revenue_rollup
+ORACLE["revenue_rollup"] = """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate > TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
