@@ -543,3 +543,105 @@ def co_witness_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("city_key", F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
         .agg(F.count(F.lit(1)).alias("shared_witnesses"))
     )
+
+
+def witness_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-city graph shape summary: nodes, edges, max/mean degree,
+    bipartite density — the monitoring rollup that decides which cities
+    get the expensive metrics pass (and catches pathological fan-in
+    before it hits pair generation).
+
+    Scale shape: degree counts are combiner-folded keyed aggregations;
+    the rollup is |cities| rows.
+    """
+    edges = (
+        witness_subgraph(spark, sf_dir).select("city_key", "src", "dst").distinct()
+    )
+    deg = (
+        edges.select("city_key", F.col("src").alias("node"))
+        .unionByName(edges.select("city_key", F.col("dst").alias("node")))
+        .groupBy("city_key", "node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    n_edges = edges.groupBy("city_key").agg(F.count(F.lit(1)).alias("n_edges"))
+    n_src = edges.select("city_key", "src").distinct().groupBy("city_key").agg(
+        F.count(F.lit(1)).alias("n_hotspots")
+    )
+    n_dst = edges.select("city_key", "dst").distinct().groupBy("city_key").agg(
+        F.count(F.lit(1)).alias("n_witnesses")
+    )
+    return (
+        deg.groupBy("city_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.max("deg").cast("bigint").alias("max_degree"),
+            F.round(F.avg("deg"), 6).alias("mean_degree"),
+        )
+        .join(n_edges, "city_key")
+        .join(n_src, "city_key")
+        .join(n_dst, "city_key")
+        .select(
+            "city_key",
+            "n_nodes",
+            "n_edges",
+            "n_hotspots",
+            "n_witnesses",
+            "max_degree",
+            "mean_degree",
+            F.round(
+                F.col("n_edges") / (F.col("n_hotspots") * F.col("n_witnesses")), 6
+            ).alias("bipartite_density"),
+        )
+    )
+
+
+KCORE_K = 2
+MAX_KCORE_ITERS = 30
+
+
+def witness_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core of each city's witness graph (iterative peeling: drop nodes
+    with degree < KCORE_K, recompute, repeat to fixpoint) — the "stable
+    mesh" extraction that strips pendant hotspots/witnesses before
+    structural analysis.  Degrees count SIGHTINGS (parallel edges), not
+    distinct partners: a node survives while it participates in at least
+    K witness events among surviving nodes — on this sparse mesh the
+    distinct-partner 2-core is empty (most witnesses see exactly one
+    hotspot), while the sighting-count core isolates the active kernel.
+
+    Scale shape per round: one combiner-folded degree count + two
+    semi-joins to drop edges touching peeled nodes — only (city, node)
+    pairs shuffle; localCheckpoint truncates lineage per round, and the
+    driver's convergence check is one monotone-decreasing edge count.
+    Rows-only under the driver contract (iterative fixpoint); invariants
+    (all surviving degrees >= K, subset of input) are pinned in
+    tests/test_graph_pipeline.py.
+    """
+    edges = (
+        witness_subgraph(spark, sf_dir)
+        .select("city_key", "src", "dst")
+        .localCheckpoint()
+    )
+    prev = edges.count()
+    for _ in range(MAX_KCORE_ITERS):
+        deg = (
+            edges.select("city_key", F.col("src").alias("node"))
+            .unionByName(edges.select("city_key", F.col("dst").alias("node")))
+            .groupBy("city_key", "node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("city_key", "node")
+        edges = (
+            edges.join(
+                keep.withColumnRenamed("node", "src"), ["city_key", "src"], "left_semi"
+            )
+            .join(
+                keep.withColumnRenamed("node", "dst"), ["city_key", "dst"], "left_semi"
+            )
+            .localCheckpoint()
+        )
+        cur = edges.count()
+        if cur == prev:
+            break
+        prev = cur
+    return edges

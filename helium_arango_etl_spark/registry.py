@@ -895,3 +895,32 @@ ORACLE["revenue_rollup"] = """
           AND l_shipdate < TIMESTAMP '1998-01-01'
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """
+
+
+QUERIES["witness_graph_summary"] = G.witness_graph_summary
+ORACLE["witness_graph_summary"] = f"""
+        WITH edges0 AS ({_WITNESS_SQL}),
+        edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        deg AS (
+          SELECT city_key, node, count(*) AS deg FROM (
+            SELECT city_key, src AS node FROM edges
+            UNION ALL SELECT city_key, dst FROM edges
+          ) GROUP BY city_key, node
+        ),
+        ne AS (SELECT city_key, count(*) AS n_edges FROM edges GROUP BY city_key),
+        ns AS (SELECT city_key, count(DISTINCT src) AS n_hotspots FROM edges GROUP BY city_key),
+        nd AS (SELECT city_key, count(DISTINCT dst) AS n_witnesses FROM edges GROUP BY city_key),
+        dn AS (
+          SELECT city_key, count(*) AS n_nodes,
+                 CAST(max(deg) AS BIGINT) AS max_degree,
+                 round(avg(deg), 6) AS mean_degree
+          FROM deg GROUP BY city_key
+        )
+        SELECT dn.city_key, dn.n_nodes, ne.n_edges, ns.n_hotspots, nd.n_witnesses,
+               dn.max_degree, dn.mean_degree,
+               round(ne.n_edges / CAST(ns.n_hotspots * nd.n_witnesses AS DOUBLE), 6)
+                   AS bipartite_density
+        FROM dn JOIN ne USING (city_key) JOIN ns USING (city_key) JOIN nd USING (city_key)
+    """
+
+QUERIES["witness_kcore"] = G.witness_kcore  # rows-only: iterative fixpoint

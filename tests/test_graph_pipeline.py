@@ -87,3 +87,31 @@ def test_city_pagerank_joins_sums_to_one_per_city(spark, sf_dir):
     assert sums
     for row in sums:
         assert abs(row["s"] - 1.0) < 1e-4, (row["city_key"], row["s"])
+
+
+def test_witness_kcore_invariants(spark, sf_dir):
+    """K-core invariants: every surviving node has degree >= K inside the
+    core, the core is a subset of the input edge set, and peeling is
+    idempotent (the core's own degrees already satisfy K, so one more
+    round removes nothing)."""
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_spark.operators.graph import (
+        KCORE_K,
+        witness_kcore,
+        witness_subgraph,
+    )
+
+    core = witness_kcore(spark, sf_dir)
+    n_core = core.count()
+    assert n_core > 0  # the sighting-count core is non-empty on the testdata
+    assert n_core <= witness_subgraph(spark, sf_dir).select(
+        "city_key", "src", "dst"
+    ).count()
+    deg = (
+        core.select("city_key", F.col("src").alias("node"))
+        .unionByName(core.select("city_key", F.col("dst").alias("node")))
+        .groupBy("city_key", "node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    assert deg.filter(F.col("deg") < KCORE_K).count() == 0
