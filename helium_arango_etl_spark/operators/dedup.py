@@ -650,3 +650,31 @@ def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
         )
     )
+
+
+PREFIX_LEN = 64
+
+
+def prefix_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance between the PREFIX_LEN-char prefixes of every
+    LSH candidate pair — the character-level verification signal beside
+    the token-level Jaccard (catches small in-token edits Jaccard's
+    3-token shingles overweight).  Edit distance is O(L²) per pair, which
+    is exactly why it only ever runs on the candidate set, never the
+    corpus cross product; prefixes bound L.
+    """
+    cand = candidate_pair_table(spark, sf_dir).select("doc_a", "doc_b")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, PREFIX_LEN).alias("prefix")
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").cast("bigint").alias("edit_distance"),
+        )
+    )

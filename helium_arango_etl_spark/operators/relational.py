@@ -545,3 +545,29 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+def missing_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-gap detection: contiguous ranges of heights absent from the
+    blocks table — the integrity check a follower runs before trusting
+    its cursor (the reference assumes Postgres gives it a gapless chain;
+    an object-store ingest has to verify).
+
+    Scale shape: one lead() window over the (orderkey-sorted) height
+    column; at fact scale the same query runs per height-bucket with a
+    carry row (the height_asof pattern) — the global window is fine here
+    because blocks are the SMALL table of the pair.
+    """
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("height"))
+    w = Window.orderBy("height")
+    return (
+        o.withColumn("next_h", F.lead("height").over(w))
+        .filter(F.col("next_h") > F.col("height") + 1)
+        .select(
+            (F.col("height") + 1).alias("gap_start"),
+            (F.col("next_h") - 1).alias("gap_end"),
+            (F.col("next_h") - F.col("height") - 1).alias("n_missing"),
+        )
+    )

@@ -1152,3 +1152,17 @@ ORACLE_TRAINING.update(
     """,
     }
 )
+
+# ---------- prefix edit distance over LSH candidates ----------
+
+from .operators.dedup import PREFIX_LEN  # noqa: E402
+
+ORACLE_TRAINING["prefix_edit_distance"] = _SIG_CTE + _CAND_CTE + f"""
+        SELECT c.doc_a, c.doc_b,
+               CAST(levenshtein(substr(da.text, 1, {PREFIX_LEN}),
+                                substr(db.text, 1, {PREFIX_LEN})) AS BIGINT)
+                   AS edit_distance
+        FROM cand c
+        JOIN documents da ON da.doc_id = c.doc_a
+        JOIN documents db ON db.doc_id = c.doc_b
+    """

@@ -90,6 +90,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_dedup": D.segment_dedup,
     "cluster_keep": D.cluster_keep,
     "shingle_novelty": D.shingle_novelty,
+    "prefix_edit_distance": D.prefix_edit_distance,
     # --- training-data pipeline: corpus assembly ---
     "hash_split": P.hash_split,
     "corpus_retention": P.corpus_retention,
@@ -924,3 +925,17 @@ ORACLE["witness_graph_summary"] = f"""
     """
 
 QUERIES["witness_kcore"] = G.witness_kcore  # rows-only: iterative fixpoint
+
+
+QUERIES["missing_blocks"] = R.missing_blocks
+ORACLE["missing_blocks"] = """
+        SELECT height + 1 AS gap_start,
+               next_h - 1 AS gap_end,
+               next_h - height - 1 AS n_missing
+        FROM (
+          SELECT o_orderkey AS height,
+                 lead(o_orderkey) OVER (ORDER BY o_orderkey) AS next_h
+          FROM orders
+        )
+        WHERE next_h > height + 1
+    """
