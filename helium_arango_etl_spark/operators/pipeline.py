@@ -184,3 +184,38 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nt").cast("bigint").alias("total_tokens"),
         F.expr("bit_xor(h)").cast("bigint").alias("corpus_hash"),
     )
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: content hashes whose byte-identical copies
+    landed in MORE THAN ONE of train/val/test — the contamination the
+    doc_id-keyed split cannot see (copies have different ids, so they
+    split independently; any eval doc with a training twin is leaked).
+    Returns one row per leaking hash with the canonical doc and the
+    distinct splits it reached.
+
+    Scale shape: one (text_hash, split) pair shuffle with map-side
+    distinct, then a groupBy on hash — bodies never shuffle; the result
+    is bounded by the duplicate count, not the corpus.
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    with_split = docs.join(
+        hash_split(spark, sf_dir).select("doc_id", "split"), "doc_id"
+    )
+    return (
+        with_split.groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_set("split")).alias("splits"),
+        )
+        .filter(F.size("splits") >= 2)
+        .select(
+            "text_hash",
+            "canonical_doc_id",
+            "n_copies",
+            F.array_join("splits", ",").alias("splits"),
+        )
+    )

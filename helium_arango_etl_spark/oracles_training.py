@@ -1166,3 +1166,28 @@ ORACLE_TRAINING["prefix_edit_distance"] = _SIG_CTE + _CAND_CTE + f"""
         JOIN documents da ON da.doc_id = c.doc_a
         JOIN documents db ON db.doc_id = c.doc_b
     """
+
+# ---------- split-leakage audit ----------
+
+from .operators.pipeline import SPLIT_TRAIN, SPLIT_VAL  # noqa: E402
+
+_DUCK_BUCKET = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100"
+)
+
+ORACLE_TRAINING["split_leakage"] = f"""
+        WITH s AS (
+          SELECT doc_id, md5(text) AS text_hash,
+                 CASE WHEN {_DUCK_BUCKET} < {SPLIT_TRAIN} THEN 'train'
+                      WHEN {_DUCK_BUCKET} < {SPLIT_VAL} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        )
+        SELECT text_hash,
+               min(doc_id) AS canonical_doc_id,
+               count(*) AS n_copies,
+               array_to_string(list_sort(list_distinct(list(split))), ',') AS splits
+        FROM s
+        GROUP BY text_hash
+        HAVING len(list_distinct(list(split))) >= 2
+    """

@@ -98,6 +98,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "per_source_cap": P.per_source_cap,
     "corpus_summary": P.corpus_summary,
     "corpus_manifest": P.corpus_manifest,
+    "split_leakage": P.split_leakage,
     "pack_sequences": TP.pack_sequences,
     # --- temporal: distributed as-of join (I3 at every t) ---
     "height_asof": TP.height_asof,

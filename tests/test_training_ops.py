@@ -254,3 +254,37 @@ def test_pii_scrub_masks_constructed_pii(spark, tmp_path):
     assert out[1]["scrubbed_text"] == "pin 123 is short but <NUM> is long"
     assert out[1]["n_masked"] == 1
     assert out[2]["n_masked"] == 0
+
+
+def test_split_leakage_detects_cross_split_copies(spark, tmp_path):
+    """Byte-identical copies whose doc_ids hash into different splits must
+    be flagged (the contamination the id-keyed split cannot see).  Doc ids
+    are chosen so the copies provably land in distinct splits."""
+    import duckdb
+
+    from helium_arango_etl_spark.operators.pipeline import SPLIT_TRAIN, split_leakage
+
+    # find two ids on opposite sides of the train boundary via the same
+    # bucket function both engines use
+    con = duckdb.connect()
+    buckets = {
+        i: con.execute(
+            f"SELECT ('0x' || substr(md5('{i}'), 1, 7))::BIGINT % 100"
+        ).fetchone()[0]
+        for i in range(60)
+    }
+    train_id = next(i for i, b in buckets.items() if b < SPLIT_TRAIN)
+    test_id = next(i for i, b in buckets.items() if b >= SPLIT_TRAIN)
+    dup_text = "identical text that was crawled twice from two mirrors"
+    rows = [
+        (train_id, dup_text, "en", "web", 0),
+        (test_id, dup_text, "en", "web", 0),
+        (55, "unrelated singleton document", "en", "web", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = split_leakage(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["canonical_doc_id"] == min(train_id, test_id)
+    assert out[0]["n_copies"] == 2
+    assert "," in out[0]["splits"]
