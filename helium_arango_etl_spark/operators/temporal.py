@@ -381,3 +381,46 @@ def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "day", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in types]
     )
+
+
+def session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session conversion: of all gap-sessions, how many contain a
+    view and how many convert (a purchase strictly after the session's
+    first view) — the sessionized form of funnel_conversion (lifetime
+    funnels overcount; product analytics wants per-visit conversion).
+
+    Scale shape: the session assignment is the sessionize lag/gap window
+    (one keyed shuffle on user_id); per-session step times are grouped
+    conditional MINs over (user, session) with map-side partials; the
+    purchase-after-view check folds over the session's collected
+    purchase times (bounded by session length) — no self-joins.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    sess = ev.withColumn(
+        "session_idx",
+        F.sum(
+            F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per = sess.groupBy("user_id", "session_idx").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("purchases"),
+    )
+    converted = (
+        "t_view IS NOT NULL AND size(filter(purchases, p -> p > t_view)) > 0"
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_view"),
+        F.sum(F.when(F.expr(converted), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_converted"),
+    )

@@ -940,3 +940,37 @@ ORACLE["missing_blocks"] = """
         )
         WHERE next_h > height + 1
     """
+
+
+QUERIES["session_conversion"] = TP.session_conversion
+ORACLE["session_conversion"] = f"""
+        WITH g AS (
+          SELECT user_id, ts, event_type,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events
+        ), s AS (
+          SELECT user_id, ts, event_type,
+                 sum(CASE WHEN gap_us IS NULL OR gap_us > {TP.SESSION_GAP_US}
+                          THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_type
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS session_idx
+          FROM g
+        ), per AS (
+          SELECT user_id, session_idx,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+          FROM s GROUP BY user_id, session_idx
+        ), conv AS (
+          SELECT DISTINCT s.user_id, s.session_idx
+          FROM s JOIN per ON per.user_id = s.user_id AND per.session_idx = s.session_idx
+          WHERE s.event_type = 'purchase' AND per.t_view IS NOT NULL
+            AND s.ts > per.t_view
+        )
+        SELECT count(*) AS n_sessions,
+               CAST(sum(CASE WHEN p.t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_with_view,
+               CAST(count(c.user_id) AS BIGINT) AS n_converted
+        FROM per p
+        LEFT JOIN conv c ON c.user_id = p.user_id AND c.session_idx = p.session_idx
+    """
