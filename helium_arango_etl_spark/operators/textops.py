@@ -393,3 +393,41 @@ def quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
+
+
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the unigram distribution (bits) —
+    the information-density quality signal (near-zero = degenerate
+    repetition, high = diverse vocabulary) that complements the ratio
+    heuristics in text_stats/repetition_signals.
+
+    Scale shape: term frequencies via one (doc_id, term) combiner-folded
+    shuffle (never an O(L²) in-row count for long documents), collected
+    back per doc SORTED BY TERM so the -p·log2(p) fold runs in one pinned
+    order — float summation order is what makes cross-engine entropy
+    reproducible.  Rounded to 6dp.
+    """
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
+    tf = (
+        docs.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ent = (
+        "round(-aggregate(transform(cs, c -> (c / cast(n as double))"
+        " * log2(c / cast(n as double))), cast(0 as double), (acc, v) -> acc + v), 6)"
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(term, c))), s -> s.c)").alias("cs"),
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            "n_distinct_tokens",
+            F.expr(ent).alias("entropy_bits"),
+        )
+    )

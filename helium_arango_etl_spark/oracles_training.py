@@ -1191,3 +1191,26 @@ ORACLE_TRAINING["split_leakage"] = f"""
         GROUP BY text_hash
         HAVING len(list_distinct(list(split))) >= 2
     """
+
+# ---------- token entropy ----------
+
+ORACLE_TRAINING["token_entropy"] = f"""
+        WITH tf AS (
+          SELECT doc_id, term, count(*) AS c
+          FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+          GROUP BY doc_id, term
+        ), per AS (
+          SELECT doc_id,
+                 list(c ORDER BY term) AS cs,
+                 sum(c) AS n,
+                 count(*) AS n_distinct_tokens
+          FROM tf GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               n_distinct_tokens,
+               round(-list_sum(list_transform(cs,
+                     c -> (c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE)))), 6)
+                   AS entropy_bits
+        FROM per
+    """

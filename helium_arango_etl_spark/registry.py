@@ -75,6 +75,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage": T.vocab_coverage,
     "lang_id_confusion": T.lang_id_confusion,
     "quality_histogram": T.quality_histogram,
+    "token_entropy": T.token_entropy,
     # --- training-data pipeline: dedup ---
     "exact_dedup": D.exact_dedup,
     "minhash_signatures": D.minhash_signatures,
