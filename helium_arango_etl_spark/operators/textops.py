@@ -431,3 +431,65 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(ent).alias("entropy_bits"),
         )
     )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+# adjacent-pair bigrams over the materialized token array (empty-guard:
+# sequence(1, 0) would descend)
+_BIGRAMS_OVER_T = (
+    "CASE WHEN size(t) < 2 THEN array() ELSE"
+    " transform(sequence(1, size(t) - 1),"
+    " i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) END"
+)
+
+
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information:
+    pmi(a,b) = log2( p(ab) / (p(a)·p(b)) ) over corpus-adjacent token
+    pairs with at least PMI_MIN_COUNT occurrences — the phrase-mining
+    pass (tokenizer merge candidates, stop-phrase detection).
+
+    Scale shape: bigram and unigram counts are two combiner-folded
+    explode+groupBy shuffles; the unigram table joins the (min-count
+    filtered, much smaller) bigram table twice by word — broadcast when
+    the vocabulary fits, keyed join otherwise; ranking happens on the
+    filtered aggregate only.  PMI is ranked ROUNDED (6dp) with a bigram
+    tie-break so both engines order identically.
+    """
+    from pyspark.sql import Window
+
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
+    uni = (
+        docs.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    n_uni = uni.agg(F.sum("cw").alias("n_tokens"))
+    bi = (
+        docs.select(F.explode(F.expr(_BIGRAMS_OVER_T)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cbg"))
+        .filter(F.col("cbg") >= PMI_MIN_COUNT)
+        .withColumn("wa", F.expr("split(bg, ' ')[0]"))
+        .withColumn("wb", F.expr("split(bg, ' ')[1]"))
+    )
+    n_bi = docs.agg(
+        F.sum(F.expr("IF(size(t) < 2, 0, size(t) - 1)")).alias("n_bigrams")
+    )
+    pmi = (
+        "round(log2((cbg / cast(n_bigrams as double)) /"
+        " ((ca / cast(n_tokens as double)) * (cb / cast(n_tokens as double)))), 6)"
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("bg").asc())
+    return (
+        bi.join(uni.select(F.col("w").alias("wa"), F.col("cw").alias("ca")), "wa")
+        .join(uni.select(F.col("w").alias("wb"), F.col("cw").alias("cb")), "wb")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .withColumn("pmi", F.expr(pmi))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= PMI_TOP_K)
+        .select("rank", "bg", F.col("cbg").alias("n_occurrences"), "pmi")
+    )

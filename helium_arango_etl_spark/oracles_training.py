@@ -1214,3 +1214,44 @@ ORACLE_TRAINING["token_entropy"] = f"""
                    AS entropy_bits
         FROM per
     """
+
+# ---------- bigram PMI collocations ----------
+
+from .operators.textops import PMI_MIN_COUNT, PMI_TOP_K  # noqa: E402
+
+_BIGRAMS = (
+    "CASE WHEN len(t) < 2 THEN [] ELSE"
+    " list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) END"
+)
+
+ORACLE_TRAINING["bigram_pmi"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+        ), uni AS (
+          SELECT w, count(*) AS cw
+          FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+        ), nu AS (SELECT sum(cw) AS n_tokens FROM uni),
+        bi AS (
+          SELECT bg, count(*) AS cbg,
+                 string_split(bg, ' ')[1] AS wa, string_split(bg, ' ')[2] AS wb
+          FROM (SELECT unnest({_BIGRAMS}) AS bg FROM toks)
+          GROUP BY bg HAVING count(*) >= {PMI_MIN_COUNT}
+        ), nb AS (
+          SELECT sum(CASE WHEN len(t) < 2 THEN 0 ELSE len(t) - 1 END) AS n_bigrams
+          FROM toks
+        ), scored AS (
+          SELECT bi.bg, bi.cbg,
+                 round(log2((bi.cbg / CAST(nb.n_bigrams AS DOUBLE)) /
+                       ((a.cw / CAST(nu.n_tokens AS DOUBLE))
+                        * (b.cw / CAST(nu.n_tokens AS DOUBLE)))), 6) AS pmi
+          FROM bi
+          JOIN uni a ON a.w = bi.wa
+          JOIN uni b ON b.w = bi.wb
+          CROSS JOIN nu CROSS JOIN nb
+        )
+        SELECT rank, bg, n_occurrences, pmi FROM (
+          SELECT bg, cbg AS n_occurrences, pmi,
+                 CAST(row_number() OVER (ORDER BY pmi DESC, bg) AS BIGINT) AS rank
+          FROM scored
+        ) WHERE rank <= {PMI_TOP_K}
+    """

@@ -76,6 +76,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_confusion": T.lang_id_confusion,
     "quality_histogram": T.quality_histogram,
     "token_entropy": T.token_entropy,
+    "bigram_pmi": T.bigram_pmi,
     # --- training-data pipeline: dedup ---
     "exact_dedup": D.exact_dedup,
     "minhash_signatures": D.minhash_signatures,
