@@ -493,3 +493,47 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PMI_TOP_K)
         .select("rank", "bg", F.col("cbg").alias("n_occurrences"), "pmi")
     )
+
+
+def bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy (bits/bigram) under the corpus bigram
+    LM: mean of −log2 p(wᵢ | wᵢ₋₁) with p = corpus bigram count / corpus
+    prefix count — the perplexity-proxy quality filter (high = the doc
+    reads unlike the corpus; near-duplicate boilerplate scores low).
+    No smoothing needed: the model is fit on the same corpus, so every
+    scored bigram has count ≥ 1.
+
+    Scale shape: corpus bigram/prefix counts are combiner-folded
+    explode+groupBy shuffles; each doc's positioned bigrams join the
+    count tables by key (broadcast when the vocabulary fits); the
+    per-doc sum folds the collected (position, logprob) list in PINNED
+    position order, so the float accumulation is engine-identical.
+    """
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
+    doc_bi = docs.select(
+        "doc_id", F.posexplode(F.expr(_BIGRAMS_OVER_T)).alias("pos", "bg")
+    )
+    cbg = doc_bi.groupBy("bg").agg(F.count(F.lit(1)).alias("cbg"))
+    cprefix = (
+        doc_bi.select(F.expr("split(bg, ' ')[0]").alias("wa"))
+        .groupBy("wa")
+        .agg(F.count(F.lit(1)).alias("cpfx"))
+    )
+    scored = (
+        doc_bi.join(cbg, "bg")
+        .withColumn("wa", F.expr("split(bg, ' ')[0]"))
+        .join(cprefix, "wa")
+        .select(
+            "doc_id",
+            "pos",
+            F.expr("-log2(cbg / cast(cpfx as double))").alias("lp"),
+        )
+    )
+    fold = (
+        "round(aggregate(transform(sort_array(collect_list(struct(pos, lp))), s -> s.lp),"
+        " cast(0 as double), (acc, v) -> acc + v) / count(1), 6)"
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr(fold).alias("cross_entropy_bits"),
+    )

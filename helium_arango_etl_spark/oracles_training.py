@@ -1255,3 +1255,34 @@ ORACLE_TRAINING["bigram_pmi"] = f"""
           FROM scored
         ) WHERE rank <= {PMI_TOP_K}
     """
+
+# ---------- corpus-LM cross-entropy ----------
+
+ORACLE_TRAINING["bigram_cross_entropy"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+        ), db AS (
+          SELECT doc_id, u.i - 1 AS pos, u.bg FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(bgs) + 1),
+                          i -> {{'i': i, 'bg': bgs[i]}})) AS u
+            FROM (SELECT doc_id, {_BIGRAMS} AS bgs FROM toks)
+          )
+        ), cbg AS (
+          SELECT bg, count(*) AS cbg FROM db GROUP BY bg
+        ), cpfx AS (
+          SELECT string_split(bg, ' ')[1] AS wa, count(*) AS cpfx
+          FROM db GROUP BY string_split(bg, ' ')[1]
+        ), scored AS (
+          SELECT db.doc_id, db.pos,
+                 -log2(cbg.cbg / CAST(cpfx.cpfx AS DOUBLE)) AS lp
+          FROM db
+          JOIN cbg USING (bg)
+          JOIN cpfx ON cpfx.wa = string_split(db.bg, ' ')[1]
+        )
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               round(list_sum(list(lp ORDER BY pos)) / count(*), 6)
+                   AS cross_entropy_bits
+        FROM scored GROUP BY doc_id
+    """

@@ -77,6 +77,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_histogram": T.quality_histogram,
     "token_entropy": T.token_entropy,
     "bigram_pmi": T.bigram_pmi,
+    "bigram_cross_entropy": T.bigram_cross_entropy,
     # --- training-data pipeline: dedup ---
     "exact_dedup": D.exact_dedup,
     "minhash_signatures": D.minhash_signatures,
