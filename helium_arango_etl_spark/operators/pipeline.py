@@ -219,3 +219,34 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join("splits", ",").alias("splits"),
         )
     )
+
+
+def mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture calibration report: per language, the documents seen,
+    accepted count, realized acceptance rate, and the recipe's target
+    rate — the monitoring view that tells you whether the hash-bucket
+    acceptance is tracking the recipe (it converges by hash uniformity;
+    drift means skewed ids, not randomness).
+
+    One bounded-cardinality combiner-folded groupBy over the
+    mixture_sample output."""
+    rates = F.lit(MIX_DEFAULT)
+    for lang, pct in MIX_RATES.items():
+        rates = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rates)
+    return (
+        mixture_sample(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("accepted"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_accepted"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_accepted",
+            F.round(F.col("n_accepted") / F.col("n_docs") * 100, 4).alias("realized_pct"),
+            rates.cast("bigint").alias("target_pct"),
+        )
+    )

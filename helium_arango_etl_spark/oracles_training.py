@@ -1286,3 +1286,31 @@ ORACLE_TRAINING["bigram_cross_entropy"] = f"""
                    AS cross_entropy_bits
         FROM scored GROUP BY doc_id
     """
+
+# ---------- mixture calibration report ----------
+
+from .operators.pipeline import MIX_DEFAULT, MIX_RATES  # noqa: E402
+
+_RATE_CASE = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{lg}' THEN {pct}" for lg, pct in MIX_RATES.items())
+    + f" ELSE {MIX_DEFAULT} END"
+)
+
+ORACLE_TRAINING["mixture_report"] = f"""
+        WITH m AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100
+                     AS bucket,
+                 {_RATE_CASE} AS rate
+          FROM documents
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_accepted,
+               round(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE) * 100, 4) AS realized_pct,
+               CAST(max(rate) AS BIGINT) AS target_pct
+        FROM m GROUP BY lang
+    """

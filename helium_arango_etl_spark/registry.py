@@ -102,6 +102,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_summary": P.corpus_summary,
     "corpus_manifest": P.corpus_manifest,
     "split_leakage": P.split_leakage,
+    "mixture_report": P.mixture_report,
     "pack_sequences": TP.pack_sequences,
     # --- temporal: distributed as-of join (I3 at every t) ---
     "height_asof": TP.height_asof,
