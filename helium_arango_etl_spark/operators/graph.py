@@ -510,6 +510,76 @@ def city_hits_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic synchronous label propagation: fixed iteration count,
+# self-vote (each node's own label joins the neighbor multiset — damps the
+# bipartite oscillation sync-LPA is known for), tie-break = smallest label
+# among the max-count labels.  State is (string label, integer count) only,
+# so unlike PageRank/HITS no float quantization is needed for the oracle.
+LP_ITERS = 4
+
+
+def city_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-city community detection over the witness graph via
+    deterministic synchronous label propagation — the classic per-city
+    analytics family the reference's networkx loop (arango_queries.py:
+    145-167) doesn't cover, expressed as pure DataFrame joins and fully
+    oracled (unrolled DuckDB CTEs, registry._labelprop_sql).
+
+    Scale shape per iteration: one label-lookup join keyed on (city, nbr),
+    one vote count groupBy on (city, node, label) — combiner-friendly —
+    and one argmax window keyed on (city, node).  Only three scalar
+    columns ever shuffle; every iteration localCheckpoints to truncate
+    lineage.  A mega-city shards across tasks by (city, node) like every
+    other keyed shuffle here — no per-city single-task collapse.
+    """
+    from pyspark.sql import Window
+
+    edges = (
+        witness_subgraph(spark, sf_dir).select("city_key", "src", "dst").distinct()
+    )
+    und = (
+        edges.select("city_key", F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .unionByName(
+            edges.select("city_key", F.col("dst").alias("node"), F.col("src").alias("nbr"))
+        )
+        .persist()
+    )
+    lab = (
+        und.select("city_key", "node")
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    argmax = Window.partitionBy("city_key", "node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(LP_ITERS):
+        nbr_votes = und.join(
+            lab.withColumnRenamed("node", "nbr"), ["city_key", "nbr"]
+        ).select("city_key", "node", "label")
+        lab = (
+            nbr_votes.unionByName(lab)  # self-vote
+            .groupBy("city_key", "node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(argmax))
+            .filter(F.col("rn") == 1)
+            .select("city_key", "node", "label")
+            .localCheckpoint()
+        )
+    und.unpersist()
+    from pyspark.sql import Window as W2
+
+    return lab.select(
+        "city_key",
+        "node",
+        F.col("label").alias("community_id"),
+        F.count(F.lit(1))
+        .over(W2.partitionBy("city_key", "label"))
+        .cast("bigint")
+        .alias("community_size"),
+    )
+
+
 def co_witness_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bipartite projection of the witness graph onto hotspots: two
     hotspots are co-witnesses when the same witness node saw both, with
