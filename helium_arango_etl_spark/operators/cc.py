@@ -21,17 +21,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class ConvergenceError(RuntimeError):
+    """Raised when min-label propagation exhausts its iteration cap before
+    reaching the fixpoint — a non-converged component labeling is silently
+    wrong (nodes of one component carry different labels), so strict
+    callers fail loudly instead."""
+
+
 def propagate_min_labels(
-    labels: DataFrame, und: DataFrame, keys: list[str], max_iters: int
+    labels: DataFrame,
+    und: DataFrame,
+    keys: list[str],
+    max_iters: int,
+    strict: bool = True,
 ) -> DataFrame:
     """Fixpoint of label[n] <- min(label[n], min over in-neighbors).
 
     ``labels``: (*keys, node, label) with numeric labels (initially
     label = node); ``und``: (*keys, a, b) UNDIRECTED edge list (both
     directions present).  Returns converged (*keys, node, label).
+
+    If ``max_iters`` is exhausted before the fixpoint (graph diameter >
+    cap), raises :class:`ConvergenceError` when ``strict`` (default) or
+    emits a ``warnings.warn`` and returns the partial labels otherwise —
+    never silently returns a non-converged labeling as if converged.
+    The scale fix for a legitimately long-diameter graph is
+    large-star/small-star (module doc), not a bigger cap.
     """
     labels = labels.localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iters):
         prop = und.join(
             labels.withColumnRenamed("node", "a"), [*keys, "a"]
@@ -44,6 +63,17 @@ def propagate_min_labels(
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        msg = (
+            f"min-label propagation did not converge within {max_iters} "
+            "iterations (graph diameter exceeds cap); labels are partial"
+        )
+        if strict:
+            raise ConvergenceError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     return labels

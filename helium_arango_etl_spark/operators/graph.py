@@ -693,6 +693,7 @@ def witness_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     prev = edges.count()
+    converged = False
     for _ in range(MAX_KCORE_ITERS):
         deg = (
             edges.select("city_key", F.col("src").alias("node"))
@@ -712,6 +713,14 @@ def witness_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur = edges.count()
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        from .cc import ConvergenceError
+
+        raise ConvergenceError(
+            f"k-core peeling did not reach a fixpoint within {MAX_KCORE_ITERS} "
+            "iterations; the surviving edge set is not a k-core"
+        )
     return edges

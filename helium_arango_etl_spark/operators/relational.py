@@ -547,23 +547,48 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Heights per bucket for the two-level missing_blocks window: the only
+# unpartitioned window then runs over n_heights / MISSING_BLOCKS_BUCKET
+# summary rows (one per non-empty bucket), not the full table.
+MISSING_BLOCKS_BUCKET = 10_000
+
+
 def missing_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chain-gap detection: contiguous ranges of heights absent from the
     blocks table — the integrity check a follower runs before trusting
     its cursor (the reference assumes Postgres gives it a gapless chain;
     an object-store ingest has to verify).
 
-    Scale shape: one lead() window over the (orderkey-sorted) height
-    column; at fact scale the same query runs per height-bucket with a
-    carry row (the height_asof pattern) — the global window is fine here
-    because blocks are the SMALL table of the pair.
+    Scale shape (two-level, the height_asof bucket-carry family): heights
+    bucket by ``height div MISSING_BLOCKS_BUCKET``; consecutive-pair
+    detection runs as a per-bucket lead() window (parallel across
+    buckets), and bucket-boundary pairs come from a lead() over the
+    per-bucket (min, max) summary — an aggregated relation 10,000× smaller
+    than the table, the same size class as height_asof's carry table.  No
+    window ever moves the full height column to one partition
+    (tests/test_plan_quality.py pins this); empty buckets fall out
+    naturally because the summary only has non-empty buckets.
     """
     from pyspark.sql import Window
 
-    o = read_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("height"))
-    w = Window.orderBy("height")
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("height")
+    )
+    b = o.withColumn("b", F.expr(f"height div {MISSING_BLOCKS_BUCKET}"))
+    intra = b.withColumn(
+        "next_h", F.lead("height").over(Window.partitionBy("b").orderBy("height"))
+    ).filter(F.col("next_h").isNotNull())
+    summary = b.groupBy("b").agg(
+        F.min("height").alias("mn"), F.max("height").alias("mx")
+    )
+    cross = (
+        summary.withColumn("next_mn", F.lead("mn").over(Window.orderBy("b")))
+        .filter(F.col("next_mn").isNotNull())
+        .select(F.col("mx").alias("height"), F.col("next_mn").alias("next_h"))
+    )
     return (
-        o.withColumn("next_h", F.lead("height").over(w))
+        intra.select("height", "next_h")
+        .unionByName(cross)
         .filter(F.col("next_h") > F.col("height") + 1)
         .select(
             (F.col("height") + 1).alias("gap_start"),

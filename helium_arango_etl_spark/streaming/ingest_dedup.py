@@ -7,15 +7,19 @@ pattern (streaming/follower.py).
 Per micro-batch inside ``foreachBatch`` (batch-DataFrame context, so the
 full batch API is available):
 1. signature-build ONLY the arriving docs (per-row map work);
-2. LSH-band them against the persisted corpus signature table — candidate
-   pairs form per band via an equi-join on (band_idx, band_hash), so the
-   corpus side is touched only where band hashes collide;
-3. exact-Jaccard verify candidates; admit the batch minus verified dups.
+2. LSH-band them against the accumulated corpus signature table AND
+   against themselves — candidate pairs form per band via an equi-join on
+   (band_idx, band_hash), so the corpus side is touched only where band
+   hashes collide, and intra-batch near-dups are caught too;
+3. exact-Jaccard verify candidates; append the admitted doc rows to the
+   parquet sink and fold their signatures into the screening state.
 
 State at 100 TB: the corpus contributes its signature table (a few
 hundred bytes per doc, persisted once per cycle and reusable across every
 batch), never its bodies; per-batch work scales with the batch, not the
-corpus.
+corpus.  On a cluster the signature state lives in a real checkpoint dir
+(setCheckpointDir) or a compacted parquet table instead of
+localCheckpoint.
 """
 
 from __future__ import annotations
@@ -59,21 +63,37 @@ def _sig_of(docs: DataFrame) -> DataFrame:
 
 def screen_batch(batch_docs: DataFrame, corpus_sig: DataFrame) -> DataFrame:
     """Admit the arriving docs that are NOT verified near-dups of the
-    corpus.  Returns (doc_id) of admitted docs (byte-identical semantics
-    to operators.dedup.incremental_dedup's complement over the same
-    boundary)."""
+    corpus OR of an earlier batch member.
+
+    Candidate pairs band the batch against the corpus signatures AND the
+    batch against itself (``doc_a < doc_b``), so near-duplicates arriving
+    inside one micro-batch no longer slip through together.  Rejection is
+    the same greedy rule as operators.dedup.near_dup_keep: any doc that is
+    the ``doc_b`` of a verified pair — i.e. a dup of a corpus doc or of a
+    smaller-id batch sibling — is rejected (a chain A~B~C with A kept
+    drops both B and C).  Returns (doc_id) of admitted docs.
+    """
     new_sig = _sig_of(batch_docs)
     bands = [F.col(f"band{b}") for b in range(NUM_BANDS)]
     explode = lambda sig, side: sig.select(  # noqa: E731
         F.col("doc_id").alias(f"doc_{side}"),
         F.posexplode(F.array(*bands)).alias("band_idx", "band_hash"),
     )
-    cand = (
+    new_bands = explode(new_sig, "b")
+    cross = (
         explode(corpus_sig, "a")
-        .join(explode(new_sig, "b"), ["band_idx", "band_hash"])
+        .join(new_bands, ["band_idx", "band_hash"])
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    intra = (
+        new_bands.select(
+            F.col("doc_b").alias("doc_a"), "band_idx", "band_hash"
+        )
+        .join(new_bands, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    cand = cross.unionByName(intra).distinct()
     both_sig = corpus_sig.select("doc_id", "sh").unionByName(new_sig.select("doc_id", "sh"))
     dup = (
         _exact_jaccard(cand, both_sig)
@@ -88,20 +108,26 @@ def run_ingest_screen(
     spark: SparkSession,
     corpus_sf_dir: str,
     incoming_dir: str,
-    out_table: str,
+    out_dir: str,
     checkpoint_dir: str,
-):
+) -> str:
     """availableNow file-source stream over ``incoming_dir`` (parquet docs
     with the documents schema): each micro-batch is screened against the
-    corpus signatures and admitted doc_ids are appended to the in-memory
-    ``out_table`` list (test sink; a production sink merges into storage —
-    io.merge_ignore)."""
-    corpus_sig = signature_table(spark, corpus_sf_dir)
-    admitted: list = []
+    accumulated corpus signatures and the ADMITTED DOC ROWS are appended
+    to the parquet table at ``out_dir`` — storage is the sink, nothing is
+    collected to the driver.  Admitted docs' signatures fold into the
+    screening state (localCheckpoint per batch), so a doc arriving in
+    batch N is also screened against batches 0..N−1's admissions, not
+    just the initial corpus — first arrival wins across batches, smallest
+    doc_id wins within one.  Returns ``out_dir``.
+    """
+    state = {"sig": signature_table(spark, corpus_sf_dir)}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        kept = screen_batch(batch_df, corpus_sig)
-        admitted.extend(r["doc_id"] for r in kept.collect())
+        kept = screen_batch(batch_df, state["sig"])
+        batch_df.join(kept, "doc_id", "left_semi").write.mode("append").parquet(out_dir)
+        admitted_sig = _sig_of(batch_df).join(kept, "doc_id", "left_semi")
+        state["sig"] = state["sig"].unionByName(admitted_sig).localCheckpoint()
 
     schema = spark.read.parquet(corpus_sf_dir + "/documents.parquet").schema
     q = (
@@ -114,4 +140,4 @@ def run_ingest_screen(
         .start()
     )
     q.awaitTermination(120)
-    return admitted
+    return out_dir

@@ -128,3 +128,33 @@ def test_empty_embeddings_yield_empty_results(spark, tmp_path, name):
         assert QUERIES[name](spark, str(tmp_path)).count() == 0
     finally:
         clear_emb_cache(spark)
+
+
+def test_propagate_min_labels_convergence_guard(spark):
+    """A non-converged labeling must never be returned as if converged:
+    strict (default) raises, strict=False warns and returns partials."""
+    import warnings
+
+    from helium_arango_etl_spark.operators.cc import (
+        ConvergenceError,
+        propagate_min_labels,
+    )
+
+    chain = [(a, a + 1) for a in range(9)]  # diameter 9 > 2-iter cap
+    und = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "a long, b long"
+    )
+    labels = spark.createDataFrame(
+        [(i, i) for i in range(10)], "node long, label long"
+    )
+    with pytest.raises(ConvergenceError):
+        propagate_min_labels(labels, und, keys=[], max_iters=2)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        partial = propagate_min_labels(
+            labels, und, keys=[], max_iters=2, strict=False
+        )
+    assert any("did not converge" in str(w.message) for w in caught)
+    assert partial.count() == 10
+    done = propagate_min_labels(labels, und, keys=[], max_iters=15)
+    assert done.agg(F.max("label")).first()[0] == 0

@@ -180,3 +180,24 @@ def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
     plan = plan_of(QUERIES["kmeans_centroids"](spark, sf_dir))
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_missing_blocks_no_full_table_global_window(spark, sf_dir):
+    """missing_blocks must never move the full height column into one
+    partition: the per-pair lead() runs partitioned by height bucket, and
+    the only unpartitioned window consumes the per-bucket (min, max)
+    aggregate — n/10,000 rows.  Pin: every Window node over the raw
+    height stream carries a partition spec; an unpartitioned window is
+    allowed only downstream of the bucket HashAggregate."""
+    plan = plan_of(QUERIES["missing_blocks"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    # spec text is "partition_cols..., order_col ASC, frame" — an
+    # unpartitioned window has a single column ref (the order key)
+    unpartitioned = [s for s in specs if s.count("#") == 1]
+    # the only allowed unpartitioned window orders by the bucket id
+    # (summary relation), never by the raw height column
+    assert all(s.strip().startswith("b#") for s in unpartitioned), (specs, plan)
+    partitioned = [s for s in specs if s.count("#") >= 2]
+    assert partitioned, (specs, plan)  # the per-bucket lead survives
+    assert all(s.strip().startswith("b#") for s in partitioned), (specs, plan)

@@ -1,13 +1,21 @@
-"""Streaming ingest screening must agree with the batch incremental_dedup
-operator: a doc admitted by the stream is exactly a doc NOT flagged by
-the batch boundary check over the same corpus/batch split."""
+"""Streaming ingest screening must agree with the batch dedup operators:
+a doc admitted by the stream is exactly a doc not rejected by (a) the
+corpus-boundary check (incremental_dedup) or (b) the arrival-order greedy
+over verified new-new near-dup pairs — first batch wins across batches,
+smallest doc_id wins within one."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from helium_arango_etl_spark.io import read_table
-from helium_arango_etl_spark.operators.dedup import NEW_MIN_ID, clear_sig_cache, incremental_dedup
+from helium_arango_etl_spark.operators.dedup import (
+    NEAR_DUP_THRESH,
+    NEW_MIN_ID,
+    clear_sig_cache,
+    incremental_dedup,
+    ngram_jaccard_pairs,
+)
 from helium_arango_etl_spark.streaming.ingest_dedup import run_ingest_screen
 
 
@@ -20,27 +28,53 @@ def test_stream_screen_matches_batch_incremental(spark, sf_dir, tmp_path):
     corpus_dir = str(tmp_path / "corpus")
     corpus.write.mode("overwrite").parquet(corpus_dir + "/documents.parquet")
 
-    # arriving docs in 2 files -> 2 micro-batches
+    # arriving docs in 2 files -> 2 micro-batches (evens first, then odds)
     inc_dir = str(tmp_path / "incoming")
     arriving.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(inc_dir)
     arriving.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(inc_dir)
 
     clear_sig_cache(spark)
     try:
-        admitted = set(
-            run_ingest_screen(
-                spark, corpus_dir, inc_dir, "ingest_test", str(tmp_path / "ckpt")
-            )
+        out_dir = run_ingest_screen(
+            spark, corpus_dir, inc_dir, str(tmp_path / "admitted"), str(tmp_path / "ckpt")
         )
+        admitted = {
+            r["doc_id"] for r in spark.read.parquet(out_dir).select("doc_id").collect()
+        }
     finally:
         clear_sig_cache(spark)
 
-    # batch reference over the ORIGINAL table: flagged new docs are dups
+    # batch reference over the ORIGINAL table: corpus-boundary dups plus
+    # verified new-new pairs, replayed in arrival order.
     clear_sig_cache(spark)
     try:
         flagged = {r["doc_id"] for r in incremental_dedup(spark, sf_dir).collect()}
-        all_new = {r["doc_id"] for r in arriving.select("doc_id").collect()}
+        nn_pairs = [
+            (r["doc_a"], r["doc_b"])
+            for r in ngram_jaccard_pairs(spark, sf_dir)
+            .filter(F.col("jaccard") >= NEAR_DUP_THRESH)
+            .filter((F.col("doc_a") >= NEW_MIN_ID) & (F.col("doc_b") >= NEW_MIN_ID))
+            .collect()
+        ]
+        all_new = sorted(r["doc_id"] for r in arriving.select("doc_id").collect())
     finally:
         clear_sig_cache(spark)
-    assert admitted == all_new - flagged
+
+    expected: set = set()
+    for batch in (
+        [d for d in all_new if d % 2 == 0],
+        [d for d in all_new if d % 2 == 1],
+    ):
+        batch_set = set(batch)
+        drop = batch_set & flagged
+        for a, b in nn_pairs:
+            # greedy doc_b rejection: dup of a smaller-id batch sibling or
+            # of anything already admitted (arrival order across batches)
+            if b in batch_set and (a in batch_set or a in expected):
+                drop.add(b)
+            if a in batch_set and b in expected:
+                drop.add(a)
+        expected |= batch_set - drop
+    assert admitted == expected
     assert flagged  # the testdata's dup docs must actually exercise the screen
+    assert nn_pairs  # and the intra-new near-dup path must be exercised too
