@@ -18,6 +18,24 @@ Scale notes: the left-anti join shuffles on ``_key`` only when both sides are
 large; incremental deltas are broadcast by AQE.  For truly huge targets,
 partition the stored table by a stable bucket of ``_key``
 (``F.pmod(F.xxhash64('_key'), N)``) so the anti-join becomes partition-local.
+
+Production sink design (100 TB, not exercised in this sandbox): a keyed
+upsert over a 100 TB table should be a transactional table-format MERGE —
+``MERGE INTO target USING delta ON target._key = delta._key WHEN MATCHED
+UPDATE ... WHEN NOT MATCHED INSERT ...`` on Delta Lake or Iceberg — not the
+read-modify-overwrite these functions do.  The format's transaction log
+gives atomic commits + snapshot isolation (a failed sync never half-writes),
+file-level pruning (copy-on-write rewrites only data files containing
+matched keys; merge-on-read defers even that to deletion vectors /
+positional deletes), and time travel for the idempotent-rerun guarantee the
+reference gets from content-hash keys.  The plan shape is unchanged — MERGE
+compiles to the same keyed anti/semi-join against the delta that
+merge_upsert/merge_ignore declare, so these implementations remain the
+engine-portable semantic spec (and the test oracle) for that MERGE; only
+the writer swaps.  Retention (apply_retention) likewise becomes a
+metadata-only ``DELETE WHERE ts < cutoff`` on a time-partitioned table —
+see apply_retention_partitioned for the partition-drop form implemented
+here.
 """
 
 from __future__ import annotations

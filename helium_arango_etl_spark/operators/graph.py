@@ -38,7 +38,12 @@ from ..io import read_table, spread
 MIN_CITY_SIZE = 5  # reference: etl.py:106-108 MIN_CITY_SIZE env, threshold on edge rows
 
 
-def witness_edges(spark: SparkSession, sf_dir: str, valid_only: bool = False) -> DataFrame:
+def witness_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    valid_only: bool = False,
+    salt_orders: int | None = None,
+) -> DataFrame:
     """Raw witness edge set with per-edge haversine distance (J1 before the
     validity filter).  src = challengee hotspot ('S<suppkey>'), dst = witness
     ('C<custkey>'), city = challengee's nation.
@@ -46,7 +51,16 @@ def witness_edges(spark: SparkSession, sf_dir: str, valid_only: bool = False) ->
     ``valid_only`` applies the validity predicate AT THE SCAN (parquet
     pushdown) before spreading — the is_valid column is still emitted
     (constant true on surviving rows) so downstream filter/drop stays
-    uniform."""
+    uniform.
+
+    ``salt_orders``: when set, the one fact-fact shuffle (lineitem⋈orders
+    on orderkey) runs via operators.skew.salted_join with that many salts
+    — the deterministic skew path for a KNOWN hot orderkey (a challenge
+    with pathological fan-out), where one key's rows become ``salt_orders``
+    parallel tasks instead of a straggler.  Off by default: orderkeys are
+    near-uniform in the testdata and AQE's skew-join split covers the
+    runtime-detected case; results are identical either way
+    (tests/test_skew.py pins both properties on a mega-key fixture)."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate"
     )
@@ -79,9 +93,20 @@ def witness_edges(spark: SparkSession, sf_dir: str, valid_only: bool = False) ->
         synthetic_lat(F.col("o_custkey")),
         synthetic_lon(F.col("o_custkey")),
     )
+    if salt_orders:
+        from .skew import salted_join
+
+        joined = salted_join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            orders,
+            "o_orderkey",
+            n_salts=salt_orders,
+        )
+    else:
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        joined
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
         .join(F.broadcast(city_dim), sup.s_nationkey == city_dim.n_nationkey)
         .select(
             "city_key",

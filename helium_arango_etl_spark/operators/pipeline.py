@@ -250,3 +250,50 @@ def mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             rates.cast("bigint").alias("target_pct"),
         )
     )
+
+
+# Overlapping token-window chunking: window of CHUNK_TOKS tokens advancing
+# CHUNK_STRIDE at a time (16-token overlap) — the standard RAG/training
+# chunking geometry.  A chunk starts at every stride boundary < n_toks, so
+# every token lands in >= 1 chunk and the tail chunk may run short.
+CHUNK_TOKS = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping token-window chunks with
+    (tok_start, tok_end) offsets — the chunking pass a retrieval or
+    packing pipeline runs between cleaning and embedding.
+
+    Scale shape: tokenize + sequence + posexplode are all per-row codegen
+    (zero shuffle); output rows ≈ n_tokens / CHUNK_STRIDE per doc.  The
+    chunk text is re-joined from the token slice, so chunk boundaries are
+    exact token offsets, not byte guesses — what a tokenizer-aligned
+    packing stage needs downstream (see pack_sequences).
+    """
+    from .textops import TOKS
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("t", F.expr(TOKS))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") > 0)
+    )
+    s, c = CHUNK_STRIDE, CHUNK_TOKS
+    return (
+        docs.select(
+            "doc_id",
+            "t",
+            "n",
+            F.posexplode(F.expr(f"sequence(0, cast((n + {s} - 1) div {s} as int) - 1)")
+                         ).alias("chunk_idx", "_i"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            (F.col("_i") * s).cast("bigint").alias("tok_start"),
+            F.least(F.col("_i") * s + c, F.col("n")).cast("bigint").alias("tok_end"),
+            F.array_join(F.expr(f"slice(t, _i * {s} + 1, {c})"), " ").alias("chunk_text"),
+        )
+    )

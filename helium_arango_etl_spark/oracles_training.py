@@ -1314,3 +1314,18 @@ ORACLE_TRAINING["mixture_report"] = f"""
                CAST(max(rate) AS BIGINT) AS target_pct
         FROM m GROUP BY lang
     """
+
+ORACLE_TRAINING["chunk_documents"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t, len({_TOKS}) AS n
+          FROM documents WHERE len({_TOKS}) > 0
+        )
+        SELECT doc_id,
+               i AS chunk_idx,
+               i * {48} AS tok_start,
+               least(i * {48} + {64}, n) AS tok_end,
+               array_to_string(list_slice(t, i * {48} + 1, i * {48} + {64}), ' ')
+                   AS chunk_text
+        FROM toks, unnest(generate_series(0, CAST((n + {48} - 1) // {48} AS BIGINT) - 1))
+             AS g(i)
+    """

@@ -1107,3 +1107,6 @@ QUERIES = {
     k: QUERIES[k]
     for k in [*_DRIVER_WINDOW, *(k for k in QUERIES if k not in set(_DRIVER_WINDOW))]
 }
+
+
+QUERIES["chunk_documents"] = P.chunk_documents

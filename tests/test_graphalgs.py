@@ -113,21 +113,44 @@ def test_h3_fallback_latlng_null_safe(spark):
     assert rows[2]["ll"]["lat"] is None and rows[2]["pt"]["coordinates"] is None
 
 
-def test_h3_real_cell_decode():
-    """Real-library path of the H5 gate (mirrors the PIL gate test): a valid
-    h3 cell decodes via the library; invalid cells fall back deterministically
-    in EVERY environment instead of raising."""
+# Golden vectors from the public h3 documentation (h3geo.org quickstart /
+# API reference): cell id -> approximate cell-center latlng.  Coordinates
+# are doc-rounded, so the tolerance is loose; the EXACT check is
+# UDF-vs-library equality below.
+H3_GOLDEN = [
+    ("85283473fffffff", 37.345793, -122.037630),  # res-5, Silicon Valley
+    ("8928308280fffff", 37.776702, -122.418459),  # res-9, San Francisco
+]
+
+
+def test_h3_real_cell_decode(spark):
+    """Real-library path of the H5 gate, exercised THROUGH the Spark pandas
+    UDF (not just the library): golden cells from the public h3 spec must
+    decode to their published centers, the UDF must agree with
+    h3.cell_to_latlng exactly, and a latlng->cell->latlng roundtrip must
+    land on the same cell.  Skipped where h3 is absent (the fallback path
+    has its own tests)."""
     import pytest
 
-    from helium_arango_etl_spark.functions.h3geo import _HAVE_H3, _fallback_latlng
+    from helium_arango_etl_spark.functions.h3geo import _HAVE_H3, h3_to_latlng
 
     if not _HAVE_H3:
         pytest.skip("h3 not installed in this container")
     import h3
 
-    valid = h3.latlng_to_cell(37.77, -122.42, 9)
-    lat, lon = h3.cell_to_latlng(valid)
-    assert abs(lat - 37.77) < 0.01 and abs(lon + 122.42) < 0.01
+    df = spark.createDataFrame([(c,) for c, _, _ in H3_GOLDEN], ["cell"])
+    got = {
+        r["cell"]: (r["ll"]["lat"], r["ll"]["lon"])
+        for r in df.select("cell", h3_to_latlng("cell").alias("ll")).collect()
+    }
+    for cell, glat, glon in H3_GOLDEN:
+        lat, lon = got[cell]
+        # exact: the UDF used the real library, not the md5 fallback
+        assert (lat, lon) == h3.cell_to_latlng(cell)
+        # golden: published center within doc-rounding tolerance
+        assert abs(lat - glat) < 1e-3 and abs(lon - glon) < 1e-3, (cell, lat, lon)
+        # roundtrip at the cell's own resolution
+        assert h3.latlng_to_cell(lat, lon, h3.get_resolution(cell)) == cell
 
 
 def test_h3_fallback_is_deterministic_and_in_range():
