@@ -190,18 +190,56 @@ def user_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Account-balance decile assignment (ntile(10), ties broken by key —
-    fully deterministic), plus each account's exact percent_rank.  One
-    global-sort window over the (small) customer dim; at fact scale the
-    same query runs per-partition-key or over a sampled quantile sketch
-    (rangeops.price_quantiles is the grouped-exact form)."""
+    """Account-balance decile assignment (ntile(10) semantics, ties broken
+    by key — fully deterministic), plus each account's exact percent_rank.
+
+    Scale shape (two-level, the missing_blocks/height_asof bucket family —
+    no full-table single-partition window anywhere): rows bucket by
+    floor(acctbal) (monotone in the sort key, so bucket order == global
+    order); row_number runs per bucket, and the global rank closes with a
+    cumulative-count carry over the per-bucket summary — the only
+    unpartitioned window consumes one row per distinct floor(acctbal).
+    ntile(10) and percent_rank are then pure arithmetic on (rank, n):
+    the order key is unique, so rank == row_number and
+    percent_rank == (r−1)/(n−1); ntile's uneven groups (first n%10 tiles
+    get one extra row) are reproduced with integer ceil-division.
+    Pinned against the one-window oracle SQL (registry) and by a plan
+    test (tests/test_plan_quality.py)."""
     from ..io import read_table
 
     cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    return cust.select(
-        "c_custkey",
-        F.col("c_acctbal").cast("double").alias("acctbal"),
-        F.ntile(10).over(w).cast("bigint").alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    b = cust.withColumn("wb", F.floor(F.col("c_acctbal").cast("double")).cast("bigint"))
+    w_local = Window.partitionBy("wb").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    local = b.withColumn("lr", F.row_number().over(w_local))
+    summary = b.groupBy("wb").agg(F.count(F.lit(1)).alias("cnt"))
+    w_carry = Window.orderBy("wb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = summary.select(
+        "wb", F.coalesce(F.sum("cnt").over(w_carry), F.lit(0)).alias("off")
+    )
+    totals = summary.agg(F.sum("cnt").alias("n"))
+    # ntile(10): first (n % 10) tiles hold (n div 10 + 1) rows; integer
+    # ceil-division keeps the arithmetic exact at any n (no double
+    # rounding); r = off + lr is the global 1-based rank (order key is
+    # unique, so rank == row_number)
+    decile = F.expr(
+        "CASE WHEN (off + lr) <= (n % 10) * (n div 10 + 1)"
+        "     THEN (off + lr + n div 10) div (n div 10 + 1)"
+        "     ELSE n % 10 + (off + lr - (n % 10) * (n div 10 + 1) + n div 10 - 1)"
+        "                    div greatest(n div 10, 1) END"
+    )
+    pct = F.expr(
+        "CASE WHEN n > 1 THEN round(cast(off + lr - 1 AS double) / (n - 1), 6)"
+        "     ELSE 0.0 END"
+    )
+    return (
+        local.join(F.broadcast(offsets), "wb")
+        .join(F.broadcast(totals))
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            decile.cast("bigint").alias("decile"),
+            pct.alias("pct_rank"),
+        )
     )

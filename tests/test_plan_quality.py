@@ -201,3 +201,19 @@ def test_missing_blocks_no_full_table_global_window(spark, sf_dir):
     partitioned = [s for s in specs if s.count("#") >= 2]
     assert partitioned, (specs, plan)  # the per-bucket lead survives
     assert all(s.strip().startswith("b#") for s in partitioned), (specs, plan)
+
+
+def test_balance_deciles_no_full_table_global_window(spark, sf_dir):
+    """Same two-level guarantee as missing_blocks: the per-row window is
+    partitioned by the value bucket; the only unpartitioned window runs
+    over the per-bucket count summary."""
+    plan = plan_of(QUERIES["balance_deciles"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    unpartitioned = [s for s in specs if s.count("#") == 1]
+    assert all(s.strip().startswith("wb#") for s in unpartitioned), (specs, plan)
+    partitioned = [s for s in specs if s.count("#") >= 2]
+    assert partitioned and all(s.strip().startswith("wb#") for s in partitioned), (
+        specs,
+        plan,
+    )
