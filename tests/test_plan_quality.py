@@ -217,3 +217,12 @@ def test_balance_deciles_no_full_table_global_window(spark, sf_dir):
         specs,
         plan,
     )
+
+
+def test_chunk_documents_scan_pruned_and_no_shuffle(spark, sf_dir):
+    """chunk_documents is per-row codegen: the documents scan reads only
+    (doc_id, text) and the plan has no keyed shuffle at all."""
+    plan = plan_of(QUERIES["chunk_documents"](spark, sf_dir))
+    widths = scan_widths(plan)
+    assert widths and max(widths) <= 2, (widths, plan)
+    assert "hashpartitioning" not in plan, plan

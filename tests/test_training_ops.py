@@ -288,3 +288,71 @@ def test_split_leakage_detects_cross_split_copies(spark, tmp_path):
     assert out[0]["canonical_doc_id"] == min(train_id, test_id)
     assert out[0]["n_copies"] == 2
     assert "," in out[0]["splits"]
+
+
+def test_chunk_documents_invariants(spark, sf_dir):
+    """Chunk geometry: chunks tile every token with exactly CHUNK_TOKS-
+    CHUNK_STRIDE overlap; stitching stride-aligned prefixes reconstructs
+    the document's token stream."""
+    from helium_arango_etl_spark.operators.pipeline import (
+        CHUNK_STRIDE,
+        CHUNK_TOKS,
+        chunk_documents,
+    )
+    from helium_arango_etl_spark.io import read_table
+    from helium_arango_etl_spark.operators.textops import TOKS
+
+    chunks = chunk_documents(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["t"]
+        for r in read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(TOKS).alias("t"))
+        .collect()
+    }
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {d for d, t in docs.items() if t}
+    for doc_id, rows in by_doc.items():
+        toks = docs[doc_id]
+        rows.sort(key=lambda r: r["chunk_idx"])
+        for i, r in enumerate(rows):
+            assert r["chunk_idx"] == i
+            assert r["tok_start"] == i * CHUNK_STRIDE
+            assert r["tok_end"] == min(i * CHUNK_STRIDE + CHUNK_TOKS, len(toks))
+            assert r["chunk_text"] == " ".join(toks[r["tok_start"] : r["tok_end"]])
+        # every token is covered: last chunk reaches the end, and starts
+        # advance by the stride (gap-free because stride < window)
+        assert rows[-1]["tok_end"] == len(toks)
+        # stitching the stride-aligned prefix of each chunk reconstructs
+        # the token stream exactly once
+        stitched = []
+        for r in rows:
+            stitched.extend(r["chunk_text"].split(" ")[:CHUNK_STRIDE])
+        assert stitched[: len(toks)] == toks
+
+
+def test_city_communities_partition_sanity(spark, sf_dir):
+    """Communities partition each city's node set: every node appears
+    once, community_id is one of the city's own nodes, and sizes sum to
+    the node count per city."""
+    from helium_arango_etl_spark.operators.graph import (
+        city_communities,
+        witness_subgraph,
+    )
+
+    out = city_communities(spark, sf_dir).collect()
+    edges = witness_subgraph(spark, sf_dir).select("city_key", "src", "dst").collect()
+    nodes_by_city: dict = {}
+    for e in edges:
+        nodes_by_city.setdefault(e["city_key"], set()).update((e["src"], e["dst"]))
+    seen: dict = {}
+    sizes: dict = {}
+    for r in out:
+        seen.setdefault(r["city_key"], set()).add(r["node"])
+        assert r["community_id"] in nodes_by_city[r["city_key"]]
+        sizes.setdefault((r["city_key"], r["community_id"]), 0)
+        sizes[(r["city_key"], r["community_id"])] += 1
+    assert seen == nodes_by_city
+    for r in out:
+        assert r["community_size"] == sizes[(r["city_key"], r["community_id"])]
