@@ -749,3 +749,101 @@ def witness_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "iterations; the surviving edge set is not a k-core"
         )
     return edges
+
+
+def city_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-city triangle census of the co-witness projection graph
+    (hotspots joined when they share a witness): triangle count, wedge
+    count, and global transitivity 3T/W — the clustering signal that
+    separates a meshed deployment from a hub-and-spoke one.  The witness
+    graph itself is bipartite (no odd cycles), so triangles live on the
+    one-mode projection (see :func:`co_witness_pairs`).
+
+    Scale shape: the classic degree-ordered orientation (Chiba-Nishizeki /
+    "node-iterator++").  Each undirected edge {a,b} is oriented from the
+    endpoint with the smaller (degree, id) to the larger, which bounds any
+    node's out-degree by O(sqrt(m)); wedges are generated by a self-join
+    of oriented edges on their source and closed by one more join against
+    the oriented edge set.  A hub with degree d therefore contributes to
+    wedge GENERATION only via its (few) out-edges — the d² blowup of the
+    naive lexicographic orientation never materializes.  Only (city, id,
+    id) triples shuffle; counting each triangle exactly once at its
+    minimum-order vertex needs no dedup pass.
+    """
+    cw = co_witness_pairs(spark, sf_dir).select(
+        "city_key", F.col("src_a").alias("a"), F.col("src_b").alias("b")
+    )
+    deg = (
+        cw.select("city_key", F.col("a").alias("node"))
+        .unionByName(cw.select("city_key", F.col("b").alias("node")))
+        .groupBy("city_key", "node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        cw.join(
+            deg.select("city_key", F.col("node").alias("a"), F.col("d").alias("da")),
+            ["city_key", "a"],
+        )
+        .join(
+            deg.select("city_key", F.col("node").alias("b"), F.col("d").alias("db")),
+            ["city_key", "b"],
+        )
+        .select(
+            "city_key",
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct("a", "b", "db"),
+            )
+            .otherwise(F.struct(F.col("b").alias("a"), F.col("a").alias("b"), F.col("da").alias("db")))
+            .alias("o"),
+        )
+        .select(
+            "city_key",
+            F.col("o.a").alias("lo"),
+            F.col("o.b").alias("hi"),
+            F.col("o.db").alias("hi_d"),
+        )
+    )
+    e1 = e.select("city_key", "lo", F.col("hi").alias("x"), F.col("hi_d").alias("xd"))
+    e2 = e.select("city_key", "lo", F.col("hi").alias("y"), F.col("hi_d").alias("yd"))
+    wedges = e1.join(e2, ["city_key", "lo"]).filter(
+        (F.col("xd") < F.col("yd"))
+        | ((F.col("xd") == F.col("yd")) & (F.col("x") < F.col("y")))
+    )
+    closing = e.select("city_key", F.col("lo").alias("x"), F.col("hi").alias("y"))
+    tri = (
+        wedges.select("city_key", "x", "y")
+        .join(closing, ["city_key", "x", "y"], "left_semi")
+        .groupBy("city_key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    stats = (
+        deg.groupBy("city_key")
+        .agg(
+            F.sum(F.expr("d * (d - 1)"))
+            .cast("bigint")
+            .alias("two_wedges"),
+        )
+        .select("city_key", (F.col("two_wedges") / 2).cast("bigint").alias("n_wedges"))
+    )
+    n_edges = cw.groupBy("city_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_proj_edges")
+    )
+    return (
+        n_edges.join(stats, "city_key")
+        .join(tri, "city_key", "left")
+        .select(
+            "city_key",
+            "n_proj_edges",
+            "n_wedges",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.coalesce("n_triangles", F.lit(0)) / F.col("n_wedges"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("transitivity"),
+        )
+    )

@@ -297,3 +297,114 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.expr(f"slice(t, _i * {s} + 1, {c})"), " ").alias("chunk_text"),
         )
     )
+
+
+# Temperature-scaled source mixing (the multilingual-corpus reweighting
+# idiom: raising low-resource sources toward a flatter mixture).  T = 0.5
+# exactly so the weight is sqrt(n) — an IEEE-exact operation, unlike a
+# general pow(), so the oracle reproduces it bit-for-bit.  Weights are
+# snapped to integer-valued doubles (floor(sqrt(n)*1e6 + 0.5)) before
+# summation: integer-valued doubles sum exactly in ANY order, so the
+# normalization is immune to aggregation-order nondeterminism on both
+# engines.
+MIX_TEMP_SCALE = 1_000_000
+TEMP_BUCKETS = 10_000
+TEMP_BUCKET_EXPR = (
+    "cast(conv(substring(md5(cast(doc_id as string)), 9, 7), 16, 10) as bigint)"
+    f" % {TEMP_BUCKETS}"
+)
+
+
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature mixture plan + realized acceptance: target
+    share ∝ sqrt(n_source) (temperature 0.5), budget set so the limiting
+    source is fully consumed (max acceptance rate = 1), membership decided
+    by the same deterministic content-hash bucketing as every sampler here
+    (module doc) — no RNG, append-stable, engine-reproducible.
+
+    Scale shape: the source dimension is tiny (a groupBy that collapses to
+    |sources| rows), the plan columns are computed on that dim via an
+    unpartitioned window over |sources| rows (NOT over the corpus), and
+    acceptance is a broadcast join back + one combiner-folded count.
+    Document bodies never shuffle.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()
+    plan = (
+        counts.withColumn(
+            "w", F.floor(F.sqrt("n_docs") * MIX_TEMP_SCALE + 0.5).cast("double")
+        )
+        .withColumn("target_share", F.col("w") / F.sum("w").over(w_all))
+        .withColumn("budget", F.min(F.col("n_docs") / F.col("target_share")).over(w_all))
+        .withColumn("accept_rate", F.col("budget") * F.col("target_share") / F.col("n_docs"))
+    )
+    accepted = (
+        docs.join(F.broadcast(plan.select("source", "accept_rate")), "source")
+        .filter(F.expr(TEMP_BUCKET_EXPR) < F.col("accept_rate") * TEMP_BUCKETS)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_accepted"))
+    )
+    return (
+        plan.join(accepted, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.round("target_share", 6).alias("target_share"),
+            F.round("accept_rate", 6).alias("accept_rate"),
+            F.coalesce("n_accepted", F.lit(0)).cast("bigint").alias("n_accepted"),
+        )
+    )
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup attrition rollup per source: how many documents each source
+    loses to exact dedup and to near-dup removal, and what fraction
+    survives — the per-provider data-quality scorecard a corpus curation
+    run reports (a source with an outlier dup rate is a crawler bug or a
+    mirror).
+
+    Scale shape: pure composition — the canonical-id and kept-id sets come
+    from the shared dedup chain (keyed id sets, no body shuffle); the
+    rollup is two membership left-joins on doc_id and one combiner-folded
+    groupBy collapsing to |sources| rows.
+    """
+    from .dedup import exact_dedup
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    canon = (
+        exact_dedup(spark, sf_dir)
+        .select(F.col("canonical_doc_id").alias("doc_id"))
+        .withColumn("is_canon", F.lit(1))
+    )
+    kept = near_dup_keep(spark, sf_dir).withColumn("is_kept", F.lit(1))
+    return (
+        docs.join(canon, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("is_canon").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact_copies"),
+            F.sum(
+                F.when(F.col("is_canon").isNotNull() & F.col("is_kept").isNull(), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_near_dropped"),
+            F.sum(F.when(F.col("is_kept").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_copies",
+            "n_near_dropped",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_docs"), 6).alias("keep_rate"),
+        )
+    )

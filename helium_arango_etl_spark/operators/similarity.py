@@ -484,3 +484,69 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(recon).alias("recon_err"),
         )
     )
+
+
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K audit of the hyperplane-bucketed ANN path against the exact
+    brute-force answer, per query (vec_id < NUM_QUERIES): the quality gauge
+    a production ANN index ships next to its latency numbers — an
+    approximate index without a measured recall is an unvalidated one.
+
+    For each query: ``n_candidates`` = vectors sharing the query's bucket
+    (the fraction of the corpus the approximate path scans),
+    ``n_hits`` = overlap between the bucketed top-BATCH_K and the exact
+    top-BATCH_K, ``recall`` = n_hits / BATCH_K.
+
+    Scale shape: both rankings reuse the persisted prepared-embedding
+    table; the query block broadcasts; the exact side is the one
+    brute-force pass (the yardstick — priced once, here), the bucketed
+    side scans 1/2^NUM_PLANES of the corpus in expectation; the overlap
+    join is K·Q rows. No oracle surprises: ranks order by the ROUNDED
+    cosine then vec_id on both engines, so tie-breaks are identical.
+    """
+    from pyspark.sql import Window
+
+    emb = embedding_table(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v64").alias("va"),
+        F.col("nv").alias("na"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    corpus = emb.select(
+        "vec_id", F.col("v64").alias("vb"), F.col("nv").alias("nb"), "bucket"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        corpus.join(F.broadcast(q))
+        .select("q_id", "vec_id", F.expr(COSINE).alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BATCH_K)
+        .select("q_id", "vec_id")
+    )
+    probed = corpus.join(F.broadcast(q), corpus.bucket == q.q_bucket)
+    n_cand = probed.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    approx = (
+        probed.select("q_id", "vec_id", F.expr(COSINE).alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BATCH_K)
+        .select("q_id", "vec_id")
+    )
+    hits = (
+        approx.join(exact, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        n_cand.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "n_candidates",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / BATCH_K, 6).alias("recall"),
+        )
+    )

@@ -1329,3 +1329,96 @@ ORACLE_TRAINING["chunk_documents"] = f"""
         FROM toks, unnest(generate_series(0, CAST((n + {48} - 1) // {48} AS BIGINT) - 1))
              AS g(i)
     """
+
+
+from .operators.pipeline import MIX_TEMP_SCALE, TEMP_BUCKETS  # noqa: E402
+
+_TEMP_BUCKET_SQL = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 7))::BIGINT"
+    f" % {TEMP_BUCKETS}"
+)
+
+ORACLE_TRAINING["temperature_mixture"] = f"""
+        WITH counts AS (
+          SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        ), wts AS (
+          SELECT source, n_docs,
+                 floor(sqrt(n_docs) * {MIX_TEMP_SCALE} + 0.5) AS w
+          FROM counts
+        ), norm AS (
+          SELECT source, n_docs, w / sum(w) OVER () AS target_share FROM wts
+        ), bdg AS (
+          SELECT source, n_docs, target_share,
+                 min(n_docs / target_share) OVER () AS budget
+          FROM norm
+        ), plan AS (
+          SELECT source, n_docs, target_share,
+                 budget * target_share / n_docs AS accept_rate
+          FROM bdg
+        ), acc AS (
+          SELECT d.source, CAST(count(*) AS BIGINT) AS n_accepted
+          FROM documents d JOIN plan p ON p.source = d.source
+          WHERE {_TEMP_BUCKET_SQL} < p.accept_rate * {TEMP_BUCKETS}
+          GROUP BY d.source
+        )
+        SELECT p.source, CAST(p.n_docs AS BIGINT) AS n_docs,
+               round(p.target_share, 6) AS target_share,
+               round(p.accept_rate, 6) AS accept_rate,
+               CAST(coalesce(a.n_accepted, 0) AS BIGINT) AS n_accepted
+        FROM plan p LEFT JOIN acc a ON a.source = p.source
+    """
+
+ORACLE_TRAINING["dedup_rate_by_source"] = f"""
+        WITH kept AS ({ORACLE_TRAINING["near_dup_keep"]}),
+        canon AS (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact_copies,
+               CAST(sum(CASE WHEN c.doc_id IS NOT NULL AND k.doc_id IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dropped,
+               CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_kept,
+               round(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+        FROM documents d
+        LEFT JOIN canon c ON c.doc_id = d.doc_id
+        LEFT JOIN kept k ON k.doc_id = d.doc_id
+        GROUP BY d.source
+    """
+
+ORACLE_TRAINING["ann_recall_audit"] = _BUCKET_CTE + f"""
+        , q AS (
+          SELECT vec_id AS q_id, v AS va, bucket AS q_bucket
+          FROM b WHERE vec_id < {NUM_QUERIES}
+        ), scored AS (
+          SELECT q.q_id, c.vec_id, c.v AS vb, q.va, c.bucket, q.q_bucket
+          FROM b c, q
+        ), exact AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY {_COSINE} DESC, vec_id ASC) AS r
+            FROM scored) WHERE r <= {BATCH_K}
+        ), appx AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY {_COSINE} DESC, vec_id ASC) AS r
+            FROM scored WHERE bucket = q_bucket) WHERE r <= {BATCH_K}
+        ), cand AS (
+          SELECT q_id, CAST(count(*) AS BIGINT) AS n_candidates
+          FROM scored WHERE bucket = q_bucket GROUP BY q_id
+        ), hits AS (
+          SELECT a.q_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM appx a JOIN exact e ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+          GROUP BY a.q_id
+        )
+        SELECT c.q_id, c.n_candidates,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               round(coalesce(h.n_hits, 0) / CAST({BATCH_K} AS DOUBLE), 6)
+                   AS recall
+        FROM cand c LEFT JOIN hits h ON h.q_id = c.q_id
+    """

@@ -1029,6 +1029,49 @@ ORACLE["session_conversion"] = f"""
     """
 
 
+QUERIES["city_triangle_stats"] = G.city_triangle_stats
+ORACLE["city_triangle_stats"] = f"""
+        WITH edges0 AS ({_WITNESS_SQL}),
+        e AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        cw AS (
+          SELECT DISTINCT a.city_key, a.src AS u, b.src AS v
+          FROM e a
+          JOIN e b ON a.city_key = b.city_key AND a.dst = b.dst AND a.src < b.src
+        ), deg AS (
+          SELECT city_key, node, count(*) AS d
+          FROM (SELECT city_key, u AS node FROM cw
+                UNION ALL SELECT city_key, v AS node FROM cw) t
+          GROUP BY city_key, node
+        ), tri AS (
+          SELECT e1.city_key, CAST(count(*) AS BIGINT) AS n_triangles
+          FROM cw e1
+          JOIN cw e2 ON e2.city_key = e1.city_key AND e2.u = e1.u AND e2.v > e1.v
+          JOIN cw e3 ON e3.city_key = e1.city_key AND e3.u = e1.v AND e3.v = e2.v
+          GROUP BY e1.city_key
+        ), wed AS (
+          SELECT city_key, CAST(sum(d * (d - 1)) AS BIGINT) // 2 AS n_wedges
+          FROM deg GROUP BY city_key
+        ), ne AS (
+          SELECT city_key, CAST(count(*) AS BIGINT) AS n_proj_edges
+          FROM cw GROUP BY city_key
+        )
+        SELECT ne.city_key, ne.n_proj_edges, w.n_wedges,
+               CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+               round(CASE WHEN w.n_wedges > 0
+                          THEN 3.0 * coalesce(t.n_triangles, 0) / w.n_wedges
+                          ELSE 0.0 END, 6) AS transitivity
+        FROM ne
+        JOIN wed w ON w.city_key = ne.city_key
+        LEFT JOIN tri t ON t.city_key = ne.city_key
+    """
+
+
+# their oracles arrive via ORACLE.update(ORACLE_TRAINING) above
+QUERIES["ann_recall_audit"] = S.ann_recall_audit
+QUERIES["temperature_mixture"] = P.temperature_mixture
+QUERIES["dedup_rate_by_source"] = P.dedup_rate_by_source
+
+
 # ---------- driver-window ordering ----------
 #
 # The driver's CORRECTNESS gate certifies the first 50 insertion-order
