@@ -397,3 +397,45 @@ def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     binary_df = attach_binary_payload(spread(read_table(spark, sf_dir, "documents")))
     return binary_df.mapInPandas(resample, schema=RESAMPLE_SCHEMA)
+
+
+def video_frame_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video duplicate-frame pairs: two "videos" are near-dups when
+    they share sampled-frame content — the video analog of segment-level
+    text dedup (a re-upload, a re-encode of the same clip, or a shared
+    intro sequence shows up as identical sampled frames).  Frames come
+    from the same sample_frames fan-out as video_frame_sample; frame
+    identity is md5 over the raw frame bytes.
+
+    Scale shape: one (frame-hash, doc_id) shuffle — frame BYTES never
+    shuffle, only their 16-byte hashes; pair generation is the same
+    single-scan groupBy-collect used by the LSH/phash buckets (never an
+    all-pairs self-join), with empty frames excluded so short payloads
+    cannot form a corpus-wide mega-bucket.  A production corpus with a
+    pathological shared frame (a black intro frame across millions of
+    videos) caps the group exactly like the LSH hot bucket
+    (dedup._bucket_pairs max_bucket + accounting).
+    """
+    frames = sample_frames(
+        attach_binary_payload(spread(read_table(spark, sf_dir, "documents")))
+    )
+    fh = (
+        frames.filter(F.length("frame_bytes") > 0)
+        .select("doc_id", F.md5("frame_bytes").alias("fh"))
+        .distinct()
+    )
+    groups = (
+        fh.groupBy("fh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pair_gen = (
+        "flatten(transform(ds, (a, i) ->"
+        " transform(slice(ds, i + 2, size(ds) - i - 1),"
+        " b -> struct(a AS doc_a, b AS doc_b))))"
+    )
+    return (
+        groups.select(F.explode(F.expr(pair_gen)).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_frames"))
+    )

@@ -408,3 +408,78 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_kept") / F.col("n_docs"), 6).alias("keep_rate"),
         )
     )
+
+
+# stratified split: rank-exact quotas within each (source, lang) stratum.
+# RANK_BUCKETS sub-buckets per stratum bound every window partition at
+# ~|stratum|/256 rows — the bucket-carry two-level rank (same pattern as
+# balance_deciles / temporal's as-of join), so no unbounded partition
+# window exists even when one stratum is billions of rows.
+RANK_BUCKETS = 256
+STRATUM_HASH = "md5(cast(doc_id as string))"
+STRATUM_BUCKET = f"cast(conv(substring({STRATUM_HASH}, 1, 2), 16, 10) as bigint)"
+
+
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified train/val/test split: within every
+    (source, lang) stratum, documents are ranked in a deterministic
+    pseudo-random order (md5 of the id, then id) and the first 80% of the
+    stratum — exactly, by rank arithmetic, not in hash expectation — goes
+    to train, the next 10% to val, the rest to test.  The per-stratum
+    guarantee is what :func:`hash_split` (global, rate-in-expectation)
+    cannot give: a 50-doc low-resource language still lands 40/5/5.
+
+    Scale shape: the global per-stratum rank is reconstructed two-level —
+    row_number inside (stratum, hash-bucket) partitions of ~1/256 of the
+    stratum each, plus a carry of preceding-bucket counts computed on the
+    tiny (strata × 256)-row rollup and broadcast back.  Split assignment
+    is exact integer arithmetic (rank·100 vs quota·n) — no doubles, no
+    ties, engine-identical.
+    """
+    from pyspark.sql import Window
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang")
+        .withColumn("h", F.expr(STRATUM_HASH))
+        .withColumn("rb", F.expr(STRATUM_BUCKET) % RANK_BUCKETS)
+    )
+    w_local = Window.partitionBy("source", "lang", "rb").orderBy("h", "doc_id")
+    local = docs.withColumn("local_rank", F.row_number().over(w_local))
+    rollup = docs.groupBy("source", "lang", "rb").agg(
+        F.count(F.lit(1)).alias("n_bucket")
+    )
+    w_carry = (
+        Window.partitionBy("source", "lang")
+        .orderBy("rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("source", "lang")
+    carry = rollup.select(
+        "source",
+        "lang",
+        "rb",
+        F.coalesce(F.sum("n_bucket").over(w_carry), F.lit(0)).alias("carry"),
+        F.sum("n_bucket").over(w_tot).alias("n_stratum"),
+    )
+    return (
+        local.join(F.broadcast(carry), ["source", "lang", "rb"])
+        .withColumn("stratum_rank", (F.col("carry") + F.col("local_rank")).cast("bigint"))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "stratum_rank",
+            F.col("n_stratum").cast("bigint").alias("n_stratum"),
+            F.when(
+                F.col("stratum_rank") * 100 <= F.col("n_stratum") * SPLIT_TRAIN,
+                F.lit("train"),
+            )
+            .when(
+                F.col("stratum_rank") * 100 <= F.col("n_stratum") * SPLIT_VAL,
+                F.lit("val"),
+            )
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )

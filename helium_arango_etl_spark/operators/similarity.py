@@ -536,13 +536,15 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BATCH_K)
         .select("q_id", "vec_id")
     )
+    # exact/approx rankings are K·Q rows by construction — broadcast them
+    # through the overlap and attach joins so no ranking ever shuffles
     hits = (
-        approx.join(exact, ["q_id", "vec_id"])
+        approx.join(F.broadcast(exact), ["q_id", "vec_id"])
         .groupBy("q_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
     )
     return (
-        n_cand.join(hits, "q_id", "left")
+        n_cand.join(F.broadcast(hits), "q_id", "left")
         .select(
             "q_id",
             "n_candidates",

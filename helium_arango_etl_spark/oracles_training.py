@@ -1422,3 +1422,44 @@ ORACLE_TRAINING["ann_recall_audit"] = _BUCKET_CTE + f"""
                    AS recall
         FROM cand c LEFT JOIN hits h ON h.q_id = c.q_id
     """
+
+
+ORACLE_TRAINING["stratified_split"] = f"""
+        WITH r AS (
+          SELECT doc_id, source, lang,
+                 row_number() OVER (
+                     PARTITION BY source, lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS stratum_rank,
+                 count(*) OVER (PARTITION BY source, lang) AS n_stratum
+          FROM documents
+        )
+        SELECT doc_id, source, lang,
+               CAST(stratum_rank AS BIGINT) AS stratum_rank,
+               CAST(n_stratum AS BIGINT) AS n_stratum,
+               CASE WHEN stratum_rank * 100 <= n_stratum * {SPLIT_TRAIN} THEN 'train'
+                    WHEN stratum_rank * 100 <= n_stratum * {SPLIT_VAL} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM r
+    """
+
+ORACLE_TRAINING["video_frame_dup_pairs"] = """
+        WITH c AS (
+          SELECT doc_id, text, length(text) AS n,
+                 greatest(1, length(text) // 4) AS step
+          FROM documents
+        ), f AS (
+          SELECT doc_id, text, n, step, unnest(range(0, 4)) AS fi FROM c
+        ), g AS (
+          SELECT doc_id,
+                 substr(text, CAST(fi * step + 1 AS INT), CAST(step AS INT)) AS fr
+          FROM f
+        ), fh AS (
+          SELECT DISTINCT doc_id, md5(fr) AS fh FROM g WHERE length(fr) > 0
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared_frames
+        FROM fh a
+        JOIN fh b ON b.fh = a.fh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    """

@@ -1070,6 +1070,8 @@ ORACLE["city_triangle_stats"] = f"""
 QUERIES["ann_recall_audit"] = S.ann_recall_audit
 QUERIES["temperature_mixture"] = P.temperature_mixture
 QUERIES["dedup_rate_by_source"] = P.dedup_rate_by_source
+QUERIES["stratified_split"] = P.stratified_split
+QUERIES["video_frame_dup_pairs"] = M.video_frame_dup_pairs
 
 
 # ---------- driver-window ordering ----------

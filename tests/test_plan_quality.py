@@ -226,3 +226,48 @@ def test_chunk_documents_scan_pruned_and_no_shuffle(spark, sf_dir):
     widths = scan_widths(plan)
     assert widths and max(widths) <= 2, (widths, plan)
     assert "hashpartitioning" not in plan, plan
+
+
+def test_triangle_stats_no_cartesian(spark, sf_dir):
+    """city_triangle_stats closes wedges with keyed equi-joins on
+    (city, node) triples — a CartesianProduct or BroadcastNestedLoopJoin
+    anywhere means the orientation rewrite regressed to all-pairs."""
+    plan = plan_of(QUERIES["city_triangle_stats"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ann_recall_audit_broadcasts_queries(spark, sf_dir):
+    """Both rankings in the recall audit must broadcast the bounded query
+    block — a SortMergeJoin would shuffle the whole corpus per ranking."""
+    from helium_arango_etl_spark.operators.similarity import clear_emb_cache
+
+    clear_emb_cache(spark)
+    plan = plan_of(QUERIES["ann_recall_audit"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_stratified_split_no_unbounded_stratum_window(spark, sf_dir):
+    """stratified_split's per-row window must be partitioned by
+    (source, lang, rank-bucket) — three refs plus the order keys — never
+    by the bare stratum: a mega-stratum would otherwise become one task.
+    The carry/total windows run on the tiny per-bucket rollup only."""
+    plan = plan_of(QUERIES["stratified_split"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    # per-row rank window: partition (source, lang, rb) + order (h, doc_id)
+    # -> >= 5 column refs; rollup windows have n_bucket in their spec
+    per_row = [s for s in specs if "local_rank" not in s and "doc_id" in s]
+    for s in per_row:
+        assert s.count("#") >= 5, (s, specs)
+
+
+def test_video_frame_dup_pairs_hashes_only_shuffle(spark, sf_dir):
+    """Frame bytes must never enter the pair-generation shuffle: after the
+    md5 projection the exchanged columns are (fh, doc_id) only."""
+    plan = plan_of(QUERIES["video_frame_dup_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    m = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert m, plan
+    assert all("frame_bytes" not in s for s in m), (m, plan)
