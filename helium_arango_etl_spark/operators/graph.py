@@ -847,3 +847,57 @@ def city_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("transitivity"),
         )
     )
+
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-city degree assortativity of the co-witness projection: the
+    Pearson correlation of endpoint degrees over edges (Newman 2002) —
+    positive when well-connected hotspots preferentially co-witness with
+    each other (rich club), negative for hub-and-spoke deployments.
+
+    The correlation over the symmetrized edge list reduces to FOUR
+    integer aggregates per city — m, Σ(du+dv), Σ(du·dv), Σ(du²+dv²) —
+    so the whole statistic is exact-integer arithmetic until one final
+    double division: bit-identical across engines, no float accumulation
+    order to worry about.  (At extreme degree scale the bigint products
+    would move to decimal(38,0); degrees here are bounded by city size.)
+
+    Scale shape: one degree aggregation + two keyed joins to attach
+    endpoint degrees + one combiner-folded per-city rollup; only (city,
+    node, degree) triples shuffle.  r = (4m·Σxy − S²) / (2m·Σx² − S²)
+    over the u<v edge list, S = Σ(du+dv).
+    """
+    cw = co_witness_pairs(spark, sf_dir).select(
+        "city_key", F.col("src_a").alias("a"), F.col("src_b").alias("b")
+    )
+    deg = (
+        cw.select("city_key", F.col("a").alias("node"))
+        .unionByName(cw.select("city_key", F.col("b").alias("node")))
+        .groupBy("city_key", "node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        cw.join(
+            deg.select("city_key", F.col("node").alias("a"), F.col("d").alias("da")),
+            ["city_key", "a"],
+        )
+        .join(
+            deg.select("city_key", F.col("node").alias("b"), F.col("d").alias("db")),
+            ["city_key", "b"],
+        )
+    )
+    agg = e.groupBy("city_key").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("da") + F.col("db")).alias("s1"),
+        F.sum(F.col("da") * F.col("db")).alias("sxy"),
+        F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db")).alias("sxx"),
+    )
+    num = 4 * F.col("m") * F.col("sxy") - F.col("s1") * F.col("s1")
+    den = 2 * F.col("m") * F.col("sxx") - F.col("s1") * F.col("s1")
+    return agg.select(
+        "city_key",
+        F.col("m").cast("bigint").alias("n_proj_edges"),
+        F.round(
+            F.when(den != 0, num / den).otherwise(F.lit(None).cast("double")), 6
+        ).alias("assortativity"),
+    )

@@ -537,3 +537,39 @@ def bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.expr(fold).alias("cross_entropy_bits"),
     )
+
+
+BPE_TOP_PAIRS = 50
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training: corpus-wide adjacent
+    character-pair frequencies within words, weighted by word frequency —
+    the argmax of this table IS the first merge rule a byte-pair encoder
+    learns.  Output: the top BPE_TOP_PAIRS pairs by count (count desc,
+    pair asc — fully deterministic).
+
+    Scale shape: the standard BPE-training optimization of folding the
+    corpus to its DISTINCT words first — one (word, count) shuffle whose
+    cardinality is the vocabulary, not the token stream; pair explosion
+    then runs over distinct words only, bounded by word length; the final
+    rollup is combiner-friendly and TakeOrdered bounds the result."""
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
+    words = (
+        docs.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("bigint").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(BPE_TOP_PAIRS)
+    )

@@ -1463,3 +1463,22 @@ ORACLE_TRAINING["video_frame_dup_pairs"] = """
         JOIN fh b ON b.fh = a.fh AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     """
+
+
+from .operators.textops import BPE_TOP_PAIRS  # noqa: E402
+
+ORACLE_TRAINING["bpe_pair_counts"] = f"""
+        WITH words AS (
+          SELECT w, count(*) AS n
+          FROM (SELECT unnest({_TOKS}) AS w FROM documents) t
+          GROUP BY w
+          HAVING length(w) >= 2
+        ), pairs AS (
+          SELECT substr(w, CAST(i AS INT), 2) AS pair, n
+          FROM words, unnest(range(1, length(w))) AS r(i)
+        )
+        SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY pair
+        ORDER BY pair_count DESC, pair ASC
+        LIMIT {BPE_TOP_PAIRS}
+    """

@@ -1072,6 +1072,38 @@ QUERIES["temperature_mixture"] = P.temperature_mixture
 QUERIES["dedup_rate_by_source"] = P.dedup_rate_by_source
 QUERIES["stratified_split"] = P.stratified_split
 QUERIES["video_frame_dup_pairs"] = M.video_frame_dup_pairs
+QUERIES["bpe_pair_counts"] = T.bpe_pair_counts
+
+QUERIES["degree_assortativity"] = G.degree_assortativity
+ORACLE["degree_assortativity"] = f"""
+        WITH edges0 AS ({_WITNESS_SQL}),
+        e AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        cw AS (
+          SELECT DISTINCT a.city_key, a.src AS u, b.src AS v
+          FROM e a
+          JOIN e b ON a.city_key = b.city_key AND a.dst = b.dst AND a.src < b.src
+        ), deg AS (
+          SELECT city_key, node, count(*) AS d
+          FROM (SELECT city_key, u AS node FROM cw
+                UNION ALL SELECT city_key, v AS node FROM cw) t
+          GROUP BY city_key, node
+        ), ed AS (
+          SELECT c.city_key, da.d AS da, db.d AS db
+          FROM cw c
+          JOIN deg da ON da.city_key = c.city_key AND da.node = c.u
+          JOIN deg db ON db.city_key = c.city_key AND db.node = c.v
+        ), agg AS (
+          SELECT city_key, count(*) AS m, sum(da + db) AS s1,
+                 sum(da * db) AS sxy, sum(da * da + db * db) AS sxx
+          FROM ed GROUP BY city_key
+        )
+        SELECT city_key, CAST(m AS BIGINT) AS n_proj_edges,
+               round(CASE WHEN 2 * m * sxx - s1 * s1 <> 0
+                          THEN CAST(4 * m * sxy - s1 * s1 AS DOUBLE)
+                               / (2 * m * sxx - s1 * s1)
+                          ELSE NULL END, 6) AS assortativity
+        FROM agg
+    """
 
 
 # ---------- driver-window ordering ----------

@@ -356,3 +356,73 @@ def test_city_communities_partition_sanity(spark, sf_dir):
     assert seen == nodes_by_city
     for r in out:
         assert r["community_size"] == sizes[(r["city_key"], r["community_id"])]
+
+
+def test_stratified_split_exact_quotas(spark, sf_dir):
+    """The whole point vs hash_split: every (source, lang) stratum lands
+    EXACTLY floor(80%·n) train and floor(90%·n)−floor(80%·n) val docs."""
+    from helium_arango_etl_spark.operators.pipeline import stratified_split
+
+    rows = (
+        stratified_split(spark, sf_dir)
+        .groupBy("source", "lang", "n_stratum")
+        .pivot("split", ["train", "val", "test"])
+        .count()
+        .fillna(0)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        n = r["n_stratum"]
+        assert r["train"] == n * 80 // 100, r
+        assert r["val"] == n * 90 // 100 - n * 80 // 100, r
+        assert r["test"] == n - n * 90 // 100, r
+
+
+def test_temperature_mixture_budget_properties(spark, sf_dir):
+    """The limiting source must be fully consumed (accept_rate == 1) and
+    no source can be over-sampled; realized counts track rate·n within
+    hash-uniformity noise."""
+    from helium_arango_etl_spark.operators.pipeline import temperature_mixture
+
+    rows = temperature_mixture(spark, sf_dir).collect()
+    assert rows
+    assert max(r["accept_rate"] for r in rows) == pytest.approx(1.0, abs=1e-6)
+    for r in rows:
+        assert 0 < r["accept_rate"] <= 1.0 + 1e-9
+        assert r["n_accepted"] <= r["n_docs"]
+        # deterministic-hash realization: within 20% + small-count slack
+        expect = r["accept_rate"] * r["n_docs"]
+        assert abs(r["n_accepted"] - expect) <= max(10, 0.2 * expect), r
+
+
+def test_triangle_stats_internal_consistency(spark, sf_oracle_dir):
+    """Triangles never exceed wedges/3 and transitivity is in [0, 1] —
+    plus the degree-ordered count must equal a naive recount on the
+    smallest city (independent of the DuckDB oracle's lexicographic
+    3-way join, this pins the orientation rewrite directly in-engine)."""
+    from itertools import combinations
+
+    from helium_arango_etl_spark.operators.graph import (
+        city_triangle_stats,
+        co_witness_pairs,
+    )
+
+    stats = {r["city_key"]: r for r in city_triangle_stats(spark, sf_oracle_dir).collect()}
+    assert stats
+    for r in stats.values():
+        assert 3 * r["n_triangles"] <= r["n_wedges"], r
+        assert 0.0 <= r["transitivity"] <= 1.0, r
+    cw = co_witness_pairs(spark, sf_oracle_dir).collect()
+    by_city = {}
+    for r in cw:
+        by_city.setdefault(r["city_key"], set()).add((r["src_a"], r["src_b"]))
+    city = min(by_city, key=lambda c: len(by_city[c]))
+    edges = by_city[city]
+    nodes = sorted({n for e in edges for n in e})
+    naive = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in edges and (a, c) in edges and (b, c) in edges
+    )
+    assert stats[city]["n_triangles"] == naive
