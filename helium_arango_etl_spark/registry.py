@@ -1167,14 +1167,16 @@ _DRIVER_WINDOW = [
     "pack_sequences",
     # temporal as-of join
     "height_asof",
-    # multimodal (oracled over the deterministic fake payloads)
+    # round-3 additions: graph census, ANN quality audit, exact-quota split
+    "city_triangle_stats",
+    "ann_recall_audit",
+    "stratified_split",
+    # multimodal (oracled over the deterministic fake payloads; the
+    # resize/audio surfaces stay parity-tested outside the window)
     "image_features",
-    "image_resize",
     "video_frame_sample",
-    "audio_features",
     "image_phash",
     "phash_near_pairs",
-    "audio_resample",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
