@@ -552,3 +552,128 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("n_hits", F.lit(0)) / BATCH_K, 6).alias("recall"),
         )
     )
+
+
+# Product quantization: DIM is split into PQ_M subspaces of PQ_SUB dims;
+# each subspace gets a PQ_K-codeword codebook (the seed vectors' subvectors,
+# quantized to 6dp so the iterative-free codebook is bit-reproducible across
+# engines — same discipline as the kmeans centroids).  A vector's code is
+# its per-subspace nearest codeword: 64 doubles compress to 4 small ints
+# (memory ratio DIM·8 : PQ_M — the step that makes billion-vector indexes
+# fit in RAM).  Queries score against codes with the ADC lookup table.
+PQ_M = 4
+PQ_SUB = DIM // PQ_M
+PQ_K = 16
+
+# squared L2 between subvector s of v64 and codeword (s, j) of the cb array
+# (cb is the 64-entry broadcast codebook row, indexed s*PQ_K + j, 1-based)
+_PQ_D = (
+    f"aggregate(zip_with(slice(v64, (s) * {PQ_SUB} + 1, {PQ_SUB}),"
+    f" element_at(cb, (s) * {PQ_K} + (j) + 1),"
+    " (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v)"
+)
+
+# per-subspace argmin as array_min over (d, j) structs: struct ordering
+# compares d first, then j — ties resolve to the smallest codeword id with
+# no second evaluation of the distance expression
+_PQ_MINS = (
+    f"transform(sequence(0, {PQ_M - 1}), s ->"
+    f" array_min(transform(sequence(0, {PQ_K - 1}), j ->"
+    f" named_struct('d', {_PQ_D}, 'j', j))))"
+)
+
+
+def _pq_codebook_row(emb: DataFrame) -> DataFrame:
+    """One-row DF holding the flattened codebook: cb[s*PQ_K + j + 1] =
+    6dp-quantized subvector s of seed vector j.  64 × 16 doubles — always
+    broadcastable."""
+    entries = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").cast("int").alias("j"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), s ->"
+                f" transform(slice(v64, s * {PQ_SUB} + 1, {PQ_SUB}),"
+                " x -> round(x, 6)))"
+            )
+        ).alias("s", "cv"),
+    )
+    return entries.groupBy().agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(s, j, cv))), e -> e.cv)"
+        ).alias("cb")
+    )
+
+
+def _pq_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, mins) with mins[s] = struct(d, j) of the winning
+    codeword per subspace.  The codebook row cross-joins as a broadcast
+    (single row); encoding is a pure per-row expression — the corpus never
+    shuffles to be encoded, exactly like the hyperplane bucketing."""
+    return (
+        emb.select("vec_id", "label", "v64")
+        .crossJoin(F.broadcast(_pq_codebook_row(emb)))
+        .withColumn("mins", F.expr(_PQ_MINS))
+    )
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding of the corpus: per-vector subspace
+    codes (rendered ','-joined — canonicalizer-safe) plus the L2
+    reconstruction error — the compression/quality table a PQ index build
+    reports.  Zero shuffle at any scale (see _pq_codes)."""
+    enc = _pq_codes(embedding_table(spark, sf_dir))
+    return enc.select(
+        "vec_id",
+        "label",
+        F.expr("array_join(transform(mins, m -> cast(m.j as string)), ',')").alias(
+            "codes_csv"
+        ),
+        F.round(
+            F.expr(
+                "sqrt(aggregate(transform(mins, m -> m.d),"
+                " cast(0 as double), (acc, v) -> acc + v))"
+            ),
+            6,
+        ).alias("recon_err"),
+    )
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN via asymmetric distance computation: the query (vec_id =
+    QUERY_VEC_ID) builds its PQ_M×PQ_K lookup table of exact
+    subvector→codeword distances ONCE; every corpus vector scores as
+    PQ_M table lookups on its 4-int code — no float vector math per
+    candidate.  This is the memory-bound scale path beside ivf_topk's
+    compute-bound one: at 100 TB the codes table is ~DIM·2 bytes/vector
+    and the scan reads codes only, never embeddings.
+
+    Scale shape: codebook row and query lookup-table row are broadcast
+    singles; scoring is per-row expression + TakeOrderedAndProject."""
+    emb = embedding_table(spark, sf_dir)
+    cbrow = _pq_codebook_row(emb)
+    dt_expr = (
+        f"transform(sequence(0, {PQ_M * PQ_K - 1}), i -> "
+        + _PQ_D.replace("(s)", f"(cast(i div {PQ_K} as int))").replace(
+            "(j)", f"(cast(i % {PQ_K} as int))"
+        )
+        + ")"
+    )
+    qrow = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .crossJoin(F.broadcast(cbrow))
+        .select(F.expr(dt_expr).alias("dt"))
+    )
+    codes = _pq_codes(emb).select(
+        "vec_id", "label", F.expr("transform(mins, m -> m.j)").alias("codes")
+    )
+    adc = (
+        f"aggregate(transform(sequence(0, {PQ_M - 1}), s ->"
+        f" element_at(dt, s * {PQ_K} + element_at(codes, s + 1) + 1)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    return (
+        codes.crossJoin(F.broadcast(qrow))
+        .select("vec_id", "label", F.round(F.expr(adc), 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )

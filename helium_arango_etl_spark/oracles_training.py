@@ -1482,3 +1482,53 @@ ORACLE_TRAINING["bpe_pair_counts"] = f"""
         ORDER BY pair_count DESC, pair ASC
         LIMIT {BPE_TOP_PAIRS}
     """
+
+
+from .operators.similarity import PQ_K, PQ_M, PQ_SUB  # noqa: E402
+
+# shared PQ fragments: codebook = 6dp-quantized subvectors of the seed
+# vectors; per-(vector, subspace, codeword) squared L2 via the same
+# in-order list fold the Spark expressions use
+_PQ_CTE = f"""
+WITH e AS (
+  SELECT vec_id, label, {_CAST64} AS v FROM embeddings
+), cb AS (
+  SELECT s.s, c.vec_id AS j,
+         list_transform(list_slice(c.v, s.s * {PQ_SUB} + 1, s.s * {PQ_SUB} + {PQ_SUB}),
+                        x -> round(x, 6)) AS cv
+  FROM e c, (SELECT unnest(range(0, {PQ_M})) AS s) s
+  WHERE c.vec_id < {PQ_K}
+), dist AS (
+  SELECT e.vec_id, e.label, cb.s, cb.j,
+         list_sum(list_transform(range(1, {PQ_SUB + 1}),
+           i -> (e.v[CAST(cb.s * {PQ_SUB} + i AS INT)] - cb.cv[i])
+              * (e.v[CAST(cb.s * {PQ_SUB} + i AS INT)] - cb.cv[i]))) AS d
+  FROM e, cb
+), codes AS (
+  SELECT vec_id, label, s, j, d,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS r
+  FROM dist
+)"""
+
+ORACLE_TRAINING["pq_encode"] = _PQ_CTE + """
+        SELECT vec_id, label,
+               string_agg(CAST(j AS VARCHAR), ',' ORDER BY s) AS codes_csv,
+               round(sqrt(list_sum(list(d ORDER BY s))), 6) AS recon_err
+        FROM codes WHERE r = 1
+        GROUP BY vec_id, label
+    """
+
+ORACLE_TRAINING["pq_topk"] = _PQ_CTE + f"""
+        , qd AS (
+          SELECT s, j, d FROM dist WHERE vec_id = {QUERY_VEC_ID}
+        ), sc AS (
+          SELECT c.vec_id, c.label,
+                 round(list_sum(list(q.d ORDER BY q.s)), 6) AS adc_dist
+          FROM (SELECT * FROM codes WHERE r = 1) c
+          JOIN qd q ON q.s = c.s AND q.j = c.j
+          GROUP BY c.vec_id, c.label
+        )
+        SELECT vec_id, label, adc_dist FROM sc
+        ORDER BY adc_dist ASC, vec_id ASC
+        LIMIT {TOP_K}
+    """

@@ -1073,6 +1073,8 @@ QUERIES["dedup_rate_by_source"] = P.dedup_rate_by_source
 QUERIES["stratified_split"] = P.stratified_split
 QUERIES["video_frame_dup_pairs"] = M.video_frame_dup_pairs
 QUERIES["bpe_pair_counts"] = T.bpe_pair_counts
+QUERIES["pq_encode"] = S.pq_encode
+QUERIES["pq_topk"] = S.pq_topk
 
 QUERIES["degree_assortativity"] = G.degree_assortativity
 ORACLE["degree_assortativity"] = f"""

@@ -271,3 +271,15 @@ def test_video_frame_dup_pairs_hashes_only_shuffle(spark, sf_dir):
     m = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert m, plan
     assert all("frame_bytes" not in s for s in m), (m, plan)
+
+
+def test_pq_topk_broadcast_and_bounded_sort(spark, sf_dir):
+    """PQ scoring must be map-side: codebook and lookup-table rows join as
+    broadcasts (never SMJ) and the top-k is TakeOrderedAndProject, not a
+    global sort of the scored corpus."""
+    from helium_arango_etl_spark.operators.similarity import clear_emb_cache
+
+    clear_emb_cache(spark)
+    plan = plan_of(QUERIES["pq_topk"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
