@@ -677,3 +677,64 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(TOP_K)
     )
+
+
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the composition that actually runs billion-vector search —
+    the IVF coarse quantizer prunes the corpus to the query's probe lists
+    (compute bound: 1/K of the corpus in expectation per probe), then PQ
+    asymmetric-distance scores the survivors from their 4-int codes
+    (memory bound: candidates are read as codes, not vectors).
+
+    Scale shape: every auxiliary relation — coarse centroids, PQ codebook
+    row, the query's ADC lookup-table row — is broadcast; candidate
+    pruning and scoring are map-side; top-k is TakeOrderedAndProject.
+    The corpus is scanned once to build (centroid_id, codes) and never
+    shuffles.
+    """
+    emb = embedding_table(spark, sf_dir)
+    cbrow = _pq_codebook_row(emb)
+    # coarse lists: every vector indexed under its NPROBE best centroids
+    assigned = _with_centroid_assignment(emb).select(
+        "vec_id", "label", "v64", "centroid_id", "probe_rank"
+    )
+    # PQ codes for the whole corpus (zero shuffle, shared expression)
+    coded = (
+        assigned.crossJoin(F.broadcast(cbrow))
+        .withColumn("mins", F.expr(_PQ_MINS))
+        .select(
+            "vec_id",
+            "label",
+            "centroid_id",
+            "probe_rank",
+            F.expr("transform(mins, m -> m.j)").alias("codes"),
+        )
+    )
+    dt_expr = (
+        f"transform(sequence(0, {PQ_M * PQ_K - 1}), i -> "
+        + _PQ_D.replace("(s)", f"(cast(i div {PQ_K} as int))").replace(
+            "(j)", f"(cast(i % {PQ_K} as int))"
+        )
+        + ")"
+    )
+    qrow = (
+        assigned.filter(
+            (F.col("vec_id") == QUERY_VEC_ID) & (F.col("probe_rank") == 1)
+        )
+        .crossJoin(F.broadcast(cbrow))
+        .select(
+            F.col("centroid_id").alias("q_centroid"), F.expr(dt_expr).alias("dt")
+        )
+    )
+    adc = (
+        f"aggregate(transform(sequence(0, {PQ_M - 1}), s ->"
+        f" element_at(dt, s * {PQ_K} + element_at(codes, s + 1) + 1)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    return (
+        coded.join(F.broadcast(qrow), coded.centroid_id == qrow.q_centroid)
+        .select("vec_id", "label", F.round(F.expr(adc), 6).alias("adc_dist"))
+        .dropDuplicates(["vec_id"])
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )

@@ -1532,3 +1532,39 @@ ORACLE_TRAINING["pq_topk"] = _PQ_CTE + f"""
         ORDER BY adc_dist ASC, vec_id ASC
         LIMIT {TOP_K}
     """
+
+
+ORACLE_TRAINING["ivf_pq_topk"] = _PQ_CTE + f"""
+        , seeds AS (
+          SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {NUM_CENTROIDS}
+        ), ascore AS (
+          SELECT e.vec_id, s.centroid_id,
+                 list_sum(list_transform(range(1, {DIM + 1}),
+                          i -> e.v[i] * s.cv[i])) AS dot
+          FROM e, seeds s
+        ), assign AS (
+          SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dot DESC, centroid_id ASC) AS rnk
+          FROM ascore
+        ), qc AS (
+          SELECT centroid_id AS q_centroid FROM assign
+          WHERE vec_id = {QUERY_VEC_ID} AND rnk = 1
+        ), cand AS (
+          SELECT DISTINCT a.vec_id
+          FROM assign a, qc
+          WHERE a.rnk <= {NPROBE} AND a.centroid_id = qc.q_centroid
+        ), qd AS (
+          SELECT s, j, d FROM dist WHERE vec_id = {QUERY_VEC_ID}
+        ), sc AS (
+          SELECT c.vec_id, c.label,
+                 round(list_sum(list(q.d ORDER BY q.s)), 6) AS adc_dist
+          FROM (SELECT * FROM codes WHERE r = 1) c
+          JOIN cand ON cand.vec_id = c.vec_id
+          JOIN qd q ON q.s = c.s AND q.j = c.j
+          GROUP BY c.vec_id, c.label
+        )
+        SELECT vec_id, label, adc_dist FROM sc
+        ORDER BY adc_dist ASC, vec_id ASC
+        LIMIT {TOP_K}
+    """

@@ -1075,6 +1075,7 @@ QUERIES["video_frame_dup_pairs"] = M.video_frame_dup_pairs
 QUERIES["bpe_pair_counts"] = T.bpe_pair_counts
 QUERIES["pq_encode"] = S.pq_encode
 QUERIES["pq_topk"] = S.pq_topk
+QUERIES["ivf_pq_topk"] = S.ivf_pq_topk
 
 QUERIES["degree_assortativity"] = G.degree_assortativity
 ORACLE["degree_assortativity"] = f"""
