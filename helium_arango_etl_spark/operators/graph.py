@@ -901,3 +901,48 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(den != 0, num / den).otherwise(F.lit(None).cast("double")), 6
         ).alias("assortativity"),
     )
+
+
+REC_TOP_N = 5
+
+
+def co_witness_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friend-of-friend recommendations on the co-witness projection: for
+    each hotspot, the top REC_TOP_N non-adjacent hotspots ranked by how
+    many co-witness partners they share (shared desc, id asc — fully
+    deterministic) — the classic 2-hop link-prediction query (common
+    neighbors) every graph engine ships.
+
+    Scale shape: the 2-hop expansion self-joins the symmetrized adjacency
+    on the middle vertex — fan-out is Σ deg(m)², so a production run caps
+    or samples celebrity middles exactly like the LSH hot bucket (the
+    projection build upstream already bounds fan-in); the distinct-partner
+    count and per-source rank window are keyed shuffles on (city, src);
+    direct edges are removed with an anti-join, never a filter over a
+    materialized cross product.  Only id triples shuffle.
+    """
+    from pyspark.sql import Window
+
+    cw = co_witness_pairs(spark, sf_dir).select(
+        "city_key", F.col("src_a").alias("a"), F.col("src_b").alias("b")
+    )
+    adj = cw.unionByName(
+        cw.select("city_key", F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    h1 = adj.select("city_key", F.col("a").alias("src"), F.col("b").alias("m"))
+    h2 = adj.select("city_key", F.col("a").alias("m"), F.col("b").alias("rec"))
+    counts = (
+        h1.join(h2, ["city_key", "m"])
+        .filter(F.col("src") != F.col("rec"))
+        .groupBy("city_key", "src", "rec")
+        .agg(F.count_distinct(F.col("m")).cast("bigint").alias("shared_partners"))
+    )
+    direct = adj.select("city_key", F.col("a").alias("src"), F.col("b").alias("rec"))
+    w = Window.partitionBy("city_key", "src").orderBy(
+        F.col("shared_partners").desc(), F.col("rec").asc()
+    )
+    return (
+        counts.join(direct, ["city_key", "src", "rec"], "left_anti")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= REC_TOP_N)
+    )

@@ -738,3 +738,73 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(TOP_K)
     )
+
+
+def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@BATCH_K of PQ ADC scoring against the exact L2 ranking, per
+    query (vec_id < NUM_QUERIES): isolates pure QUANTIZATION loss — both
+    sides rank by squared L2, one from floats, one from 4-int codes — the
+    companion gauge to ann_recall_audit's bucketing loss.  A production PQ
+    index tunes (PQ_M, PQ_K) against exactly this curve.
+
+    Scale shape: the query block, codebook row, and per-query lookup
+    tables are broadcast; the exact side is the priced yardstick pass;
+    the ADC side reads codes only; overlap is K·Q rows."""
+    from pyspark.sql import Window
+
+    emb = embedding_table(spark, sf_dir)
+    cbrow = _pq_codebook_row(emb)
+    q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v64").alias("qv")
+    )
+    d2 = (
+        "aggregate(zip_with(qv, v64, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    w_ex = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("vec_id").asc())
+    exact = (
+        emb.select("vec_id", "v64")
+        .join(F.broadcast(q))
+        .select("q_id", "vec_id", F.round(F.expr(d2), 6).alias("d"))
+        .withColumn("r", F.row_number().over(w_ex))
+        .filter(F.col("r") <= BATCH_K)
+        .select("q_id", "vec_id")
+    )
+    dt_expr = (
+        f"transform(sequence(0, {PQ_M * PQ_K - 1}), i -> "
+        + _PQ_D.replace("(s)", f"(cast(i div {PQ_K} as int))").replace(
+            "(j)", f"(cast(i % {PQ_K} as int))"
+        )
+        + ")"
+    )
+    qdt = (
+        emb.filter(F.col("vec_id") < NUM_QUERIES)
+        .crossJoin(F.broadcast(cbrow))
+        .select(F.col("vec_id").alias("q_id"), F.expr(dt_expr).alias("dt"))
+    )
+    codes = _pq_codes(emb).select(
+        "vec_id", F.expr("transform(mins, m -> m.j)").alias("codes")
+    )
+    adc = (
+        f"aggregate(transform(sequence(0, {PQ_M - 1}), s ->"
+        f" element_at(dt, s * {PQ_K} + element_at(codes, s + 1) + 1)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    approx = (
+        codes.join(F.broadcast(qdt))
+        .select("q_id", "vec_id", F.round(F.expr(adc), 6).alias("d"))
+        .withColumn("r", F.row_number().over(w_ex))
+        .filter(F.col("r") <= BATCH_K)
+        .select("q_id", "vec_id")
+    )
+    hits = (
+        approx.join(F.broadcast(exact), ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    allq = q.select("q_id")
+    return allq.join(F.broadcast(hits), "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / BATCH_K, 6).alias("recall"),
+    )

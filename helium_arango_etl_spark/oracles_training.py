@@ -1568,3 +1568,40 @@ ORACLE_TRAINING["ivf_pq_topk"] = _PQ_CTE + f"""
         ORDER BY adc_dist ASC, vec_id ASC
         LIMIT {TOP_K}
     """
+
+
+ORACLE_TRAINING["pq_recall_audit"] = _PQ_CTE + f"""
+        , q AS (
+          SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {NUM_QUERIES}
+        ), ex AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q.q_id, c.vec_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                     ORDER BY round(list_sum(list_transform(range(1, {DIM + 1}),
+                       i -> (q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i]))), 6) ASC,
+                       c.vec_id ASC) AS r
+            FROM q, e c) WHERE r <= {BATCH_K}
+        ), qd2 AS (
+          SELECT vec_id AS q_id, s, j, d FROM dist WHERE vec_id < {NUM_QUERIES}
+        ), adc AS (
+          SELECT c.vec_id, qd.q_id,
+                 round(list_sum(list(qd.d ORDER BY qd.s)), 6) AS ad
+          FROM (SELECT * FROM codes WHERE r = 1) c
+          JOIN qd2 qd ON qd.s = c.s AND qd.j = c.j
+          GROUP BY c.vec_id, qd.q_id
+        ), ap AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY ad ASC, vec_id ASC) AS r
+            FROM adc) WHERE r <= {BATCH_K}
+        ), hits AS (
+          SELECT a.q_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM ap a JOIN ex ON ex.q_id = a.q_id AND ex.vec_id = a.vec_id
+          GROUP BY a.q_id
+        )
+        SELECT q.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               round(coalesce(h.n_hits, 0) / CAST({BATCH_K} AS DOUBLE), 6)
+                   AS recall
+        FROM q LEFT JOIN hits h ON h.q_id = q.q_id
+    """

@@ -1076,6 +1076,41 @@ QUERIES["bpe_pair_counts"] = T.bpe_pair_counts
 QUERIES["pq_encode"] = S.pq_encode
 QUERIES["pq_topk"] = S.pq_topk
 QUERIES["ivf_pq_topk"] = S.ivf_pq_topk
+QUERIES["pq_recall_audit"] = S.pq_recall_audit
+
+QUERIES["co_witness_recommendations"] = G.co_witness_recommendations
+ORACLE["co_witness_recommendations"] = f"""
+        WITH edges0 AS ({_WITNESS_SQL}),
+        e AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        cw AS (
+          SELECT DISTINCT a.city_key, a.src AS u, b.src AS v
+          FROM e a
+          JOIN e b ON a.city_key = b.city_key AND a.dst = b.dst AND a.src < b.src
+        ), adj AS (
+          SELECT city_key, u AS a, v AS b FROM cw
+          UNION ALL
+          SELECT city_key, v AS a, u AS b FROM cw
+        ), counts AS (
+          SELECT h1.city_key, h1.a AS src, h2.b AS rec,
+                 CAST(count(DISTINCT h1.b) AS BIGINT) AS shared_partners
+          FROM adj h1
+          JOIN adj h2 ON h2.city_key = h1.city_key AND h2.a = h1.b
+          WHERE h1.a <> h2.b
+          GROUP BY h1.city_key, h1.a, h2.b
+        ), nond AS (
+          SELECT c.* FROM counts c
+          WHERE NOT EXISTS (
+            SELECT 1 FROM adj d
+            WHERE d.city_key = c.city_key AND d.a = c.src AND d.b = c.rec)
+        )
+        SELECT city_key, src, rec, shared_partners, CAST(rank AS INT) AS rank
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY city_key, src
+                   ORDER BY shared_partners DESC, rec ASC) AS rank
+          FROM nond)
+        WHERE rank <= {G.REC_TOP_N}
+    """
 
 QUERIES["degree_assortativity"] = G.degree_assortativity
 ORACLE["degree_assortativity"] = f"""
