@@ -424,3 +424,113 @@ def session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_converted"),
     )
+
+
+# promo attribution: a signup opens a per-user window of this length
+ATTR_WINDOW_US = 6 * 3600 * 1_000_000  # 6 hours, in microseconds
+
+
+def promo_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval RANGE JOIN (last-touch attribution): every
+    ``signup`` event opens a per-user window ``[ts, ts + 6h)``; every
+    ``purchase`` whose timestamp falls inside a window attributes to the
+    LATEST-opened one (ties: highest promo_id).  The interval-join
+    operator Spark lacks natively — the naive inequality join plans as
+    BroadcastNestedLoop/cartesian, which is a non-starter at scale.
+
+    Scale shape (bounded-interval bucket join): both sides key on
+    ``(user_id, time_bucket)`` with bucket width == the window length, so
+    an interval overlaps at most TWO buckets — each window row explodes
+    to <= 2 join keys, each probe to exactly 1, and the join is a plain
+    equi-join with the exact range predicate applied post-join.  Fan-out
+    is windows-per-user-per-bucket (bounded), never O(n²); the last-touch
+    pick is a row_number keyed by the probe's event_id.  Attribution
+    delay is integer microseconds — double seconds could flip a boundary
+    across engines.
+
+    Reference parity: generalizes the reference's point-in-range filters
+    (SURVEY §2 B2, blockchain_queries.py half-open ranges) to
+    range-PER-ROW — each probe carries its own interval lookup.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    promos = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("promo_id"),
+        "user_id",
+        F.unix_micros("ts").alias("w_start"),
+        (F.unix_micros("ts") + F.lit(ATTR_WINDOW_US)).alias("w_end"),
+    )
+    pb = promos.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"w_start div {ATTR_WINDOW_US}"),
+                    F.expr(f"(w_end - 1) div {ATTR_WINDOW_US}"),
+                )
+            )
+        ),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "value",
+    ).withColumn("bucket", F.expr(f"us div {ATTR_WINDOW_US}"))
+    w_last = Window.partitionBy("event_id").orderBy(
+        F.col("w_start").desc(), F.col("promo_id").desc()
+    )
+    return (
+        probes.join(pb, ["user_id", "bucket"])
+        .filter((F.col("us") >= F.col("w_start")) & (F.col("us") < F.col("w_end")))
+        .withColumn("r", F.row_number().over(w_last))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "promo_id",
+            (F.col("us") - F.col("w_start")).cast("bigint").alias("delay_us"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+
+
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: event counts and
+    value totals at HOURLY grain, DAILY grain, and the grand total — all
+    three levels from ONE pass (Spark lowers ``rollup(d, h)`` to a single
+    Expand + hash aggregate, not three scans).  The time-bucket hierarchy
+    counterpart to revenue_rollup's categorical ROLLUP — what TimescaleDB
+    calls a hypertable rollup and Druid calls ingestion-time rollup.
+
+    Scale shape: Expand triples the aggregate input rows but every level
+    combines map-side (sums/counts), so the shuffle carries one row per
+    (grain, bucket) — at 100 TB that is hours+days+1 rows, not events.
+    Money sums ride DECIMAL(18,2) (double hash-drifts across engines);
+    grain is derived from bucket nullness, unambiguous because ``ts`` is
+    never NULL.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    rolled = (
+        ev.select(
+            F.to_date("ts").alias("d"),
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            "value",
+        )
+        .rollup("d", "h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    grain = (
+        F.when(F.col("h").isNotNull(), F.lit("hour"))
+        .when(F.col("d").isNotNull(), F.lit("day"))
+        .otherwise(F.lit("all"))
+    )
+    return rolled.select(
+        grain.alias("grain"),
+        "d",
+        "h",
+        "n_events",
+        "total_value",
+    )

@@ -1227,3 +1227,46 @@ QUERIES = {
 
 
 QUERIES["chunk_documents"] = P.chunk_documents
+
+QUERIES["promo_attribution"] = TP.promo_attribution
+ORACLE["promo_attribution"] = f"""
+        WITH promos AS (
+          SELECT event_id AS promo_id, user_id,
+                 epoch_us(ts) AS w_start,
+                 epoch_us(ts) + {TP.ATTR_WINDOW_US} AS w_end
+          FROM events WHERE event_type = 'signup'
+        ), pur AS (
+          SELECT event_id, user_id, epoch_us(ts) AS us, value
+          FROM events WHERE event_type = 'purchase'
+        ), j AS (
+          SELECT p.event_id, p.user_id, pr.promo_id,
+                 p.us - pr.w_start AS delay_us, p.value,
+                 row_number() OVER (
+                     PARTITION BY p.event_id
+                     ORDER BY pr.w_start DESC, pr.promo_id DESC) AS r
+          FROM pur p
+          JOIN promos pr
+            ON pr.user_id = p.user_id
+           AND p.us >= pr.w_start AND p.us < pr.w_end
+        )
+        SELECT event_id, user_id, promo_id,
+               CAST(delay_us AS BIGINT) AS delay_us,
+               CAST(value AS DOUBLE) AS value
+        FROM j WHERE r = 1
+    """
+
+QUERIES["events_time_rollup"] = TP.events_time_rollup
+ORACLE["events_time_rollup"] = """
+        SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+                    WHEN d IS NOT NULL THEN 'day'
+                    ELSE 'all' END AS grain,
+               d, h, n_events, total_value
+        FROM (
+          SELECT CAST(ts AS DATE) AS d, date_trunc('hour', ts) AS h,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_value
+          FROM events
+          GROUP BY ROLLUP (d, h)
+        )
+    """

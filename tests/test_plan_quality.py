@@ -283,3 +283,22 @@ def test_pq_topk_broadcast_and_bounded_sort(spark, sf_dir):
     plan = plan_of(QUERIES["pq_topk"](spark, sf_dir))
     assert "SortMergeJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_promo_attribution_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The bounded-interval range join must plan as a HASH/merge EQUI-join
+    on (user_id, bucket) with the range predicate post-join — a naive
+    inequality join plans as BroadcastNestedLoop/cartesian, which is
+    O(promos x purchases) and fatal at event-stream scale."""
+    plan = plan_of(QUERIES["promo_attribution"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "bucket" in plan, plan
+
+
+def test_events_time_rollup_single_scan(spark, sf_dir):
+    """The hour/day/total rollup must be ONE Expand + aggregate over a
+    single events scan — not three scans unioned."""
+    plan = plan_of(QUERIES["events_time_rollup"](spark, sf_dir))
+    assert plan.count("events.parquet") == 1, plan
+    assert "Expand" in plan, plan
