@@ -678,3 +678,56 @@ def prefix_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("pa", "pb").cast("bigint").alias("edit_distance"),
         )
     )
+
+
+# exact repeated-substring signal: 5-token grams (distinct from the
+# 3-token minhash shingles — long enough that cross-doc repeats mean
+# memorization risk, short enough that sf0.01 still has collisions)
+RNG_N = 5
+
+
+def repeated_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-n-gram profile (the Lee et al. 2022 ExactSubstr
+    signal, gram-granular): for every document, how many of its distinct
+    5-token grams also appear in at least one OTHER document — the
+    memorization-risk / boilerplate gauge that near-dup scoring
+    (doc-level Jaccard) cannot see, because a doc can be 95% unique yet
+    share a verbatim paragraph with thousands of others.
+
+    Scale shape: one documents scan -> distinct (doc_id, gram_md5) pairs
+    (16-byte hashes, bodies never shuffle); gram multiplicity is a
+    hash-keyed groupBy with map-side partials; the join back to per-doc
+    pairs reuses the same hash partitioning (no extra exchange); per-doc
+    rollup is a second keyed groupBy.  A corpus-wide boilerplate gram
+    costs one large COUNT, never a collect_list or a pair explosion —
+    unlike lsh_candidate_pairs there is no per-bucket O(k²) anywhere, so
+    no cap is needed.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams_expr = (
+        f"CASE WHEN size(t) < {RNG_N} THEN array() "
+        f"ELSE transform(sequence(1, size(t) - {RNG_N - 1}),"
+        f" i -> md5(array_join(slice(t, i, {RNG_N}), ' '))) END"
+    )
+    g = (
+        docs.withColumn("t", F.expr(TOKS))
+        .select("doc_id", F.explode(F.expr(grams_expr)).alias("gh"))
+        .distinct()
+    )
+    rep = g.groupBy("gh").agg(F.count(F.lit(1)).alias("nd"))
+    per = (
+        g.join(rep, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("nd") >= 2).cast("bigint")).alias("n_shared"),
+        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+        F.round(
+            F.when(F.col("n_grams") > 0, F.col("n_shared") / F.col("n_grams")), 6
+        ).alias("shared_frac"),
+    )

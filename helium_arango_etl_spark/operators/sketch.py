@@ -196,3 +196,80 @@ def bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_set_bits",
         )
     )
+
+
+# quantile sketch: log2 octaves split by 2 sub-bits => 4 buckets/octave,
+# relative error <= 2^-2 = 25% worst case (12.5% expected) on the estimate
+QSK_SUB_BITS = 2
+
+
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (the DDSketch/KLL role): per event_type,
+    p50/p90/p99 estimated from a log2-bucketed histogram of value-cents —
+    octave = bit length, 2 sub-bits per octave — with the bucket's upper
+    bound reported as the estimate.  Exact percentile (`price_quantiles`)
+    needs the full value multiset per group; this keeps ONE bounded-size
+    counter table per group that merges across partitions/days by
+    cell-wise addition — the only quantile that works in a streaming or
+    multi-day rollup at 100 TB.
+
+    Engine-portable like hll_distinct: bucketing is pure integer
+    arithmetic (floor to cents, bit length via length(bin(x)), shifts),
+    so both engines build the identical histogram and the estimate is
+    bit-reproducible — no tolerance bands.
+
+    Scale shape: map-side partial groupBy (event_type, octave, sub) —
+    the shuffle carries <= groups x ~70 bucket rows, not events; the
+    cumulative window runs per event_type over those bucket rows.
+    """
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    c = "cast(floor(value * 100) as bigint)"
+    buckets = (
+        ev.withColumn("c", F.expr(c))
+        .filter(F.col("c") >= 1)
+        .withColumn("b", F.expr("length(bin(c))"))
+        .withColumn(
+            "sub",
+            F.expr(
+                "CASE WHEN b >= 3 THEN shiftright(c, b - 3) & 3"
+                " ELSE shiftleft(c, 3 - b) & 3 END"
+            ),
+        )
+        .groupBy("event_type", "b", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "ub",
+            F.expr(
+                "CASE WHEN b >= 3 THEN shiftleft(5 + sub, b - 3) - 1"
+                " ELSE shiftright(4 + sub, 3 - b) END"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("b", "sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = buckets.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+    )
+    est = [
+        F.round(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"cast(ceiling({q} * n) as bigint)"),
+                    F.col("ub"),
+                )
+            )
+            / 100.0,
+            2,
+        ).alias(f"est_p{int(q * 100)}")
+        for q in (0.5, 0.9, 0.99)
+    ]
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        *est,
+    )

@@ -1270,3 +1270,69 @@ ORACLE["events_time_rollup"] = """
           GROUP BY ROLLUP (d, h)
         )
     """
+
+QUERIES["value_quantile_sketch"] = K.value_quantile_sketch
+ORACLE["value_quantile_sketch"] = """
+        WITH cents AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+          FROM events WHERE floor(value * 100) >= 1
+        ), bk AS (
+          SELECT event_type, b, sub, CAST(count(*) AS BIGINT) AS cnt,
+                 CASE WHEN b >= 3 THEN ((5 + sub) << (b - 3)) - 1
+                      ELSE (4 + sub) >> (3 - b) END AS ub
+          FROM (
+            SELECT event_type, b,
+                   CASE WHEN b >= 3 THEN (c >> (b - 3)) & 3
+                        ELSE (c << (3 - b)) & 3 END AS sub
+            FROM (SELECT event_type, c, length(bin(c)) AS b FROM cents)
+          ) GROUP BY event_type, b, sub
+        ), cum AS (
+          SELECT *,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY b, sub
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type) AS n
+          FROM bk
+        )
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               round(min(CASE WHEN cum >= CAST(ceiling(0.5 * n) AS BIGINT)
+                              THEN ub END) / 100.0, 2) AS est_p50,
+               round(min(CASE WHEN cum >= CAST(ceiling(0.9 * n) AS BIGINT)
+                              THEN ub END) / 100.0, 2) AS est_p90,
+               round(min(CASE WHEN cum >= CAST(ceiling(0.99 * n) AS BIGINT)
+                              THEN ub END) / 100.0, 2) AS est_p99
+        FROM cum GROUP BY event_type
+    """
+
+QUERIES["repeated_ngram_docs"] = D.repeated_ngram_docs
+ORACLE["repeated_ngram_docs"] = f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+                     AS t
+          FROM documents
+        ), g0 AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) < {D.RNG_N} THEN []
+                      ELSE list_transform(range(1, len(t) - {D.RNG_N - 2}),
+                           i -> md5(array_to_string(t[i:i+{D.RNG_N - 1}], ' ')))
+                 END AS gs
+          FROM toks
+        ), g AS (
+          SELECT DISTINCT doc_id, unnest(gs) AS gh FROM g0
+        ), rep AS (
+          SELECT gh, count(*) AS nd FROM g GROUP BY gh
+        ), per AS (
+          SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_shared
+          FROM g JOIN rep USING (gh) GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+               round(CASE WHEN p.n_grams > 0
+                          THEN p.n_shared / CAST(p.n_grams AS DOUBLE) END, 6)
+                   AS shared_frac
+        FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    """
