@@ -596,3 +596,63 @@ def missing_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("next_h") - F.col("height") - 1).alias("n_missing"),
         )
     )
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff — the incremental-sync primitive the
+    reference's follower approximates with a block-height cursor
+    (etl.py poll loop): given yesterday's and today's snapshot of a keyed
+    table, emit one row per difference with status ``added`` / ``removed``
+    / ``changed``.  A cursor only sees appends; a content diff also
+    catches updates and deletes, which is what a 100 TB table-sync
+    actually needs before it can ship a minimal changeset.
+
+    The two snapshots are derived deterministically from ``orders`` so
+    the operator is oracle-checkable: the "old" snapshot lacks keys
+    divisible by 100 (-> added), the "new" lacks keys divisible by 97
+    (-> removed), and 1-URGENT rows have their status field rewritten in
+    the new snapshot (-> changed).
+
+    Scale shape: each side folds its compared columns to ONE md5 digest
+    before the join, so the full-outer join shuffles (key, 32-byte
+    digest) pairs — never row bodies; the join is a plain keyed
+    equi-join (AQE-splittable), and unchanged rows are filtered out
+    post-join without ever materializing.  Digest inputs are exact types
+    only (strings/ints via concat_ws) — doubles would hash-drift across
+    engines.
+    """
+    base = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    digest = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_custkey").cast("string"),
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+    )
+    old = base.filter(F.col("o_orderkey") % 100 != 0).select(
+        "o_orderkey", digest.alias("old_digest")
+    )
+    new = (
+        base.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("R")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .select("o_orderkey", digest.alias("new_digest"))
+    )
+    return (
+        old.join(new, "o_orderkey", "full_outer")
+        .withColumn(
+            "status",
+            F.when(F.col("old_digest").isNull(), F.lit("added"))
+            .when(F.col("new_digest").isNull(), F.lit("removed"))
+            .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed")),
+        )
+        .filter(F.col("status").isNotNull())
+        .select("o_orderkey", "status")
+    )

@@ -1336,3 +1336,32 @@ ORACLE["repeated_ngram_docs"] = f"""
                    AS shared_frac
         FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
     """
+
+QUERIES["snapshot_diff"] = R.snapshot_diff
+ORACLE["snapshot_diff"] = """
+        WITH base AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+          FROM orders
+        ), old AS (
+          SELECT o_orderkey,
+                 md5(concat_ws('|', CAST(o_custkey AS VARCHAR),
+                     o_orderstatus, o_orderpriority)) AS old_digest
+          FROM base WHERE o_orderkey % 100 <> 0
+        ), new AS (
+          SELECT o_orderkey,
+                 md5(concat_ws('|', CAST(o_custkey AS VARCHAR),
+                     CASE WHEN o_orderpriority = '1-URGENT' THEN 'R'
+                          ELSE o_orderstatus END, o_orderpriority)) AS new_digest
+          FROM base WHERE o_orderkey % 97 <> 0
+        )
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.old_digest IS NULL THEN 'added'
+                    WHEN n.new_digest IS NULL THEN 'removed'
+                    WHEN o.old_digest <> n.new_digest THEN 'changed' END
+                   AS status
+        FROM old o FULL OUTER JOIN new n ON n.o_orderkey = o.o_orderkey
+        WHERE CASE WHEN o.old_digest IS NULL THEN 'added'
+                   WHEN n.new_digest IS NULL THEN 'removed'
+                   WHEN o.old_digest <> n.new_digest THEN 'changed' END
+              IS NOT NULL
+    """
