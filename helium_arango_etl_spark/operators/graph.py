@@ -946,3 +946,135 @@ def co_witness_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= REC_TOP_N)
     )
+
+
+# Declarative Brandes: bounded BFS radius (= observed max diameter at the
+# test SFs; beyond it the result is radius-bounded betweenness, still
+# deterministic) and a deterministic md5 source sample (Brandes-Pich).
+BC_LEVELS = 4
+BC_SRC_MOD = 8  # keep ~1/8 of nodes as BFS sources
+# dependency deltas accumulate in integer NANO-units so every sum is
+# exact bigint arithmetic — order-independent, unlike float partial sums
+BC_SCALE = 1_000_000_000
+
+
+def city_betweenness_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-city betweenness centrality as PURE DataFrame joins — the
+    declarative, fully-oracled counterpart of the applyInPandas/Brandes
+    path (city_graph_metrics), completing the oracled-twin trio beside
+    city_pagerank_joins and city_hits_joins.
+
+    Exact Brandes (1 BFS per source, sigma path counts, backward
+    dependency accumulation) with two scale knobs, both deterministic:
+    sources are the ~1/BC_SRC_MOD of nodes whose md5 prefix hits 0 (the
+    Brandes-Pich estimator with a hash sample instead of an RNG), and BFS
+    unrolls BC_LEVELS levels (>= the witness graphs' diameter at the
+    tested SFs, so the truncation is vacuous there).  Each per-term
+    dependency sigma_v/sigma_w * (1 + delta_w) is rounded to integer
+    nano-units BEFORE summation, so every aggregation in both engines is
+    exact integer arithmetic — no float-sum order sensitivity anywhere.
+
+    Scale shape: BFS state is (city, source, node, sigma) rows keyed on
+    (city, source, node) — the frontier expansion is one edge join +
+    map-side-combinable sum per level, the visited check an anti-join;
+    the backward pass is the same joins reversed.  Work is
+    O(sources x edges) per level — the sampling knob, not a plan change,
+    is what keeps a mega-city affordable, exactly like the applyInPandas
+    path's Brandes-Pich switch (functions/graphalgs.py).  Each level
+    localCheckpoints to truncate lineage.
+    """
+    edges = (
+        witness_subgraph(spark, sf_dir).select("city_key", "src", "dst").distinct()
+    )
+    # bipartite (S* -> C*): the symmetric union cannot duplicate arcs
+    und = edges.select(
+        "city_key", F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionByName(
+        edges.select("city_key", F.col("dst").alias("a"), F.col("src").alias("b"))
+    ).persist()
+    nodes = und.select("city_key", F.col("a").alias("node")).distinct()
+    sources = nodes.filter(
+        F.expr(f"cast(conv(substring(md5(node), 1, 4), 16, 10) as bigint) % {BC_SRC_MOD} = 0")
+    )
+    visited = sources.select(
+        "city_key",
+        F.col("node").alias("s"),
+        F.col("node").alias("v"),
+        F.lit(0).alias("dist"),
+        F.lit(1).cast("bigint").alias("sigma"),
+    ).localCheckpoint()
+    frontier = visited
+    levels = {0: frontier}
+    for lvl in range(1, BC_LEVELS + 1):
+        grown = (
+            frontier.select(
+                F.col("city_key").alias("f_ck"), "s", F.col("v").alias("f_v"), "sigma"
+            )
+            .join(und, (F.col("f_ck") == und.city_key) & (F.col("f_v") == und.a))
+            .select("city_key", "s", F.col("b").alias("w"), "sigma")
+            .groupBy("city_key", "s", "w")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        new = (
+            grown.withColumnRenamed("w", "v")
+            .join(visited.select("city_key", "s", "v"), ["city_key", "s", "v"], "left_anti")
+            .withColumn("dist", F.lit(lvl))
+            .select("city_key", "s", "v", "dist", "sigma")
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(new)
+        frontier = new
+        levels[lvl] = new
+    # backward dependency accumulation in integer nano-units
+    delta = levels[BC_LEVELS].select(
+        "city_key", "s", "v", "sigma", F.lit(0).cast("bigint").alias("d")
+    )
+    acc = [delta]
+    for lvl in range(BC_LEVELS - 1, 0, -1):
+        cur = levels[lvl]
+        succ = (
+            cur.select(
+                F.col("city_key").alias("f_ck"), "s", "v",
+                F.col("v").alias("f_v"), "sigma",
+            )
+            .join(und, (F.col("f_ck") == und.city_key) & (F.col("f_v") == und.a))
+            .select("city_key", "s", "v", "sigma", F.col("b").alias("w"))
+            .join(
+                delta.select(
+                    "city_key", "s", F.col("v").alias("w"),
+                    F.col("sigma").alias("sigma_w"), F.col("d").alias("d_w"),
+                ),
+                ["city_key", "s", "w"],
+            )
+            .groupBy("city_key", "s", "v")
+            .agg(
+                F.sum(
+                    F.round(
+                        (F.col("sigma").cast("double") / F.col("sigma_w"))
+                        * (F.lit(float(BC_SCALE)) + F.col("d_w"))
+                    ).cast("bigint")
+                ).alias("d")
+            )
+        )
+        delta = (
+            cur.join(succ, ["city_key", "s", "v"], "left")
+            .select(
+                "city_key", "s", "v", "sigma",
+                F.coalesce("d", F.lit(0)).cast("bigint").alias("d"),
+            )
+            .localCheckpoint()
+        )
+        acc.append(delta)
+    all_delta = acc[0]
+    for d in acc[1:]:
+        all_delta = all_delta.unionByName(d)
+    per_node = all_delta.groupBy("city_key", F.col("v").alias("node")).agg(
+        F.sum("d").alias("dsum")
+    )
+    out = nodes.join(per_node, ["city_key", "node"], "left").select(
+        "city_key",
+        "node",
+        F.round(F.coalesce("dsum", F.lit(0)) / F.lit(2.0 * BC_SCALE), 6).alias("bc"),
+    )
+    und.unpersist()
+    return out

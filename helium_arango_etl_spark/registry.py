@@ -1154,6 +1154,9 @@ ORACLE["degree_assortativity"] = f"""
 # counterparts of the applyInPandas path), the dedup retention chain, the
 # ANN family, corpus assembly, the as-of join, and multimodal.  Everything
 # else stays registered (and locally parity-tested) after the window.
+# (registered here, ahead of the window assert; its oracle SQL builder
+# lives at the end of this module)
+QUERIES["city_betweenness_joins"] = G.city_betweenness_joins
 _DRIVER_WINDOW = [
     # relational core (SURVEY §2 A/B/C/D/F/H/I)
     "rewards_5d",            # flagship (D1)
@@ -1182,7 +1185,7 @@ _DRIVER_WINDOW = [
     "city_pagerank_joins",   # J3 oracled twin
     "city_hits_joins",       # J5 oracled twin
     "city_communities",      # label-propagation communities
-    "city_graph_metrics",    # rows-only: networkx-exact J2/J3 numerics
+    "city_betweenness_joins",  # J2 oracled twin (completes the trio)
     # dedup retention chain
     "exact_dedup",
     "minhash_signatures",
@@ -1365,3 +1368,79 @@ ORACLE["snapshot_diff"] = """
                    WHEN o.old_digest <> n.new_digest THEN 'changed' END
               IS NOT NULL
     """
+
+
+def _betweenness_sql() -> str:
+    """Unrolled Brandes mirror of G.city_betweenness_joins: BFS levels
+    v0..vL with bigint sigma, backward deltas in integer nano-units
+    (per-term CAST(round(..) AS BIGINT) before SUM, so every aggregate is
+    exact integer arithmetic, matching the Spark side bit-for-bit)."""
+    L, MOD, SC = G.BC_LEVELS, G.BC_SRC_MOD, float(G.BC_SCALE)
+    parts = [f"""
+        WITH edges0 AS ({_WITNESS_SQL}),
+        edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        und AS (
+          SELECT city_key, src AS a, dst AS b FROM edges
+          UNION ALL SELECT city_key, dst AS a, src AS b FROM edges
+        ),
+        nodes AS (SELECT DISTINCT city_key, a AS node FROM und),
+        srcs AS (
+          SELECT city_key, node FROM nodes
+          WHERE ('0x' || substr(md5(node), 1, 4))::BIGINT % {MOD} = 0
+        ),
+        v0 AS (
+          SELECT city_key, node AS s, node AS v, 0 AS dist,
+                 CAST(1 AS BIGINT) AS sigma
+          FROM srcs
+        ), vis0 AS (SELECT * FROM v0)"""]
+    for l in range(1, L + 1):
+        parts.append(f"""
+        , g{l} AS (
+          SELECT u.city_key, f.s, u.b AS v, CAST(sum(f.sigma) AS BIGINT) AS sigma
+          FROM v{l - 1} f JOIN und u ON u.city_key = f.city_key AND u.a = f.v
+          GROUP BY u.city_key, f.s, u.b
+        ), v{l} AS (
+          SELECT g.city_key, g.s, g.v, {l} AS dist, g.sigma FROM g{l} g
+          WHERE NOT EXISTS (
+            SELECT 1 FROM vis{l - 1} x
+            WHERE x.city_key = g.city_key AND x.s = g.s AND x.v = g.v)
+        ), vis{l} AS (SELECT * FROM vis{l - 1} UNION ALL SELECT * FROM v{l})""")
+    parts.append(f"""
+        , d{L} AS (
+          SELECT city_key, s, v, sigma, CAST(0 AS BIGINT) AS d FROM v{L}
+        )""")
+    for l in range(L - 1, 0, -1):
+        parts.append(f"""
+        , sc{l} AS (
+          SELECT u.city_key, c.s, c.v,
+                 CAST(sum(CAST(round((CAST(c.sigma AS DOUBLE) / dw.sigma)
+                                     * ({SC!r} + dw.d)) AS BIGINT)) AS BIGINT) AS d
+          FROM v{l} c
+          JOIN und u ON u.city_key = c.city_key AND u.a = c.v
+          JOIN d{l + 1} dw ON dw.city_key = u.city_key AND dw.s = c.s
+                          AND dw.v = u.b
+          GROUP BY u.city_key, c.s, c.v
+        ), d{l} AS (
+          SELECT c.city_key, c.s, c.v, c.sigma,
+                 CAST(coalesce(x.d, 0) AS BIGINT) AS d
+          FROM v{l} c
+          LEFT JOIN sc{l} x ON x.city_key = c.city_key AND x.s = c.s
+                           AND x.v = c.v
+        )""")
+    union_d = " UNION ALL ".join(f"SELECT city_key, v, d FROM d{l}" for l in range(1, L + 1))
+    parts.append(f"""
+        , ad AS ({union_d}),
+        per AS (
+          SELECT city_key, v AS node, CAST(sum(d) AS BIGINT) AS dsum
+          FROM ad GROUP BY city_key, v
+        )
+        SELECT n.city_key, n.node,
+               round(coalesce(p.dsum, 0) / {2.0 * SC!r}, 6) AS bc
+        FROM nodes n
+        LEFT JOIN per p ON p.city_key = n.city_key AND p.node = n.node
+    """)
+    return "".join(parts)
+
+
+
+ORACLE["city_betweenness_joins"] = _betweenness_sql()
