@@ -115,3 +115,74 @@ def test_witness_kcore_invariants(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("deg"))
     )
     assert deg.filter(F.col("deg") < KCORE_K).count() == 0
+
+
+def test_city_betweenness_joins_matches_pure_python_brandes(spark, sf_dir):
+    """Cross-engine parity alone can't catch a shared algorithmic bug in
+    the unrolled Brandes (Spark plan and oracle SQL are mirrors of each
+    other), so pin the result against an INDEPENDENT textbook Brandes in
+    pure Python over the same edges, source sample, radius bound, and
+    nano-unit rounding."""
+    import collections
+    import hashlib
+
+    from helium_arango_etl_spark.operators.graph import (
+        BC_LEVELS,
+        BC_SCALE,
+        BC_SRC_MOD,
+        city_betweenness_joins,
+    )
+
+    edges = {
+        (r["city_key"], r["src"], r["dst"])
+        for r in witness_subgraph(spark, sf_dir)
+        .select("city_key", "src", "dst")
+        .distinct()
+        .collect()
+    }
+    adj = collections.defaultdict(lambda: collections.defaultdict(set))
+    for ck, s, d in edges:
+        adj[ck][s].add(d)
+        adj[ck][d].add(s)
+
+    expected = {}
+    for ck, g in adj.items():
+        dsum = collections.defaultdict(int)
+        for s in g:
+            if int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % BC_SRC_MOD:
+                continue
+            dist = {s: 0}
+            sigma = {s: 1}
+            frontier = [s]
+            order = []
+            for lvl in range(1, BC_LEVELS + 1):
+                grown = collections.defaultdict(int)
+                for v in frontier:
+                    for w in g[v]:
+                        grown[w] += sigma[v]
+                frontier = []
+                for w, sg in grown.items():
+                    if w not in dist:
+                        dist[w] = lvl
+                        sigma[w] = sg
+                        frontier.append(w)
+                        order.append(w)
+            delta = collections.defaultdict(int)
+            for v in reversed(order):
+                for w in g[v]:
+                    if dist.get(w) == dist[v] + 1:
+                        delta[v] += round(
+                            (sigma[v] / sigma[w]) * (float(BC_SCALE) + delta[w])
+                        )
+                dsum[v] += delta[v]
+        for node in g:
+            expected[(ck, node)] = round(dsum[node] / (2.0 * BC_SCALE), 6)
+
+    got = {
+        (r["city_key"], r["node"]): r["bc"]
+        for r in city_betweenness_joins(spark, sf_dir).collect()
+    }
+    assert got.keys() == expected.keys()
+    mismatches = {k: (got[k], expected[k]) for k in got if got[k] != expected[k]}
+    assert not mismatches, list(mismatches.items())[:5]
+    assert any(v > 0 for v in got.values())
