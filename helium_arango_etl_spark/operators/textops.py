@@ -573,3 +573,111 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
         .limit(BPE_TOP_PAIRS)
     )
+
+
+BPE_MERGES = 3
+
+
+def _bpe_merge_once(vocab: DataFrame, step: int):
+    """One BPE training iteration over a (w, n, t) vocab: count adjacent
+    symbol pairs weighted by word frequency, pick the argmax rule, apply
+    the merge left-to-right.  Returns (new_vocab, rule_row_df).
+
+    Left-to-right greedy with overlaps (pair 'aa' on 'aaa') is a fold,
+    which SQL lacks — but overlapping matches only chain when left==right,
+    and inside a maximal run of consecutive match positions greedy keeps
+    exactly the even offsets.  That closed form IS expressible: group
+    consecutive positions with the i - row_number() run trick, keep even
+    offsets, rebuild with a pure transform + filter.  Everything stays
+    vocabulary-sized and declarative in both engines.
+    """
+    pairs = vocab.select(
+        "n", F.explode(F.expr("sequence(1, size(t) - 1)")).alias("i"), "t"
+    ).select(
+        F.expr("element_at(t, i)").alias("a"),
+        F.expr("element_at(t, i + 1)").alias("b"),
+        "n",
+    )
+    best = (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("n").cast("bigint").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(1)
+    ).localCheckpoint()
+    from pyspark.sql import Window
+
+    withbest = vocab.crossJoin(F.broadcast(best))
+    pos = withbest.select(
+        "w", F.explode(F.expr("sequence(1, size(t) - 1)")).alias("i"), "t", "a", "b"
+    ).filter(
+        (F.expr("element_at(t, i)") == F.col("a"))
+        & (F.expr("element_at(t, i + 1)") == F.col("b"))
+    )
+    w_rn = Window.partitionBy("w").orderBy("i")
+    runs = pos.withColumn("run", F.col("i") - F.row_number().over(w_rn))
+    w_run = Window.partitionBy("w", "run")
+    kept = (
+        runs.withColumn("start", F.min("i").over(w_run))
+        .filter((F.col("i") - F.col("start")) % 2 == 0)
+        .groupBy("w")
+        .agg(F.collect_list("i").alias("kept"))
+    )
+    rebuilt = (
+        withbest.join(kept, "w", "left")
+        .withColumn("kept", F.coalesce("kept", F.expr("array()")))
+        .select(
+            "w",
+            "n",
+            F.expr(
+                "filter(transform(sequence(1, size(t)), i ->"
+                " CASE WHEN array_contains(kept, i)"
+                "      THEN concat(element_at(t, i), element_at(t, i + 1))"
+                "      WHEN array_contains(kept, i - 1) THEN NULL"
+                "      ELSE element_at(t, i) END), x -> x IS NOT NULL)"
+            ).alias("t"),
+        )
+        .localCheckpoint()
+    )
+    rule = best.select(
+        F.lit(step).alias("step"),
+        F.col("a").alias("left_sym"),
+        F.col("b").alias("right_sym"),
+        F.concat("a", "b").alias("merged"),
+        "pair_count",
+    )
+    return rebuilt, rule
+
+
+def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, not just the first pair table: BPE_MERGES
+    iterations of (pair count -> argmax rule -> left-to-right merge) over
+    the corpus vocabulary, returning the learned merge-rule table —
+    the artifact an LLM data pipeline ships to its tokenizer.  Extends
+    bpe_pair_counts (which is iteration 1's count table) to the actual
+    training loop; later iterations see multi-character symbols produced
+    by earlier rules, which no single-pass pair count can.
+
+    Scale shape: everything after the one token-stream fold to DISTINCT
+    words (the standard BPE corpus optimization) is vocabulary-sized:
+    pair counting is combiner-friendly, the argmax is a 1-row broadcast,
+    the merge rewrite is a per-row transform with two keyed windows over
+    match positions only.  Iterations localCheckpoint to truncate
+    lineage.  All integer counts — bit-identical across engines with no
+    quantization.
+    """
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
+    vocab = (
+        docs.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.length("w") >= 2)
+        .withColumn(
+            "t", F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        )
+        .localCheckpoint()
+    )
+    rules = None
+    for step in range(1, BPE_MERGES + 1):
+        vocab, rule = _bpe_merge_once(vocab, step)
+        rules = rule if rules is None else rules.unionByName(rule)
+    return rules

@@ -1444,3 +1444,65 @@ def _betweenness_sql() -> str:
 
 
 ORACLE["city_betweenness_joins"] = _betweenness_sql()
+
+
+def _bpe_merges_sql() -> str:
+    """Unrolled mirror of T.bpe_merge_rules: BPE_MERGES iterations of
+    (weighted pair count -> argmax -> run-parity greedy merge), all
+    integer arithmetic."""
+    parts = [f"""
+        WITH v0 AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS n,
+                 list_transform(range(1, length(w) + 1),
+                                i -> substring(w, i, 1)) AS t
+          FROM (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS w
+            FROM documents
+          )
+          WHERE length(w) >= 2
+          GROUP BY w
+        )"""]
+    for s in range(1, T.BPE_MERGES + 1):
+        p = s - 1
+        parts.append(f"""
+        , pr{s} AS (
+          SELECT t[i] AS a, t[i + 1] AS b, n
+          FROM (SELECT n, t, unnest(range(1, len(t))) AS i FROM v{p})
+        ), best{s} AS (
+          SELECT a, b, CAST(sum(n) AS BIGINT) AS pair_count
+          FROM pr{s} GROUP BY a, b
+          ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1
+        ), pos{s} AS (
+          SELECT x.w, x.i
+          FROM (SELECT w, t, unnest(range(1, len(t))) AS i FROM v{p}) x,
+               best{s} bst
+          WHERE x.t[x.i] = bst.a AND x.t[x.i + 1] = bst.b
+        ), kept{s} AS (
+          SELECT w, list(i) AS kept FROM (
+            SELECT w, i, min(i) OVER (PARTITION BY w, run) AS start
+            FROM (SELECT w, i,
+                         i - row_number() OVER (PARTITION BY w ORDER BY i)
+                             AS run
+                  FROM pos{s})
+          ) WHERE (i - start) % 2 = 0 GROUP BY w
+        ), v{s} AS (
+          SELECT v.w, v.n,
+                 list_filter(list_transform(range(1, len(v.t) + 1),
+                   i -> CASE WHEN list_contains(k.kept, i)
+                             THEN v.t[i] || v.t[i + 1]
+                             WHEN list_contains(k.kept, i - 1) THEN NULL
+                             ELSE v.t[i] END), x -> x IS NOT NULL) AS t
+          FROM v{p} v LEFT JOIN kept{s} k USING (w)
+        )""")
+    union = " UNION ALL ".join(
+        f"SELECT {s} AS step, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, pair_count FROM best{s}"
+        for s in range(1, T.BPE_MERGES + 1)
+    )
+    parts.append(f" {union}")
+    return "".join(parts)
+
+
+QUERIES["bpe_merge_rules"] = T.bpe_merge_rules
+ORACLE["bpe_merge_rules"] = _bpe_merges_sql()
