@@ -302,3 +302,35 @@ def test_events_time_rollup_single_scan(spark, sf_dir):
     plan = plan_of(QUERIES["events_time_rollup"](spark, sf_dir))
     assert plan.count("events.parquet") == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_repeated_ngram_docs_hashes_only_shuffle(spark, sf_dir):
+    """Gram multiplicity and the per-doc rollup must shuffle md5 hashes
+    and ids only — the text column must not survive past the scan
+    projection (a body-carrying shuffle is fatal at corpus scale)."""
+    plan = plan_of(QUERIES["repeated_ngram_docs"](spark, sf_dir))
+    exchanges = plan.split("Exchange")[1:]
+    assert exchanges, plan
+    for ex in exchanges:
+        head = ex.split("\n")[0]
+        assert "text" not in head, plan
+
+
+def test_value_quantile_sketch_scan_pruned(spark, sf_dir):
+    """The sketch build must read only (event_type, value) from events —
+    and aggregate to bucket rows before any window touches the data."""
+    plan = plan_of(QUERIES["value_quantile_sketch"](spark, sf_dir))
+    widths = scan_widths(plan)
+    assert widths and max(widths) <= 2, plan
+
+
+def test_snapshot_diff_digest_before_join(spark, sf_dir):
+    """Both snapshot sides must fold their compared columns to a digest
+    BEFORE the full-outer join, so the join carries (key, digest) pairs
+    only — md5 must not appear above the join in the plan."""
+    plan = plan_of(QUERIES["snapshot_diff"](spark, sf_dir))
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+    join_idx = plan.find("SortMergeJoin")
+    if join_idx == -1:
+        join_idx = plan.find("Join")
+    assert "md5" not in plan[:join_idx], plan
