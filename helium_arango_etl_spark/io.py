@@ -289,3 +289,64 @@ def apply_retention_partitioned(path: str, partition_col: str, cutoff: str) -> i
             shutil.rmtree(os.path.join(path, entry))
             dropped += 1
     return dropped
+
+
+ZORDER_BITS = 16
+
+
+def zorder_key(x_col: str, y_col: str, x_min, x_max, y_min, y_max):
+    """Morton (Z-order) curve key over two numeric columns, each
+    normalized to ZORDER_BITS-bit ranks against caller-supplied domain
+    bounds: bit-interleaving as a static codegen'd expression (32 shift
+    terms), no UDF.  Rows close on the Z-curve are close in BOTH
+    dimensions, so sorting files by this key tightens per-file min/max
+    stats on both columns at once — the data-skipping layout Delta's
+    OPTIMIZE ZORDER provides, as a plain column expression.
+
+    Bounds are parameters (not computed here) so a 100 TB writer uses
+    catalog/stat-store bounds instead of paying an extra full scan; rank
+    arithmetic clamps, so stale bounds degrade clustering, not
+    correctness.
+    """
+    from pyspark.sql import functions as F
+
+    top = (1 << ZORDER_BITS) - 1
+
+    def rank(col, lo, hi):
+        span = max(float(hi) - float(lo), 1.0)
+        return (
+            f"least({top}L, greatest(0L,"
+            f" cast(floor(({col} - {float(lo)!r}) * {top} / {span!r}) as bigint)))"
+        )
+
+    rx, ry = rank(x_col, x_min, x_max), rank(y_col, y_min, y_max)
+    terms = []
+    for b in range(ZORDER_BITS):
+        terms.append(f"shiftleft(shiftright(_zx, {b}) & 1, {2 * b})")
+        terms.append(f"shiftleft(shiftright(_zy, {b}) & 1, {2 * b + 1})")
+    return F.expr(" + ".join(terms).replace("_zx", f"({rx})").replace("_zy", f"({ry})"))
+
+
+def write_zordered(
+    df: DataFrame, path: str, x_col: str, y_col: str, bounds, num_files: int = 8
+) -> None:
+    """Write parquet clustered along the Z-curve of (x_col, y_col):
+    deterministic file assignment by Z-range (top bits of the key — no
+    repartitionByRange, whose sampled boundaries are not reproducible),
+    rows sorted by Z within each file.  Point/range predicates on EITHER
+    column then prune most files on min/max footer stats alone —
+    tests/test_zorder.py measures the effect.
+    """
+    from pyspark.sql import functions as F
+
+    z = zorder_key(x_col, y_col, *bounds)
+    zdf = df.withColumn("_z", z)
+    # deterministic range split: files = contiguous Z-intervals
+    bucket = F.expr(f"_z div {(1 << (2 * ZORDER_BITS)) // num_files + 1}")
+    (
+        zdf.repartition(num_files, bucket)
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1,0 +1,80 @@
+"""Z-order clustering: the layout must measurably improve file-level
+min/max pruning on BOTH clustered columns versus a single-column sort,
+and the write must be deterministic (no repartitionByRange sampling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from helium_arango_etl_spark.io import read_table, write_zordered
+
+
+def _files_hit(spark, path, col, lo, hi):
+    """Files whose [min, max] footer range for `col` intersects [lo, hi]
+    — what a stats-based reader would have to open."""
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+        .collect()
+    )
+    total = len(per_file)
+    hit = sum(1 for r in per_file if not (r["mx"] < lo or r["mn"] > hi))
+    return hit, total
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    b = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("us"), F.max("us")
+    ).first()
+    bounds = (b[0], b[1], b[2], b[3])
+
+    zpath = str(tmp_path / "z")
+    write_zordered(ev, zpath, "user_id", "us", bounds, num_files=8)
+
+    # baseline: time-sorted layout (the natural ingest order)
+    tpath = str(tmp_path / "t")
+    ev.repartition(8, F.expr("us div 604800000000")).sortWithinPartitions(
+        "us"
+    ).write.mode("overwrite").parquet(tpath)
+
+    assert spark.read.parquet(zpath).count() == ev.count()
+
+    # point-ish queries on each dimension
+    u_lo, u_hi = bounds[0], bounds[0] + (bounds[1] - bounds[0]) // 16
+    t_lo, t_hi = bounds[2], bounds[2] + (bounds[3] - bounds[2]) // 16
+
+    zu, zn = _files_hit(spark, zpath, "user_id", u_lo, u_hi)
+    tu, tn = _files_hit(spark, tpath, "user_id", u_lo, u_hi)
+    zt, _ = _files_hit(spark, zpath, "us", t_lo, t_hi)
+    tt, _ = _files_hit(spark, tpath, "us", t_lo, t_hi)
+
+    # the time-sorted layout cannot prune on user_id at all; z-order must
+    assert tu == tn, (tu, tn)
+    assert zu < zn, (zu, zn)
+    # and z-order still prunes on time (worse than a pure time sort, but
+    # strictly better than nothing)
+    assert zt < zn, (zt, zn)
+    assert tt < tn
+
+    # determinism: a second write produces identical per-file contents
+    zpath2 = str(tmp_path / "z2")
+    write_zordered(ev, zpath2, "user_id", "us", bounds, num_files=8)
+    h1 = sorted(
+        r["h"]
+        for r in spark.read.parquet(zpath)
+        .groupBy(F.input_file_name())
+        .agg(F.sum(F.crc32(F.col("event_id").cast("string"))).alias("h"))
+        .collect()
+    )
+    h2 = sorted(
+        r["h"]
+        for r in spark.read.parquet(zpath2)
+        .groupBy(F.input_file_name())
+        .agg(F.sum(F.crc32(F.col("event_id").cast("string"))).alias("h"))
+        .collect()
+    )
+    assert h1 == h2
