@@ -952,7 +952,12 @@ def co_witness_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test SFs; beyond it the result is radius-bounded betweenness, still
 # deterministic) and a deterministic md5 source sample (Brandes-Pich).
 BC_LEVELS = 4
-BC_SRC_MOD = 8  # keep ~1/8 of nodes as BFS sources
+# per-city source BUDGET: a node is a source iff its 16-bit md5 prefix
+# falls below 65536*K/n — an exact integer compare (md5_16 * n < 65536*K)
+# that keeps ~min(n, K) sources per city, making BFS state O(K·n) LINEAR
+# in city size instead of the quadratic n²/const a fixed sampling
+# fraction gives (a 10× bigger city did 100× the work; now 10×).
+BC_SRC_K = 128
 # dependency deltas accumulate in integer NANO-units so every sum is
 # exact bigint arithmetic — order-independent, unlike float partial sums
 BC_SCALE = 1_000_000_000
@@ -966,10 +971,12 @@ def city_betweenness_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact Brandes (1 BFS per source, sigma path counts, backward
     dependency accumulation) with two scale knobs, both deterministic:
-    sources are the ~1/BC_SRC_MOD of nodes whose md5 prefix hits 0 (the
-    Brandes-Pich estimator with a hash sample instead of an RNG), and BFS
-    unrolls BC_LEVELS levels (>= the witness graphs' diameter at the
-    tested SFs, so the truncation is vacuous there).  Each per-term
+    sources are a per-city BUDGET of ~min(n, BC_SRC_K) nodes chosen by an
+    exact integer md5 threshold (the Brandes-Pich estimator with a hash
+    sample instead of an RNG — and a budget instead of a fraction, so
+    work stays LINEAR in city size), and BFS unrolls BC_LEVELS levels
+    (>= the witness graphs' diameter at the tested SFs, so the
+    truncation is vacuous there).  Each per-term
     dependency sigma_v/sigma_w * (1 + delta_w) is rounded to integer
     nano-units BEFORE summation, so every aggregation in both engines is
     exact integer arithmetic — no float-sum order sensitivity anywhere.
@@ -993,8 +1000,16 @@ def city_betweenness_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select("city_key", F.col("dst").alias("a"), F.col("src").alias("b"))
     ).persist()
     nodes = und.select("city_key", F.col("a").alias("node")).distinct()
-    sources = nodes.filter(
-        F.expr(f"cast(conv(substring(md5(node), 1, 4), 16, 10) as bigint) % {BC_SRC_MOD} = 0")
+    nn = nodes.groupBy("city_key").agg(F.count(F.lit(1)).alias("n_nodes"))
+    sources = (
+        nodes.join(F.broadcast(nn), "city_key")
+        .filter(
+            F.expr(
+                "cast(conv(substring(md5(node), 1, 4), 16, 10) as bigint)"
+                f" * n_nodes < {65536 * BC_SRC_K}"
+            )
+        )
+        .drop("n_nodes")
     )
     visited = sources.select(
         "city_key",

@@ -1375,7 +1375,7 @@ def _betweenness_sql() -> str:
     v0..vL with bigint sigma, backward deltas in integer nano-units
     (per-term CAST(round(..) AS BIGINT) before SUM, so every aggregate is
     exact integer arithmetic, matching the Spark side bit-for-bit)."""
-    L, MOD, SC = G.BC_LEVELS, G.BC_SRC_MOD, float(G.BC_SCALE)
+    L, K, SC = G.BC_LEVELS, G.BC_SRC_K, float(G.BC_SCALE)
     parts = [f"""
         WITH edges0 AS ({_WITNESS_SQL}),
         edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
@@ -1384,9 +1384,14 @@ def _betweenness_sql() -> str:
           UNION ALL SELECT city_key, dst AS a, src AS b FROM edges
         ),
         nodes AS (SELECT DISTINCT city_key, a AS node FROM und),
+        nnc AS (
+          SELECT city_key, CAST(count(*) AS BIGINT) AS n_nodes
+          FROM nodes GROUP BY city_key
+        ),
         srcs AS (
-          SELECT city_key, node FROM nodes
-          WHERE ('0x' || substr(md5(node), 1, 4))::BIGINT % {MOD} = 0
+          SELECT n.city_key, n.node FROM nodes n JOIN nnc USING (city_key)
+          WHERE ('0x' || substr(md5(n.node), 1, 4))::BIGINT * nnc.n_nodes
+                < {65536 * K}
         ),
         v0 AS (
           SELECT city_key, node AS s, node AS v, 0 AS dist,

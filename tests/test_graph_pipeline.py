@@ -129,7 +129,7 @@ def test_city_betweenness_joins_matches_pure_python_brandes(spark, sf_dir):
     from helium_arango_etl_spark.operators.graph import (
         BC_LEVELS,
         BC_SCALE,
-        BC_SRC_MOD,
+        BC_SRC_K,
         city_betweenness_joins,
     )
 
@@ -148,8 +148,9 @@ def test_city_betweenness_joins_matches_pure_python_brandes(spark, sf_dir):
     expected = {}
     for ck, g in adj.items():
         dsum = collections.defaultdict(int)
+        n_city = len(g)
         for s in g:
-            if int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % BC_SRC_MOD:
+            if int(hashlib.md5(s.encode()).hexdigest()[:4], 16) * n_city >= 65536 * BC_SRC_K:
                 continue
             dist = {s: 0}
             sigma = {s: 1}
