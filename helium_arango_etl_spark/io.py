@@ -350,3 +350,33 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+TARGET_FILE_ROWS = 1_000_000
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, out_path: str, target_rows: int = TARGET_FILE_ROWS
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(rows / target_rows) files — the maintenance pass every
+    streaming/incremental sink needs, because a foreachBatch or
+    availableNow writer emits one file per trigger per partition and a
+    100 TB table read through 10M tiny files spends longer opening
+    footers than scanning data.
+
+    Row-count-based sizing (not byte-based) keeps the operation
+    deterministic and engine-portable; callers with wildly variable row
+    widths should derive target_rows from their schema.  Returns the
+    number of files written.  Uses coalesce (no shuffle) when reducing,
+    repartition when the source is under-split.
+    """
+    import math
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    files = max(1, math.ceil(n / target_rows))
+    cur = df.rdd.getNumPartitions()
+    out = df.coalesce(files) if cur >= files else df.repartition(files)
+    out.write.mode("overwrite").parquet(out_path)
+    return files

@@ -483,3 +483,39 @@ def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+SHUFFLE_EPOCHS = 2
+SHUFFLE_SHARDS = 8
+
+
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order: every epoch reshuffles the
+    corpus into SHUFFLE_SHARDS shards with a fresh within-shard order,
+    keyed entirely by md5(epoch|doc_id) — reproducible across reruns and
+    engines with no RNG state, the property a resumable 100 TB training
+    run needs (restart epoch 7, get epoch 7's exact order back).
+
+    Scale shape: shard assignment is a pure per-row expression; the only
+    shuffle is the per-(epoch, shard) rank window — 1/SHUFFLE_SHARDS of
+    an epoch per task, never a global sort.  Shards map 1:1 to loader
+    workers, which is exactly how distributed trainers consume data, so
+    the "no global order" limitation is the deployment shape, not a
+    compromise.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(SHUFFLE_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    keyed = docs.crossJoin(F.broadcast(epochs)).withColumn(
+        "k", F.md5(F.concat_ws("|", F.col("epoch"), F.col("doc_id")))
+    )
+    shard = F.expr(
+        f"cast(conv(substring(k, 1, 4), 16, 10) as bigint) % {SHUFFLE_SHARDS}"
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("k")
+    return (
+        keyed.withColumn("shard", shard.cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("epoch", "shard", "pos", "doc_id")
+    )

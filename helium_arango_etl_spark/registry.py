@@ -1511,3 +1511,24 @@ def _bpe_merges_sql() -> str:
 
 QUERIES["bpe_merge_rules"] = T.bpe_merge_rules
 ORACLE["bpe_merge_rules"] = _bpe_merges_sql()
+
+QUERIES["epoch_shuffle"] = P.epoch_shuffle
+ORACLE["epoch_shuffle"] = f"""
+        WITH keyed AS (
+          SELECT e.epoch, d.doc_id,
+                 md5(concat_ws('|', CAST(e.epoch AS VARCHAR),
+                               CAST(d.doc_id AS VARCHAR))) AS k
+          FROM documents d
+          CROSS JOIN (SELECT unnest(range({P.SHUFFLE_EPOCHS})) AS epoch) e
+        )
+        SELECT CAST(epoch AS INT) AS epoch,
+               CAST(('0x' || substr(k, 1, 4))::BIGINT % {P.SHUFFLE_SHARDS}
+                    AS INT) AS shard,
+               CAST(row_number() OVER (
+                   PARTITION BY epoch,
+                                ('0x' || substr(k, 1, 4))::BIGINT
+                                    % {P.SHUFFLE_SHARDS}
+                   ORDER BY k) AS BIGINT) AS pos,
+               doc_id
+        FROM keyed
+    """

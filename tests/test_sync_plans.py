@@ -121,3 +121,24 @@ def test_partitioned_retention_drop(spark, sf_dir, tmp_path):
     assert sorted(r["_key"] for r in kept.select("_key").collect()) == sorted(
         r["_key"] for r in expected.select("_key").collect()
     )
+
+
+def test_compact_parquet_reduces_files_preserving_rows(spark, sf_dir, tmp_path):
+    """Compaction must hit the computed file count, preserve content
+    exactly, and not lose rows on the repartition (under-split) path."""
+    from helium_arango_etl_spark.io import compact_parquet, read_table
+
+    src = str(tmp_path / "frag")
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.repartition(37).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "compact")
+    n_files = compact_parquet(spark, src, out, target_rows=ev.count() // 3 + 1)
+    assert n_files == 3
+    import os
+
+    parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(parts) == 3
+    before = {r["event_id"] for r in ev.collect()}
+    after = {r["event_id"] for r in spark.read.parquet(out).collect()}
+    assert before == after
