@@ -152,3 +152,78 @@ def test_ann_batch_topk_consistent_with_single_query(spark, sf_dir):
     assert [(r.vec_id, r.cosine_sim) for r in batch] == [
         (r.vec_id, r.cosine_sim) for r in single
     ]
+
+
+def test_quantile_sketch_merges_across_splits(spark, sf_dir):
+    """The sketch's reason to exist is mergeability: bucket histograms
+    built on disjoint halves of the data, summed cell-wise, must yield
+    the IDENTICAL quantile estimates as one pass over the whole — the
+    property that lets a 100 TB rollup (or a streaming foreachBatch)
+    keep one bounded counter table per group instead of value multisets."""
+    from pyspark.sql import Window, functions as F
+
+    from helium_arango_etl_spark.io import read_table
+    from helium_arango_etl_spark.registry import QUERIES
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+
+    def buckets(df):
+        return (
+            df.withColumn("c", F.expr("cast(floor(value * 100) as bigint)"))
+            .filter(F.col("c") >= 1)
+            .withColumn("b", F.expr("length(bin(c))"))
+            .withColumn(
+                "sub",
+                F.expr(
+                    "CASE WHEN b >= 3 THEN shiftright(c, b - 3) & 3"
+                    " ELSE shiftleft(c, 3 - b) & 3 END"
+                ),
+            )
+            .groupBy("event_type", "b", "sub")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    # disjoint halves -> per-half histograms -> cell-wise merge
+    merged = (
+        buckets(ev.filter(F.col("event_id") % 2 == 0))
+        .unionByName(buckets(ev.filter(F.col("event_id") % 2 == 1)))
+        .groupBy("event_type", "b", "sub")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn(
+            "ub",
+            F.expr(
+                "CASE WHEN b >= 3 THEN shiftleft(5 + sub, b - 3) - 1"
+                " ELSE shiftright(4 + sub, 3 - b) END"
+            ),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("b", "sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = merged.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+    )
+    est = [
+        F.round(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"cast(ceiling({q} * n) as bigint)"),
+                    F.col("ub"),
+                )
+            )
+            / 100.0,
+            2,
+        ).alias(f"est_p{int(q * 100)}")
+        for q in (0.5, 0.9, 0.99)
+    ]
+    from_merge = {
+        r["event_type"]: (r["est_p50"], r["est_p90"], r["est_p99"])
+        for r in cum.groupBy("event_type").agg(*est).collect()
+    }
+    one_pass = {
+        r["event_type"]: (r["est_p50"], r["est_p90"], r["est_p99"])
+        for r in QUERIES["value_quantile_sketch"](spark, sf_dir).collect()
+    }
+    assert from_merge == one_pass
