@@ -808,3 +808,67 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
         F.round(F.coalesce("n_hits", F.lit(0)) / BATCH_K, 6).alias("recall"),
     )
+
+
+RERANK_SHORTLIST = 50
+
+
+def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the production ANN serving pattern the other
+    PQ queries stop short of: ADC code scoring shortlists
+    RERANK_SHORTLIST candidates (codes only, memory-bound), then ONLY the
+    shortlist is re-scored with exact float L2 against the true
+    embeddings and the final TOP_K re-ranked.  Recovers most of the
+    recall PQ quantization loses (pq_recall_audit measures that loss)
+    while touching RERANK_SHORTLIST/N of the float vectors.
+
+    Scale shape: stage 1 is pq_topk's plan with a wider limit
+    (TakeOrderedAndProject, broadcast lookup table); stage 2 joins the
+    50-id shortlist back to the embedding table as a BROADCAST semi-side
+    — the big float table is probed, never shuffled; exact scoring is
+    50 rows of work regardless of corpus size."""
+    emb = embedding_table(spark, sf_dir)
+    cbrow = _pq_codebook_row(emb)
+    dt_expr = (
+        f"transform(sequence(0, {PQ_M * PQ_K - 1}), i -> "
+        + _PQ_D.replace("(s)", f"(cast(i div {PQ_K} as int))").replace(
+            "(j)", f"(cast(i % {PQ_K} as int))"
+        )
+        + ")"
+    )
+    qrow = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .crossJoin(F.broadcast(cbrow))
+        .select(F.expr(dt_expr).alias("dt"), F.col("v64").alias("qv"))
+    )
+    codes = _pq_codes(emb).select(
+        "vec_id", F.expr("transform(mins, m -> m.j)").alias("codes")
+    )
+    adc = (
+        f"aggregate(transform(sequence(0, {PQ_M - 1}), s ->"
+        f" element_at(dt, s * {PQ_K} + element_at(codes, s + 1) + 1)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    shortlist = (
+        codes.crossJoin(F.broadcast(qrow.select("dt")))
+        .select("vec_id", F.round(F.expr(adc), 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(RERANK_SHORTLIST)
+    )
+    d2 = (
+        "aggregate(zip_with(qv, v64, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    return (
+        emb.select("vec_id", "label", "v64")
+        .join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(qrow.select("qv")))
+        .select(
+            "vec_id",
+            "label",
+            "adc_dist",
+            F.round(F.expr(d2), 6).alias("exact_dist"),
+        )
+        .orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )

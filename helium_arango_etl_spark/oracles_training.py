@@ -1484,7 +1484,7 @@ ORACLE_TRAINING["bpe_pair_counts"] = f"""
     """
 
 
-from .operators.similarity import PQ_K, PQ_M, PQ_SUB  # noqa: E402
+from .operators.similarity import PQ_K, PQ_M, PQ_SUB, RERANK_SHORTLIST  # noqa: E402
 
 # shared PQ fragments: codebook = 6dp-quantized subvectors of the seed
 # vectors; per-(vector, subspace, codeword) squared L2 via the same
@@ -1604,4 +1604,32 @@ ORACLE_TRAINING["pq_recall_audit"] = _PQ_CTE + f"""
                round(coalesce(h.n_hits, 0) / CAST({BATCH_K} AS DOUBLE), 6)
                    AS recall
         FROM q LEFT JOIN hits h ON h.q_id = q.q_id
+    """
+
+
+ORACLE_TRAINING["pq_rerank_topk"] = _PQ_CTE + f"""
+        , qd AS (
+          SELECT s, j, d FROM dist WHERE vec_id = {QUERY_VEC_ID}
+        ), sc AS (
+          SELECT c.vec_id,
+                 round(list_sum(list(q.d ORDER BY q.s)), 6) AS adc_dist
+          FROM (SELECT * FROM codes WHERE r = 1) c
+          JOIN qd q ON q.s = c.s AND q.j = c.j
+          GROUP BY c.vec_id
+        ), shortlist AS (
+          SELECT vec_id, adc_dist FROM sc
+          ORDER BY adc_dist ASC, vec_id ASC
+          LIMIT {RERANK_SHORTLIST}
+        ), qv AS (
+          SELECT v FROM e WHERE vec_id = {QUERY_VEC_ID}
+        )
+        SELECT c.vec_id, c.label, sl.adc_dist,
+               round(list_sum(list_transform(range(1, {DIM + 1}),
+                     i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), 6)
+                   AS exact_dist
+        FROM e c
+        JOIN shortlist sl ON sl.vec_id = c.vec_id
+        CROSS JOIN qv q
+        ORDER BY exact_dist ASC, c.vec_id ASC
+        LIMIT {TOP_K}
     """

@@ -1532,3 +1532,5 @@ ORACLE["epoch_shuffle"] = f"""
                doc_id
         FROM keyed
     """
+
+QUERIES["pq_rerank_topk"] = S.pq_rerank_topk
