@@ -44,6 +44,9 @@ DOC_OPS = [
     "video_frame_sample",
     "audio_features",
     "audio_resample",
+    "repeated_ngram_docs",
+    "bpe_merge_rules",
+    "epoch_shuffle",
 ]
 
 
