@@ -203,3 +203,76 @@ def test_min_label_propagation_matches_union_find(spark, edges):
         for r in propagate_min_labels(nodes, und, keys=[], max_iters=20).collect()
     }
     assert got == expected
+
+
+# --- BPE run-parity greedy merge vs a straightforward fold ---
+
+words_strategy = st.lists(
+    st.text(alphabet="ab", min_size=2, max_size=12), min_size=1, max_size=25
+)
+pair_strategy = st.tuples(
+    st.sampled_from(["a", "b"]), st.sampled_from(["a", "b"])
+)
+
+
+def _greedy_merge(symbols, a, b):
+    """Textbook left-to-right BPE merge: scan once, merging (a, b) and
+    skipping the consumed symbol — the fold the SQL closed form must
+    reproduce, including overlap chains like (a,a) on 'aaaa'."""
+    out, i = [], 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+@given(words=words_strategy, pair=pair_strategy)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_run_parity_merge_matches_fold(spark, words, pair):
+    """The run-parity closed form (operators/textops._bpe_merge_once's
+    rebuild: keep even offsets within maximal runs of match positions) is
+    only correct if it equals the sequential greedy fold on EVERY input —
+    random a/b words maximize overlap chains, the hard case."""
+    from pyspark.sql import Window, functions as F
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(set(words))], ["wid", "w"]
+    ).withColumn(
+        "t", F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    )
+    a, b = pair
+    pos = df.select(
+        "wid", F.explode(F.expr("sequence(1, length(w) - 1)")).alias("i"), "t"
+    ).filter(
+        (F.expr("element_at(t, i)") == F.lit(a))
+        & (F.expr("element_at(t, i + 1)") == F.lit(b))
+    )
+    w_rn = Window.partitionBy("wid").orderBy("i")
+    runs = pos.withColumn("run", F.col("i") - F.row_number().over(w_rn))
+    kept = (
+        runs.withColumn("start", F.min("i").over(Window.partitionBy("wid", "run")))
+        .filter((F.col("i") - F.col("start")) % 2 == 0)
+        .groupBy("wid")
+        .agg(F.collect_list("i").alias("kept"))
+    )
+    merged = (
+        df.join(kept, "wid", "left")
+        .withColumn("kept", F.coalesce("kept", F.expr("array()")))
+        .select(
+            "wid",
+            "w",
+            F.expr(
+                f"filter(transform(sequence(1, size(t)), i ->"
+                f" CASE WHEN array_contains(kept, i)"
+                f"      THEN concat(element_at(t, i), element_at(t, i + 1))"
+                f"      WHEN array_contains(kept, i - 1) THEN NULL"
+                f"      ELSE element_at(t, i) END), x -> x IS NOT NULL)"
+            ).alias("m"),
+        )
+    )
+    for r in merged.collect():
+        assert r["m"] == _greedy_merge(list(r["w"]), a, b), (r["w"], a, b, r["m"])
