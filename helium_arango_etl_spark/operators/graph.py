@@ -957,7 +957,7 @@ BC_LEVELS = 4
 # that keeps ~min(n, K) sources per city, making BFS state O(K·n) LINEAR
 # in city size instead of the quadratic n²/const a fixed sampling
 # fraction gives (a 10× bigger city did 100× the work; now 10×).
-BC_SRC_K = 128
+BC_SRC_K = 64
 # dependency deltas accumulate in integer NANO-units so every sum is
 # exact bigint arithmetic — order-independent, unlike float partial sums
 BC_SCALE = 1_000_000_000
