@@ -1093,3 +1093,84 @@ def city_betweenness_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     und.unpersist()
     return out
+
+
+# DeepWalk-style corpus generation: walks per sampled start node, chosen
+# by md5 argmin — deterministic "randomness", reproducible across engines
+WALK_K = 32  # per-city start-node budget (md5 threshold, like BC_SRC_K)
+WALK_N = 2   # walks per start node
+WALK_LEN = 3  # steps per walk
+
+
+def witness_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph→corpus generation (the DeepWalk/node2vec data stage): WALK_N
+    walks of WALK_LEN steps from a budgeted sample of start nodes per
+    city, each step moving to the neighbor with the MINIMUM
+    md5(start|walk|step|neighbor) — a deterministic stand-in for the
+    uniform transition that is reproducible across engines and reruns,
+    which an RNG walk can never be.  The emitted paths are the training
+    sentences a skip-gram embedding trains on.
+
+    Scale shape: walk state is one row per active walk; each step is one
+    adjacency join keyed on (city, cur) plus a per-walk argmin window —
+    O(walks × avg_degree) rows per step, independent of graph size
+    beyond the sampled frontier.  The start budget uses the same exact
+    integer md5 threshold as city_betweenness_joins, so a mega-city emits
+    ~WALK_K walks, not n.
+    """
+    from pyspark.sql import Window
+
+    edges = (
+        witness_subgraph(spark, sf_dir).select("city_key", "src", "dst").distinct()
+    )
+    und = edges.select(
+        "city_key", F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionByName(
+        edges.select("city_key", F.col("dst").alias("a"), F.col("src").alias("b"))
+    ).persist()
+    nodes = und.select("city_key", F.col("a").alias("node")).distinct()
+    nn = nodes.groupBy("city_key").agg(F.count(F.lit(1)).alias("n_nodes"))
+    starts = (
+        nodes.join(F.broadcast(nn), "city_key")
+        .filter(
+            F.expr(
+                "cast(conv(substring(md5(node), 1, 4), 16, 10) as bigint)"
+                f" * n_nodes < {65536 * WALK_K}"
+            )
+        )
+        .drop("n_nodes")
+    )
+    widx = spark.range(WALK_N).select(F.col("id").cast("int").alias("widx"))
+    walks = starts.crossJoin(F.broadcast(widx)).select(
+        "city_key",
+        F.col("node").alias("start"),
+        "widx",
+        F.col("node").alias("cur"),
+        F.col("node").alias("path"),
+    )
+    for step in range(1, WALK_LEN + 1):
+        cand = (
+            walks.select(
+                F.col("city_key").alias("w_ck"), "start", "widx",
+                F.col("cur").alias("w_cur"), "path",
+            )
+            .join(und, (F.col("w_ck") == und.city_key) & (F.col("w_cur") == und.a))
+            .select(
+                "city_key", "start", "widx", "path", F.col("b").alias("nxt"),
+                F.md5(
+                    F.concat_ws("|", "start", "widx", F.lit(step), F.col("b"))
+                ).alias("h"),
+            )
+        )
+        w_pick = Window.partitionBy("city_key", "start", "widx").orderBy("h", "nxt")
+        walks = (
+            cand.withColumn("r", F.row_number().over(w_pick))
+            .filter(F.col("r") == 1)
+            .select(
+                "city_key", "start", "widx",
+                F.col("nxt").alias("cur"),
+                F.concat_ws(">", "path", "nxt").alias("path"),
+            )
+            .localCheckpoint()
+        )
+    return walks.select("city_key", "start", "widx", "path")

@@ -534,3 +534,34 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+def session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sample extraction from telemetry: each gap-session
+    becomes one next-event-prediction example — the ordered event-type
+    sequence minus its last element as the input, the last as the label.
+    The sequence-model analog of pack_sequences' token packing: raw logs
+    in, supervised examples out.
+
+    Scale shape: the session assignment is the shared sessionize window
+    (one keyed shuffle); sequence assembly is a grouped sort_array over
+    structs — per-session work bounded by session length, deterministic
+    (ts, event_id) order, no second shuffle.
+    """
+    per = (
+        _with_sessions(read_table(spark, sf_dir, "events"))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(ts, event_id, event_type))),"
+                " x -> x.event_type)"
+            ).alias("seq")
+        )
+    )
+    return per.select(
+        "user_id",
+        "session_idx",
+        F.expr("size(seq)").cast("bigint").alias("n_events"),
+        F.expr("array_join(slice(seq, 1, size(seq) - 1), '>')").alias("input_seq"),
+        F.expr("element_at(seq, -1)").alias("label"),
+    )

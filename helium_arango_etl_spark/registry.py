@@ -1534,3 +1534,85 @@ ORACLE["epoch_shuffle"] = f"""
     """
 
 QUERIES["pq_rerank_topk"] = S.pq_rerank_topk
+
+
+def _walks_sql() -> str:
+    """Unrolled mirror of G.witness_walks: md5-argmin transitions."""
+    parts = [f"""
+        WITH edges0 AS ({_WITNESS_SQL}),
+        edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        und AS (
+          SELECT city_key, src AS a, dst AS b FROM edges
+          UNION ALL SELECT city_key, dst AS a, src AS b FROM edges
+        ),
+        nodes AS (SELECT DISTINCT city_key, a AS node FROM und),
+        nnc AS (
+          SELECT city_key, CAST(count(*) AS BIGINT) AS n_nodes
+          FROM nodes GROUP BY city_key
+        ),
+        starts AS (
+          SELECT n.city_key, n.node FROM nodes n JOIN nnc USING (city_key)
+          WHERE ('0x' || substr(md5(n.node), 1, 4))::BIGINT * nnc.n_nodes
+                < {65536 * G.WALK_K}
+        ),
+        w0 AS (
+          SELECT s.city_key, s.node AS start, w.widx, s.node AS cur,
+                 s.node AS path
+          FROM starts s
+          CROSS JOIN (SELECT CAST(unnest(range({G.WALK_N})) AS INT) AS widx) w
+        )"""]
+    for s in range(1, G.WALK_LEN + 1):
+        p = s - 1
+        parts.append(f"""
+        , c{s} AS (
+          SELECT w.city_key, w.start, w.widx, w.path, u.b AS nxt,
+                 md5(concat_ws('|', w.start, CAST(w.widx AS VARCHAR),
+                               '{s}', u.b)) AS h,
+                 row_number() OVER (
+                     PARTITION BY w.city_key, w.start, w.widx
+                     ORDER BY md5(concat_ws('|', w.start,
+                                  CAST(w.widx AS VARCHAR), '{s}', u.b)),
+                              u.b) AS r
+          FROM w{p} w
+          JOIN und u ON u.city_key = w.city_key AND u.a = w.cur
+        ), w{s} AS (
+          SELECT city_key, start, widx, nxt AS cur,
+                 path || '>' || nxt AS path
+          FROM c{s} WHERE r = 1
+        )""")
+    parts.append(f"""
+        SELECT city_key, start, widx, path FROM w{G.WALK_LEN}
+    """)
+    return "".join(parts)
+
+
+QUERIES["witness_walks"] = G.witness_walks
+ORACLE["witness_walks"] = _walks_sql()
+
+QUERIES["session_sequences"] = TP.session_sequences
+ORACLE["session_sequences"] = f"""
+        WITH g AS (
+          SELECT event_id, user_id, ts, event_type,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events
+        ), s AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > {TP.SESSION_GAP_US}
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS session_idx
+          FROM g
+        ), seqs AS (
+          SELECT user_id, session_idx,
+                 list(event_type ORDER BY ts, event_id) AS seq
+          FROM s GROUP BY user_id, session_idx
+        )
+        SELECT user_id, session_idx,
+               CAST(len(seq) AS BIGINT) AS n_events,
+               coalesce(array_to_string(seq[1:len(seq) - 1], '>'), '')
+                   AS input_seq,
+               seq[len(seq)] AS label
+        FROM seqs
+    """
