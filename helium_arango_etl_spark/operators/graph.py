@@ -1174,3 +1174,79 @@ def witness_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return walks.select("city_key", "start", "widx", "path")
+
+
+# contrastive sampling over the co-witness projection
+CONTRAST_ANCHOR_K = 24  # per-city anchor budget (md5 threshold)
+CONTRAST_POS = 3        # positives per anchor
+CONTRAST_NEG = 3        # negatives per anchor
+
+
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair sampling over the co-witness graph —
+    the data stage of graph representation learning (node2vec/GraphSAGE
+    negatives): for each budgeted anchor hotspot, up to CONTRAST_POS
+    md5-ranked co-witness neighbors as positives (label 1) and
+    CONTRAST_NEG md5-ranked same-city NON-neighbors as negatives
+    (label 0).  Deterministic ranking replaces the RNG so the sample is
+    reproducible across engines and epochs pair with epoch_shuffle.
+
+    Scale shape: anchors are a per-city budget (same integer md5
+    threshold as the walks/betweenness sources), so the negative
+    candidate pool is O(anchors × city) not O(n²); negatives form via
+    anchor×nodes join minus an anti-join on the adjacency; all ranking
+    windows are keyed per anchor.  Only id pairs shuffle.
+    """
+    from pyspark.sql import Window
+
+    cw = co_witness_pairs(spark, sf_dir).select(
+        "city_key", F.col("src_a").alias("a"), F.col("src_b").alias("b")
+    )
+    adj = cw.unionByName(
+        cw.select("city_key", F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    nodes = adj.select("city_key", F.col("a").alias("node")).distinct()
+    nn = nodes.groupBy("city_key").agg(F.count(F.lit(1)).alias("n_nodes"))
+    anchors = (
+        nodes.join(F.broadcast(nn), "city_key")
+        .filter(
+            F.expr(
+                "cast(conv(substring(md5(node), 1, 4), 16, 10) as bigint)"
+                f" * n_nodes < {65536 * CONTRAST_ANCHOR_K}"
+            )
+        )
+        .select("city_key", F.col("node").alias("anchor"))
+    )
+    w_pos = Window.partitionBy("city_key", "anchor").orderBy("h", "other")
+    pos = (
+        anchors.join(
+            adj.select("city_key", F.col("a").alias("anchor"), F.col("b").alias("other")),
+            ["city_key", "anchor"],
+        )
+        .withColumn("h", F.md5(F.concat_ws("|", "anchor", F.lit("p"), "other")))
+        .withColumn("rnk", F.row_number().over(w_pos))
+        .filter(F.col("rnk") <= CONTRAST_POS)
+        .select("city_key", "anchor", "other", F.lit(1).alias("label"), "rnk")
+    )
+    neg_cand = (
+        anchors.join(nodes, "city_key")
+        .filter(F.col("node") != F.col("anchor"))
+        .select("city_key", "anchor", F.col("node").alias("other"))
+        .join(
+            adj.select("city_key", F.col("a").alias("anchor"), F.col("b").alias("other")),
+            ["city_key", "anchor", "other"],
+            "left_anti",
+        )
+    )
+    neg = (
+        neg_cand.withColumn("h", F.md5(F.concat_ws("|", "anchor", F.lit("n"), "other")))
+        .withColumn("rnk", F.row_number().over(w_pos))
+        .filter(F.col("rnk") <= CONTRAST_NEG)
+        .select("city_key", "anchor", "other", F.lit(0).alias("label"), "rnk")
+    )
+    out = pos.unionByName(neg).select(
+        "city_key", "anchor", "other", F.col("label").cast("int").alias("label"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+    adj.unpersist()
+    return out

@@ -1616,3 +1616,57 @@ ORACLE["session_sequences"] = f"""
                seq[len(seq)] AS label
         FROM seqs
     """
+
+QUERIES["contrastive_pairs"] = G.contrastive_pairs
+ORACLE["contrastive_pairs"] = f"""
+        WITH edges0 AS ({_WITNESS_SQL}),
+        e AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        cw AS (
+          SELECT DISTINCT a.city_key, a.src AS u, b.src AS v
+          FROM e a
+          JOIN e b ON a.city_key = b.city_key AND a.dst = b.dst AND a.src < b.src
+        ), adj AS (
+          SELECT city_key, u AS a, v AS b FROM cw
+          UNION ALL SELECT city_key, v AS a, u AS b FROM cw
+        ), nodes AS (SELECT DISTINCT city_key, a AS node FROM adj),
+        nnc AS (
+          SELECT city_key, CAST(count(*) AS BIGINT) AS n_nodes
+          FROM nodes GROUP BY city_key
+        ),
+        anchors AS (
+          SELECT n.city_key, n.node AS anchor
+          FROM nodes n JOIN nnc USING (city_key)
+          WHERE ('0x' || substr(md5(n.node), 1, 4))::BIGINT * nnc.n_nodes
+                < {65536 * G.CONTRAST_ANCHOR_K}
+        ),
+        pos AS (
+          SELECT city_key, anchor, other, 1 AS label, rnk FROM (
+            SELECT an.city_key, an.anchor, ad.b AS other,
+                   row_number() OVER (
+                       PARTITION BY an.city_key, an.anchor
+                       ORDER BY md5(concat_ws('|', an.anchor, 'p', ad.b)),
+                                ad.b) AS rnk
+            FROM anchors an
+            JOIN adj ad ON ad.city_key = an.city_key AND ad.a = an.anchor
+          ) WHERE rnk <= {G.CONTRAST_POS}
+        ),
+        neg AS (
+          SELECT city_key, anchor, other, 0 AS label, rnk FROM (
+            SELECT an.city_key, an.anchor, nd.node AS other,
+                   row_number() OVER (
+                       PARTITION BY an.city_key, an.anchor
+                       ORDER BY md5(concat_ws('|', an.anchor, 'n', nd.node)),
+                                nd.node) AS rnk
+            FROM anchors an
+            JOIN nodes nd ON nd.city_key = an.city_key
+                         AND nd.node <> an.anchor
+            WHERE NOT EXISTS (
+              SELECT 1 FROM adj ad
+              WHERE ad.city_key = an.city_key AND ad.a = an.anchor
+                AND ad.b = nd.node)
+          ) WHERE rnk <= {G.CONTRAST_NEG}
+        )
+        SELECT city_key, anchor, other, CAST(label AS INT) AS label,
+               CAST(rnk AS INT) AS rnk
+        FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+    """
