@@ -334,3 +334,19 @@ def test_snapshot_diff_digest_before_join(spark, sf_dir):
     if join_idx == -1:
         join_idx = plan.find("Join")
     assert "md5" not in plan[:join_idx], plan
+
+
+def test_witness_walks_no_cartesian(spark, sf_dir):
+    """Every walk step must be a keyed adjacency join + per-walk argmin —
+    any cartesian/nested-loop would be O(walks x edges) per step."""
+    plan = plan_of(QUERIES["witness_walks"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_contrastive_pairs_negative_pool_is_anti_join(spark, sf_dir):
+    """Negatives must form via LeftAnti against the adjacency, not a
+    filtered cross product over materialized non-edges."""
+    plan = plan_of(QUERIES["contrastive_pairs"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -78,3 +78,23 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
         .collect()
     )
     assert h1 == h2
+
+
+def test_zorder_stale_bounds_clamp_not_crash(spark, sf_dir, tmp_path):
+    """Catalog bounds go stale on a growing table: values OUTSIDE the
+    supplied domain must clamp into the edge buckets (degraded
+    clustering), never error or drop rows."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    b = ev.agg(F.min("user_id"), F.max("user_id"), F.min("us"), F.max("us")).first()
+    # pretend the stats store only saw the middle half of both domains
+    stale = (
+        b[0] + (b[1] - b[0]) // 4,
+        b[1] - (b[1] - b[0]) // 4,
+        b[2] + (b[3] - b[2]) // 4,
+        b[3] - (b[3] - b[2]) // 4,
+    )
+    path = str(tmp_path / "stale")
+    write_zordered(ev, path, "user_id", "us", stale, num_files=4)
+    assert spark.read.parquet(path).count() == ev.count()
