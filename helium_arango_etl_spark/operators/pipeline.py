@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import read_table
+from ..io import read_table, spread
 from .dedup import near_dup_keep
 from .textops import text_stats
 
@@ -518,4 +518,100 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("shard", shard.cast("int"))
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .select("epoch", "shard", "pos", "doc_id")
+    )
+
+
+# T5-style span corruption: disjoint 6-token blocks; a selected block
+# masks its first 3 tokens.  Selection probability 0.3 => ~15% of tokens
+# masked, the T5 default rate, with zero overlap bookkeeping because the
+# blocks are disjoint by construction.
+CORRUPT_BLOCK = 6
+CORRUPT_MASK = 3
+CORRUPT_SEL_PCT = 30  # % of blocks selected (md5 threshold)
+
+
+def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked-span corruption (the T5/UL2 denoising objective's data
+    stage): per document, deterministically mask ~15% of tokens in
+    3-token spans and emit the (input, target) pair — input with each
+    span replaced by its sentinel, target with sentinel-prefixed span
+    contents, exactly the seq2seq example format.
+
+    Determinism without an RNG: token positions partition into disjoint
+    CORRUPT_BLOCK-token blocks; block b of doc d is selected iff the
+    16-bit md5(d|b) prefix clears a threshold — reproducible across
+    engines/epochs, and disjoint blocks mean span overlap (the fold
+    problem BPE's merge needed the run-parity trick for) cannot arise.
+
+    Scale shape: tokens explode to (doc, position) rows once, join their
+    block's selection row, and fold back with one grouped sort — a
+    token-stream-sized keyed shuffle, the same class as segment_dedup;
+    sentinel numbering is a per-doc rank window over selected blocks
+    (bounded by doc length / block).
+    """
+    from pyspark.sql import Window
+
+    from .textops import TOKS
+
+    docs = (
+        spread(read_table(spark, sf_dir, "documents"))
+        .withColumn("t", F.expr(TOKS))
+        .select("doc_id", "t")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode("t").alias("i0", "tok"),
+    ).withColumn("bk", F.expr(f"i0 div {CORRUPT_BLOCK}"))
+    sel = (
+        toks.select("doc_id", "bk")
+        .distinct()
+        .filter(
+            F.expr(
+                "cast(conv(substring(md5(concat_ws('|', doc_id, bk)), 1, 4),"
+                f" 16, 10) as bigint) % 100 < {CORRUPT_SEL_PCT}"
+            )
+        )
+        .withColumn(
+            "k",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("bk"))
+            - 1,
+        )
+    )
+    j = toks.join(sel, ["doc_id", "bk"], "left").withColumn(
+        "masked", F.col("k").isNotNull() & (F.expr(f"i0 % {CORRUPT_BLOCK}") < CORRUPT_MASK)
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">"))
+    in_piece = (
+        F.when(F.col("masked") & (F.expr(f"i0 % {CORRUPT_BLOCK}") == 0), sentinel)
+        .when(~F.col("masked"), F.col("tok"))
+    )
+    tg_piece = (
+        F.when(
+            F.col("masked") & (F.expr(f"i0 % {CORRUPT_BLOCK}") == 0),
+            F.concat(sentinel, F.lit(" "), F.col("tok")),
+        )
+        .when(F.col("masked"), F.col("tok"))
+    )
+    pieces = j.select(
+        "doc_id", "i0", "masked", in_piece.alias("ip"), tg_piece.alias("tp")
+    )
+    agg = pieces.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(sort_array(collect_list("
+            "IF(ip IS NULL, NULL, struct(i0, ip)))), x -> x.ip), ' ')"
+        ).alias("input_text"),
+        F.expr(
+            "array_join(transform(sort_array(collect_list("
+            "IF(tp IS NULL, NULL, struct(i0, tp)))), x -> x.tp), ' ')"
+        ).alias("target_text"),
+        F.sum(F.col("masked").cast("bigint")).alias("n_masked"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("input_text", F.lit("")).alias("input_text"),
+        F.coalesce("target_text", F.lit("")).alias("target_text"),
+        F.coalesce("n_masked", F.lit(0)).cast("bigint").alias("n_masked"),
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
     )

@@ -1670,3 +1670,54 @@ ORACLE["contrastive_pairs"] = f"""
                CAST(rnk AS INT) AS rnk
         FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
     """
+
+QUERIES["span_corruption"] = P.span_corruption
+ORACLE["span_corruption"] = f"""
+        WITH toks0 AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents
+        ), ex AS (
+          SELECT doc_id, t, unnest(range(0, len(t))) AS i0 FROM toks0
+        ), tk AS (
+          SELECT doc_id, i0, t[i0 + 1] AS tok,
+                 i0 // {P.CORRUPT_BLOCK} AS bk
+          FROM ex
+        ), sel AS (
+          SELECT doc_id, bk,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY bk) - 1 AS k
+          FROM (SELECT DISTINCT doc_id, bk FROM tk)
+          WHERE ('0x' || substr(md5(concat_ws('|', doc_id, bk)), 1, 4))::BIGINT
+                % 100 < {P.CORRUPT_SEL_PCT}
+        ), j AS (
+          SELECT tk.doc_id, tk.i0, tk.tok, s.k,
+                 s.k IS NOT NULL
+                     AND tk.i0 % {P.CORRUPT_BLOCK} < {P.CORRUPT_MASK} AS masked
+          FROM tk LEFT JOIN sel s ON s.doc_id = tk.doc_id AND s.bk = tk.bk
+        ), pieces AS (
+          SELECT doc_id, i0, masked,
+                 CASE WHEN masked AND i0 % {P.CORRUPT_BLOCK} = 0
+                      THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+                      WHEN NOT masked THEN tok END AS ip,
+                 CASE WHEN masked AND i0 % {P.CORRUPT_BLOCK} = 0
+                      THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || tok
+                      WHEN masked THEN tok END AS tp
+          FROM j
+        ), agg AS (
+          SELECT doc_id,
+                 array_to_string(list(ip ORDER BY i0)
+                                 FILTER (WHERE ip IS NOT NULL), ' ') AS input_text,
+                 array_to_string(list(tp ORDER BY i0)
+                                 FILTER (WHERE tp IS NOT NULL), ' ') AS target_text,
+                 CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_masked,
+                 CAST(count(*) AS BIGINT) AS n_tokens
+          FROM pieces GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.input_text, '') AS input_text,
+               coalesce(a.target_text, '') AS target_text,
+               CAST(coalesce(a.n_masked, 0) AS BIGINT) AS n_masked,
+               CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """

@@ -47,6 +47,7 @@ DOC_OPS = [
     "repeated_ngram_docs",
     "bpe_merge_rules",
     "epoch_shuffle",
+    "span_corruption",
 ]
 
 
