@@ -273,3 +273,44 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
         *est,
     )
+
+
+def hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED HLL: distinct users per event_type, sketch beside exact —
+    the shape production telemetry actually runs (per-key cardinality
+    over thousands of keys), where exact COUNT(DISTINCT) per group
+    shuffles every (group, value) pair but the sketch shuffles at most
+    groups × 64 register rows after map-side partial MAX.
+
+    Same engine-portable register/rank construction as hll_distinct, so
+    the per-group estimates are bit-reproducible and oracle-checked.
+    """
+    ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    regs = (
+        ev.select(
+            "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+        )
+        .select("event_type", F.expr(_REG).alias("reg"), F.expr(_TAIL).alias("x"))
+        .select("event_type", "reg", F.expr(_RANK).alias("rank"))
+        .groupBy("event_type", "reg")
+        .agg(F.max("rank").alias("mr"))
+    )
+    m = HLL_M
+    sk = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("power(2.0, -mr)")).alias("sp"),
+    ).select(
+        "event_type",
+        F.expr(f"{HLL_ALPHA}d * {m} * {m} / (sp + ({m} - n_present))").alias("raw"),
+        (F.lit(m) - F.col("n_present")).alias("zeros"),
+    )
+    est = F.expr(
+        f"IF(raw <= 2.5 * {m} AND zeros > 0, {m} * ln(cast({m} as double) / zeros), raw)"
+    )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.round(est, 4).alias("hll_estimate"),
+        F.round((est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_error"),
+    )

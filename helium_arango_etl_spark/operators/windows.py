@@ -243,3 +243,43 @@ def balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             pct.alias("pct_rank"),
         )
     )
+
+
+def balance_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with last-observation-carried-forward: densify each
+    user's daily balance series over the GLOBAL date spine, carrying the
+    last known balance across days with no events — the time-series
+    completion every BI layer needs before windowed math (a sparse series
+    silently skews moving averages).  Days before a user's first
+    observation stay NULL (no back-fill — that would fabricate history).
+
+    Scale shape: the spine is one sequence() off a 1-row min/max
+    aggregate, cross-joined BROADCAST against the (small) user dim;
+    the carry is last(ignorenulls) over a per-user window sorted by day
+    — one keyed shuffle, and the spine explode is |users| × |days| rows,
+    which is the OUTPUT size (unavoidable by definition of densify).
+    """
+    per_day = last_balance_per_day(spark, sf_dir)
+    bounds = per_day.agg(
+        F.min("balance_date").alias("d0"), F.max("balance_date").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("balance_date")
+    )
+    users = per_day.select("user_id").distinct()
+    dense = users.crossJoin(F.broadcast(spine))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("balance_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dense.join(per_day, ["user_id", "balance_date"], "left")
+        .withColumn("balance", F.last("balance", ignorenulls=True).over(w))
+        .select(
+            "user_id",
+            "balance_date",
+            "balance",
+            F.col("balance").isNotNull().alias("has_value"),
+        )
+    )

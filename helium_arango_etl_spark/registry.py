@@ -1721,3 +1721,74 @@ ORACLE["span_corruption"] = f"""
                CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens
         FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
     """
+
+QUERIES["balance_fill_forward"] = W.balance_fill_forward
+ORACLE["balance_fill_forward"] = """
+        WITH per_day AS (
+          SELECT user_id, CAST(ts AS DATE) AS balance_date, event_id AS balance
+          FROM events
+          QUALIFY row_number() OVER (
+              PARTITION BY user_id, CAST(ts AS DATE)
+              ORDER BY ts DESC, event_id DESC) = 1
+        ), bounds AS (
+          SELECT min(balance_date) AS d0, max(balance_date) AS d1 FROM per_day
+        ), spine AS (
+          SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+                     AS balance_date
+          FROM bounds
+        ), dense AS (
+          SELECT u.user_id, s.balance_date
+          FROM (SELECT DISTINCT user_id FROM per_day) u CROSS JOIN spine s
+        )
+        SELECT d.user_id, d.balance_date,
+               last_value(p.balance IGNORE NULLS) OVER (
+                   PARTITION BY d.user_id ORDER BY d.balance_date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance,
+               last_value(p.balance IGNORE NULLS) OVER (
+                   PARTITION BY d.user_id ORDER BY d.balance_date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL
+                   AS has_value
+        FROM dense d
+        LEFT JOIN per_day p ON p.user_id = d.user_id
+                           AND p.balance_date = d.balance_date
+    """
+
+QUERIES["hll_by_group"] = K.hll_by_group
+ORACLE["hll_by_group"] = """
+        WITH h AS (
+          SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+        ), b AS (
+          SELECT event_type,
+                 ('0x' || substr(h, 1, 2))::BIGINT % 64 AS reg,
+                 ('0x' || substr(h, 3, 6))::BIGINT AS x
+          FROM h
+        ), k AS (
+          SELECT event_type, reg,
+                 CASE WHEN strpos(lpad(bin(x), 24, '0'), '1') = 0 THEN 25
+                      ELSE strpos(lpad(bin(x), 24, '0'), '1') END AS rank
+          FROM b
+        ), g AS (
+          SELECT event_type, reg, max(rank) AS mr FROM k GROUP BY event_type, reg
+        ), a AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_present,
+                 sum(power(2.0, -mr)) AS sp
+          FROM g GROUP BY event_type
+        ), s AS (
+          SELECT event_type,
+                 0.709 * 64 * 64 / (sp + (64 - n_present)) AS raw,
+                 64 - n_present AS zeros
+          FROM a
+        ), e AS (
+          SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+          FROM events GROUP BY event_type
+        )
+        SELECT s.event_type, e.n_exact,
+               round(CASE WHEN s.raw <= 160 AND s.zeros > 0
+                          THEN 64 * ln(CAST(64 AS DOUBLE) / s.zeros)
+                          ELSE s.raw END, 4) AS hll_estimate,
+               round((CASE WHEN s.raw <= 160 AND s.zeros > 0
+                           THEN 64 * ln(CAST(64 AS DOUBLE) / s.zeros)
+                           ELSE s.raw END - e.n_exact)
+                     / CAST(e.n_exact AS DOUBLE), 4) AS rel_error
+        FROM s JOIN e ON e.event_type = s.event_type
+    """
