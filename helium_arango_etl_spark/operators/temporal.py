@@ -565,3 +565,39 @@ def session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("array_join(slice(seq, 1, size(seq) - 1), '>')").alias("input_seq"),
         F.expr("element_at(seq, -1)").alias("label"),
     )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user behavior: counts
+    and probabilities of event_type -> next event_type WITHIN a
+    gap-session (cross-session transitions are noise, not behavior) —
+    the product-analytics flow map and the baseline generative model
+    session_sequences' examples are evaluated against.
+
+    Scale shape: one keyed shuffle for the sessionize window; the lead()
+    rides the SAME (user_id order ts, event_id) sort so Catalyst plans a
+    single Exchange+Sort; the matrix aggregation is |event_types|² rows
+    with map-side partials.
+    """
+    s = _with_sessions(read_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        s.withColumn("next_type", F.lead("event_type").over(w))
+        .withColumn("next_session", F.lead("session_idx").over(w))
+        .filter(
+            F.col("next_type").isNotNull()
+            & (F.col("next_session") == F.col("session_idx"))
+        )
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 6).alias("prob"),
+    )

@@ -1792,3 +1792,39 @@ ORACLE["hll_by_group"] = """
                      / CAST(e.n_exact AS DOUBLE), 4) AS rel_error
         FROM s JOIN e ON e.event_type = s.event_type
     """
+
+QUERIES["event_transitions"] = TP.event_transitions
+ORACLE["event_transitions"] = f"""
+        WITH g AS (
+          SELECT event_id, user_id, ts, event_type,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events
+        ), s AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > {TP.SESSION_GAP_US}
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS session_idx
+          FROM g
+        ), p AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS to_type,
+                 session_idx,
+                 lead(session_idx) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS next_session
+          FROM s
+        ), pairs AS (
+          SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          FROM p
+          WHERE to_type IS NOT NULL AND next_session = session_idx
+          GROUP BY from_type, to_type
+        )
+        SELECT pr.from_type, pr.to_type, pr.n,
+               round(pr.n / CAST(t.tot AS DOUBLE), 6) AS prob
+        FROM pairs pr
+        JOIN (SELECT from_type, sum(n) AS tot FROM pairs GROUP BY from_type) t
+          ON t.from_type = pr.from_type
+    """
