@@ -681,3 +681,40 @@ def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab, rule = _bpe_merge_once(vocab, step)
         rules = rule if rules is None else rules.unionByName(rule)
     return rules
+
+
+INDEX_MIN_DF = 2  # drop hapax terms: they bloat the index and serve no query
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build — the search-engine primitive: per term, its
+    document frequency, total term frequency, and the posting list of
+    (sorted) doc ids.  Downstream of the same tokenization every text op
+    shares; hapax terms (df < INDEX_MIN_DF) are dropped, the standard
+    index-size/recall tradeoff.
+
+    Scale shape: one corpus scan -> per-doc distinct (term, tf) pairs
+    (map-side, bounded by doc length) -> one keyed shuffle on term with
+    map-side combine; posting lists are per-term arrays whose skew bound
+    is df — a stopword's postings row is large but single-purpose, the
+    classic head-term segment a production index shards separately
+    (noted, not needed at this corpus's vocabulary).  Postings render as
+    a '>'-joined string so the surface is hash-stable across engines.
+    """
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
+    tf = (
+        docs.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+            F.expr("array_join(array_sort(collect_list(cast(doc_id as string))), '>')").alias(
+                "postings"
+            ),
+        )
+        .filter(F.col("df") >= INDEX_MIN_DF)
+    )

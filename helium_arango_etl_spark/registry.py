@@ -1828,3 +1828,23 @@ ORACLE["event_transitions"] = f"""
         JOIN (SELECT from_type, sum(n) AS tot FROM pairs GROUP BY from_type) t
           ON t.from_type = pr.from_type
     """
+
+QUERIES["inverted_index"] = T.inverted_index
+ORACLE["inverted_index"] = f"""
+        WITH tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS term
+            FROM documents
+          ) GROUP BY doc_id, term
+        )
+        SELECT term, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS total_tf,
+               array_to_string(list(CAST(doc_id AS VARCHAR)
+                                    ORDER BY CAST(doc_id AS VARCHAR)), '>')
+                   AS postings
+        FROM tf GROUP BY term
+        HAVING count(*) >= {T.INDEX_MIN_DF}
+    """
