@@ -82,3 +82,37 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in QUANTILES
         ]
     )
+
+
+WINSOR_LO, WINSOR_HI = 0.01, 0.99
+
+
+def value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the training-data value-cleaning staple: clip each
+    event's value to its group's [p1, p99] band and report the clip
+    bounds and per-row clip direction, so outliers stop dominating
+    normalization statistics without dropping the rows.
+
+    Scale shape: one grouped exact-percentile aggregate over the (tiny)
+    group domain, broadcast back onto the stream — the fact table is
+    scanned once and never shuffled (per-row clip only).  At a group
+    cardinality where exact percentile won't hold, swap the bounds query
+    for value_quantile_sketch (same join shape).
+    """
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(value, {WINSOR_HI})").alias("hi"),
+    )
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round(F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo")), 6).alias(
+            "winsorized"
+        ),
+        F.when(F.col("value") > F.col("hi"), F.lit("hi"))
+        .when(F.col("value") < F.col("lo"), F.lit("lo"))
+        .otherwise(F.lit("none"))
+        .alias("clipped"),
+    )

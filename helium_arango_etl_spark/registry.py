@@ -1848,3 +1848,60 @@ ORACLE["inverted_index"] = f"""
         FROM tf GROUP BY term
         HAVING count(*) >= {T.INDEX_MIN_DF}
     """
+
+QUERIES["adamic_adar_scores"] = G.adamic_adar_scores
+ORACLE["adamic_adar_scores"] = f"""
+        WITH edges0 AS ({_WITNESS_SQL}),
+        e AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        cw AS (
+          SELECT DISTINCT a.city_key, a.src AS u, b.src AS v
+          FROM e a
+          JOIN e b ON a.city_key = b.city_key AND a.dst = b.dst AND a.src < b.src
+        ), adj AS (
+          SELECT city_key, u AS a, v AS b FROM cw
+          UNION ALL SELECT city_key, v AS a, u AS b FROM cw
+        ), deg AS (
+          SELECT city_key, a AS m, CAST(count(*) AS BIGINT) AS deg
+          FROM adj GROUP BY city_key, a
+        ), scored AS (
+          SELECT h1.city_key, h1.a AS src, h2.b AS rec,
+                 CAST(sum(CAST(round(1000000.0 / ln(CAST(d.deg AS DOUBLE)))
+                               AS BIGINT)) AS BIGINT) AS s
+          FROM adj h1
+          JOIN adj h2 ON h2.city_key = h1.city_key AND h2.a = h1.b
+          JOIN deg d ON d.city_key = h1.city_key AND d.m = h1.b
+          WHERE h1.a <> h2.b AND d.deg > 1
+          GROUP BY h1.city_key, h1.a, h2.b
+        ), nond AS (
+          SELECT sc.* FROM scored sc
+          WHERE NOT EXISTS (
+            SELECT 1 FROM adj d2
+            WHERE d2.city_key = sc.city_key AND d2.a = sc.src
+              AND d2.b = sc.rec)
+        )
+        SELECT city_key, src, rec,
+               round(s / 1000000.0, 6) AS aa_score, CAST(rank AS INT) AS rank
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY city_key, src
+                   ORDER BY s DESC, rec ASC) AS rank
+          FROM nond)
+        WHERE rank <= {G.REC_TOP_N}
+    """
+
+QUERIES["value_winsorize"] = RG.value_winsorize
+ORACLE["value_winsorize"] = f"""
+        WITH bounds AS (
+          SELECT event_type,
+                 quantile_cont(value, {RG.WINSOR_LO}) AS lo,
+                 quantile_cont(value, {RG.WINSOR_HI}) AS hi
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type,
+               round(e.value, 6) AS value,
+               round(greatest(least(e.value, b.hi), b.lo), 6) AS winsorized,
+               CASE WHEN e.value > b.hi THEN 'hi'
+                    WHEN e.value < b.lo THEN 'lo'
+                    ELSE 'none' END AS clipped
+        FROM events e JOIN bounds b ON b.event_type = e.event_type
+    """
