@@ -656,3 +656,70 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("status").isNotNull())
         .select("o_orderkey", "status")
     )
+
+
+# RFM segmentation: quantile boundaries computed once and broadcast —
+# never a global ntile window over the customer dim
+RFM_ASOF = "2001-08-02"  # day after the orders table's max o_orderdate
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic BI rollup: per customer,
+    recency (days since last order), frequency (order count), monetary
+    (total spend), each scored 1-3 against tercile boundaries, plus the
+    composite segment label.
+
+    Scale shape: one grouped aggregate over orders (keyed shuffle with
+    map-side partials), then tercile BOUNDARIES — a 1-row percentile
+    aggregate over the customer rollup — broadcast back as a CASE
+    compare.  The naive ntile() form is a single-partition global window
+    over all customers (the balance_deciles lesson); boundary-broadcast
+    gives identical semantics with no global sort.  Money scores compare
+    on DECIMAL(18,2) totals.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(RFM_ASOF).cast("date"), F.max("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary_d"),
+    )
+    bounds = per.agg(
+        F.expr("percentile(recency_days, 0.3333)").alias("r1"),
+        F.expr("percentile(recency_days, 0.6667)").alias("r2"),
+        F.expr("percentile(frequency, 0.3333)").alias("f1"),
+        F.expr("percentile(frequency, 0.6667)").alias("f2"),
+        F.expr("percentile(cast(monetary_d as double), 0.3333)").alias("m1"),
+        F.expr("percentile(cast(monetary_d as double), 0.6667)").alias("m2"),
+    )
+    scored = per.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        F.col("monetary_d").cast("double").alias("monetary"),
+        # low recency is GOOD: score 3 for the most recent tercile
+        F.when(F.col("recency_days") <= F.col("r1"), 3)
+        .when(F.col("recency_days") <= F.col("r2"), 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("r_score"),
+        F.when(F.col("frequency") > F.col("f2"), 3)
+        .when(F.col("frequency") > F.col("f1"), 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("f_score"),
+        F.when(F.col("monetary_d").cast("double") > F.col("m2"), 3)
+        .when(F.col("monetary_d").cast("double") > F.col("m1"), 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ),
+    )

@@ -872,3 +872,44 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
         .limit(TOP_K)
     )
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std over the corpus — the calibration pass
+    feeding normalization, whitening, and quantizer range selection
+    (embedding_quantize's min/max is the cheap form; mean±k·std is the
+    robust one).  Values quantize to integer micro-units BEFORE the sums
+    so every aggregation is exact bigint arithmetic — float partial sums
+    across partitions are order-sensitive and would hash-drift the 6dp
+    surface between engines.
+
+    Scale shape: posexplode to (dim, value) pairs, one keyed shuffle of
+    DIM groups with map-side partials; output is DIM rows regardless of
+    corpus size — the same mergeable-counter class as the sketches.
+    """
+    emb = embedding_table(spark, sf_dir)
+    dims = emb.select(F.posexplode("v64").alias("dim", "x")).select(
+        "dim", F.expr("cast(round(x * 1000000) as bigint)").alias("xi")
+    )
+    return (
+        dims.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("xi").alias("sx"),
+            F.sum(F.expr("xi * xi")).alias("sxx"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n",
+            F.round(F.col("sx") / 1e6 / F.col("n"), 6).alias("mean"),
+            # variance numerator n·sxx − sx² stays an EXACT integer; only
+            # one int→double conversion + sqrt + divide touch floats, so
+            # no cross-engine association drift (a chained double formula
+            # differed by 1 ulp at 6dp)
+            F.round(
+                F.sqrt(F.expr("cast(n * sxx - sx * sx as double)"))
+                / (F.col("n") * F.lit(1e6)),
+                6,
+            ).alias("std"),
+        )
+    )

@@ -1905,3 +1905,67 @@ ORACLE["value_winsorize"] = f"""
                     ELSE 'none' END AS clipped
         FROM events e JOIN bounds b ON b.event_type = e.event_type
     """
+
+QUERIES["embedding_dim_stats"] = S.embedding_dim_stats
+ORACLE["embedding_dim_stats"] = """
+        WITH ex AS (
+          SELECT unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) - 1 AS dim
+          FROM embeddings
+        ), q AS (
+          SELECT dim, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                     AS xi
+          FROM ex
+        ), a AS (
+          SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(xi) AS BIGINT) AS sx,
+                 CAST(sum(xi * xi) AS BIGINT) AS sxx
+          FROM q GROUP BY dim
+        )
+        SELECT CAST(dim AS INT) AS dim, n,
+               round(sx / 1000000.0 / n, 6) AS mean,
+               round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     / (n * 1000000.0), 6) AS std
+        FROM a
+    """
+
+QUERIES["rfm_segments"] = R.rfm_segments
+ORACLE["rfm_segments"] = f"""
+        WITH per AS (
+          SELECT o_custkey,
+                 CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                                DATE '{R.RFM_ASOF}') AS BIGINT) AS recency_days,
+                 CAST(count(*) AS BIGINT) AS frequency,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_d
+          FROM orders GROUP BY o_custkey
+        ), bounds AS (
+          SELECT quantile_cont(recency_days, 0.3333) AS r1,
+                 quantile_cont(recency_days, 0.6667) AS r2,
+                 quantile_cont(frequency, 0.3333) AS f1,
+                 quantile_cont(frequency, 0.6667) AS f2,
+                 quantile_cont(CAST(monetary_d AS DOUBLE), 0.3333) AS m1,
+                 quantile_cont(CAST(monetary_d AS DOUBLE), 0.6667) AS m2
+          FROM per
+        )
+        SELECT p.o_custkey, p.recency_days, p.frequency,
+               CAST(p.monetary_d AS DOUBLE) AS monetary,
+               CAST(CASE WHEN p.recency_days <= b.r1 THEN 3
+                         WHEN p.recency_days <= b.r2 THEN 2 ELSE 1 END AS INT)
+                   AS r_score,
+               CAST(CASE WHEN p.frequency > b.f2 THEN 3
+                         WHEN p.frequency > b.f1 THEN 2 ELSE 1 END AS INT)
+                   AS f_score,
+               CAST(CASE WHEN CAST(p.monetary_d AS DOUBLE) > b.m2 THEN 3
+                         WHEN CAST(p.monetary_d AS DOUBLE) > b.m1 THEN 2
+                         ELSE 1 END AS INT) AS m_score,
+               concat(CAST(CASE WHEN p.recency_days <= b.r1 THEN 3
+                                WHEN p.recency_days <= b.r2 THEN 2
+                                ELSE 1 END AS VARCHAR),
+                      CAST(CASE WHEN p.frequency > b.f2 THEN 3
+                                WHEN p.frequency > b.f1 THEN 2
+                                ELSE 1 END AS VARCHAR),
+                      CAST(CASE WHEN CAST(p.monetary_d AS DOUBLE) > b.m2 THEN 3
+                                WHEN CAST(p.monetary_d AS DOUBLE) > b.m1 THEN 2
+                                ELSE 1 END AS VARCHAR)) AS segment
+        FROM per p CROSS JOIN bounds b
+    """
