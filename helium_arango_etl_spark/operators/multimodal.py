@@ -399,7 +399,28 @@ def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_df.mapInPandas(resample, schema=RESAMPLE_SCHEMA)
 
 
-def video_frame_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Cap for in-bucket pair generation in capped video-dedup runs — same
+# role (and same chunked-pair-gen formula) as dedup.LSH_MAX_BUCKET.
+VIDEO_MAX_BUCKET = 256
+
+
+def _frame_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, frame-hash) pairs: frame BYTES reduce to 16-byte
+    md5 hashes executor-locally; empty frames excluded so short payloads
+    cannot form a corpus-wide mega-bucket."""
+    frames = sample_frames(
+        attach_binary_payload(spread(read_table(spark, sf_dir, "documents")))
+    )
+    return (
+        frames.filter(F.length("frame_bytes") > 0)
+        .select("doc_id", F.md5("frame_bytes").alias("fh"))
+        .distinct()
+    )
+
+
+def video_frame_dup_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+) -> DataFrame:
     """Cross-video duplicate-frame pairs: two "videos" are near-dups when
     they share sampled-frame content — the video analog of segment-level
     text dedup (a re-upload, a re-encode of the same clip, or a shared
@@ -410,32 +431,59 @@ def video_frame_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one (frame-hash, doc_id) shuffle — frame BYTES never
     shuffle, only their 16-byte hashes; pair generation is the same
     single-scan groupBy-collect used by the LSH/phash buckets (never an
-    all-pairs self-join), with empty frames excluded so short payloads
-    cannot form a corpus-wide mega-bucket.  A production corpus with a
-    pathological shared frame (a black intro frame across millions of
-    videos) caps the group exactly like the LSH hot bucket
-    (dedup._bucket_pairs max_bucket + accounting).
+    all-pairs self-join).  ``max_bucket`` guards the pathological shared
+    frame (a black intro frame across millions of videos): pair gen
+    inside an oversized bucket is restricted to doc_id-contiguous chunks
+    of that size — O(k·cap) pairs instead of O(k²) — with dropped pairs
+    ACCOUNTED by :func:`video_frame_bucket_stats`, mirroring
+    dedup._bucket_pairs/LSH_MAX_BUCKET.  The registry/oracle form runs
+    uncapped (exact semantics); production passes VIDEO_MAX_BUCKET.
     """
-    frames = sample_frames(
-        attach_binary_payload(spread(read_table(spark, sf_dir, "documents")))
-    )
-    fh = (
-        frames.filter(F.length("frame_bytes") > 0)
-        .select("doc_id", F.md5("frame_bytes").alias("fh"))
-        .distinct()
-    )
     groups = (
-        fh.groupBy("fh")
+        _frame_hashes(spark, sf_dir)
+        .groupBy("fh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
+    if max_bucket is None:
+        end = "size(ds)"
+    else:
+        end = f"least((i div {max_bucket} + 1) * {max_bucket}, size(ds))"
     pair_gen = (
         "flatten(transform(ds, (a, i) ->"
-        " transform(slice(ds, i + 2, size(ds) - i - 1),"
+        f" transform(slice(ds, i + 2, {end} - i - 1),"
         " b -> struct(a AS doc_a, b AS doc_b))))"
     )
     return (
         groups.select(F.explode(F.expr(pair_gen)).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_frames"))
+    )
+
+
+def video_frame_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-bucket size distribution + cap accounting for video dedup:
+    bucket counts, the largest shared-frame fan-in, exact candidate-pair
+    count, and how many pairs a VIDEO_MAX_BUCKET-capped run generates vs
+    drops.  The no-silent-caps surface for :func:`video_frame_dup_pairs`
+    — sizes only, no pair materialization, so it stays cheap even when
+    the exact pair count would not be."""
+    sizes = _frame_hashes(spark, sf_dir).groupBy("fh").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    m = VIDEO_MAX_BUCKET
+    per = sizes.select(
+        "k",
+        F.expr("k * (k - 1) div 2").alias("all_pairs"),
+        F.expr(
+            f"(k div {m}) * ({m} * ({m} - 1) div 2) + (k % {m}) * (k % {m} - 1) div 2"
+        ).alias("capped_pairs"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.when(F.col("k") >= 2, 1).otherwise(0)).cast("bigint").alias("n_multi_buckets"),
+        F.max("k").cast("bigint").alias("max_bucket_size"),
+        F.sum("all_pairs").cast("bigint").alias("candidate_pairs"),
+        F.sum("capped_pairs").cast("bigint").alias("capped_pairs"),
+        (F.sum("all_pairs") - F.sum("capped_pairs")).cast("bigint").alias("dropped_pairs"),
     )

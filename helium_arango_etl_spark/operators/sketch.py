@@ -218,6 +218,12 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines build the identical histogram and the estimate is
     bit-reproducible — no tolerance bands.
 
+    Values below one cent (zero and negatives) land in a dedicated
+    b=0 underflow bucket (upper bound 0 cents → estimate 0.0) instead
+    of being silently dropped (ADVICE r3): they count toward n and all
+    rank positions, so the sketch agrees with the exact counterpart on
+    groups containing non-positive values.
+
     Scale shape: map-side partial groupBy (event_type, octave, sub) —
     the shuffle carries <= groups x ~70 bucket rows, not events; the
     cumulative window runs per event_type over those bucket rows.
@@ -226,12 +232,12 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = "cast(floor(value * 100) as bigint)"
     buckets = (
         ev.withColumn("c", F.expr(c))
-        .filter(F.col("c") >= 1)
-        .withColumn("b", F.expr("length(bin(c))"))
+        .withColumn("b", F.expr("CASE WHEN c >= 1 THEN length(bin(c)) ELSE 0 END"))
         .withColumn(
             "sub",
             F.expr(
-                "CASE WHEN b >= 3 THEN shiftright(c, b - 3) & 3"
+                "CASE WHEN b = 0 THEN CAST(0 AS BIGINT)"
+                " WHEN b >= 3 THEN shiftright(c, b - 3) & 3"
                 " ELSE shiftleft(c, 3 - b) & 3 END"
             ),
         )
@@ -240,7 +246,8 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "ub",
             F.expr(
-                "CASE WHEN b >= 3 THEN shiftleft(5 + sub, b - 3) - 1"
+                "CASE WHEN b = 0 THEN CAST(0 AS BIGINT)"
+                " WHEN b >= 3 THEN shiftleft(5 + sub, b - 3) - 1"
                 " ELSE shiftright(4 + sub, 3 - b) END"
             ),
         )

@@ -1465,6 +1465,46 @@ ORACLE_TRAINING["video_frame_dup_pairs"] = """
     """
 
 
+from .operators.multimodal import VIDEO_MAX_BUCKET  # noqa: E402
+
+# cap accounting mirrors the Spark-side chunked pair-gen formula:
+# a bucket of size k capped at m yields (k div m) full chunks of
+# m*(m-1)/2 pairs plus the (k mod m) remainder chunk
+ORACLE_TRAINING["video_frame_bucket_stats"] = f"""
+        WITH c AS (
+          SELECT doc_id, text, length(text) AS n,
+                 greatest(1, length(text) // 4) AS step
+          FROM documents
+        ), f AS (
+          SELECT doc_id, text, n, step, unnest(range(0, 4)) AS fi FROM c
+        ), g AS (
+          SELECT doc_id,
+                 substr(text, CAST(fi * step + 1 AS INT), CAST(step AS INT)) AS fr
+          FROM f
+        ), fh AS (
+          SELECT DISTINCT doc_id, md5(fr) AS fh FROM g WHERE length(fr) > 0
+        ), sizes AS (
+          SELECT fh, count(*) AS k FROM fh GROUP BY fh
+        ), per AS (
+          SELECT k, k * (k - 1) // 2 AS all_pairs,
+                 (k // {VIDEO_MAX_BUCKET})
+                     * ({VIDEO_MAX_BUCKET} * ({VIDEO_MAX_BUCKET} - 1) // 2)
+                   + (k % {VIDEO_MAX_BUCKET}) * ((k % {VIDEO_MAX_BUCKET}) - 1) // 2
+                     AS capped_pairs
+          FROM sizes
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_multi_buckets,
+               CAST(max(k) AS BIGINT) AS max_bucket_size,
+               CAST(sum(all_pairs) AS BIGINT) AS candidate_pairs,
+               CAST(sum(capped_pairs) AS BIGINT) AS capped_pairs,
+               CAST(sum(all_pairs) - sum(capped_pairs) AS BIGINT)
+                   AS dropped_pairs
+        FROM per
+    """
+
+
 from .operators.textops import BPE_TOP_PAIRS  # noqa: E402
 
 ORACLE_TRAINING["bpe_pair_counts"] = f"""

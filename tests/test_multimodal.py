@@ -116,3 +116,28 @@ def test_audio_features_waveform_stats(spark, sf_dir):
     # determinism
     again = audio_features(spark, sf_dir).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_video_dup_cap_accounting(spark, sf_dir):
+    """The capped pair run and the bucket-stats accounting must agree:
+    uncapped pair volume == candidate_pairs, a max_bucket=1 run emits
+    zero pairs, and a cap at least the max bucket size drops nothing."""
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_spark.operators.multimodal import (
+        video_frame_bucket_stats,
+        video_frame_dup_pairs,
+    )
+
+    stats = video_frame_bucket_stats(spark, sf_dir).collect()[0]
+    # per-bucket pair volume (n_shared_frames sums one per shared bucket)
+    uncapped = video_frame_dup_pairs(spark, sf_dir)
+    total_pairs = uncapped.agg(F.sum("n_shared_frames")).collect()[0][0] or 0
+    assert total_pairs == stats["candidate_pairs"]
+    assert stats["dropped_pairs"] == stats["candidate_pairs"] - stats["capped_pairs"]
+
+    assert video_frame_dup_pairs(spark, sf_dir, max_bucket=1).count() == 0
+
+    big = int(stats["max_bucket_size"])
+    full = video_frame_dup_pairs(spark, sf_dir, max_bucket=max(big, 2))
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, uncapped.collect()))
