@@ -165,38 +165,20 @@ def test_quantile_sketch_merges_across_splits(spark, sf_dir):
     from helium_arango_etl_spark.io import read_table
     from helium_arango_etl_spark.registry import QUERIES
 
+    from helium_arango_etl_spark.streaming.quantiles import (
+        _BUCKET_UB,
+        batch_buckets,
+        merge_buckets,
+    )
+
     ev = read_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
 
-    def buckets(df):
-        return (
-            df.withColumn("c", F.expr("cast(floor(value * 100) as bigint)"))
-            .filter(F.col("c") >= 1)
-            .withColumn("b", F.expr("length(bin(c))"))
-            .withColumn(
-                "sub",
-                F.expr(
-                    "CASE WHEN b >= 3 THEN shiftright(c, b - 3) & 3"
-                    " ELSE shiftleft(c, 3 - b) & 3 END"
-                ),
-            )
-            .groupBy("event_type", "b", "sub")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-
-    # disjoint halves -> per-half histograms -> cell-wise merge
-    merged = (
-        buckets(ev.filter(F.col("event_id") % 2 == 0))
-        .unionByName(buckets(ev.filter(F.col("event_id") % 2 == 1)))
-        .groupBy("event_type", "b", "sub")
-        .agg(F.sum("cnt").alias("cnt"))
-        .withColumn(
-            "ub",
-            F.expr(
-                "CASE WHEN b >= 3 THEN shiftleft(5 + sub, b - 3) - 1"
-                " ELSE shiftright(4 + sub, 3 - b) END"
-            ),
-        )
-    )
+    # disjoint halves -> per-half histograms -> cell-wise merge (the
+    # shared streaming helpers ARE the batch bucketing, underflow incl.)
+    merged = merge_buckets(
+        batch_buckets(ev.filter(F.col("event_id") % 2 == 0)),
+        batch_buckets(ev.filter(F.col("event_id") % 2 == 1)),
+    ).withColumn("ub", F.expr(_BUCKET_UB))
     w_cum = (
         Window.partitionBy("event_type")
         .orderBy("b", "sub")
