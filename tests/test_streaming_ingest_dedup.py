@@ -78,3 +78,64 @@ def test_stream_screen_matches_batch_incremental(spark, sf_dir, tmp_path):
     assert admitted == expected
     assert flagged  # the testdata's dup docs must actually exercise the screen
     assert nn_pairs  # and the intra-new near-dup path must be exercised too
+
+
+def test_restart_keeps_screening_against_prior_admissions(spark, sf_dir, tmp_path):
+    """VERDICT r3 #6: the signature state must survive a process bounce.
+    Streaming file1, restarting (fresh query, same checkpoint/state
+    dirs), then streaming file2 must admit exactly what one continuous
+    two-batch run admits — and a replayed batch_id must be a no-op."""
+    from helium_arango_etl_spark.streaming.ingest_dedup import ingest_batch
+    from helium_arango_etl_spark.streaming.state import VersionedState
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < NEW_MIN_ID)
+    arriving = docs.filter(F.col("doc_id") >= NEW_MIN_ID)
+
+    corpus_dir = str(tmp_path / "corpus")
+    corpus.write.mode("overwrite").parquet(corpus_dir + "/documents.parquet")
+
+    def run_split(tag, files):
+        """One run_ingest_screen invocation per element of `files` —
+        each invocation is a separate 'process lifetime' sharing dirs."""
+        inc = str(tmp_path / f"in_{tag}")
+        out = str(tmp_path / f"out_{tag}")
+        ckpt = str(tmp_path / f"ck_{tag}")
+        for i, flt in enumerate(files):
+            arriving.filter(flt).coalesce(1).write.mode(
+                "append" if i else "overwrite"
+            ).parquet(inc)
+            clear_sig_cache(spark)
+            run_ingest_screen(spark, corpus_dir, inc, out, ckpt)
+        return {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+
+    evens, odds = F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1
+    # continuous run: both files present before the single stream starts
+    inc = str(tmp_path / "in_cont")
+    arriving.filter(evens).coalesce(1).write.mode("overwrite").parquet(inc)
+    arriving.filter(odds).coalesce(1).write.mode("append").parquet(inc)
+    clear_sig_cache(spark)
+    out_cont = run_ingest_screen(
+        spark, corpus_dir, inc, str(tmp_path / "out_cont"), str(tmp_path / "ck_cont")
+    )
+    continuous = {
+        r["doc_id"] for r in spark.read.parquet(out_cont).select("doc_id").collect()
+    }
+
+    restarted = run_split("restart", [evens, odds])
+    assert restarted == continuous
+
+    # replayed batch_id: state and sink untouched
+    store = VersionedState(spark, str(tmp_path / "ck_restart") + "-state")
+    last = store.last_batch_id()
+    n_before = spark.read.parquet(str(tmp_path / "out_restart")).count()
+    batch = arriving.filter(odds)
+    clear_sig_cache(spark)
+    assert (
+        ingest_batch(
+            spark, store, corpus_dir, str(tmp_path / "out_restart"), batch, last
+        )
+        is False
+    )
+    assert store.last_batch_id() == last
+    assert spark.read.parquet(str(tmp_path / "out_restart")).count() == n_before
