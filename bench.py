@@ -49,9 +49,19 @@ HEADLINE = [
     "emb_prepare",           # similarity-family shared table: cast+norm+bucket persist
     "ann_cosine_topk",       # brute-force cosine top-k
     "ivf_topk",              # IVF coarse-quantizer ANN (scale path)
+    "pq_topk",               # product-quantized ADC top-k (compressed scale path)
     "cosine_near_dup_pairs", # LSH-bucketed embedding self-join
     "image_features",        # binary mapInPandas feature extraction
+    # round-3 operators promoted to tracked per-round numbers (VERDICT r3 #4)
+    "promo_attribution",     # banded range join (last promo before purchase)
+    "bpe_merge_rules",       # iterative BPE merge training (vocab-sized shuffles)
+    "stratified_split",      # exact per-stratum quota split
+    "snapshot_diff",         # digest-only full-outer table diff
 ]
+# Deliberately NOT in the headline: city_betweenness_joins — it is the
+# correctness-harness mirror of the applyInPandas production path
+# (city_graph_metrics), kept exact-oracle-checkable, not a production
+# query; its sf0.1 probe is tracked in BASELINE.md §5 instead.
 
 
 def main() -> None:

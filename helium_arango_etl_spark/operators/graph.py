@@ -957,7 +957,12 @@ BC_LEVELS = 4
 # that keeps ~min(n, K) sources per city, making BFS state O(K·n) LINEAR
 # in city size instead of the quadratic n²/const a fixed sampling
 # fraction gives (a 10× bigger city did 100× the work; now 10×).
-BC_SRC_K = 64
+# K=16 (was 64, VERDICT r3 #5): this query is the CORRECTNESS-HARNESS
+# mirror of the applyInPandas production path (city_graph_metrics), not
+# a production query — the budget is sized so the sf0.1 probe stays
+# well under 30 s while the oracle compare remains bit-exact (the
+# DuckDB twin rebuilds from this same constant).
+BC_SRC_K = 16
 # dependency deltas accumulate in integer NANO-units so every sum is
 # exact bigint arithmetic — order-independent, unlike float partial sums
 BC_SCALE = 1_000_000_000
