@@ -615,3 +615,54 @@ def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_masked", F.lit(0)).cast("bigint").alias("n_masked"),
         F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
     )
+
+
+# weighted sampling: per-source keep budget and the md5-derived uniform
+# (first 8 hex chars -> (0,1), +1 so u is never exactly 0 and ln(u) is
+# finite) feeding the exponential sort key
+WS_PER_SOURCE_K = 50
+WS_U_EXPR = (
+    "(cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as double)"
+    " + 1.0) / 4294967297.0"
+)
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, per source: keep the
+    WS_PER_SOURCE_K documents with the smallest exponential sort key
+    ``-ln(u)/w`` — the Efraimidis-Spirakis (A-ES) one-pass reservoir
+    order statistic, which draws each subset with probability
+    proportional to its weights without ever materializing cumulative
+    weight sums.  The weight is a quality proxy (log document length);
+    the uniform ``u`` is md5-derived, NOT an RNG — the same
+    content-hash determinism as every sampler in this module (module
+    doc), so the sample is reproducible across engines/reruns and
+    append-stable: a newly arriving document competes under the same
+    key function without re-drawing anyone else's key.
+
+    Scale shape: the key is a per-row codegen'd expression; selection
+    is one row_number window partitioned by source (a single keyed
+    shuffle of (source, key) — top-K per group, never a global sort).
+    At 100 TB the window input can be pre-pruned with an approximate
+    per-source key cutoff, turning the shuffle into O(K·sources).
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    keyed = docs.withColumn("w", F.expr("ln(1.0 + n_chars)")).withColumn(
+        "sample_key", F.expr(f"-ln({WS_U_EXPR}) / ln(1.0 + n_chars)")
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.col("sample_key").asc(), F.col("doc_id").asc()
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= WS_PER_SOURCE_K)
+        .select(
+            "source",
+            "doc_id",
+            F.round("w", 6).alias("weight"),
+            F.round("sample_key", 6).alias("sample_key"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1853,6 +1853,27 @@ ORACLE["embedding_dim_stats"] = """
         FROM a
     """
 
+QUERIES["weighted_sample"] = P.weighted_sample
+ORACLE["weighted_sample"] = f"""
+        WITH d AS (
+          SELECT doc_id, source, ln(1.0 + n_chars) AS w,
+                 (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      + 1.0) / 4294967297.0 AS u
+          FROM documents
+        ), k AS (
+          SELECT source, doc_id, w, -ln(u) / w AS sample_key,
+                 row_number() OVER (
+                     PARTITION BY source
+                     ORDER BY -ln(u) / w ASC, doc_id ASC) AS rank
+          FROM d
+        )
+        SELECT source, doc_id,
+               round(w, 6) AS weight,
+               round(sample_key, 6) AS sample_key,
+               CAST(rank AS INT) AS rank
+        FROM k WHERE rank <= {P.WS_PER_SOURCE_K}
+    """
+
 QUERIES["rfm_segments"] = R.rfm_segments
 ORACLE["rfm_segments"] = f"""
         WITH per AS (

@@ -426,3 +426,47 @@ def test_triangle_stats_internal_consistency(spark, sf_oracle_dir):
         if (a, b) in edges and (a, c) in edges and (b, c) in edges
     )
     assert stats[city]["n_triangles"] == naive
+
+
+def test_weighted_sample_invariants_and_bias(spark, sf_dir):
+    """A-ES weighted sampling: at most K per source without replacement,
+    dense ranks, and the inclusion probability actually tracks the
+    weights — heavy documents must be overrepresented vs a uniform draw."""
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_spark.operators.pipeline import (
+        WS_PER_SOURCE_K,
+        WS_U_EXPR,
+        weighted_sample,
+    )
+
+    out = weighted_sample(spark, sf_dir)
+    per = out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("nd"),
+        F.max("rank").alias("mr"),
+    )
+    for r in per.collect():
+        assert r["n"] == r["nd"] <= WS_PER_SOURCE_K
+        assert r["mr"] == r["n"]  # dense 1..n ranks
+
+    # weight bias on a synthetic single-source corpus where the sample is
+    # a strict subset: heavy docs (w=9x) should dominate the kept set
+    heavy = [(i, "s", 8102) for i in range(400)]  # ln(1+8102) ~ 9
+    light = [(i, "s", 1) for i in range(400, 2000)]  # ln(2) ~ 0.69
+    df = spark.createDataFrame(heavy + light, "doc_id long, source string, n_chars long")
+    from pyspark.sql import Window
+
+    keyed = df.withColumn(
+        "sample_key", F.expr(f"-ln({WS_U_EXPR}) / ln(1.0 + n_chars)")
+    )
+    win = Window.partitionBy("source").orderBy("sample_key", "doc_id")
+    kept = (
+        keyed.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 100)
+        .filter(F.col("doc_id") < 400)
+        .count()
+    )
+    # uniform sampling would keep ~20 heavy docs of 100; weights w_h/w_l ~ 13x
+    # push the expected heavy share to ~2000*13/(400*13+1600) ~ 76
+    assert kept > 50, kept
