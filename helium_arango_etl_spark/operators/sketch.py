@@ -36,6 +36,12 @@ HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. 2007, table for m = 64)
 
 CMS_D = 4  # count-min hash rows
 CMS_W = 64  # count-min columns per row
+# cell assignment shared by the batch sketch and the streaming consumer
+# (streaming/cms.py): row d + token -> column via a 28-bit md5 prefix
+CMS_CELL_EXPR = (
+    "cast(conv(substring(md5(concat(d, '|', token)), 1, 7), 16, 10) as bigint)"
+    f" % {CMS_W}"
+)
 
 # md5 hex -> (register, 24-bit tail) -> rank of first set bit
 _REG = f"cast(conv(substring(h, 1, 2), 16, 10) as bigint) % {HLL_M}"
@@ -64,8 +70,7 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_exact"))
     )
     d = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("d")
-    cell = f"cast(conv(substring(md5(concat(d, '|', token)), 1, 7), 16, 10) as bigint) % {CMS_W}"
-    hashed = toks.select("token", "n_exact", d).withColumn("cell", F.expr(cell))
+    hashed = toks.select("token", "n_exact", d).withColumn("cell", F.expr(CMS_CELL_EXPR))
     # the 4x64 counter table: counts of EVERY token land in their cells
     counters = hashed.groupBy("d", "cell").agg(F.sum("n_exact").alias("cnt"))
     est = (
