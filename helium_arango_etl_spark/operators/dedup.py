@@ -731,3 +731,43 @@ def repeated_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_grams") > 0, F.col("n_shared") / F.col("n_grams")), 6
         ).alias("shared_frac"),
     )
+
+
+SIMILAR_TOPK = 3
+
+
+def similar_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document "related documents" list: the SIMILAR_TOPK most
+    similar neighbors by estimated Jaccard, read off the shared LSH
+    candidate-pair table (symmetrized) — the retrieval-style surface a
+    corpus browser or a dedup-review UI serves, and the cheap
+    document-level neighborhood the banded index gives for free (no
+    all-pairs scoring: only banded candidates are ranked).
+
+    Scale shape: the candidate table is already bounded by the LSH
+    banding (~8 collision rows/doc); symmetrize + one row_number window
+    keyed by doc_id.  Ties break on est desc then neighbor id asc —
+    fully deterministic.
+    """
+    from pyspark.sql import Window
+
+    pairs = lsh_candidate_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("similar_doc_id"),
+        "est_jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("similar_doc_id"),
+            "est_jaccard",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("est_jaccard").desc(), F.col("similar_doc_id").asc()
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= SIMILAR_TOPK)
+        .select("doc_id", "similar_doc_id", "est_jaccard", "rank")
+    )

@@ -601,3 +601,47 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("tot"), 6).alias("prob"),
     )
+
+
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: collapse each
+    user's event stream into ``[valid_from, valid_to)`` intervals of
+    their tracked attribute (event_type as the state), one row per state
+    CHANGE — the standard warehouse history table an ETL derives from a
+    mutation log (the reference's per-row field updates, SURVEY §2 A9,
+    keep only the latest state; this keeps the full validity timeline).
+
+    Change detection is lag() over (user, time, event_id); interval close
+    is lead() over the surviving change rows; is_current marks the open
+    interval.  Timestamps travel as integer microseconds (double seconds
+    could flip an interval boundary across engines).
+
+    Scale shape: two keyed windows over (user_id), both combiner-friendly
+    shuffles of (user, us, type) triples — no global window, no join; the
+    output is bounded by the number of state changes, not events.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
+        .drop("prev")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        changes.withColumn("valid_to_us", F.lead("us").over(w2))
+        .withColumn("version", F.row_number().over(w2).cast("int"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("us").alias("valid_from_us"),
+            "valid_to_us",
+            "version",
+            F.col("valid_to_us").isNull().alias("is_current"),
+        )
+    )

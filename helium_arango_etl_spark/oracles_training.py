@@ -1465,6 +1465,27 @@ ORACLE_TRAINING["video_frame_dup_pairs"] = """
     """
 
 
+from .operators.dedup import SIMILAR_TOPK  # noqa: E402
+
+ORACLE_TRAINING["similar_docs_topk"] = _SIG_CTE + _CAND_CTE + f"""
+        , scored AS (
+          SELECT doc_a, doc_b, {_EST_J} AS est FROM cand
+        ), sym AS (
+          SELECT doc_a AS doc_id, doc_b AS similar_doc_id, est FROM scored
+          UNION ALL
+          SELECT doc_b AS doc_id, doc_a AS similar_doc_id, est FROM scored
+        )
+        SELECT doc_id, similar_doc_id, est AS est_jaccard,
+               CAST(rank AS INT) AS rank
+        FROM (
+          SELECT *, row_number() OVER (
+              PARTITION BY doc_id
+              ORDER BY est DESC, similar_doc_id ASC) AS rank
+          FROM sym
+        ) WHERE rank <= {SIMILAR_TOPK}
+    """
+
+
 from .operators.multimodal import VIDEO_MAX_BUCKET  # noqa: E402
 
 # cap accounting mirrors the Spark-side chunked pair-gen formula:

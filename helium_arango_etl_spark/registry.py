@@ -1853,6 +1853,30 @@ ORACLE["embedding_dim_stats"] = """
         FROM a
     """
 
+QUERIES["similar_docs_topk"] = D.similar_docs_topk
+
+QUERIES["scd2_history"] = TP.scd2_history
+ORACLE["scd2_history"] = """
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+          FROM events
+        ), o AS (
+          SELECT *, lag(event_type) OVER (
+              PARTITION BY user_id ORDER BY us, event_id) AS prev
+          FROM e
+        ), ch AS (
+          SELECT user_id, event_type, us, event_id FROM o
+          WHERE prev IS NULL OR event_type <> prev
+        )
+        SELECT user_id, event_type,
+               us AS valid_from_us,
+               lead(us) OVER w AS valid_to_us,
+               CAST(row_number() OVER w AS INT) AS version,
+               lead(us) OVER w IS NULL AS is_current
+        FROM ch
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    """
+
 QUERIES["weighted_sample"] = P.weighted_sample
 ORACLE["weighted_sample"] = f"""
         WITH d AS (

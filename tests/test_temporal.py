@@ -209,3 +209,24 @@ def test_quantile_sketch_merges_across_splits(spark, sf_dir):
         for r in QUERIES["value_quantile_sketch"](spark, sf_dir).collect()
     }
     assert from_merge == one_pass
+
+
+def test_scd2_intervals_partition_the_timeline(spark, sf_dir):
+    """SCD2 invariants: per user, version 1..k dense, exactly one open
+    (is_current) interval, intervals abut exactly (valid_to == next
+    valid_from), and consecutive intervals change state."""
+    from helium_arango_etl_spark.operators.temporal import scd2_history
+
+    rows = scd2_history(spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in ivs] == list(range(1, len(ivs) + 1))
+        assert sum(1 for r in ivs if r["is_current"]) == 1
+        assert ivs[-1]["is_current"] and ivs[-1]["valid_to_us"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"], user
+            assert a["event_type"] != b["event_type"], user

@@ -470,3 +470,31 @@ def test_weighted_sample_invariants_and_bias(spark, sf_dir):
     # uniform sampling would keep ~20 heavy docs of 100; weights w_h/w_l ~ 13x
     # push the expected heavy share to ~2000*13/(400*13+1600) ~ 76
     assert kept > 50, kept
+
+
+def test_similar_docs_topk_is_candidate_subset(spark, sf_dir):
+    """Neighbors come only from the banded candidate set, ranks are
+    dense per doc, and the top-1 neighbor carries the doc's max est."""
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_spark.operators.dedup import (
+        SIMILAR_TOPK,
+        lsh_candidate_pairs,
+        similar_docs_topk,
+    )
+
+    out = similar_docs_topk(spark, sf_dir).collect()
+    assert out
+    cand = {
+        frozenset((r["doc_a"], r["doc_b"]))
+        for r in lsh_candidate_pairs(spark, sf_dir).collect()
+    }
+    best: dict = {}
+    per_doc: dict = {}
+    for r in out:
+        assert frozenset((r["doc_id"], r["similar_doc_id"])) in cand
+        per_doc.setdefault(r["doc_id"], []).append(r["rank"])
+        best[r["doc_id"]] = max(best.get(r["doc_id"], 0.0), r["est_jaccard"])
+    for doc, ranks in per_doc.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= SIMILAR_TOPK
