@@ -718,3 +718,52 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= INDEX_MIN_DF)
     )
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — per-document token counts under the
+    tokenizer :func:`bpe_merge_rules` trains: re-run the BPE_MERGES
+    training fold to its final encoded vocabulary (each distinct word's
+    symbol sequence after all merges), then charge every document its
+    words' symbol counts.  This is the real token-budget accounting a
+    pretraining pipeline runs after training its tokenizer — a
+    whitespace count (text_stats) misprices exactly the high-frequency
+    words BPE compresses.  Words shorter than 2 chars never enter the
+    vocab and encode as one symbol (themselves).
+
+    Scale shape: the encode table is VOCABULARY-sized and joins back to
+    the token stream as a broadcast; the only corpus-sized work is the
+    tokenize + one doc_id-keyed count shuffle.  tokens_per_char < 1
+    marks compression wins (merged symbols), == 1 the untouched tail.
+    """
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn(
+        "t", F.expr(TOKS)
+    )
+    vocab = (
+        docs.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.length("w") >= 2)
+        .withColumn(
+            "t", F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        )
+        .localCheckpoint()
+    )
+    for step in range(1, BPE_MERGES + 1):
+        vocab, _ = _bpe_merge_once(vocab, step)
+    enc = vocab.select("w", F.size("t").cast("bigint").alias("n_sym"))
+    dw = docs.select("doc_id", F.explode("t").alias("w"))
+    return (
+        dw.join(F.broadcast(enc), "w", "left")
+        .withColumn("n_sym", F.coalesce("n_sym", F.lit(1)))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_tokens"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+        )
+        .withColumn(
+            "tokens_per_char",
+            F.round(F.col("n_tokens") / F.col("n_chars").cast("double"), 6),
+        )
+    )

@@ -1375,10 +1375,10 @@ def _betweenness_sql() -> str:
 ORACLE["city_betweenness_joins"] = _betweenness_sql()
 
 
-def _bpe_merges_sql() -> str:
-    """Unrolled mirror of T.bpe_merge_rules: BPE_MERGES iterations of
-    (weighted pair count -> argmax -> run-parity greedy merge), all
-    integer arithmetic."""
+def _bpe_vocab_ctes() -> str:
+    """Shared unrolled CTE prefix: v0 (char-split distinct-word vocab)
+    through v{{BPE_MERGES}} (the fully-merged encoded vocabulary) — the
+    training fold both bpe_merge_rules and bpe_encode_stats read off."""
     parts = [f"""
         WITH v0 AS (
           SELECT w, CAST(count(*) AS BIGINT) AS n,
@@ -1424,17 +1424,48 @@ def _bpe_merges_sql() -> str:
                              ELSE v.t[i] END), x -> x IS NOT NULL) AS t
           FROM v{p} v LEFT JOIN kept{s} k USING (w)
         )""")
+    return "".join(parts)
+
+
+def _bpe_merges_sql() -> str:
+    """Unrolled mirror of T.bpe_merge_rules: BPE_MERGES iterations of
+    (weighted pair count -> argmax -> run-parity greedy merge), all
+    integer arithmetic."""
     union = " UNION ALL ".join(
         f"SELECT {s} AS step, a AS left_sym, b AS right_sym,"
         f" a || b AS merged, pair_count FROM best{s}"
         for s in range(1, T.BPE_MERGES + 1)
     )
-    parts.append(f" {union}")
-    return "".join(parts)
+    return _bpe_vocab_ctes() + f" {union}"
+
+
+def _bpe_encode_sql() -> str:
+    """Unrolled mirror of T.bpe_encode_stats: the final trained vocab's
+    symbol counts charged back to every document's token stream."""
+    n = T.BPE_MERGES
+    return _bpe_vocab_ctes() + f"""
+        , enc AS (SELECT w, CAST(len(t) AS BIGINT) AS n_sym FROM v{n}),
+        dw AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS w
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(COALESCE(e.n_sym, 1)) AS BIGINT) AS n_tokens,
+               CAST(sum(length(w)) AS BIGINT) AS n_chars,
+               round(sum(COALESCE(e.n_sym, 1))
+                     / CAST(sum(length(w)) AS DOUBLE), 6) AS tokens_per_char
+        FROM dw LEFT JOIN enc e USING (w)
+        GROUP BY doc_id
+    """
 
 
 QUERIES["bpe_merge_rules"] = T.bpe_merge_rules
 ORACLE["bpe_merge_rules"] = _bpe_merges_sql()
+QUERIES["bpe_encode_stats"] = T.bpe_encode_stats
+ORACLE["bpe_encode_stats"] = _bpe_encode_sql()
 
 QUERIES["epoch_shuffle"] = P.epoch_shuffle
 ORACLE["epoch_shuffle"] = f"""

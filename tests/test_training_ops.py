@@ -498,3 +498,24 @@ def test_similar_docs_topk_is_candidate_subset(spark, sf_dir):
     for doc, ranks in per_doc.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= SIMILAR_TOPK
+
+
+def test_bpe_encode_compresses_merged_words(spark, sf_dir):
+    """Applying the trained merges must (a) never exceed one token per
+    char, (b) actually compress somewhere (the 3 learned merges cover
+    the corpus's top pairs), and (c) price every word of every doc."""
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_spark.io import read_table
+    from helium_arango_etl_spark.operators.textops import TOKS, bpe_encode_stats
+
+    rows = bpe_encode_stats(spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_tokens"] <= r["n_chars"] for r in rows)
+    assert any(r["n_tokens"] < r["n_chars"] for r in rows)  # real compression
+    n_docs_with_words = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.size(F.expr(TOKS)) > 0)
+        .count()
+    )
+    assert len(rows) == n_docs_with_words
