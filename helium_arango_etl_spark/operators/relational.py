@@ -723,3 +723,63 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ),
     )
+
+
+BASKET_MIN_SUPPORT = 2
+
+
+def co_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchase pairs with lift — the market-basket primitive
+    (pairwise frequent itemsets): for every pair of parts appearing in
+    the same order at least BASKET_MIN_SUPPORT times, its support and
+    lift = support·n_orders / (freq_a·freq_b).  Pairs with lift > 1
+    co-occur more than their popularities predict — the association a
+    recommender or a bundling analysis reads off.
+
+    Scale shape: per-order baskets are tiny (TPC-H-ish orders hold ≤7
+    lines), so in-basket pair generation is the bounded single-scan
+    groupBy-collect used everywhere pairs are formed here (never a
+    self-join of the fact table); the pair-count shuffle carries
+    (part_a, part_b) keys, the part-frequency dim is combiner-folded and
+    broadcast back, and the order count is a broadcast 1-row aggregate.
+    A pathological mega-basket would use the same chunked cap as the LSH
+    buckets — unnecessary at bounded basket size.
+    """
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    )
+    pair_gen = (
+        "flatten(transform(ps, (a, i) ->"
+        " transform(slice(ps, i + 2, size(ps) - i - 1),"
+        " b -> struct(a AS part_a, b AS part_b))))"
+    )
+    support = (
+        baskets.select(F.explode(F.expr(pair_gen)).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    n_orders = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    return (
+        support.join(
+            F.broadcast(freq.select(F.col("l_partkey").alias("part_a"),
+                                    F.col("freq").alias("freq_a"))), "part_a")
+        .join(
+            F.broadcast(freq.select(F.col("l_partkey").alias("part_b"),
+                                    F.col("freq").alias("freq_b"))), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "support", "freq_a", "freq_b",
+            F.round(
+                F.col("support") * F.col("n_orders")
+                / (F.col("freq_a") * F.col("freq_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -1884,6 +1884,35 @@ ORACLE["embedding_dim_stats"] = """
         FROM a
     """
 
+QUERIES["co_purchase_pairs"] = R.co_purchase_pairs
+ORACLE["co_purchase_pairs"] = f"""
+        WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), sup AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 CAST(count(*) AS BIGINT) AS support
+          FROM li a
+          JOIN li b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey
+          HAVING count(*) >= {R.BASKET_MIN_SUPPORT}
+        ), freq AS (
+          SELECT l_partkey, CAST(count(*) AS BIGINT) AS freq
+          FROM li GROUP BY l_partkey
+        ), n AS (
+          SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM li
+        )
+        SELECT s.part_a, s.part_b, s.support,
+               fa.freq AS freq_a, fb.freq AS freq_b,
+               round(s.support * n.n_orders
+                     / CAST(fa.freq * fb.freq AS DOUBLE), 6) AS lift
+        FROM sup s
+        JOIN freq fa ON fa.l_partkey = s.part_a
+        JOIN freq fb ON fb.l_partkey = s.part_b
+        CROSS JOIN n
+    """
+
 QUERIES["similar_docs_topk"] = D.similar_docs_topk
 
 QUERIES["scd2_history"] = TP.scd2_history
