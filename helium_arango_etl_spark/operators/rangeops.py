@@ -116,3 +116,55 @@ def value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("none"))
         .alias("clipped"),
     )
+
+
+OUTLIER_Z = 3.5  # Iglewicz-Hoaglin cutoff for the modified z-score
+MAD_SCALE = 1.4826  # consistency constant: MAD * 1.4826 ~ sigma for normals
+
+
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flags — the detection half of the value-cleaning
+    pair (value_winsorize clips, this FLAGS): per event_type, the
+    modified z-score |x − median| / (1.4826·MAD) with the standard 3.5
+    cutoff (Iglewicz & Hoaglin).  Median/MAD instead of mean/std because
+    the statistics must not be dragged by the very outliers they score —
+    one corrupt 1e9 value inflates a std enough to hide every real
+    outlier behind it.
+
+    Scale shape: two grouped exact-percentile aggregates over the tiny
+    group domain (median, then MAD = median of |x − med|), both
+    broadcast back — the fact table is scanned twice and never shuffled.
+    Groups with MAD = 0 (over half the values identical) are skipped: the
+    score is undefined there, and flagging by it would be noise.  At
+    high group cardinality the same join shape takes sketch medians.
+    """
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .select("event_type", F.abs(F.col("value") - F.col("med")).alias("ad"))
+        .groupBy("event_type")
+        .agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .withColumn(
+            "robust_z",
+            F.round(
+                F.abs(F.col("value") - F.col("med")) / (F.lit(MAD_SCALE) * F.col("mad")),
+                6,
+            ),
+        )
+        .filter(F.col("robust_z") > OUTLIER_Z)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round("med", 6).alias("group_median"),
+            "robust_z",
+        )
+    )

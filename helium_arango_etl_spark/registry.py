@@ -1884,6 +1884,29 @@ ORACLE["embedding_dim_stats"] = """
         FROM a
     """
 
+QUERIES["value_outliers"] = RG.value_outliers
+ORACLE["value_outliers"] = f"""
+        WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY event_type
+        ), mad AS (
+          SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+          FROM events e JOIN med m USING (event_type)
+          GROUP BY e.event_type
+        )
+        SELECT e.event_id, e.event_type,
+               round(e.value, 6) AS value,
+               round(m.med, 6) AS group_median,
+               round(abs(e.value - m.med) / ({RG.MAD_SCALE} * d.mad), 6)
+                   AS robust_z
+        FROM events e
+        JOIN med m USING (event_type)
+        JOIN mad d USING (event_type)
+        WHERE d.mad > 0
+          AND round(abs(e.value - m.med) / ({RG.MAD_SCALE} * d.mad), 6)
+                  > {RG.OUTLIER_Z}
+    """
+
 QUERIES["co_purchase_pairs"] = R.co_purchase_pairs
 ORACLE["co_purchase_pairs"] = f"""
         WITH li AS (
