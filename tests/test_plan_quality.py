@@ -350,3 +350,39 @@ def test_contrastive_pairs_negative_pool_is_anti_join(spark, sf_dir):
     plan = plan_of(QUERIES["contrastive_pairs"](spark, sf_dir))
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_weighted_sample_scan_pruned_one_shuffle(spark, sf_dir):
+    """The A-ES sampler must read only (doc_id, source, n_chars) — never
+    document text — and shuffle exactly once (the per-source window)."""
+    plan = plan_of(QUERIES["weighted_sample"](spark, sf_dir))
+    for cols in re.findall(r"ReadSchema: struct<([^>]*)", plan):
+        assert "text" not in cols, plan
+    # formatted plans print each node twice (tree + details): count details
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_scd2_history_no_join_keyed_windows(spark, sf_dir):
+    """SCD2 is pure windows: no join anywhere, and every window exchange
+    is keyed on user_id (never a SinglePartition global window)."""
+    plan = plan_of(QUERIES["scd2_history"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert re.search(r"hashpartitioning\(user_id", plan), plan
+
+
+def test_value_outliers_stats_broadcast(spark, sf_dir):
+    """Median/MAD bounds must broadcast back onto the event stream — the
+    fact table is scanned, never shuffled (no fact-side Exchange other
+    than the tiny grouped percentile aggregates)."""
+    plan = plan_of(QUERIES["value_outliers"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_co_purchase_dims_broadcast(spark, sf_dir):
+    """Part-frequency and order-count sides must broadcast; the only
+    shuffles are the basket groupBy and the pair-support groupBy."""
+    plan = plan_of(QUERIES["co_purchase_pairs"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
