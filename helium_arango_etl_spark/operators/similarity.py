@@ -913,3 +913,72 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("std"),
         )
     )
+
+
+# Matryoshka-style truncation: rank by the first MRL_PREFIX_DIM of DIM
+# dimensions (the memory/latency lever MRL-trained embeddings expose)
+MRL_PREFIX_DIM = 16
+
+
+def mrl_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of PREFIX-dimension ranking vs the full-dimension exact
+    ranking, per query — the audit behind Matryoshka-representation
+    serving: if embeddings tolerate truncation (MRL-trained ones do),
+    scoring the first 16 of 64 dims cuts ANN memory traffic 4× and this
+    measures exactly what that costs in ranking quality.  Same
+    shape/tie-break discipline as ann_recall_audit (rounded cosine, then
+    vec_id), so the compare is bit-stable across engines.
+
+    Scale shape: both rankings reuse the persisted prepared-embedding
+    table and broadcast the query block; prefix norms are computed
+    per-row in codegen (slice + in-order fold); the overlap join is
+    K·Q rows, broadcast.
+    """
+    from pyspark.sql import Window
+
+    p = MRL_PREFIX_DIM
+    emb = embedding_table(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v64").alias("va"), F.col("nv").alias("na")
+    )
+    corpus = emb.select("vec_id", F.col("v64").alias("vb"), F.col("nv").alias("nb"))
+    joined = corpus.join(F.broadcast(q))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        joined.select("q_id", "vec_id", F.expr(COSINE).alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BATCH_K)
+        .select("q_id", "vec_id")
+    )
+    pdot = (
+        f"aggregate(zip_with(slice(va, 1, {p}), slice(vb, 1, {p}),"
+        " (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"
+    )
+    pnorm = (
+        "sqrt(aggregate(transform(slice({v}, 1, %d), x -> x * x),"
+        " cast(0 as double), (acc, v) -> acc + v))" % p
+    )
+    pcos = f"round({pdot} / ({pnorm.format(v='va')} * {pnorm.format(v='vb')}), 6)"
+    prefix = (
+        joined.select("q_id", "vec_id", F.expr(pcos).alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BATCH_K)
+        .select("q_id", "vec_id")
+    )
+    hits = (
+        prefix.join(F.broadcast(exact), ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        q.select("q_id")
+        .join(F.broadcast(hits), "q_id", "left")
+        .select(
+            "q_id",
+            F.lit(p).cast("int").alias("prefix_dim"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / BATCH_K, 6).alias("recall"),
+        )
+    )

@@ -1424,6 +1424,46 @@ ORACLE_TRAINING["ann_recall_audit"] = _BUCKET_CTE + f"""
     """
 
 
+from .operators.similarity import MRL_PREFIX_DIM  # noqa: E402
+
+_P = MRL_PREFIX_DIM
+_PDOT = f"list_sum(list_transform(range(1, {_P + 1}), i -> vb[i] * va[i]))"
+_PNA = f"sqrt(list_sum(list_transform(range(1, {_P + 1}), i -> va[i] * va[i])))"
+_PNB = f"sqrt(list_sum(list_transform(range(1, {_P + 1}), i -> vb[i] * vb[i])))"
+_PCOSINE = f"round({_PDOT} / ({_PNA} * {_PNB}), 6)"
+
+ORACLE_TRAINING["mrl_prefix_recall"] = f"""
+        WITH e AS (
+          SELECT vec_id, {_CAST64} AS v FROM embeddings
+        ), q AS (
+          SELECT vec_id AS q_id, v AS va FROM e WHERE vec_id < {NUM_QUERIES}
+        ), scored AS (
+          SELECT q.q_id, c.vec_id, c.v AS vb, q.va FROM e c, q
+        ), exact AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY {_COSINE} DESC, vec_id ASC) AS r
+            FROM scored) WHERE r <= {BATCH_K}
+        ), pfx AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY {_PCOSINE} DESC, vec_id ASC) AS r
+            FROM scored) WHERE r <= {BATCH_K}
+        ), hits AS (
+          SELECT p.q_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM pfx p JOIN exact e ON e.q_id = p.q_id AND e.vec_id = p.vec_id
+          GROUP BY p.q_id
+        )
+        SELECT q.q_id, CAST({_P} AS INT) AS prefix_dim,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               round(coalesce(h.n_hits, 0) / CAST({BATCH_K} AS DOUBLE), 6)
+                   AS recall
+        FROM q LEFT JOIN hits h ON h.q_id = q.q_id
+    """
+
+
 ORACLE_TRAINING["stratified_split"] = f"""
         WITH r AS (
           SELECT doc_id, source, lang,

@@ -1884,6 +1884,8 @@ ORACLE["embedding_dim_stats"] = """
         FROM a
     """
 
+QUERIES["mrl_prefix_recall"] = S.mrl_prefix_recall
+
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
         WITH med AS (
