@@ -771,3 +771,41 @@ def similar_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= SIMILAR_TOPK)
         .select("doc_id", "similar_doc_id", "est_jaccard", "rank")
     )
+
+
+def cluster_best_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup retention (the FineWeb/RefinedWeb refinement of
+    keep-smallest-id): per duplicate cluster, keep the member with the
+    HIGHEST heuristic quality score (ties to the smallest doc_id) instead
+    of the arbitrary minimum id.  Min-id retention throws away the best
+    copy whenever a cleaner near-duplicate (e.g. boilerplate-stripped
+    re-crawl) arrived later; ranking the cluster by the same
+    `text_stats` quality signal the filter stage uses keeps the copy the
+    pipeline would rather train on.
+
+    Scale shape: cluster labels come from the shared CC chain
+    (:func:`dedup_clusters` — only (id, label) pairs shuffle) and quality
+    scores from one map-side pass (:func:`textops.text_stats`); the join
+    carries (doc_id, cluster_id, score) triples only, and the argmax is a
+    keyed window per cluster_id — no document bodies anywhere.
+    """
+    from pyspark.sql import Window
+
+    from .textops import text_stats
+
+    clusters = dedup_clusters(spark, sf_dir)
+    quality = text_stats(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            "quality_score",
+            "cluster_size",
+        )
+    )

@@ -982,3 +982,115 @@ def mrl_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("n_hits", F.lit(0)) / BATCH_K, 6).alias("recall"),
         )
     )
+
+
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor (the
+    NUM_QUERIES query block), the BATCH_K most-similar corpus vectors whose
+    label DIFFERS from the anchor's — the near-miss negatives that make
+    InfoNCE/triplet losses actually learn (random negatives are trivially
+    separable; the hardest ones sit right at the decision boundary).
+    Embedding-space counterpart of the graph-side `contrastive_pairs`
+    (which mines negatives by adjacency, not geometry).
+
+    Scale shape: identical to ann_batch_topk — the anchor block broadcasts,
+    the corpus is scanned once map-side (label filter applied before the
+    dot product), per-anchor top-k is a rank window keyed by q_id.  The
+    production variant swaps the brute-force scan for the IVF probe path;
+    this is its exact yardstick.
+    """
+    from pyspark.sql import Window
+
+    emb = embedding_table(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v64").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    corpus = emb.select(
+        "vec_id", F.col("label").alias("neg_label"),
+        F.col("v64").alias("vb"), F.col("nv").alias("nb"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        corpus.join(F.broadcast(q), F.col("neg_label") != F.col("anchor_label"))
+        .select(
+            "q_id", "anchor_label", "vec_id", "neg_label",
+            F.expr(COSINE).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BATCH_K)
+    )
+
+
+# SemDeDup (Abbas et al. 2023): semantic dedup = cluster the corpus, then
+# prune near-identical pairs WITHIN each cluster only.  The cluster bound
+# is what makes the quadratic tractable: sum(k_i^2) with k_i ~ n/K, and a
+# production run sizes K ~ sqrt(n) so per-cluster pair counts stay flat as
+# the corpus grows.  Threshold chosen against the synthetic corpus' cosine
+# distribution (same-label q99.9 ~ 0.35) so the op exercises real drops.
+SEMDEDUP_THRESH = 0.30
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-bucketed embedding dedup.  Reuses the trained
+    Lloyd quantizer (`_kmeans_fit` — quantized, oracle-reproducible),
+    assigns every vector to its single best centroid, forms pairs only
+    inside a cluster, and greedily keeps the smaller vec_id of any pair
+    with cosine >= SEMDEDUP_THRESH (same keep-smallest discipline as
+    `near_dup_keep`).  Output is the full per-vector verdict: cluster,
+    kept flag, and the strongest within-cluster similarity that caused a
+    drop (NULL when kept).
+
+    Scale shape: centroids broadcast (K x DIM); assignment is one map-side
+    argmax pass (corpus never shuffles to build the index); the only
+    shuffle is the within-cluster self-join keyed on centroid_id, whose
+    size sum(k_i^2) is bounded by the cluster granularity — the paper's
+    entire point.  Vector bodies leave the join immediately; only
+    (vec_id, cosine) pairs reach the verdict aggregation.
+    """
+    from pyspark.sql import Window
+
+    emb = embedding_table(spark, sf_dir)
+    cent = _kmeans_fit(emb)
+    dot = (
+        "aggregate(zip_with(v64, cv, (x, y) -> x * y),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("centroid_id").asc())
+    assigned = (
+        emb.select("vec_id", "v64", "nv")
+        .join(F.broadcast(cent))
+        .withColumn("dot", F.expr(dot))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "v64", "nv", "centroid_id")
+    )
+    a = assigned.select(
+        F.col("centroid_id").alias("ca"), F.col("vec_id").alias("ia"),
+        F.col("v64").alias("va"), F.col("nv").alias("na"),
+    )
+    b = assigned.select(
+        F.col("centroid_id").alias("cb"), F.col("vec_id").alias("ib"),
+        F.col("v64").alias("vb"), F.col("nv").alias("nb"),
+    )
+    dup = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("ia") < F.col("ib")))
+        .select("ib", F.expr(COSINE).alias("cos"))
+        .filter(F.col("cos") >= SEMDEDUP_THRESH)
+        .groupBy("ib")
+        .agg(F.max("cos").alias("max_dup_sim"))
+    )
+    return (
+        assigned.select("vec_id", "centroid_id")
+        .join(dup.withColumnRenamed("ib", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.col("max_dup_sim").isNull().alias("is_kept"),
+            "max_dup_sim",
+        )
+    )

@@ -1734,3 +1734,77 @@ ORACLE_TRAINING["pq_rerank_topk"] = _PQ_CTE + f"""
         ORDER BY exact_dist ASC, c.vec_id ASC
         LIMIT {TOP_K}
     """
+
+
+# ---------- hard negatives / SemDeDup / quality-aware cluster keep ----------
+
+from .operators.similarity import SEMDEDUP_THRESH  # noqa: E402
+
+ORACLE_TRAINING["hard_negatives"] = f"""
+        WITH q AS (
+          SELECT vec_id AS q_id, label AS anchor_label, {_CAST64} AS va
+          FROM embeddings WHERE vec_id < {NUM_QUERIES}
+        ), scored AS (
+          SELECT q.q_id, q.anchor_label, e.vec_id, e.label AS neg_label,
+                 {_CAST64.replace("embedding", "e.embedding")} AS vb, q.va
+          FROM embeddings e JOIN q ON e.label <> q.anchor_label
+        ), ranked AS (
+          SELECT q_id, anchor_label, vec_id, neg_label, {_COSINE} AS cosine_sim,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY {_COSINE} DESC, vec_id ASC) AS rank
+          FROM scored
+        )
+        SELECT q_id, anchor_label, vec_id, neg_label, cosine_sim,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {BATCH_K}
+    """
+
+
+def _semdedup_sql() -> str:
+    parts = [
+        f"""
+        WITH emb AS (
+          SELECT vec_id, {_CAST64} AS v FROM embeddings
+        ), c0 AS (
+          SELECT vec_id AS centroid_id, list_transform(v, x -> round(x, 6)) AS cv
+          FROM emb WHERE vec_id < {NUM_CENTROIDS}
+        )"""
+    ]
+    for it in range(KMEANS_ITERS):
+        parts.append(_km_assign("emb", f"c{it}", f"a{it + 1}"))
+        parts.append(_km_update(f"a{it + 1}", f"c{it}", f"c{it + 1}"))
+    parts.append(_km_assign("emb", f"c{KMEANS_ITERS}", "afinal"))
+    pdot = f"list_sum(list_transform(range(1, {DIM + 1}), i -> a.v[i] * b.v[i]))"
+    pcos = f"round({pdot} / (a.nv * b.nv), 6)"
+    parts.append(f"""
+        , nn AS (
+          SELECT vec_id, v, centroid_id,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nv
+          FROM afinal
+        ), dup AS (
+          SELECT b.vec_id AS ib, max({pcos}) AS max_dup_sim
+          FROM nn a JOIN nn b
+            ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+          WHERE {pcos} >= {SEMDEDUP_THRESH}
+          GROUP BY b.vec_id
+        )
+        SELECT n.vec_id, n.centroid_id,
+               d.ib IS NULL AS is_kept, d.max_dup_sim
+        FROM nn n LEFT JOIN dup d ON d.ib = n.vec_id
+    """)
+    return "".join(parts)
+
+
+ORACLE_TRAINING["semantic_dedup"] = _semdedup_sql()
+
+ORACLE_TRAINING["cluster_best_keep"] = f"""
+        SELECT cluster_id, kept_doc_id, quality_score, cluster_size FROM (
+          SELECT c.cluster_id, c.doc_id AS kept_doc_id,
+                 q.quality_score, c.cluster_size,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY q.quality_score DESC, c.doc_id ASC)
+                     AS rk
+          FROM ({ORACLE_TRAINING["dedup_clusters"]}) c
+          JOIN ({ORACLE_TRAINING["text_stats"]}) q ON q.doc_id = c.doc_id
+        ) WHERE rk = 1
+    """

@@ -1885,6 +1885,9 @@ ORACLE["embedding_dim_stats"] = """
     """
 
 QUERIES["mrl_prefix_recall"] = S.mrl_prefix_recall
+QUERIES["hard_negatives"] = S.hard_negatives
+QUERIES["semantic_dedup"] = S.semantic_dedup
+QUERIES["cluster_best_keep"] = D.cluster_best_keep
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
