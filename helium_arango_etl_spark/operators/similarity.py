@@ -1094,3 +1094,109 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_dup_sim",
         )
     )
+
+
+# MMR (Carbonell & Goldstein 1998): diversity-aware rerank of a retrieval
+# shortlist — greedily pick argmax of lambda*relevance - (1-lambda)*max
+# similarity to the already-picked set.  lambda = 0.5, so in integer
+# MICRO-units the step score is simply rel_micro - max_prev_micro (the
+# common scale factor 2 cannot flip an argmax).
+MMR_CANDS = 20
+MMR_K = 5
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank: per query (the NUM_QUERIES
+    block), fetch the MMR_CANDS brute-force nearest candidates, then
+    greedily select MMR_K of them, each step maximizing relevance minus
+    the strongest similarity to anything already selected — the standard
+    answer to "my top-10 are 10 copies of the same document" after
+    dedup-free retrieval.
+
+    Determinism: relevance and pairwise similarity quantize to integer
+    micro-units (6dp cosine x 1e6) before any comparison, so every argmax
+    is exact bigint arithmetic with vec_id tie-breaks — bit-stable across
+    engines; the oracle unrolls the same MMR_K greedy steps as CTEs.
+
+    Scale shape: candidate generation is the ann_batch_topk scan (corpus
+    never shuffles); everything after operates on Q x MMR_CANDS rows and
+    their Q x C^2 pairwise sims — bounded by construction, localCheckpoint
+    per step keeps the unrolled lineage flat.  The selection loop is
+    static unrolling (MMR_K steps), not data-dependent iteration.
+    """
+    from pyspark.sql import Window
+
+    emb = embedding_table(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v64").alias("va"), F.col("nv").alias("na")
+    )
+    corpus = emb.select("vec_id", F.col("v64").alias("vb"), F.col("nv").alias("nb"))
+    micro = f"cast(round(({COSINE}) * 1000000) as bigint)"
+    wc = Window.partitionBy("q_id").orderBy(
+        F.col("rel_micro").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        corpus.join(F.broadcast(q))
+        .select("q_id", "vec_id", F.expr(micro).alias("rel_micro"))
+        .withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= MMR_CANDS)
+        .drop("rk")
+        .localCheckpoint()
+    )
+    cv = cand.join(emb.select("vec_id", "v64", "nv"), "vec_id")
+    pa = cv.select(
+        "q_id", F.col("vec_id").alias("ia"),
+        F.col("v64").alias("va"), F.col("nv").alias("na"),
+    )
+    pb = cv.select(
+        "q_id", F.col("vec_id").alias("ib"),
+        F.col("v64").alias("vb"), F.col("nv").alias("nb"),
+    )
+    pairs = (
+        pa.join(pb, "q_id")
+        .filter(F.col("ia") != F.col("ib"))
+        .select("q_id", "ia", "ib", F.expr(micro).alias("sim_micro"))
+        .localCheckpoint()
+    )
+    w1 = Window.partitionBy("q_id").orderBy(
+        F.col("rel_micro").desc(), F.col("vec_id").asc()
+    )
+    sel = (
+        cand.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") == 1)
+        .select(
+            "q_id", "vec_id", "rel_micro",
+            F.lit(1).alias("sel_order"),
+            F.lit(0).cast("bigint").alias("max_prev_micro"),
+        )
+    )
+    for step in range(2, MMR_K + 1):
+        mx = (
+            pairs.join(
+                sel.select("q_id", F.col("vec_id").alias("ib")), ["q_id", "ib"]
+            )
+            .groupBy("q_id", F.col("ia").alias("vec_id"))
+            .agg(F.max("sim_micro").alias("max_prev_micro"))
+        )
+        ws = Window.partitionBy("q_id").orderBy(
+            (F.col("rel_micro") - F.col("max_prev_micro")).desc(),
+            F.col("vec_id").asc(),
+        )
+        pick = (
+            cand.join(sel.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_anti")
+            .join(mx, ["q_id", "vec_id"])
+            .withColumn("rk", F.row_number().over(ws))
+            .filter(F.col("rk") == 1)
+            .select(
+                "q_id", "vec_id", "rel_micro",
+                F.lit(step).alias("sel_order"), "max_prev_micro",
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select(
+        "q_id",
+        F.col("sel_order").cast("int").alias("sel_order"),
+        "vec_id",
+        F.round(F.col("rel_micro") / 1e6, 6).alias("cosine_sim"),
+        F.round((F.col("rel_micro") - F.col("max_prev_micro")) / 1e6, 6).alias("mmr_score"),
+    )

@@ -767,3 +767,81 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_tokens") / F.col("n_chars").cast("double"), 6),
         )
     )
+
+
+# DSIR (Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling"): per-document importance weights log(p_target/p_raw) under
+# hashed-ngram bag-of-features models.  Hashing the feature space to a
+# fixed bucket count is what makes the method 100 TB-viable: both
+# distributions are B-cell count tables regardless of corpus size.
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight per document: sum over the doc's hashed
+    bigram features of count * log-ratio between the TARGET distribution
+    (lang = DSIR_TARGET_LANG — the 'quality domain' stand-in, e.g.
+    Wikipedia in the paper) and the RAW corpus distribution, both
+    Laplace-smoothed.  High weight = looks like the target; resampling by
+    these weights (`weighted_sample` downstream) tilts the corpus toward
+    the target domain without a trained classifier.
+
+    Determinism: each bucket's log-ratio rounds to integer MICRO-units
+    before the per-doc sum (the adamic_adar discipline) — the sum is exact
+    bigint arithmetic, immune to float summation order; the single ln()
+    argument is a ratio of exactly-representable integers (< 2^53), so
+    both engines evaluate the same double.
+
+    Scale shape: the two distribution tables are B=DSIR_BUCKETS cells
+    after map-side combine (O(B) state, independent of corpus size) and
+    broadcast back; per-doc feature counts are one keyed shuffle of
+    (doc_id, bucket) pairs; document bodies never shuffle.
+    """
+    b = DSIR_BUCKETS
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"transform({_BIGRAMS_OVER_T},"
+                f" g -> cast(conv(substring(md5(g), 1, 7), 16, 10) as bigint) % {b})"
+            )
+        ).alias("f"),
+    )
+    docf = feats.groupBy("doc_id", "f").agg(F.count(F.lit(1)).alias("n"))
+    raw = feats.groupBy("f").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        feats.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = feats.agg(
+        F.count(F.lit(1)).alias("r_total"),
+        F.sum(F.expr(f"IF(lang = '{DSIR_TARGET_LANG}', 1, 0)")).alias("t_total"),
+    )
+    lr = (
+        raw.join(tgt, "f", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "f",
+            F.expr(
+                f"cast(round(ln(((coalesce(ct, 0) + 1) * (r_total + {b}))"
+                f" / cast((cr + 1) * (t_total + {b}) as double)) * 1000000) as bigint)"
+            ).alias("lr_micro"),
+        )
+    )
+    wt = docf.join(F.broadcast(lr), "f").groupBy("doc_id").agg(
+        F.sum(F.expr("n * lr_micro")).alias("wm"),
+        F.sum("n").cast("bigint").alias("n_features"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(wt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_features", F.lit(0)).cast("bigint").alias("n_features"),
+            F.round(F.coalesce("wm", F.lit(0)) / 1e6, 6).alias("log_weight"),
+        )
+    )

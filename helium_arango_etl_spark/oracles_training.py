@@ -1808,3 +1808,120 @@ ORACLE_TRAINING["cluster_best_keep"] = f"""
           JOIN ({ORACLE_TRAINING["text_stats"]}) q ON q.doc_id = c.doc_id
         ) WHERE rk = 1
     """
+
+
+# ---------- DSIR hashed-ngram importance weights ----------
+
+from .operators.textops import DSIR_BUCKETS, DSIR_TARGET_LANG  # noqa: E402
+
+_DSIR_BG = "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])"
+_DSIR_F = (
+    f"list_transform({_DSIR_BG},"
+    f" g -> ('0x' || substr(md5(g), 1, 7))::BIGINT % {DSIR_BUCKETS})"
+)
+
+ORACLE_TRAINING["dsir_weights"] = f"""
+        WITH toks AS (
+          SELECT doc_id, lang, {_TOKS} AS t FROM documents
+        ), fx AS (
+          SELECT doc_id, lang, unnest({_DSIR_F}) AS f FROM toks
+        ), docf AS (
+          SELECT doc_id, f, count(*) AS n FROM fx GROUP BY doc_id, f
+        ), raw AS (
+          SELECT f, count(*) AS cr FROM fx GROUP BY f
+        ), tgt AS (
+          SELECT f, count(*) AS ct FROM fx
+          WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY f
+        ), tot AS (
+          SELECT count(*) AS r_total,
+                 sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                     AS t_total
+          FROM fx
+        ), lr AS (
+          SELECT r.f,
+                 CAST(round(ln(((coalesce(g.ct, 0) + 1) * (t.r_total + {DSIR_BUCKETS}))
+                            / CAST((r.cr + 1) * (t.t_total + {DSIR_BUCKETS}) AS DOUBLE))
+                            * 1000000) AS BIGINT) AS lr_micro
+          FROM raw r LEFT JOIN tgt g USING (f) CROSS JOIN tot t
+        ), wt AS (
+          SELECT d.doc_id, sum(d.n * l.lr_micro) AS wm,
+                 CAST(sum(d.n) AS BIGINT) AS n_features
+          FROM docf d JOIN lr l USING (f) GROUP BY d.doc_id
+        )
+        SELECT doc.doc_id,
+               CAST(coalesce(w.n_features, 0) AS BIGINT) AS n_features,
+               round(coalesce(w.wm, 0) / 1e6, 6) AS log_weight
+        FROM documents doc LEFT JOIN wt w USING (doc_id)
+    """
+
+
+# ---------- MMR rerank (unrolled greedy steps) ----------
+
+from .operators.similarity import MMR_CANDS, MMR_K  # noqa: E402
+
+
+def _mmr_sql() -> str:
+    micro_qc = f"CAST(round({_COSINE} * 1000000) AS BIGINT)"
+    pdot = f"list_sum(list_transform(range(1, {DIM + 1}), i -> a.v[i] * b.v[i]))"
+    pcos = f"round({pdot} / (a.nv * b.nv), 6)"
+    micro_pp = f"CAST(round({pcos} * 1000000) AS BIGINT)"
+    parts = [f"""
+        WITH e AS (
+          SELECT vec_id, {_CAST64} AS v,
+                 sqrt(list_sum(list_transform({_CAST64}, x -> x * x))) AS nv
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id AS q_id, v AS va FROM e WHERE vec_id < {NUM_QUERIES}
+        ), cand AS (
+          SELECT q_id, vec_id, rel_micro FROM (
+            SELECT q.q_id, c.vec_id, {micro_qc} AS rel_micro,
+                   row_number() OVER (PARTITION BY q.q_id
+                                      ORDER BY {micro_qc} DESC, c.vec_id ASC) AS rk
+            FROM (SELECT vec_id, v AS vb, nv AS nb FROM e) c
+            CROSS JOIN (SELECT q_id, va,
+                               sqrt(list_sum(list_transform(va, x -> x * x))) AS na
+                        FROM q) q
+          ) WHERE rk <= {MMR_CANDS}
+        ), pairs AS (
+          SELECT a.q_id, a.vec_id AS ia, b.vec_id AS ib, {micro_pp} AS sim_micro
+          FROM (SELECT c.q_id, c.vec_id, e.v, e.nv FROM cand c JOIN e USING (vec_id)) a
+          JOIN (SELECT c.q_id, c.vec_id, e.v, e.nv FROM cand c JOIN e USING (vec_id)) b
+            ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+        ), sel1 AS (
+          SELECT q_id, vec_id, rel_micro, 1 AS sel_order,
+                 CAST(0 AS BIGINT) AS max_prev_micro
+          FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                             ORDER BY rel_micro DESC, vec_id ASC) AS rk
+                FROM cand) WHERE rk = 1
+        )"""]
+    for step in range(2, MMR_K + 1):
+        prev = f"sel{step - 1}"
+        parts.append(f"""
+        , m{step} AS (
+          SELECT p.q_id, p.ia AS vec_id, max(p.sim_micro) AS max_prev_micro
+          FROM pairs p JOIN {prev} s ON s.q_id = p.q_id AND s.vec_id = p.ib
+          GROUP BY p.q_id, p.ia
+        ), p{step} AS (
+          SELECT c.q_id, c.vec_id, c.rel_micro, m.max_prev_micro,
+                 row_number() OVER (PARTITION BY c.q_id
+                                    ORDER BY c.rel_micro - m.max_prev_micro DESC,
+                                             c.vec_id ASC) AS rk
+          FROM cand c JOIN m{step} m ON m.q_id = c.q_id AND m.vec_id = c.vec_id
+          WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                            WHERE s.q_id = c.q_id AND s.vec_id = c.vec_id)
+        ), sel{step} AS (
+          SELECT * FROM {prev}
+          UNION ALL
+          SELECT q_id, vec_id, rel_micro, {step} AS sel_order, max_prev_micro
+          FROM p{step} WHERE rk = 1
+        )""")
+    parts.append(f"""
+        SELECT q_id, CAST(sel_order AS INT) AS sel_order, vec_id,
+               round(rel_micro / 1e6, 6) AS cosine_sim,
+               round((rel_micro - max_prev_micro) / 1e6, 6) AS mmr_score
+        FROM sel{MMR_K}
+    """)
+    return "".join(parts)
+
+
+ORACLE_TRAINING["mmr_rerank"] = _mmr_sql()

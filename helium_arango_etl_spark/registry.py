@@ -1888,6 +1888,8 @@ QUERIES["mrl_prefix_recall"] = S.mrl_prefix_recall
 QUERIES["hard_negatives"] = S.hard_negatives
 QUERIES["semantic_dedup"] = S.semantic_dedup
 QUERIES["cluster_best_keep"] = D.cluster_best_keep
+QUERIES["dsir_weights"] = T.dsir_weights
+QUERIES["mmr_rerank"] = S.mmr_rerank
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
