@@ -1061,6 +1061,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         " cast(0 as double), (acc, v) -> acc + v)"
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("centroid_id").asc())
+    # assigned is consumed three times (both pair sides + the verdict
+    # spine) — materialize the single assignment pass instead of running
+    # the broadcast-cross + argmax window shuffle once per consumer (a
+    # cluster run persists this to storage between pipeline stages)
     assigned = (
         emb.select("vec_id", "v64", "nv")
         .join(F.broadcast(cent))
@@ -1068,6 +1072,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
         .select("vec_id", "v64", "nv", "centroid_id")
+        .localCheckpoint()
     )
     a = assigned.select(
         F.col("centroid_id").alias("ca"), F.col("vec_id").alias("ia"),

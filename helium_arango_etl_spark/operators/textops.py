@@ -795,15 +795,17 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the two distribution tables are B=DSIR_BUCKETS cells
     after map-side combine (O(B) state, independent of corpus size) and
-    broadcast back; per-doc feature counts are one keyed shuffle of
-    (doc_id, bucket) pairs; document bodies never shuffle.
+    broadcast back; the only corpus-sized shuffles are the two keyed
+    count aggregations on (doc_id, bucket) / doc_id — explode_OUTER keeps
+    token-poor docs in-stream (null feature row) so no final doc-keyed
+    corpus join is ever needed; document bodies never shuffle.
     """
     b = DSIR_BUCKETS
     docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
     feats = docs.select(
         "doc_id",
         "lang",
-        F.explode(
+        F.explode_outer(
             F.expr(
                 f"transform({_BIGRAMS_OVER_T},"
                 f" g -> cast(conv(substring(md5(g), 1, 7), 16, 10) as bigint) % {b})"
@@ -811,13 +813,14 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f"),
     )
     docf = feats.groupBy("doc_id", "f").agg(F.count(F.lit(1)).alias("n"))
-    raw = feats.groupBy("f").agg(F.count(F.lit(1)).alias("cr"))
+    fx = feats.filter(F.col("f").isNotNull())
+    raw = fx.groupBy("f").agg(F.count(F.lit(1)).alias("cr"))
     tgt = (
-        feats.filter(F.col("lang") == DSIR_TARGET_LANG)
+        fx.filter(F.col("lang") == DSIR_TARGET_LANG)
         .groupBy("f")
         .agg(F.count(F.lit(1)).alias("ct"))
     )
-    totals = feats.agg(
+    totals = fx.agg(
         F.count(F.lit(1)).alias("r_total"),
         F.sum(F.expr(f"IF(lang = '{DSIR_TARGET_LANG}', 1, 0)")).alias("t_total"),
     )
@@ -832,16 +835,16 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lr_micro"),
         )
     )
-    wt = docf.join(F.broadcast(lr), "f").groupBy("doc_id").agg(
-        F.sum(F.expr("n * lr_micro")).alias("wm"),
-        F.sum("n").cast("bigint").alias("n_features"),
-    )
     return (
-        docs.select("doc_id")
-        .join(wt, "doc_id", "left")
+        docf.join(F.broadcast(lr), "f", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("IF(f IS NULL, 0, n) * coalesce(lr_micro, 0)")).alias("wm"),
+            F.sum(F.expr("IF(f IS NULL, 0, n)")).cast("bigint").alias("n_features"),
+        )
         .select(
             "doc_id",
-            F.coalesce("n_features", F.lit(0)).cast("bigint").alias("n_features"),
-            F.round(F.coalesce("wm", F.lit(0)) / 1e6, 6).alias("log_weight"),
+            "n_features",
+            F.round(F.col("wm") / 1e6, 6).alias("log_weight"),
         )
     )

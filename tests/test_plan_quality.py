@@ -386,3 +386,74 @@ def test_co_purchase_dims_broadcast(spark, sf_dir):
     plan = plan_of(QUERIES["co_purchase_pairs"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_hard_negatives_broadcasts_anchor_block(spark, sf_dir):
+    """The anchor block must broadcast (inequality join -> broadcast
+    nested loop over the TINY side only); the corpus is scanned, never
+    shuffled, and there is no unhinted cartesian."""
+    from helium_arango_etl_spark.operators.similarity import clear_emb_cache
+
+    clear_emb_cache(spark)
+    plan = plan_of(QUERIES["hard_negatives"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mrl_prefix_recall_broadcasts_queries(spark, sf_dir):
+    """Both the full-dim and prefix-dim rankings broadcast the bounded
+    query block; the overlap join is K x Q rows, also broadcast."""
+    from helium_arango_etl_spark.operators.similarity import clear_emb_cache
+
+    clear_emb_cache(spark)
+    plan = plan_of(QUERIES["mrl_prefix_recall"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_semantic_dedup_no_cartesian_pairs(spark, sf_dir):
+    """Centroids broadcast for assignment (the K x DIM cross is the ONLY
+    nested-loop); within-cluster pair formation must be a keyed join on
+    centroid_id — an unkeyed pair join would be the O(n^2) SemDeDup
+    explicitly exists to avoid."""
+    from helium_arango_etl_spark.operators.similarity import clear_emb_cache
+
+    clear_emb_cache(spark)
+    plan = plan_of(QUERIES["semantic_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # the within-cluster self-join keys on centroid_id (hash or sort-merge
+    # are both fine — it IS the one intended keyed shuffle); what must not
+    # happen is pair formation via nested loop over the corpus:
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_dsir_weights_distributions_broadcast(spark, sf_dir):
+    """The B-cell log-ratio table and the 1-row totals broadcast back onto
+    the feature stream; no corpus-sized join anywhere (explode_outer keeps
+    token-poor docs in-stream, so there is no final doc-keyed repair
+    join)."""
+    plan = plan_of(QUERIES["dsir_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cluster_best_keep_argmax_is_keyed_window(spark, sf_dir):
+    """The per-cluster argmax runs as a window partitioned by cluster_id —
+    never a global sort — and no join degenerates to a nested loop."""
+    plan = plan_of(QUERIES["cluster_best_keep"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(cluster_id", plan)
+    assert specs, plan
+
+
+def test_mmr_rerank_no_cartesian(spark, sf_dir):
+    """Selection steps operate on the checkpointed Q x C candidate/pair
+    tables only; no step may fall back to a cartesian or an unkeyed
+    sort-merge over the corpus."""
+    from helium_arango_etl_spark.operators.similarity import clear_emb_cache
+
+    clear_emb_cache(spark)
+    plan = plan_of(QUERIES["mmr_rerank"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
