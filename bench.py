@@ -57,6 +57,11 @@ HEADLINE = [
     "bpe_merge_rules",       # iterative BPE merge training (vocab-sized shuffles)
     "stratified_split",      # exact per-stratum quota split
     "snapshot_diff",         # digest-only full-outer table diff
+    # round-4 operators promoted to tracked per-round numbers
+    "semantic_dedup",        # SemDeDup: kmeans buckets + in-cluster pair prune
+    "dsir_weights",          # DSIR hashed-ngram importance weights
+    "hard_negatives",        # contrastive hard-negative mining (batch ANN)
+    "mmr_rerank",            # MMR diversity rerank over the shortlist
 ]
 # Deliberately NOT in the headline: city_betweenness_joins — it is the
 # correctness-harness mirror of the applyInPandas production path

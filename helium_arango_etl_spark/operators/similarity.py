@@ -73,9 +73,11 @@ _EMB_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
 
 
 def clear_emb_cache(spark: SparkSession) -> None:
-    """Drop this session's prepared-embedding tables (bench/test hook)."""
+    """Drop this session's prepared-embedding tables and the fitted
+    k-means centroids derived from them (bench/test hook)."""
     for df in _EMB_CACHE.pop(spark, {}).values():
         df.unpersist()
+    _KM_CACHE.pop(spark, None)
 
 
 def embedding_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,6 +323,25 @@ def _kmeans_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+# Fitted-centroid cache per (session, sf_dir): three consumers
+# (kmeans_centroids, ivf_topk_trained, semantic_dedup) run the identical
+# KMEANS_ITERS Lloyd fit — a production pipeline trains the coarse
+# quantizer once per corpus snapshot and every index/dedup stage reuses
+# it.  The cached table is NUM_CENTROIDS rows (localCheckpointed).
+_KM_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def kmeans_fit_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_session = _KM_CACHE.setdefault(spark, {})
+    cent = per_session.get(sf_dir)
+    if cent is None:
+        cent = _kmeans_fit(embedding_table(spark, sf_dir))
+        per_session[sf_dir] = cent
+    return cent
+
+
 def _kmeans_fit(emb: DataFrame) -> DataFrame:
     """Run KMEANS_ITERS Lloyd updates from the quantized seed centroids;
     returns the fitted (centroid_id, cv) table (16 rows,
@@ -370,7 +391,7 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     — scalar columns only, driver-canonicalizer-safe.
     """
     emb = embedding_table(spark, sf_dir)
-    cent = _kmeans_fit(emb)
+    cent = kmeans_fit_cached(spark, sf_dir)
     final = _kmeans_assign(emb, cent)
     dist2 = (
         "aggregate(zip_with(v64, cv, (x, y) -> (x - y) * (x - y)),"
@@ -408,7 +429,7 @@ def ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = embedding_table(spark, sf_dir)
-    cent = _kmeans_fit(emb)
+    cent = kmeans_fit_cached(spark, sf_dir)
     dot = (
         "aggregate(zip_with(v64, cv, (x, y) -> x * y),"
         " cast(0 as double), (acc, v) -> acc + v)"
@@ -1055,7 +1076,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = embedding_table(spark, sf_dir)
-    cent = _kmeans_fit(emb)
+    cent = kmeans_fit_cached(spark, sf_dir)
     dot = (
         "aggregate(zip_with(v64, cv, (x, y) -> x * y),"
         " cast(0 as double), (acc, v) -> acc + v)"

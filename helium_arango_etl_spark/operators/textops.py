@@ -848,3 +848,108 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("wm") / 1e6, 6).alias("log_weight"),
         )
     )
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: BPE-tokens-per-word and
+    chars-per-BPE-token — THE multilingual-tokenizer health metric (a
+    vocabulary trained on English typically shows 2-4x fertility blowup on
+    underrepresented scripts, directly inflating training cost and
+    truncation rates for those languages).
+
+    Exact integer sums per language (map-side combined, |langs| groups)
+    with one final division each, rounded 4dp — bit-stable across engines.
+    One linear scan, zero joins.
+    """
+    docs = (
+        spread(read_table(spark, sf_dir, "documents"))
+        .withColumn("b", F.expr(f"regexp_extract_all(lower(text), '{BPE_RE}', 0)"))
+        .withColumn("t", F.expr(TOKS))
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.expr("size(t)")).cast("bigint").alias("n_words"),
+            F.sum(F.expr("size(b)")).cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            F.expr("round(n_bpe_tokens / cast(n_words as double), 4)").alias("fertility"),
+            F.expr("round(n_chars / cast(n_bpe_tokens as double), 4)").alias(
+                "chars_per_token"
+            ),
+        )
+    )
+
+
+def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source (the Li et al. 2016 "distinct-1/2"
+    metrics): unique unigrams / total unigrams and unique bigrams / total
+    bigrams — low values flag template-generated or boilerplate-heavy
+    providers that repeat the same phrasing (exactly the slices that also
+    light up `repeated_ngram_docs`).
+
+    Scale shape: two combiner-folded keyed shuffles of (source, gram)
+    pairs for the distinct counts plus per-source totals in the same
+    aggregations.  At 100 TB swap countDistinct for the mergeable HLL
+    registers (`hll_by_group`) — the ratio tolerates the sketch error;
+    this exact form is the small-scale yardstick.
+    """
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
+    uni = docs.select("source", F.explode("t").alias("g"))
+    bi = docs.select("source", F.explode(F.expr(_BIGRAMS_OVER_T)).alias("g"))
+    ua = uni.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unigrams"),
+        F.countDistinct("g").cast("bigint").alias("distinct_unigrams"),
+    )
+    ba = bi.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.countDistinct("g").cast("bigint").alias("distinct_bigrams"),
+    )
+    return ua.join(ba, "source").select(
+        "source",
+        "n_unigrams",
+        "distinct_unigrams",
+        F.expr("round(distinct_unigrams / cast(n_unigrams as double), 4)").alias(
+            "distinct1"
+        ),
+        "n_bigrams",
+        "distinct_bigrams",
+        F.expr("round(distinct_bigrams / cast(n_bigrams as double), 4)").alias(
+            "distinct2"
+        ),
+    )
+
+
+# DSIR selection budget: the resample stage keeps the N highest-weight docs
+DSIR_SAMPLE_N = 200
+
+
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection stage of DSIR: keep the DSIR_SAMPLE_N documents with
+    the highest importance weight (ties to the smallest doc_id) — the
+    deterministic top-N form of the paper's importance resampling (the
+    randomized without-replacement variant is `weighted_sample`'s A-ES
+    order statistic applied to exp(log_weight)).
+
+    Scale shape: top-N via orderBy+limit compiles to
+    TakeOrderedAndProject — k rows per partition reach the driver-side
+    heap, no global sort; the rank window then runs over the already
+    bounded N-row result only.
+    """
+    from pyspark.sql import Window
+
+    top = (
+        dsir_weights(spark, sf_dir)
+        .orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
+        .limit(DSIR_SAMPLE_N)
+    )
+    w = Window.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id", "log_weight", F.row_number().over(w).cast("int").alias("rank")
+    )

@@ -1925,3 +1925,54 @@ def _mmr_sql() -> str:
 
 
 ORACLE_TRAINING["mmr_rerank"] = _mmr_sql()
+
+
+# ---------- tokenizer fertility / distinct-n diversity / DSIR resample ----------
+
+from .operators.textops import DSIR_SAMPLE_N  # noqa: E402
+
+ORACLE_TRAINING["tokenizer_fertility"] = f"""
+        WITH b AS (
+          SELECT lang, regexp_extract_all(lower(text), '{BPE_RE}') AS bt,
+                 {_TOKS} AS t, length(text) AS nc
+          FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(t)) AS BIGINT) AS n_words,
+               CAST(sum(len(bt)) AS BIGINT) AS n_bpe_tokens,
+               round(sum(len(bt)) / CAST(sum(len(t)) AS DOUBLE), 4) AS fertility,
+               round(sum(nc) / CAST(sum(len(bt)) AS DOUBLE), 4) AS chars_per_token
+        FROM b GROUP BY lang
+    """
+
+ORACLE_TRAINING["distinct_ngram_diversity"] = f"""
+        WITH toks AS (
+          SELECT doc_id, source, {_TOKS} AS t FROM documents
+        ), u AS (
+          SELECT source, unnest(t) AS g FROM toks
+        ), bg AS (
+          SELECT source, unnest({_DSIR_BG}) AS g FROM toks
+        ), ua AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_unigrams,
+                 CAST(count(DISTINCT g) AS BIGINT) AS distinct_unigrams
+          FROM u GROUP BY source
+        ), ba AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(count(DISTINCT g) AS BIGINT) AS distinct_bigrams
+          FROM bg GROUP BY source
+        )
+        SELECT source, n_unigrams, distinct_unigrams,
+               round(distinct_unigrams / CAST(n_unigrams AS DOUBLE), 4) AS distinct1,
+               n_bigrams, distinct_bigrams,
+               round(distinct_bigrams / CAST(n_bigrams AS DOUBLE), 4) AS distinct2
+        FROM ua JOIN ba USING (source)
+    """
+
+ORACLE_TRAINING["dsir_resample"] = f"""
+        SELECT doc_id, log_weight, CAST(rk AS INT) AS rank FROM (
+          SELECT doc_id, log_weight,
+                 row_number() OVER (ORDER BY log_weight DESC, doc_id ASC) AS rk
+          FROM ({ORACLE_TRAINING["dsir_weights"]})
+        ) WHERE rk <= {DSIR_SAMPLE_N}
+    """

@@ -1890,6 +1890,9 @@ QUERIES["semantic_dedup"] = S.semantic_dedup
 QUERIES["cluster_best_keep"] = D.cluster_best_keep
 QUERIES["dsir_weights"] = T.dsir_weights
 QUERIES["mmr_rerank"] = S.mmr_rerank
+QUERIES["tokenizer_fertility"] = T.tokenizer_fertility
+QUERIES["distinct_ngram_diversity"] = T.distinct_ngram_diversity
+QUERIES["dsir_resample"] = T.dsir_resample
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
