@@ -1226,3 +1226,68 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rel_micro") / 1e6, 6).alias("cosine_sim"),
         F.round((F.col("rel_micro") - F.col("max_prev_micro")) / 1e6, 6).alias("mmr_score"),
     )
+
+
+# Reciprocal-rank fusion (Cormack et al. 2009): the standard way a modern
+# retrieval stack combines keyword (BM25) and semantic (embedding ANN)
+# rankings without score calibration — 1/(RRF_K + rank) per list, summed.
+RRF_K = 60
+
+
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse the BM25 keyword top-k (`textops.bm25_topk`)
+    with the embedding cosine top-k for the same corpus (vec_id == doc_id
+    where embeddings exist) by reciprocal-rank fusion.  Docs surfaced by
+    only one ranking still score (the other contribution is absent) —
+    exactly how RRF rewards agreement without requiring it.
+
+    Determinism: RRF contributions are round(1e6/(K + rank)) integers, so
+    the fused score is an exact bigint sum; ties break on doc_id.
+
+    Scale shape: both input rankings are already bounded top-k results
+    (TakeOrderedAndProject each); everything downstream — the full-outer
+    fusion join, the re-rank — operates on <= 2k rows.
+    """
+    from pyspark.sql import Window
+
+    from .textops import BM25_TOP_K, bm25_topk
+
+    bm = bm25_topk(spark, sf_dir).select("doc_id", F.col("rank").alias("bm25_rank"))
+    emb = embedding_table(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v64").alias("va"), F.col("nv").alias("na")
+    )
+    corpus = emb.select("vec_id", F.col("v64").alias("vb"), F.col("nv").alias("nb"))
+    semtop = (
+        corpus.join(F.broadcast(q))
+        .select("vec_id", F.expr(COSINE).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+    ws = Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+    sem = semtop.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(ws).cast("int").alias("sem_rank"),
+    )
+    contrib = f"coalesce(cast(round(1000000 / ({RRF_K} + {{r}})) as bigint), 0)"
+    fused = (
+        bm.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "sem_rank",
+            F.expr(
+                contrib.format(r="bm25_rank") + " + " + contrib.format(r="sem_rank")
+            ).alias("rrf_micro"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP_K)
+    )
+    wr = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+    return fused.select(
+        "doc_id",
+        "bm25_rank",
+        "sem_rank",
+        F.round(F.col("rrf_micro") / 1e6, 6).alias("rrf_score"),
+        F.row_number().over(wr).cast("int").alias("rank"),
+    )

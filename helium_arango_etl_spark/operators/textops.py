@@ -953,3 +953,77 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "doc_id", "log_weight", F.row_number().over(w).cast("int").alias("rank")
     )
+
+
+# BM25 retrieval (Robertson-Sparck Jones; Lucene's always-positive idf
+# variant): k1/b in exact milli-units so both engines build the identical
+# doubles; the per-(doc, term) score quantizes to integer micro-units
+# before the per-doc sum (exact bigint — summation-order-proof).
+BM25_QUERY = ("hash", "join", "stream")
+BM25_K1 = "1.2"
+BM25_B = "0.75"
+BM25_TOP_K = 10
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k keyword retrieval for the fixed BM25_QUERY — the scoring
+    stage the `inverted_index` build exists to serve: per query term,
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1) (Lucene's shifted form, never
+    negative) times the saturated-tf factor tf*(k1+1)/(tf + k1*(1 - b +
+    b*dl/avgdl)).
+
+    Scale shape: the term filter lands BEFORE any aggregation, so only
+    postings of the |Q| query terms flow anywhere (the inverted-index
+    access path, expressed as a filtered scan); corpus-wide stats (N,
+    avgdl) are a 1-row broadcast, per-term dfs a |Q|-row broadcast; the
+    only keyed shuffle groups the matched (doc, term) rows by doc_id; the
+    final top-k is TakeOrderedAndProject.  Rank assignment runs on the
+    bounded k-row result.
+    """
+    from pyspark.sql import Window
+
+    qlist = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr("size(t)")).alias("total_len"),
+    )
+    dl = docs.select("doc_id", F.expr("size(t)").alias("dl"), "t")
+    tf = (
+        dl.select("doc_id", "dl", F.explode("t").alias("term"))
+        .filter(F.expr(f"term IN ({qlist})"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (
+        "ln((n_docs - df + 0.5) / (df + 0.5) + 1)"
+    )
+    sat = (
+        f"(tf * ({BM25_K1} + 1)) /"
+        f" (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / (total_len / cast(n_docs as double))))"
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(f"cast(round(({idf}) * ({sat}) * 1000000) as bigint)").alias(
+                "s_micro"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("s_micro").alias("sm"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+        )
+        .orderBy(F.col("sm").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP_K)
+    )
+    w = Window.orderBy(F.col("sm").desc(), F.col("doc_id").asc())
+    return scored.select(
+        "doc_id",
+        F.round(F.col("sm") / 1e6, 6).alias("bm25_score"),
+        "n_terms_matched",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

@@ -1976,3 +1976,85 @@ ORACLE_TRAINING["dsir_resample"] = f"""
           FROM ({ORACLE_TRAINING["dsir_weights"]})
         ) WHERE rk <= {DSIR_SAMPLE_N}
     """
+
+
+# ---------- BM25 retrieval + hybrid RRF fusion ----------
+
+from .operators.similarity import RRF_K  # noqa: E402
+from .operators.textops import BM25_B, BM25_K1, BM25_QUERY, BM25_TOP_K  # noqa: E402
+
+_BM25_QL = ", ".join(f"'{t}'" for t in BM25_QUERY)
+_BM25_SAT = (
+    f"(t.tf * ({BM25_K1} + 1)) / (t.tf + {BM25_K1} * (1 - {BM25_B}"
+    f" + {BM25_B} * t.dl / (s.total_len / CAST(s.n_docs AS DOUBLE))))"
+)
+_BM25_IDF = "ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)"
+
+ORACLE_TRAINING["bm25_topk"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+        ), stats AS (
+          SELECT count(*) AS n_docs, sum(len(t)) AS total_len FROM toks
+        ), ex AS (
+          SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+        ), tf AS (
+          SELECT doc_id, dl, term, count(*) AS tf
+          FROM ex WHERE term IN ({_BM25_QL})
+          GROUP BY doc_id, dl, term
+        ), dft AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), sc AS (
+          SELECT t.doc_id,
+                 CAST(round(({_BM25_IDF}) * ({_BM25_SAT}) * 1000000) AS BIGINT)
+                     AS s_micro
+          FROM tf t JOIN dft d USING (term) CROSS JOIN stats s
+        ), ag AS (
+          SELECT doc_id, sum(s_micro) AS sm,
+                 CAST(count(*) AS BIGINT) AS n_terms_matched
+          FROM sc GROUP BY doc_id
+        ), top AS (
+          SELECT *, row_number() OVER (ORDER BY sm DESC, doc_id ASC) AS rk FROM ag
+        )
+        SELECT doc_id, round(sm / 1e6, 6) AS bm25_score, n_terms_matched,
+               CAST(rk AS INT) AS rank
+        FROM top WHERE rk <= {BM25_TOP_K}
+    """
+
+_RRF_C = f"coalesce(CAST(round(1000000 / ({RRF_K} + {{r}})) AS BIGINT), 0)"
+
+ORACLE_TRAINING["hybrid_rrf_topk"] = f"""
+        WITH bm AS (
+          SELECT doc_id, rank AS bm25_rank FROM ({ORACLE_TRAINING["bm25_topk"]})
+        ), e AS (
+          SELECT vec_id, {_CAST64} AS v FROM embeddings
+        ), q AS (
+          SELECT v AS va FROM e WHERE vec_id = {QUERY_VEC_ID}
+        ), semtop AS (
+          SELECT vec_id, cs FROM (
+            SELECT c.vec_id,
+                   round(list_sum(list_transform(range(1, {DIM + 1}),
+                                                 i -> c.v[i] * q.va[i]))
+                         / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+                            * sqrt(list_sum(list_transform(q.va, x -> x * x)))),
+                         6) AS cs
+            FROM e c CROSS JOIN q
+          ) ORDER BY cs DESC, vec_id ASC LIMIT {TOP_K}
+        ), sem AS (
+          SELECT vec_id AS doc_id,
+                 CAST(row_number() OVER (ORDER BY cs DESC, vec_id ASC) AS INT)
+                     AS sem_rank
+          FROM semtop
+        ), fused AS (
+          SELECT coalesce(b.doc_id, s.doc_id) AS doc_id,
+                 b.bm25_rank, s.sem_rank,
+                 {_RRF_C.format(r="b.bm25_rank")}
+                 + {_RRF_C.format(r="s.sem_rank")} AS rrf_micro
+          FROM bm b FULL OUTER JOIN sem s ON s.doc_id = b.doc_id
+        ), top AS (
+          SELECT *, row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS rk
+          FROM fused
+        )
+        SELECT doc_id, bm25_rank, sem_rank,
+               round(rrf_micro / 1e6, 6) AS rrf_score, CAST(rk AS INT) AS rank
+        FROM top WHERE rk <= {BM25_TOP_K}
+    """

@@ -1893,6 +1893,8 @@ QUERIES["mmr_rerank"] = S.mmr_rerank
 QUERIES["tokenizer_fertility"] = T.tokenizer_fertility
 QUERIES["distinct_ngram_diversity"] = T.distinct_ngram_diversity
 QUERIES["dsir_resample"] = T.dsir_resample
+QUERIES["bm25_topk"] = T.bm25_topk
+QUERIES["hybrid_rrf_topk"] = S.hybrid_rrf_topk
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""

@@ -457,3 +457,26 @@ def test_mmr_rerank_no_cartesian(spark, sf_dir):
     clear_emb_cache(spark)
     plan = plan_of(QUERIES["mmr_rerank"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_term_filter_before_aggregation(spark, sf_dir):
+    """BM25's query-term filter must land before any aggregation — only
+    the |Q| query terms' postings may reach a shuffle (the inverted-index
+    access path); stats and df tables broadcast back."""
+    plan = plan_of(QUERIES["bm25_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the IN-filter applies in the generate/scan stage, not post-shuffle
+    assert re.search(r"Filter.*term#\d+ IN", plan) or "hash IN" not in plan, plan
+
+
+def test_hybrid_rrf_operates_on_bounded_inputs(spark, sf_dir):
+    """Both fused rankings are TakeOrderedAndProject-bounded before the
+    full-outer fusion — the fusion join never sees corpus-sized input."""
+    from helium_arango_etl_spark.operators.similarity import clear_emb_cache
+
+    clear_emb_cache(spark)
+    plan = plan_of(QUERIES["hybrid_rrf_topk"](spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
