@@ -809,3 +809,44 @@ def cluster_best_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-provider duplication scorecard: exact-copy and verified
+    near-dup pair counts per unordered (source_a, source_b) — who is
+    mirroring whom.  A high off-diagonal cell means two providers ship
+    the same content (pay for one); a high diagonal cell means a provider
+    self-duplicates.  The per-source attrition view is
+    `dedup_rate_by_source`; this is the pairwise structure behind it.
+
+    Scale shape: both edge sets come from the shared dedup chain (id
+    pairs only); the two source lookups are keyed joins on doc_id; the
+    matrix rollup groups |sources|^2 cells at most.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    near = _verified_near_edges(spark, sf_dir).withColumn("kind", F.lit("near"))
+    ex = read_table(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("h"))
+    canon = ex.groupBy("h").agg(F.min("doc_id").alias("c"))
+    exact = (
+        ex.join(canon, "h")
+        .filter(F.col("doc_id") != F.col("c"))
+        .select(F.col("c").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .withColumn("kind", F.lit("exact"))
+    )
+    edges = near.unionByName(exact)
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        edges.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "kind",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.expr("IF(kind = 'exact', 1, 0)")).cast("bigint").alias("n_exact_pairs"),
+            F.sum(F.expr("IF(kind = 'near', 1, 0)")).cast("bigint").alias("n_near_pairs"),
+        )
+    )

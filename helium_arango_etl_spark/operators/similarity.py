@@ -1291,3 +1291,52 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rrf_micro") / 1e6, 6).alias("rrf_score"),
         F.row_number().over(wr).cast("int").alias("rank"),
     )
+
+
+PROTO_SUSPECTS = 5
+
+
+def prototype_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy-label screening by class-prototype distance: each label's
+    prototype is the per-dimension mean of its member vectors (quantized
+    6dp, the Lloyd-update discipline); every vector scores its cosine to
+    its OWN label's prototype, and the PROTO_SUSPECTS lowest per label
+    surface as mislabel suspects — the classic confident-learning-style
+    audit a labeled corpus runs before training.
+
+    Scale shape: prototypes reduce via posexplode -> (label, dim) mean —
+    map-side partial aggregation folds each partition to |labels| x DIM
+    cells before the shuffle; the |labels|-row prototype table broadcasts
+    back onto one corpus scan; suspects come from a keyed rank window per
+    label.
+    """
+    from pyspark.sql import Window
+
+    emb = embedding_table(spark, sf_dir)
+    proto = (
+        emb.select("label", F.posexplode("v64").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.round(F.avg("x"), 6).alias("px"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(d, px))), s -> s.px)"
+            ).alias("pv")
+        )
+        .select(
+            "label",
+            F.col("pv").alias("vb"),
+            F.expr(_NORM.format(v="pv")).alias("nb"),
+        )
+    )
+    scored = (
+        emb.select("vec_id", "label", F.col("v64").alias("va"), F.col("nv").alias("na"))
+        .join(F.broadcast(proto), "label")
+        .select("vec_id", "label", F.expr(COSINE).alias("proto_cos"))
+    )
+    w = Window.partitionBy("label").orderBy(F.col("proto_cos").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("suspect_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("suspect_rank") <= PROTO_SUSPECTS)
+        .select("vec_id", "label", "proto_cos", "suspect_rank")
+    )

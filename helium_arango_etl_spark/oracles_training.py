@@ -2058,3 +2058,79 @@ ORACLE_TRAINING["hybrid_rrf_topk"] = f"""
                round(rrf_micro / 1e6, 6) AS rrf_score, CAST(rk AS INT) AS rank
         FROM top WHERE rk <= {BM25_TOP_K}
     """
+
+
+# ---------- prototype distances / source overlap matrix ----------
+
+from .operators.similarity import PROTO_SUSPECTS  # noqa: E402
+
+ORACLE_TRAINING["prototype_distances"] = f"""
+        WITH e AS (
+          SELECT vec_id, label, {_CAST64} AS v FROM embeddings
+        ), pm AS (
+          SELECT label, list(px ORDER BY d) AS pv FROM (
+            SELECT label, d, round(avg(x), 6) AS px FROM (
+              SELECT label, unnest(v) AS x, unnest(range(1, {DIM + 1})) AS d
+              FROM e
+            ) GROUP BY label, d
+          ) GROUP BY label
+        ), p AS (
+          SELECT label, pv, sqrt(list_sum(list_transform(pv, x -> x * x))) AS np
+          FROM pm
+        ), sc AS (
+          SELECT e.vec_id, e.label,
+                 round(list_sum(list_transform(range(1, {DIM + 1}),
+                                               i -> e.v[i] * p.pv[i]))
+                       / (sqrt(list_sum(list_transform(e.v, x -> x * x))) * p.np),
+                       6) AS proto_cos
+          FROM e JOIN p USING (label)
+        )
+        SELECT vec_id, label, proto_cos, CAST(rk AS INT) AS suspect_rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY label
+                                       ORDER BY proto_cos ASC, vec_id ASC) AS rk
+          FROM sc
+        ) WHERE rk <= {PROTO_SUSPECTS}
+    """
+
+ORACLE_TRAINING["source_overlap_matrix"] = _SIG_CTE + _CAND_CTE + f"""
+        , shset AS (
+          SELECT doc_id, list_distinct({_SHINGLES}) AS sh
+          FROM (SELECT doc_id, {_TOKS} AS t FROM documents) toks2
+        ), sizes AS (
+          SELECT doc_id, len(sh) AS n_sh FROM shset
+        ), shex AS (
+          SELECT doc_id, unnest(sh) AS shingle FROM shset
+        ), inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c
+          JOIN shex a ON a.doc_id = c.doc_a
+          JOIN shex b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b
+        ), near AS (
+          SELECT i.doc_a, i.doc_b, 'near' AS kind
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+          WHERE round(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 4)
+                >= {NEAR_DUP_THRESH}
+        ), exact_e AS (
+          SELECT c AS doc_a, doc_id AS doc_b, 'exact' AS kind
+          FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS c
+                FROM documents)
+          WHERE doc_id <> c
+        ), edges AS (
+          SELECT * FROM near UNION ALL SELECT * FROM exact_e
+        ), lab AS (
+          SELECT least(da.source, db.source) AS source_a,
+                 greatest(da.source, db.source) AS source_b, e.kind
+          FROM edges e
+          JOIN documents da ON da.doc_id = e.doc_a
+          JOIN documents db ON db.doc_id = e.doc_b
+        )
+        SELECT source_a, source_b,
+               CAST(sum(CASE WHEN kind = 'exact' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact_pairs,
+               CAST(sum(CASE WHEN kind = 'near' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_near_pairs
+        FROM lab GROUP BY source_a, source_b
+    """

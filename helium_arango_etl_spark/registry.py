@@ -1895,6 +1895,8 @@ QUERIES["distinct_ngram_diversity"] = T.distinct_ngram_diversity
 QUERIES["dsir_resample"] = T.dsir_resample
 QUERIES["bm25_topk"] = T.bm25_topk
 QUERIES["hybrid_rrf_topk"] = S.hybrid_rrf_topk
+QUERIES["prototype_distances"] = S.prototype_distances
+QUERIES["source_overlap_matrix"] = D.source_overlap_matrix
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""

@@ -480,3 +480,16 @@ def test_hybrid_rrf_operates_on_bounded_inputs(spark, sf_dir):
     plan = plan_of(QUERIES["hybrid_rrf_topk"](spark, sf_dir))
     assert plan.count("TakeOrderedAndProject") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_prototype_distances_broadcasts_prototypes(spark, sf_dir):
+    """The |labels|-row prototype table must broadcast back onto the
+    corpus scan; the only corpus-sized shuffle is the (label, dim) mean
+    reduction (map-side combined)."""
+    from helium_arango_etl_spark.operators.similarity import clear_emb_cache
+
+    clear_emb_cache(spark)
+    plan = plan_of(QUERIES["prototype_distances"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
