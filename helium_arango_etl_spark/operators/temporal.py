@@ -645,3 +645,74 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valid_to_us").isNull().alias("is_current"),
         )
     )
+
+
+def asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key two-STREAM as-of join (the kdb `aj` / Flink temporal-join
+    shape): every purchase picks up the latest view AT-OR-BEFORE its
+    timestamp for the same user — NULLs when the user never viewed
+    before buying.  :func:`height_asof` is the single-timeline global
+    form; this is the keyed form, where the join key itself provides the
+    parallelism.
+
+    Scale shape: tag both streams, union, ONE keyed window per user
+    ordered by (ts, stream-tag) with last(ignorenulls) carrying the view
+    columns forward — one shuffle on user_id, no range join, no
+    per-probe inequality join (which would plan as a nested loop).
+    Exact-timestamp view collisions dedupe to the highest event_id first
+    so the carried value is deterministic; views sort before purchases
+    at equal timestamps, giving <= (at-or-before) semantics.  Timestamps
+    compare as integer microseconds.  Oracle: DuckDB's native ASOF LEFT
+    JOIN — the engines reach the same rows through entirely different
+    algorithms.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    wv = Window.partitionBy("user_id", "us").orderBy(F.col("view_event_id").desc())
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("value").alias("view_value"),
+        )
+        .withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .drop("r")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    left = purchases.select(
+        "user_id", "us", F.lit(1).alias("is_p"), "event_id", "value",
+        F.lit(None).cast("bigint").alias("view_event_id"),
+        F.lit(None).cast("double").alias("view_value"),
+        F.lit(None).cast("bigint").alias("v_us"),
+    )
+    right = views.select(
+        "user_id", "us", F.lit(0).alias("is_p"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        "view_event_id", "view_value", F.col("us").alias("v_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "is_p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("a_view_id", F.last("view_event_id", ignorenulls=True).over(w))
+        .withColumn("a_view_value", F.last("view_value", ignorenulls=True).over(w))
+        .withColumn("a_v_us", F.last("v_us", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "us",
+            F.col("value").cast("double").alias("value"),
+            F.col("a_view_id").alias("view_event_id"),
+            F.col("a_view_value").alias("view_value"),
+            (F.col("us") - F.col("a_v_us")).cast("bigint").alias("lag_us"),
+        )
+    )

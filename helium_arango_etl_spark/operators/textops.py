@@ -1027,3 +1027,23 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_terms_matched",
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+def corpus_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE over the corpus dimensions: doc and token counts for
+    every (source, lang) combination PLUS all rollups (per source, per
+    lang, grand total) in one pass — the materialized-view shape a corpus
+    dashboard serves.  `grouping_id` disambiguates a real NULL dimension
+    from a rolled-up one.
+
+    Scale shape: Spark's native CUBE plans one scan + Expand (4 grouping
+    sets per input row) + a single keyed aggregation with map-side
+    combine — same single-scan Expand discipline as `events_time_rollup`,
+    here via the built-in operator instead of a hand-built union.
+    """
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
+    return docs.cube("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.expr("size(t)")).cast("bigint").alias("total_tokens"),
+        F.grouping_id().cast("int").alias("gid"),
+    )

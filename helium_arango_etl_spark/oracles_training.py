@@ -2134,3 +2134,39 @@ ORACLE_TRAINING["source_overlap_matrix"] = _SIG_CTE + _CAND_CTE + f"""
                    AS n_near_pairs
         FROM lab GROUP BY source_a, source_b
     """
+
+
+# ---------- two-stream as-of join (DuckDB native ASOF as the oracle) ----------
+
+ORACLE_TRAINING["asof_last_view"] = """
+        WITH v0 AS (
+          SELECT user_id, epoch_us(ts) AS v_us, event_id AS view_event_id,
+                 value AS view_value,
+                 row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                                    ORDER BY event_id DESC) AS r
+          FROM events WHERE event_type = 'view'
+        ), v AS (
+          SELECT user_id, v_us, view_event_id, view_value FROM v0 WHERE r = 1
+        ), p AS (
+          SELECT event_id, user_id, epoch_us(ts) AS us, value
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, p.us,
+               CAST(p.value AS DOUBLE) AS value,
+               v.view_event_id, v.view_value,
+               CAST(p.us - v.v_us AS BIGINT) AS lag_us
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND v.v_us <= p.us
+    """
+
+
+ORACLE_TRAINING["corpus_cube_stats"] = f"""
+        WITH toks AS (
+          SELECT source, lang, {_TOKS} AS t FROM documents
+        )
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(t)) AS BIGINT) AS total_tokens,
+               CAST(GROUPING(source, lang) AS INT) AS gid
+        FROM toks GROUP BY CUBE (source, lang)
+    """

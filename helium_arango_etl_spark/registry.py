@@ -1897,6 +1897,8 @@ QUERIES["bm25_topk"] = T.bm25_topk
 QUERIES["hybrid_rrf_topk"] = S.hybrid_rrf_topk
 QUERIES["prototype_distances"] = S.prototype_distances
 QUERIES["source_overlap_matrix"] = D.source_overlap_matrix
+QUERIES["asof_last_view"] = TP.asof_last_view
+QUERIES["corpus_cube_stats"] = T.corpus_cube_stats
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""

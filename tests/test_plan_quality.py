@@ -493,3 +493,23 @@ def test_prototype_distances_broadcasts_prototypes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_asof_join_is_single_keyed_window_no_range_join(spark, sf_dir):
+    """The two-stream as-of join must plan as union + ONE user-keyed
+    window — never a per-probe inequality join (BroadcastNestedLoop) or
+    cartesian."""
+    plan = plan_of(QUERIES["asof_last_view"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert re.search(r"windowspecdefinition\(user_id", plan), plan
+
+
+def test_corpus_cube_is_single_scan_expand(spark, sf_dir):
+    """CUBE must plan as one scan + Expand + one aggregation — not a
+    union of per-grouping scans."""
+    plan = plan_of(QUERIES["corpus_cube_stats"](spark, sf_dir))
+    assert "Expand" in plan, plan
+    # one scan node = one "(n) Scan parquet" detail entry in the formatted plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
