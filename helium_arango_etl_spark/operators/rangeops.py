@@ -168,3 +168,107 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "robust_z",
         )
     )
+
+
+# time-decayed engagement: half-life in integer microseconds (7 days)
+DECAY_HL_US = 7 * 86_400 * 1_000_000
+
+
+def decayed_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed per-user engagement score — the feature-store
+    primitive behind "recent activity matters more": each event
+    contributes value·2^(−age/half-life), anchored at the corpus max
+    timestamp so the feature is reproducible for a fixed snapshot.
+
+    Determinism: value converts to exact integer cents, age to exact
+    integer µs; each event's decayed contribution rounds to an integer
+    micro-dollar term BEFORE the per-user sum (exact bigint — the
+    adamic_adar discipline), so engines cannot disagree via summation
+    order.  The only float step is one pow(2, x) on identical operands.
+
+    Scale shape: 1-row anchor broadcast; one map-side pass computes
+    terms; one keyed groupBy per user with map-side combine.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    anchor = ev.agg(F.max("us").alias("anchor"))
+    term = (
+        "cast(round(cast(floor(value * 100) as bigint)"
+        f" * pow(2.0, -(cast(anchor - us as double) / {DECAY_HL_US})) * 10000)"
+        " as bigint)"
+    )
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .select("user_id", "us", F.expr(term).alias("tm"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("tm").alias("sm"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("us").alias("last_seen_us"),
+        )
+        .select(
+            "user_id",
+            F.round(F.col("sm") / 1e6, 6).alias("decayed_value"),
+            "n_events",
+            "last_seen_us",
+        )
+    )
+
+
+def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) — the experimentation
+    workhorse: per user, post-period spend adjusted by the pre-period
+    covariate, y' = y − θ·(x − mean(x)) with θ = cov(x, y)/var(x).  The
+    pre/post split is the integer midpoint of the corpus time span (a
+    fixed snapshot constant).
+
+    Determinism: x and y are exact per-user cent sums (one conditional
+    aggregation pass); θ and mean(x) derive from five corpus-level exact
+    bigint sums via n·Σxy − Σx·Σy over n·Σxx − (Σx)² — both engines build
+    the identical doubles from identical integers; the per-user
+    adjustment is one fixed-order float expression rounded 6dp.
+
+    Scale shape: one keyed per-user aggregation; the θ/mean stats are a
+    second aggregation over per-user rows reduced map-side to ONE row and
+    broadcast back.  No join touches the event stream twice.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+    )
+    span = ev.agg(
+        ((F.min("us") + (F.max("us") - F.min("us")) / 2).cast("bigint")).alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("IF(us < mid, cents, 0)")).alias("x_cents"),
+            F.sum(F.expr("IF(us >= mid, cents, 0)")).alias("y_cents"),
+        )
+    )
+    stats = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_cents").alias("sx"),
+        F.sum("y_cents").alias("sy"),
+        F.sum(F.expr("x_cents * x_cents")).alias("sxx"),
+        F.sum(F.expr("x_cents * y_cents")).alias("sxy"),
+    )
+    theta = (
+        "CASE WHEN n * sxx - sx * sx = 0 THEN cast(0.0 as double)"
+        " ELSE (n * sxy - sx * sy) / cast(n * sxx - sx * sx as double) END"
+    )
+    adj = (
+        "round((y_cents - ({th}) * (x_cents - sx / cast(n as double))) / 100, 6)"
+    ).format(th=theta)
+    return (
+        per_user.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "x_cents",
+            "y_cents",
+            F.expr(adj).alias("adjusted_value"),
+        )
+    )

@@ -2170,3 +2170,57 @@ ORACLE_TRAINING["corpus_cube_stats"] = f"""
                CAST(GROUPING(source, lang) AS INT) AS gid
         FROM toks GROUP BY CUBE (source, lang)
     """
+
+
+# ---------- decayed engagement + CUPED ----------
+
+from .operators.rangeops import DECAY_HL_US  # noqa: E402
+
+ORACLE_TRAINING["decayed_user_engagement"] = f"""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), a AS (
+          SELECT max(us) AS anchor FROM ev
+        ), t AS (
+          SELECT user_id, us,
+                 CAST(round(cents * pow(2.0,
+                        -(CAST(a.anchor - us AS DOUBLE) / {DECAY_HL_US}))
+                        * 10000) AS BIGINT) AS tm
+          FROM ev CROSS JOIN a
+        )
+        SELECT user_id,
+               round(sum(tm) / 1e6, 6) AS decayed_value,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(us) AS last_seen_us
+        FROM t GROUP BY user_id
+    """
+
+ORACLE_TRAINING["cuped_adjustment"] = """
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), span AS (
+          SELECT CAST(min(us) + (max(us) - min(us)) / 2 AS BIGINT) AS mid FROM ev
+        ), pu AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN us < s.mid THEN cents ELSE 0 END) AS BIGINT)
+                     AS x_cents,
+                 CAST(sum(CASE WHEN us >= s.mid THEN cents ELSE 0 END) AS BIGINT)
+                     AS y_cents
+          FROM ev CROSS JOIN span s GROUP BY user_id
+        ), st AS (
+          SELECT count(*) AS n, sum(x_cents) AS sx, sum(y_cents) AS sy,
+                 sum(x_cents * x_cents) AS sxx, sum(x_cents * y_cents) AS sxy
+          FROM pu
+        )
+        SELECT user_id, x_cents, y_cents,
+               round((y_cents - (CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                                      ELSE (n * sxy - sx * sy)
+                                           / CAST(n * sxx - sx * sx AS DOUBLE) END)
+                      * (x_cents - sx / CAST(n AS DOUBLE))) / 100, 6)
+                   AS adjusted_value
+        FROM pu CROSS JOIN st
+    """

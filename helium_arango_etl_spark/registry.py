@@ -1899,6 +1899,8 @@ QUERIES["prototype_distances"] = S.prototype_distances
 QUERIES["source_overlap_matrix"] = D.source_overlap_matrix
 QUERIES["asof_last_view"] = TP.asof_last_view
 QUERIES["corpus_cube_stats"] = T.corpus_cube_stats
+QUERIES["decayed_user_engagement"] = RG.decayed_user_engagement
+QUERIES["cuped_adjustment"] = RG.cuped_adjustment
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
