@@ -272,3 +272,16 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(adj).alias("adjusted_value"),
         )
     )
+
+
+def decayed_engagement_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-bucketed decayed engagement — the batch twin of the streaming
+    state (`streaming/decay.py`): contributions bucket to integer days so
+    the decay factor depends only on integer day deltas, which is what
+    lets the streamed score equal this one BIT-FOR-BIT (the exact-ts form
+    is :func:`decayed_user_engagement`; the bucketed form trades sub-day
+    decay resolution for mergeable O(users x days) state).
+    """
+    from ..streaming.decay import batch_day_sums, scores_from_day_sums
+
+    return scores_from_day_sums(batch_day_sums(read_table(spark, sf_dir, "events")))

@@ -2224,3 +2224,35 @@ ORACLE_TRAINING["cuped_adjustment"] = """
                    AS adjusted_value
         FROM pu CROSS JOIN st
     """
+
+
+# ---------- day-bucketed decayed engagement (streaming twin) ----------
+
+from .streaming.decay import DAY_US, DECAY_HL_DAYS  # noqa: E402
+
+ORACLE_TRAINING["decayed_engagement_daily"] = f"""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), ds AS (
+          SELECT user_id, us // {DAY_US} AS day,
+                 CAST(sum(cents) AS BIGINT) AS cents,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 max(us) AS last_us
+          FROM ev GROUP BY user_id, us // {DAY_US}
+        ), a AS (
+          SELECT max(day) AS anchor_day FROM ds
+        ), t AS (
+          SELECT user_id, n_events, last_us,
+                 CAST(round(cents * pow(2.0,
+                        -(CAST(a.anchor_day - day AS DOUBLE) / {DECAY_HL_DAYS}))
+                        * 10000) AS BIGINT) AS tm
+          FROM ds CROSS JOIN a
+        )
+        SELECT user_id,
+               round(sum(tm) / 1e6, 6) AS decayed_value,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               max(last_us) AS last_seen_us
+        FROM t GROUP BY user_id
+    """

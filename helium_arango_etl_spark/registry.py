@@ -1901,6 +1901,7 @@ QUERIES["asof_last_view"] = TP.asof_last_view
 QUERIES["corpus_cube_stats"] = T.corpus_cube_stats
 QUERIES["decayed_user_engagement"] = RG.decayed_user_engagement
 QUERIES["cuped_adjustment"] = RG.cuped_adjustment
+QUERIES["decayed_engagement_daily"] = RG.decayed_engagement_daily
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
