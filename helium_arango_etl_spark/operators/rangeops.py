@@ -285,3 +285,132 @@ def decayed_engagement_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.decay import batch_day_sums, scores_from_day_sums
 
     return scores_from_day_sums(batch_day_sums(read_table(spark, sf_dir, "events")))
+
+
+# out-of-fold target encoding: deterministic fold assignment + exact
+# integer leave-fold-out means — the leakage-safe categorical encoder
+TE_FOLDS = 5
+
+
+def target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding — the tabular-ML workhorse done
+    leakage-safe: each event's categorical feature (the ``k`` field of
+    its props payload) is encoded as the mean purchase rate of its
+    category computed over the OTHER folds only, so a row never sees its
+    own label.  Folds assign by md5(event_id) — deterministic,
+    reproducible, uncorrelated with the target.
+
+    Determinism: the encoding is (kpos − own-fold pos)/(kn − own-fold n)
+    from exact integer sums; one double division per row, rounded 6dp.
+    Categories fully owned by the row's fold (oof count 0) fall back to
+    the leave-fold-out GLOBAL prior — NULL-free output, still no leakage.
+
+    Scale shape: one keyed (k, fold) aggregation — |cats|·TE_FOLDS cells
+    — whose per-category / per-fold / global rollups all broadcast back
+    onto a single scan of the event stream; the fact table is never
+    shuffled.
+    """
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+            F.expr("IF(event_type = 'purchase', 1L, 0L)").alias("y"),
+        )
+        .withColumn(
+            "fold",
+            F.expr(
+                f"cast(conv(substring(md5(cast(event_id as string)), 1, 7), 16, 10)"
+                f" as bigint) % {TE_FOLDS}"
+            ),
+        )
+    )
+    kf = ev.groupBy("k", "fold").agg(
+        F.sum("y").alias("pos"), F.count(F.lit(1)).alias("n")
+    )
+    kt = kf.groupBy("k").agg(F.sum("pos").alias("kpos"), F.sum("n").alias("kn"))
+    ft = kf.groupBy("fold").agg(F.sum("pos").alias("fpos"), F.sum("n").alias("fn"))
+    gt = kf.agg(F.sum("pos").alias("gpos"), F.sum("n").alias("gn"))
+    te = (
+        "CASE WHEN kn - coalesce(n, 0L) > 0"
+        " THEN round((kpos - coalesce(pos, 0L))"
+        "            / cast(kn - coalesce(n, 0L) as double), 6)"
+        " ELSE round((gpos - fpos) / cast(gn - fn as double), 6) END"
+    )
+    return (
+        ev.join(F.broadcast(kf), ["k", "fold"], "left")
+        .join(F.broadcast(kt), "k")
+        .join(F.broadcast(ft), "fold")
+        .crossJoin(F.broadcast(gt))
+        .select("event_id", "k", "fold", F.expr(te).alias("te"))
+    )
+
+
+WOE_BINS = 10
+
+
+def woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value per equal-frequency
+    value bin — the credit-scoring-lineage feature diagnostic: per decile
+    bin of event value, WOE = ln(share of positives / share of negatives)
+    (0.5-smoothed), and the bin's IV term (p_pos − p_neg)·WOE; Σ IV over
+    bins scores the feature's predictive power for the purchase label.
+
+    Determinism: bin boundaries are one exact-percentile aggregate over
+    integer cents (Spark `percentile` and DuckDB `quantile_cont` share
+    the (1−f)·a + f·b interpolation — bit-identical, see
+    `price_quantiles`), broadcast back as CASE compares; WOE/IV quantize
+    to integer micro-units off exact integer counts.
+
+    Scale shape: boundary row broadcast; one conditional-aggregation
+    groupBy of |bins| cells; the event stream is scanned twice (once for
+    boundaries, once for binning) and never shuffled — at 100 TB the
+    boundary pass swaps to the mergeable quantile sketch
+    (`value_quantile_sketch`) exactly as `value_winsorize` documents.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+        F.expr("IF(event_type = 'purchase', 1L, 0L)").alias("y"),
+    )
+    qs = ", ".join(str(i / WOE_BINS) for i in range(1, WOE_BINS))
+    bounds = ev.agg(F.expr(f"percentile(cents, array({qs}))").alias("bs"))
+    bin_expr = "1 + " + " + ".join(
+        f"IF(cents > element_at(bs, {i}), 1, 0)" for i in range(1, WOE_BINS)
+    )
+    binned = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(F.expr(bin_expr).cast("int").alias("bin"), "y")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+        .withColumn("neg", F.expr("n - pos"))
+    )
+    tot = binned.agg(F.sum("pos").alias("tpos"), F.sum("neg").alias("tneg"))
+    # the smoothed odds ratio folds to ONE exact-integer ratio:
+    # ((p+.5)/(P+.5)) / ((n+.5)/(N+.5)) == (2p+1)(2N+1) / ((2P+1)(2n+1)) —
+    # ln sees a bit-identical operand in both engines (four chained float
+    # divisions produced a .5-boundary micro-rounding flip in testing)
+    woe = (
+        "cast(round(ln((2 * pos + 1) * (2 * tneg + 1)"
+        " / cast((2 * tpos + 1) * (2 * neg + 1) as double)) * 1000000) as bigint)"
+    )
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .withColumn("woe_micro", F.expr(woe))
+        .select(
+            "bin",
+            "n",
+            "pos",
+            "neg",
+            F.round(F.col("woe_micro") / 1e6, 6).alias("woe"),
+            F.round(
+                F.expr(
+                    "(pos / cast(tpos as double) - neg / cast(tneg as double))"
+                    " * (woe_micro / 1e6)"
+                ),
+                6,
+            ).alias("iv_term"),
+        )
+    )

@@ -2256,3 +2256,79 @@ ORACLE_TRAINING["decayed_engagement_daily"] = f"""
                max(last_us) AS last_seen_us
         FROM t GROUP BY user_id
     """
+
+
+# ---------- out-of-fold target encoding + WOE/IV ----------
+
+from .operators.rangeops import TE_FOLDS, WOE_BINS  # noqa: E402
+
+ORACLE_TRAINING["target_encode_oof"] = f"""
+        WITH ev AS (
+          SELECT event_id,
+                 CAST(json_extract(props, '$.k') AS INT) AS k,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                 ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7))::BIGINT
+                     % {TE_FOLDS} AS fold
+          FROM events
+        ), kf AS (
+          SELECT k, fold, CAST(sum(y) AS BIGINT) AS pos,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM ev GROUP BY k, fold
+        ), kt AS (
+          SELECT k, CAST(sum(pos) AS BIGINT) AS kpos,
+                 CAST(sum(n) AS BIGINT) AS kn FROM kf GROUP BY k
+        ), ft AS (
+          SELECT fold, CAST(sum(pos) AS BIGINT) AS fpos,
+                 CAST(sum(n) AS BIGINT) AS fn FROM kf GROUP BY fold
+        ), gt AS (
+          SELECT CAST(sum(pos) AS BIGINT) AS gpos,
+                 CAST(sum(n) AS BIGINT) AS gn FROM kf
+        )
+        SELECT e.event_id, e.k, e.fold,
+               CASE WHEN kt.kn - coalesce(kf.n, 0) > 0
+                    THEN round((kt.kpos - coalesce(kf.pos, 0))
+                               / CAST(kt.kn - coalesce(kf.n, 0) AS DOUBLE), 6)
+                    ELSE round((gt.gpos - ft.fpos)
+                               / CAST(gt.gn - ft.fn AS DOUBLE), 6) END AS te
+        FROM ev e
+        LEFT JOIN kf ON kf.k = e.k AND kf.fold = e.fold
+        JOIN kt ON kt.k = e.k
+        JOIN ft ON ft.fold = e.fold
+        CROSS JOIN gt
+    """
+
+_WOE_QS = ", ".join(str(i / WOE_BINS) for i in range(1, WOE_BINS))
+_WOE_BIN = "1 + " + " + ".join(
+    f"(CASE WHEN cents > bs[{i}] THEN 1 ELSE 0 END)" for i in range(1, WOE_BINS)
+)
+
+ORACLE_TRAINING["woe_encoding"] = f"""
+        WITH ev AS (
+          SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events
+        ), bounds AS (
+          SELECT quantile_cont(cents, [{_WOE_QS}]) AS bs FROM ev
+        ), binned AS (
+          SELECT CAST({_WOE_BIN} AS INT) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS pos
+          FROM ev CROSS JOIN bounds GROUP BY 1
+        ), b2 AS (
+          SELECT bin, n, pos, n - pos AS neg FROM binned
+        ), tot AS (
+          SELECT CAST(sum(pos) AS BIGINT) AS tpos,
+                 CAST(sum(neg) AS BIGINT) AS tneg FROM b2
+        ), w AS (
+          SELECT bin, n, pos, neg, tpos, tneg,
+                 CAST(round(ln((2 * pos + 1) * (2 * tneg + 1)
+                               / CAST((2 * tpos + 1) * (2 * neg + 1) AS DOUBLE))
+                            * 1000000) AS BIGINT) AS woe_micro
+          FROM b2 CROSS JOIN tot
+        )
+        SELECT bin, n, pos, neg,
+               round(woe_micro / 1e6, 6) AS woe,
+               round((pos / CAST(tpos AS DOUBLE) - neg / CAST(tneg AS DOUBLE))
+                     * (woe_micro / 1e6), 6) AS iv_term
+        FROM w
+    """

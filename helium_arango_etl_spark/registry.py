@@ -1902,6 +1902,8 @@ QUERIES["corpus_cube_stats"] = T.corpus_cube_stats
 QUERIES["decayed_user_engagement"] = RG.decayed_user_engagement
 QUERIES["cuped_adjustment"] = RG.cuped_adjustment
 QUERIES["decayed_engagement_daily"] = RG.decayed_engagement_daily
+QUERIES["target_encode_oof"] = RG.target_encode_oof
+QUERIES["woe_encoding"] = RG.woe_encoding
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""

@@ -513,3 +513,13 @@ def test_corpus_cube_is_single_scan_expand(spark, sf_dir):
     assert "Expand" in plan, plan
     # one scan node = one "(n) Scan parquet" detail entry in the formatted plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_target_encode_dims_broadcast_fact_unshuffled(spark, sf_dir):
+    """All four encoding rollups ((k,fold) cells, per-k, per-fold,
+    global) must broadcast back onto the single event scan — the fact
+    row stream itself is never join-shuffled."""
+    plan = plan_of(QUERIES["target_encode_oof"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
