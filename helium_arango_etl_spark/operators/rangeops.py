@@ -414,3 +414,136 @@ def woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("iv_term"),
         )
     )
+
+
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report — the standard production
+    monitoring metric for "did my feature distribution move": events
+    split into earlier/later halves at the integer time midpoint, value
+    binned by FULL-corpus deciles, per-bin PSI term
+    (p_a − p_b)·ln(p_a/p_b) (0.5-smoothed) plus the running KS distance
+    |CDF_a − CDF_b|.  Σ psi_term > 0.2 is the classic retrain trigger.
+
+    Determinism: decile boundaries are the bit-identical exact-percentile
+    aggregate; counts are exact integers; the smoothed probability ratio
+    folds to ONE exact-integer ratio before the single ln (the
+    woe_encoding discipline); CDFs are exact-integer cumulative sums
+    ranked over |bins| rows.
+
+    Scale shape: boundary row + half sizes broadcast; one conditional
+    aggregation to |bins| cells; everything after operates on |bins|
+    rows.  At 100 TB the boundary pass swaps to the mergeable quantile
+    sketch exactly as `woe_encoding` documents.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us"),
+        F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+    )
+    span = ev.agg(
+        ((F.min("us") + (F.max("us") - F.min("us")) / 2).cast("bigint")).alias("mid")
+    )
+    qs = ", ".join(str(i / WOE_BINS) for i in range(1, WOE_BINS))
+    bounds = ev.agg(F.expr(f"percentile(cents, array({qs}))").alias("bs"))
+    bin_expr = "1 + " + " + ".join(
+        f"IF(cents > element_at(bs, {i}), 1, 0)" for i in range(1, WOE_BINS)
+    )
+    binned = (
+        ev.crossJoin(F.broadcast(span))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(bin_expr).cast("int").alias("bin"),
+            F.expr("IF(us < mid, 1L, 0L)").alias("a"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("a").cast("bigint").alias("n_a"),
+            F.sum(F.expr("1 - a")).cast("bigint").alias("n_b"),
+        )
+    )
+    tot = binned.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    # (n_a+.5)/(ta+.5·B) vs (n_b+.5)/(tb+.5·B): fold the ratio to exact
+    # integers — (2·n_a+1)(2·tb+B) / ((2·ta+B)(2·n_b+1))
+    b = WOE_BINS
+    ratio = (
+        f"(2 * n_a + 1) * (2 * tb + {b})"
+        f" / cast((2 * ta + {b}) * (2 * n_b + 1) as double)"
+    )
+    pa = f"(2 * n_a + 1) / cast(2 * ta + {b} as double)"
+    pb = f"(2 * n_b + 1) / cast(2 * tb + {b} as double)"
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lr_micro", F.expr(f"cast(round(ln({ratio}) * 1000000) as bigint)")
+        )
+        .withColumn("ca", F.sum("n_a").over(w))
+        .withColumn("cb", F.sum("n_b").over(w))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            F.round(F.expr(f"({pa} - {pb}) * (lr_micro / 1e6)"), 6).alias("psi_term"),
+            F.round(
+                F.expr("abs(ca / cast(ta as double) - cb / cast(tb as double))"), 6
+            ).alias("ks_at_bin"),
+        )
+    )
+
+
+# seasonal-naive forecast backtest: weekly seasonality, MASE vs the
+# one-day naive — the sanity baseline every forecasting system reports
+SEASON_DAYS = 7
+
+
+def seasonal_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest per event type: forecast each day's total
+    value as the SAME WEEKDAY's total one week earlier, score MAE, and
+    normalize by the one-day-naive MAE (MASE, Hyndman & Koehler 2006) —
+    MASE < 1 means weekly seasonality beats momentum, the go/no-go gate
+    before any fancier model.
+
+    Determinism: daily totals are exact cent sums; both error sums are
+    exact integer cents (lag differences of integers); the single MASE
+    division rounds 6dp.
+
+    Scale shape: one keyed (event_type, day) aggregation; the lag
+    windows run per event_type over |days| rows each — the rollup is
+    days-sized regardless of event volume.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {86_400 * 1_000_000}").alias("day"),
+            F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("total"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = (
+        daily.withColumn("seasonal", F.lag("total", SEASON_DAYS).over(w))
+        .withColumn("naive", F.lag("total", 1).over(w))
+        .filter(F.col("seasonal").isNotNull() & F.col("naive").isNotNull())
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(F.expr("abs(total - seasonal)")).alias("sae_seasonal"),
+            F.sum(F.expr("abs(total - naive)")).alias("sae_naive"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "sae_seasonal",
+            "sae_naive",
+            F.round(
+                F.expr("sae_seasonal / cast(sae_naive as double)"), 6
+            ).alias("mase"),
+        )
+    )

@@ -2332,3 +2332,70 @@ ORACLE_TRAINING["woe_encoding"] = f"""
                      * (woe_micro / 1e6), 6) AS iv_term
         FROM w
     """
+
+
+# ---------- PSI drift + seasonal-naive MASE ----------
+
+from .operators.rangeops import SEASON_DAYS  # noqa: E402
+
+_PSI_BIN = "1 + " + " + ".join(
+    f"(CASE WHEN cents > bs[{i}] THEN 1 ELSE 0 END)" for i in range(1, WOE_BINS)
+)
+
+ORACLE_TRAINING["psi_drift"] = f"""
+        WITH ev AS (
+          SELECT epoch_us(ts) AS us,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), span AS (
+          SELECT CAST(min(us) + (max(us) - min(us)) / 2 AS BIGINT) AS mid FROM ev
+        ), bounds AS (
+          SELECT quantile_cont(cents, [{_WOE_QS}]) AS bs FROM ev
+        ), binned AS (
+          SELECT CAST({_PSI_BIN} AS INT) AS bin,
+                 CAST(sum(CASE WHEN us < s.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN us >= s.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          FROM ev CROSS JOIN span s CROSS JOIN bounds GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+          FROM binned
+        ), t AS (
+          SELECT bin, n_a, n_b, ta, tb,
+                 CAST(round(ln((2 * n_a + 1) * (2 * tb + {WOE_BINS})
+                               / CAST((2 * ta + {WOE_BINS}) * (2 * n_b + 1) AS DOUBLE))
+                            * 1000000) AS BIGINT) AS lr_micro,
+                 CAST(sum(n_a) OVER (ORDER BY bin) AS BIGINT) AS ca,
+                 CAST(sum(n_b) OVER (ORDER BY bin) AS BIGINT) AS cb
+          FROM binned CROSS JOIN tot
+        )
+        SELECT bin, n_a, n_b,
+               round(((2 * n_a + 1) / CAST(2 * ta + {WOE_BINS} AS DOUBLE)
+                      - (2 * n_b + 1) / CAST(2 * tb + {WOE_BINS} AS DOUBLE))
+                     * (lr_micro / 1e6), 6) AS psi_term,
+               round(abs(ca / CAST(ta AS DOUBLE) - cb / CAST(tb AS DOUBLE)), 6)
+                   AS ks_at_bin
+        FROM t
+    """
+
+ORACLE_TRAINING["seasonal_forecast_error"] = f"""
+        WITH daily AS (
+          SELECT event_type, epoch_us(ts) // {86_400 * 1_000_000} AS day,
+                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total
+          FROM events GROUP BY event_type, epoch_us(ts) // {86_400 * 1_000_000}
+        ), scored AS (
+          SELECT event_type, total,
+                 lag(total, {SEASON_DAYS}) OVER (PARTITION BY event_type
+                                                 ORDER BY day) AS seasonal,
+                 lag(total, 1) OVER (PARTITION BY event_type ORDER BY day) AS naive
+          FROM daily
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(abs(total - seasonal)) AS BIGINT) AS sae_seasonal,
+               CAST(sum(abs(total - naive)) AS BIGINT) AS sae_naive,
+               round(sum(abs(total - seasonal))
+                     / CAST(sum(abs(total - naive)) AS DOUBLE), 6) AS mase
+        FROM scored
+        WHERE seasonal IS NOT NULL AND naive IS NOT NULL
+        GROUP BY event_type
+    """

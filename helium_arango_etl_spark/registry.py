@@ -1904,6 +1904,8 @@ QUERIES["cuped_adjustment"] = RG.cuped_adjustment
 QUERIES["decayed_engagement_daily"] = RG.decayed_engagement_daily
 QUERIES["target_encode_oof"] = RG.target_encode_oof
 QUERIES["woe_encoding"] = RG.woe_encoding
+QUERIES["psi_drift"] = RG.psi_drift
+QUERIES["seasonal_forecast_error"] = RG.seasonal_forecast_error
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
