@@ -783,3 +783,90 @@ def co_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# Engine-portable Bloom filter: 128 words x 32 bits (masks stay positive
+# in a signed BIGINT), 3 md5-derived hash positions per key — the
+# runtime-filter / semi-join-reduction structure a 100 TB join pushes to
+# the fact scan so non-matching rows die at the source.
+BLOOM_WORDS = 128
+BLOOM_WORD_BITS = 32
+BLOOM_K = 3
+
+
+def _bloom_pos(h: int, key_expr: str) -> str:
+    bits = BLOOM_WORDS * BLOOM_WORD_BITS
+    return (
+        f"cast(conv(substring(md5(concat('{h}|', cast({key_expr} as string))),"
+        f" 1, 7), 16, 10) as bigint) % {bits}"
+    )
+
+
+def bloom_semi_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction, audited: build a portable Bloom
+    filter over a customer subset (nations 0-4), probe every order
+    through it, and report pass/true-match/false-positive counts — the
+    measurement behind "ship a few KB of bits instead of shuffling the
+    fact table".  Spark's own runtime filters do this engine-internally;
+    this form is engine-portable (md5 positions, integer bit words), so
+    the oracle reproduces the filter bit-for-bit.
+
+    Determinism: every bit position is integer md5 arithmetic; words fold
+    with bit_or (order-insensitive); all counts exact.
+
+    Scale shape: the word table is <= BLOOM_WORDS rows and broadcasts;
+    the probe is BLOOM_K broadcast joins + a codegen'd bit test on ONE
+    scan of the fact table — the fact side is never shuffled (the exact
+    semi-join comparison baseline shuffles only the id column under AQE's
+    broadcast conversion here).
+    """
+    cust = read_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
+    keys = cust.select(F.col("c_custkey").alias("k"))
+    bit_rows = None
+    for h in range(BLOOM_K):
+        r = keys.select(
+            F.expr(f"({_bloom_pos(h, 'k')}) div {BLOOM_WORD_BITS}").alias("word"),
+            F.expr(f"({_bloom_pos(h, 'k')}) % {BLOOM_WORD_BITS}").alias("bit"),
+        )
+        bit_rows = r if bit_rows is None else bit_rows.unionByName(r)
+    words = bit_rows.groupBy("word").agg(
+        F.expr("bit_or(shiftleft(1L, cast(bit as int)))").alias("word_bits")
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probe = orders
+    for h in range(BLOOM_K):
+        w = words.select(
+            F.col("word").alias(f"w{h}"), F.col("word_bits").alias(f"wb{h}")
+        )
+        probe = probe.withColumn(
+            f"w{h}", F.expr(f"({_bloom_pos(h, 'o_custkey')}) div {BLOOM_WORD_BITS}")
+        ).withColumn(
+            f"m{h}",
+            F.expr(
+                f"shiftleft(1L, cast(({_bloom_pos(h, 'o_custkey')})"
+                f" % {BLOOM_WORD_BITS} as int))"
+            ),
+        ).join(F.broadcast(w), f"w{h}", "left")
+    pass_expr = " AND ".join(
+        f"(coalesce(wb{h}, 0L) & m{h}) != 0" for h in range(BLOOM_K)
+    )
+    flagged = probe.withColumn("bloom_pass", F.expr(f"IF({pass_expr}, 1L, 0L)"))
+    truth = orders.join(keys, orders.o_custkey == keys.k, "left_semi").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    return (
+        flagged.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("bloom_pass").cast("bigint").alias("n_bloom_pass"),
+        )
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "n_orders",
+            "n_bloom_pass",
+            F.col("n_true").cast("bigint").alias("n_true"),
+            (F.col("n_bloom_pass") - F.col("n_true")).cast("bigint").alias("n_false_pos"),
+            F.round(
+                F.expr("(n_bloom_pass - n_true) / cast(n_orders - n_true as double)"), 6
+            ).alias("fp_rate"),
+        )
+    )

@@ -2399,3 +2399,67 @@ ORACLE_TRAINING["seasonal_forecast_error"] = f"""
         WHERE seasonal IS NOT NULL AND naive IS NOT NULL
         GROUP BY event_type
     """
+
+
+# ---------- Bloom semi-join reduction audit ----------
+
+from .operators.relational import BLOOM_K, BLOOM_WORD_BITS, BLOOM_WORDS  # noqa: E402
+
+_BLOOM_BITS = BLOOM_WORDS * BLOOM_WORD_BITS
+
+
+def _bpos(h: int, key: str) -> str:
+    return (
+        f"('0x' || substr(md5('{h}|' || CAST({key} AS VARCHAR)), 1, 7))::BIGINT"
+        f" % {_BLOOM_BITS}"
+    )
+
+
+def _bloom_sql() -> str:
+    bit_unions = "\nUNION ALL\n".join(
+        f"SELECT ({_bpos(h, 'k')}) // {BLOOM_WORD_BITS} AS word,"
+        f" ({_bpos(h, 'k')}) % {BLOOM_WORD_BITS} AS bit FROM keys"
+        for h in range(BLOOM_K)
+    )
+    probe_cols = ", ".join(
+        f"({_bpos(h, 'o_custkey')}) // {BLOOM_WORD_BITS} AS w{h},"
+        f" (1::BIGINT << CAST(({_bpos(h, 'o_custkey')}) % {BLOOM_WORD_BITS} AS INT))"
+        f" AS m{h}"
+        for h in range(BLOOM_K)
+    )
+    joins = "\n".join(
+        f"LEFT JOIN words x{h} ON x{h}.word = p.w{h}" for h in range(BLOOM_K)
+    )
+    passes = " AND ".join(
+        f"(coalesce(x{h}.word_bits, 0) & p.m{h}) != 0" for h in range(BLOOM_K)
+    )
+    return f"""
+        WITH keys AS (
+          SELECT c_custkey AS k FROM customer WHERE c_nationkey < 5
+        ), bits AS (
+          {bit_unions}
+        ), words AS (
+          SELECT word, bit_or(1::BIGINT << CAST(bit AS INT)) AS word_bits
+          FROM bits GROUP BY word
+        ), probe AS (
+          SELECT o_orderkey, o_custkey, {probe_cols} FROM orders
+        ), flagged AS (
+          SELECT CASE WHEN {passes} THEN 1 ELSE 0 END AS bloom_pass
+          FROM probe p
+          {joins}
+        ), truth AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_true
+          FROM orders o WHERE EXISTS (SELECT 1 FROM keys WHERE k = o.o_custkey)
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(bloom_pass) AS BIGINT) AS n_bloom_pass,
+               t.n_true,
+               CAST(sum(bloom_pass) - t.n_true AS BIGINT) AS n_false_pos,
+               round((sum(bloom_pass) - t.n_true)
+                     / CAST(count(*) - t.n_true AS DOUBLE), 6) AS fp_rate
+        FROM flagged CROSS JOIN truth t
+        GROUP BY t.n_true
+    """
+
+
+ORACLE_TRAINING["bloom_semi_join_audit"] = _bloom_sql()

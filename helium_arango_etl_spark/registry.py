@@ -1906,6 +1906,7 @@ QUERIES["target_encode_oof"] = RG.target_encode_oof
 QUERIES["woe_encoding"] = RG.woe_encoding
 QUERIES["psi_drift"] = RG.psi_drift
 QUERIES["seasonal_forecast_error"] = RG.seasonal_forecast_error
+QUERIES["bloom_semi_join_audit"] = R.bloom_semi_join_audit
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""

@@ -523,3 +523,13 @@ def test_target_encode_dims_broadcast_fact_unshuffled(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bloom_probe_never_shuffles_fact(spark, sf_dir):
+    """The Bloom probe is BLOOM_K broadcast word-table joins + a
+    codegen'd bit test on one scan of orders — any SortMergeJoin means
+    the fact table shuffled, defeating the filter's entire purpose."""
+    plan = plan_of(QUERIES["bloom_semi_join_audit"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
