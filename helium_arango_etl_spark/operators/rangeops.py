@@ -547,3 +547,47 @@ def seasonal_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mase"),
         )
     )
+
+
+def price_quantity_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-dominance) query, Börzsönyi et al. 2001: per
+    return flag, the lineitem rows not dominated on (price ↓ better,
+    quantity ↑ better) — a dominates b iff price_a <= price_b AND
+    qty_a >= qty_b with one strict.  The "best tradeoffs" frontier no
+    single ORDER BY can express.
+
+    The 2-D case collapses to ONE pass: ordered by price, a row survives
+    iff its quantity beats the max quantity of every strictly-cheaper row
+    (RANGE frame ending 1 cent before the current price) and of its
+    equal-price peers — two RANGE-framed window maxes, no pairwise
+    dominance join (the naive formulation is a self-join that plans as a
+    nested loop).
+
+    Determinism: prices compare as exact integer cents, quantities as
+    exact integers; no floats anywhere.
+
+    Scale shape: one keyed shuffle per group column; both window frames
+    ride the same sort.  Higher dimensions need the block-nested-loop /
+    partition algorithms — noted, out of scope for the 2-D operator.
+    """
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.expr("cast(l_extendedprice * 100 as bigint)").alias("price_c"),
+        F.expr("cast(l_quantity as bigint)").alias("qty"),
+    )
+    base = Window.partitionBy("l_returnflag").orderBy("price_c")
+    cheaper = base.rangeBetween(Window.unboundedPreceding, -1)
+    same = base.rangeBetween(Window.currentRow, Window.currentRow)
+    return (
+        li.withColumn("mx_cheaper", F.max("qty").over(cheaper))
+        .withColumn("mx_same", F.max("qty").over(same))
+        .filter(
+            (F.col("mx_cheaper").isNull() | (F.col("mx_cheaper") < F.col("qty")))
+            & (F.col("mx_same") == F.col("qty"))
+        )
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "price_c", "qty")
+    )

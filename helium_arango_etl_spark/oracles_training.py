@@ -2463,3 +2463,25 @@ def _bloom_sql() -> str:
 
 
 ORACLE_TRAINING["bloom_semi_join_audit"] = _bloom_sql()
+
+
+ORACLE_TRAINING["price_quantity_skyline"] = """
+        WITH li AS (
+          SELECT l_returnflag, l_orderkey, l_linenumber,
+                 CAST(l_extendedprice * 100 AS BIGINT) AS price_c,
+                 CAST(l_quantity AS BIGINT) AS qty
+          FROM lineitem
+        ), w AS (
+          SELECT *,
+                 max(qty) OVER (PARTITION BY l_returnflag ORDER BY price_c
+                                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS mx_cheaper,
+                 max(qty) OVER (PARTITION BY l_returnflag ORDER BY price_c
+                                RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+                     AS mx_same
+          FROM li
+        )
+        SELECT l_returnflag, l_orderkey, l_linenumber, price_c, qty
+        FROM w
+        WHERE (mx_cheaper IS NULL OR mx_cheaper < qty) AND mx_same = qty
+    """

@@ -1907,6 +1907,7 @@ QUERIES["woe_encoding"] = RG.woe_encoding
 QUERIES["psi_drift"] = RG.psi_drift
 QUERIES["seasonal_forecast_error"] = RG.seasonal_forecast_error
 QUERIES["bloom_semi_join_audit"] = R.bloom_semi_join_audit
+QUERIES["price_quantity_skyline"] = RG.price_quantity_skyline
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""

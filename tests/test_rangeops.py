@@ -76,3 +76,42 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
     for flag, ex in exact.items():
         for e, a in zip(ex, approx[flag]):
             assert abs(a - e) / e < 0.05, (flag, e, a)
+
+
+def test_skyline_equals_naive_dominance(spark, sf_dir):
+    """The one-pass RANGE-window skyline must equal the O(n²) pairwise
+    dominance definition exactly (computed in numpy per group)."""
+    import numpy as np
+
+    from helium_arango_etl_spark.registry import QUERIES
+
+    out = QUERIES["price_quantity_skyline"](spark, sf_dir).collect()
+    from helium_arango_etl_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    rows = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            F.expr("cast(l_extendedprice * 100 as bigint)").alias("price_c"),
+            F.expr("cast(l_quantity as bigint)").alias("qty"),
+        )
+        .collect()
+    )
+    expect = set()
+    by_flag: dict = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append(r)
+    for flag, grp in by_flag.items():
+        p = np.array([g["price_c"] for g in grp])
+        q = np.array([g["qty"] for g in grp])
+        for i, g in enumerate(grp):
+            dominated = (
+                (p <= p[i]) & (q >= q[i]) & ((p < p[i]) | (q > q[i]))
+            ).any()
+            if not dominated:
+                expect.add((flag, g["l_orderkey"], g["l_linenumber"]))
+    got = {(r["l_returnflag"], r["l_orderkey"], r["l_linenumber"]) for r in out}
+    assert got == expect
