@@ -1047,3 +1047,57 @@ def corpus_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("size(t)")).cast("bigint").alias("total_tokens"),
         F.grouping_id().cast("int").alias("gid"),
     )
+
+
+# pg_trgm-style substring search: the pattern's character trigrams prune
+# candidates BEFORE any per-document string scan
+TRGM_PATTERN = "merge sort"
+
+
+def trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-accelerated substring search (the pg_trgm / GIN-index
+    pattern): a document can contain TRGM_PATTERN only if its character
+    trigram set covers the pattern's trigrams — candidates come from an
+    IN-list-filtered trigram explode (the filter pushes into the scan
+    side, so only pattern trigrams ever reach the aggregation), exact
+    `contains` verifies the survivors.  Word-level `inverted_index`/
+    `bm25_topk` cannot serve substring or cross-word-boundary queries;
+    this is that missing access path.
+
+    Output audits the pruning: every candidate with its matched-trigram
+    count and the exact verdict — false candidates (all trigrams present,
+    substring absent) are the structure's documented cost.
+
+    Scale shape: one corpus scan; the per-doc trigram explode filters to
+    |pattern| trigrams before the (doc, trigram) distinct + count; exact
+    verification touches candidates only.  A production index
+    materializes the trigram postings once (as `inverted_index` does for
+    words) instead of re-deriving them per query.
+    """
+    pat = TRGM_PATTERN
+    tris = sorted({pat[i : i + 3] for i in range(len(pat) - 2)})
+    tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in tris)
+    docs = spread(read_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    cand = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 2, 0)),"
+                    " i -> substring(text, i, 3))"
+                )
+            ).alias("tri"),
+        )
+        .filter(F.expr(f"tri IN ({tlist})"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tri").cast("bigint").alias("n_tri_matched"))
+        .filter(F.col("n_tri_matched") == len(tris))
+    )
+    return (
+        cand.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "n_tri_matched",
+            F.expr(f"contains(text, '{pat}')").alias("verified"),
+        )
+    )

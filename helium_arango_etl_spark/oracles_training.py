@@ -2485,3 +2485,28 @@ ORACLE_TRAINING["price_quantity_skyline"] = """
         FROM w
         WHERE (mx_cheaper IS NULL OR mx_cheaper < qty) AND mx_same = qty
     """
+
+
+# ---------- trigram substring search ----------
+
+from .operators.textops import TRGM_PATTERN  # noqa: E402
+
+_TRGM_SET = sorted({TRGM_PATTERN[i : i + 3] for i in range(len(TRGM_PATTERN) - 2)})
+_TRGM_LIST = ", ".join("'" + t.replace("'", "''") + "'" for t in _TRGM_SET)
+
+ORACLE_TRAINING["trigram_search"] = f"""
+        WITH tri AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(length(text) - 2, 0) + 1),
+                                       i -> substr(text, CAST(i AS INT), 3))) AS tri
+          FROM documents
+        ), cand AS (
+          SELECT doc_id, CAST(count(DISTINCT tri) AS BIGINT) AS n_tri_matched
+          FROM tri WHERE tri IN ({_TRGM_LIST})
+          GROUP BY doc_id
+          HAVING count(DISTINCT tri) = {len(_TRGM_SET)}
+        )
+        SELECT c.doc_id, c.n_tri_matched,
+               contains(d.text, '{TRGM_PATTERN}') AS verified
+        FROM cand c JOIN documents d ON d.doc_id = c.doc_id
+    """

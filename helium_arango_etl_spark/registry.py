@@ -1908,6 +1908,7 @@ QUERIES["psi_drift"] = RG.psi_drift
 QUERIES["seasonal_forecast_error"] = RG.seasonal_forecast_error
 QUERIES["bloom_semi_join_audit"] = R.bloom_semi_join_audit
 QUERIES["price_quantity_skyline"] = RG.price_quantity_skyline
+QUERIES["trigram_search"] = T.trigram_search
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
