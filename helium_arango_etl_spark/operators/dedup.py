@@ -850,3 +850,66 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("IF(kind = 'near', 1, 0)")).cast("bigint").alias("n_near_pairs"),
         )
     )
+
+
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF-style preference-pair construction from duplicate
+    clusters: within each multi-member cluster (near-identical content =
+    comparable "responses"), pair the highest-quality member (chosen)
+    against the lowest (rejected), keeping pairs with a strictly positive
+    quality margin — turning the dedup byproduct into contrastive
+    preference data instead of discarding it.
+
+    Scale shape: same join graph as :func:`cluster_best_keep` ((id,
+    label, score) triples only) plus one more keyed argmax window in the
+    opposite order; output is bounded by the number of multi-member
+    clusters.
+    """
+    from pyspark.sql import Window
+
+    from .textops import text_stats
+
+    members = (
+        dedup_clusters(spark, sf_dir)
+        .filter(F.col("cluster_size") >= 2)
+        .join(text_stats(spark, sf_dir).select("doc_id", "quality_score"), "doc_id")
+    )
+    wb = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    ww = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").asc(), F.col("doc_id").desc()
+    )
+    best = (
+        members.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("chosen_doc_id"),
+            F.col("quality_score").alias("chosen_quality"),
+        )
+    )
+    worst = (
+        members.withColumn("rk", F.row_number().over(ww))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rejected_doc_id"),
+            F.col("quality_score").alias("rejected_quality"),
+        )
+    )
+    return (
+        best.join(worst, "cluster_id")
+        .withColumn(
+            "margin", F.round(F.col("chosen_quality") - F.col("rejected_quality"), 4)
+        )
+        .filter(F.col("margin") > 0)
+        .select(
+            "cluster_id",
+            "chosen_doc_id",
+            "rejected_doc_id",
+            "chosen_quality",
+            "rejected_quality",
+            "margin",
+        )
+    )

@@ -1313,3 +1313,56 @@ def adamic_adar_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adj.unpersist()
     return out
+
+
+def witness_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal graph churn per city: split the witness sightings at the
+    integer midpoint of the edge-timestamp range, classify every DISTINCT
+    (src, dst) edge as early-only (lost), late-only (new), or stable
+    (seen both halves), and report per-city counts + churn rate — the
+    topology-drift scorecard that says whether last cycle's centrality
+    scores are still trustworthy (the `snapshot_diff` idea applied to
+    graph structure).
+
+    Determinism: the split point is exact integer epoch-µs arithmetic;
+    per-edge half flags fold with MAX (order-insensitive); all counts
+    exact; one rounded division per city.
+
+    Scale shape: one keyed aggregation per distinct edge (the same
+    (city, src, dst) key the dedup pass uses), then a city-keyed rollup;
+    the 1-row span broadcast is the only other input.
+    """
+    edges = witness_edges(spark, sf_dir, valid_only=True).select(
+        # l_shipdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is identity
+        "city_key", "src", "dst",
+        F.unix_micros(F.col("edge_ts").cast("timestamp")).alias("us"),
+    )
+    span = edges.agg(
+        ((F.min("us") + (F.max("us") - F.min("us")) / 2).cast("bigint")).alias("mid")
+    )
+    per_edge = (
+        edges.crossJoin(F.broadcast(span))
+        .groupBy("city_key", "src", "dst")
+        .agg(
+            F.max(F.expr("IF(us < mid, 1, 0)")).alias("early"),
+            F.max(F.expr("IF(us >= mid, 1, 0)")).alias("late"),
+        )
+    )
+    return (
+        per_edge.groupBy("city_key")
+        .agg(
+            F.sum(F.expr("IF(early = 1 AND late = 0, 1L, 0L)")).cast("bigint").alias("n_lost"),
+            F.sum(F.expr("IF(early = 0 AND late = 1, 1L, 0L)")).cast("bigint").alias("n_new"),
+            F.sum(F.expr("IF(early = 1 AND late = 1, 1L, 0L)")).cast("bigint").alias("n_stable"),
+        )
+        .select(
+            "city_key",
+            "n_lost",
+            "n_new",
+            "n_stable",
+            F.round(
+                F.expr("(n_lost + n_new) / cast(n_lost + n_new + n_stable as double)"),
+                6,
+            ).alias("churn_rate"),
+        )
+    )

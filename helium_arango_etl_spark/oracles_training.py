@@ -2510,3 +2510,57 @@ ORACLE_TRAINING["trigram_search"] = f"""
                contains(d.text, '{TRGM_PATTERN}') AS verified
         FROM cand c JOIN documents d ON d.doc_id = c.doc_id
     """
+
+
+# ---------- preference pairs + witness edge churn ----------
+
+ORACLE_TRAINING["preference_pairs"] = f"""
+        WITH m AS (
+          SELECT c.cluster_id, c.doc_id, q.quality_score
+          FROM ({ORACLE_TRAINING["dedup_clusters"]}) c
+          JOIN ({ORACLE_TRAINING["text_stats"]}) q ON q.doc_id = c.doc_id
+          WHERE c.cluster_size >= 2
+        ), best AS (
+          SELECT cluster_id, doc_id AS chosen_doc_id,
+                 quality_score AS chosen_quality
+          FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                        ORDER BY quality_score DESC, doc_id ASC) AS rk FROM m)
+          WHERE rk = 1
+        ), worst AS (
+          SELECT cluster_id, doc_id AS rejected_doc_id,
+                 quality_score AS rejected_quality
+          FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                        ORDER BY quality_score ASC, doc_id DESC) AS rk FROM m)
+          WHERE rk = 1
+        )
+        SELECT b.cluster_id, b.chosen_doc_id, w.rejected_doc_id,
+               b.chosen_quality, w.rejected_quality,
+               round(b.chosen_quality - w.rejected_quality, 4) AS margin
+        FROM best b JOIN worst w USING (cluster_id)
+        WHERE round(b.chosen_quality - w.rejected_quality, 4) > 0
+    """
+
+ORACLE_TRAINING["witness_edge_churn"] = f"""
+        WITH e AS (
+          SELECT city_key, src, dst, epoch_us(edge_ts) AS us
+          FROM ({{WSQL}})
+        ), span AS (
+          SELECT CAST(min(us) + (max(us) - min(us)) / 2 AS BIGINT) AS mid FROM e
+        ), pe AS (
+          SELECT city_key, src, dst,
+                 max(CASE WHEN us < s.mid THEN 1 ELSE 0 END) AS early,
+                 max(CASE WHEN us >= s.mid THEN 1 ELSE 0 END) AS late
+          FROM e CROSS JOIN span s GROUP BY city_key, src, dst
+        )
+        SELECT city_key,
+               CAST(sum(CASE WHEN early = 1 AND late = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_lost,
+               CAST(sum(CASE WHEN early = 0 AND late = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new,
+               CAST(sum(CASE WHEN early = 1 AND late = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_stable,
+               round((sum(CASE WHEN early = 1 AND late = 0 THEN 1 ELSE 0 END)
+                      + sum(CASE WHEN early = 0 AND late = 1 THEN 1 ELSE 0 END))
+                     / CAST(count(*) AS DOUBLE), 6) AS churn_rate
+        FROM pe GROUP BY city_key
+    """

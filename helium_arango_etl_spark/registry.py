@@ -641,6 +641,12 @@ ORACLE: dict[str, str] = {
 
 ORACLE.update(ORACLE_TRAINING)
 
+# the churn oracle rides the shared witness edge SQL, which lives here
+# (oracles_training cannot import registry without a cycle)
+ORACLE["witness_edge_churn"] = ORACLE["witness_edge_churn"].replace(
+    "{WSQL}", _WITNESS_SQL
+)
+
 
 # ---------- declarative PageRank oracle (unrolled quantized iterations) ----------
 #
@@ -1909,6 +1915,8 @@ QUERIES["seasonal_forecast_error"] = RG.seasonal_forecast_error
 QUERIES["bloom_semi_join_audit"] = R.bloom_semi_join_audit
 QUERIES["price_quantity_skyline"] = RG.price_quantity_skyline
 QUERIES["trigram_search"] = T.trigram_search
+QUERIES["preference_pairs"] = D.preference_pairs
+QUERIES["witness_edge_churn"] = G.witness_edge_churn
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
