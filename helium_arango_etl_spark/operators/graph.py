@@ -1366,3 +1366,47 @@ def witness_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("churn_rate"),
         )
     )
+
+
+def neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-equivalence scoring: Jaccard similarity of two
+    hotspots' witness NEIGHBORHOODS, |N(a)∩N(b)| / |N(a)∪N(b)| — near 1
+    means the pair is seen by the same witnesses (co-located or
+    duplicated hardware), the role-detection complement of the
+    shared-count ranking in `co_witness_recommendations`.
+
+    Scale shape: the intersection IS the co-witness pair weight (already
+    computed group-locally, never via an edge self-join); degrees are one
+    keyed count off the distinct edge set; two broadcast-sized joins by
+    (city, node).  All-integer inputs, one rounded division.
+    """
+    pairs = co_witness_pairs(spark, sf_dir)
+    edges = (
+        witness_subgraph(spark, sf_dir).select("city_key", "src", "dst").distinct()
+    )
+    deg = edges.groupBy("city_key", "src").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(
+        "city_key", F.col("src").alias("src_a"), F.col("d").alias("deg_a")
+    )
+    db = deg.select(
+        "city_key", F.col("src").alias("src_b"), F.col("d").alias("deg_b")
+    )
+    return (
+        pairs.join(da, ["city_key", "src_a"])
+        .join(db, ["city_key", "src_b"])
+        .select(
+            "city_key",
+            "src_a",
+            "src_b",
+            F.col("shared_witnesses").cast("bigint").alias("shared_witnesses"),
+            F.col("deg_a").cast("bigint").alias("deg_a"),
+            F.col("deg_b").cast("bigint").alias("deg_b"),
+            F.round(
+                F.expr(
+                    "shared_witnesses"
+                    " / cast(deg_a + deg_b - shared_witnesses as double)"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1101,3 +1101,77 @@ def trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"contains(text, '{pat}')").alias("verified"),
         )
     )
+
+
+# source-divergence matrix: pairwise Jensen–Shannon over the top-V vocab
+JS_VOCAB = 100
+
+
+def source_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between source word
+    distributions over the global top-JS_VOCAB vocabulary — the corpus
+    similarity matrix behind mixture design ("are these two providers
+    interchangeable or complementary?").  0 = identical distributions,
+    ln 2 = disjoint.
+
+    Determinism: vocabulary selection is (count DESC, word ASC); counts
+    are exact integers; each KL term's ln argument folds to one
+    exact-integer ratio (the woe_encoding discipline):
+    2·p/(p+q) = 2(c+1)(Tt+V) / [(c+1)(Tt+V) + (d+1)(Ts+V)]; terms
+    quantize to integer NANO units before the per-pair sum.
+
+    Scale shape: everything after the vocabulary filter is bounded by
+    |sources| x V — the (source, word) count grid densifies via a
+    broadcast cross of two tiny dims, and the pair join is grid x grid
+    on the word key.  The corpus is scanned once.
+    """
+    v = JS_VOCAB
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
+    words = docs.select("source", F.explode("t").alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(v)
+        .select("w")
+    )
+    counts = (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sources = docs.select("source").distinct()
+    totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    grid = (
+        sources.crossJoin(F.broadcast(vocab))
+        .join(counts, ["source", "w"], "left")
+        .join(F.broadcast(totals), "source")
+        .select(
+            "source", "w", F.coalesce("c", F.lit(0)).alias("c"), "tot"
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"), "w",
+        F.col("c").alias("ca"), F.col("tot").alias("ta"),
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"), "w",
+        F.col("c").alias("cb"), F.col("tot").alias("tb"),
+    )
+    # KL halves with smoothing: p = (ca+1)/(ta+V), q = (cb+1)/(tb+V)
+    num_p = f"2 * (ca + 1) * (tb + {v})"
+    num_q = f"2 * (cb + 1) * (ta + {v})"
+    den = f"((ca + 1) * (tb + {v}) + (cb + 1) * (ta + {v}))"
+    term = (
+        f"cast(round(((ca + 1) / cast(ta + {v} as double))"
+        f" * ln({num_p} / cast({den} as double)) * 1e9) as bigint)"
+        f" + cast(round(((cb + 1) / cast(tb + {v} as double))"
+        f" * ln({num_q} / cast({den} as double)) * 1e9) as bigint)"
+    )
+    return (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select("source_a", "source_b", F.expr(term).alias("tm"))
+        .groupBy("source_a", "source_b")
+        .agg(F.round(F.sum("tm") / 2e9, 6).alias("js_divergence"))
+    )

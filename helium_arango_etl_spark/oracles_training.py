@@ -2564,3 +2564,74 @@ ORACLE_TRAINING["witness_edge_churn"] = f"""
                      / CAST(count(*) AS DOUBLE), 6) AS churn_rate
         FROM pe GROUP BY city_key
     """
+
+
+# ---------- neighborhood jaccard + source JS divergence ----------
+
+from .operators.textops import JS_VOCAB  # noqa: E402
+
+ORACLE_TRAINING["neighborhood_jaccard"] = """
+        WITH edges0 AS ({WSQL}),
+        e AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        cw AS (
+          SELECT a.city_key, a.src AS src_a, b.src AS src_b,
+                 CAST(count(*) AS BIGINT) AS shared_witnesses
+          FROM e a
+          JOIN e b ON a.city_key = b.city_key AND a.dst = b.dst AND a.src < b.src
+          GROUP BY a.city_key, a.src, b.src
+        ), deg AS (
+          SELECT city_key, src, CAST(count(*) AS BIGINT) AS d
+          FROM e GROUP BY city_key, src
+        )
+        SELECT cw.city_key, cw.src_a, cw.src_b, cw.shared_witnesses,
+               da.d AS deg_a, db.d AS deg_b,
+               round(cw.shared_witnesses
+                     / CAST(da.d + db.d - cw.shared_witnesses AS DOUBLE), 6)
+                   AS jaccard
+        FROM cw
+        JOIN deg da ON da.city_key = cw.city_key AND da.src = cw.src_a
+        JOIN deg db ON db.city_key = cw.city_key AND db.src = cw.src_b
+    """
+
+_JSV = JS_VOCAB
+
+ORACLE_TRAINING["source_divergence_matrix"] = f"""
+        WITH words AS (
+          SELECT source, unnest({_TOKS}) AS w FROM documents
+        ), vocab AS (
+          SELECT w FROM (
+            SELECT w, count(*) AS cnt FROM words GROUP BY w
+            ORDER BY cnt DESC, w ASC LIMIT {_JSV}
+          )
+        ), counts AS (
+          SELECT source, w, CAST(count(*) AS BIGINT) AS c
+          FROM words JOIN vocab USING (w) GROUP BY source, w
+        ), srcs AS (
+          SELECT DISTINCT source FROM documents
+        ), totals AS (
+          SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM counts GROUP BY source
+        ), grid AS (
+          SELECT s.source, v.w, coalesce(c.c, 0) AS c, t.tot
+          FROM srcs s CROSS JOIN vocab v
+          LEFT JOIN counts c ON c.source = s.source AND c.w = v.w
+          JOIN totals t ON t.source = s.source
+        ), paired AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 a.c AS ca, a.tot AS ta, b.c AS cb, b.tot AS tb
+          FROM grid a JOIN grid b ON a.w = b.w AND a.source < b.source
+        )
+        SELECT source_a, source_b,
+               round(sum(
+                 CAST(round(((ca + 1) / CAST(ta + {_JSV} AS DOUBLE))
+                   * ln(2 * (ca + 1) * (tb + {_JSV})
+                        / CAST((ca + 1) * (tb + {_JSV})
+                               + (cb + 1) * (ta + {_JSV}) AS DOUBLE)) * 1e9)
+                      AS BIGINT)
+                 + CAST(round(((cb + 1) / CAST(tb + {_JSV} AS DOUBLE))
+                   * ln(2 * (cb + 1) * (ta + {_JSV})
+                        / CAST((ca + 1) * (tb + {_JSV})
+                               + (cb + 1) * (ta + {_JSV}) AS DOUBLE)) * 1e9)
+                      AS BIGINT)
+               ) / 2e9, 6) AS js_divergence
+        FROM paired GROUP BY source_a, source_b
+    """

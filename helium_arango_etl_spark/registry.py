@@ -646,6 +646,9 @@ ORACLE.update(ORACLE_TRAINING)
 ORACLE["witness_edge_churn"] = ORACLE["witness_edge_churn"].replace(
     "{WSQL}", _WITNESS_SQL
 )
+ORACLE["neighborhood_jaccard"] = ORACLE["neighborhood_jaccard"].replace(
+    "{WSQL}", _WITNESS_SQL
+)
 
 
 # ---------- declarative PageRank oracle (unrolled quantized iterations) ----------
@@ -1917,6 +1920,8 @@ QUERIES["price_quantity_skyline"] = RG.price_quantity_skyline
 QUERIES["trigram_search"] = T.trigram_search
 QUERIES["preference_pairs"] = D.preference_pairs
 QUERIES["witness_edge_churn"] = G.witness_edge_churn
+QUERIES["neighborhood_jaccard"] = G.neighborhood_jaccard
+QUERIES["source_divergence_matrix"] = T.source_divergence_matrix
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
