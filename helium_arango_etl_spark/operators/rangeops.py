@@ -591,3 +591,55 @@ def price_quantity_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_orderkey", "l_linenumber", "price_c", "qty")
     )
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over event values — the classic
+    anomalous-data screen (fabricated or capped values bend the
+    first-digit curve): per leading digit, observed count vs the Benford
+    expectation log10(1 + 1/d), plus the per-digit chi-square term
+    (obs − exp)²/exp.
+
+    Determinism: the leading digit of integer cents is string
+    arithmetic; expectations derive from exact integer totals times
+    log10 constants quantized to micro-units; the chi-square terms round
+    6dp off those.
+
+    Scale shape: one map-side digit extraction + a 9-cell keyed
+    aggregation; everything after operates on 9 rows.
+    """
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select(F.expr("cast(floor(value * 100) as bigint)").alias("cents"))
+        .filter(F.col("cents") >= 1)
+    )
+    obs = (
+        ev.select(F.expr("cast(substring(cast(cents as string), 1, 1) as int)").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+    )
+    tot = obs.agg(F.sum("observed").alias("n"))
+    # expected share in micro-units: round(log10(1 + 1/d) * 1e6)
+    exp_micro = (
+        "CASE digit "
+        + " ".join(
+            f"WHEN {d} THEN cast(round(log10(1 + 1.0 / {d}) * 1000000) as bigint)"
+            for d in range(1, 10)
+        )
+        + " END"
+    )
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .withColumn("em", F.expr(exp_micro))
+        .select(
+            "digit",
+            "observed",
+            F.round(F.expr("n * (em / 1e6)"), 6).alias("expected"),
+            F.round(
+                F.expr(
+                    "pow(observed - n * (em / 1e6), 2) / (n * (em / 1e6))"
+                ),
+                6,
+            ).alias("chi2_term"),
+        )
+    )

@@ -716,3 +716,43 @@ def asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("us") - F.col("a_v_us")).cast("bigint").alias("lag_us"),
         )
     )
+
+
+def ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (candlestick) rollup: per (event_type, day) the opening
+    value (first by timestamp), high, low, close (last), and volume —
+    the canonical financial/telemetry time-bucket summary.
+
+    Determinism: open/close pick by exact (µs, event_id) order via
+    min_by/max_by over a struct key — no window pass needed; high/low/
+    volume are plain aggregates; values carried as exact integer cents.
+
+    Scale shape: ONE keyed aggregation with map-side combine — min_by/
+    max_by partials fold associatively, so the shuffle carries one
+    5-field row per (type, day) per map partition, never the events.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {86_400 * 1_000_000}").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+    )
+    return (
+        ev.groupBy("event_type", "day")
+        .agg(
+            # the struct key breaks DuckDB's arg_min; a zero-padded string
+            # concat gives the identical (us, event_id) lexicographic order
+            F.expr(
+                "min_by(cents, concat(lpad(cast(us as string), 20, '0'),"
+                " lpad(cast(event_id as string), 10, '0')))"
+            ).alias("open_c"),
+            F.max("cents").alias("high_c"),
+            F.min("cents").alias("low_c"),
+            F.expr(
+                "max_by(cents, concat(lpad(cast(us as string), 20, '0'),"
+                " lpad(cast(event_id as string), 10, '0')))"
+            ).alias("close_c"),
+            F.count(F.lit(1)).cast("bigint").alias("volume"),
+        )
+    )

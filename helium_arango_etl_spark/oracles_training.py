@@ -2635,3 +2635,50 @@ ORACLE_TRAINING["source_divergence_matrix"] = f"""
                ) / 2e9, 6) AS js_divergence
         FROM paired GROUP BY source_a, source_b
     """
+
+
+# ---------- OHLC rollup + Benford audit ----------
+
+ORACLE_TRAINING["ohlc_daily"] = f"""
+        WITH ev AS (
+          SELECT event_type, epoch_us(ts) // {86_400 * 1_000_000} AS day,
+                 epoch_us(ts) AS us, event_id,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT event_type, day,
+               arg_min(cents, lpad(CAST(us AS VARCHAR), 20, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS open_c,
+               max(cents) AS high_c,
+               min(cents) AS low_c,
+               arg_max(cents, lpad(CAST(us AS VARCHAR), 20, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS close_c,
+               CAST(count(*) AS BIGINT) AS volume
+        FROM ev GROUP BY event_type, day
+    """
+
+_BENFORD_EXP = (
+    "CASE digit "
+    + " ".join(
+        f"WHEN {d} THEN CAST(round(log10(1 + 1.0 / {d}) * 1000000) AS BIGINT)"
+        for d in range(1, 10)
+    )
+    + " END"
+)
+
+ORACLE_TRAINING["benford_audit"] = f"""
+        WITH ev AS (
+          SELECT CAST(floor(value * 100) AS BIGINT) AS cents FROM events
+        ), obs AS (
+          SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+                 CAST(count(*) AS BIGINT) AS observed
+          FROM ev WHERE cents >= 1 GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs
+        )
+        SELECT digit, observed,
+               round(n * (({_BENFORD_EXP}) / 1e6), 6) AS expected,
+               round(pow(observed - n * (({_BENFORD_EXP}) / 1e6), 2)
+                     / (n * (({_BENFORD_EXP}) / 1e6)), 6) AS chi2_term
+        FROM obs CROSS JOIN tot
+    """

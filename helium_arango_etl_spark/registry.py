@@ -1922,6 +1922,8 @@ QUERIES["preference_pairs"] = D.preference_pairs
 QUERIES["witness_edge_churn"] = G.witness_edge_churn
 QUERIES["neighborhood_jaccard"] = G.neighborhood_jaccard
 QUERIES["source_divergence_matrix"] = T.source_divergence_matrix
+QUERIES["ohlc_daily"] = TP.ohlc_daily
+QUERIES["benford_audit"] = RG.benford_audit
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
