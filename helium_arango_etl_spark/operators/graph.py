@@ -1410,3 +1410,46 @@ def neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# power-law fit: continuous MLE over degrees >= PL_DMIN
+PL_DMIN = 2
+
+
+def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent MLE per city over hotspot witness degrees
+    (Clauset et al. 2009 continuous approximation): alpha = 1 +
+    n / Σ ln(d / (dmin − 0.5)) over degrees >= PL_DMIN — the standard
+    "is this graph scale-free" summary that decides whether hub-aware
+    algorithms (salting, degree-ordered orientation) are worth running.
+
+    Determinism: each ln term quantizes to integer micro-units before
+    the per-city sum (the adamic_adar discipline); the final alpha is
+    one double division rounded 6dp.
+
+    Scale shape: degrees are one keyed count off the distinct edge set;
+    the fit is a per-city aggregation of (count, micro-sum) — |cities|
+    rows out.
+    """
+    edges = (
+        witness_subgraph(spark, sf_dir).select("city_key", "src", "dst").distinct()
+    )
+    deg = edges.groupBy("city_key", "src").agg(F.count(F.lit(1)).alias("d"))
+    lnterm = (
+        f"cast(round(ln(d / cast({PL_DMIN} - 0.5 as double)) * 1000000) as bigint)"
+    )
+    return (
+        deg.filter(F.col("d") >= PL_DMIN)
+        .select("city_key", F.expr(lnterm).alias("lt"))
+        .groupBy("city_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("lt").alias("ls"),
+        )
+        .filter(F.col("ls") > 0)
+        .select(
+            "city_key",
+            "n_nodes",
+            F.round(F.expr("1 + n_nodes / (ls / 1e6)"), 6).alias("alpha_hat"),
+        )
+    )

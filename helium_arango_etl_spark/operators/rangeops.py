@@ -643,3 +643,116 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cross-tab: event_type × weekday observed
+    counts vs independence expectations (row·col/total) with per-cell χ²
+    terms — the first screening question of behavioral analytics ("does
+    activity mix change by day of week?").
+
+    Determinism: all marginals are exact integers; each expectation is
+    one double expression of exact ints; terms round 6dp.
+
+    Scale shape: one keyed |types|×7 aggregation; marginals derive from
+    the cell table (9-ish rows) and broadcast back.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"(unix_micros(ts) div {86_400 * 1_000_000} + 4) % 7").alias("weekday"),
+    )
+    cells = ev.groupBy("event_type", "weekday").agg(
+        F.count(F.lit(1)).cast("bigint").alias("observed")
+    )
+    rows = cells.groupBy("event_type").agg(F.sum("observed").alias("row_n"))
+    cols = cells.groupBy("weekday").agg(F.sum("observed").alias("col_n"))
+    tot = cells.agg(F.sum("observed").alias("n"))
+    return (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "weekday")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "weekday",
+            "observed",
+            F.round(F.expr("row_n * col_n / cast(n as double)"), 6).alias("expected"),
+            F.round(
+                F.expr(
+                    "pow(observed - row_n * col_n / cast(n as double), 2)"
+                    " / (row_n * col_n / cast(n as double))"
+                ),
+                6,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+def did_promo_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences uplift: users who signed up (the
+    "treated" group) vs the rest, purchase spend per user before vs
+    after the corpus time midpoint — uplift = (treated_post −
+    treated_pre) − (control_post − control_pre), the workhorse
+    quasi-experimental read when you can't randomize.
+
+    Determinism: group sums are exact integer cents and exact user
+    counts; the four per-user means and the DiD are one fixed-order
+    double expression rounded 6dp.
+
+    Scale shape: treated set = one aggregation broadcast as a semi-join
+    flag; per-user pre/post sums = one conditional keyed aggregation;
+    the 2×2 rollup is four rows.  Output is ONE row.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+    )
+    span = ev.agg(
+        ((F.min("us") + (F.max("us") - F.min("us")) / 2).cast("bigint")).alias("mid")
+    )
+    treated = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("IF(us < mid, cents, 0)")).alias("pre_c"),
+            F.sum(F.expr("IF(us >= mid, cents, 0)")).alias("post_c"),
+        )
+        .join(
+            F.broadcast(treated.withColumn("treated", F.lit(1))), "user_id", "left"
+        )
+        .select(
+            F.coalesce("treated", F.lit(0)).alias("treated"), "pre_c", "post_c"
+        )
+    )
+    g = per_user.groupBy("treated").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("pre_c").alias("pre_sum"),
+        F.sum("post_c").alias("post_sum"),
+    )
+    t = g.filter("treated = 1").select(
+        F.col("n_users").alias("nt"),
+        F.col("pre_sum").alias("tp"), F.col("post_sum").alias("tq"))
+    c = g.filter("treated = 0").select(
+        F.col("n_users").alias("nc"),
+        F.col("pre_sum").alias("cp"), F.col("post_sum").alias("cq"))
+    return (
+        t.crossJoin(F.broadcast(c))
+        .select(
+            F.col("nt").alias("n_treated"),
+            F.col("nc").alias("n_control"),
+            F.round(F.expr("tp / cast(nt as double) / 100"), 6).alias("treated_pre"),
+            F.round(F.expr("tq / cast(nt as double) / 100"), 6).alias("treated_post"),
+            F.round(F.expr("cp / cast(nc as double) / 100"), 6).alias("control_pre"),
+            F.round(F.expr("cq / cast(nc as double) / 100"), 6).alias("control_post"),
+            F.round(
+                F.expr(
+                    "((tq - tp) / cast(nt as double)"
+                    " - (cq - cp) / cast(nc as double)) / 100"
+                ),
+                6,
+            ).alias("did_uplift"),
+        )
+    )

@@ -2682,3 +2682,90 @@ ORACLE_TRAINING["benford_audit"] = f"""
                      / (n * (({_BENFORD_EXP}) / 1e6)), 6) AS chi2_term
         FROM obs CROSS JOIN tot
     """
+
+
+# ---------- chi2 cross-tab + DiD uplift + power-law fit ----------
+
+from .operators.graph import PL_DMIN  # noqa: E402
+
+ORACLE_TRAINING["chi2_independence"] = f"""
+        WITH ev AS (
+          SELECT event_type,
+                 (epoch_us(ts) // {86_400 * 1_000_000} + 4) % 7 AS weekday
+          FROM events
+        ), cells AS (
+          SELECT event_type, weekday, CAST(count(*) AS BIGINT) AS observed
+          FROM ev GROUP BY event_type, weekday
+        ), r AS (
+          SELECT event_type, CAST(sum(observed) AS BIGINT) AS row_n
+          FROM cells GROUP BY event_type
+        ), c AS (
+          SELECT weekday, CAST(sum(observed) AS BIGINT) AS col_n
+          FROM cells GROUP BY weekday
+        ), t AS (
+          SELECT CAST(sum(observed) AS BIGINT) AS n FROM cells
+        )
+        SELECT cells.event_type, cells.weekday, cells.observed,
+               round(r.row_n * c.col_n / CAST(t.n AS DOUBLE), 6) AS expected,
+               round(pow(cells.observed - r.row_n * c.col_n / CAST(t.n AS DOUBLE), 2)
+                     / (r.row_n * c.col_n / CAST(t.n AS DOUBLE)), 6) AS chi2_term
+        FROM cells
+        JOIN r ON r.event_type = cells.event_type
+        JOIN c ON c.weekday = cells.weekday
+        CROSS JOIN t
+    """
+
+ORACLE_TRAINING["did_promo_uplift"] = """
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), span AS (
+          SELECT CAST(min(us) + (max(us) - min(us)) / 2 AS BIGINT) AS mid FROM ev
+        ), treated AS (
+          SELECT DISTINCT user_id FROM ev WHERE event_type = 'signup'
+        ), pu AS (
+          SELECT e.user_id,
+                 CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END AS treated,
+                 CAST(sum(CASE WHEN e.us < s.mid THEN e.cents ELSE 0 END) AS BIGINT)
+                     AS pre_c,
+                 CAST(sum(CASE WHEN e.us >= s.mid THEN e.cents ELSE 0 END) AS BIGINT)
+                     AS post_c
+          FROM ev e CROSS JOIN span s
+          LEFT JOIN treated t ON t.user_id = e.user_id
+          WHERE e.event_type = 'purchase'
+          GROUP BY e.user_id, CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END
+        ), g AS (
+          SELECT treated, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(pre_c) AS BIGINT) AS pre_sum,
+                 CAST(sum(post_c) AS BIGINT) AS post_sum
+          FROM pu GROUP BY treated
+        )
+        SELECT t.n_users AS n_treated, c.n_users AS n_control,
+               round(t.pre_sum / CAST(t.n_users AS DOUBLE) / 100, 6) AS treated_pre,
+               round(t.post_sum / CAST(t.n_users AS DOUBLE) / 100, 6) AS treated_post,
+               round(c.pre_sum / CAST(c.n_users AS DOUBLE) / 100, 6) AS control_pre,
+               round(c.post_sum / CAST(c.n_users AS DOUBLE) / 100, 6) AS control_post,
+               round(((t.post_sum - t.pre_sum) / CAST(t.n_users AS DOUBLE)
+                      - (c.post_sum - c.pre_sum) / CAST(c.n_users AS DOUBLE)) / 100, 6)
+                   AS did_uplift
+        FROM (SELECT * FROM g WHERE treated = 1) t
+        CROSS JOIN (SELECT * FROM g WHERE treated = 0) c
+    """
+
+ORACLE_TRAINING["degree_powerlaw_fit"] = """
+        WITH edges0 AS ({WSQL}),
+        e AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        deg AS (
+          SELECT city_key, src, count(*) AS d FROM e GROUP BY city_key, src
+        ), terms AS (
+          SELECT city_key,
+                 CAST(round(ln(d / CAST(%d - 0.5 AS DOUBLE)) * 1000000) AS BIGINT)
+                     AS lt
+          FROM deg WHERE d >= %d
+        )
+        SELECT city_key, CAST(count(*) AS BIGINT) AS n_nodes,
+               round(1 + count(*) / (sum(lt) / 1e6), 6) AS alpha_hat
+        FROM terms GROUP BY city_key
+        HAVING sum(lt) > 0
+    """ % (PL_DMIN, PL_DMIN)

@@ -649,6 +649,9 @@ ORACLE["witness_edge_churn"] = ORACLE["witness_edge_churn"].replace(
 ORACLE["neighborhood_jaccard"] = ORACLE["neighborhood_jaccard"].replace(
     "{WSQL}", _WITNESS_SQL
 )
+ORACLE["degree_powerlaw_fit"] = ORACLE["degree_powerlaw_fit"].replace(
+    "{WSQL}", _WITNESS_SQL
+)
 
 
 # ---------- declarative PageRank oracle (unrolled quantized iterations) ----------
@@ -1924,6 +1927,9 @@ QUERIES["neighborhood_jaccard"] = G.neighborhood_jaccard
 QUERIES["source_divergence_matrix"] = T.source_divergence_matrix
 QUERIES["ohlc_daily"] = TP.ohlc_daily
 QUERIES["benford_audit"] = RG.benford_audit
+QUERIES["chi2_independence"] = RG.chi2_independence
+QUERIES["did_promo_uplift"] = RG.did_promo_uplift
+QUERIES["degree_powerlaw_fit"] = G.degree_powerlaw_fit
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
