@@ -1453,3 +1453,57 @@ def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("1 + n_nodes / (ls / 1e6)"), 6).alias("alpha_hat"),
         )
     )
+
+
+def butterfly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite butterfly census per city (Sanei-Mehri et al. 2018):
+    butterflies (2×2 bicliques) are THE bipartite clustering motif — the
+    triangle has no bipartite analogue, so cohesion is measured as
+    B = Σ over hotspot pairs C(shared_witnesses, 2), with caterpillars
+    (3-edge paths, Σ over edges (d(u)−1)(d(v)−1)) as the normalizer:
+    bipartite clustering = 4B / caterpillars.
+
+    Exactness: B falls out of the ALREADY-grouped co-witness pair
+    weights (never an explicit 4-node enumeration); caterpillars from
+    two keyed degree joins — every quantity an exact integer, one
+    rounded division.
+
+    Scale shape: reuses the co-witness pair table (group-local pair gen,
+    LSH-style cap noted there); degrees are keyed counts; joins carry
+    (city, node, degree) triples.
+    """
+    edges = (
+        witness_subgraph(spark, sf_dir).select("city_key", "src", "dst").distinct()
+    )
+    pairs = co_witness_pairs(spark, sf_dir)
+    bf = pairs.groupBy("city_key").agg(
+        F.sum(
+            F.expr("shared_witnesses * (shared_witnesses - 1) div 2")
+        ).cast("bigint").alias("n_butterflies")
+    )
+    dsrc = edges.groupBy("city_key", "src").agg(F.count(F.lit(1)).alias("ds"))
+    ddst = edges.groupBy("city_key", "dst").agg(F.count(F.lit(1)).alias("dd"))
+    cat = (
+        edges.join(dsrc, ["city_key", "src"])
+        .join(ddst, ["city_key", "dst"])
+        .groupBy("city_key")
+        .agg(
+            F.sum(F.expr("(ds - 1) * (dd - 1)")).cast("bigint").alias("n_caterpillars")
+        )
+    )
+    return (
+        cat.join(bf, "city_key", "left")
+        .select(
+            "city_key",
+            F.coalesce("n_butterflies", F.lit(0)).cast("bigint").alias("n_butterflies"),
+            "n_caterpillars",
+            F.round(
+                F.expr(
+                    "CASE WHEN n_caterpillars > 0 THEN"
+                    " 4 * coalesce(n_butterflies, 0) / cast(n_caterpillars as double)"
+                    " ELSE cast(0.0 as double) END"
+                ),
+                6,
+            ).alias("bipartite_clustering"),
+        )
+    )

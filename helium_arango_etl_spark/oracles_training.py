@@ -2769,3 +2769,37 @@ ORACLE_TRAINING["degree_powerlaw_fit"] = """
         FROM terms GROUP BY city_key
         HAVING sum(lt) > 0
     """ % (PL_DMIN, PL_DMIN)
+
+
+ORACLE_TRAINING["butterfly_stats"] = """
+        WITH edges0 AS ({WSQL}),
+        e AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        cw AS (
+          SELECT a.city_key, a.src AS u, b.src AS v, count(*) AS w
+          FROM e a
+          JOIN e b ON a.city_key = b.city_key AND a.dst = b.dst AND a.src < b.src
+          GROUP BY a.city_key, a.src, b.src
+        ), bf AS (
+          SELECT city_key, CAST(sum(w * (w - 1) // 2) AS BIGINT) AS n_butterflies
+          FROM cw GROUP BY city_key
+        ), ds AS (
+          SELECT city_key, src, count(*) AS d FROM e GROUP BY city_key, src
+        ), dd AS (
+          SELECT city_key, dst, count(*) AS d FROM e GROUP BY city_key, dst
+        ), cat AS (
+          SELECT e.city_key,
+                 CAST(sum((ds.d - 1) * (dd.d - 1)) AS BIGINT) AS n_caterpillars
+          FROM e
+          JOIN ds ON ds.city_key = e.city_key AND ds.src = e.src
+          JOIN dd ON dd.city_key = e.city_key AND dd.dst = e.dst
+          GROUP BY e.city_key
+        )
+        SELECT cat.city_key,
+               CAST(coalesce(bf.n_butterflies, 0) AS BIGINT) AS n_butterflies,
+               cat.n_caterpillars,
+               round(CASE WHEN cat.n_caterpillars > 0
+                          THEN 4.0 * coalesce(bf.n_butterflies, 0)
+                               / cat.n_caterpillars
+                          ELSE 0.0 END, 6) AS bipartite_clustering
+        FROM cat LEFT JOIN bf ON bf.city_key = cat.city_key
+    """

@@ -652,6 +652,9 @@ ORACLE["neighborhood_jaccard"] = ORACLE["neighborhood_jaccard"].replace(
 ORACLE["degree_powerlaw_fit"] = ORACLE["degree_powerlaw_fit"].replace(
     "{WSQL}", _WITNESS_SQL
 )
+ORACLE["butterfly_stats"] = ORACLE["butterfly_stats"].replace(
+    "{WSQL}", _WITNESS_SQL
+)
 
 
 # ---------- declarative PageRank oracle (unrolled quantized iterations) ----------
@@ -1930,6 +1933,7 @@ QUERIES["benford_audit"] = RG.benford_audit
 QUERIES["chi2_independence"] = RG.chi2_independence
 QUERIES["did_promo_uplift"] = RG.did_promo_uplift
 QUERIES["degree_powerlaw_fit"] = G.degree_powerlaw_fit
+QUERIES["butterfly_stats"] = G.butterfly_stats
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
