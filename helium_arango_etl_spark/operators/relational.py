@@ -870,3 +870,67 @@ def bloom_semi_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp_rate"),
         )
     )
+
+
+def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ/Great-Expectations-style data-quality audit: primary-key
+    uniqueness, foreign-key orphans, null rates, and domain constraints,
+    emitted as a (check, n_checked, n_violations, passed) report — the
+    gate a production pipeline runs before publishing a snapshot.
+
+    Determinism: every check is exact integer counting.
+
+    Scale shape: per-table checks fold in ONE aggregation over that
+    table's scan (no per-check scans, no driver-side collect — the
+    report rows are unpivoted from the 1-row aggregates and the two
+    anti-join counts cross-joined in as broadcast scalars).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cust = read_table(spark, sf_dir, "customer")
+
+    oa = orders.agg(
+        F.count(F.lit(1)).alias("o_n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dups"),
+        F.sum(F.expr("IF(o_custkey IS NULL, 1, 0)")).alias("null_cust"),
+    )
+    la = li.agg(
+        F.count(F.lit(1)).alias("l_n"),
+        F.sum(F.expr("IF(l_quantity < 1 OR l_quantity > 50, 1, 0)")).alias("qty_bad"),
+        F.sum(F.expr("IF(l_returnflag NOT IN ('A', 'N', 'R'), 1, 0)")).alias("flag_bad"),
+        F.sum(F.expr("IF(l_extendedprice <= 0, 1, 0)")).alias("price_bad"),
+    )
+    lo = li.join(
+        orders.select("o_orderkey"), li.l_orderkey == orders.o_orderkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("li_orphans"))
+    oo = orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders.o_custkey == cust.c_custkey,
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("o_orphans"))
+    stats = (
+        oa.crossJoin(F.broadcast(la))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(oo))
+    )
+    checks = [
+        ("orders_pk_unique", "o_n", "pk_dups"),
+        ("orders_custkey_not_null", "o_n", "null_cust"),
+        ("orders_fk_customer", "o_n", "o_orphans"),
+        ("lineitem_fk_orders", "l_n", "li_orphans"),
+        ("lineitem_qty_in_1_50", "l_n", "qty_bad"),
+        ("lineitem_returnflag_domain", "l_n", "flag_bad"),
+        ("lineitem_price_positive", "l_n", "price_bad"),
+    ]
+    stack = ", ".join(f"'{n}', {c}, {v}" for n, c, v in checks)
+    return stats.select(
+        F.expr(
+            f"stack({len(checks)}, {stack})"
+            " as (check_name, n_checked, n_violations)"
+        )
+    ).select(
+        "check_name",
+        F.col("n_checked").cast("bigint").alias("n_checked"),
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

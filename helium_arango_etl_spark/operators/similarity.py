@@ -1340,3 +1340,49 @@ def prototype_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("suspect_rank") <= PROTO_SUSPECTS)
         .select("vec_id", "label", "proto_cos", "suspect_rank")
     )
+
+
+def embedding_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitening audit: per vector, the norm and max |z| of its
+    per-dimension standardized form z_i = (x_i − μ_i)/σ_i using the
+    corpus calibration from :func:`embedding_dim_stats` — a whitened
+    corpus should show norms ≈ √DIM and no dimension with extreme |z|;
+    rows that don't are scaling bugs or outliers headed for the
+    quantizer's clip range.
+
+    Determinism: μ/σ enter as the 6dp-rounded published stats (identical
+    doubles both engines); each z² term quantizes to integer micro-units
+    inside the fold (exact bigint sum); max|z| is an integer array max.
+
+    Scale shape: the DIM-row stats table folds to a 2-array single row
+    and broadcasts; the audit is one map-side pass over the corpus —
+    nothing shuffles but the DIM-group stats aggregation itself.
+    """
+    stats = embedding_dim_stats(spark, sf_dir)
+    srow = stats.agg(
+        F.expr("transform(sort_array(collect_list(struct(dim, mean))), s -> s.mean)")
+        .alias("ms"),
+        F.expr("transform(sort_array(collect_list(struct(dim, std))), s -> s.std)")
+        .alias("ss"),
+    )
+    z = (
+        "IF(element_at(ss, i) = 0.0, cast(0.0 as double),"
+        " (element_at(v64, i) - element_at(ms, i)) / element_at(ss, i))"
+    )
+    zsq = (
+        f"aggregate(sequence(1, {DIM}), cast(0 as bigint),"
+        f" (acc, i) -> acc + cast(round(({z}) * ({z}) * 1000000) as bigint))"
+    )
+    zmax = (
+        f"array_max(transform(sequence(1, {DIM}),"
+        f" i -> cast(round(abs({z}) * 1000000) as bigint)))"
+    )
+    emb = embedding_table(spark, sf_dir)
+    return (
+        emb.crossJoin(F.broadcast(srow))
+        .select(
+            "vec_id",
+            F.round(F.sqrt(F.expr(zsq) / F.lit(1e6)), 6).alias("whitened_norm"),
+            F.round(F.expr(zmax) / 1e6, 6).alias("max_abs_z"),
+        )
+    )

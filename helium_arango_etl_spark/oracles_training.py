@@ -2803,3 +2803,87 @@ ORACLE_TRAINING["butterfly_stats"] = """
                           ELSE 0.0 END, 6) AS bipartite_clustering
         FROM cat LEFT JOIN bf ON bf.city_key = cat.city_key
     """
+
+
+# ---------- data-quality report ----------
+
+ORACLE_TRAINING["dq_report"] = """
+        WITH oa AS (
+          SELECT CAST(count(*) AS BIGINT) AS o_n,
+                 CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS pk_dups,
+                 CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS null_cust
+          FROM orders
+        ), la AS (
+          SELECT CAST(count(*) AS BIGINT) AS l_n,
+                 CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                               THEN 1 ELSE 0 END) AS BIGINT) AS qty_bad,
+                 CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                               THEN 1 ELSE 0 END) AS BIGINT) AS flag_bad,
+                 CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS price_bad
+          FROM lineitem
+        ), lo AS (
+          SELECT CAST(count(*) AS BIGINT) AS li_orphans FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)
+        ), oo AS (
+          SELECT CAST(count(*) AS BIGINT) AS o_orphans FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)
+        ), s AS (
+          SELECT * FROM oa CROSS JOIN la CROSS JOIN lo CROSS JOIN oo
+        )
+        SELECT check_name, n_checked, n_violations, n_violations = 0 AS passed
+        FROM (
+          SELECT 'orders_pk_unique' AS check_name, o_n AS n_checked,
+                 pk_dups AS n_violations FROM s
+          UNION ALL SELECT 'orders_custkey_not_null', o_n, null_cust FROM s
+          UNION ALL SELECT 'orders_fk_customer', o_n, o_orphans FROM s
+          UNION ALL SELECT 'lineitem_fk_orders', l_n, li_orphans FROM s
+          UNION ALL SELECT 'lineitem_qty_in_1_50', l_n, qty_bad FROM s
+          UNION ALL SELECT 'lineitem_returnflag_domain', l_n, flag_bad FROM s
+          UNION ALL SELECT 'lineitem_price_positive', l_n, price_bad FROM s
+        )
+    """
+
+
+# ---------- whitening audit ----------
+
+
+def _whiten_sql() -> str:
+    stats = f"""
+        WITH e AS (
+          SELECT vec_id, {_CAST64} AS v FROM embeddings
+        ), dims AS (
+          SELECT dim, CAST(round(x * 1000000) AS BIGINT) AS xi FROM (
+            SELECT unnest(v) AS x, unnest(range(0, {DIM})) AS dim FROM e
+          )
+        ), st AS (
+          SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(xi) AS BIGINT) AS sx,
+                 CAST(sum(xi * xi) AS BIGINT) AS sxx
+          FROM dims GROUP BY dim
+        ), pub AS (
+          SELECT dim, round(sx / 1e6 / n, 6) AS mean,
+                 round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / (n * 1e6), 6)
+                     AS std
+          FROM st
+        ), srow AS (
+          SELECT list(mean ORDER BY dim) AS ms, list(std ORDER BY dim) AS ss
+          FROM pub
+        )"""
+    z = "(CASE WHEN s.ss[i] = 0.0 THEN 0.0 ELSE (e.v[i] - s.ms[i]) / s.ss[i] END)"
+    return stats + f"""
+        SELECT e.vec_id,
+               round(sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+                     i -> CAST(round({z} * {z} * 1000000) AS BIGINT))) / 1e6), 6)
+                   AS whitened_norm,
+               round(list_max(list_transform(range(1, {DIM + 1}),
+                     i -> CAST(round(abs({z}) * 1000000) AS BIGINT))) / 1e6, 6)
+                   AS max_abs_z
+        FROM e CROSS JOIN srow s
+    """
+
+
+ORACLE_TRAINING["embedding_whiten_audit"] = _whiten_sql()

@@ -1934,6 +1934,8 @@ QUERIES["chi2_independence"] = RG.chi2_independence
 QUERIES["did_promo_uplift"] = RG.did_promo_uplift
 QUERIES["degree_powerlaw_fit"] = G.degree_powerlaw_fit
 QUERIES["butterfly_stats"] = G.butterfly_stats
+QUERIES["dq_report"] = R.dq_report
+QUERIES["embedding_whiten_audit"] = S.embedding_whiten_audit
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
