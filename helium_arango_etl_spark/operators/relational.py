@@ -934,3 +934,55 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violations").cast("bigint").alias("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+# privacy audit thresholds
+K_ANON = 5
+L_DIV = 3
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-release audit: k-anonymity and l-diversity over the
+    customer quasi-identifiers (nation, market segment) with the account
+    balance DECILE as the sensitive attribute — a group is re-identifiable
+    when fewer than K_ANON customers share its QI combination, and
+    attribute-disclosing when its members show fewer than L_DIV distinct
+    sensitive values.  The pre-publication check for any user-level data
+    share.
+
+    Determinism: deciles come from the bit-identical exact-percentile
+    boundaries (the woe_encoding discipline); everything else is exact
+    integer counting over |nations|×|segments| groups.
+
+    Scale shape: one 1-row boundary aggregate broadcast; one keyed
+    aggregation to the (small) QI-group grid.
+    """
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("cast(floor(c_acctbal * 100) as bigint)").alias("bal_c"),
+    )
+    qs = ", ".join(str(i / 10) for i in range(1, 10))
+    bounds = cust.agg(F.expr(f"percentile(bal_c, array({qs}))").alias("bs"))
+    bin_expr = "1 + " + " + ".join(
+        f"IF(bal_c > element_at(bs, {i}), 1, 0)" for i in range(1, 10)
+    )
+    return (
+        cust.crossJoin(F.broadcast(bounds))
+        .select(
+            "c_nationkey", "c_mktsegment", F.expr(bin_expr).cast("int").alias("sens")
+        )
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("sens").cast("bigint").alias("n_sensitive"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            "n_sensitive",
+            (F.col("n") >= K_ANON).alias("k_anonymous"),
+            (F.col("n_sensitive") >= L_DIV).alias("l_diverse"),
+        )
+    )

@@ -2887,3 +2887,35 @@ def _whiten_sql() -> str:
 
 
 ORACLE_TRAINING["embedding_whiten_audit"] = _whiten_sql()
+
+
+# ---------- k-anonymity / l-diversity audit ----------
+
+from .operators.relational import K_ANON, L_DIV  # noqa: E402
+
+_KA_QS = ", ".join(str(i / 10) for i in range(1, 10))
+_KA_BIN = "1 + " + " + ".join(
+    f"(CASE WHEN bal_c > bs[{i}] THEN 1 ELSE 0 END)" for i in range(1, 10)
+)
+
+ORACLE_TRAINING["k_anonymity_audit"] = f"""
+        WITH c AS (
+          SELECT c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+          FROM customer
+        ), bounds AS (
+          SELECT quantile_cont(bal_c, [{_KA_QS}]) AS bs FROM c
+        ), s AS (
+          SELECT c_nationkey, c_mktsegment, CAST({_KA_BIN} AS INT) AS sens
+          FROM c CROSS JOIN bounds
+        ), g AS (
+          SELECT c_nationkey, c_mktsegment,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT sens) AS BIGINT) AS n_sensitive
+          FROM s GROUP BY c_nationkey, c_mktsegment
+        )
+        SELECT c_nationkey, c_mktsegment, n, n_sensitive,
+               n >= {K_ANON} AS k_anonymous,
+               n_sensitive >= {L_DIV} AS l_diverse
+        FROM g
+    """

@@ -1936,6 +1936,7 @@ QUERIES["degree_powerlaw_fit"] = G.degree_powerlaw_fit
 QUERIES["butterfly_stats"] = G.butterfly_stats
 QUERIES["dq_report"] = R.dq_report
 QUERIES["embedding_whiten_audit"] = S.embedding_whiten_audit
+QUERIES["k_anonymity_audit"] = R.k_anonymity_audit
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
