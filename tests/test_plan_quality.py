@@ -533,3 +533,56 @@ def test_bloom_probe_never_shuffles_fact(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ohlc_single_aggregation_no_window(spark, sf_dir):
+    """OHLC must be ONE keyed aggregation (min_by/max_by partials fold
+    map-side) — a window-function formulation would sort every bucket's
+    events; windowspecdefinition in the plan is the regression."""
+    plan = plan_of(QUERIES["ohlc_daily"](spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan, plan
+
+
+def test_decayed_engagement_anchor_broadcast(spark, sf_dir):
+    """The 1-row anchor joins as a broadcast; the event stream is
+    scanned and folded, never join-shuffled."""
+    plan = plan_of(QUERIES["decayed_user_engagement"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_trigram_filter_precedes_aggregation(spark, sf_dir):
+    """The pattern-trigram IN filter must apply in the generate/project
+    stage so only |pattern| trigrams reach the candidate aggregation."""
+    plan = plan_of(QUERIES["trigram_search"](spark, sf_dir))
+    assert re.search(r"tri#\d+ IN \(", plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_source_divergence_corpus_scanned_not_pair_joined(spark, sf_dir):
+    """The JS matrix pair join runs on the |sources|×V grid — the corpus
+    token stream itself must never appear on either side of a join
+    (vocab/totals joins are broadcasts; the grid pair join is keyed on
+    the word)."""
+    plan = plan_of(QUERIES["source_divergence_matrix"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_skyline_rides_one_sort(spark, sf_dir):
+    """Both RANGE-framed maxes must ride the same (flag, price) sort —
+    exactly one keyed exchange, no join at all."""
+    plan = plan_of(QUERIES["price_quantity_skyline"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    keyed = re.findall(r"hashpartitioning\(l_returnflag", plan)
+    assert keyed, plan
+
+
+def test_dq_report_no_collect_shape(spark, sf_dir):
+    """The DQ report must assemble via stack() over broadcast-joined
+    1-row aggregates — a driver-side collect would show as an empty plan
+    here; anti-joins must be present for the FK checks."""
+    plan = plan_of(QUERIES["dq_report"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
