@@ -756,3 +756,90 @@ def ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("volume"),
         )
     )
+
+
+PATH_PREFIX_LEN = 3
+PATH_TOP_K = 10
+
+
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session path prefixes — the product-analytics "how do journeys
+    start" view: the PATH_TOP_K most common first-PATH_PREFIX_LEN
+    event-type sequences across gap-sessions, with counts and corpus
+    share.  Complements `event_transitions` (pairwise flow) with whole
+    path-prefix ranking.
+
+    Scale shape: sequence assembly rides the shared sessionize shuffle;
+    the prefix rollup groups by a short string key (bounded
+    |types|^PREFIX distinct values); top-k via TakeOrderedAndProject,
+    rank window on the bounded k rows.
+    """
+    per = (
+        _with_sessions(read_table(spark, sf_dir, "events"))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.expr(
+                "array_join(slice(transform(sort_array("
+                "collect_list(struct(ts, event_id, event_type))),"
+                f" x -> x.event_type), 1, {PATH_PREFIX_LEN}), '>')"
+            ).alias("path")
+        )
+    )
+    tot = per.agg(F.count(F.lit(1)).alias("n_sessions"))
+    top = (
+        per.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(PATH_TOP_K)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n",
+            F.round(F.expr("n / cast(n_sessions as double)"), 6).alias("share"),
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+    )
+
+
+def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment latency per priority class: exact p50/p90 of
+    ship-delay days (l_shipdate − o_orderdate) plus mean — the
+    supply-chain SLA rollup (TPC-H Q21's late-supplier question as a
+    distribution, not a count).
+
+    Determinism: delays are exact integer days (date arithmetic); the
+    percentiles use the bit-identical exact interpolation
+    (`price_quantiles`); the mean is an exact integer ratio rounded 6dp.
+
+    Scale shape: one broadcast dim join (orders is the smaller side at
+    TPC-H shape it still hashes — here the join keys on orderkey, the
+    one fact-fact shuffle), then a |priorities|-group aggregation with
+    map-side partials.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).cast("bigint").alias("delay_days"),
+        )
+    )
+    return (
+        d.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("percentile(delay_days, 0.5)").alias("p50_days"),
+            F.expr("percentile(delay_days, 0.9)").alias("p90_days"),
+            F.round(
+                F.sum("delay_days") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mean_days"),
+        )
+    )

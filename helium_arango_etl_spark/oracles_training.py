@@ -2919,3 +2919,56 @@ ORACLE_TRAINING["k_anonymity_audit"] = f"""
                n_sensitive >= {L_DIV} AS l_diverse
         FROM g
     """
+
+
+# ---------- top session paths + fulfillment latency ----------
+
+from .operators.temporal import (  # noqa: E402
+    PATH_PREFIX_LEN,
+    PATH_TOP_K,
+    SESSION_GAP_US,
+)
+
+ORACLE_TRAINING["top_session_paths"] = f"""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+        ), g AS (
+          SELECT *, CASE WHEN us - lag(us) OVER w > {SESSION_GAP_US}
+                         OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), s AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                    AS session_idx
+          FROM g
+        ), per AS (
+          SELECT user_id, session_idx,
+                 array_to_string(
+                   (list(event_type ORDER BY us, event_id))[1:{PATH_PREFIX_LEN}],
+                   '>') AS path
+          FROM s GROUP BY user_id, session_idx
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM per
+        ), top AS (
+          SELECT path, CAST(count(*) AS BIGINT) AS n FROM per GROUP BY path
+          ORDER BY n DESC, path ASC LIMIT {PATH_TOP_K}
+        )
+        SELECT path, n,
+               round(n / CAST(t.n_sessions AS DOUBLE), 6) AS share,
+               CAST(row_number() OVER (ORDER BY n DESC, path ASC) AS INT) AS rank
+        FROM top CROSS JOIN tot t
+    """
+
+ORACLE_TRAINING["fulfillment_latency"] = """
+        WITH d AS (
+          SELECT o.o_orderpriority,
+                 CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE)) AS BIGINT) AS delay_days
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               quantile_cont(delay_days, 0.5) AS p50_days,
+               quantile_cont(delay_days, 0.9) AS p90_days,
+               round(sum(delay_days) / CAST(count(*) AS DOUBLE), 6) AS mean_days
+        FROM d GROUP BY o_orderpriority
+    """

@@ -1937,6 +1937,8 @@ QUERIES["butterfly_stats"] = G.butterfly_stats
 QUERIES["dq_report"] = R.dq_report
 QUERIES["embedding_whiten_audit"] = S.embedding_whiten_audit
 QUERIES["k_anonymity_audit"] = R.k_anonymity_audit
+QUERIES["top_session_paths"] = TP.top_session_paths
+QUERIES["fulfillment_latency"] = TP.fulfillment_latency
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
