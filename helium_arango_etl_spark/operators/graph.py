@@ -1507,3 +1507,120 @@ def butterfly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bipartite_clustering"),
         )
     )
+
+
+# node2vec bias (Grover & Leskovec 2016) as A-ES exponential-race keys
+# (the weighted_sample discipline): transition weight alpha in milli-units
+# — backtracking is penalized (alpha = 1/p, p = 4), leaving prev's
+# neighborhood mildly so (alpha = 1/q, q = 2), staying neutral.  The
+# chosen neighbor is argmin of −ln(u)/alpha with u a 16-bit md5 uniform,
+# which IS weighted sampling, made deterministic.
+N2V_RETURN_MILLI = 250   # alpha = 1/4
+N2V_OUT_MILLI = 500      # alpha = 1/2
+N2V_LEN = 3
+
+
+def node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec second-order biased walks: like :func:`witness_walks`,
+    but each transition scores candidates by md5-hash × inverse-alpha,
+    where alpha depends on the candidate's relation to the PREVIOUS node
+    (1/p to backtrack, 1 inside prev's neighborhood, 1/q to leave it) —
+    the p/q dial that interpolates DeepWalk between BFS (structural
+    roles) and DFS (communities).  Deterministic: integer 16-bit hash ×
+    integer milli-bias, argmin with node tie-break — reproducible across
+    engines, which the paper's alias-sampling walk is not.
+
+    Scale shape: one extra keyed join per step versus the first-order
+    walk — the (candidate, prev) adjacency probe against the undirected
+    edge set — still O(walks × avg_degree) rows per step; the budgeted
+    start sample bounds a mega-city exactly as witness_walks documents.
+    """
+    from pyspark.sql import Window
+
+    edges = (
+        witness_subgraph(spark, sf_dir).select("city_key", "src", "dst").distinct()
+    )
+    und = edges.select(
+        "city_key", F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionByName(
+        edges.select("city_key", F.col("dst").alias("a"), F.col("src").alias("b"))
+    ).persist()
+    nodes = und.select("city_key", F.col("a").alias("node")).distinct()
+    nn = nodes.groupBy("city_key").agg(F.count(F.lit(1)).alias("n_nodes"))
+    starts = (
+        nodes.join(F.broadcast(nn), "city_key")
+        .filter(
+            F.expr(
+                "cast(conv(substring(md5(node), 1, 4), 16, 10) as bigint)"
+                f" * n_nodes < {65536 * WALK_K}"
+            )
+        )
+        .drop("n_nodes")
+    )
+    widx = spark.range(WALK_N).select(F.col("id").cast("int").alias("widx"))
+    walks = starts.crossJoin(F.broadcast(widx)).select(
+        "city_key",
+        F.col("node").alias("start"),
+        "widx",
+        F.lit(None).cast("string").alias("prev"),
+        F.col("node").alias("cur"),
+        F.col("node").alias("path"),
+    )
+    adj = und.select(
+        F.col("city_key").alias("j_ck"), F.col("a").alias("j_a"),
+        F.col("b").alias("j_b"), F.lit(1).alias("is_adj"),
+    )
+    for step in range(1, N2V_LEN + 1):
+        h16 = (
+            "cast(conv(substring(md5(concat_ws('|', start,"
+            f" cast(widx as string), '{step}', nxt)), 1, 4), 16, 10) as bigint)"
+        )
+        alpha = (
+            "CASE WHEN prev IS NULL THEN 1000L"
+            f" WHEN nxt = prev THEN {N2V_RETURN_MILLI}L"
+            " WHEN is_adj IS NOT NULL THEN 1000L"
+            f" ELSE {N2V_OUT_MILLI}L END"
+        )
+        cand = (
+            walks.select(
+                F.col("city_key").alias("w_ck"), "start", "widx", "prev",
+                F.col("cur").alias("w_cur"), "path",
+            )
+            .join(und, (F.col("w_ck") == und.city_key) & (F.col("w_cur") == und.a))
+            .select(
+                "city_key", "start", "widx", "prev", "path",
+                F.col("w_cur").alias("cur"), F.col("b").alias("nxt"),
+            )
+            .join(
+                # edge-sized probe set: keyed join, NOT a broadcast
+                adj,
+                (F.col("city_key") == F.col("j_ck"))
+                & (F.col("nxt") == F.col("j_a"))
+                & (F.col("prev") == F.col("j_b")),
+                "left",
+            )
+            # A-ES key: −ln(u)/alpha, u = (h+1)/65536 exact dyadic, so the
+            # ln operand is bit-identical in both engines; micro-rounded
+            .withColumn(
+                "score",
+                F.expr(
+                    f"cast(round(-ln((({h16}) + 1) / 65536.0)"
+                    f" / (({alpha}) / 1000.0) * 1000000) as bigint)"
+                ),
+            )
+        )
+        w_pick = Window.partitionBy("city_key", "start", "widx").orderBy(
+            "score", "nxt"
+        )
+        walks = (
+            cand.withColumn("r", F.row_number().over(w_pick))
+            .filter(F.col("r") == 1)
+            .select(
+                "city_key", "start", "widx",
+                F.col("cur").alias("prev"),
+                F.col("nxt").alias("cur"),
+                F.concat_ws(">", "path", "nxt").alias("path"),
+            )
+            .localCheckpoint()
+        )
+    return walks.select("city_key", "start", "widx", "path")

@@ -1559,6 +1559,72 @@ def _walks_sql() -> str:
 QUERIES["witness_walks"] = G.witness_walks
 ORACLE["witness_walks"] = _walks_sql()
 
+
+def _n2v_sql() -> str:
+    """Unrolled mirror of G.node2vec_walks: hash x inverse-alpha argmin."""
+    parts = [f"""
+        WITH edges0 AS ({_WITNESS_SQL}),
+        edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        und AS (
+          SELECT city_key, src AS a, dst AS b FROM edges
+          UNION ALL SELECT city_key, dst AS a, src AS b FROM edges
+        ),
+        nodes AS (SELECT DISTINCT city_key, a AS node FROM und),
+        nnc AS (
+          SELECT city_key, CAST(count(*) AS BIGINT) AS n_nodes
+          FROM nodes GROUP BY city_key
+        ),
+        starts AS (
+          SELECT n.city_key, n.node FROM nodes n JOIN nnc USING (city_key)
+          WHERE ('0x' || substr(md5(n.node), 1, 4))::BIGINT * nnc.n_nodes
+                < {65536 * G.WALK_K}
+        ),
+        v0 AS (
+          SELECT s.city_key, s.node AS start, w.widx,
+                 CAST(NULL AS VARCHAR) AS prev, s.node AS cur, s.node AS path
+          FROM starts s
+          CROSS JOIN (SELECT CAST(unnest(range({G.WALK_N})) AS INT) AS widx) w
+        )"""]
+    for s in range(1, G.N2V_LEN + 1):
+        p = s - 1
+        h16 = (
+            "('0x' || substr(md5(concat_ws('|', w.start,"
+            f" CAST(w.widx AS VARCHAR), '{s}', u.b)), 1, 4))::BIGINT"
+        )
+        alpha = (
+            "CASE WHEN w.prev IS NULL THEN 1000"
+            f" WHEN u.b = w.prev THEN {G.N2V_RETURN_MILLI}"
+            " WHEN j.a IS NOT NULL THEN 1000"
+            f" ELSE {G.N2V_OUT_MILLI} END"
+        )
+        key = (
+            f"CAST(round(-ln((({h16}) + 1) / 65536.0)"
+            f" / (({alpha}) / 1000.0) * 1000000) AS BIGINT)"
+        )
+        parts.append(f"""
+        , c{s} AS (
+          SELECT w.city_key, w.start, w.widx, w.path, w.cur, u.b AS nxt,
+                 row_number() OVER (
+                     PARTITION BY w.city_key, w.start, w.widx
+                     ORDER BY {key}, u.b) AS r
+          FROM v{p} w
+          JOIN und u ON u.city_key = w.city_key AND u.a = w.cur
+          LEFT JOIN und j ON j.city_key = w.city_key AND j.a = u.b
+                         AND j.b = w.prev
+        ), v{s} AS (
+          SELECT city_key, start, widx, cur AS prev, nxt AS cur,
+                 path || '>' || nxt AS path
+          FROM c{s} WHERE r = 1
+        )""")
+    parts.append(f"""
+        SELECT city_key, start, widx, path FROM v{G.N2V_LEN}
+    """)
+    return "".join(parts)
+
+
+QUERIES["node2vec_walks"] = G.node2vec_walks
+ORACLE["node2vec_walks"] = _n2v_sql()
+
 QUERIES["session_sequences"] = TP.session_sequences
 ORACLE["session_sequences"] = f"""
         WITH g AS (
