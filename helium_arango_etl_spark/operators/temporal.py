@@ -843,3 +843,55 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_days"),
         )
     )
+
+
+def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension lookup: every purchase joined to
+    the SCD2 state version valid AT its timestamp — the Kimball type-2
+    lookup and the feature-store correctness pattern (training rows must
+    see the dimension AS IT WAS, not as it is).  A purchase that itself
+    opens a new state sees that state (valid_from <= ts inclusive).
+
+    Plan: the interval containment collapses to an as-of against the
+    state-CHANGE stream (an interval's start is its change event), so the
+    same union + one user-keyed LOCF window as :func:`asof_last_view`
+    serves it — no inequality join, no per-probe interval scan.  The
+    oracle instead joins the materialized `scd2_history` intervals by
+    BETWEEN containment — two different algorithms, same rows.
+    """
+    hist = scd2_history(spark, sf_dir).select(
+        "user_id",
+        F.col("valid_from_us").alias("us"),
+        F.col("event_type").alias("state"),
+        "version",
+    )
+    purchases = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", F.unix_micros("ts").alias("us"))
+    left = purchases.select(
+        "user_id", "us", F.lit(1).alias("is_p"), "event_id",
+        F.lit(None).cast("string").alias("state"),
+        F.lit(None).cast("int").alias("version"),
+    )
+    right = hist.select(
+        "user_id", "us", F.lit(0).alias("is_p"),
+        F.lit(None).cast("bigint").alias("event_id"), "state", "version",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "is_p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("a_state", F.last("state", ignorenulls=True).over(w))
+        .withColumn("a_version", F.last("version", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "us",
+            F.col("a_state").alias("state"),
+            F.col("a_version").alias("version"),
+        )
+    )

@@ -2082,6 +2082,23 @@ ORACLE["scd2_history"] = """
         WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
     """
 
+QUERIES["scd2_pit_join"] = TP.scd2_pit_join
+ORACLE["scd2_pit_join"] = """
+        WITH hist AS ({SCD2}),
+        p AS (
+          SELECT event_id, user_id, epoch_us(ts) AS us
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, p.us,
+               h.event_type AS state, h.version
+        FROM p
+        LEFT JOIN hist h
+          ON h.user_id = p.user_id
+         AND h.valid_from_us <= p.us
+         AND (h.valid_to_us IS NULL OR p.us < h.valid_to_us)
+    """.replace("{SCD2}", ORACLE["scd2_history"])
+
+
 QUERIES["weighted_sample"] = P.weighted_sample
 ORACLE["weighted_sample"] = f"""
         WITH d AS (
