@@ -1175,3 +1175,60 @@ def source_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.round(F.sum("tm") / 2e9, 6).alias("js_divergence"))
     )
+
+
+BURST_VOCAB = 50
+
+
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale): variance-to-mean ratio of
+    per-document counts for the top-BURST_VOCAB terms — ratio ≈ 1 means
+    Poisson-like function words, >> 1 means bursty content words that
+    clump in few documents; the signal behind IDF's success and a
+    boilerplate detector (bursty terms with huge df = template text).
+
+    Determinism: per-doc counts are exact integers; the variance
+    numerator n·Σx² − (Σx)² stays exact integer (the
+    embedding_dim_stats discipline) with one division rounded 6dp.
+    Docs NOT containing a term count as zeros via the corpus doc count —
+    no dense grid needed.
+
+    Scale shape: one (term, doc) count aggregation filtered to the
+    broadcast vocabulary, folded to V rows; the 1-row doc count
+    broadcasts.
+    """
+    v = BURST_VOCAB
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
+    words = docs.select(F.col("doc_id"), F.explode("t").alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(v)
+        .select("w")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    per_doc = (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_doc.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("c").alias("sx"),
+            F.sum(F.expr("c * c")).alias("sxx"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w",
+            "df",
+            F.col("sx").cast("bigint").alias("total_tf"),
+            # zeros of absent docs contribute 0 to sx/sxx; mean/var use nd
+            F.round(F.expr("sx / cast(nd as double)"), 6).alias("mean_tf"),
+            F.round(
+                F.expr("(nd * sxx - sx * sx) / cast(nd as double) / sx"), 6
+            ).alias("burstiness"),
+        )
+    )

@@ -2972,3 +2972,34 @@ ORACLE_TRAINING["fulfillment_latency"] = """
                round(sum(delay_days) / CAST(count(*) AS DOUBLE), 6) AS mean_days
         FROM d GROUP BY o_orderpriority
     """
+
+
+# ---------- term burstiness ----------
+
+from .operators.textops import BURST_VOCAB  # noqa: E402
+
+ORACLE_TRAINING["term_burstiness"] = f"""
+        WITH words AS (
+          SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+        ), vocab AS (
+          SELECT w FROM (
+            SELECT w, count(*) AS cnt FROM words GROUP BY w
+            ORDER BY cnt DESC, w ASC LIMIT {BURST_VOCAB}
+          )
+        ), nd AS (
+          SELECT CAST(count(*) AS BIGINT) AS nd FROM documents
+        ), per_doc AS (
+          SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c
+          FROM words JOIN vocab USING (w) GROUP BY w, doc_id
+        ), ag AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS df,
+                 CAST(sum(c) AS BIGINT) AS sx,
+                 CAST(sum(c * c) AS BIGINT) AS sxx
+          FROM per_doc GROUP BY w
+        )
+        SELECT w, df, sx AS total_tf,
+               round(sx / CAST(nd.nd AS DOUBLE), 6) AS mean_tf,
+               round((nd.nd * sxx - sx * sx) / CAST(nd.nd AS DOUBLE) / sx, 6)
+                   AS burstiness
+        FROM ag CROSS JOIN nd
+    """

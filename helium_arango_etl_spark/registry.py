@@ -2005,6 +2005,7 @@ QUERIES["embedding_whiten_audit"] = S.embedding_whiten_audit
 QUERIES["k_anonymity_audit"] = R.k_anonymity_audit
 QUERIES["top_session_paths"] = TP.top_session_paths
 QUERIES["fulfillment_latency"] = TP.fulfillment_latency
+QUERIES["term_burstiness"] = T.term_burstiness
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
