@@ -756,3 +756,73 @@ def did_promo_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("did_uplift"),
         )
     )
+
+
+# CUSUM drift detection over daily event counts, in integer micro-units:
+# slack k = mu/4, alarm threshold h = 2*mu (all derived from exact sums)
+def cusum_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection (Page 1954) per event type: the
+    one-sided cumulative sum S_t = max(0, S_{t-1} + n_t − μ − k) over
+    daily event counts, alarming when S_t exceeds h — the sequential
+    detector that catches a sustained rate shift days before a
+    threshold-on-raw-counts would, and the classic monitoring
+    counterpart of the distributional PSI screen.
+
+    Determinism: counts are exact integers; μ enters as exact
+    micro-units (round(1e6·Σn/days)); k = μ/4 and h = 2μ in the same
+    integer units; the recurrence is exact bigint arithmetic — the
+    oracle replays it as a recursive CTE, the Spark side as an
+    `aggregate` fold over each type's (bounded) day array.
+
+    Scale shape: the fold runs per event type over \\|days\\| rows —
+    after the one keyed daily aggregation, state is days-sized
+    regardless of event volume (the same bounded-rollup class as
+    seasonal_forecast_error).
+    """
+    from pyspark.sql import Window  # noqa: F401  (symmetry with siblings)
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {86_400 * 1_000_000}").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.expr("cast(round(sum(n) * 1000000.0 / count(*)) as bigint)").alias(
+            "mu_micro"
+        )
+    )
+    folded = (
+        daily.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "mu_micro")
+        .agg(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(day, n))),"
+                " struct(cast(0 as bigint) as s,"
+                "        cast(array() as array<struct<day: bigint, n: bigint,"
+                "                                     s: bigint>>) as out),"
+                " (acc, x) -> struct("
+                "   greatest(cast(0 as bigint),"
+                "            acc.s + x.n * 1000000L - mu_micro - mu_micro div 4),"
+                "   array_append(acc.out, named_struct('day', x.day, 'n', x.n,"
+                "     's', greatest(cast(0 as bigint),"
+                "              acc.s + x.n * 1000000L - mu_micro"
+                "              - mu_micro div 4)))),"
+                " acc -> acc.out)"
+            ).alias("rows")
+        )
+    )
+    return folded.select(
+        "event_type",
+        F.explode("rows").alias("r"),
+        F.col("mu_micro"),
+    ).select(
+        "event_type",
+        F.col("r.day").alias("day"),
+        F.col("r.n").alias("n"),
+        F.round(F.col("r.s") / 1e6, 6).alias("cusum"),
+        (F.col("r.s") > 2 * F.col("mu_micro")).alias("alarm"),
+    )

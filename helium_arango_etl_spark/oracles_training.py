@@ -3003,3 +3003,38 @@ ORACLE_TRAINING["term_burstiness"] = f"""
                    AS burstiness
         FROM ag CROSS JOIN nd
     """
+
+
+# ---------- CUSUM daily-rate changepoint detection ----------
+
+ORACLE_TRAINING["cusum_daily_counts"] = f"""
+        WITH RECURSIVE daily AS (
+          SELECT event_type, epoch_us(ts) // {86_400 * 1_000_000} AS day,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY event_type, epoch_us(ts) // {86_400 * 1_000_000}
+        ), stats AS (
+          SELECT event_type,
+                 CAST(round(sum(n) * 1000000.0 / count(*)) AS BIGINT) AS mu_micro
+          FROM daily GROUP BY event_type
+        ), seq AS (
+          SELECT d.event_type, d.day, d.n, s.mu_micro,
+                 row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+                     AS r
+          FROM daily d JOIN stats s USING (event_type)
+        ), cus AS (
+          SELECT event_type, day, n, mu_micro, r,
+                 greatest(CAST(0 AS BIGINT),
+                          n * 1000000 - mu_micro - mu_micro // 4) AS s
+          FROM seq WHERE r = 1
+          UNION ALL
+          SELECT q.event_type, q.day, q.n, q.mu_micro, q.r,
+                 greatest(CAST(0 AS BIGINT),
+                          c.s + q.n * 1000000 - q.mu_micro - q.mu_micro // 4)
+          FROM seq q JOIN cus c ON c.event_type = q.event_type
+                                AND q.r = c.r + 1
+        )
+        SELECT event_type, day, n,
+               round(s / 1e6, 6) AS cusum,
+               s > 2 * mu_micro AS alarm
+        FROM cus
+    """

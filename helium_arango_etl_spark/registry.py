@@ -2006,6 +2006,7 @@ QUERIES["k_anonymity_audit"] = R.k_anonymity_audit
 QUERIES["top_session_paths"] = TP.top_session_paths
 QUERIES["fulfillment_latency"] = TP.fulfillment_latency
 QUERIES["term_burstiness"] = T.term_burstiness
+QUERIES["cusum_daily_counts"] = RG.cusum_daily_counts
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
