@@ -466,3 +466,26 @@ def compact_parquet(
     out = df.coalesce(files) if cur >= files else df.repartition(files)
     out.write.mode("overwrite").parquet(out_path)
     return files
+
+
+def read_jsonl_table(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Scan a JSON-lines table with a CALLER-SUPPLIED schema — the
+    second source format beside parquet/JDBC (raw event feeds and API
+    dumps usually land as JSONL before compaction).
+
+    The explicit schema is the 100 TB discipline: without it Spark runs
+    a full inference pre-pass over every file (doubling the scan) and
+    silently widens types per run; with it the read is one pass with a
+    stable schema, and malformed lines land in the standard
+    ``_corrupt_record`` behavior (PERMISSIVE) instead of failing the job.
+    Column pruning still applies (JSON parsing skips unrequested fields);
+    predicate pushdown does not (no row-group stats) — which is exactly
+    why the compaction pass (`compact_parquet`) rewrites JSONL landings
+    to parquet before heavy querying.
+    """
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """Write a DataFrame as JSON-lines (the interchange/landing format)."""
+    df.write.mode("overwrite").json(path)
