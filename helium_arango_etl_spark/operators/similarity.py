@@ -1386,3 +1386,121 @@ def embedding_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr(zmax) / 1e6, 6).alias("max_abs_z"),
         )
     )
+
+
+# power iteration for the top principal component: fixed iterations with
+# 6dp-quantized state per step (the Lloyd-fit discipline) — an iterative
+# float algorithm made oracle-checkable
+PCA_ITERS = 3
+
+
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration — the dimensionality-reduction family's representative
+    (whitening's audit told you the scales; this tells you the dominant
+    direction, the first step of PCA compression and a drift fingerprint
+    between corpus snapshots).
+
+    Determinism: the covariance numerator n·Σxᵢxⱼ − Σxᵢ·Σxⱼ accumulates
+    in exact integer MILLI-unit products (overflow-sized for 100k-row
+    corpora; partition-order-proof); each matvec/norm is a sequential
+    fold over dimension-ORDERED arrays (the COSINE discipline — both
+    engines fold left-to-right over identical lists); the iterate
+    re-quantizes to 6dp each step, so all PCA_ITERS states are
+    bit-reproducible.  Sign is fixed by making the largest-|loading|
+    component positive (eigenvectors are sign-ambiguous).
+
+    Scale shape: the DIM² covariance cells accumulate with map-side
+    combine (bounded state, like the dim-stats pass); iterations operate
+    on DIM rows with the 1-row DIM-array iterate broadcast — corpus is
+    scanned once for the covariance, never again; the loop is
+    orchestration-only (localCheckpointed 1-row state, no driver
+    collect).
+    """
+    emb = embedding_table(spark, sf_dir)
+    milli = emb.select(
+        F.expr("transform(v64, x -> cast(round(x * 1000) as bigint))").alias("xs")
+    )
+    sums = (
+        milli.select(F.posexplode("xs").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        milli.select(F.posexplode("xs").alias("i", "x"), F.col("xs"))
+        .select("i", "x", F.posexplode("xs").alias("j", "y"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.expr("x * y")).alias("sxy"))
+    )
+    si = sums.select(F.col("i"), F.col("sx").alias("sxi"), "n")
+    sj = sums.select(F.col("i").alias("j"), F.col("sx").alias("sxj"))
+    cov_rows = (
+        pairs.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            "i", "j",
+            F.expr("cast(n * sxy - sxi * sxj as double)").alias("c"),
+        )
+        .groupBy("i")
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(j, c))), s -> s.c)")
+            .alias("crow")
+        )
+    ).localCheckpoint()
+    init = ", ".join([str(round(1.0 / DIM**0.5, 6))] * DIM)
+    vrow = spark.range(1).select(F.expr(f"array({init})").alias("vv"))
+    dot = (
+        "aggregate(zip_with(crow, vv, (a, b) -> a * b),"
+        " cast(0 as double), (acc, t) -> acc + t)"
+    )
+    nrm = (
+        "sqrt(aggregate(transform(ws, x -> x * x), cast(0 as double),"
+        " (acc, t) -> acc + t))"
+    )
+    for _ in range(PCA_ITERS):
+        w = cov_rows.crossJoin(F.broadcast(vrow)).select(
+            "i", F.expr(dot).alias("w")
+        )
+        vrow = (
+            w.groupBy()
+            .agg(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(i, w))), s -> s.w)"
+                ).alias("ws")
+            )
+            .select(F.expr(f"transform(ws, x -> round(x / ({nrm}), 6))").alias("vv"))
+            .localCheckpoint()
+        )
+    lam = (
+        cov_rows.crossJoin(F.broadcast(vrow))
+        .select("i", F.expr(dot).alias("w"), F.col("vv"))
+        .groupBy()
+        .agg(
+            F.expr(
+                "aggregate(zip_with("
+                "transform(sort_array(collect_list(struct(i, w))), s -> s.w),"
+                " any_value(vv), (a, b) -> a * b),"
+                " cast(0 as double), (acc, t) -> acc + t)"
+            ).alias("lam")
+        )
+    )
+    out = (
+        cov_rows.select("i")
+        .crossJoin(F.broadcast(vrow))
+        .crossJoin(F.broadcast(lam))
+        .select(
+            F.col("i").cast("int").alias("dim"),
+            F.expr("round(element_at(vv, cast(i as int) + 1), 6)").alias("loading"),
+            F.round(F.expr("lam / 1e12"), 4).alias("eigenvalue_scaled"),
+        )
+    )
+    sign = (
+        out.orderBy(F.abs(F.col("loading")).desc(), F.col("dim").asc())
+        .limit(1)
+        .select(F.expr("IF(loading < 0, -1.0, 1.0)").alias("sg"))
+    )
+    return out.crossJoin(F.broadcast(sign)).select(
+        "dim",
+        F.round(F.col("loading") * F.col("sg"), 6).alias("loading"),
+        "eigenvalue_scaled",
+    )

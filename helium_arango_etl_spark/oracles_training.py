@@ -3038,3 +3038,81 @@ ORACLE_TRAINING["cusum_daily_counts"] = f"""
                s > 2 * mu_micro AS alarm
         FROM cus
     """
+
+
+# ---------- top principal component (unrolled power iteration) ----------
+
+from .operators.similarity import PCA_ITERS  # noqa: E402
+
+
+def _toppc_sql() -> str:
+    d = DIM
+    init = ", ".join([str(round(1.0 / d**0.5, 6))] * d)
+    matvec = f"list_transform(range(1, {d + 1}), k -> crow[k] * vv[k])"
+    parts = [f"""
+        WITH m AS (
+          SELECT vec_id,
+                 list_transform({_CAST64},
+                                x -> CAST(round(x * 1000) AS BIGINT)) AS xs
+          FROM embeddings
+        ), ex AS (
+          SELECT vec_id, unnest(xs) AS x, unnest(range(0, {d})) AS i FROM m
+        ), sums AS (
+          SELECT i, CAST(sum(x) AS BIGINT) AS sx, CAST(count(*) AS BIGINT) AS n
+          FROM ex GROUP BY i
+        ), pr AS (
+          SELECT a.i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+          FROM ex a JOIN ex b USING (vec_id) GROUP BY a.i, b.i
+        ), cov AS (
+          SELECT p.i, p.j,
+                 CAST(si.n * p.sxy - si.sx * sj.sx AS DOUBLE) AS c
+          FROM pr p
+          JOIN sums si ON si.i = p.i
+          JOIN sums sj ON sj.i = p.j
+        ), crows AS (
+          SELECT i, list(c ORDER BY j) AS crow FROM cov GROUP BY i
+        ), v0 AS (
+          SELECT [{init}] AS vv
+        )"""]
+    for it in range(1, PCA_ITERS + 1):
+        p = it - 1
+        parts.append(f"""
+        , w{it} AS (
+          SELECT c.i,
+                 list_sum({matvec.replace("vv[k]", f"v.vv[k]")}) AS w
+          FROM crows c CROSS JOIN v{p} v
+        ), a{it} AS (
+          SELECT list(w ORDER BY i) AS ws FROM w{it}
+        ), v{it} AS (
+          SELECT list_transform(ws, x -> round(x /
+                   sqrt(list_sum(list_transform(ws, y -> y * y))), 6)) AS vv
+          FROM a{it}
+        )""")
+    last = f"v{PCA_ITERS}"
+    parts.append(f"""
+        , wf AS (
+          SELECT c.i, list_sum({matvec.replace("vv[k]", f"v.vv[k]")}) AS w
+          FROM crows c CROSS JOIN {last} v
+        ), lamt AS (
+          SELECT list_sum(list_transform(range(1, {d + 1}),
+                   k -> a.ws[k] * v.vv[k])) AS lam
+          FROM (SELECT list(w ORDER BY i) AS ws FROM wf) a
+          CROSS JOIN {last} v
+        ), outp AS (
+          SELECT CAST(c.i AS INT) AS dim,
+                 round(v.vv[CAST(c.i AS INT) + 1], 6) AS loading,
+                 round(l.lam / 1e12, 4) AS eigenvalue_scaled
+          FROM crows c CROSS JOIN {last} v CROSS JOIN lamt l
+        ), sg AS (
+          SELECT CASE WHEN loading < 0 THEN -1.0 ELSE 1.0 END AS sg
+          FROM (SELECT loading, row_number() OVER (
+                  ORDER BY abs(loading) DESC, dim ASC) AS r FROM outp)
+          WHERE r = 1
+        )
+        SELECT dim, round(loading * sg.sg, 6) AS loading, eigenvalue_scaled
+        FROM outp CROSS JOIN sg
+    """)
+    return "".join(parts)
+
+
+ORACLE_TRAINING["embedding_top_pc"] = _toppc_sql()

@@ -2007,6 +2007,7 @@ QUERIES["top_session_paths"] = TP.top_session_paths
 QUERIES["fulfillment_latency"] = TP.fulfillment_latency
 QUERIES["term_burstiness"] = T.term_burstiness
 QUERIES["cusum_daily_counts"] = RG.cusum_daily_counts
+QUERIES["embedding_top_pc"] = S.embedding_top_pc
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
