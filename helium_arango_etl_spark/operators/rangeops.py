@@ -826,3 +826,69 @@ def cusum_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("r.s") / 1e6, 6).alias("cusum"),
         (F.col("r.s") > 2 * F.col("mu_micro")).alias("alarm"),
     )
+
+
+def ewma_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (Roberts 1959) per event type over daily
+    counts — the smoothed companion of CUSUM: E_t = λ·n_t + (1−λ)·E_{t−1}
+    with λ = 0.2, alarming outside μ ± 3σ·√(λ/(2−λ)).  EWMA reacts to
+    small sustained shifts; CUSUM to accumulated ones; production
+    monitoring runs both.
+
+    Determinism: the recurrence runs in integer micro-units with MILLI
+    weights — E_t = (200·x + 800·E_{t−1}) div 1000 — exact bigint all
+    the way; μ and the σ band derive from exact integer sums (variance
+    numerator n·Σx²−(Σx)², one sqrt), band compare in micro-units.
+
+    Scale shape: same days-sized fold per type as `cusum_daily_counts`.
+    """
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {86_400 * 1_000_000}").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.expr("cast(round(sum(n) * 1000000.0 / count(*)) as bigint)").alias(
+            "mu_micro"
+        ),
+        F.expr(
+            "cast(round(sqrt(cast(count(*) * sum(n * n) - sum(n) * sum(n)"
+            " as double)) / count(*) * 1000000"
+            " * sqrt(0.2 / 1.8) * 3) as bigint)"
+        ).alias("band_micro"),
+    )
+    folded = (
+        daily.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "mu_micro", "band_micro")
+        .agg(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(day, n))),"
+                " struct(cast(-1 as bigint) as e,"
+                "        cast(array() as array<struct<day: bigint, n: bigint,"
+                "                                     e: bigint>>) as out),"
+                " (acc, x) -> struct("
+                "   IF(acc.e < 0, x.n * 1000000L,"
+                "      (200 * x.n * 1000000L + 800 * acc.e) div 1000),"
+                "   array_append(acc.out, named_struct('day', x.day, 'n', x.n,"
+                "     'e', IF(acc.e < 0, x.n * 1000000L,"
+                "             (200 * x.n * 1000000L + 800 * acc.e) div 1000)))),"
+                " acc -> acc.out)"
+            ).alias("rows")
+        )
+    )
+    return folded.select(
+        "event_type", "mu_micro", "band_micro", F.explode("rows").alias("r")
+    ).select(
+        "event_type",
+        F.col("r.day").alias("day"),
+        F.col("r.n").alias("n"),
+        F.round(F.col("r.e") / 1e6, 6).alias("ewma"),
+        (
+            (F.col("r.e") > F.col("mu_micro") + F.col("band_micro"))
+            | (F.col("r.e") < F.col("mu_micro") - F.col("band_micro"))
+        ).alias("alarm"),
+    )

@@ -3116,3 +3116,36 @@ def _toppc_sql() -> str:
 
 
 ORACLE_TRAINING["embedding_top_pc"] = _toppc_sql()
+
+
+ORACLE_TRAINING["ewma_daily_counts"] = f"""
+        WITH RECURSIVE daily AS (
+          SELECT event_type, epoch_us(ts) // {86_400 * 1_000_000} AS day,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY event_type, epoch_us(ts) // {86_400 * 1_000_000}
+        ), stats AS (
+          SELECT event_type,
+                 CAST(round(sum(n) * 1000000.0 / count(*)) AS BIGINT) AS mu_micro,
+                 CAST(round(sqrt(CAST(count(*) * sum(n * n) - sum(n) * sum(n)
+                                      AS DOUBLE)) / count(*) * 1000000
+                            * sqrt(0.2 / 1.8) * 3) AS BIGINT) AS band_micro
+          FROM daily GROUP BY event_type
+        ), seq AS (
+          SELECT d.event_type, d.day, d.n, s.mu_micro, s.band_micro,
+                 row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+                     AS r
+          FROM daily d JOIN stats s USING (event_type)
+        ), ew AS (
+          SELECT event_type, day, n, mu_micro, band_micro, r,
+                 n * 1000000 AS e
+          FROM seq WHERE r = 1
+          UNION ALL
+          SELECT q.event_type, q.day, q.n, q.mu_micro, q.band_micro, q.r,
+                 (200 * q.n * 1000000 + 800 * c.e) // 1000
+          FROM seq q JOIN ew c ON c.event_type = q.event_type AND q.r = c.r + 1
+        )
+        SELECT event_type, day, n,
+               round(e / 1e6, 6) AS ewma,
+               e > mu_micro + band_micro OR e < mu_micro - band_micro AS alarm
+        FROM ew
+    """

@@ -2008,6 +2008,7 @@ QUERIES["fulfillment_latency"] = TP.fulfillment_latency
 QUERIES["term_burstiness"] = T.term_burstiness
 QUERIES["cusum_daily_counts"] = RG.cusum_daily_counts
 QUERIES["embedding_top_pc"] = S.embedding_top_pc
+QUERIES["ewma_daily_counts"] = RG.ewma_daily_counts
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
