@@ -892,3 +892,91 @@ def ewma_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("r.e") < F.col("mu_micro") - F.col("band_micro"))
         ).alias("alarm"),
     )
+
+
+# integral division for the smoothing recurrences: Spark's `div` and
+# DuckDB's `//` BOTH truncate toward zero (verified: -3 // 2 = -1 in
+# DuckDB), so the trend term's negative values divide identically
+def _fdiv(expr: str, d: int) -> str:
+    return f"(({expr}) div {d})"
+
+
+def holt_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend backtest per event type (double exponential
+    smoothing, α = β = 0.2): one-step-ahead forecast f_t = L_{t−1} +
+    T_{t−1} with L_t = α·x_t + (1−α)(L_{t−1}+T_{t−1}), T_t =
+    β(L_t − L_{t−1}) + (1−β)T_{t−1} — the trend-aware rung between the
+    naive and seasonal baselines (`seasonal_forecast_error`); its MASE
+    says whether momentum-with-trend beats pure momentum.
+
+    Determinism: both recurrences run in integer micro-units with milli
+    weights and truncating integral division (Spark `div` == DuckDB `//`,
+    both toward zero — including the trend term's negative values);
+    error sums are exact integers, floor-quantized to the 6dp grid.
+
+    Scale shape: the same days-sized fold per type as the CUSUM/EWMA
+    charts; output is |event_types| rows.
+    """
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {86_400 * 1_000_000}").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    lnew = _fdiv("200 * x.n * 1000000L + 800 * (acc.l + acc.t)", 1000)
+    tnext = _fdiv(f"200 * (({lnew}) - acc.l) + 800 * acc.t", 1000)
+    fold = (
+        "aggregate(sort_array(collect_list(struct(day, n))),"
+        " struct(cast(-1 as bigint) as l, cast(0 as bigint) as t,"
+        "        cast(0 as bigint) as sae, cast(0 as bigint) as k),"
+        " (acc, x) -> IF(acc.l < 0,"
+        "   named_struct('l', x.n * 1000000L, 't', cast(0 as bigint),"
+        "                'sae', acc.sae, 'k', acc.k),"
+        f"  named_struct('l', {lnew}, 't', {tnext},"
+        "          'sae', acc.sae + abs(x.n * 1000000L - (acc.l + acc.t)),"
+        "          'k', acc.k + 1L)),"
+        " acc -> acc)"
+    )
+    naive = (
+        "aggregate(slice(ns, 2, size(ns) - 1),"
+        " struct(element_at(ns, 1) as prev, cast(0 as bigint) as s),"
+        " (acc, x) -> struct(x, acc.s + abs(x - acc.prev)),"
+        " acc -> acc.s)"
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr(fold).alias("h"),
+            F.expr(
+                "transform(sort_array(collect_list(struct(day, n))), s -> s.n)"
+            ).alias("ns"),
+        )
+        .select(
+            "event_type",
+            F.col("h.k").alias("n_scored"),
+            # quantize each MAE to integer micro BEFORE the 6dp surface —
+            # with FLOOR, not round: sae/k can land exactly on a decimal
+            # .5, where Spark rounds the double's shortest decimal string
+            # (HALF_UP on "….5") while DuckDB rounds the binary value —
+            # floor is representation-independent on both engines
+            F.expr("cast(floor(h.sae / cast(h.k as double)) as bigint)").alias(
+                "hm_micro"
+            ),
+            F.expr(
+                f"cast(floor(({naive}) * 1e6 / cast(size(ns) - 1 as double))"
+                " as bigint)"
+            ).alias("nm_micro"),
+        )
+        .select(
+            "event_type",
+            "n_scored",
+            F.round(F.col("hm_micro") / 1e6, 6).alias("holt_mae"),
+            F.round(F.col("nm_micro") / 1e6, 6).alias("naive_mae"),
+            F.round(
+                F.expr("hm_micro / cast(nm_micro as double)"), 6
+            ).alias("holt_mase"),
+        )
+    )

@@ -3149,3 +3149,47 @@ ORACLE_TRAINING["ewma_daily_counts"] = f"""
                e > mu_micro + band_micro OR e < mu_micro - band_micro AS alarm
         FROM ew
     """
+
+
+ORACLE_TRAINING["holt_forecast_error"] = f"""
+        WITH RECURSIVE daily AS (
+          SELECT event_type, epoch_us(ts) // {86_400 * 1_000_000} AS day,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY event_type, epoch_us(ts) // {86_400 * 1_000_000}
+        ), seq AS (
+          SELECT event_type, day, n,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day) AS r,
+                 count(*) OVER (PARTITION BY event_type) AS days
+          FROM daily
+        ), holt AS (
+          SELECT event_type, r, days,
+                 n * 1000000 AS l, CAST(0 AS BIGINT) AS t,
+                 CAST(0 AS BIGINT) AS sae, CAST(0 AS BIGINT) AS k,
+                 CAST(0 AS BIGINT) AS nsae, n AS prev_n
+          FROM seq WHERE r = 1
+          UNION ALL
+          SELECT q.event_type, q.r, q.days,
+                 (200 * q.n * 1000000 + 800 * (h.l + h.t)) // 1000,
+                 (200 * ((200 * q.n * 1000000 + 800 * (h.l + h.t)) // 1000 - h.l)
+                  + 800 * h.t) // 1000,
+                 h.sae + abs(q.n * 1000000 - (h.l + h.t)),
+                 h.k + 1,
+                 h.nsae + abs(q.n - h.prev_n),
+                 q.n
+          FROM seq q JOIN holt h ON h.event_type = q.event_type AND q.r = h.r + 1
+        ), last AS (
+          SELECT event_type, sae, k, nsae
+          FROM holt WHERE r = days
+        )
+        SELECT event_type,
+               k AS n_scored,
+               round(hm_micro / 1e6, 6) AS holt_mae,
+               round(nm_micro / 1e6, 6) AS naive_mae,
+               round(hm_micro / CAST(nm_micro AS DOUBLE), 6) AS holt_mase
+        FROM (
+          SELECT event_type, k,
+                 CAST(floor(sae / CAST(k AS DOUBLE)) AS BIGINT) AS hm_micro,
+                 CAST(floor(nsae * 1e6 / CAST(k AS DOUBLE)) AS BIGINT) AS nm_micro
+          FROM last
+        )
+    """

@@ -2009,6 +2009,7 @@ QUERIES["term_burstiness"] = T.term_burstiness
 QUERIES["cusum_daily_counts"] = RG.cusum_daily_counts
 QUERIES["embedding_top_pc"] = S.embedding_top_pc
 QUERIES["ewma_daily_counts"] = RG.ewma_daily_counts
+QUERIES["holt_forecast_error"] = RG.holt_forecast_error
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
