@@ -576,7 +576,9 @@ def price_quantity_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",
-        F.expr("cast(l_extendedprice * 100 as bigint)").alias("price_c"),
+        # round(), not bare cast: the DOUBLE's ×100 sits ulps under the
+        # integer and Spark's cast truncates while DuckDB's rounds
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("price_c"),
         F.expr("cast(l_quantity as bigint)").alias("qty"),
     )
     base = Window.partitionBy("l_returnflag").orderBy("price_c")

@@ -986,3 +986,55 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_sensitive") >= L_DIV).alias("l_diverse"),
         )
     )
+
+
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue,
+    classified A/B/C at 80% / 95% cumulative share — the classic
+    supply-chain segmentation ("20% of parts drive 80% of revenue")
+    deciding stocking policy per class.
+
+    Determinism: revenue sums on exact DECIMAL cents; the cumulative
+    share compares as exact integer cross-products (cum·100 vs total·80
+    — no float share ever computed before the output column); rank ties
+    break on partkey.
+
+    Scale shape: one keyed revenue aggregation; the cumulative window
+    runs over the |parts| rollup ordered by (revenue, partkey) — the
+    rollup is dimension-sized, not fact-sized (a production run with a
+    huge part dimension uses the two-level bucket-carry rank exactly as
+    balance_deciles documents).
+    """
+    from pyspark.sql import Window
+
+    rev = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            # price is a DOUBLE whose ×100 sits a few ulps under the true
+            # integer — round() (both engines agree far from .5) not cast
+            # (Spark truncates, DuckDB rounds: a 3-cent corpus-wide drift)
+            F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("cents"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").alias("rev_c"))
+    )
+    tot = rev.agg(F.sum("rev_c").alias("total_c"))
+    w = (
+        Window.orderBy(F.col("rev_c").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.withColumn("cum_c", F.sum("rev_c").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            F.col("rev_c").cast("bigint").alias("revenue_cents"),
+            F.expr(
+                "CASE WHEN cum_c * 100 <= total_c * 80 THEN 'A'"
+                " WHEN cum_c * 100 <= total_c * 95 THEN 'B'"
+                " ELSE 'C' END"
+            ).alias("abc_class"),
+            F.round(F.expr("cum_c / cast(total_c as double)"), 6).alias("cum_share"),
+        )
+    )

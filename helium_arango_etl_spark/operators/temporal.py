@@ -895,3 +895,65 @@ def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a_version").alias("version"),
         )
     )
+
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: per first-seen-day cohort, the CUMULATIVE mean
+    purchase spend per user at each day offset — the revenue companion
+    of `cohort_retention` (retention says who comes back; LTV says what
+    coming back is worth, the payback-period curve acquisition spend is
+    judged against).
+
+    Determinism: spend sums are exact integer cents; the cumulative sum
+    runs over the bounded (cohort, offset) grid; cohort sizes are exact
+    counts; one division per cell rounded 6dp.
+
+    Scale shape: identical join graph to cohort_retention plus one
+    money column; the cumulative window runs per cohort over ≤ |days|
+    rows of the GRID, never over events.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+    )
+    first_seen = (
+        ev.select("user_id", "day")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+    )
+    sizes = first_seen.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("cohort_n")
+    )
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+            "cents",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.sum("cents").alias("c"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spend.withColumn("cum_c", F.sum("c").over(w))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            F.col("c").cast("bigint").alias("spend_cents"),
+            F.col("cum_c").cast("bigint").alias("cum_spend_cents"),
+            F.col("cohort_n").cast("bigint").alias("cohort_n"),
+            F.round(
+                F.expr("cum_c / cast(cohort_n as double) / 100"), 6
+            ).alias("ltv_per_user"),
+        )
+    )

@@ -2468,7 +2468,7 @@ ORACLE_TRAINING["bloom_semi_join_audit"] = _bloom_sql()
 ORACLE_TRAINING["price_quantity_skyline"] = """
         WITH li AS (
           SELECT l_returnflag, l_orderkey, l_linenumber,
-                 CAST(l_extendedprice * 100 AS BIGINT) AS price_c,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
                  CAST(l_quantity AS BIGINT) AS qty
           FROM lineitem
         ), w AS (
@@ -3192,4 +3192,62 @@ ORACLE_TRAINING["holt_forecast_error"] = f"""
                  CAST(floor(nsae * 1e6 / CAST(k AS DOUBLE)) AS BIGINT) AS nm_micro
           FROM last
         )
+    """
+
+
+# ---------- cohort LTV + ABC classification ----------
+
+ORACLE_TRAINING["cohort_ltv"] = """
+        WITH ev AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), fs AS (
+          SELECT user_id, min(day) AS cohort_day
+          FROM (SELECT DISTINCT user_id, day FROM ev) GROUP BY user_id
+        ), sizes AS (
+          SELECT cohort_day, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_n
+          FROM fs GROUP BY cohort_day
+        ), spend AS (
+          SELECT f.cohort_day,
+                 CAST(date_diff('day', f.cohort_day, e.day) AS BIGINT)
+                     AS day_offset,
+                 CAST(sum(e.cents) AS BIGINT) AS c
+          FROM ev e JOIN fs f USING (user_id)
+          WHERE e.event_type = 'purchase'
+          GROUP BY f.cohort_day, date_diff('day', f.cohort_day, e.day)
+        ), cum AS (
+          SELECT cohort_day, day_offset, c,
+                 CAST(sum(c) OVER (PARTITION BY cohort_day ORDER BY day_offset)
+                      AS BIGINT) AS cum_c
+          FROM spend
+        )
+        SELECT cum.cohort_day, cum.day_offset,
+               cum.c AS spend_cents, cum.cum_c AS cum_spend_cents,
+               s.cohort_n,
+               round(cum.cum_c / CAST(s.cohort_n AS DOUBLE) / 100, 6)
+                   AS ltv_per_user
+        FROM cum JOIN sizes s USING (cohort_day)
+    """
+
+ORACLE_TRAINING["abc_classification"] = """
+        WITH rev AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                     AS rev_c
+          FROM lineitem GROUP BY l_partkey
+        ), tot AS (
+          SELECT CAST(sum(rev_c) AS BIGINT) AS total_c FROM rev
+        ), cum AS (
+          SELECT l_partkey, rev_c,
+                 CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey ASC)
+                      AS BIGINT) AS cum_c
+          FROM rev
+        )
+        SELECT l_partkey, rev_c AS revenue_cents,
+               CASE WHEN cum_c * 100 <= total_c * 80 THEN 'A'
+                    WHEN cum_c * 100 <= total_c * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               round(cum_c / CAST(total_c AS DOUBLE), 6) AS cum_share
+        FROM cum CROSS JOIN tot
     """

@@ -2010,6 +2010,8 @@ QUERIES["cusum_daily_counts"] = RG.cusum_daily_counts
 QUERIES["embedding_top_pc"] = S.embedding_top_pc
 QUERIES["ewma_daily_counts"] = RG.ewma_daily_counts
 QUERIES["holt_forecast_error"] = RG.holt_forecast_error
+QUERIES["cohort_ltv"] = TP.cohort_ltv
+QUERIES["abc_classification"] = R.abc_classification
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""

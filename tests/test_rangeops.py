@@ -95,7 +95,7 @@ def test_skyline_equals_naive_dominance(spark, sf_dir):
             "l_returnflag",
             "l_orderkey",
             "l_linenumber",
-            F.expr("cast(l_extendedprice * 100 as bigint)").alias("price_c"),
+            F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("price_c"),
             F.expr("cast(l_quantity as bigint)").alias("qty"),
         )
         .collect()
