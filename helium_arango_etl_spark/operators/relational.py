@@ -1038,3 +1038,46 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("cum_c / cast(total_c as double)"), 6).alias("cum_share"),
         )
     )
+
+
+TRIPLE_MIN_SUPPORT = 2
+
+
+def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets — the Apriori tier above `co_purchase_pairs`:
+    part triples sharing at least TRIPLE_MIN_SUPPORT orders, with
+    support.  Pairwise lift finds bundles of two; the triple tier is
+    where planogram/bundle analysis usually stops (4+-itemsets are
+    support-starved).
+
+    Scale shape: in-basket triple generation from the sorted member
+    array — C(k,3) per basket, bounded by basket size exactly like the
+    pair generator (never a 3-way self-join of the fact table); one
+    keyed count on the (a, b, c) triple.
+    """
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 3)
+    )
+    triple_gen = (
+        "flatten(flatten(transform(ps, (a, i) ->"
+        " transform(slice(ps, i + 2, size(ps) - i - 1), (b, j) ->"
+        " transform(slice(ps, i + j + 3, size(ps) - i - j - 2),"
+        " c -> struct(a AS pa, b AS pb, c AS pc))))))"
+    )
+    return (
+        baskets.select(F.explode(F.expr(triple_gen)).alias("t"))
+        .groupBy(
+            F.col("t.pa").alias("part_a"),
+            F.col("t.pb").alias("part_b"),
+            F.col("t.pc").alias("part_c"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= TRIPLE_MIN_SUPPORT)
+    )

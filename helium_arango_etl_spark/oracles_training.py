@@ -3251,3 +3251,22 @@ ORACLE_TRAINING["abc_classification"] = """
                round(cum_c / CAST(total_c AS DOUBLE), 6) AS cum_share
         FROM cum CROSS JOIN tot
     """
+
+
+# ---------- frequent 3-itemsets ----------
+
+from .operators.relational import TRIPLE_MIN_SUPPORT  # noqa: E402
+
+ORACLE_TRAINING["frequent_triples"] = f"""
+        WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        )
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               c.l_partkey AS part_c,
+               CAST(count(*) AS BIGINT) AS support
+        FROM li a
+        JOIN li b ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+        JOIN li c ON c.l_orderkey = a.l_orderkey AND c.l_partkey > b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey, c.l_partkey
+        HAVING count(*) >= {TRIPLE_MIN_SUPPORT}
+    """

@@ -2012,6 +2012,7 @@ QUERIES["ewma_daily_counts"] = RG.ewma_daily_counts
 QUERIES["holt_forecast_error"] = RG.holt_forecast_error
 QUERIES["cohort_ltv"] = TP.cohort_ltv
 QUERIES["abc_classification"] = R.abc_classification
+QUERIES["frequent_triples"] = R.frequent_triples
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
