@@ -982,3 +982,41 @@ def holt_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("holt_mase"),
         )
     )
+
+
+def quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) transform of event values per event type — the
+    scikit-learn QuantileTransformer's data stage: each value maps to
+    its empirical percentile, making any downstream model see a uniform
+    marginal regardless of the raw distribution's shape.
+
+    Determinism: ranks are exact integers from rank() over (cents,
+    event_id is NOT in the order — ties share a rank, the standard
+    percent_rank semantics); pct = (rank − 1)/(n − 1) is one division of
+    exact integers rounded 6dp.
+
+    Scale shape: one keyed window per event_type (bounded group count
+    here; a high-cardinality version uses the two-level bucket-carry
+    rank exactly as balance_deciles documents).
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    return (
+        ev.withColumn("rk", F.rank().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .select(
+            "event_id",
+            "event_type",
+            "cents",
+            F.round(
+                F.expr("(rk - 1) / cast(n - 1 as double)"), 6
+            ).alias("pct_rank"),
+        )
+    )

@@ -1232,3 +1232,35 @@ def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("burstiness"),
         )
     )
+
+
+KWIC_TERM = "spark"
+KWIC_WINDOW = 3
+
+
+def kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance for KWIC_TERM: every occurrence
+    with its ±KWIC_WINDOW-token context window — the corpus-inspection
+    surface behind search snippets and linguistic audits (the retrieval
+    ops say WHICH docs; this shows HOW the term is used).
+
+    Scale shape: per-row array ops (posexplode over the token array,
+    filter to the term, slice the context) — one fan-out bounded by
+    per-doc term frequency, zero joins; the term filter lands before
+    anything widens.
+    """
+    w = KWIC_WINDOW
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
+    return (
+        docs.select("doc_id", "t", F.posexplode("t").alias("pos", "tok"))
+        .filter(F.col("tok") == KWIC_TERM)
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.expr(
+                f"array_join(slice(t, greatest(pos + 1 - {w}, 1),"
+                f" least(pos, {w})), ' ')"
+            ).alias("left_ctx"),
+            F.expr(f"array_join(slice(t, pos + 2, {w}), ' ')").alias("right_ctx"),
+        )
+    )

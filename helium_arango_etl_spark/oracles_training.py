@@ -3270,3 +3270,40 @@ ORACLE_TRAINING["frequent_triples"] = f"""
         GROUP BY a.l_partkey, b.l_partkey, c.l_partkey
         HAVING count(*) >= {TRIPLE_MIN_SUPPORT}
     """
+
+
+# ---------- quantile transform + KWIC concordance ----------
+
+from .operators.textops import KWIC_TERM, KWIC_WINDOW  # noqa: E402
+
+ORACLE_TRAINING["quantile_transform"] = """
+        WITH ev AS (
+          SELECT event_id, event_type,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT event_id, event_type, cents,
+               round((rank() OVER (PARTITION BY event_type ORDER BY cents) - 1)
+                     / CAST(count(*) OVER (PARTITION BY event_type) - 1
+                            AS DOUBLE), 6) AS pct_rank
+        FROM ev
+    """
+
+ORACLE_TRAINING["kwic_concordance"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+        ), ex AS (
+          SELECT doc_id, t, unnest(t) AS tok,
+                 unnest(range(0, len(t))) AS pos
+          FROM toks
+        )
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               coalesce(array_to_string(t[greatest(pos + 1 - {KWIC_WINDOW}, 1)
+                                 : greatest(pos + 1 - {KWIC_WINDOW}, 1)
+                                   + least(pos, {KWIC_WINDOW}) - 1], ' '), '')
+                   AS left_ctx,
+               coalesce(array_to_string(t[pos + 2 : pos + 1 + {KWIC_WINDOW}],
+                                        ' '), '')
+                   AS right_ctx
+        FROM ex WHERE tok = '{KWIC_TERM}'
+    """

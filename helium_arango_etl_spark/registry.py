@@ -2013,6 +2013,8 @@ QUERIES["holt_forecast_error"] = RG.holt_forecast_error
 QUERIES["cohort_ltv"] = TP.cohort_ltv
 QUERIES["abc_classification"] = R.abc_classification
 QUERIES["frequent_triples"] = R.frequent_triples
+QUERIES["quantile_transform"] = RG.quantile_transform
+QUERIES["kwic_concordance"] = T.kwic_concordance
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
