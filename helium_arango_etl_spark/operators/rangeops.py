@@ -1020,3 +1020,87 @@ def quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_rank"),
         )
     )
+
+
+# deterministic Poisson bootstrap: replicate weights drawn by inverting
+# the Poisson(1) CDF on a 16-bit md5 uniform — integer thresholds both
+# engines compare identically (P(<=k) * 65536, k = 0..5, tail capped)
+BOOT_B = 20
+_POIS_T = (24109, 48218, 60281, 64291, 65296, 65497)
+
+
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean purchase value per
+    event type — assumption-free error bars, the uncertainty layer every
+    point-estimate rollup here lacks.  The Poisson(1) approximation to
+    multinomial resampling is THE distributed bootstrap (per-row weights
+    need no coordination, unlike sampling n-of-n), and drawing the
+    weights from md5 uniforms makes every replicate reproducible across
+    engines and reruns.
+
+    Determinism: weights come from integer threshold compares on a
+    16-bit hash; replicate means floor-quantize to integer micro; the
+    CI picks order statistics (2nd / 19th of BOOT_B=20) by exact rank
+    with replicate-id tie-break.
+
+    Scale shape: one explode by BOOT_B (bounded fan-out) + a keyed
+    (type, replicate) aggregation; the order-statistic window runs over
+    BOOT_B rows per type.
+    """
+    from pyspark.sql import Window
+
+    w_expr = "CASE " + " ".join(
+        f"WHEN u < {t} THEN {k}L" for k, t in enumerate(_POIS_T)
+    ) + " ELSE 6L END"
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+        )
+    )
+    reps = (
+        ev.select(
+            "event_type", "event_id", "cents",
+            F.explode(F.array(*[F.lit(b) for b in range(BOOT_B)])).alias("b"),
+        )
+        .withColumn(
+            "u",
+            F.expr(
+                "cast(conv(substring(md5(concat(cast(event_id as string), '|',"
+                " cast(b as string))), 1, 4), 16, 10) as bigint)"
+            ),
+        )
+        .withColumn("w", F.expr(w_expr))
+        .groupBy("event_type", "b")
+        .agg(
+            F.expr(
+                "cast(floor(sum(w * cents) * 1000000.0 / sum(w)) as bigint)"
+            ).alias("m_micro")
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("m_micro", "b")
+    ranked = reps.withColumn("rk", F.row_number().over(wr))
+    point = ev.groupBy("event_type").agg(
+        F.expr("cast(floor(sum(cents) * 1000000.0 / count(*)) as bigint)").alias(
+            "pt_micro"
+        )
+    )
+    lo = ranked.filter(F.col("rk") == 2).select(
+        "event_type", F.col("m_micro").alias("lo_micro")
+    )
+    hi = ranked.filter(F.col("rk") == BOOT_B - 1).select(
+        "event_type", F.col("m_micro").alias("hi_micro")
+    )
+    return (
+        point.join(lo, "event_type")
+        .join(hi, "event_type")
+        .select(
+            "event_type",
+            F.round(F.col("pt_micro") / 1e6 / 100, 6).alias("mean_value"),
+            F.round(F.col("lo_micro") / 1e6 / 100, 6).alias("ci_lo"),
+            F.round(F.col("hi_micro") / 1e6 / 100, 6).alias("ci_hi"),
+        )
+    )

@@ -3307,3 +3307,49 @@ ORACLE_TRAINING["kwic_concordance"] = f"""
                    AS right_ctx
         FROM ex WHERE tok = '{KWIC_TERM}'
     """
+
+
+# ---------- deterministic Poisson-bootstrap CI ----------
+
+from .operators.rangeops import BOOT_B, _POIS_T  # noqa: E402
+
+_BOOT_W = "CASE " + " ".join(
+    f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+) + " ELSE 6 END"
+
+ORACLE_TRAINING["bootstrap_ci"] = f"""
+        WITH ev AS (
+          SELECT event_id, event_type,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'
+        ), reps AS (
+          SELECT e.event_type, e.event_id, e.cents, b.b,
+                 ('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '|'
+                                     || CAST(b.b AS VARCHAR)), 1, 4))::BIGINT AS u
+          FROM ev e CROSS JOIN (SELECT unnest(range({BOOT_B})) AS b) b
+        ), wm AS (
+          SELECT event_type, b,
+                 CAST(floor(sum(({_BOOT_W}) * cents) * 1000000.0
+                            / sum({_BOOT_W})) AS BIGINT) AS m_micro
+          FROM reps GROUP BY event_type, b
+        ), ranked AS (
+          SELECT event_type, b, m_micro,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY m_micro, b) AS rk
+          FROM wm
+        ), pt AS (
+          SELECT event_type,
+                 CAST(floor(sum(cents) * 1000000.0 / count(*)) AS BIGINT)
+                     AS pt_micro
+          FROM ev GROUP BY event_type
+        )
+        SELECT p.event_type,
+               round(p.pt_micro / 1e6 / 100, 6) AS mean_value,
+               round(l.m_micro / 1e6 / 100, 6) AS ci_lo,
+               round(h.m_micro / 1e6 / 100, 6) AS ci_hi
+        FROM pt p
+        JOIN (SELECT event_type, m_micro FROM ranked WHERE rk = 2) l
+          USING (event_type)
+        JOIN (SELECT event_type, m_micro FROM ranked WHERE rk = {BOOT_B - 1}) h
+          USING (event_type)
+    """

@@ -2015,6 +2015,7 @@ QUERIES["abc_classification"] = R.abc_classification
 QUERIES["frequent_triples"] = R.frequent_triples
 QUERIES["quantile_transform"] = RG.quantile_transform
 QUERIES["kwic_concordance"] = T.kwic_concordance
+QUERIES["bootstrap_ci"] = RG.bootstrap_ci
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
