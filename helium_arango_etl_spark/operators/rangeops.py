@@ -1104,3 +1104,50 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("hi_micro") / 1e6 / 100, 6).alias("ci_hi"),
         )
     )
+
+
+def gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of per-user spend, per event type —
+    the inequality lens on revenue ("do five whales carry the product?"):
+    G = (2·Σ i·xᵢ)/(n·Σxᵢ) − (n+1)/n over users ranked by spend.
+
+    Determinism: per-user cent sums are exact; ranks are exact integers
+    with user_id tie-breaks; both Σ terms are exact bigints; ONE double
+    expression at the end rounded 6dp.
+
+    Scale shape: one keyed per-user aggregation, one keyed rank window
+    per type over the (users)-sized rollup, a \\|types\\|-row output.
+    """
+    from pyspark.sql import Window
+
+    per_user = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "user_id",
+            F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("cents").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    return (
+        per_user.withColumn("i", F.row_number().over(w).cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("x").alias("sx"),
+            F.sum(F.expr("i * x")).alias("six"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            F.round(
+                F.expr(
+                    "2.0 * six / (n_users * cast(sx as double))"
+                    " - (n_users + 1) / cast(n_users as double)"
+                ),
+                6,
+            ).alias("gini"),
+        )
+    )

@@ -3353,3 +3353,22 @@ ORACLE_TRAINING["bootstrap_ci"] = f"""
         JOIN (SELECT event_type, m_micro FROM ranked WHERE rk = {BOOT_B - 1}) h
           USING (event_type)
     """
+
+
+ORACLE_TRAINING["gini_by_type"] = """
+        WITH pu AS (
+          SELECT event_type, user_id,
+                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY event_type, user_id
+        ), ranked AS (
+          SELECT event_type, x,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY x, user_id) AS BIGINT) AS i
+          FROM pu
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_users,
+               round(2.0 * sum(i * x) / (count(*) * CAST(sum(x) AS DOUBLE))
+                     - (count(*) + 1) / CAST(count(*) AS DOUBLE), 6) AS gini
+        FROM ranked GROUP BY event_type
+    """

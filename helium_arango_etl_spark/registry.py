@@ -2016,6 +2016,7 @@ QUERIES["frequent_triples"] = R.frequent_triples
 QUERIES["quantile_transform"] = RG.quantile_transform
 QUERIES["kwic_concordance"] = T.kwic_concordance
 QUERIES["bootstrap_ci"] = RG.bootstrap_ci
+QUERIES["gini_by_type"] = RG.gini_by_type
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
