@@ -1151,3 +1151,38 @@ def gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: Shannon entropy (bits) of the
+    user's event-type distribution — 0 = a bot doing one thing,
+    log₂(5) ≈ 2.32 = uniform engagement; the per-user feature behind
+    engagement segmentation and bot screening.
+
+    Determinism: per-(user, type) counts are exact; each −p·log₂p term
+    quantizes to integer micro-units before the per-user sum (the
+    adamic_adar discipline), with the log argument an exact integer
+    ratio.
+
+    Scale shape: one keyed (user, type) count, folded to per-user rows;
+    output is users-sized.
+    """
+    counts = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.groupBy("user_id").agg(F.sum("c").alias("n"))
+    term = (
+        "cast(round(-(c / cast(n as double))"
+        " * log2(c / cast(n as double)) * 1000000) as bigint)"
+    )
+    return (
+        counts.join(tot, "user_id")
+        .select("user_id", "n", F.expr(term).alias("tm"))
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.round(F.sum("tm") / 1e6, 6).alias("entropy_bits"),
+        )
+    )

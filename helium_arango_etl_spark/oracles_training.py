@@ -3372,3 +3372,23 @@ ORACLE_TRAINING["gini_by_type"] = """
                      - (count(*) + 1) / CAST(count(*) AS DOUBLE), 6) AS gini
         FROM ranked GROUP BY event_type
     """
+
+
+ORACLE_TRAINING["user_behavior_entropy"] = """
+        WITH counts AS (
+          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY user_id, event_type
+        ), tot AS (
+          SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM counts
+          GROUP BY user_id
+        ), terms AS (
+          SELECT c.user_id, t.n,
+                 CAST(round(-(c.c / CAST(t.n AS DOUBLE))
+                            * log2(c.c / CAST(t.n AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS tm
+          FROM counts c JOIN tot t USING (user_id)
+        )
+        SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+               round(sum(tm) / 1e6, 6) AS entropy_bits
+        FROM terms GROUP BY user_id
+    """

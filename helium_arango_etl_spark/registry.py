@@ -2017,6 +2017,7 @@ QUERIES["quantile_transform"] = RG.quantile_transform
 QUERIES["kwic_concordance"] = T.kwic_concordance
 QUERIES["bootstrap_ci"] = RG.bootstrap_ci
 QUERIES["gini_by_type"] = RG.gini_by_type
+QUERIES["user_behavior_entropy"] = RG.user_behavior_entropy
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
