@@ -1186,3 +1186,79 @@ def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("tm") / 1e6, 6).alias("entropy_bits"),
         )
     )
+
+
+def simpson_reversal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen per event type: does the CORPUS-level
+    spend trend (later half vs earlier half mean) point the same way as
+    the per-user majority trend?  A reversal means a mix shift (who is
+    active), not a behavior shift (what each user does) — the classic
+    aggregation trap before anyone acts on a topline delta.
+
+    Determinism: per-(user, half) cent sums and counts are exact; both
+    mean deltas compare via exact integer cross-products (a·d vs b·c —
+    no float means in any sign decision); the output deltas are
+    floor-quantized micro.
+
+    Scale shape: one conditional keyed aggregation per user; corpus
+    deltas fold from the same rollup; |types|-row output.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+    )
+    span = ev.agg(
+        ((F.min("us") + (F.max("us") - F.min("us")) / 2).cast("bigint")).alias("mid")
+    )
+    pu = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.expr("IF(us < mid, cents, 0)")).alias("ac"),
+            F.sum(F.expr("IF(us < mid, 1, 0)")).alias("an"),
+            F.sum(F.expr("IF(us >= mid, cents, 0)")).alias("bc"),
+            F.sum(F.expr("IF(us >= mid, 1, 0)")).alias("bn"),
+        )
+    )
+    # per-user trend sign: mean_b > mean_a <=> bc*an > ac*bn (both n > 0)
+    per_user = pu.filter("an > 0 AND bn > 0").select(
+        "event_type",
+        F.expr(
+            "CASE WHEN bc * an > ac * bn THEN 1"
+            " WHEN bc * an < ac * bn THEN -1 ELSE 0 END"
+        ).alias("sg"),
+    )
+    votes = per_user.groupBy("event_type").agg(
+        F.sum(F.expr("IF(sg = 1, 1L, 0L)")).alias("n_up"),
+        F.sum(F.expr("IF(sg = -1, 1L, 0L)")).alias("n_down"),
+    )
+    overall = pu.groupBy("event_type").agg(
+        F.sum("ac").alias("ac"), F.sum("an").alias("an"),
+        F.sum("bc").alias("bc"), F.sum("bn").alias("bn"),
+    ).select(
+        "event_type",
+        F.expr(
+            "CASE WHEN bc * an > ac * bn THEN 1"
+            " WHEN bc * an < ac * bn THEN -1 ELSE 0 END"
+        ).alias("agg_sign"),
+        F.expr(
+            "cast(floor(bc * 1000000.0 / bn) - floor(ac * 1000000.0 / an)"
+            " as bigint)"
+        ).alias("delta_micro"),
+    )
+    return (
+        overall.join(votes, "event_type")
+        .select(
+            "event_type",
+            "agg_sign",
+            F.round(F.col("delta_micro") / 1e6 / 100, 6).alias("mean_delta"),
+            F.col("n_up").cast("bigint").alias("n_users_up"),
+            F.col("n_down").cast("bigint").alias("n_users_down"),
+            F.expr(
+                "(agg_sign = 1 AND n_down > n_up)"
+                " OR (agg_sign = -1 AND n_up > n_down)"
+            ).alias("simpson_reversal"),
+        )
+    )

@@ -3392,3 +3392,44 @@ ORACLE_TRAINING["user_behavior_entropy"] = """
                round(sum(tm) / 1e6, 6) AS entropy_bits
         FROM terms GROUP BY user_id
     """
+
+
+ORACLE_TRAINING["simpson_reversal_audit"] = """
+        WITH ev AS (
+          SELECT event_type, user_id, epoch_us(ts) AS us,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), span AS (
+          SELECT CAST(min(us) + (max(us) - min(us)) / 2 AS BIGINT) AS mid FROM ev
+        ), pu AS (
+          SELECT event_type, user_id,
+                 CAST(sum(CASE WHEN us < s.mid THEN cents ELSE 0 END) AS BIGINT) AS ac,
+                 CAST(sum(CASE WHEN us < s.mid THEN 1 ELSE 0 END) AS BIGINT) AS an,
+                 CAST(sum(CASE WHEN us >= s.mid THEN cents ELSE 0 END) AS BIGINT) AS bc,
+                 CAST(sum(CASE WHEN us >= s.mid THEN 1 ELSE 0 END) AS BIGINT) AS bn
+          FROM ev CROSS JOIN span s
+          GROUP BY event_type, user_id
+        ), votes AS (
+          SELECT event_type,
+                 CAST(sum(CASE WHEN bc * an > ac * bn THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_up,
+                 CAST(sum(CASE WHEN bc * an < ac * bn THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_down
+          FROM pu WHERE an > 0 AND bn > 0 GROUP BY event_type
+        ), overall AS (
+          SELECT event_type,
+                 CASE WHEN sum(bc) * sum(an) > sum(ac) * sum(bn) THEN 1
+                      WHEN sum(bc) * sum(an) < sum(ac) * sum(bn) THEN -1
+                      ELSE 0 END AS agg_sign,
+                 CAST(floor(sum(bc) * 1000000.0 / sum(bn))
+                      - floor(sum(ac) * 1000000.0 / sum(an)) AS BIGINT)
+                     AS delta_micro
+          FROM pu GROUP BY event_type
+        )
+        SELECT o.event_type, o.agg_sign,
+               round(o.delta_micro / 1e6 / 100, 6) AS mean_delta,
+               v.n_up AS n_users_up, v.n_down AS n_users_down,
+               (o.agg_sign = 1 AND v.n_down > v.n_up)
+               OR (o.agg_sign = -1 AND v.n_up > v.n_down) AS simpson_reversal
+        FROM overall o JOIN votes v USING (event_type)
+    """

@@ -2018,6 +2018,7 @@ QUERIES["kwic_concordance"] = T.kwic_concordance
 QUERIES["bootstrap_ci"] = RG.bootstrap_ci
 QUERIES["gini_by_type"] = RG.gini_by_type
 QUERIES["user_behavior_entropy"] = RG.user_behavior_entropy
+QUERIES["simpson_reversal_audit"] = RG.simpson_reversal_audit
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
