@@ -1081,3 +1081,43 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         .filter(F.col("support") >= TRIPLE_MIN_SUPPORT)
     )
+
+
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules from the frequent pairs: for each
+    co-purchase pair, both rules A→B and B→A with confidence =
+    support(AB)/freq(antecedent) — lift says the pair matters,
+    confidence says WHICH WAY to recommend (the asymmetric surface a
+    recommender serves: "add B to A's page" needs conf(A→B), not lift).
+
+    Determinism: supports and frequencies are exact integers; confidence
+    is one rounded division.
+
+    Scale shape: pure composition over the already-grouped pair table +
+    two broadcast frequency joins (the co_purchase_pairs shape, emitted
+    in both directions).
+    """
+    pairs = co_purchase_pairs(spark, sf_dir).select(
+        "part_a", "part_b", "support", "freq_a", "freq_b"
+    )
+    ab = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "support",
+        F.col("freq_a").alias("freq_antecedent"),
+    )
+    ba = pairs.select(
+        F.col("part_b").alias("antecedent"),
+        F.col("part_a").alias("consequent"),
+        "support",
+        F.col("freq_b").alias("freq_antecedent"),
+    )
+    return ab.unionByName(ba).select(
+        "antecedent",
+        "consequent",
+        F.col("support").cast("bigint").alias("support"),
+        F.col("freq_antecedent").cast("bigint").alias("freq_antecedent"),
+        F.round(
+            F.expr("support / cast(freq_antecedent as double)"), 6
+        ).alias("confidence"),
+    )

@@ -2072,6 +2072,20 @@ ORACLE["co_purchase_pairs"] = f"""
         CROSS JOIN n
     """
 
+QUERIES["association_rules"] = R.association_rules
+ORACLE["association_rules"] = """
+        WITH p AS ({PAIRS})
+        SELECT antecedent, consequent, support, freq_antecedent,
+               round(support / CAST(freq_antecedent AS DOUBLE), 6) AS confidence
+        FROM (
+          SELECT part_a AS antecedent, part_b AS consequent,
+                 support, freq_a AS freq_antecedent FROM p
+          UNION ALL
+          SELECT part_b, part_a, support, freq_b FROM p
+        )
+    """.replace("{PAIRS}", ORACLE["co_purchase_pairs"])
+
+
 QUERIES["similar_docs_topk"] = D.similar_docs_topk
 
 QUERIES["scd2_history"] = TP.scd2_history
