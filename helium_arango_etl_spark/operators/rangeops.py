@@ -1262,3 +1262,70 @@ def simpson_reversal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("simpson_reversal"),
         )
     )
+
+
+LORENZ_BINS = 10
+
+
+def lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve points per event type: users ranked by spend into
+    deciles, each decile's cumulative share of users vs cumulative share
+    of spend — the plot behind `gini_by_type` (Gini is twice the area
+    between this curve and the diagonal) and the "top 10% drive X%"
+    statement itself.
+
+    Determinism: decile assignment is exact integer arithmetic on the
+    rank (ceil(i·B/n) via (i·B + n − 1) div n); cumulative sums are
+    exact bigints; two rounded divisions per output row.
+
+    Scale shape: per-user rollup + one keyed rank window over it; the
+    decile rollup and cumulative window run over |types|·B rows.
+    """
+    from pyspark.sql import Window
+
+    per_user = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "user_id",
+            F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("cents").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    wn = Window.partitionBy("event_type")
+    b = LORENZ_BINS
+    binned = (
+        per_user.withColumn("i", F.row_number().over(w).cast("bigint"))
+        .withColumn("n", F.count(F.lit(1)).over(wn).cast("bigint"))
+        .select(
+            "event_type",
+            F.expr(f"(i * {b} + n - 1) div n").cast("int").alias("decile"),
+            "x",
+        )
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("x").alias("spend"),
+        )
+    )
+    tot = binned.groupBy("event_type").agg(
+        F.sum("n_users").alias("tu"), F.sum("spend").alias("ts")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        binned.withColumn("cu", F.sum("n_users").over(wc))
+        .withColumn("cs", F.sum("spend").over(wc))
+        .join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "decile",
+            F.round(F.expr("cu / cast(tu as double)"), 6).alias("cum_user_share"),
+            F.round(F.expr("cs / cast(ts as double)"), 6).alias("cum_spend_share"),
+        )
+    )

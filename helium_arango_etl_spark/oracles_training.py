@@ -3433,3 +3433,41 @@ ORACLE_TRAINING["simpson_reversal_audit"] = """
                OR (o.agg_sign = -1 AND v.n_up > v.n_down) AS simpson_reversal
         FROM overall o JOIN votes v USING (event_type)
     """
+
+
+from .operators.rangeops import LORENZ_BINS  # noqa: E402
+
+ORACLE_TRAINING["lorenz_points"] = f"""
+        WITH pu AS (
+          SELECT event_type, user_id,
+                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY event_type, user_id
+        ), ranked AS (
+          SELECT event_type, x,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY x, user_id) AS BIGINT) AS i,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM pu
+        ), binned AS (
+          SELECT event_type,
+                 CAST((i * {LORENZ_BINS} + n - 1) // n AS INT) AS decile,
+                 CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(x) AS BIGINT) AS spend
+          FROM ranked GROUP BY event_type, (i * {LORENZ_BINS} + n - 1) // n
+        ), tot AS (
+          SELECT event_type, CAST(sum(n_users) AS BIGINT) AS tu,
+                 CAST(sum(spend) AS BIGINT) AS ts
+          FROM binned GROUP BY event_type
+        ), cum AS (
+          SELECT event_type, decile,
+                 CAST(sum(n_users) OVER (PARTITION BY event_type
+                                         ORDER BY decile) AS BIGINT) AS cu,
+                 CAST(sum(spend) OVER (PARTITION BY event_type
+                                       ORDER BY decile) AS BIGINT) AS cs
+          FROM binned
+        )
+        SELECT c.event_type, c.decile,
+               round(c.cu / CAST(t.tu AS DOUBLE), 6) AS cum_user_share,
+               round(c.cs / CAST(t.ts AS DOUBLE), 6) AS cum_spend_share
+        FROM cum c JOIN tot t USING (event_type)
+    """
