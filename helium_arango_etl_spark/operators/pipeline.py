@@ -666,3 +666,50 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def curated_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 capstone composition — what actually ships to
+    training: documents that survive the full curation chain (quality
+    gate ∩ exact+near dedup ∩ split assignment, via
+    :func:`corpus_retention`) AND the DSIR importance-resample
+    (`dsir_resample` top-N), rolled up per split with token budget and
+    mean quality/importance — the one-page manifest a training run is
+    provisioned from.
+
+    Determinism: the intersection is a keyed semi-join of id sets; the
+    means floor-quantize exact integer sums (quality at 4dp-exact milli,
+    DSIR log-weight at 6dp-exact micro) before one division each.
+
+    Scale shape: pure composition of the shared chains — signature
+    table, DSIR distribution tables, split hashing; only ids and
+    per-doc scalars move; rollup is |splits| rows.
+    """
+    from ..operators.textops import dsir_resample, text_stats
+
+    kept = corpus_retention(spark, sf_dir).select("doc_id", "split")
+    chosen = dsir_resample(spark, sf_dir).select(
+        "doc_id", F.expr("cast(round(log_weight * 1000000) as bigint)").alias("lw")
+    )
+    stats = text_stats(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("cast(round(quality_score * 10000) as bigint)").alias("q"),
+    )
+    return (
+        kept.join(chosen, "doc_id")
+        .join(stats, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.expr(
+                "round(cast(floor(sum(q) / cast(count(*) as double)) as bigint)"
+                " / 1e4, 6)"
+            ).alias("mean_quality"),
+            F.expr(
+                "round(cast(floor(sum(lw) / cast(count(*) as double)) as bigint)"
+                " / 1e6, 6)"
+            ).alias("mean_log_weight"),
+        )
+    )

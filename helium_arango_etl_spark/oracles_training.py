@@ -3471,3 +3471,30 @@ ORACLE_TRAINING["lorenz_points"] = f"""
                round(c.cs / CAST(t.ts AS DOUBLE), 6) AS cum_spend_share
         FROM cum c JOIN tot t USING (event_type)
     """
+
+
+# ---------- curated-corpus capstone manifest ----------
+
+ORACLE_TRAINING["curated_corpus_manifest"] = f"""
+        WITH kept AS ({ORACLE_TRAINING["corpus_retention"]}),
+        chosen AS (
+          SELECT doc_id,
+                 CAST(round(log_weight * 1000000) AS BIGINT) AS lw
+          FROM ({ORACLE_TRAINING["dsir_resample"]})
+        ), st AS (
+          SELECT doc_id, n_tokens,
+                 CAST(round(quality_score * 10000) AS BIGINT) AS q
+          FROM ({ORACLE_TRAINING["text_stats"]})
+        )
+        SELECT k.split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(st.n_tokens) AS BIGINT) AS total_tokens,
+               round(CAST(floor(sum(st.q) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                     / 1e4, 6) AS mean_quality,
+               round(CAST(floor(sum(ch.lw) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                     / 1e6, 6) AS mean_log_weight
+        FROM kept k
+        JOIN chosen ch ON ch.doc_id = k.doc_id
+        JOIN st ON st.doc_id = k.doc_id
+        GROUP BY k.split
+    """

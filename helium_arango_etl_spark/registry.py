@@ -2020,6 +2020,7 @@ QUERIES["gini_by_type"] = RG.gini_by_type
 QUERIES["user_behavior_entropy"] = RG.user_behavior_entropy
 QUERIES["simpson_reversal_audit"] = RG.simpson_reversal_audit
 QUERIES["lorenz_points"] = RG.lorenz_points
+QUERIES["curated_corpus_manifest"] = P.curated_corpus_manifest
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
