@@ -957,3 +957,65 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_user"),
         )
     )
+
+
+def retention_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier retention curve: S(t) = Π_{i<=t} (1 − dᵢ/nᵢ) over
+    day-offsets since first activity, where dᵢ = users whose LAST
+    activity fell at offset i (churn events) and nᵢ = users still at
+    risk — the survival-analysis upgrade of the raw `cohort_retention`
+    grid (it handles the right-censoring that a naive "active at day N"
+    share gets wrong for young cohorts).  Users last seen on the corpus'
+    final day are censored, not churned.
+
+    Determinism: dᵢ/nᵢ are exact integers; the survival product runs in
+    LOG space — each ln(1 − dᵢ/nᵢ) term quantizes to integer micro-units
+    (single ln of an exact integer ratio) and the cumulative sum is
+    exact bigint; one exp at the surface rounded 6dp.
+
+    Scale shape: per-user (first, last) lifetimes are one keyed
+    aggregation; everything after operates on the |day-offsets| rollup.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    corpus_end = ev.agg(F.max("day").alias("end_day"))
+    lifetimes = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("first_day"), F.max("day").alias("last_day"))
+        .crossJoin(F.broadcast(corpus_end))
+        .select(
+            F.datediff("last_day", "first_day").cast("bigint").alias("day_offset"),
+            (F.col("last_day") < F.col("end_day")).alias("churned"),
+        )
+    )
+    per_offset = lifetimes.groupBy("day_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ending"),
+        F.sum(F.expr("IF(churned, 1L, 0L)")).cast("bigint").alias("d"),
+    )
+    total = per_offset.agg(F.sum("n_ending").alias("n_total"))
+    w = Window.orderBy("day_offset").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("day_offset").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_offset.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            (F.col("n_total") - F.coalesce(F.sum("n_ending").over(w), F.lit(0))).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "lnt",
+            F.expr(
+                "IF(d = 0, 0L, cast(round(ln((n_at_risk - d)"
+                " / cast(n_at_risk as double)) * 1000000) as bigint))"
+            ),
+        )
+        .withColumn("cum_ln", F.sum("lnt").over(wc))
+        .select(
+            "day_offset",
+            "n_at_risk",
+            "d",
+            F.round(F.exp(F.col("cum_ln") / 1e6), 6).alias("survival"),
+        )
+    )

@@ -3498,3 +3498,40 @@ ORACLE_TRAINING["curated_corpus_manifest"] = f"""
         JOIN st ON st.doc_id = k.doc_id
         GROUP BY k.split
     """
+
+
+# ---------- Kaplan-Meier retention survival ----------
+
+ORACLE_TRAINING["retention_survival"] = """
+        WITH ev AS (
+          SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        ), ce AS (
+          SELECT max(day) AS end_day FROM ev
+        ), lt AS (
+          SELECT CAST(date_diff('day', min(day), max(day)) AS BIGINT) AS day_offset,
+                 max(day) < (SELECT end_day FROM ce) AS churned
+          FROM ev GROUP BY user_id
+        ), po AS (
+          SELECT day_offset, CAST(count(*) AS BIGINT) AS n_ending,
+                 CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM lt GROUP BY day_offset
+        ), tot AS (
+          SELECT CAST(sum(n_ending) AS BIGINT) AS n_total FROM po
+        ), risk AS (
+          SELECT day_offset, n_ending, d,
+                 CAST(t.n_total - coalesce(sum(n_ending) OVER (
+                     ORDER BY day_offset ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+          FROM po CROSS JOIN tot t
+        ), terms AS (
+          SELECT day_offset, n_at_risk, d,
+                 CASE WHEN d = 0 THEN 0
+                      ELSE CAST(round(ln((n_at_risk - d)
+                                         / CAST(n_at_risk AS DOUBLE))
+                                      * 1000000) AS BIGINT) END AS lnt
+          FROM risk
+        )
+        SELECT day_offset, n_at_risk, d,
+               round(exp(sum(lnt) OVER (ORDER BY day_offset) / 1e6), 6) AS survival
+        FROM terms
+    """

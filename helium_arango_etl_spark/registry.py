@@ -2021,6 +2021,7 @@ QUERIES["user_behavior_entropy"] = RG.user_behavior_entropy
 QUERIES["simpson_reversal_audit"] = RG.simpson_reversal_audit
 QUERIES["lorenz_points"] = RG.lorenz_points
 QUERIES["curated_corpus_manifest"] = P.curated_corpus_manifest
+QUERIES["retention_survival"] = TP.retention_survival
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
