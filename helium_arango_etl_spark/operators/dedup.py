@@ -913,3 +913,41 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "margin",
         )
     )
+
+
+DEDUP_SWEEP_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold tuning curve: for each candidate Jaccard
+    threshold, how many verified pairs clear it and how many documents
+    would be implicated — the sensitivity sweep a curator reads before
+    pinning NEAR_DUP_THRESH (too low deletes paraphrases, too high keeps
+    templates; this shows the knee).
+
+    Scale shape: ONE exact-verify pass over the shared candidate table
+    (scores computed once), then a 7-way threshold explode over the
+    (tiny) scored-pair set; counts are exact.
+    """
+    scored = _exact_jaccard(
+        candidate_pair_table(spark, sf_dir).select("doc_a", "doc_b"),
+        signature_table(spark, sf_dir),
+    ).select("doc_a", "doc_b", "jaccard")
+    th = F.explode(
+        F.array(*[F.lit(t) for t in DEDUP_SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    hits = scored.select("doc_a", "doc_b", "jaccard", th).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    docs = hits.select("threshold", F.col("doc_a").alias("d")).unionByName(
+        hits.select("threshold", F.col("doc_b").alias("d"))
+    )
+    np = hits.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    nd = docs.groupBy("threshold").agg(
+        F.countDistinct("d").cast("bigint").alias("n_docs_implicated")
+    )
+    return np.join(nd, "threshold").select(
+        F.round("threshold", 1).alias("threshold"), "n_pairs", "n_docs_implicated"
+    )

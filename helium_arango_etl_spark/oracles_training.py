@@ -3535,3 +3535,50 @@ ORACLE_TRAINING["retention_survival"] = """
                round(exp(sum(lnt) OVER (ORDER BY day_offset) / 1e6), 6) AS survival
         FROM terms
     """
+
+
+# ---------- dedup threshold sweep ----------
+
+from .operators.dedup import DEDUP_SWEEP_THRESHOLDS  # noqa: E402
+
+_SWEEP_LIST = ", ".join(str(t) for t in DEDUP_SWEEP_THRESHOLDS)
+
+ORACLE_TRAINING["dedup_threshold_sweep"] = _SIG_CTE + _CAND_CTE + f"""
+        , shset AS (
+          SELECT doc_id, list_distinct({_SHINGLES}) AS sh
+          FROM (SELECT doc_id, {_TOKS} AS t FROM documents) toks2
+        ), sizes AS (
+          SELECT doc_id, len(sh) AS n_sh FROM shset
+        ), shex AS (
+          SELECT doc_id, unnest(sh) AS shingle FROM shset
+        ), inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c
+          JOIN shex a ON a.doc_id = c.doc_a
+          JOIN shex b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b
+        ), scored AS (
+          SELECT i.doc_a, i.doc_b,
+                 round(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 4)
+                     AS jaccard
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+        ), hits AS (
+          SELECT s.doc_a, s.doc_b, t.threshold
+          FROM scored s
+          CROSS JOIN (SELECT unnest([{_SWEEP_LIST}]) AS threshold) t
+          WHERE s.jaccard >= t.threshold
+        ), np AS (
+          SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM hits GROUP BY threshold
+        ), nd AS (
+          SELECT threshold, CAST(count(DISTINCT d) AS BIGINT) AS n_docs_implicated
+          FROM (SELECT threshold, doc_a AS d FROM hits
+                UNION ALL SELECT threshold, doc_b FROM hits)
+          GROUP BY threshold
+        )
+        SELECT round(np.threshold, 1) AS threshold, np.n_pairs,
+               nd.n_docs_implicated
+        FROM np JOIN nd USING (threshold)
+    """

@@ -2022,6 +2022,7 @@ QUERIES["simpson_reversal_audit"] = RG.simpson_reversal_audit
 QUERIES["lorenz_points"] = RG.lorenz_points
 QUERIES["curated_corpus_manifest"] = P.curated_corpus_manifest
 QUERIES["retention_survival"] = TP.retention_survival
+QUERIES["dedup_threshold_sweep"] = D.dedup_threshold_sweep
 
 QUERIES["value_outliers"] = RG.value_outliers
 ORACLE["value_outliers"] = f"""
