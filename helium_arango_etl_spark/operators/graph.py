@@ -1338,7 +1338,7 @@ def witness_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("edge_ts").cast("timestamp")).alias("us"),
     )
     span = edges.agg(
-        ((F.min("us") + (F.max("us") - F.min("us")) / 2).cast("bigint")).alias("mid")
+        F.expr("min(us) + (max(us) - min(us)) div 2").alias("mid")
     )
     per_edge = (
         edges.crossJoin(F.broadcast(span))

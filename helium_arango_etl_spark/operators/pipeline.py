@@ -648,7 +648,14 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    # Zero-weight docs (n_chars = 0, w = ln(1) = 0) would get sample_key
+    # = -ln(u)/0 = +Inf and backfill undersized sources; A-ES semantics
+    # give them zero selection probability, so exclude them up front.
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .filter(F.col("n_chars") > 0)
+    )
     keyed = docs.withColumn("w", F.expr("ln(1.0 + n_chars)")).withColumn(
         "sample_key", F.expr(f"-ln({WS_U_EXPR}) / ln(1.0 + n_chars)")
     )

@@ -239,7 +239,7 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
     )
     span = ev.agg(
-        ((F.min("us") + (F.max("us") - F.min("us")) / 2).cast("bigint")).alias("mid")
+        F.expr("min(us) + (max(us) - min(us)) div 2").alias("mid")
     )
     per_user = (
         ev.crossJoin(F.broadcast(span))
@@ -442,7 +442,7 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
     )
     span = ev.agg(
-        ((F.min("us") + (F.max("us") - F.min("us")) / 2).cast("bigint")).alias("mid")
+        F.expr("min(us) + (max(us) - min(us)) div 2").alias("mid")
     )
     qs = ", ".join(str(i / WOE_BINS) for i in range(1, WOE_BINS))
     bounds = ev.agg(F.expr(f"percentile(cents, array({qs}))").alias("bs"))
@@ -711,7 +711,7 @@ def did_promo_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
     )
     span = ev.agg(
-        ((F.min("us") + (F.max("us") - F.min("us")) / 2).cast("bigint")).alias("mid")
+        F.expr("min(us) + (max(us) - min(us)) div 2").alias("mid")
     )
     treated = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
     per_user = (
@@ -1210,7 +1210,7 @@ def simpson_reversal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
     )
     span = ev.agg(
-        ((F.min("us") + (F.max("us") - F.min("us")) / 2).cast("bigint")).alias("mid")
+        F.expr("min(us) + (max(us) - min(us)) div 2").alias("mid")
     )
     pu = (
         ev.crossJoin(F.broadcast(span))

@@ -877,9 +877,14 @@ def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "us", F.lit(0).alias("is_p"),
         F.lit(None).cast("bigint").alias("event_id"), "state", "version",
     )
+    # Tie-break on version so two state changes at the same microsecond
+    # deterministically resolve to the LATER version (matching the
+    # BETWEEN-containment oracle); purchases carry a null version and
+    # sort first within their (us, is_p) slot, which is irrelevant since
+    # their state/version columns are null and ignored by last().
     w = (
         Window.partitionBy("user_id")
-        .orderBy("us", "is_p")
+        .orderBy("us", "is_p", F.col("version").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (

@@ -1078,12 +1078,17 @@ def trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tris = sorted({pat[i : i + 3] for i in range(len(pat) - 2)})
     tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in tris)
     docs = spread(read_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    # length(text) >= 3 guard: Spark's sequence(1, 0) DESCENDS ([1, 0],
+    # default step -1) while DuckDB's range(1, 1) is empty — sub-3-char
+    # texts can never match a 3-char trigram anyway, so filter them out
+    # rather than rely on that accident.
     cand = (
-        docs.select(
+        docs.filter(F.length("text") >= 3)
+        .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(length(text) - 2, 0)),"
+                    "transform(sequence(1, length(text) - 2),"
                     " i -> substring(text, i, 3))"
                 )
             ).alias("tri"),

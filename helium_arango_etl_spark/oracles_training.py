@@ -2203,7 +2203,7 @@ ORACLE_TRAINING["cuped_adjustment"] = """
                  CAST(floor(value * 100) AS BIGINT) AS cents
           FROM events
         ), span AS (
-          SELECT CAST(min(us) + (max(us) - min(us)) / 2 AS BIGINT) AS mid FROM ev
+          SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM ev
         ), pu AS (
           SELECT user_id,
                  CAST(sum(CASE WHEN us < s.mid THEN cents ELSE 0 END) AS BIGINT)
@@ -2348,7 +2348,7 @@ ORACLE_TRAINING["psi_drift"] = f"""
                  CAST(floor(value * 100) AS BIGINT) AS cents
           FROM events
         ), span AS (
-          SELECT CAST(min(us) + (max(us) - min(us)) / 2 AS BIGINT) AS mid FROM ev
+          SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM ev
         ), bounds AS (
           SELECT quantile_cont(cents, [{_WOE_QS}]) AS bs FROM ev
         ), binned AS (
@@ -2545,7 +2545,7 @@ ORACLE_TRAINING["witness_edge_churn"] = f"""
           SELECT city_key, src, dst, epoch_us(edge_ts) AS us
           FROM ({{WSQL}})
         ), span AS (
-          SELECT CAST(min(us) + (max(us) - min(us)) / 2 AS BIGINT) AS mid FROM e
+          SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM e
         ), pe AS (
           SELECT city_key, src, dst,
                  max(CASE WHEN us < s.mid THEN 1 ELSE 0 END) AS early,
@@ -2721,7 +2721,7 @@ ORACLE_TRAINING["did_promo_uplift"] = """
                  CAST(floor(value * 100) AS BIGINT) AS cents
           FROM events
         ), span AS (
-          SELECT CAST(min(us) + (max(us) - min(us)) / 2 AS BIGINT) AS mid FROM ev
+          SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM ev
         ), treated AS (
           SELECT DISTINCT user_id FROM ev WHERE event_type = 'signup'
         ), pu AS (
@@ -3400,7 +3400,7 @@ ORACLE_TRAINING["simpson_reversal_audit"] = """
                  CAST(floor(value * 100) AS BIGINT) AS cents
           FROM events
         ), span AS (
-          SELECT CAST(min(us) + (max(us) - min(us)) / 2 AS BIGINT) AS mid FROM ev
+          SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM ev
         ), pu AS (
           SELECT event_type, user_id,
                  CAST(sum(CASE WHEN us < s.mid THEN cents ELSE 0 END) AS BIGINT) AS ac,

@@ -2137,7 +2137,7 @@ ORACLE["weighted_sample"] = f"""
           SELECT doc_id, source, ln(1.0 + n_chars) AS w,
                  (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                       + 1.0) / 4294967297.0 AS u
-          FROM documents
+          FROM documents WHERE n_chars > 0
         ), k AS (
           SELECT source, doc_id, w, -ln(u) / w AS sample_key,
                  row_number() OVER (
@@ -2253,66 +2253,66 @@ ORACLE["witness_kcore"] = _kcore_sql()
 # user_trailing_7d, promo_revenue_share, co_witness_recommendations,
 # audio_resample, daily_event_pivot, per_source_cap.
 _DRIVER_WINDOW = [
-    # round-3 additions named by VERDICT r3 (never certified)
-    "bpe_merge_rules",
-    "witness_walks",
-    "span_corruption",
-    "contrastive_pairs",
-    "session_sequences",
-    "epoch_shuffle",
-    "pq_encode",
-    "pq_topk",
-    "ivf_pq_topk",
-    "pq_rerank_topk",
-    "promo_attribution",
-    "events_time_rollup",
-    "value_quantile_sketch",
-    "hll_by_group",
-    "snapshot_diff",
-    "balance_fill_forward",
-    "inverted_index",
-    "adamic_adar_scores",
-    "rfm_segments",
-    # newly oracled this round (was rows-only through r3)
-    "witness_kcore",
-    # dedup / text family strays
-    "cluster_keep",
-    "repeated_ngram_docs",
-    "bpe_pair_counts",
-    "dedup_rate_by_source",
-    # corpus assembly
-    "split_leakage",
-    "temperature_mixture",
-    "corpus_summary",
-    "chunk_documents",
-    # sessionization / temporal
-    "sessionize",
-    "session_conversion",
-    "user_value_ewma",
-    "block_activity_7d",
-    "funnel_conversion",
-    "cohort_retention",
-    "event_transitions",
-    # relational / rollup
-    "price_quantiles",
-    "balance_deciles",
-    "referential_integrity",
-    "revenue_rollup",
-    "missing_blocks",
-    "value_winsorize",
-    # sketches
-    "cms_token_counts",
-    # similarity / embeddings
-    "pq_recall_audit",
-    "embedding_dim_stats",
-    # graph extensions
-    "co_witness_pairs",
-    "witness_graph_summary",
-    "degree_assortativity",
-    # multimodal
-    "image_resize",
-    "audio_features",
-    "video_frame_dup_pairs",
+    # round-5 rotation: the 50 highest-priority never-driver-certified
+    # oracled queries (round-4 retrieval/curation/ML-analytics/graph
+    # additions plus the ADVICE-affected fixes, so the round-5 repairs
+    # are certified in the same round they landed).  Previously certified
+    # queries ride tests/test_oracle_parity.py as the regression net.
+    # retrieval / curation (round-4 marquee)
+    "bm25_topk",
+    "hybrid_rrf_topk",
+    "mmr_rerank",
+    "semantic_dedup",
+    "cluster_best_keep",
+    "dsir_weights",
+    "hard_negatives",
+    "preference_pairs",
+    "prototype_distances",
+    "source_overlap_matrix",
+    "source_divergence_matrix",
+    "tokenizer_fertility",
+    "distinct_ngram_diversity",
+    "term_burstiness",
+    "trigram_search",
+    "curated_corpus_manifest",
+    "weighted_sample",
+    "quantile_transform",
+    # ML / experimentation analytics
+    "asof_last_view",
+    "cuped_adjustment",
+    "target_encode_oof",
+    "woe_encoding",
+    "psi_drift",
+    "did_promo_uplift",
+    "chi2_independence",
+    "benford_audit",
+    "simpson_reversal_audit",
+    "abc_classification",
+    "cusum_daily_counts",
+    "ohlc_daily",
+    "decayed_user_engagement",
+    "user_behavior_entropy",
+    "gini_by_type",
+    "retention_survival",
+    "cohort_ltv",
+    "association_rules",
+    # temporal / SCD2
+    "scd2_history",
+    "scd2_pit_join",
+    "top_session_paths",
+    "fulfillment_latency",
+    # graph
+    "node2vec_walks",
+    "witness_edge_churn",
+    "neighborhood_jaccard",
+    "degree_powerlaw_fit",
+    "butterfly_stats",
+    # scale patterns / audits
+    "bloom_semi_join_audit",
+    "price_quantity_skyline",
+    "dq_report",
+    "embedding_whiten_audit",
+    "k_anonymity_audit",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -32,6 +32,7 @@ class VersionedState:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        self._pruned_catchup = False
         os.makedirs(path, exist_ok=True)
 
     # -- pointer bookkeeping --
@@ -77,6 +78,14 @@ class VersionedState:
         with open(tmp, "w") as fh:
             fh.write(f"{new_version} {batch_id}")
         os.replace(tmp, os.path.join(self.path, "_LATEST"))  # atomic commit
-        for stale in range(1, new_version - 1):
-            shutil.rmtree(self._version_dir(stale), ignore_errors=True)
+        # Only v{new_version-2} can NEWLY become stale; older versions were
+        # pruned by earlier commits.  Sweeping range(1, n-1) every commit
+        # would cost O(total commits) no-op rmtree calls on a long stream.
+        # First commit after a restart catches up on any leftovers once.
+        if not self._pruned_catchup:
+            for stale in range(1, new_version - 2):
+                shutil.rmtree(self._version_dir(stale), ignore_errors=True)
+            self._pruned_catchup = True
+        if new_version - 2 >= 1:
+            shutil.rmtree(self._version_dir(new_version - 2), ignore_errors=True)
         return True
