@@ -951,3 +951,36 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return np.join(nd, "threshold").select(
         F.round("threshold", 1).alias("threshold"), "n_pairs", "n_docs_implicated"
     )
+
+
+def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment scoring for the LSH candidate pairs:
+    C(A→B) = |A∩B| / |A| and C(B→A) = |A∩B| / |B| alongside the
+    symmetric Jaccard — the signal that catches a SHORT document fully
+    embedded in a longer one (quote inclusion, boilerplate wrappers,
+    truncated re-crawls), which Jaccard dilutes toward 0 as the hosts
+    grow.  A curation pipeline drops the CONTAINED side, not both
+    (reference scope: dedup verify stage; containment is the standard
+    extension, cf. Broder's resemblance vs containment).
+
+    Scale shape: identical to `ngram_jaccard_pairs` — exact set work
+    runs ONLY on the LSH candidate set (never all pairs); shingle sets
+    ride the shared signature table through two keyed joins, so the
+    corpus is not re-scanned and bodies never shuffle.
+    """
+    cand = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    scored = _exact_jaccard(cand, signature_table(spark, sf_dir))
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.round(F.col("n_inter") / F.size("sh_a").cast("double"), 4).alias(
+            "containment_a_in_b"
+        ),
+        F.round(F.col("n_inter") / F.size("sh_b").cast("double"), 4).alias(
+            "containment_b_in_a"
+        ),
+        F.when(F.size("sh_a") <= F.size("sh_b"), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("contained_doc"),
+    )

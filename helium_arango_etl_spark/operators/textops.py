@@ -1269,3 +1269,214 @@ def kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"array_join(slice(t, pos + 2, {w}), ' ')").alias("right_ctx"),
         )
     )
+
+
+# Zipf fit: regression over the top-R frequency ranks per source
+ZIPF_TOP_RANKS = 100
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: OLS slope of ln(freq) on ln(rank) over
+    the top ZIPF_TOP_RANKS token ranks — natural text sits near slope
+    ≈ −1, so a source whose slope is far off (too flat = boilerplate /
+    ID-like vocab, too steep = tiny template vocabulary) is a corpus-mix
+    red flag a curation dashboard tracks per crawl snapshot.
+
+    Determinism: token counts are exact integers; ln(rank)/ln(freq) are
+    quantized to integer micro-units BEFORE the regression sums, so
+    Σx, Σy, Σxy, Σx² are exact bigints on both engines (bounded: ranks
+    ≤ 100, so products stay ≪ 2⁶³); the slope is ONE double division of
+    two exact integers, rounded 6dp.
+
+    Scale shape: one corpus scan → per-(source, token) count (keyed
+    shuffle with map-side combine) → per-source top-R via row_number
+    window (only count pairs shuffle, never text) → R-row regression
+    sums per source.  At 100 TB the (source, token) aggregate is the
+    only big shuffle and it is exactly the word-count shape Spark
+    map-side-combines best.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        spread(read_table(spark, sf_dir, "documents"))
+        .select("source", F.explode(F.expr(TOKS)).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("freq").desc(), F.col("token").asc()
+    )
+    ranked = (
+        toks.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ZIPF_TOP_RANKS)
+        .select(
+            "source",
+            F.expr("cast(round(ln(rank) * 1000000) as bigint)").alias("x"),
+            F.expr("cast(round(ln(freq) * 1000000) as bigint)").alias("y"),
+        )
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("r"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * y")).alias("sxy"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+        )
+        .select(
+            "source",
+            F.col("r").alias("n_ranks"),
+            F.round(
+                (F.col("r") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("r") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("zipf_slope"),
+        )
+    )
+
+
+# Heaps fit: checkpointed vocabulary-growth regression
+HEAPS_POINTS = 100
+
+
+def heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit for the whole corpus: vocabulary size V(n) grows
+    as K·n^β with token count n (β ≈ 0.4-0.6 for natural text).  The
+    fitted β tells a tokenizer/vocab planner how fast new types keep
+    arriving — a corpus whose β stays high never saturates a fixed
+    vocabulary; one whose β collapses is template-saturated.
+
+    Algorithm: order documents by doc_id (the deterministic ingest
+    order), compute cumulative token count and cumulative distinct-type
+    count at each document via the token's FIRST carrying document
+    (min(doc_id) per token — a type is "new" exactly once), then OLS of
+    ln(V) on ln(n) over ≤ HEAPS_POINTS evenly-spaced checkpoints so the
+    quantized regression sums stay exact-bigint at any corpus size.
+
+    Scale shape: the first-occurrence table is one (token → min doc_id)
+    aggregate (map-side combined); cumulative sums run over the per-DOC
+    totals (corpus-cardinality rows, not token rows).  The global-order
+    prefix sum is a single bounded window at this harness scale — at
+    100 TB it becomes the standard two-pass partition-offset prefix sum
+    over the same per-doc totals.  Checkpoint selection keeps the
+    regression input at ≤ 100 rows regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    toks = spread(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode(F.expr(TOKS)).alias("token")
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_toks")
+    )
+    first_new = (
+        toks.groupBy("token")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    wcum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    wrank = Window.orderBy("doc_id")
+    curve = (
+        per_doc.join(first_new, "doc_id", "left")
+        .select("doc_id", "n_toks", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .withColumn("cum_tokens", F.sum("n_toks").over(wcum))
+        .withColumn("cum_types", F.sum("n_new").over(wcum))
+        .withColumn("pos", F.row_number().over(wrank))
+    )
+    n_docs = curve.agg(F.count(F.lit(1)).alias("nd"))
+    pts = (
+        curve.crossJoin(F.broadcast(n_docs))
+        .withColumn("step", F.expr(f"greatest(1L, nd div {HEAPS_POINTS})"))
+        .filter(F.expr("pos % step = 0"))
+        .select(
+            F.expr("cast(round(ln(cum_tokens) * 1000000) as bigint)").alias("x"),
+            F.expr("cast(round(ln(cum_types) * 1000000) as bigint)").alias("y"),
+        )
+    )
+    return pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.round(
+            (F.count(F.lit(1)) * F.sum(F.expr("x * y")) - F.sum("x") * F.sum("y"))
+            / (
+                F.count(F.lit(1)) * F.sum(F.expr("x * x"))
+                - F.sum("x") * F.sum("x")
+            ).cast("double"),
+            6,
+        ).alias("heaps_beta"),
+        F.max("x").alias("ln_tokens_max_micro"),
+        F.max("y").alias("ln_types_max_micro"),
+    )
+
+
+# query-likelihood retrieval: Dirichlet-smoothed unigram LM
+QLM_QUERY = ("merge", "sort", "join")
+QLM_MU = 2000
+QLM_TOP_K = 10
+
+
+def dirichlet_qlm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood language-model retrieval with Dirichlet
+    smoothing — the other classical lexical ranker beside BM25:
+    score(d) = Σ_q ln( (tf(q,d) + μ·cf(q)/|C|) / (|d| + μ) ).  Zero-tf
+    terms still contribute via the collection model, so EVERY document
+    scores against all query terms (unlike BM25's matched-terms-only
+    sum), which is why QLM rewards coverage differently.
+
+    Determinism: with integer μ the score term is
+    ln((tf·|C| + μ·cf) / (|C|·(|d| + μ))) — numerator and denominator
+    are EXACT bigints, so each term is one ln of an exact rational,
+    quantized to micro-units and summed as bigints; ranking compares
+    integers (ties broken by doc_id) and the double surfaces only in
+    the final rounded display column.
+
+    Scale shape: corpus stats (|C|, per-term cf) are a |Q|-row
+    broadcast; the per-doc scan computes tf for the |Q| terms via
+    higher-order array filters (no explode-shuffle of all tokens —
+    only docs × |Q| rows ever aggregate); top-k is
+    TakeOrderedAndProject.  The all-docs-score property costs one
+    corpus scan, same as any quality-scoring pass.
+    """
+    from pyspark.sql import Window
+
+    qlist = ", ".join(f"'{t}'" for t in QLM_QUERY)
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn(
+        "t", F.expr(TOKS)
+    )
+    cf = (
+        docs.select(F.explode("t").alias("term"))
+        .filter(F.expr(f"term IN ({qlist})"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
+    )
+    total = docs.agg(F.sum(F.expr("size(t)")).cast("bigint").alias("c_total"))
+    per_term = (
+        docs.select("doc_id", F.expr("size(t)").cast("bigint").alias("dl"), "t")
+        .crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tf", F.expr("cast(size(filter(t, x -> x = term)) as bigint)")
+        )
+        .withColumn(
+            "s_micro",
+            F.expr(
+                f"cast(round(ln((tf * c_total + {QLM_MU} * cf) /"
+                f" cast(c_total * (dl + {QLM_MU}) as double)) * 1000000) as bigint)"
+            ),
+        )
+    )
+    scored = (
+        per_term.groupBy("doc_id")
+        .agg(F.sum("s_micro").alias("sm"))
+        .orderBy(F.col("sm").desc(), F.col("doc_id").asc())
+        .limit(QLM_TOP_K)
+    )
+    w = Window.orderBy(F.col("sm").desc(), F.col("doc_id").asc())
+    return scored.select(
+        "doc_id",
+        F.round(F.col("sm") / 1e6, 6).alias("qlm_score"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

@@ -3582,3 +3582,127 @@ ORACLE_TRAINING["dedup_threshold_sweep"] = _SIG_CTE + _CAND_CTE + f"""
                nd.n_docs_implicated
         FROM np JOIN nd USING (threshold)
     """
+
+
+# ---------------------------------------------------------------- round 5
+
+from .operators import textops as T  # noqa: E402
+
+ORACLE_TRAINING["minhash_containment"] = _SIG_CTE + _CAND_CTE + """
+        , shset AS (
+          SELECT doc_id, list_distinct(__SH__) AS sh
+          FROM (SELECT doc_id, __T__ AS t FROM documents) toks
+        ), sizes AS (
+          SELECT doc_id, len(sh) AS n_sh FROM shset
+        ), ex AS (
+          SELECT doc_id, unnest(sh) AS shingle FROM shset
+        ), inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c
+          JOIN ex a ON a.doc_id = c.doc_a
+          JOIN ex b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT i.doc_a, i.doc_b,
+               round(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 4)
+                   AS jaccard,
+               round(i.n_inter / CAST(sa.n_sh AS DOUBLE), 4) AS containment_a_in_b,
+               round(i.n_inter / CAST(sb.n_sh AS DOUBLE), 4) AS containment_b_in_a,
+               CASE WHEN sa.n_sh <= sb.n_sh THEN i.doc_a ELSE i.doc_b END
+                   AS contained_doc
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+    """.replace("__SH__", _SHINGLES).replace("__T__", _TOKS)
+
+ORACLE_TRAINING["zipf_fit"] = f"""
+        WITH tc AS (
+          SELECT source, token, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT source, unnest({_TOKS}) AS token FROM documents)
+          GROUP BY source, token
+        ), ranked AS (
+          SELECT source,
+                 CAST(round(ln(row_number() OVER (
+                     PARTITION BY source ORDER BY freq DESC, token ASC
+                 )) * 1000000) AS BIGINT) AS x,
+                 CAST(round(ln(freq) * 1000000) AS BIGINT) AS y,
+                 row_number() OVER (
+                     PARTITION BY source ORDER BY freq DESC, token ASC
+                 ) AS rank
+          FROM tc
+        ), sums AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS r,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM ranked WHERE rank <= {T.ZIPF_TOP_RANKS} GROUP BY source
+        )
+        SELECT source, r AS n_ranks,
+               round((r * sxy - sx * sy) / CAST(r * sxx - sx * sx AS DOUBLE), 6)
+                   AS zipf_slope
+        FROM sums
+    """
+
+ORACLE_TRAINING["heaps_fit"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+        ), per_doc AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks
+          FROM toks GROUP BY doc_id
+        ), first_new AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new
+          FROM (SELECT token, min(doc_id) AS doc_id FROM toks GROUP BY token)
+          GROUP BY doc_id
+        ), curve AS (
+          SELECT p.doc_id, p.n_toks, coalesce(f.n_new, 0) AS n_new,
+                 CAST(sum(p.n_toks) OVER (ORDER BY p.doc_id) AS BIGINT)
+                     AS cum_tokens,
+                 CAST(sum(coalesce(f.n_new, 0)) OVER (ORDER BY p.doc_id)
+                     AS BIGINT) AS cum_types,
+                 row_number() OVER (ORDER BY p.doc_id) AS pos
+          FROM per_doc p LEFT JOIN first_new f USING (doc_id)
+        ), pts AS (
+          SELECT CAST(round(ln(cum_tokens) * 1000000) AS BIGINT) AS x,
+                 CAST(round(ln(cum_types) * 1000000) AS BIGINT) AS y
+          FROM curve, (SELECT count(*) AS nd FROM per_doc) n
+          WHERE pos % greatest(1, nd // {T.HEAPS_POINTS}) = 0
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_points,
+               round((count(*) * CAST(sum(x * y) AS BIGINT)
+                      - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT))
+                     / CAST(count(*) * CAST(sum(x * x) AS BIGINT)
+                            - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT)
+                       AS DOUBLE), 6) AS heaps_beta,
+               CAST(max(x) AS BIGINT) AS ln_tokens_max_micro,
+               CAST(max(y) AS BIGINT) AS ln_types_max_micro
+        FROM pts
+    """
+
+_QLM_LIST = ", ".join(f"'{t}'" for t in T.QLM_QUERY)
+ORACLE_TRAINING["dirichlet_qlm_topk"] = f"""
+        WITH d AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+        ), cf AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS cf
+          FROM (SELECT unnest(t) AS term FROM d)
+          WHERE term IN ({_QLM_LIST}) GROUP BY term
+        ), total AS (
+          SELECT CAST(sum(len(t)) AS BIGINT) AS c_total FROM d
+        ), per_term AS (
+          SELECT d.doc_id,
+                 CAST(round(ln((CAST(len(list_filter(d.t, x -> x = cf.term))
+                                     AS BIGINT) * t.c_total
+                                + {T.QLM_MU} * cf.cf)
+                               / CAST(t.c_total * (len(d.t) + {T.QLM_MU})
+                                 AS DOUBLE)) * 1000000) AS BIGINT) AS s_micro
+          FROM d, cf, total t
+        ), scored AS (
+          SELECT doc_id, CAST(sum(s_micro) AS BIGINT) AS sm
+          FROM per_term GROUP BY doc_id
+          ORDER BY sm DESC, doc_id ASC LIMIT {T.QLM_TOP_K}
+        )
+        SELECT doc_id, round(sm / 1e6, 6) AS qlm_score,
+               CAST(row_number() OVER (ORDER BY sm DESC, doc_id ASC) AS INT)
+                   AS rank
+        FROM scored
+    """

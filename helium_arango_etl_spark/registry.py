@@ -2237,7 +2237,17 @@ def _kcore_sql(rounds: int = 16) -> str:
 ORACLE["witness_kcore"] = _kcore_sql()
 
 
-# ---------- driver-window ordering (round 4 rotation) ----------
+# ---------- round 5 additions ----------
+# text-law fits, containment scoring, and QLM retrieval (oracles in
+# oracles_training.py "round 5" section)
+
+QUERIES["minhash_containment"] = D.minhash_containment
+QUERIES["zipf_fit"] = T.zipf_fit
+QUERIES["heaps_fit"] = T.heaps_fit
+QUERIES["dirichlet_qlm_topk"] = T.dirichlet_qlm_topk
+
+
+# ---------- driver-window ordering (round 5 rotation) ----------
 #
 # The driver's CORRECTNESS gate certifies the first 50 insertion-order
 # entries of QUERIES.  Rounds 1-3 certified 77 distinct queries green;
