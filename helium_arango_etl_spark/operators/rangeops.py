@@ -1329,3 +1329,173 @@ def lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("cs / cast(ts as double)"), 6).alias("cum_spend_share"),
         )
     )
+
+
+def auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC via the Mann-Whitney rank statistic, with correct
+    tie handling: does order value predict urgency?  label = priority
+    '1-URGENT', score = price cents.  AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀)
+    where R₁ sums AVERAGE ranks of positives — the standard tie
+    treatment sklearn applies, computed exactly instead of via a
+    sampled curve.
+
+    Determinism: ranks stay in DOUBLED integer units (average rank of a
+    tie group is a half-integer, so 2·R₁ is an exact bigint:
+    Σ p·(2·cum − t + 1) over score groups with cum = cumulative count,
+    t = group size, p = group positives); ONE double division at the
+    end, rounded 6dp.
+
+    Scale shape: per-score aggregation (map-side combined) then a
+    cumulative window over DISTINCT score values (≪ rows; two-pass
+    partition-offset prefix sum at scale); output is one row.
+    """
+    from pyspark.sql import Window
+
+    s = read_table(spark, sf_dir, "orders").select(
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+        F.expr("if(o_orderpriority = '1-URGENT', 1L, 0L)").alias("pos"),
+    )
+    grp = s.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum("pos").alias("p"),
+    )
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = grp.withColumn("cum", F.sum("t").over(wc)).select(
+        F.expr("p * (2 * cum - t + 1)").alias("r1_x2_term"), "t", "p"
+    )
+    return ranked.agg(
+        F.sum("p").cast("bigint").alias("n_pos"),
+        (F.sum("t") - F.sum("p")).cast("bigint").alias("n_neg"),
+        F.round(
+            (F.sum("r1_x2_term") - F.sum("p") * (F.sum("p") + 1))
+            / (2 * F.sum("p") * (F.sum("t") - F.sum("p"))).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
+CALIB_BINS = 10
+
+
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins: a pseudo-probability (the exact
+    empirical percentile of order price, the monotone score `auc_roc`
+    ranks by) vs the realized urgency rate per decile bin — the
+    calibration audit run on any score before its threshold goes to
+    production; Σ n_b·gap_b / N is ECE.
+
+    Determinism: p̂ = (rank−1)/(n−1) is an exact integer rational
+    (min-rank ties); bin = min(9, 10·(rank−1) div (n−1)); the
+    confidence−accuracy gap has EXACT integer numerator
+    |pos_b·(n−1) − Σ(rank−1)| over denominator (n−1)·n_b, so the only
+    doubles are three final rounded divisions per bin row.
+
+    Scale shape: one rank window over score values (prefix-sum shaped),
+    one 10-group aggregation; output is ≤ 10 rows.
+    """
+    from pyspark.sql import Window
+
+    s = read_table(spark, sf_dir, "orders").select(
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+        F.expr("if(o_orderpriority = '1-URGENT', 1L, 0L)").alias("pos"),
+    )
+    n = s.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = (
+        s.withColumn("rk", F.rank().over(Window.orderBy("cents")).cast("bigint"))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "bin",
+            F.expr(f"least({CALIB_BINS - 1}L, ({CALIB_BINS} * (rk - 1)) div (n - 1))"),
+        )
+    )
+    return (
+        ranked.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_b"),
+            F.sum("pos").cast("bigint").alias("pos_b"),
+            F.sum(F.expr("rk - 1")).cast("bigint").alias("s_b"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            "n_b",
+            "pos_b",
+            F.round(F.expr("s_b / cast((n - 1) * n_b as double)"), 6).alias(
+                "confidence"
+            ),
+            F.round(F.expr("pos_b / cast(n_b as double)"), 6).alias("accuracy"),
+            F.round(
+                F.expr("abs(pos_b * (n - 1) - s_b) / cast((n - 1) * n_b as double)"),
+                6,
+            ).alias("abs_gap"),
+        )
+    )
+
+
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete mutual information between customer nation and market
+    segment — the model-free dependence screen (chi²'s
+    information-theoretic sibling): MI = Σ (c_xy/N)·ln(c_xy·N/(c_x·c_y))
+    plus both marginal entropies and normalized MI = MI/min(H_x, H_y),
+    the feature-redundancy score a feature-selection pass ranks by.
+
+    Determinism: every ln argument is an exact integer ratio; each
+    per-cell/per-margin term is micro-quantized to bigint BEFORE the
+    sums, and NMI is a ratio of two exact bigint sums — the
+    `user_behavior_entropy` discipline applied to two variables.
+
+    Scale shape: one (x, y) keyed aggregation with map-side combine;
+    margins derive from the small cell table and broadcast back; output
+    is one row.
+    """
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("x"), F.col("c_mktsegment").alias("y")
+    )
+    cells = c.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("cxy"))
+    mx = cells.groupBy("x").agg(F.sum("cxy").alias("cx"))
+    my = cells.groupBy("y").agg(F.sum("cxy").alias("cy"))
+    tot = cells.agg(F.sum("cxy").alias("n"))
+    terms = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.expr(
+                "cxy * cast(round(ln(cxy * n / cast(cx * cy as double)) * 1000000)"
+                " as bigint)"
+            ).alias("mi_term"),
+            F.lit(None).cast("bigint").alias("hx_term"),
+            F.lit(None).cast("bigint").alias("hy_term"),
+        )
+        .unionByName(
+            mx.crossJoin(F.broadcast(tot)).select(
+                "n",
+                F.lit(None).cast("bigint").alias("mi_term"),
+                F.expr(
+                    "cx * cast(round(ln(n / cast(cx as double)) * 1000000) as bigint)"
+                ).alias("hx_term"),
+                F.lit(None).cast("bigint").alias("hy_term"),
+            )
+        )
+        .unionByName(
+            my.crossJoin(F.broadcast(tot)).select(
+                "n",
+                F.lit(None).cast("bigint").alias("mi_term"),
+                F.lit(None).cast("bigint").alias("hx_term"),
+                F.expr(
+                    "cy * cast(round(ln(n / cast(cy as double)) * 1000000) as bigint)"
+                ).alias("hy_term"),
+            )
+        )
+    )
+    return terms.groupBy("n").agg(
+        F.sum(F.expr("if(mi_term is not null, 1, 0)")).cast("bigint").alias("n_cells"),
+        F.round(F.expr("sum(mi_term) / (n * 1e6)"), 6).alias("mi_nats"),
+        F.round(F.expr("sum(hx_term) / (n * 1e6)"), 6).alias("h_nation"),
+        F.round(F.expr("sum(hy_term) / (n * 1e6)"), 6).alias("h_segment"),
+        F.round(
+            F.expr("sum(mi_term) / cast(least(sum(hx_term), sum(hy_term)) as double)"),
+            6,
+        ).alias("nmi"),
+    ).drop("n")

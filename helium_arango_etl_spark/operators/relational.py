@@ -1121,3 +1121,103 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("support / cast(freq_antecedent as double)"), 6
         ).alias("confidence"),
     )
+
+
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-aggregate MERGE audit — the algebraic property every
+    incremental pipeline stands on: aggregate two disjoint slices of
+    the fact table separately (here l_orderkey parity, standing in for
+    yesterday's materialized state + today's delta), MERGE the partial
+    states (sums add, counts add, mins min, maxes max), and prove the
+    merged result equals the direct full aggregation.  This is the
+    map-side-combine / incremental-view-maintenance contract made
+    visible — at 100 TB you NEVER recompute the full agg, you merge
+    the delta's partials into the stored state.
+
+    Determinism: all four merge operators are exact on integer cents.
+
+    Scale shape: the slice aggregation is one keyed pass (the direct
+    agg exists only as the audit's reference); merge work is
+    O(groups × slices), trivially small.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("l_orderkey % 2").alias("slice"),
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("cents"),
+    )
+    partial = li.groupBy("l_returnflag", "slice").agg(
+        F.sum("cents").alias("p_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("p_cnt"),
+        F.min("cents").alias("p_min"),
+        F.max("cents").alias("p_max"),
+    )
+    merged = partial.groupBy("l_returnflag").agg(
+        F.sum("p_sum").alias("m_sum"),
+        F.sum("p_cnt").cast("bigint").alias("m_cnt"),
+        F.min("p_min").alias("m_min"),
+        F.max("p_max").alias("m_max"),
+        F.count(F.lit(1)).cast("bigint").alias("n_slices"),
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.sum("cents").alias("d_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("d_cnt"),
+        F.min("cents").alias("d_min"),
+        F.max("cents").alias("d_max"),
+    )
+    return merged.join(direct, "l_returnflag").select(
+        "l_returnflag",
+        "n_slices",
+        "m_sum",
+        "m_cnt",
+        "m_min",
+        "m_max",
+        F.expr(
+            "m_sum = d_sum AND m_cnt = d_cnt AND m_min = d_min AND m_max = d_max"
+        ).alias("merge_matches_direct"),
+    )
+
+
+def mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the first derivative every
+    revenue dashboard leads with: monthly order revenue, the previous
+    month via lag, and the percent change.
+
+    Determinism: revenue is exact integer cents; the percent change is
+    computed ENTIRELY in integer micro-percent units,
+    (Δ·100·10⁶) div prev (Spark `div` == DuckDB `//`, truncation
+    verified on negatives), so no double ever feeds a comparison; the
+    displayed pct is micro/10⁶.
+
+    Scale shape: one keyed month aggregation (map-side combined) then a
+    lag window over the ≤ |months| result rows.
+    """
+    from pyspark.sql import Window
+
+    monthly = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            F.expr("date_trunc('month', cast(o_orderdate as date))")
+            .cast("date")
+            .alias("month"),
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+        )
+        .groupBy("month")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("prev_cents", F.lag("rev_cents").over(w))
+        .withColumn(
+            "mom_pct_micro",
+            F.expr(
+                "if(prev_cents is null, null,"
+                " ((rev_cents - prev_cents) * 100000000L) div prev_cents)"
+            ),
+        )
+        .select(
+            "month",
+            "rev_cents",
+            "prev_cents",
+            F.round(F.expr("mom_pct_micro / 1e6"), 6).alias("mom_pct"),
+        )
+    )

@@ -326,3 +326,67 @@ def hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 4).alias("hll_estimate"),
         F.round((est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_error"),
     )
+
+
+KMV_K = 64  # k-th minimum value order statistic
+
+
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event type,
+    beside the exact count — the THIRD cardinality sketch family next
+    to HLL (bit-pattern) and CMS (frequency): keep the K smallest
+    distinct 32-bit hash values; if the k-th smallest is h_k on a 2³²
+    grid, density says n ≈ (K−1)·2³²/h_k (Bar-Yossef et al. 2002).
+    Unlike HLL, a KMV sketch also supports set INTERSECTION estimates
+    (it is a uniform sample of the hash space), which is why telemetry
+    systems often keep both.
+
+    Determinism: the hash is the md5-first-8-hex integer (the module's
+    engine-portable uniform); the estimate is ONE exact integer
+    division ((K−1)·2³² div h_k) — no doubles anywhere but the final
+    rounded error column.  Fewer than K distinct values ⇒ the sketch
+    IS the exact set (estimate = count).
+
+    Scale shape: per-(type, hash) dedup aggregates map-side, the top-K
+    per type is a bounded window over distinct hashes; at 100 TB the
+    sketch merges by unioning candidate sets and re-taking the K
+    smallest — associative, so partial sketches combine like any agg
+    state.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    hashed = ev.select(
+        "event_type",
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10)"
+            " as bigint)"
+        ).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    topk = hashed.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KMV_K
+    )
+    per_type = topk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in_sketch"),
+        F.max(F.expr(f"if(rk = {KMV_K}, h, null)")).alias("h_k"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return per_type.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.expr(
+            f"if(h_k is null, n_in_sketch,"
+            f" (({KMV_K} - 1) * 4294967296L) div h_k)"
+        ).alias("kmv_estimate"),
+        F.round(
+            F.expr(
+                f"abs(if(h_k is null, n_in_sketch,"
+                f" (({KMV_K} - 1) * 4294967296L) div h_k) - n_exact)"
+                " / cast(n_exact as double)"
+            ),
+            6,
+        ).alias("rel_err"),
+    )

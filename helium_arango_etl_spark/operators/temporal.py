@@ -1024,3 +1024,88 @@ def retention_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(F.col("cum_ln") / 1e6), 6).alias("survival"),
         )
     )
+
+
+# CDC op mapping: signup opens the key, activity upserts it, error
+# tombstones it; click is a no-op control message (filtered pre-shuffle)
+CDC_OPS = "CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END"
+
+
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a change-data-capture feed to produce the current snapshot —
+    the lakehouse MERGE-from-changelog pattern (Debezium → Delta/Hudi/
+    Iceberg upsert): per key, replay I/U/D in event order; a trailing
+    D tombstone deletes the key, otherwise the key surfaces with its
+    last-write state and a change count.  `view` events are treated as
+    no-op control messages and dropped BEFORE any shuffle.
+
+    Determinism: replay order is (us, event_id) — a total order, so
+    last-write-wins is unambiguous; state is exact integer cents.
+
+    Scale shape: last-write-wins needs no full replay — ONE keyed
+    max_by/struct-max per key (map-side combinable) picks the final
+    (op, value); counts ride the same aggregation.  This is exactly why
+    CDC compaction scales: O(keys) state, not O(changes).
+    """
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") != "view")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+            F.expr(CDC_OPS).alias("op"),
+            F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+        )
+    )
+    snap = ev.groupBy("user_id").agg(
+        F.expr("max_by(op, struct(us, event_id))").alias("final_op"),
+        F.expr("max_by(cents, struct(us, event_id))").alias("last_value_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_changes"),
+        F.max("us").alias("last_us"),
+    )
+    return snap.filter(F.col("final_op") != "D").select(
+        "user_id", "final_op", "last_value_cents", "n_changes", "last_us"
+    )
+
+
+WATERMARK_DELAY_US = 300 * 1_000_000  # 5-minute allowed lateness
+
+
+def watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the stream in ARRIVAL order (event_id — the ingest
+    sequence) and classify each event against the watermark Structured
+    Streaming would have held when it arrived: watermark = max event
+    time seen over the PRIOR prefix minus the allowed delay; an event
+    whose own time is below that is late and would be dropped by a
+    windowed aggregation.  The per-type late rate is the number every
+    watermark-delay knob is tuned against — run as a batch audit BEFORE
+    committing a streaming job to a 5-minute delay.
+
+    Determinism: the prefix max is over a total order (event_id);
+    late/on-time is an exact integer comparison; rates are one rounded
+    division per type.
+
+    Scale shape: one global-order prefix-max window (two-pass partition
+    offsets at scale — same shape as every replay audit here) then a
+    per-type aggregation; only (us, event_id, type) triples shuffle.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    flagged = ev.withColumn("hwm", F.max("us").over(w)).withColumn(
+        "is_late",
+        F.expr(f"if(hwm is not null and us < hwm - {WATERMARK_DELAY_US}, 1L, 0L)"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("is_late").cast("bigint").alias("n_late"),
+        F.round(F.expr("sum(is_late) / cast(count(1) as double)"), 6).alias(
+            "late_frac"
+        ),
+    )

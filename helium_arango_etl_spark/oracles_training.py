@@ -3706,3 +3706,221 @@ ORACLE_TRAINING["dirichlet_qlm_topk"] = f"""
                    AS rank
         FROM scored
     """
+
+from .operators.rangeops import CALIB_BINS  # noqa: E402
+from .operators.sketch import KMV_K  # noqa: E402
+from .operators.temporal import CDC_OPS, WATERMARK_DELAY_US  # noqa: E402
+
+ORACLE_TRAINING["auc_roc"] = """
+        WITH s AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+          FROM orders
+        ), grp AS (
+          SELECT cents, CAST(count(*) AS BIGINT) AS t,
+                 CAST(sum(pos) AS BIGINT) AS p
+          FROM s GROUP BY cents
+        ), ranked AS (
+          SELECT p, t,
+                 CAST(sum(t) OVER (ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM grp
+        )
+        SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+               CAST(sum(t) - sum(p) AS BIGINT) AS n_neg,
+               round((CAST(sum(p * (2 * cum - t + 1)) AS BIGINT)
+                      - CAST(sum(p) AS BIGINT) * (CAST(sum(p) AS BIGINT) + 1))
+                     / CAST(2 * CAST(sum(p) AS BIGINT)
+                            * (CAST(sum(t) AS BIGINT) - CAST(sum(p) AS BIGINT))
+                       AS DOUBLE), 6) AS auc
+        FROM ranked
+    """
+
+ORACLE_TRAINING["calibration_bins"] = f"""
+        WITH s AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+          FROM orders
+        ), ranked AS (
+          SELECT pos, CAST(rank() OVER (ORDER BY cents) AS BIGINT) AS rk,
+                 CAST(count(*) OVER () AS BIGINT) AS n
+          FROM s
+        ), binned AS (
+          SELECT least({CALIB_BINS - 1}, ({CALIB_BINS} * (rk - 1)) // (n - 1))
+                     AS bin,
+                 pos, rk, n
+          FROM ranked
+        )
+        SELECT CAST(bin AS INT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_b,
+               CAST(sum(pos) AS BIGINT) AS pos_b,
+               round(CAST(sum(rk - 1) AS BIGINT)
+                     / CAST((max(n) - 1) * count(*) AS DOUBLE), 6) AS confidence,
+               round(sum(pos) / CAST(count(*) AS DOUBLE), 6) AS accuracy,
+               round(abs(CAST(sum(pos) AS BIGINT) * (max(n) - 1)
+                         - CAST(sum(rk - 1) AS BIGINT))
+                     / CAST((max(n) - 1) * count(*) AS DOUBLE), 6) AS abs_gap
+        FROM binned GROUP BY bin
+    """
+
+ORACLE_TRAINING["mutual_information"] = """
+        WITH cells AS (
+          SELECT c_nationkey AS x, c_mktsegment AS y,
+                 CAST(count(*) AS BIGINT) AS cxy
+          FROM customer GROUP BY x, y
+        ), mx AS (
+          SELECT x, CAST(sum(cxy) AS BIGINT) AS cx FROM cells GROUP BY x
+        ), my AS (
+          SELECT y, CAST(sum(cxy) AS BIGINT) AS cy FROM cells GROUP BY y
+        ), tot AS (
+          SELECT CAST(sum(cxy) AS BIGINT) AS n FROM cells
+        ), mi AS (
+          SELECT CAST(sum(c.cxy * CAST(round(ln(c.cxy * t.n
+                     / CAST(mx.cx * my.cy AS DOUBLE)) * 1000000) AS BIGINT))
+                   AS BIGINT) AS mi_sum,
+                 CAST(count(*) AS BIGINT) AS n_cells
+          FROM cells c
+          JOIN mx ON mx.x = c.x
+          JOIN my ON my.y = c.y
+          CROSS JOIN tot t
+        ), hx AS (
+          SELECT CAST(sum(cx * CAST(round(ln(t.n / CAST(cx AS DOUBLE))
+                     * 1000000) AS BIGINT)) AS BIGINT) AS hx_sum
+          FROM mx CROSS JOIN tot t
+        ), hy AS (
+          SELECT CAST(sum(cy * CAST(round(ln(t.n / CAST(cy AS DOUBLE))
+                     * 1000000) AS BIGINT)) AS BIGINT) AS hy_sum
+          FROM my CROSS JOIN tot t
+        )
+        SELECT mi.n_cells,
+               round(mi.mi_sum / (t.n * 1e6), 6) AS mi_nats,
+               round(hx.hx_sum / (t.n * 1e6), 6) AS h_nation,
+               round(hy.hy_sum / (t.n * 1e6), 6) AS h_segment,
+               round(mi.mi_sum / CAST(least(hx.hx_sum, hy.hy_sum) AS DOUBLE), 6)
+                   AS nmi
+        FROM mi, hx, hy, tot t
+    """
+
+ORACLE_TRAINING["cdc_apply"] = f"""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id,
+                 {CDC_OPS} AS op,
+                 CAST(floor(value * 100) AS BIGINT) AS cents,
+                 lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                     || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+          FROM events WHERE event_type <> 'view'
+        ), snap AS (
+          SELECT user_id,
+                 arg_max(op, ord_key) AS final_op,
+                 arg_max(cents, ord_key) AS last_value_cents,
+                 CAST(count(*) AS BIGINT) AS n_changes,
+                 CAST(max(us) AS BIGINT) AS last_us
+          FROM ev GROUP BY user_id
+        )
+        SELECT user_id, final_op, last_value_cents, n_changes, last_us
+        FROM snap WHERE final_op <> 'D'
+    """
+
+ORACLE_TRAINING["watermark_late_audit"] = f"""
+        WITH ev AS (
+          SELECT event_id, event_type, epoch_us(ts) AS us FROM events
+        ), flagged AS (
+          SELECT event_type,
+                 CASE WHEN max(us) OVER (ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          IS NOT NULL
+                       AND us < max(us) OVER (ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          - {WATERMARK_DELAY_US}
+                      THEN 1 ELSE 0 END AS is_late
+          FROM ev
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(is_late) AS BIGINT) AS n_late,
+               round(sum(is_late) / CAST(count(*) AS DOUBLE), 6) AS late_frac
+        FROM flagged GROUP BY event_type
+    """
+
+ORACLE_TRAINING["incremental_agg_merge"] = """
+        WITH li AS (
+          SELECT l_returnflag, l_orderkey % 2 AS slice,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem
+        ), partial AS (
+          SELECT l_returnflag, slice,
+                 CAST(sum(cents) AS BIGINT) AS p_sum,
+                 CAST(count(*) AS BIGINT) AS p_cnt,
+                 CAST(min(cents) AS BIGINT) AS p_min,
+                 CAST(max(cents) AS BIGINT) AS p_max
+          FROM li GROUP BY l_returnflag, slice
+        ), merged AS (
+          SELECT l_returnflag,
+                 CAST(sum(p_sum) AS BIGINT) AS m_sum,
+                 CAST(sum(p_cnt) AS BIGINT) AS m_cnt,
+                 CAST(min(p_min) AS BIGINT) AS m_min,
+                 CAST(max(p_max) AS BIGINT) AS m_max,
+                 CAST(count(*) AS BIGINT) AS n_slices
+          FROM partial GROUP BY l_returnflag
+        ), direct AS (
+          SELECT l_returnflag,
+                 CAST(sum(cents) AS BIGINT) AS d_sum,
+                 CAST(count(*) AS BIGINT) AS d_cnt,
+                 CAST(min(cents) AS BIGINT) AS d_min,
+                 CAST(max(cents) AS BIGINT) AS d_max
+          FROM li GROUP BY l_returnflag
+        )
+        SELECT m.l_returnflag, m.n_slices, m.m_sum, m.m_cnt, m.m_min, m.m_max,
+               (m.m_sum = d.d_sum AND m.m_cnt = d.d_cnt
+                AND m.m_min = d.d_min AND m.m_max = d.d_max)
+                   AS merge_matches_direct
+        FROM merged m JOIN direct d USING (l_returnflag)
+    """
+
+ORACLE_TRAINING["mom_revenue_change"] = """
+        WITH monthly AS (
+          SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+                     AS month,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS rev_cents
+          FROM orders GROUP BY month
+        ), lagged AS (
+          SELECT month, rev_cents,
+                 lag(rev_cents) OVER (ORDER BY month) AS prev_cents
+          FROM monthly
+        )
+        SELECT month, rev_cents, prev_cents,
+               round(CASE WHEN prev_cents IS NULL THEN NULL
+                     ELSE ((rev_cents - prev_cents) * 100000000) // prev_cents
+                     END / 1e6, 6) AS mom_pct
+        FROM lagged
+    """
+
+ORACLE_TRAINING["kmv_distinct"] = f"""
+        WITH hashed AS (
+          SELECT DISTINCT event_type,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                     AS h
+          FROM events
+        ), topk AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+          FROM hashed
+        ), per_type AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_in_sketch,
+                 CAST(max(CASE WHEN rk = {KMV_K} THEN h END) AS BIGINT) AS h_k
+          FROM topk WHERE rk <= {KMV_K} GROUP BY event_type
+        ), exact AS (
+          SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+          FROM events GROUP BY event_type
+        )
+        SELECT p.event_type, e.n_exact,
+               CAST(CASE WHEN p.h_k IS NULL THEN p.n_in_sketch
+                    ELSE (({KMV_K} - 1) * 4294967296) // p.h_k END AS BIGINT)
+                   AS kmv_estimate,
+               round(abs(CASE WHEN p.h_k IS NULL THEN p.n_in_sketch
+                         ELSE (({KMV_K} - 1) * 4294967296) // p.h_k END
+                         - e.n_exact) / CAST(e.n_exact AS DOUBLE), 6) AS rel_err
+        FROM per_type p JOIN exact e USING (event_type)
+    """

@@ -2245,6 +2245,14 @@ QUERIES["minhash_containment"] = D.minhash_containment
 QUERIES["zipf_fit"] = T.zipf_fit
 QUERIES["heaps_fit"] = T.heaps_fit
 QUERIES["dirichlet_qlm_topk"] = T.dirichlet_qlm_topk
+QUERIES["auc_roc"] = RG.auc_roc
+QUERIES["calibration_bins"] = RG.calibration_bins
+QUERIES["mutual_information"] = RG.mutual_information
+QUERIES["cdc_apply"] = TP.cdc_apply
+QUERIES["watermark_late_audit"] = TP.watermark_late_audit
+QUERIES["incremental_agg_merge"] = R.incremental_agg_merge
+QUERIES["mom_revenue_change"] = R.mom_revenue_change
+QUERIES["kmv_distinct"] = K.kmv_distinct
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------
