@@ -984,3 +984,77 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("doc_b"))
         .alias("contained_doc"),
     )
+
+
+# entity-resolution match weights (micro-units): name Jaccard 0.5,
+# in-block type agreement 0.3, size proximity 0.2; match at >= 0.8
+ER_MATCH_MICRO = 800_000
+
+
+def part_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking + match scoring over the part catalog —
+    the classic record-linkage pipeline (Fellegi-Sunter shape): block on
+    (name noun, type, size decade) so only plausible co-references ever
+    pair, generate candidate pairs IN-GROUP (never a table self-join),
+    score each pair with a weighted field-similarity sum, and emit the
+    pairs above the match threshold — duplicate catalog listings of the
+    same underlying product.
+
+    Determinism: the name-token Jaccard is an exact small rational
+    (names are adjective+noun; shared noun is the block invariant), so
+    the weighted score is computed ENTIRELY in integer micro-units with
+    truncating division; the match decision compares integers.
+
+    Scale shape: identical to the LSH bucket discipline — one keyed
+    groupBy on the block key, sorted-member-array pair generation
+    bounded by block size (hot blocks cap exactly like
+    dedup._bucket_pairs), only (key, id, tiny fields) shuffle.  At
+    100 TB blocking keys are chosen so blocks stay ≪ 10⁴; the match
+    table is the output, never the candidate set.
+    """
+    parts = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr("split(p_name, ' ')[0]").alias("adj"),
+        F.expr("split(p_name, ' ')[1]").alias("noun"),
+        "p_type",
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    groups = (
+        parts.groupBy("noun", "p_type", F.expr("size div 10").alias("sdec"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("p_partkey", "adj", "size"))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
+    )
+    pair_gen = (
+        "flatten(transform(ms, (x, i) ->"
+        " transform(slice(ms, i + 2, size(ms) - i - 1),"
+        " y -> struct(x.p_partkey AS pa, y.p_partkey AS pb,"
+        " x.adj AS adj_a, y.adj AS adj_b,"
+        " x.size AS size_a, y.size AS size_b))))"
+    )
+    scored = (
+        groups.select(F.explode(F.expr(pair_gen)).alias("p"))
+        .select(
+            F.col("p.pa").alias("part_a"),
+            F.col("p.pb").alias("part_b"),
+            F.expr("if(p.adj_a = p.adj_b, 2L, 1L)").alias("ni"),
+            F.expr("if(p.adj_a = p.adj_b, 2L, 3L)").alias("nu"),
+            F.expr("abs(p.size_a - p.size_b)").alias("ds"),
+        )
+        .withColumn(
+            "score_micro",
+            F.expr(
+                "(500000 * ni) div nu + 300000"
+                " + (200000 * greatest(0L, 10 - ds)) div 10"
+            ),
+        )
+    )
+    return scored.filter(F.col("score_micro") >= ER_MATCH_MICRO).select(
+        "part_a",
+        "part_b",
+        F.round(F.expr("ni / cast(nu as double)"), 6).alias("name_jaccard"),
+        F.round(F.expr("score_micro / 1e6"), 6).alias("match_score"),
+    )

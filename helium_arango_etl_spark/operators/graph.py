@@ -1624,3 +1624,75 @@ def node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return walks.select("city_key", "start", "widx", "path")
+
+
+def local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hotspot local clustering coefficient on the CO-WITNESS
+    projection (the bipartite witness graph itself is triangle-free, so
+    clustering only exists after the one-mode projection): cc(v) =
+    2·tri(v) / (deg(v)·(deg(v)−1)) — the transitivity score that
+    separates tight co-located clusters (cc → 1) from hub-and-spoke
+    fan-out (cc → 0), the standard companion to `degree_powerlaw_fit`
+    when deciding if a city's graph is clustered or scale-free-ish.
+
+    Determinism: triangle and degree counts are exact integers over the
+    distinct projection edge set (src_a < src_b canonical); one rounded
+    division per node.
+
+    Scale shape: triangles enumerate via two keyed joins of the ORIENTED
+    (a<b) edge list — each triangle found exactly once, no node ever
+    joins its full neighborhood both ways; per-corner counts are one
+    explode + keyed agg.  At 100 TB the orientation is by degree
+    (low-degree node first) to bound the join fan-out — the standard
+    degree-ordered triangle counting rewrite; id-orientation here keeps
+    the oracle bit-exact.
+    """
+    proj = co_witness_pairs(spark, sf_dir).select(
+        "city_key", F.col("src_a").alias("a"), F.col("src_b").alias("b")
+    )
+    deg = (
+        proj.select("city_key", F.col("a").alias("node"))
+        .unionByName(proj.select("city_key", F.col("b").alias("node")))
+        .groupBy("city_key", "node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    e1 = proj
+    e2 = proj.select(
+        "city_key", F.col("a").alias("b"), F.col("b").alias("c")
+    )
+    e3 = proj.select(
+        "city_key", F.col("a").alias("a"), F.col("b").alias("c")
+    )
+    tris = (
+        e1.join(e2, ["city_key", "b"])
+        .join(e3, ["city_key", "a", "c"])
+        .select("city_key", "a", "b", "c")
+    )
+    corner = (
+        tris.select("city_key", F.col("a").alias("node"))
+        .unionByName(tris.select("city_key", F.col("b").alias("node")))
+        .unionByName(tris.select("city_key", F.col("c").alias("node")))
+        .groupBy("city_key", "node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        deg.join(corner, ["city_key", "node"], "left")
+        .select(
+            "city_key",
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.expr(
+                        "2 * coalesce(n_triangles, 0)"
+                        " / cast(degree * (degree - 1) as double)"
+                    ),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )

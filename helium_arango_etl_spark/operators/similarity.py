@@ -1504,3 +1504,73 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("loading") * F.col("sg"), 6).alias("loading"),
         "eigenvalue_scaled",
     )
+
+
+KNN_K = 5
+
+
+def mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-nearest-neighbor graph over the embedding corpus: an
+    edge (a, b) exists iff b is in a's cosine top-K AND a is in b's —
+    the symmetric pruning that turns raw kNN into the graph clustering /
+    manifold-learning substrate (UMAP's and SemDeDup-style cluster
+    seeds both start here), far more noise-robust than one-directional
+    kNN because hub vectors can't attach to everything.
+
+    Determinism: ranking compares micro-quantized cosines with vec_id
+    tie-break; the mutual check is an exact id-pair semi-join; each
+    surviving edge emits once in (min, max) canonical order.
+
+    Scale shape: the demo path scores all pairs (corpus² dot products,
+    fine at harness scale); the 100 TB path swaps the pair source for
+    the LSH bucket candidates (`lsh_bucket_topk`'s bucket join) with
+    identical downstream rank/mutual logic — the rank window keys on
+    vec_id either way, and norms come precomputed off the shared
+    embedding table so per-pair work is one fold.
+    """
+    from pyspark.sql import Window
+
+    emb = embedding_table(spark, sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("ia"),
+        F.col("label").alias("la"),
+        F.col("v64").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"),
+        F.col("label").alias("lb"),
+        F.col("v64").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "la",
+            "ib",
+            "lb",
+            F.expr(f"cast(round(({_DOT} / (na * nb)) * 1000000) as bigint)").alias(
+                "cos_micro"
+            ),
+        )
+    )
+    w = Window.partitionBy("ia").orderBy(
+        F.col("cos_micro").desc(), F.col("ib").asc()
+    )
+    knn = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KNN_K
+    )
+    rev = knn.select(
+        F.col("ib").alias("ia"), F.col("ia").alias("ib")
+    )
+    mutual = knn.join(rev, ["ia", "ib"], "leftsemi").filter(
+        F.col("ia") < F.col("ib")
+    )
+    return mutual.select(
+        F.col("ia").alias("vec_a"),
+        F.col("ib").alias("vec_b"),
+        F.round(F.col("cos_micro") / 1e6, 6).alias("cosine_sim"),
+        (F.col("la") == F.col("lb")).alias("same_label"),
+    )

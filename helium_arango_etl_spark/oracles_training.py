@@ -3924,3 +3924,60 @@ ORACLE_TRAINING["kmv_distinct"] = f"""
                          - e.n_exact) / CAST(e.n_exact AS DOUBLE), 6) AS rel_err
         FROM per_type p JOIN exact e USING (event_type)
     """
+
+from .operators.dedup import ER_MATCH_MICRO  # noqa: E402
+from .operators.similarity import KNN_K  # noqa: E402
+
+ORACLE_TRAINING["part_er_blocking"] = f"""
+        WITH p AS (
+          SELECT p_partkey, string_split(p_name, ' ')[1] AS adj,
+                 string_split(p_name, ' ')[2] AS noun,
+                 p_type, CAST(p_size AS BIGINT) AS size
+          FROM part
+        ), pairs AS (
+          SELECT x.p_partkey AS part_a, y.p_partkey AS part_b,
+                 CASE WHEN x.adj = y.adj THEN 2 ELSE 1 END AS ni,
+                 CASE WHEN x.adj = y.adj THEN 2 ELSE 3 END AS nu,
+                 abs(x.size - y.size) AS ds
+          FROM p x JOIN p y
+            ON x.noun = y.noun AND x.p_type = y.p_type
+           AND x.size // 10 = y.size // 10
+           AND x.p_partkey < y.p_partkey
+        ), scored AS (
+          SELECT part_a, part_b, ni, nu,
+                 (500000 * ni) // nu + 300000
+                 + (200000 * greatest(0, 10 - ds)) // 10 AS score_micro
+          FROM pairs
+        )
+        SELECT part_a, part_b,
+               round(ni / CAST(nu AS DOUBLE), 6) AS name_jaccard,
+               round(score_micro / 1e6, 6) AS match_score
+        FROM scored WHERE score_micro >= {ER_MATCH_MICRO}
+    """
+
+ORACLE_TRAINING["mutual_knn_graph"] = f"""
+        WITH e AS (
+          SELECT vec_id, label, {_CAST64} AS v FROM embeddings
+        ), n AS (
+          SELECT vec_id, label, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nv
+          FROM e
+        ), scored AS (
+          SELECT a.vec_id AS ia, a.label AS la, b.vec_id AS ib, b.label AS lb,
+                 CAST(round(list_sum(list_transform(range(1, {DIM + 1}),
+                          i -> a.v[i] * b.v[i])) / (a.nv * b.nv) * 1000000)
+                   AS BIGINT) AS cos_micro
+          FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        ), knn AS (
+          SELECT *, row_number() OVER (PARTITION BY ia
+                        ORDER BY cos_micro DESC, ib ASC) AS rk
+          FROM scored
+        ), k AS (
+          SELECT * FROM knn WHERE rk <= {KNN_K}
+        )
+        SELECT k.ia AS vec_a, k.ib AS vec_b,
+               round(k.cos_micro / 1e6, 6) AS cosine_sim,
+               k.la = k.lb AS same_label
+        FROM k JOIN k r ON r.ia = k.ib AND r.ib = k.ia
+        WHERE k.ia < k.ib
+    """

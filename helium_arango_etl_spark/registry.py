@@ -2253,6 +2253,43 @@ QUERIES["watermark_late_audit"] = TP.watermark_late_audit
 QUERIES["incremental_agg_merge"] = R.incremental_agg_merge
 QUERIES["mom_revenue_change"] = R.mom_revenue_change
 QUERIES["kmv_distinct"] = K.kmv_distinct
+QUERIES["part_er_blocking"] = D.part_er_blocking
+QUERIES["mutual_knn_graph"] = S.mutual_knn_graph
+QUERIES["local_clustering_coeff"] = G.local_clustering_coeff
+ORACLE["local_clustering_coeff"] = f"""
+        WITH edges0 AS ({_WITNESS_SQL}),
+        edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        proj AS (
+          SELECT DISTINCT a.city_key, a.src AS a, b.src AS b
+          FROM edges a
+          JOIN edges b ON a.city_key = b.city_key AND a.dst = b.dst
+                      AND a.src < b.src
+        ), deg AS (
+          SELECT city_key, node, CAST(count(*) AS BIGINT) AS degree
+          FROM (SELECT city_key, a AS node FROM proj
+                UNION ALL SELECT city_key, b FROM proj)
+          GROUP BY city_key, node
+        ), tri AS (
+          SELECT e1.city_key, e1.a, e1.b, e2.b AS c
+          FROM proj e1
+          JOIN proj e2 ON e2.city_key = e1.city_key AND e2.a = e1.b
+          JOIN proj e3 ON e3.city_key = e1.city_key AND e3.a = e1.a
+                      AND e3.b = e2.b
+        ), corner AS (
+          SELECT city_key, node, CAST(count(*) AS BIGINT) AS n_triangles
+          FROM (SELECT city_key, a AS node FROM tri
+                UNION ALL SELECT city_key, b FROM tri
+                UNION ALL SELECT city_key, c FROM tri)
+          GROUP BY city_key, node
+        )
+        SELECT d.city_key, d.node, d.degree,
+               CAST(coalesce(c.n_triangles, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN d.degree >= 2
+                    THEN round(2 * coalesce(c.n_triangles, 0)
+                               / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+                    ELSE 0.0 END AS clustering_coeff
+        FROM deg d LEFT JOIN corner c USING (city_key, node)
+    """
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------
