@@ -1499,3 +1499,53 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("nmi"),
     ).drop("n")
+
+
+ROLL_MED_DAYS = 7
+
+
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling MEDIAN of daily event value per type — the
+    robust-trend companion of `user_trailing_7d`'s rolling sums: a
+    median line shrugs off the single-day spikes that drag a rolling
+    mean (and that `value_outliers` flags), so ops dashboards overlay
+    both and read divergence as burstiness.
+
+    Determinism: daily totals are exact integer cents; the windowed
+    median interpolates between two integers (at worst one .5), so
+    2·median is an EXACT integer — it is re-quantized to that grid
+    before the single display division (rounding the raw .925-style
+    double would land on a Spark-vs-DuckDB half-even boundary).
+
+    Scale shape: one keyed day aggregation (map-side combined), then a
+    RANGE window over the per-(type, day) grid — ≤ |types|·|days| rows,
+    never events; the window holds ≤ 7 values per frame.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
+            F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rangeBetween(-(ROLL_MED_DAYS - 1), 0)
+    )
+    return (
+        daily.withColumn("med", F.expr("percentile(day_cents, 0.5)").over(w))
+        .select(
+            "event_type",
+            "day_idx",
+            "day_cents",
+            F.expr("cast(round(2 * med) as bigint) / cast(200.0 as double)").alias(
+                "rolling_median"
+            ),
+        )
+    )

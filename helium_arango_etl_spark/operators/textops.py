@@ -1480,3 +1480,129 @@ def dirichlet_qlm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sm") / 1e6, 6).alias("qlm_score"),
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+NDCG_K = 10
+
+
+def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the `bm25_topk` run: NDCG@10,
+    MRR, and Precision@10 against a DETERMINISTIC graded relevance
+    (grade = number of distinct BM25_QUERY terms a document contains,
+    0-|Q|) — the eval harness every ranking change ships through.  The
+    ideal ranking for NDCG comes from the corpus-wide grade order, so
+    the metric is absolute, not run-relative.
+
+    Determinism: each DCG term (2^grade − 1)/log2(rank+1) is
+    micro-quantized to bigint before summing; NDCG is ONE division of
+    two exact bigint sums; MRR is an exact rational 1/first-rank;
+    grades are exact integer set sizes.
+
+    Scale shape: grading is a per-doc array intersection (no shuffle);
+    the ideal top-K is a TakeOrderedAndProject over (grade, doc_id);
+    the run is already K rows.  Output is one row.
+    """
+    from pyspark.sql import Window
+
+    qlist = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    docs = spread(read_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.expr(
+            f"cast(size(array_intersect(array_distinct({TOKS}),"
+            f" array({qlist}))) as bigint)"
+        ).alias("grade"),
+    )
+    run = bm25_topk(spark, sf_dir).select("doc_id", "rank")
+    dcg_term = (
+        "cast(round((power(2, grade) - 1) / (ln(rank + 1) / ln(2))"
+        " * 1000000) as bigint)"
+    )
+    run_dcg = (
+        run.join(docs, "doc_id")
+        .select(
+            F.expr(dcg_term).alias("term"),
+            F.expr("if(grade >= 2 , rank, null)").alias("good_rank"),
+            F.expr("if(grade >= 1, 1L, 0L)").alias("is_rel"),
+        )
+        .agg(
+            F.sum("term").alias("dcg_micro"),
+            F.min("good_rank").alias("first_good"),
+            F.sum("is_rel").alias("n_rel"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
+    )
+    ideal = (
+        docs.orderBy(F.col("grade").desc(), F.col("doc_id").asc())
+        .limit(NDCG_K)
+        .select(
+            F.col("grade"),
+            F.row_number()
+            .over(Window.orderBy(F.col("grade").desc(), F.col("doc_id").asc()))
+            .alias("rank"),
+        )
+        .agg(F.sum(F.expr(dcg_term)).alias("idcg_micro"))
+    )
+    return run_dcg.crossJoin(F.broadcast(ideal)).select(
+        F.col("k"),
+        F.round(F.expr("dcg_micro / cast(idcg_micro as double)"), 6).alias(
+            f"ndcg_at_{NDCG_K}"
+        ),
+        F.round(F.expr("if(first_good is null, cast(0.0 as double), cast(1.0 as double) / first_good)"), 6).alias(
+            "mrr"
+        ),
+        F.round(F.expr("n_rel / cast(k as double)"), 6).alias(f"p_at_{NDCG_K}"),
+    )
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation of the `lang_id` heuristic against the gold
+    `lang` column: per-class TP / predicted-count / actual-count with
+    precision, recall, and F1 — the confusion-derived report card any
+    quality/language filter must publish before it gates a corpus (a
+    filter with 0.4 recall on a language silently deletes it from the
+    training mix).
+
+    Determinism: counts are exact integers; F1 uses the identity
+    2TP/(|pred| + |actual|) — ONE rounded division, no chained P·R
+    doubles.
+
+    Scale shape: one per-doc prediction pass (array filters, no
+    shuffle), three tiny keyed aggregations over |classes| rows,
+    full-outer-joined on the class label.
+    """
+    preds = lang_id(spark, sf_dir).select("actual_lang", "predicted_lang")
+    tp = (
+        preds.filter(F.col("actual_lang") == F.col("predicted_lang"))
+        .groupBy(F.col("actual_lang").alias("lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tp"))
+    )
+    pred_n = preds.groupBy(F.col("predicted_lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pred")
+    )
+    act_n = preds.groupBy(F.col("actual_lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_actual")
+    )
+    return (
+        act_n.join(pred_n, "lang", "full")
+        .join(tp, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce("n_actual", F.lit(0)).cast("bigint").alias("n_actual"),
+            F.round(
+                F.expr("coalesce(tp, 0) / cast(nullif(n_pred, 0) as double)"), 6
+            ).alias("precision"),
+            F.round(
+                F.expr("coalesce(tp, 0) / cast(nullif(n_actual, 0) as double)"), 6
+            ).alias("recall"),
+            F.round(
+                F.expr(
+                    "2 * coalesce(tp, 0)"
+                    " / cast(nullif(coalesce(n_pred, 0) + coalesce(n_actual, 0), 0)"
+                    " as double)"
+                ),
+                6,
+            ).alias("f1"),
+        )
+    )

@@ -3981,3 +3981,89 @@ ORACLE_TRAINING["mutual_knn_graph"] = f"""
         FROM k JOIN k r ON r.ia = k.ib AND r.ib = k.ia
         WHERE k.ia < k.ib
     """
+
+from .operators.rangeops import ROLL_MED_DAYS  # noqa: E402
+from .operators.textops import NDCG_K  # noqa: E402
+
+ORACLE_TRAINING["ndcg_at_k"] = f"""
+        WITH graded AS (
+          SELECT doc_id,
+                 CAST(len(list_intersect(list_distinct({_TOKS}),
+                      [{", ".join(f"'{t}'" for t in T.BM25_QUERY)}]))
+                   AS BIGINT) AS grade
+          FROM documents
+        ), run AS (
+          SELECT doc_id, rank FROM ({{BM25}})
+        ), run_terms AS (
+          SELECT CAST(round((power(2, g.grade) - 1)
+                     / (ln(r.rank + 1) / ln(2)) * 1000000) AS BIGINT) AS term,
+                 CASE WHEN g.grade >= 2 THEN r.rank END AS good_rank,
+                 CASE WHEN g.grade >= 1 THEN 1 ELSE 0 END AS is_rel
+          FROM run r JOIN graded g USING (doc_id)
+        ), run_agg AS (
+          SELECT CAST(sum(term) AS BIGINT) AS dcg_micro,
+                 min(good_rank) AS first_good,
+                 CAST(sum(is_rel) AS BIGINT) AS n_rel,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM run_terms
+        ), ideal AS (
+          SELECT CAST(sum(CAST(round((power(2, grade) - 1)
+                     / (ln(rank + 1) / ln(2)) * 1000000) AS BIGINT))
+                   AS BIGINT) AS idcg_micro
+          FROM (SELECT grade, row_number() OVER (
+                    ORDER BY grade DESC, doc_id ASC) AS rank
+                FROM graded ORDER BY grade DESC, doc_id ASC LIMIT {NDCG_K})
+        )
+        SELECT r.k,
+               round(r.dcg_micro / CAST(i.idcg_micro AS DOUBLE), 6)
+                   AS ndcg_at_{NDCG_K},
+               round(CASE WHEN r.first_good IS NULL THEN 0.0
+                     ELSE CAST(1.0 AS DOUBLE) / r.first_good END, 6) AS mrr,
+               round(r.n_rel / CAST(r.k AS DOUBLE), 6) AS p_at_{NDCG_K}
+        FROM run_agg r, ideal i
+    """.replace("{BM25}", ORACLE_TRAINING["bm25_topk"])
+
+ORACLE_TRAINING["langid_confusion"] = """
+        WITH preds AS (
+          SELECT actual_lang, predicted_lang FROM ({LANGID})
+        ), tp AS (
+          SELECT actual_lang AS lang, CAST(count(*) AS BIGINT) AS tp
+          FROM preds WHERE actual_lang = predicted_lang GROUP BY actual_lang
+        ), pred_n AS (
+          SELECT predicted_lang AS lang, CAST(count(*) AS BIGINT) AS n_pred
+          FROM preds GROUP BY predicted_lang
+        ), act_n AS (
+          SELECT actual_lang AS lang, CAST(count(*) AS BIGINT) AS n_actual
+          FROM preds GROUP BY actual_lang
+        )
+        SELECT coalesce(a.lang, p.lang) AS lang,
+               CAST(coalesce(t.tp, 0) AS BIGINT) AS tp,
+               CAST(coalesce(p.n_pred, 0) AS BIGINT) AS n_pred,
+               CAST(coalesce(a.n_actual, 0) AS BIGINT) AS n_actual,
+               round(coalesce(t.tp, 0)
+                     / CAST(nullif(p.n_pred, 0) AS DOUBLE), 6) AS precision,
+               round(coalesce(t.tp, 0)
+                     / CAST(nullif(a.n_actual, 0) AS DOUBLE), 6) AS recall,
+               round(2 * coalesce(t.tp, 0)
+                     / CAST(nullif(coalesce(p.n_pred, 0)
+                                   + coalesce(a.n_actual, 0), 0) AS DOUBLE), 6)
+                   AS f1
+        FROM act_n a
+        FULL JOIN pred_n p USING (lang)
+        LEFT JOIN tp t ON t.lang = coalesce(a.lang, p.lang)
+    """.replace("{LANGID}", ORACLE_TRAINING["lang_id"])
+
+ORACLE_TRAINING["rolling_median_value"] = f"""
+        WITH daily AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                     AS day_cents
+          FROM events GROUP BY event_type, day_idx
+        )
+        SELECT event_type, day_idx, day_cents,
+               CAST(round(2 * quantile_cont(day_cents, 0.5) OVER (
+                   PARTITION BY event_type ORDER BY day_idx
+                   RANGE BETWEEN {ROLL_MED_DAYS - 1} PRECEDING AND CURRENT ROW))
+                 AS BIGINT) / CAST(200.0 AS DOUBLE) AS rolling_median
+        FROM daily
+    """

@@ -2256,6 +2256,9 @@ QUERIES["kmv_distinct"] = K.kmv_distinct
 QUERIES["part_er_blocking"] = D.part_er_blocking
 QUERIES["mutual_knn_graph"] = S.mutual_knn_graph
 QUERIES["local_clustering_coeff"] = G.local_clustering_coeff
+QUERIES["ndcg_at_k"] = T.ndcg_at_k
+QUERIES["langid_confusion"] = T.langid_confusion
+QUERIES["rolling_median_value"] = RG.rolling_median_value
 ORACLE["local_clustering_coeff"] = f"""
         WITH edges0 AS ({_WITNESS_SQL}),
         edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
