@@ -62,6 +62,13 @@ HEADLINE = [
     "dsir_weights",          # DSIR hashed-ngram importance weights
     "hard_negatives",        # contrastive hard-negative mining (batch ANN)
     "mmr_rerank",            # MMR diversity rerank over the shortlist
+    # round-5 operators promoted to tracked per-round numbers
+    "zipf_fit",              # per-source word-count + rank regression
+    "auc_roc",               # exact rank-statistic AUC over order prices
+    "cdc_apply",             # changelog -> snapshot keyed last-write-wins
+    "part_er_blocking",      # ER blocking + in-group candidate scoring
+    "ndcg_at_k",             # retrieval eval on the BM25 run
+    "mutual_knn_graph",      # all-pairs cosine kNN + mutual semi-join
 ]
 # Deliberately NOT in the headline: city_betweenness_joins — it is the
 # correctness-harness mirror of the applyInPandas production path
