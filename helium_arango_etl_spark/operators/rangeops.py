@@ -1549,3 +1549,124 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# SPRT design: H0 p=0.19 vs H1 p=0.21, alpha = beta = 0.05
+SPRT_P0 = (19, 100)
+SPRT_P1 = (21, 100)
+
+
+def sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test replayed over the event
+    stream: per experiment variant (user-hash parity — the same
+    deterministic assignment an A/B platform uses), accumulate the daily
+    log-likelihood ratio of purchase conversion under H1 (p=0.21) vs H0
+    (p=0.19) and mark the first boundary crossing — the always-valid
+    peeking monitor that replaces fixed-horizon tests when stakeholders
+    watch dashboards daily (Wald 1945: cross ln((1−β)/α) ⇒ accept H1,
+    cross ln(β/(1−α)) ⇒ accept H0, else continue).
+
+    Determinism: the two per-event LLR increments ln(p1/p0) and
+    ln((1−p1)/(1−p0)) are ln of EXACT rationals, micro-quantized ONCE
+    as constants; each day's increment is counts × constants (exact
+    bigint), the running sum is a bigint prefix, and boundary
+    comparisons are integer-vs-integer.
+
+    Scale shape: one keyed (variant, day) aggregation (map-side
+    combined) over events, then a cumulative window over the bounded
+    day grid per variant.
+    """
+    from pyspark.sql import Window
+
+    p0n, p0d = SPRT_P0
+    p1n, p1d = SPRT_P1
+    # micro-quantized increments (identical expressions both engines)
+    l_succ = f"cast(round(ln({p1n} / cast({p0n} as double)) * 1000000) as bigint)"
+    l_fail = (
+        f"cast(round(ln(({p1d} - {p1n}) / cast({p0d} - {p0n} as double))"
+        " * 1000000) as bigint)"
+    )
+    # alpha = beta = 0.05: A = ln(0.95/0.05) = ln(19), B = ln(0.05/0.95)
+    a_bound = "cast(round(ln(19.0) * 1000000) as bigint)"
+    b_bound = "cast(round(ln(1.0 / 19.0) * 1000000) as bigint)"
+    ev = read_table(spark, sf_dir, "events").select(
+        F.expr("user_id % 2").alias("variant"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
+        F.expr("if(event_type = 'purchase', 1L, 0L)").alias("is_p"),
+    )
+    daily = ev.groupBy("variant", "day_idx").agg(
+        F.sum("is_p").alias("n_succ"),
+        (F.count(F.lit(1)) - F.sum("is_p")).alias("n_fail"),
+    )
+    w = (
+        Window.partitionBy("variant")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        daily.withColumn(
+            "llr_day", F.expr(f"n_succ * ({l_succ}) + n_fail * ({l_fail})")
+        )
+        .withColumn("cum_llr_micro", F.sum("llr_day").over(w))
+        .select(
+            "variant",
+            "day_idx",
+            F.col("n_succ").cast("bigint").alias("n_succ"),
+            F.col("n_fail").cast("bigint").alias("n_fail"),
+            F.round(F.col("cum_llr_micro") / 1e6, 6).alias("cum_llr"),
+            F.expr(
+                f"CASE WHEN cum_llr_micro >= {a_bound} THEN 'accept_h1'"
+                f" WHEN cum_llr_micro <= {b_bound} THEN 'accept_h0'"
+                " ELSE 'continue' END"
+            ).alias("decision"),
+        )
+    )
+
+
+def user_saturation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience saturation per event type: daily ACTIVE users, NEW users
+    (first-ever day for that user×type), and the cumulative distinct
+    user count — the growth curve behind "are we acquiring or churning",
+    computed without any cumulative-distinct state by the
+    first-occurrence trick (a user is new exactly once, so cumulative
+    distinct = prefix sum of news — the same identity `heaps_fit` uses
+    for vocabulary).
+
+    Determinism: exact integer counts; the prefix sum runs over the
+    bounded (type, day) grid.
+
+    Scale shape: two keyed aggregations (per (type,user) min-day, per
+    (type,day) counts) + one grid-sized cumulative window; events
+    shuffle once by (type, user).
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
+    )
+    active = ev.groupBy("event_type", "day_idx").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_active")
+    )
+    first_day = ev.groupBy("event_type", "user_id").agg(
+        F.min("day_idx").alias("day_idx")
+    )
+    news = first_day.groupBy("event_type", "day_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        active.join(news, ["event_type", "day_idx"], "left")
+        .select(
+            "event_type",
+            "day_idx",
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+        )
+        .withColumn("cum_users", F.sum("n_new").over(w))
+    )

@@ -1606,3 +1606,123 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f1"),
         )
     )
+
+
+KN_TOP_K = 50
+
+
+def kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (d = 3/4) for the
+    top-K corpus bigrams — THE n-gram smoothing (Kneser & Ney 1995, the
+    strongest classical LM baseline and the quality-scoring upgrade
+    over the unsmoothed `bigram_cross_entropy` model): the backoff
+    weight uses CONTINUATION counts (in how many contexts does w appear)
+    rather than raw frequency, which is what stops "Francisco" from
+    looking probable outside "San Francisco".
+
+    Determinism: with discount 3/4, p_kn(w2|w1) = (c − 3/4)/cp +
+    (3/4)·(N1+(w1·)/cp)·(N1+(·w2)/B) collapses to the EXACT integer
+    rational ((4c − 3)·B + 3·ncont·nleft) / (4·cp·B) — numerator and
+    denominator are bigints, ONE rounded division per row.
+
+    Scale shape: four combiner-folded keyed counts off one bigram
+    explode (bigram, prefix-total, distinct-continuation,
+    distinct-left-context) + a 1-row type-count broadcast; the top-K is
+    TakeOrderedAndProject.
+    """
+    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
+    bi = (
+        docs.select(F.explode(F.expr(_BIGRAMS_OVER_T)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("wa", F.expr("split(bg, ' ')[0]"))
+        .withColumn("wb", F.expr("split(bg, ' ')[1]"))
+    )
+    prefix = bi.groupBy("wa").agg(
+        F.sum("c").alias("cp"),
+        F.count(F.lit(1)).cast("bigint").alias("ncont"),
+    )
+    left = bi.groupBy("wb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nleft")
+    )
+    btypes = bi.agg(F.count(F.lit(1)).cast("bigint").alias("b_types"))
+    return (
+        bi.join(prefix, "wa")
+        .join(left, "wb")
+        .crossJoin(F.broadcast(btypes))
+        .orderBy(F.col("c").desc(), F.col("bg").asc())
+        .limit(KN_TOP_K)
+        .select(
+            "bg",
+            "c",
+            F.col("cp").alias("prefix_count"),
+            F.col("ncont").alias("n_continuations"),
+            F.col("nleft").alias("n_left_contexts"),
+            F.round(
+                F.expr(
+                    "((4 * c - 3) * b_types + 3 * ncont * nleft)"
+                    " / cast(4 * cp * b_types as double)"
+                ),
+                6,
+            ).alias("p_kn"),
+        )
+    )
+
+
+# pseudo-relevance feedback: expansion terms mined from the BM25 top-k
+PRF_EXP_K = 10
+
+
+def prf_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio/RM1 shape):
+    take the `bm25_topk` result as assumed-relevant, score every
+    non-query term that appears in those documents by
+    feedback-document-frequency × idf, and emit the top expansion
+    terms — the second-stage retrieval loop that turns one query into a
+    better one with zero supervision.
+
+    Determinism: the weight is df_fb · ln((N+1)/(df+1)) with the ln of
+    an exact integer ratio micro-quantized before the integer
+    multiplication; ranking compares (weight_micro, term) exactly.
+
+    Scale shape: the feedback set is K documents (broadcast-sized);
+    only THEIR distinct terms aggregate (a K-doc explode, not a corpus
+    pass); corpus dfs come from one combiner-folded count pruned by a
+    semi-join on the feedback vocabulary.
+    """
+    qset = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    fb_ids = bm25_topk(spark, sf_dir).select("doc_id")
+    fb_terms = (
+        docs.join(F.broadcast(fb_ids), "doc_id", "leftsemi")
+        .select("doc_id", F.explode(F.expr(f"array_distinct({TOKS})")).alias("term"))
+        .filter(F.expr(f"term NOT IN ({qset})"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df_fb"))
+    )
+    df_corpus = (
+        docs.select("doc_id", F.explode(F.expr(f"array_distinct({TOKS})")).alias("term"))
+        .join(F.broadcast(fb_terms.select("term")), "term", "leftsemi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    return (
+        fb_terms.join(df_corpus, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "w_micro",
+            F.expr(
+                "df_fb * cast(round(ln((n + 1) / cast(df + 1 as double))"
+                " * 1000000) as bigint)"
+            ),
+        )
+        .orderBy(F.col("w_micro").desc(), F.col("term").asc())
+        .limit(PRF_EXP_K)
+        .select(
+            "term",
+            "df_fb",
+            F.col("df").alias("df_corpus"),
+            F.round(F.col("w_micro") / 1e6, 6).alias("weight"),
+        )
+    )

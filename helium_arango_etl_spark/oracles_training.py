@@ -4067,3 +4067,123 @@ ORACLE_TRAINING["rolling_median_value"] = f"""
                  AS BIGINT) / CAST(200.0 AS DOUBLE) AS rolling_median
         FROM daily
     """
+
+from .operators.rangeops import SPRT_P0, SPRT_P1  # noqa: E402
+from .operators.textops import KN_TOP_K, PRF_EXP_K  # noqa: E402
+
+ORACLE_TRAINING["kn_bigram_lm"] = f"""
+        WITH toks AS (
+          SELECT {_TOKS} AS t FROM documents
+        ), bi AS (
+          SELECT bg, CAST(count(*) AS BIGINT) AS c,
+                 string_split(bg, ' ')[1] AS wa,
+                 string_split(bg, ' ')[2] AS wb
+          FROM (SELECT unnest({_BIGRAMS}) AS bg FROM toks)
+          GROUP BY bg
+        ), prefix AS (
+          SELECT wa, CAST(sum(c) AS BIGINT) AS cp,
+                 CAST(count(*) AS BIGINT) AS ncont
+          FROM bi GROUP BY wa
+        ), lft AS (
+          SELECT wb, CAST(count(*) AS BIGINT) AS nleft FROM bi GROUP BY wb
+        ), btypes AS (
+          SELECT CAST(count(*) AS BIGINT) AS b_types FROM bi
+        )
+        SELECT b.bg, b.c, p.cp AS prefix_count,
+               p.ncont AS n_continuations, l.nleft AS n_left_contexts,
+               round(((4 * b.c - 3) * t.b_types + 3 * p.ncont * l.nleft)
+                     / CAST(4 * p.cp * t.b_types AS DOUBLE), 6) AS p_kn
+        FROM bi b
+        JOIN prefix p USING (wa)
+        JOIN lft l USING (wb)
+        CROSS JOIN btypes t
+        ORDER BY b.c DESC, b.bg ASC LIMIT {KN_TOP_K}
+    """
+
+ORACLE_TRAINING["prf_expansion_terms"] = f"""
+        WITH n_docs AS (
+          SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        ), fb AS (
+          SELECT doc_id FROM ({{BM25}})
+        ), fb_terms AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df_fb
+          FROM (SELECT d.doc_id, unnest(list_distinct({_TOKS})) AS term
+                FROM documents d JOIN fb USING (doc_id))
+          WHERE term NOT IN ({", ".join(f"'{t}'" for t in T.BM25_QUERY)})
+          GROUP BY term
+        ), dfs AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS term
+                FROM documents)
+          WHERE term IN (SELECT term FROM fb_terms)
+          GROUP BY term
+        )
+        SELECT f.term, f.df_fb, d.df AS df_corpus,
+               round(f.df_fb * CAST(round(ln((n.n + 1)
+                     / CAST(d.df + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+                 / 1e6, 6) AS weight
+        FROM fb_terms f JOIN dfs d USING (term) CROSS JOIN n_docs n
+        ORDER BY f.df_fb * CAST(round(ln((n.n + 1)
+                  / CAST(d.df + 1 AS DOUBLE)) * 1000000) AS BIGINT) DESC,
+                 f.term ASC
+        LIMIT {PRF_EXP_K}
+    """.replace("{BM25}", ORACLE_TRAINING["bm25_topk"])
+
+ORACLE_TRAINING["sprt_monitor"] = f"""
+        WITH ev AS (
+          SELECT user_id % 2 AS variant,
+                 epoch_us(ts) // 86400000000 AS day_idx,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+          FROM events
+        ), daily AS (
+          SELECT variant, day_idx,
+                 CAST(sum(is_p) AS BIGINT) AS n_succ,
+                 CAST(count(*) - sum(is_p) AS BIGINT) AS n_fail
+          FROM ev GROUP BY variant, day_idx
+        ), cum AS (
+          SELECT variant, day_idx, n_succ, n_fail,
+                 CAST(sum(n_succ * CAST(round(ln({SPRT_P1[0]}
+                        / CAST({SPRT_P0[0]} AS DOUBLE)) * 1000000) AS BIGINT)
+                      + n_fail * CAST(round(ln(({SPRT_P1[1]} - {SPRT_P1[0]})
+                        / CAST({SPRT_P0[1]} - {SPRT_P0[0]} AS DOUBLE))
+                        * 1000000) AS BIGINT)) OVER (
+                     PARTITION BY variant ORDER BY day_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_llr_micro
+          FROM daily
+        )
+        SELECT variant, day_idx, n_succ, n_fail,
+               round(cum_llr_micro / 1e6, 6) AS cum_llr,
+               CASE WHEN cum_llr_micro
+                         >= CAST(round(ln(19.0) * 1000000) AS BIGINT)
+                    THEN 'accept_h1'
+                    WHEN cum_llr_micro
+                         <= CAST(round(ln(1.0 / 19.0) * 1000000) AS BIGINT)
+                    THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM cum
+    """
+
+ORACLE_TRAINING["user_saturation_curve"] = """
+        WITH ev AS (
+          SELECT event_type, user_id,
+                 epoch_us(ts) // 86400000000 AS day_idx
+          FROM events
+        ), active AS (
+          SELECT event_type, day_idx,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+          FROM ev GROUP BY event_type, day_idx
+        ), news AS (
+          SELECT event_type, day_idx, CAST(count(*) AS BIGINT) AS n_new
+          FROM (SELECT event_type, user_id, min(day_idx) AS day_idx
+                FROM ev GROUP BY event_type, user_id)
+          GROUP BY event_type, day_idx
+        )
+        SELECT a.event_type, a.day_idx, a.n_active,
+               CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+               CAST(sum(coalesce(n.n_new, 0)) OVER (
+                   PARTITION BY a.event_type ORDER BY a.day_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_users
+        FROM active a LEFT JOIN news n USING (event_type, day_idx)
+    """

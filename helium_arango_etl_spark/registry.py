@@ -2259,6 +2259,10 @@ QUERIES["local_clustering_coeff"] = G.local_clustering_coeff
 QUERIES["ndcg_at_k"] = T.ndcg_at_k
 QUERIES["langid_confusion"] = T.langid_confusion
 QUERIES["rolling_median_value"] = RG.rolling_median_value
+QUERIES["kn_bigram_lm"] = T.kn_bigram_lm
+QUERIES["prf_expansion_terms"] = T.prf_expansion_terms
+QUERIES["sprt_monitor"] = RG.sprt_monitor
+QUERIES["user_saturation_curve"] = RG.user_saturation_curve
 ORACLE["local_clustering_coeff"] = f"""
         WITH edges0 AS ({_WITNESS_SQL}),
         edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
