@@ -623,21 +623,7 @@ def co_witness_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         witness_subgraph(spark, sf_dir).select("city_key", "src", "dst").distinct()
     )
-    groups = (
-        edges.groupBy("city_key", "dst")
-        .agg(F.sort_array(F.collect_list("src")).alias("ss"))
-        .filter(F.size("ss") >= 2)
-    )
-    pair_gen = (
-        "flatten(transform(ss, (a, i) ->"
-        " transform(slice(ss, i + 2, size(ss) - i - 1),"
-        " b -> struct(a AS src_a, b AS src_b))))"
-    )
-    return (
-        groups.select("city_key", F.explode(F.expr(pair_gen)).alias("p"))
-        .groupBy("city_key", F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
-        .agg(F.count(F.lit(1)).alias("shared_witnesses"))
-    )
+    return _co_pairs(edges)
 
 
 def witness_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1695,4 +1681,102 @@ def local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("clustering_coeff"),
         )
+    )
+
+
+TIP_K = 200  # butterfly-support threshold for the k-tip peel
+MAX_TIP_ITERS = 8
+
+
+def _co_pairs(edges: DataFrame) -> DataFrame:
+    """Group-local co-witness pair weights over an arbitrary (city_key,
+    src, dst) DISTINCT edge set — the `co_witness_pairs` body
+    parameterized so iterative peels can recompute pairs per round."""
+    groups = (
+        edges.groupBy("city_key", "dst")
+        .agg(F.sort_array(F.collect_list("src")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pair_gen = (
+        "flatten(transform(ss, (a, i) ->"
+        " transform(slice(ss, i + 2, size(ss) - i - 1),"
+        " b -> struct(a AS src_a, b AS src_b))))"
+    )
+    return (
+        groups.select("city_key", F.explode(F.expr(pair_gen)).alias("p"))
+        .groupBy(
+            "city_key",
+            F.col("p.src_a").alias("src_a"),
+            F.col("p.src_b").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_witnesses"))
+    )
+
+
+def _tip_support(edges: DataFrame) -> DataFrame:
+    """Per-hotspot butterfly support Σ_v C(shared(u,v), 2) from the
+    pair weights — a node with no co-witness partner has support 0 and
+    is simply absent."""
+    pairs = _co_pairs(edges).withColumn(
+        "b", F.expr("shared_witnesses * (shared_witnesses - 1) div 2")
+    )
+    return (
+        pairs.select("city_key", F.col("src_a").alias("node"), "b")
+        .unionByName(pairs.select("city_key", F.col("src_b").alias("node"), "b"))
+        .groupBy("city_key", "node")
+        .agg(F.sum("b").cast("bigint").alias("support"))
+    )
+
+
+def tip_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-tip extraction of each city's bipartite witness graph
+    (Sarıyüce & Pinar 2018 tip decomposition, fixed-threshold form):
+    iteratively peel hotspots whose BUTTERFLY support (number of 2×2
+    bicliques through them, the bipartite cohesion motif from
+    `butterfly_stats`) falls below TIP_K until fixpoint — the surviving
+    hotspots form the k-tip, the dense co-witnessing kernel that
+    degree-based k-core cannot see (degree counts edges; tips count
+    CLOSED 2×2 structures, so a hub with many one-off witnesses peels
+    while a clique of mutually-co-seen hotspots survives).
+
+    Determinism: supports are exact integers off the group-local pair
+    weights; peeling is confluent and monotone-shrinking, so the
+    unrolled-CTE oracle with ≥ fixpoint rounds matches bit-for-bit
+    (same argument as `witness_kcore`).
+
+    Scale shape per round: one dst-grouped pair generation (the LSH
+    bucket discipline, hot-witness cap applies) + one keyed support sum
+    + one semi-join; only (city, node) and pair-weight rows shuffle;
+    localCheckpoint truncates lineage per round; the driver-side
+    convergence probe is one monotone edge count.
+    """
+    edges = (
+        witness_subgraph(spark, sf_dir)
+        .select("city_key", "src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = edges.count()
+    converged = False
+    for _ in range(MAX_TIP_ITERS):
+        keep = (
+            _tip_support(edges)
+            .filter(F.col("support") >= TIP_K)
+            .select("city_key", F.col("node").alias("src"))
+        )
+        edges = edges.join(keep, ["city_key", "src"], "left_semi").localCheckpoint()
+        cur = edges.count()
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        from .cc import ConvergenceError
+
+        raise ConvergenceError(
+            f"tip peeling did not reach a fixpoint within {MAX_TIP_ITERS} "
+            "iterations"
+        )
+    return _tip_support(edges).select(
+        "city_key", F.col("node").alias("src"), "support"
     )

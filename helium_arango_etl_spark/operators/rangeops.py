@@ -1670,3 +1670,133 @@ def user_saturation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cum_users", F.sum("n_new").over(w))
     )
+
+
+def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per part type: OLS slope of
+    ln(quantity) on ln(unit price) over line items — the textbook
+    elasticity regression a pricing team runs per category (slope ≈ −1
+    is unit-elastic; the synthetic corpus mostly measures the formula,
+    which is the contract here).
+
+    Determinism: both regressors are micro-quantized to bigints per
+    row; the cross-product sums can exceed int64 at fact-table
+    cardinality, so Σxy and Σx² accumulate as DECIMAL(38,0) (exact —
+    Spark decimal vs DuckDB HUGEINT, both cast to double only for the
+    ONE final slope division).
+
+    Scale shape: one fact scan + broadcast part-dim join, one keyed
+    aggregation with map-side combine; output is |types| rows.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    d = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_type",
+        F.expr(
+            "cast(round(ln(cents / (100.0 * qty)) * 1000000) as bigint)"
+        ).alias("x"),
+        F.expr("cast(round(ln(qty) * 1000000) as bigint)").alias("y"),
+    )
+    agg = d.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    return agg.select(
+        "p_type",
+        "n",
+        F.round(
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("sxy")
+                - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+            ).cast("double")
+            / (
+                F.col("n").cast("decimal(38,0)") * F.col("sxx")
+                - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+            ).cast("double"),
+            6,
+        ).alias("elasticity"),
+    )
+
+
+DECOMP_HALF = 3  # centered moving-average half-width (full window = 7)
+
+
+def classical_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive time-series decomposition of daily event cents
+    per type: trend = centered 7-day moving average, seasonal = mean
+    weekday deviation from trend, residual = remainder — the
+    decomposition every seasonality claim should cite before
+    `seasonal_forecast_error` picks a model.
+
+    Determinism: the trend numerator Σc over the full 7-day frame is an
+    exact integer (frames missing edge days emit NULL trend, exactly
+    like statsmodels); the detrended series is kept in EXACT ×7 units
+    (7c − S), seasonal means divide by (7·n_w) with truncating integer
+    div, and the residual is assembled entirely in integer micro-units.
+
+    Scale shape: one keyed day aggregation, one 7-row window and one
+    weekday-grid aggregation per type — all over the bounded
+    (type, day) grid, never events.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
+            F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-DECOMP_HALF, DECOMP_HALF)
+    )
+    trended = daily.withColumn(
+        "s7",
+        F.when(
+            F.count(F.lit(1)).over(w) == 2 * DECOMP_HALF + 1, F.sum("cents").over(w)
+        ),
+    ).withColumn("d_x7", F.expr("7 * cents - s7"))
+    seas = (
+        trended.filter(F.col("s7").isNotNull())
+        .groupBy("event_type", F.expr("(day_idx + 4) % 7").alias("weekday"))
+        .agg(
+            F.sum("d_x7").alias("sd7"),
+            F.count(F.lit(1)).cast("bigint").alias("nw"),
+        )
+        .select(
+            "event_type",
+            "weekday",
+            F.expr("(sd7 * 1000000L) div (7 * nw)").alias("seasonal_micro"),
+        )
+    )
+    return (
+        trended.withColumn("weekday", F.expr("(day_idx + 4) % 7"))
+        .join(seas, ["event_type", "weekday"], "left")
+        .select(
+            "event_type",
+            "day_idx",
+            "cents",
+            F.round(F.expr("(s7 * 1000000L div 7) / 1e6"), 6).alias("trend"),
+            F.round(F.expr("seasonal_micro / 1e6"), 6).alias("seasonal"),
+            F.round(
+                F.expr(
+                    "if(s7 is null, null,"
+                    " (cents * 1000000L - s7 * 1000000L div 7 - seasonal_micro)"
+                    " / 1e6)"
+                ),
+                6,
+            ).alias("residual"),
+        )
+    )

@@ -1109,3 +1109,99 @@ def watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "late_frac"
         ),
     )
+
+
+ATTR_TOUCH_WINDOW_US = 3 * 86_400 * 1_000_000  # 3-day lookback
+ATTR_TOUCH_TYPES = ("view", "click")
+
+
+def attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution model comparison: for every purchase,
+    gather the user's view/click touchpoints in the 3-day lookback and
+    credit the conversion under FIRST-touch, LAST-touch, and LINEAR
+    rules simultaneously — the side-by-side report that shows how much
+    each channel's claimed revenue depends on the model choice (the
+    argument attribution meetings are actually about).
+
+    Determinism: first/last picks use min_by/max_by over the total
+    (us, event_id) order; linear credit is 10⁶ div n_touches per touch
+    (truncating integer division, identical both engines), so every
+    credit sum is an exact bigint.
+
+    Scale shape: the same bounded-interval bucket join as
+    `promo_attribution` (bucket width == lookback, probe explodes to
+    ≤ 2 keys) — never an inequality nested-loop; per-purchase reduction
+    is one keyed agg; the rollup is |channels| rows.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    tlist = ", ".join(f"'{t}'" for t in ATTR_TOUCH_TYPES)
+    touches = ev.filter(F.expr(f"event_type IN ({tlist})")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("tus"),
+        F.col("event_id").alias("touch_id"),
+    ).withColumn("bucket", F.expr(f"tus div {ATTR_TOUCH_WINDOW_US}"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.unix_micros("ts").alias("pus"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.expr(f"pus div {ATTR_TOUCH_WINDOW_US}"),
+                        F.expr(
+                            f"(pus - {ATTR_TOUCH_WINDOW_US}) div {ATTR_TOUCH_WINDOW_US}"
+                        ),
+                    )
+                )
+            ),
+        )
+    )
+    joined = purchases.join(touches, ["user_id", "bucket"]).filter(
+        F.expr(f"tus <= pus AND tus > pus - {ATTR_TOUCH_WINDOW_US}")
+    )
+    per_purchase = joined.groupBy("purchase_id").agg(
+        F.expr("min_by(channel, struct(tus, touch_id))").alias("first_ch"),
+        F.expr("max_by(channel, struct(tus, touch_id))").alias("last_ch"),
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+    )
+    linear = (
+        joined.join(
+            per_purchase.select("purchase_id", "n_touches"), "purchase_id"
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum(F.expr("1000000L div n_touches")).alias("linear_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n_touchpoints"),
+        )
+    )
+    firsts = per_purchase.groupBy(F.col("first_ch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("first_touch_conversions")
+    )
+    lasts = per_purchase.groupBy(F.col("last_ch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("last_touch_conversions")
+    )
+    return (
+        linear.join(firsts, "channel", "full")
+        .join(lasts, "channel", "full")
+        .select(
+            "channel",
+            F.coalesce("n_touchpoints", F.lit(0)).cast("bigint").alias(
+                "n_touchpoints"
+            ),
+            F.coalesce("first_touch_conversions", F.lit(0))
+            .cast("bigint")
+            .alias("first_touch_conversions"),
+            F.coalesce("last_touch_conversions", F.lit(0))
+            .cast("bigint")
+            .alias("last_touch_conversions"),
+            F.round(
+                F.coalesce("linear_micro", F.lit(0)) / 1e6, 6
+            ).alias("linear_conversions"),
+        )
+    )

@@ -4187,3 +4187,109 @@ ORACLE_TRAINING["user_saturation_curve"] = """
                  AS BIGINT) AS cum_users
         FROM active a LEFT JOIN news n USING (event_type, day_idx)
     """
+
+from .operators.temporal import ATTR_TOUCH_TYPES, ATTR_TOUCH_WINDOW_US  # noqa: E402
+
+ORACLE_TRAINING["price_elasticity"] = """
+        WITH d AS (
+          SELECT p.p_type,
+                 CAST(round(ln(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     / (100.0 * CAST(l.l_quantity AS BIGINT))) * 1000000)
+                   AS BIGINT) AS x,
+                 CAST(round(ln(CAST(l.l_quantity AS BIGINT)) * 1000000)
+                   AS BIGINT) AS y
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ), agg AS (
+          SELECT p_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx
+          FROM d GROUP BY p_type
+        )
+        SELECT p_type, n,
+               round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6)
+                   AS elasticity
+        FROM agg
+    """
+
+ORACLE_TRAINING["classical_decompose"] = """
+        WITH daily AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                     AS cents
+          FROM events GROUP BY event_type, day_idx
+        ), trended AS (
+          SELECT event_type, day_idx, cents,
+                 CASE WHEN count(*) OVER w = 7
+                      THEN CAST(sum(cents) OVER w AS BIGINT) END AS s7
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ), seas AS (
+          SELECT event_type, (day_idx + 4) % 7 AS weekday,
+                 (CAST(sum(7 * cents - s7) AS BIGINT) * 1000000)
+                     // (7 * count(*)) AS seasonal_micro
+          FROM trended WHERE s7 IS NOT NULL
+          GROUP BY event_type, weekday
+        )
+        SELECT t.event_type, t.day_idx, t.cents,
+               round((t.s7 * 1000000 // 7) / 1e6, 6) AS trend,
+               round(s.seasonal_micro / 1e6, 6) AS seasonal,
+               round(CASE WHEN t.s7 IS NULL THEN NULL
+                     ELSE (t.cents * 1000000 - t.s7 * 1000000 // 7
+                           - s.seasonal_micro) / 1e6 END, 6) AS residual
+        FROM trended t
+        LEFT JOIN seas s ON s.event_type = t.event_type
+                        AND s.weekday = (t.day_idx + 4) % 7
+    """
+
+ORACLE_TRAINING["attribution_models"] = f"""
+        WITH touches AS (
+          SELECT user_id, event_type AS channel, epoch_us(ts) AS tus,
+                 event_id AS touch_id
+          FROM events
+          WHERE event_type IN ({", ".join(f"'{t}'" for t in ATTR_TOUCH_TYPES)})
+        ), purchases AS (
+          SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+          FROM events WHERE event_type = 'purchase'
+        ), joined AS (
+          SELECT p.purchase_id, t.channel, t.tus, t.touch_id,
+                 lpad(CAST(t.tus AS VARCHAR), 20, '0')
+                     || lpad(CAST(t.touch_id AS VARCHAR), 12, '0') AS ord_key
+          FROM purchases p
+          JOIN touches t ON t.user_id = p.user_id
+           AND t.tus <= p.pus AND t.tus > p.pus - {ATTR_TOUCH_WINDOW_US}
+        ), per_purchase AS (
+          SELECT purchase_id,
+                 arg_min(channel, ord_key) AS first_ch,
+                 arg_max(channel, ord_key) AS last_ch,
+                 CAST(count(*) AS BIGINT) AS n_touches
+          FROM joined GROUP BY purchase_id
+        ), linear AS (
+          SELECT j.channel,
+                 CAST(sum(1000000 // pp.n_touches) AS BIGINT) AS linear_micro,
+                 CAST(count(*) AS BIGINT) AS n_touchpoints
+          FROM joined j JOIN per_purchase pp USING (purchase_id)
+          GROUP BY j.channel
+        ), firsts AS (
+          SELECT first_ch AS channel,
+                 CAST(count(*) AS BIGINT) AS first_touch_conversions
+          FROM per_purchase GROUP BY first_ch
+        ), lasts AS (
+          SELECT last_ch AS channel,
+                 CAST(count(*) AS BIGINT) AS last_touch_conversions
+          FROM per_purchase GROUP BY last_ch
+        )
+        SELECT coalesce(l.channel, f.channel, la.channel) AS channel,
+               CAST(coalesce(l.n_touchpoints, 0) AS BIGINT) AS n_touchpoints,
+               CAST(coalesce(f.first_touch_conversions, 0) AS BIGINT)
+                   AS first_touch_conversions,
+               CAST(coalesce(la.last_touch_conversions, 0) AS BIGINT)
+                   AS last_touch_conversions,
+               round(coalesce(l.linear_micro, 0) / 1e6, 6)
+                   AS linear_conversions
+        FROM linear l
+        FULL JOIN firsts f USING (channel)
+        FULL JOIN lasts la USING (channel)
+    """

@@ -2237,6 +2237,72 @@ def _kcore_sql(rounds: int = 16) -> str:
 ORACLE["witness_kcore"] = _kcore_sql()
 
 
+def _tip_sql(rounds: int = 8) -> str:
+    """Unrolled peeling oracle for :func:`operators.graph.tip_decomposition`.
+
+    Each round recomputes co-witness pair weights on the surviving
+    DISTINCT edge set (plain self-join — proving the group-local pair
+    generation equivalent), sums butterfly supports per hotspot, keeps
+    supports >= TIP_K, and filters edges to surviving hotspots.  Peeling
+    is confluent and monotone-shrinking, so unrolling more rounds than
+    the fixpoint needs is a no-op.  AS MATERIALIZED for the same
+    inlining-blowup reason as _kcore_sql.
+    """
+    parts = [
+        f"WITH edges0 AS MATERIALIZED ({_WITNESS_SQL})",
+        "r0 AS MATERIALIZED (SELECT DISTINCT city_key, src, dst FROM edges0)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+          SELECT a.city_key, a.src AS sa, b.src AS sb,
+                 CAST(count(*) AS BIGINT) AS sh
+          FROM r{i - 1} a
+          JOIN r{i - 1} b ON a.city_key = b.city_key AND a.dst = b.dst
+                         AND a.src < b.src
+          GROUP BY a.city_key, a.src, b.src
+        )"""
+        )
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+          SELECT city_key, node
+          FROM (SELECT city_key, sa AS node, sh FROM p{i}
+                UNION ALL SELECT city_key, sb, sh FROM p{i})
+          GROUP BY city_key, node
+          HAVING sum(sh * (sh - 1) // 2) >= {G.TIP_K}
+        )"""
+        )
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+          SELECT e.city_key, e.src, e.dst
+          FROM r{i - 1} e
+          JOIN s{i} s ON e.city_key = s.city_key AND e.src = s.node
+        )"""
+        )
+    final = f"""pf AS (
+          SELECT a.city_key, a.src AS sa, b.src AS sb,
+                 CAST(count(*) AS BIGINT) AS sh
+          FROM r{rounds} a
+          JOIN r{rounds} b ON a.city_key = b.city_key AND a.dst = b.dst
+                          AND a.src < b.src
+          GROUP BY a.city_key, a.src, b.src
+        )"""
+    parts.append(final)
+    return (
+        ",\n".join(parts)
+        + """
+        SELECT city_key, node AS src, CAST(sum(sh * (sh - 1) // 2) AS BIGINT)
+                   AS support
+        FROM (SELECT city_key, sa AS node, sh FROM pf
+              UNION ALL SELECT city_key, sb, sh FROM pf)
+        GROUP BY city_key, node"""
+    )
+
+
+QUERIES["tip_decomposition"] = G.tip_decomposition
+ORACLE["tip_decomposition"] = _tip_sql()
+
+
 # ---------- round 5 additions ----------
 # text-law fits, containment scoring, and QLM retrieval (oracles in
 # oracles_training.py "round 5" section)
@@ -2263,6 +2329,9 @@ QUERIES["kn_bigram_lm"] = T.kn_bigram_lm
 QUERIES["prf_expansion_terms"] = T.prf_expansion_terms
 QUERIES["sprt_monitor"] = RG.sprt_monitor
 QUERIES["user_saturation_curve"] = RG.user_saturation_curve
+QUERIES["price_elasticity"] = RG.price_elasticity
+QUERIES["classical_decompose"] = RG.classical_decompose
+QUERIES["attribution_models"] = TP.attribution_models
 ORACLE["local_clustering_coeff"] = f"""
         WITH edges0 AS ({_WITNESS_SQL}),
         edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
