@@ -720,3 +720,68 @@ def curated_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_log_weight"),
         )
     )
+
+
+NEYMAN_BUDGET = 1000
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation over event types:
+    split a NEYMAN_BUDGET-row sample budget ∝ N_h·σ_h (stratum size ×
+    value standard deviation) — the design that minimizes the variance
+    of the estimated mean for a fixed budget (Neyman 1934), i.e. the
+    principled answer to "how many rows should each stratum contribute"
+    that proportional allocation gets wrong when strata differ in
+    spread.  Fractional seats resolve by the LARGEST-REMAINDER method,
+    so the allocations are integers that sum exactly to the budget.
+
+    Determinism: population variances come from exact DECIMAL(38,0)
+    cent-square sums (the `price_elasticity` overflow discipline); σ is
+    micro-quantized ONCE per stratum; every allocation step after that
+    is integer arithmetic — base = (B·w_h) div W, remainders ranked
+    exactly with a stratum-name tie-break.
+
+    Scale shape: one keyed moment aggregation (map-side combined), then
+    window ranking over |strata| rows.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("cast(floor(value * 100) as bigint)").alias("cents")
+    )
+    mom = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("s2"),
+    )
+    # population variance = (n·Σx² − (Σx)²) / n²; σ micro-quantized once
+    sig = mom.select(
+        "event_type",
+        "n_h",
+        F.expr(
+            "cast(round(sqrt(cast(n_h * s2 - cast(s1 as decimal(38,0)) * s1"
+            " as double)) / n_h * 1000000) as bigint)"
+        ).alias("sigma_micro"),
+    ).withColumn("w", F.expr("n_h * sigma_micro"))
+    tot = sig.agg(F.sum("w").alias("w_tot"))
+    alloc = (
+        sig.crossJoin(F.broadcast(tot))
+        .withColumn("base", F.expr(f"({NEYMAN_BUDGET}L * w) div w_tot"))
+        .withColumn("rem", F.expr(f"({NEYMAN_BUDGET}L * w) % w_tot"))
+    )
+    w_rank = Window.orderBy(F.col("rem").desc(), F.col("event_type").asc())
+    leftover = alloc.agg(
+        (F.lit(NEYMAN_BUDGET) - F.sum("base")).alias("extra")
+    )
+    return (
+        alloc.withColumn("rk", F.row_number().over(w_rank))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "event_type",
+            "n_h",
+            F.round(F.expr("sigma_micro / 1e6"), 6).alias("sigma"),
+            F.expr("base + if(rk <= extra, 1L, 0L)").cast("bigint").alias(
+                "n_allocated"
+            ),
+        )
+    )

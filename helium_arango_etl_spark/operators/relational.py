@@ -1221,3 +1221,113 @@ def mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("mom_pct_micro / 1e6"), 6).alias("mom_pct"),
         )
     )
+
+
+def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-literacy audit: the textbook equi-join cardinality
+    estimate |L|·|R| / max(d_L, d_R) (uniform-distribution assumption —
+    what every cost-based optimizer computes from column NDVs) vs the
+    ACTUAL join cardinality, with the q-error — run on the two fact
+    joins this engine plans daily.  A q-error ≫ 1 is the skew signal
+    that the uniform assumption (and any plan costed on it) is lying.
+
+    Determinism: counts and NDVs are exact; the estimate is one
+    truncating integer division; q-error is one rounded double ratio.
+
+    Scale shape: per join, two keyed NDV aggregations + the actual join
+    count (which the pipeline was going to pay anyway when it runs the
+    join); output is one row per audited join.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def audit(name, left, lk, right, rk):
+        stats_l = left.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_left"),
+            F.countDistinct(lk).cast("bigint").alias("d_left"),
+        )
+        stats_r = right.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_right"),
+            F.countDistinct(rk).cast("bigint").alias("d_right"),
+        )
+        actual = left.join(right, F.col(lk) == F.col(rk)).agg(
+            F.count(F.lit(1)).cast("bigint").alias("actual_rows")
+        )
+        return (
+            stats_l.crossJoin(stats_r)
+            .crossJoin(actual)
+            .select(
+                F.lit(name).alias("join_name"),
+                "n_left",
+                "n_right",
+                "d_left",
+                "d_right",
+                F.expr(
+                    "(n_left * n_right) div greatest(d_left, d_right)"
+                ).alias("est_rows"),
+                "actual_rows",
+            )
+        )
+
+    a = audit("lineitem_orders", li, "l_orderkey", orders.select("o_orderkey"), "o_orderkey")
+    b = audit("orders_customer", orders.select("o_custkey"), "o_custkey", cust, "c_custkey")
+    return a.unionByName(b).select(
+        "*",
+        F.round(
+            F.expr(
+                "greatest(est_rows / cast(actual_rows as double),"
+                " actual_rows / cast(est_rows as double))"
+            ),
+            6,
+        ).alias("q_error"),
+    )
+
+
+SKEW_KEY_COLS = (
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+)
+
+
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostic over the join-key columns this engine
+    shuffles on: rows, distinct keys, the heaviest key's count, the
+    skew factor max/avg = max·d/n (1.0 = uniform), and the top-1 key's
+    row share — the report that decides WHERE salting
+    (operators/skew.salted_join) or AQE skew splitting is worth wiring
+    in, instead of discovering the straggler at 3am.
+
+    Determinism: all counts exact; skew factor is max·d/n computed as
+    one rounded division of exact integers.
+
+    Scale shape: per column, one combiner-folded key count + a 1-row
+    rollup; the union output is |columns| rows.
+    """
+    out = None
+    for table, col in SKEW_KEY_COLS:
+        counts = (
+            read_table(spark, sf_dir, table)
+            .groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        row = counts.agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_key_count"),
+        ).select(
+            F.lit(f"{table}.{col}").alias("key_column"),
+            "n_rows",
+            "n_keys",
+            "max_key_count",
+            F.round(
+                F.expr("max_key_count * n_keys / cast(n_rows as double)"), 6
+            ).alias("skew_factor"),
+            F.round(F.expr("max_key_count / cast(n_rows as double)"), 6).alias(
+                "top1_frac"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

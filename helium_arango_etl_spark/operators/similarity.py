@@ -1574,3 +1574,35 @@ def mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cos_micro") / 1e6, 6).alias("cosine_sim"),
         (F.col("la") == F.col("lb")).alias("same_label"),
     )
+
+
+def ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-file health report: PRIMARY-assignment (probe_rank 1)
+    cluster sizes with each list's share and imbalance factor
+    (size · k / n, 1.0 = perfectly balanced) — the index diagnostic that
+    decides re-training: a fat list makes its probes scan-heavy (the
+    IVF analog of join skew), an empty list wastes a probe budget slot.
+
+    Determinism: sizes are exact integers; share and imbalance are one
+    rounded division each off exact counts.
+
+    Scale shape: assignment is the shared broadcast-centroid pass; the
+    report is one keyed count over |centroids| groups.
+    """
+    emb = embedding_table(spark, sf_dir)
+    assigned = _with_centroid_assignment(emb).filter(F.col("probe_rank") == 1)
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    total = sizes.agg(
+        F.sum("n_vectors").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return sizes.crossJoin(F.broadcast(total)).select(
+        "centroid_id",
+        "n_vectors",
+        F.round(F.expr("n_vectors / cast(n as double)"), 6).alias("share"),
+        F.round(F.expr("n_vectors * k / cast(n as double)"), 6).alias(
+            "imbalance"
+        ),
+    )

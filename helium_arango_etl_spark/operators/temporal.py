@@ -1205,3 +1205,58 @@ def attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("linear_conversions"),
         )
     )
+
+
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard over the same censored lifetimes
+    as `retention_survival`: H(t) = Σ_{i≤t} dᵢ/nᵢ — the
+    hazard-increment view of churn (Kaplan–Meier answers "what fraction
+    survives"; Nelson–Aalen answers "how hard does churn bite at each
+    age", and its exp(−H) is the Fleming–Harrington survival estimate
+    reported beside KM when risk sets get small).
+
+    Determinism: each hazard increment is (dᵢ·10⁶) div nᵢ — ONE
+    truncating integer division per offset — summed as exact bigints;
+    the exp surfaces once, rounded 6dp.
+
+    Scale shape: identical to `retention_survival` — one keyed lifetime
+    aggregation, then windows over the |day-offsets| rollup only.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    corpus_end = ev.agg(F.max("day").alias("end_day"))
+    lifetimes = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("first_day"), F.max("day").alias("last_day"))
+        .crossJoin(F.broadcast(corpus_end))
+        .select(
+            F.datediff("last_day", "first_day").cast("bigint").alias("day_offset"),
+            (F.col("last_day") < F.col("end_day")).alias("churned"),
+        )
+    )
+    per_offset = lifetimes.groupBy("day_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ending"),
+        F.sum(F.expr("IF(churned, 1L, 0L)")).cast("bigint").alias("d"),
+    )
+    total = per_offset.agg(F.sum("n_ending").alias("n_total"))
+    w = Window.orderBy("day_offset").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("day_offset").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_offset.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            (F.col("n_total") - F.coalesce(F.sum("n_ending").over(w), F.lit(0))).cast(
+                "bigint"
+            ),
+        )
+        .withColumn("h_micro", F.expr("(d * 1000000L) div n_at_risk"))
+        .withColumn("cum_h_micro", F.sum("h_micro").over(wc))
+        .select(
+            "day_offset",
+            "d",
+            "n_at_risk",
+            F.round(F.expr("cum_h_micro / 1e6"), 6).alias("cum_hazard"),
+            F.round(F.expr("exp(-cum_h_micro / 1e6)"), 6).alias("s_fleming_harrington"),
+        )
+    )

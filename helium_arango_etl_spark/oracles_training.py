@@ -4293,3 +4293,157 @@ ORACLE_TRAINING["attribution_models"] = f"""
         FULL JOIN firsts f USING (channel)
         FULL JOIN lasts la USING (channel)
     """
+
+from .operators.pipeline import NEYMAN_BUDGET  # noqa: E402
+from .operators.relational import SKEW_KEY_COLS  # noqa: E402
+
+ORACLE_TRAINING["nelson_aalen_hazard"] = """
+        WITH ev AS (
+          SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        ), ce AS (
+          SELECT max(day) AS end_day FROM ev
+        ), lt AS (
+          SELECT CAST(date_diff('day', min(e.day), max(e.day)) AS BIGINT)
+                     AS day_offset,
+                 max(e.day) < c.end_day AS churned
+          FROM ev e CROSS JOIN ce c
+          GROUP BY e.user_id, c.end_day
+        ), per AS (
+          SELECT day_offset, CAST(count(*) AS BIGINT) AS n_ending,
+                 CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM lt GROUP BY day_offset
+        ), risk AS (
+          SELECT day_offset, d,
+                 CAST((SELECT sum(n_ending) FROM per)
+                      - coalesce(sum(n_ending) OVER (ORDER BY day_offset
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS n_at_risk
+          FROM per
+        ), haz AS (
+          SELECT day_offset, d, n_at_risk,
+                 CAST(sum((d * 1000000) // n_at_risk) OVER (
+                     ORDER BY day_offset
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_h_micro
+          FROM risk
+        )
+        SELECT day_offset, d, n_at_risk,
+               round(cum_h_micro / 1e6, 6) AS cum_hazard,
+               round(exp(-cum_h_micro / 1e6), 6) AS s_fleming_harrington
+        FROM haz
+    """
+
+ORACLE_TRAINING["ivf_balance_report"] = f"""
+        WITH e AS (
+          SELECT vec_id, {_CAST64} AS v FROM embeddings
+        ), seeds AS (
+          SELECT vec_id AS centroid_id, v AS cv FROM e
+          WHERE vec_id < {NUM_CENTROIDS}
+        ), scored AS (
+          SELECT e.vec_id, s.centroid_id,
+                 list_sum(list_transform(range(1, {DIM + 1}),
+                     i -> e.v[i] * s.cv[i])) AS dot
+          FROM e, seeds s
+        ), assigned AS (
+          SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id
+                     ORDER BY dot DESC, centroid_id ASC) AS rnk
+          FROM scored
+        ), sizes AS (
+          SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors
+          FROM assigned WHERE rnk = 1 GROUP BY centroid_id
+        ), tot AS (
+          SELECT CAST(sum(n_vectors) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM sizes
+        )
+        SELECT s.centroid_id, s.n_vectors,
+               round(s.n_vectors / CAST(t.n AS DOUBLE), 6) AS share,
+               round(s.n_vectors * t.k / CAST(t.n AS DOUBLE), 6) AS imbalance
+        FROM sizes s CROSS JOIN tot t
+    """
+
+ORACLE_TRAINING["join_cardinality_audit"] = """
+        WITH a AS (
+          SELECT 'lineitem_orders' AS join_name,
+                 (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_left,
+                 (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_right,
+                 (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                  FROM lineitem) AS d_left,
+                 (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                  FROM orders) AS d_right,
+                 (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                  JOIN orders o ON l.l_orderkey = o.o_orderkey) AS actual_rows
+        ), b AS (
+          SELECT 'orders_customer' AS join_name,
+                 (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_left,
+                 (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_right,
+                 (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+                  FROM orders) AS d_left,
+                 (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT)
+                  FROM customer) AS d_right,
+                 (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                  JOIN customer c ON o.o_custkey = c.c_custkey) AS actual_rows
+        ), u AS (
+          SELECT * FROM a UNION ALL SELECT * FROM b
+        )
+        SELECT join_name, n_left, n_right, d_left, d_right,
+               CAST((n_left * n_right) // greatest(d_left, d_right) AS BIGINT)
+                   AS est_rows,
+               actual_rows,
+               round(greatest(
+                   ((n_left * n_right) // greatest(d_left, d_right))
+                       / CAST(actual_rows AS DOUBLE),
+                   actual_rows / CAST((n_left * n_right)
+                       // greatest(d_left, d_right) AS DOUBLE)), 6) AS q_error
+        FROM u
+    """
+
+ORACLE_TRAINING["key_skew_report"] = "\n        UNION ALL\n".join(
+    f"""
+        SELECT '{table}.{col}' AS key_column,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(c) AS BIGINT) AS max_key_count,
+               round(max(c) * count(*) / CAST(sum(c) AS DOUBLE), 6)
+                   AS skew_factor,
+               round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top1_frac
+        FROM (SELECT {col}, CAST(count(*) AS BIGINT) AS c
+              FROM {table} GROUP BY {col})
+    """
+    for table, col in SKEW_KEY_COLS
+)
+
+ORACLE_TRAINING["neyman_allocation"] = f"""
+        WITH ev AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), mom AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_h,
+                 CAST(sum(cents) AS BIGINT) AS s1,
+                 sum(CAST(cents AS HUGEINT) * cents) AS s2
+          FROM ev GROUP BY event_type
+        ), sig AS (
+          SELECT event_type, n_h,
+                 CAST(round(sqrt(CAST(n_h * s2 - CAST(s1 AS HUGEINT) * s1
+                     AS DOUBLE)) / n_h * 1000000) AS BIGINT) AS sigma_micro
+          FROM mom
+        ), alloc AS (
+          SELECT event_type, n_h, sigma_micro,
+                 ({NEYMAN_BUDGET} * (n_h * sigma_micro))
+                     // (SELECT sum(n_h * sigma_micro) FROM sig) AS base,
+                 ({NEYMAN_BUDGET} * (n_h * sigma_micro))
+                     % (SELECT sum(n_h * sigma_micro) FROM sig) AS rem
+          FROM sig
+        ), ranked AS (
+          SELECT *, row_number() OVER (ORDER BY rem DESC, event_type ASC)
+                     AS rk,
+                 (SELECT {NEYMAN_BUDGET} - sum(base) FROM alloc) AS extra
+          FROM alloc
+        )
+        SELECT event_type, n_h,
+               round(sigma_micro / 1e6, 6) AS sigma,
+               CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)
+                   AS n_allocated
+        FROM ranked
+    """

@@ -2332,6 +2332,11 @@ QUERIES["user_saturation_curve"] = RG.user_saturation_curve
 QUERIES["price_elasticity"] = RG.price_elasticity
 QUERIES["classical_decompose"] = RG.classical_decompose
 QUERIES["attribution_models"] = TP.attribution_models
+QUERIES["nelson_aalen_hazard"] = TP.nelson_aalen_hazard
+QUERIES["ivf_balance_report"] = S.ivf_balance_report
+QUERIES["join_cardinality_audit"] = R.join_cardinality_audit
+QUERIES["key_skew_report"] = R.key_skew_report
+QUERIES["neyman_allocation"] = P.neyman_allocation
 ORACLE["local_clustering_coeff"] = f"""
         WITH edges0 AS ({_WITNESS_SQL}),
         edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
