@@ -1260,3 +1260,94 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("exp(-cum_h_micro / 1e6)"), 6).alias("s_fleming_harrington"),
         )
     )
+
+
+def gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's consecutive-day activity streaks —
+    THE classic SQL interview pattern, productionized: island key =
+    day_idx − dense_rank(day_idx), constant exactly while days are
+    consecutive.  Output per user: active days, number of islands
+    (streaks), and the longest streak — the engagement-streak feature
+    gamified products key rewards on.
+
+    Determinism: pure integer day arithmetic on distinct (user, day)
+    pairs.
+
+    Scale shape: one keyed dedup + one user-keyed dense_rank window +
+    two keyed aggregations; everything after the dedup is
+    O(user-days).
+    """
+    days = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day_idx")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    islands = (
+        days.withColumn("rk", F.dense_rank().over(w))
+        .withColumn("island", F.expr("day_idx - rk"))
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("streak_len"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("streak_len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.max("streak_len").cast("bigint").alias("longest_streak"),
+    )
+
+
+MARKOV_ITERS = 20
+
+
+def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain: build
+    the event-type transition matrix from each user's consecutive event
+    pairs, row-normalize, and power-iterate π' = πP to the fixed point —
+    the long-run "where does attention settle" summary that
+    `event_transitions`' raw counts only hint at (and the same
+    fixed-iteration integer discipline as the PageRank twin).
+
+    Determinism: transition probabilities are (c_ij·10⁶) div c_i
+    (truncating — rows may undershoot 10⁶ by < k micro, documented);
+    each iteration computes π_micro(j) = Σ_i π_micro(i)·p_micro(i,j)
+    div 10⁶ in exact bigints; MARKOV_ITERS fixed rounds unroll in the
+    oracle as CTEs over the |types|² matrix.
+
+    Scale shape: pair extraction is one user-keyed lag window over
+    events; everything after operates on the |types|² matrix (tiny);
+    the iteration is |types|-row joins — driver orchestration only, no
+    collect.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    rows = pairs.groupBy("src").agg(F.sum("c").alias("ct"))
+    p = pairs.join(rows, "src").select(
+        "src", "dst", F.expr("(c * 1000000L) div ct").alias("p_micro")
+    )
+    states = p.select(F.col("src").alias("state")).distinct()
+    k = states.count()
+    pi = states.select("state", F.expr(f"1000000L div {k}").alias("pi_micro"))
+    for _ in range(MARKOV_ITERS):
+        pi = (
+            pi.join(p, pi.state == p.src)
+            .groupBy(F.col("dst").alias("state"))
+            .agg(
+                F.expr("sum(pi_micro * p_micro) div 1000000").alias("pi_micro")
+            )
+        )
+    return pi.select(
+        "state", F.round(F.expr("pi_micro / 1e6"), 6).alias("stationary_prob")
+    )

@@ -4447,3 +4447,68 @@ ORACLE_TRAINING["neyman_allocation"] = f"""
                    AS n_allocated
         FROM ranked
     """
+
+from .operators.temporal import MARKOV_ITERS  # noqa: E402
+
+ORACLE_TRAINING["gap_islands"] = """
+        WITH days AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_idx
+          FROM events
+        ), isl AS (
+          SELECT user_id,
+                 day_idx - dense_rank() OVER (PARTITION BY user_id
+                     ORDER BY day_idx) AS island
+          FROM days
+        ), streaks AS (
+          SELECT user_id, island, CAST(count(*) AS BIGINT) AS streak_len
+          FROM isl GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+               CAST(count(*) AS BIGINT) AS n_islands,
+               CAST(max(streak_len) AS BIGINT) AS longest_streak
+        FROM streaks GROUP BY user_id
+    """
+
+
+def _markov_sql(iters: int = MARKOV_ITERS) -> str:
+    parts = ["""WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+          FROM events
+        ), seq AS (
+          SELECT event_type AS src,
+                 lead(event_type) OVER (PARTITION BY user_id
+                     ORDER BY us, event_id) AS dst
+          FROM ev
+        ), pairs AS (
+          SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+          FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+        ), rows_n AS (
+          SELECT src, CAST(sum(c) AS BIGINT) AS ct FROM pairs GROUP BY src
+        ), p AS MATERIALIZED (
+          SELECT pairs.src, pairs.dst, (pairs.c * 1000000) // rows_n.ct
+                     AS p_micro
+          FROM pairs JOIN rows_n USING (src)
+        ), pi0 AS (
+          SELECT DISTINCT src AS state,
+                 1000000 // (SELECT count(DISTINCT src) FROM p) AS pi_micro
+          FROM p
+        )"""]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""pi{i} AS (
+          SELECT p.dst AS state,
+                 CAST(sum(pi{i - 1}.pi_micro * p.p_micro) // 1000000
+                   AS BIGINT) AS pi_micro
+          FROM pi{i - 1} JOIN p ON p.src = pi{i - 1}.state
+          GROUP BY p.dst
+        )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT state, round(pi_micro / 1e6, 6) AS stationary_prob"
+        f" FROM pi{iters}"
+    )
+
+
+ORACLE_TRAINING["markov_stationary"] = _markov_sql()

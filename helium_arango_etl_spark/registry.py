@@ -2337,6 +2337,8 @@ QUERIES["ivf_balance_report"] = S.ivf_balance_report
 QUERIES["join_cardinality_audit"] = R.join_cardinality_audit
 QUERIES["key_skew_report"] = R.key_skew_report
 QUERIES["neyman_allocation"] = P.neyman_allocation
+QUERIES["gap_islands"] = TP.gap_islands
+QUERIES["markov_stationary"] = TP.markov_stationary
 ORACLE["local_clustering_coeff"] = f"""
         WITH edges0 AS ({_WITNESS_SQL}),
         edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
