@@ -785,3 +785,154 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# perplexity-band pruning: drop the lowest (boilerplate) and highest
+# (noise) cross-entropy percentiles, per source
+PPL_LO_PCT, PPL_HI_PCT = 10, 90
+
+
+def perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-band pruning (the CCNet/Gopher recipe): score every
+    document with the corpus bigram cross-entropy
+    (`bigram_cross_entropy`), then keep only the per-SOURCE middle band
+    [p10, p90] — the low tail is template/boilerplate (reads too much
+    like the corpus), the high tail is noise (reads like nothing).
+    Banding per source keeps one domain's register from eating
+    another's budget.  Output: per-source retention report with the
+    band boundaries — the audit a curation run publishes.
+
+    Determinism: cross-entropy scores are already exact-micro folds;
+    band boundaries are exact rank positions ((n−1)·p) div 100 on
+    (score, doc_id)-ordered rows, so the cut is an integer rank
+    comparison, never a float percentile.
+
+    Scale shape: scoring is the shared cross-entropy pass; banding is
+    one per-source rank window over (score, doc_id) pairs; the report
+    is |sources| rows.
+    """
+    from pyspark.sql import Window
+
+    from .textops import bigram_cross_entropy
+
+    scored = (
+        bigram_cross_entropy(spark, sf_dir)
+        .select("doc_id", "cross_entropy_bits")
+        .join(
+            read_table(spark, sf_dir, "documents").select("doc_id", "source"),
+            "doc_id",
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("cross_entropy_bits").asc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    n = ranked.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    banded = ranked.join(F.broadcast(n), "source").withColumn(
+        "kept",
+        F.expr(
+            f"rk - 1 >= ((n - 1) * {PPL_LO_PCT}) div 100"
+            f" AND rk - 1 <= ((n - 1) * {PPL_HI_PCT}) div 100"
+        ),
+    )
+    return banded.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.sum(F.expr("if(kept, 1L, 0L)")).cast("bigint").alias("n_kept"),
+        F.round(
+            F.expr("sum(if(kept, 1, 0)) / cast(max(n) as double)"), 6
+        ).alias("retention"),
+        F.min(F.expr("if(kept, cross_entropy_bits, null)")).alias("band_lo_bits"),
+        F.max(F.expr("if(kept, cross_entropy_bits, null)")).alias("band_hi_bits"),
+    )
+
+
+BATCH_SIZE = 32
+LEN_BUCKETS = 8
+
+
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic batching audit (the SortishSampler /
+    bucket-by-sequence-length trick): assign documents to LEN_BUCKETS
+    per-corpus length-quantile buckets, form BATCH_SIZE-doc batches
+    INSIDE each bucket (deterministic doc_id order), and report each
+    bucket's padding waste — pad tokens = Σ(batch_max − len) — next to
+    the waste the same batches would suffer under naive corpus-order
+    batching.  This is the measured argument for length bucketing: the
+    padding fraction a trainer pays is the gap between the two.
+
+    Determinism: bucket boundaries are exact integer rank cuts
+    (the `perplexity_prune` discipline); batch membership and maxima
+    are integer arithmetic over (bucket, doc_id) order.
+
+    Scale shape: one rank window over (n_tokens, doc_id), one keyed
+    (bucket, batch) max/sum, one |buckets| rollup — never a global
+    sort of the corpus (ranks come from the same two-pass prefix
+    machinery as every rank cut here).
+    """
+    from pyspark.sql import Window
+
+    from .textops import TOKS
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(f"size({TOKS})").cast("bigint").alias("len"))
+    )
+    n_tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = (
+        docs.crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.col("len").asc(), F.col("doc_id").asc()))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "bucket", F.expr(f"least({LEN_BUCKETS - 1}L, ((rk - 1) * {LEN_BUCKETS}) div n)")
+        )
+    )
+    batched = ranked.withColumn(
+        "batch", F.expr(f"(row_number() over (partition by bucket order by doc_id) - 1) div {BATCH_SIZE}")
+    )
+    per_batch = batched.groupBy("bucket", "batch").agg(
+        F.max("len").alias("bmax"),
+        F.sum("len").alias("btok"),
+        F.count(F.lit(1)).cast("bigint").alias("bn"),
+    )
+    # naive baseline: batches formed in plain doc_id order across the corpus
+    naive = (
+        docs.withColumn(
+            "batch",
+            F.expr(
+                f"(row_number() over (order by doc_id) - 1) div {BATCH_SIZE}"
+            ),
+        )
+        .groupBy("batch")
+        .agg(
+            F.max("len").alias("bmax"),
+            F.sum("len").alias("btok"),
+            F.count(F.lit(1)).cast("bigint").alias("bn"),
+        )
+        .agg(
+            F.sum(F.expr("bmax * bn - btok")).cast("bigint").alias("naive_pad")
+        )
+    )
+    return (
+        per_batch.groupBy("bucket")
+        .agg(
+            F.sum("bn").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.sum(F.expr("bmax * bn - btok")).cast("bigint").alias("pad_tokens"),
+            F.sum("btok").cast("bigint").alias("real_tokens"),
+        )
+        .crossJoin(F.broadcast(naive))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_docs",
+            "n_batches",
+            "pad_tokens",
+            F.round(
+                F.expr("pad_tokens / cast(pad_tokens + real_tokens as double)"), 6
+            ).alias("pad_frac"),
+            "naive_pad",
+        )
+    )

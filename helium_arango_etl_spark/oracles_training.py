@@ -4512,3 +4512,78 @@ def _markov_sql(iters: int = MARKOV_ITERS) -> str:
 
 
 ORACLE_TRAINING["markov_stationary"] = _markov_sql()
+
+from .operators.pipeline import (  # noqa: E402
+    BATCH_SIZE,
+    LEN_BUCKETS,
+    PPL_HI_PCT,
+    PPL_LO_PCT,
+)
+
+ORACLE_TRAINING["perplexity_prune"] = f"""
+        WITH ce AS ({{CE}}),
+        scored AS (
+          SELECT ce.doc_id, ce.cross_entropy_bits, d.source
+          FROM ce JOIN documents d USING (doc_id)
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY source
+                     ORDER BY cross_entropy_bits ASC, doc_id ASC) AS rk,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM scored
+        ), banded AS (
+          SELECT *, (rk - 1) >= ((n - 1) * {PPL_LO_PCT}) // 100
+                    AND (rk - 1) <= ((n - 1) * {PPL_HI_PCT}) // 100 AS kept
+          FROM ranked
+        )
+        SELECT source,
+               CAST(max(n) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               round(sum(CASE WHEN kept THEN 1 ELSE 0 END)
+                     / CAST(max(n) AS DOUBLE), 6) AS retention,
+               min(CASE WHEN kept THEN cross_entropy_bits END) AS band_lo_bits,
+               max(CASE WHEN kept THEN cross_entropy_bits END) AS band_hi_bits
+        FROM banded GROUP BY source
+    """.replace("{CE}", ORACLE_TRAINING["bigram_cross_entropy"])
+
+ORACLE_TRAINING["length_bucket_batches"] = f"""
+        WITH docs AS (
+          SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS len FROM documents
+        ), ranked AS (
+          SELECT doc_id, len,
+                 row_number() OVER (ORDER BY len ASC, doc_id ASC) AS rk,
+                 count(*) OVER () AS n
+          FROM docs
+        ), bucketed AS (
+          SELECT doc_id, len,
+                 least({LEN_BUCKETS - 1}, ((rk - 1) * {LEN_BUCKETS}) // n)
+                     AS bucket
+          FROM ranked
+        ), batched AS (
+          SELECT bucket, len,
+                 (row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+                  - 1) // {BATCH_SIZE} AS batch
+          FROM bucketed
+        ), per_batch AS (
+          SELECT bucket, batch, max(len) AS bmax,
+                 CAST(sum(len) AS BIGINT) AS btok,
+                 CAST(count(*) AS BIGINT) AS bn
+          FROM batched GROUP BY bucket, batch
+        ), naive AS (
+          SELECT CAST(sum(bmax * bn - btok) AS BIGINT) AS naive_pad
+          FROM (SELECT max(len) AS bmax, CAST(sum(len) AS BIGINT) AS btok,
+                       CAST(count(*) AS BIGINT) AS bn
+                FROM (SELECT len, (row_number() OVER (ORDER BY doc_id) - 1)
+                              // {BATCH_SIZE} AS batch FROM docs)
+                GROUP BY batch)
+        )
+        SELECT CAST(p.bucket AS INT) AS bucket,
+               CAST(sum(p.bn) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_batches,
+               CAST(sum(p.bmax * p.bn - p.btok) AS BIGINT) AS pad_tokens,
+               round(sum(p.bmax * p.bn - p.btok)
+                     / CAST(sum(p.bmax * p.bn - p.btok) + sum(p.btok)
+                       AS DOUBLE), 6) AS pad_frac,
+               n.naive_pad
+        FROM per_batch p CROSS JOIN naive n
+        GROUP BY p.bucket, n.naive_pad
+    """

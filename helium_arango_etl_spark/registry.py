@@ -2339,6 +2339,8 @@ QUERIES["key_skew_report"] = R.key_skew_report
 QUERIES["neyman_allocation"] = P.neyman_allocation
 QUERIES["gap_islands"] = TP.gap_islands
 QUERIES["markov_stationary"] = TP.markov_stationary
+QUERIES["perplexity_prune"] = P.perplexity_prune
+QUERIES["length_bucket_batches"] = P.length_bucket_batches
 ORACLE["local_clustering_coeff"] = f"""
         WITH edges0 AS ({_WITNESS_SQL}),
         edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
