@@ -1684,7 +1684,7 @@ def local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TIP_K = 200  # butterfly-support threshold for the k-tip peel
+TIP_K = 150  # butterfly-support threshold for the k-tip peel
 MAX_TIP_ITERS = 8
 
 

@@ -1337,16 +1337,23 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = pairs.join(rows, "src").select(
         "src", "dst", F.expr("(c * 1000000L) div ct").alias("p_micro")
     )
+    # the matrix is |types|² — pin it to ONE partition and broadcast it
+    # into every iteration so the 20 rounds cost 20 tiny single-task
+    # stages instead of 20× (join shuffle + 32-partition agg) scheduling
+    p = p.coalesce(1).localCheckpoint()
     states = p.select(F.col("src").alias("state")).distinct()
     k = states.count()
-    pi = states.select("state", F.expr(f"1000000L div {k}").alias("pi_micro"))
+    pi = states.select(
+        "state", F.expr(f"1000000L div {k}").alias("pi_micro")
+    ).coalesce(1)
     for _ in range(MARKOV_ITERS):
         pi = (
-            pi.join(p, pi.state == p.src)
+            pi.join(F.broadcast(p), pi.state == p.src)
             .groupBy(F.col("dst").alias("state"))
             .agg(
                 F.expr("sum(pi_micro * p_micro) div 1000000").alias("pi_micro")
             )
+            .coalesce(1)
         )
     return pi.select(
         "state", F.round(F.expr("pi_micro / 1e6"), 6).alias("stationary_prob")
