@@ -489,3 +489,33 @@ def read_jsonl_table(spark: SparkSession, path: str, schema) -> DataFrame:
 def write_jsonl(df: DataFrame, path: str) -> None:
     """Write a DataFrame as JSON-lines (the interchange/landing format)."""
     df.write.mode("overwrite").json(path)
+
+
+def read_csv_table(
+    spark: SparkSession, path: str, schema, header: bool = True, sep: str = ","
+) -> DataFrame:
+    """Scan a CSV table with a CALLER-SUPPLIED schema — the third
+    landing format beside parquet/JDBC/JSONL (exports from spreadsheets
+    and legacy warehouses arrive as CSV).
+
+    Same 100 TB discipline as `read_jsonl_table`: an explicit schema
+    avoids the inference pre-pass and per-run type drift; PERMISSIVE
+    mode routes malformed rows to ``_corrupt_record`` instead of
+    failing the job.  CSV is not splittable-with-quotes-spanning-lines
+    and carries no stats, so — like JSONL — landings are compacted to
+    parquet (`compact_parquet`) before heavy querying; `spread()`
+    covers the interim when a single fat CSV would otherwise scan as
+    one task.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """Write a DataFrame as CSV (the interchange/export format)."""
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)

@@ -1780,3 +1780,82 @@ def tip_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tip_support(edges).select(
         "city_key", F.col("node").alias("src"), "support"
     )
+
+
+TRUSS_SUPPORT = 2  # min triangles per surviving edge (a 4-truss)
+MAX_TRUSS_ITERS = 8
+
+
+def _edge_support(proj: DataFrame) -> DataFrame:
+    """Triangle support per ORIENTED (a<b) projection edge: enumerate
+    each triangle once via the oriented two-join, then credit all three
+    of its edges."""
+    e2 = proj.select("city_key", F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = proj.select("city_key", F.col("a").alias("a"), F.col("b").alias("c"))
+    tris = (
+        proj.join(e2, ["city_key", "b"])
+        .join(e3, ["city_key", "a", "c"])
+        .select("city_key", "a", "b", "c")
+    )
+    return (
+        tris.select("city_key", "a", "b")
+        .unionByName(
+            tris.select("city_key", F.col("b").alias("a"), F.col("c").alias("b"))
+        )
+        .unionByName(
+            tris.select("city_key", "a", F.col("c").alias("b"))
+        )
+        .groupBy("city_key", "a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+
+
+def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-truss of each city's co-witness projection (Cohen 2008): peel
+    EDGES whose triangle support drops below TRUSS_SUPPORT until
+    fixpoint — the edge-level cohesion ladder between k-core (node
+    degrees — too loose: a hub survives on volume) and cliques (too
+    strict): every surviving edge closes ≥ 2 triangles among surviving
+    edges, so the 4-truss is the "strong-tie backbone" community
+    detectors seed from.  Completes the peeling family: node-degree
+    (`witness_kcore`), node-butterfly (`tip_decomposition`), and now
+    edge-triangle.
+
+    Determinism: supports are exact triangle counts over the oriented
+    edge list; peeling is confluent and monotone-shrinking, so the
+    unrolled-CTE oracle matches bit-for-bit.
+
+    Scale shape per round: the oriented two-join triangle enumeration
+    (each triangle found once; degree-ordered orientation bounds
+    fan-out at scale) + one keyed support count + one semi-join on
+    surviving edges; localCheckpoint truncates lineage per round.
+    """
+    proj = (
+        co_witness_pairs(spark, sf_dir)
+        .select("city_key", F.col("src_a").alias("a"), F.col("src_b").alias("b"))
+        .localCheckpoint()
+    )
+    prev = proj.count()
+    converged = False
+    for _ in range(MAX_TRUSS_ITERS):
+        keep = (
+            _edge_support(proj)
+            .filter(F.col("support") >= TRUSS_SUPPORT)
+            .select("city_key", "a", "b")
+        )
+        proj = proj.join(keep, ["city_key", "a", "b"], "left_semi").localCheckpoint()
+        cur = proj.count()
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        from .cc import ConvergenceError
+
+        raise ConvergenceError(
+            f"truss peeling did not reach a fixpoint within {MAX_TRUSS_ITERS} "
+            "iterations"
+        )
+    return _edge_support(proj).select(
+        "city_key", F.col("a").alias("src_a"), F.col("b").alias("src_b"), "support"
+    )

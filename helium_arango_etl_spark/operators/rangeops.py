@@ -1800,3 +1800,60 @@ def classical_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual"),
         )
     )
+
+
+STICKY_WINDOW_DAYS = 28
+
+
+def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day: daily active users over trailing
+    28-day active users — THE engagement ratio (a user active 1 day in
+    28 contributes 1/28; a daily habit contributes 1) every consumer
+    dashboard headlines.
+
+    Algorithm: exact, via the covering-day explode — each distinct
+    (user, active-day) pair covers the 28 report days it is visible to,
+    so trailing-window distinct users = count of users with ≥ 1
+    covering pair per report day, WITHOUT a sliding distinct state.
+    Report days beyond the corpus end are clipped pre-shuffle.
+
+    Determinism: exact integer counts; one rounded division per day.
+
+    Scale shape: user-days dedup first (the big shuffle, map-side
+    combined), then a bounded ×28 explode of user-DAYS (not events) and
+    a keyed distinct per report day.  At 100 TB the explode is replaced
+    by per-day HLL sketches merged over the window (sketch.hll_by_group
+    machinery) — the documented approximate path; the exact form here
+    is the oracle for it.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day_idx")
+    )
+    user_days = ev.distinct()
+    end_day = user_days.agg(F.max("day_idx").alias("end_day"))
+    dau = user_days.groupBy("day_idx").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    covering = (
+        user_days.crossJoin(F.broadcast(end_day))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    f"sequence(day_idx, least(day_idx + {STICKY_WINDOW_DAYS - 1},"
+                    " end_day))"
+                )
+            ).alias("report_day"),
+        )
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+    )
+    return (
+        dau.join(covering, dau.day_idx == covering.report_day)
+        .select(
+            "day_idx",
+            "dau",
+            "mau",
+            F.round(F.expr("dau / cast(mau as double)"), 6).alias("stickiness"),
+        )
+    )

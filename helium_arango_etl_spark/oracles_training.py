@@ -4587,3 +4587,29 @@ ORACLE_TRAINING["length_bucket_batches"] = f"""
         FROM per_batch p CROSS JOIN naive n
         GROUP BY p.bucket, n.naive_pad
     """
+
+from .operators.rangeops import STICKY_WINDOW_DAYS  # noqa: E402
+
+ORACLE_TRAINING["stickiness_dau_mau"] = f"""
+        WITH user_days AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_idx
+          FROM events
+        ), end_d AS (
+          SELECT max(day_idx) AS end_day FROM user_days
+        ), dau AS (
+          SELECT day_idx, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+          FROM user_days GROUP BY day_idx
+        ), covering AS (
+          SELECT report_day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+          FROM (
+            SELECT u.user_id,
+                   unnest(range(u.day_idx,
+                       least(u.day_idx + {STICKY_WINDOW_DAYS}, e.end_day + 1)))
+                       AS report_day
+            FROM user_days u CROSS JOIN end_d e
+          ) GROUP BY report_day
+        )
+        SELECT d.day_idx, d.dau, c.mau,
+               round(d.dau / CAST(c.mau AS DOUBLE), 6) AS stickiness
+        FROM dau d JOIN covering c ON c.report_day = d.day_idx
+    """

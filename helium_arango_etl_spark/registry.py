@@ -2299,6 +2299,70 @@ def _tip_sql(rounds: int = 8) -> str:
     )
 
 
+def _truss_sql(rounds: int = 8) -> str:
+    """Unrolled edge-peeling oracle for :func:`operators.graph.ktruss_edges`
+    (confluent monotone peel — extra rounds are a no-op; AS MATERIALIZED
+    for the same inlining reason as _kcore_sql)."""
+
+    def support(rel: str, alias: str) -> str:
+        return f"""{alias} AS MATERIALIZED (
+          SELECT city_key, a, b, CAST(count(*) AS BIGINT) AS support
+          FROM (
+            SELECT t.city_key, t.a, t.b FROM (
+              SELECT e1.city_key, e1.a, e1.b, e2.b AS c
+              FROM {rel} e1
+              JOIN {rel} e2 ON e2.city_key = e1.city_key AND e2.a = e1.b
+              JOIN {rel} e3 ON e3.city_key = e1.city_key AND e3.a = e1.a
+                           AND e3.b = e2.b
+            ) t
+            UNION ALL
+            SELECT t.city_key, t.b AS a, t.c AS b FROM (
+              SELECT e1.city_key, e1.a, e1.b, e2.b AS c
+              FROM {rel} e1
+              JOIN {rel} e2 ON e2.city_key = e1.city_key AND e2.a = e1.b
+              JOIN {rel} e3 ON e3.city_key = e1.city_key AND e3.a = e1.a
+                           AND e3.b = e2.b
+            ) t
+            UNION ALL
+            SELECT t.city_key, t.a, t.c AS b FROM (
+              SELECT e1.city_key, e1.a, e1.b, e2.b AS c
+              FROM {rel} e1
+              JOIN {rel} e2 ON e2.city_key = e1.city_key AND e2.a = e1.b
+              JOIN {rel} e3 ON e3.city_key = e1.city_key AND e3.a = e1.a
+                           AND e3.b = e2.b
+            ) t
+          ) GROUP BY city_key, a, b
+        )"""
+
+    parts = [
+        f"WITH edges0 AS MATERIALIZED ({_WITNESS_SQL})",
+        """r0 AS MATERIALIZED (
+          SELECT DISTINCT x.city_key, x.src AS a, y.src AS b
+          FROM (SELECT DISTINCT city_key, src, dst FROM edges0) x
+          JOIN (SELECT DISTINCT city_key, src, dst FROM edges0) y
+            ON x.city_key = y.city_key AND x.dst = y.dst AND x.src < y.src
+        )""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(support(f"r{i - 1}", f"s{i}"))
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+          SELECT e.city_key, e.a, e.b
+          FROM r{i - 1} e
+          JOIN s{i} s ON s.city_key = e.city_key AND s.a = e.a AND s.b = e.b
+          WHERE s.support >= {G.TRUSS_SUPPORT}
+        )"""
+        )
+    parts.append(support(f"r{rounds}", "sf_"))
+    return (
+        ",\n".join(parts)
+        + """
+        SELECT city_key, a AS src_a, b AS src_b, support FROM sf_"""
+    )
+
+
+QUERIES["ktruss_edges"] = G.ktruss_edges
+ORACLE["ktruss_edges"] = _truss_sql()
 QUERIES["tip_decomposition"] = G.tip_decomposition
 ORACLE["tip_decomposition"] = _tip_sql()
 
@@ -2341,6 +2405,7 @@ QUERIES["gap_islands"] = TP.gap_islands
 QUERIES["markov_stationary"] = TP.markov_stationary
 QUERIES["perplexity_prune"] = P.perplexity_prune
 QUERIES["length_bucket_batches"] = P.length_bucket_batches
+QUERIES["stickiness_dau_mau"] = RG.stickiness_dau_mau
 ORACLE["local_clustering_coeff"] = f"""
         WITH edges0 AS ({_WITNESS_SQL}),
         edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),

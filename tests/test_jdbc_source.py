@@ -112,3 +112,26 @@ def test_jsonl_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
     (tmp_path / "docs_jsonl" / "bad.json").write_text('{"doc_id": "not-a-number"}\n')
     n = read_jsonl_table(spark, p, docs.schema).filter(F.col("doc_id").isNull()).count()
     assert n >= 1
+
+
+def test_csv_roundtrip_schema_and_malformed(spark, sf_dir, tmp_path):
+    """CSV source: explicit-schema read, header handling, roundtrip
+    equality, and PERMISSIVE malformed handling (io.read_csv_table)."""
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_spark.io import read_csv_table, read_table, write_csv
+
+    src = read_table(spark, sf_dir, "region")
+    path = str(tmp_path / "region_csv")
+    write_csv(src, path)
+    back = read_csv_table(spark, path, src.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+    # malformed rows: a line with a non-numeric key under an INT column
+    bad = tmp_path / "bad.csv"
+    bad.write_text("r_regionkey,r_name\nnotanint,EUROPE\n7,ASIA\n")
+    schema = "r_regionkey BIGINT, r_name STRING"
+    got = read_csv_table(spark, str(bad), schema)
+    rows = got.collect()
+    assert len(rows) == 2  # PERMISSIVE keeps the malformed row as nulls
+    assert sorted(r.r_regionkey for r in rows if r.r_regionkey is not None) == [7]
