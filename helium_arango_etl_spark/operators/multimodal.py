@@ -487,3 +487,48 @@ def video_frame_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("capped_pairs").cast("bigint").alias("capped_pairs"),
         (F.sum("all_pairs") - F.sum("capped_pairs")).cast("bigint").alias("dropped_pairs"),
     )
+
+
+def phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-duplicate CLUSTERS: connected components over the
+    phash near-pair graph (`phash_near_pairs`) — the multimodal mirror
+    of text `dedup_clusters`, because greedy pairwise drops over-delete
+    hamming chains A~B~C where A≁C; the cluster view keeps exactly one
+    representative (the min doc_id) per visually-equivalent group.
+
+    Determinism: min-label propagation over exact integer ids to a
+    fixpoint (confluent), so the RECURSIVE-reachability oracle matches
+    exactly; only docs that appear in ≥ 1 near-pair cluster (singletons
+    are trivially their own cluster and are omitted).
+
+    Scale shape: the pair graph is banded-bucket generated (see
+    `phash_near_pairs`); propagation shuffles (id, label) pairs only —
+    image bytes never enter the loop.
+    """
+    edges = phash_near_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    nodes = (
+        edges.select(F.col("doc_a").alias("node"))
+        .unionByName(edges.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    und = edges.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    from .cc import propagate_min_labels
+
+    labels = propagate_min_labels(
+        nodes.select("node", F.col("node").alias("label")),
+        und,
+        keys=[],
+        max_iters=20,
+    )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )

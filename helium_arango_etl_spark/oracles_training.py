@@ -4613,3 +4613,85 @@ ORACLE_TRAINING["stickiness_dau_mau"] = f"""
                round(d.dau / CAST(c.mau AS DOUBLE), 6) AS stickiness
         FROM dau d JOIN covering c ON c.report_day = d.day_idx
     """
+
+from .operators.sketch import HLL_MAU_WINDOW  # noqa: E402
+
+ORACLE_TRAINING["hll_mau_window"] = f"""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx FROM events
+        ), h AS (
+          SELECT day_idx, md5(CAST(user_id AS VARCHAR)) AS h FROM ev
+        ), b AS (
+          SELECT day_idx,
+                 ('0x' || substr(h, 1, 2))::BIGINT % 64 AS reg,
+                 ('0x' || substr(h, 3, 6))::BIGINT AS x
+          FROM h
+        ), k AS (
+          SELECT day_idx, reg,
+                 CASE WHEN strpos(lpad(bin(x), 24, '0'), '1') = 0 THEN 25
+                      ELSE strpos(lpad(bin(x), 24, '0'), '1') END AS rank
+          FROM b
+        ), g AS (
+          SELECT day_idx, reg, max(rank) AS mr FROM k GROUP BY day_idx, reg
+        ), end_d AS (
+          SELECT max(day_idx) AS end_day FROM ev
+        ), merged AS (
+          SELECT report_day, reg, max(mr) AS mr
+          FROM (SELECT g.reg, g.mr,
+                       unnest(range(g.day_idx,
+                           least(g.day_idx + {HLL_MAU_WINDOW}, e.end_day + 1)))
+                           AS report_day
+                FROM g CROSS JOIN end_d e)
+          GROUP BY report_day, reg
+        ), a AS (
+          SELECT report_day, CAST(count(*) AS BIGINT) AS n_present,
+                 sum(power(2.0, -mr)) AS sp
+          FROM merged GROUP BY report_day
+        ), s AS (
+          SELECT report_day,
+                 0.709 * 64 * 64 / (sp + (64 - n_present)) AS raw,
+                 64 - n_present AS zeros
+          FROM a
+        ), exact AS (
+          SELECT report_day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau_exact
+          FROM (SELECT DISTINCT u.user_id,
+                       unnest(range(u.day_idx,
+                           least(u.day_idx + {HLL_MAU_WINDOW}, e.end_day + 1)))
+                           AS report_day
+                FROM (SELECT DISTINCT user_id, day_idx FROM ev) u
+                CROSS JOIN end_d e)
+          GROUP BY report_day
+        )
+        SELECT s.report_day AS day_idx, x.mau_exact,
+               round(CASE WHEN s.raw <= 160 AND s.zeros > 0
+                          THEN 64 * ln(CAST(64 AS DOUBLE) / s.zeros)
+                          ELSE s.raw END, 4) AS mau_estimate,
+               round((CASE WHEN s.raw <= 160 AND s.zeros > 0
+                           THEN 64 * ln(CAST(64 AS DOUBLE) / s.zeros)
+                           ELSE s.raw END - x.mau_exact)
+                     / CAST(x.mau_exact AS DOUBLE), 4) AS rel_error
+        FROM s JOIN exact x ON x.report_day = s.report_day
+    """
+
+_PHASH_PAIRS_REF = ORACLE_TRAINING["phash_near_pairs"]
+
+ORACLE_TRAINING["phash_dup_clusters"] = """
+        WITH RECURSIVE pairs AS ({PAIRS}),
+        e AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM pairs),
+        und AS (
+          SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
+        ),
+        reach AS (
+          SELECT DISTINCT a AS node, a AS label FROM und
+          UNION
+          SELECT u.b AS node, r.label
+          FROM reach r JOIN und u ON u.a = r.node
+        ),
+        lab AS (
+          SELECT node, min(label) AS lbl FROM reach GROUP BY node
+        )
+        SELECT node AS doc_id, lbl AS cluster_id,
+               CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT)
+                   AS cluster_size
+        FROM lab
+    """.replace("{PAIRS}", _PHASH_PAIRS_REF)

@@ -2406,6 +2406,8 @@ QUERIES["markov_stationary"] = TP.markov_stationary
 QUERIES["perplexity_prune"] = P.perplexity_prune
 QUERIES["length_bucket_batches"] = P.length_bucket_batches
 QUERIES["stickiness_dau_mau"] = RG.stickiness_dau_mau
+QUERIES["hll_mau_window"] = K.hll_mau_window
+QUERIES["phash_dup_clusters"] = M.phash_dup_clusters
 ORACLE["local_clustering_coeff"] = f"""
         WITH edges0 AS ({_WITNESS_SQL}),
         edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
