@@ -1857,3 +1857,66 @@ def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("dau / cast(mau as double)"), 6).alias("stickiness"),
         )
     )
+
+
+def weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median unit price per return flag, computed by a
+    GROUPED-AGG pandas UDF — the Arrow-vectorized custom-aggregate
+    escape hatch (SURVEY §2 M-category) demonstrated on an aggregate
+    Spark lacks natively: the weighted median (smallest x whose
+    cumulative weight reaches half the total, weights = quantities).
+    The UDF receives each group as Arrow arrays, so the python crossing
+    is per-GROUP, not per-row — the only acceptable UDF shape in a hot
+    path.
+
+    Determinism: the pick is an integer comparison (2·cumw ≥ W on
+    integer cents/quantities, ties to the smaller cents); the oracle
+    computes the same order statistic with a SQL cumulative window —
+    two algorithms, same integer.
+
+    Scale shape: one keyed shuffle of (flag, cents, qty) triples; the
+    UDF sorts within each group (groups are |distinct prices|-bounded
+    after the pre-aggregation, which also makes the Arrow batches
+    tiny).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("bigint", PandasUDFType.GROUPED_AGG)
+    def wmedian(cents, qty):
+        df = pd.DataFrame({"c": cents, "q": qty}).sort_values("c")
+        w = int(df["q"].sum())
+        cum = 0
+        for c, g in zip(df["c"], df["q"]):
+            cum += int(g)
+            if 2 * cum >= w:
+                return int(c)
+        return int(df["c"].iloc[-1])
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.expr(
+                "cast(round(l_extendedprice / l_quantity * 100) as bigint)"
+            ).alias("cents"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        # pre-aggregate per distinct price: shrinks the Arrow batch and
+        # the in-UDF sort to |distinct prices| without changing the
+        # weighted order statistic
+        .groupBy("l_returnflag", "cents")
+        .agg(F.sum("qty").alias("qty"))
+    )
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT) — run the exact total in its own
+    # keyed agg and join on the |flags|-row result
+    med = li.groupBy("l_returnflag").agg(
+        wmedian("cents", "qty").alias("wmedian_cents")
+    )
+    tot = li.groupBy("l_returnflag").agg(
+        F.sum("qty").cast("bigint").alias("w_total")
+    )
+    return tot.join(med, "l_returnflag").select(
+        "l_returnflag", "w_total", "wmedian_cents"
+    )

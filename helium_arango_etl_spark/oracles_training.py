@@ -4695,3 +4695,25 @@ ORACLE_TRAINING["phash_dup_clusters"] = """
                    AS cluster_size
         FROM lab
     """.replace("{PAIRS}", _PHASH_PAIRS_REF)
+
+ORACLE_TRAINING["weighted_median_udaf"] = """
+        WITH li AS (
+          SELECT l_returnflag,
+                 CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)
+                     AS cents,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+          FROM lineitem GROUP BY l_returnflag, cents
+        ), cum AS (
+          SELECT l_returnflag, cents, qty,
+                 CAST(sum(qty) OVER (PARTITION BY l_returnflag ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cumw,
+                 CAST(sum(qty) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                     AS w
+          FROM li
+        )
+        SELECT l_returnflag, CAST(max(w) AS BIGINT) AS w_total,
+               CAST(min(CASE WHEN 2 * cumw >= w THEN cents END) AS BIGINT)
+                   AS wmedian_cents
+        FROM cum GROUP BY l_returnflag
+    """

@@ -2408,6 +2408,7 @@ QUERIES["length_bucket_batches"] = P.length_bucket_batches
 QUERIES["stickiness_dau_mau"] = RG.stickiness_dau_mau
 QUERIES["hll_mau_window"] = K.hll_mau_window
 QUERIES["phash_dup_clusters"] = M.phash_dup_clusters
+QUERIES["weighted_median_udaf"] = RG.weighted_median_udaf
 ORACLE["local_clustering_coeff"] = f"""
         WITH edges0 AS ({_WITNESS_SQL}),
         edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
