@@ -1920,3 +1920,63 @@ def weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.join(med, "l_returnflag").select(
         "l_returnflag", "w_total", "wmedian_cents"
     )
+
+
+CORR_WINDOW_DAYS = 14
+
+
+def rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling Pearson correlation between daily view counts and
+    daily purchase counts — the co-movement monitor behind "did the
+    funnel decouple this week": correlation near 1 means purchases
+    track traffic; a dip flags a conversion problem traffic metrics
+    hide.
+
+    Determinism: per-day counts are exact integers; every windowed
+    moment (Σx, Σy, Σxy, Σx², Σy², n) is an exact bigint window sum,
+    so the correlation is ONE fixed double expression of exact
+    integers, rounded 6dp; frames with undefined variance emit NULL.
+
+    Scale shape: one keyed day aggregation, a self-join-free pivot to
+    (day, views, purchases) rows, and RANGE windows over the bounded
+    day grid.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day_idx"))
+        .agg(
+            F.sum(F.expr("if(event_type = 'view', 1L, 0L)")).alias("x"),
+            F.sum(F.expr("if(event_type = 'purchase', 1L, 0L)")).alias("y"),
+        )
+    )
+    w = (
+        Window.orderBy("day_idx")
+        .rangeBetween(-(CORR_WINDOW_DAYS - 1), 0)
+    )
+    m = (
+        daily.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("sx", F.sum("x").over(w))
+        .withColumn("sy", F.sum("y").over(w))
+        .withColumn("sxy", F.sum(F.expr("x * y")).over(w))
+        .withColumn("sxx", F.sum(F.expr("x * x")).over(w))
+        .withColumn("syy", F.sum(F.expr("y * y")).over(w))
+    )
+    corr = (
+        "(n * sxy - sx * sy) / (sqrt(cast(n * sxx - sx * sx as double))"
+        " * sqrt(cast(n * syy - sy * sy as double)))"
+    )
+    return m.select(
+        "day_idx",
+        F.col("x").alias("views"),
+        F.col("y").alias("purchases"),
+        F.round(
+            F.expr(
+                f"if(n * sxx - sx * sx = 0 or n * syy - sy * sy = 0,"
+                f" null, {corr})"
+            ),
+            6,
+        ).alias("rolling_corr"),
+    )

@@ -1331,3 +1331,78 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+GEO_RADIUS_M = 100_000  # spatial-join distance threshold (meters)
+GEO_CELL_DEG = 2  # grid cell size; must satisfy radius <= cell at worst lat
+
+
+def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial distance join (customers within 100 km of a supplier)
+    via GRID BUCKETING — the banded range join lifted to two
+    dimensions: bucket both sides into 2° cells, explode the SMALL side
+    (suppliers) to its 3×3 neighbor cells (with longitude wraparound),
+    equi-join on the cell key, and verify the exact haversine
+    post-join.  The naive inequality form plans as a cartesian product;
+    this is a plain equi-join with bounded fan-out — the standard
+    geospatial-join pattern (geohash/S2/H3 all reduce to it).
+
+    Cell-size proof obligation: at the corpus' worst latitude (|lat| <
+    60°, cos ≥ 0.5) 100 km spans ≤ 1.8° of longitude and ≤ 0.9° of
+    latitude — both under one 2° cell, so every qualifying pair shares
+    a cell or a neighbor; the oracle IS the naive cross join, proving
+    no pair is missed.
+
+    Determinism: coordinates are the module's integer-grid synthetic
+    lat/lon; the distance rounds 3dp exactly like `haversine_pairs`.
+
+    Scale shape: the dim side explodes ×9 and broadcasts; the fact side
+    maps to ONE cell — one broadcast equi-join + per-row trig, no
+    shuffle of the big side at all.
+    """
+    from ..functions.scalars import haversine_m, synthetic_lat, synthetic_lon
+
+    lat_cell = "cast((lat + 60) as bigint) div " + str(GEO_CELL_DEG)
+    lon_cell = "cast((lon + 180) as bigint) div " + str(GEO_CELL_DEG)
+    n_lon_cells = 360 // GEO_CELL_DEG
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey"),
+            synthetic_lat(F.col("c_custkey")).alias("lat"),
+            synthetic_lon(F.col("c_custkey")).alias("lon"),
+        )
+        .withColumn("cell", F.expr(f"({lat_cell}) * 1000 + ({lon_cell})"))
+    )
+    sup = (
+        read_table(spark, sf_dir, "supplier")
+        .select(
+            F.col("s_suppkey"),
+            synthetic_lat(F.col("s_suppkey")).alias("lat"),
+            synthetic_lon(F.col("s_suppkey")).alias("lon"),
+        )
+        .withColumn("la", F.expr(lat_cell))
+        .withColumn("lo", F.expr(lon_cell))
+        .select(
+            "s_suppkey",
+            F.col("lat").alias("s_lat"),
+            F.col("lon").alias("s_lon"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(-1, 1), dy ->"
+                    " transform(sequence(-1, 1), dx ->"
+                    f" (la + dy) * 1000 + pmod(lo + dx, {n_lon_cells}))))"
+                )
+            ).alias("cell"),
+        )
+    )
+    dist = haversine_m(
+        F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")
+    )
+    return (
+        cust.join(F.broadcast(sup), "cell")
+        .withColumn("distance_m", F.round(dist, 3))
+        .filter(F.col("distance_m") <= GEO_RADIUS_M)
+        .select("c_custkey", "s_suppkey", "distance_m")
+        .distinct()
+    )

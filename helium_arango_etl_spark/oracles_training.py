@@ -4717,3 +4717,64 @@ ORACLE_TRAINING["weighted_median_udaf"] = """
                    AS wmedian_cents
         FROM cum GROUP BY l_returnflag
     """
+
+from .operators.rangeops import CORR_WINDOW_DAYS  # noqa: E402
+from .operators.relational import GEO_RADIUS_M  # noqa: E402
+
+ORACLE_TRAINING["geo_grid_join"] = f"""
+        WITH c AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 37) % 120 - 60 AS DOUBLE) AS lat,
+                 CAST((c_custkey * 91) % 360 - 180 AS DOUBLE) AS lon
+          FROM customer
+        ), s AS (
+          SELECT s_suppkey,
+                 CAST((s_suppkey * 37) % 120 - 60 AS DOUBLE) AS lat,
+                 CAST((s_suppkey * 91) % 360 - 180 AS DOUBLE) AS lon
+          FROM supplier
+        )
+        SELECT c.c_custkey, s.s_suppkey,
+               round(2 * 6371008.8 * asin(sqrt(
+                   power(sin(radians(s.lat - c.lat) / 2), 2) +
+                   cos(radians(c.lat)) * cos(radians(s.lat)) *
+                   power(sin(radians(s.lon - c.lon) / 2), 2)
+               )), 3) AS distance_m
+        FROM c CROSS JOIN s
+        WHERE round(2 * 6371008.8 * asin(sqrt(
+                   power(sin(radians(s.lat - c.lat) / 2), 2) +
+                   cos(radians(c.lat)) * cos(radians(s.lat)) *
+                   power(sin(radians(s.lon - c.lon) / 2), 2)
+               )), 3) <= {GEO_RADIUS_M}
+    """
+
+ORACLE_TRAINING["rolling_correlation"] = f"""
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS day_idx,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS y
+          FROM events WHERE event_type IN ('view', 'purchase')
+          GROUP BY day_idx
+        ), m AS (
+          SELECT day_idx, x, y,
+                 CAST(count(*) OVER w AS BIGINT) AS n,
+                 CAST(sum(x) OVER w AS BIGINT) AS sx,
+                 CAST(sum(y) OVER w AS BIGINT) AS sy,
+                 CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+                 CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+                 CAST(sum(y * y) OVER w AS BIGINT) AS syy
+          FROM daily
+          WINDOW w AS (ORDER BY day_idx
+                       RANGE BETWEEN {CORR_WINDOW_DAYS - 1} PRECEDING
+                       AND CURRENT ROW)
+        )
+        SELECT day_idx, x AS views, y AS purchases,
+               round(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                     THEN NULL
+                     ELSE (n * sxy - sx * sy)
+                          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                             * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                     END, 6) AS rolling_corr
+        FROM m
+    """

@@ -2409,6 +2409,8 @@ QUERIES["stickiness_dau_mau"] = RG.stickiness_dau_mau
 QUERIES["hll_mau_window"] = K.hll_mau_window
 QUERIES["phash_dup_clusters"] = M.phash_dup_clusters
 QUERIES["weighted_median_udaf"] = RG.weighted_median_udaf
+QUERIES["geo_grid_join"] = R.geo_grid_join
+QUERIES["rolling_correlation"] = RG.rolling_correlation
 ORACLE["local_clustering_coeff"] = f"""
         WITH edges0 AS ({_WITNESS_SQL}),
         edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
