@@ -1406,3 +1406,107 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "s_suppkey", "distance_m")
         .distinct()
     )
+
+
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE grouping sets (not expressible as one CUBE or ROLLUP):
+    event counts and cents at DAILY-per-type and MONTHLY-per-type grain
+    in a single pass — GROUP BY GROUPING SETS ((type, day), (type,
+    month)) lowers to ONE scan + Expand + keyed aggregation, where the
+    naive form runs two scans and a union.  This is the multi-grain
+    materialized-view build every reporting layer runs nightly;
+    grouping_id disambiguates the grain.
+
+    Determinism: exact integer counts/cents; grain id is exact.
+
+    Scale shape: one scan, Expand ×2, one keyed agg with map-side
+    combine — vs two full scans for the union form.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
+        F.expr("unix_micros(ts) div 86400000000 div 30").alias("month_idx"),
+        F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+    )
+    ev.createOrReplaceTempView("gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, day_idx, month_idx,
+               cast(grouping_id(event_type, day_idx, month_idx) as int) AS gid,
+               cast(count(1) as bigint) AS n_events,
+               cast(sum(cents) as bigint) AS cents
+        FROM gs_events
+        GROUP BY GROUPING SETS ((event_type, day_idx),
+                                (event_type, month_idx))
+        """
+    )
+
+
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT: the per-returnflag aggregate row (sum / min /
+    max / count columns) melted into (flag, metric, value) rows —
+    the inverse of `daily_event_pivot` and the shape metric stores and
+    chart layers ingest.  Spark's stack() lowers to a per-row Expand
+    (no shuffle beyond the source agg); the oracle uses DuckDB's native
+    UNPIVOT — two syntaxes, same relational operator.
+
+    Determinism: exact integer cents metrics.
+    """
+    wide = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("cents"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("count_rows"),
+        )
+    )
+    return wide.select(
+        "l_returnflag",
+        F.expr(
+            "stack(4, 'sum_cents', sum_cents, 'min_cents', min_cents,"
+            " 'max_cents', max_cents, 'count_rows', count_rows)"
+        ).alias("metric", "value"),
+    )
+
+
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine NULL-semantics battery, pinned as one oracled row:
+    count(*) vs count(col) vs count(distinct col), sum/min over an
+    all-NULL slice, null-safe equality (Spark `<=>` == DuckDB IS NOT
+    DISTINCT FROM) match counts, and coalesce/nullif interplay — the
+    semantics every engine port gets subtly wrong somewhere, frozen
+    here so a regression (or an engine upgrade) fails a hash, not a
+    production report.
+
+    The nullable column is DERIVED (value < 1 ⇒ NULL cents) so the
+    battery runs on real data without needing null-bearing testdata.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "if(value < 1.0, null, cast(floor(value * 100) as bigint))"
+        ).alias("ncents"),
+    )
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("count_star"),
+        F.count("ncents").cast("bigint").alias("count_col"),
+        F.countDistinct("ncents").cast("bigint").alias("count_distinct_col"),
+        F.sum(F.expr("if(false, ncents, null)")).alias("sum_all_null"),
+        F.min(F.expr("if(false, ncents, null)")).alias("min_all_null"),
+        F.sum(F.expr("if(ncents <=> null, 1L, 0L)"))
+        .cast("bigint")
+        .alias("nullsafe_eq_null"),
+        F.sum(F.expr("if(coalesce(ncents, -1L) = -1L, 1L, 0L)"))
+        .cast("bigint")
+        .alias("coalesced_sentinel"),
+        F.sum(F.expr("if(nullif(user_id % 5, 0) is null, 1L, 0L)"))
+        .cast("bigint")
+        .alias("nullif_zeroed"),
+    )

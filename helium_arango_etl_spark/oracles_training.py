@@ -4778,3 +4778,59 @@ ORACLE_TRAINING["rolling_correlation"] = f"""
                      END, 6) AS rolling_corr
         FROM m
     """
+
+ORACLE_TRAINING["grouping_sets_report"] = """
+        SELECT event_type, day_idx, month_idx,
+               CAST(grouping(event_type, day_idx, month_idx) AS INT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM (
+          SELECT event_type,
+                 epoch_us(ts) // 86400000000 AS day_idx,
+                 epoch_us(ts) // 86400000000 // 30 AS month_idx,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        )
+        GROUP BY GROUPING SETS ((event_type, day_idx),
+                                (event_type, month_idx))
+    """
+
+ORACLE_TRAINING["unpivot_metrics"] = """
+        WITH wide AS (
+          SELECT l_returnflag,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS sum_cents,
+                 CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS min_cents,
+                 CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS max_cents,
+                 CAST(count(*) AS BIGINT) AS count_rows
+          FROM lineitem GROUP BY l_returnflag
+        )
+        UNPIVOT wide
+        ON sum_cents, min_cents, max_cents, count_rows
+        INTO NAME metric VALUE value
+    """
+
+ORACLE_TRAINING["null_semantics_battery"] = """
+        WITH ev AS (
+          SELECT event_id, user_id,
+                 CASE WHEN value < 1.0 THEN NULL
+                      ELSE CAST(floor(value * 100) AS BIGINT) END AS ncents
+          FROM events
+        )
+        SELECT CAST(count(*) AS BIGINT) AS count_star,
+               CAST(count(ncents) AS BIGINT) AS count_col,
+               CAST(count(DISTINCT ncents) AS BIGINT) AS count_distinct_col,
+               CAST(sum(CASE WHEN false THEN ncents END) AS BIGINT)
+                   AS sum_all_null,
+               CAST(min(CASE WHEN false THEN ncents END) AS BIGINT)
+                   AS min_all_null,
+               CAST(sum(CASE WHEN ncents IS NOT DISTINCT FROM NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS nullsafe_eq_null,
+               CAST(sum(CASE WHEN coalesce(ncents, -1) = -1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS coalesced_sentinel,
+               CAST(sum(CASE WHEN nullif(user_id % 5, 0) IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS nullif_zeroed
+        FROM ev
+    """

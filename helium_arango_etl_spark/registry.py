@@ -2411,6 +2411,9 @@ QUERIES["phash_dup_clusters"] = M.phash_dup_clusters
 QUERIES["weighted_median_udaf"] = RG.weighted_median_udaf
 QUERIES["geo_grid_join"] = R.geo_grid_join
 QUERIES["rolling_correlation"] = RG.rolling_correlation
+QUERIES["grouping_sets_report"] = R.grouping_sets_report
+QUERIES["unpivot_metrics"] = R.unpivot_metrics
+QUERIES["null_semantics_battery"] = R.null_semantics_battery
 ORACLE["local_clustering_coeff"] = f"""
         WITH edges0 AS ({_WITNESS_SQL}),
         edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
