@@ -1980,3 +1980,80 @@ def rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rolling_corr"),
     )
+
+
+def spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between unit price and quantity per
+    part type — the monotone-association screen that catches what
+    Pearson (`price_elasticity`'s OLS) misses when the relationship is
+    nonlinear: rank both variables WITH average-rank tie handling, then
+    Pearson on the ranks.
+
+    Determinism: average ranks are half-integers, so DOUBLED ranks are
+    exact bigints (the `auc_roc` trick ×2 variables); every moment sum
+    is exact (DECIMAL(38,0) for the cross products — fact-cardinality
+    rank products overflow int64); correlation is one fixed double
+    expression, rounded 6dp.
+
+    Scale shape: two keyed rank windows per type (distinct-value
+    cumulative counts, prefix-sum shaped) + one moment aggregation.
+    """
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("cast(round(l_extendedprice / l_quantity * 100) as bigint)").alias(
+            "price_c"
+        ),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    d = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_type", "price_c", "qty"
+    )
+
+    def ranked_x2(col):
+        """Average rank ×2 per (type, value): 2·cum − t + 1 over the
+        per-value group sizes (exact integers)."""
+        grp = d.groupBy("p_type", col).agg(F.count(F.lit(1)).alias("t"))
+        wc = (
+            Window.partitionBy("p_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return grp.withColumn("cum", F.sum("t").over(wc)).select(
+            "p_type", col, F.expr("2 * cum - t + 1").alias(f"r2_{col}")
+        )
+    rx = ranked_x2("price_c")
+    ry = ranked_x2("qty")
+    j = d.join(rx, ["p_type", "price_c"]).join(ry, ["p_type", "qty"])
+    agg = j.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r2_price_c").alias("sx"),
+        F.sum("r2_qty").alias("sy"),
+        F.sum(
+            F.col("r2_price_c").cast("decimal(38,0)") * F.col("r2_qty")
+        ).alias("sxy"),
+        F.sum(
+            F.col("r2_price_c").cast("decimal(38,0)") * F.col("r2_price_c")
+        ).alias("sxx"),
+        F.sum(F.col("r2_qty").cast("decimal(38,0)") * F.col("r2_qty")).alias(
+            "syy"
+        ),
+    )
+    num = (
+        "cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy"
+    )
+    denx = "cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx"
+    deny = "cast(n as decimal(38,0)) * syy - cast(sy as decimal(38,0)) * sy"
+    return agg.select(
+        "p_type",
+        "n",
+        F.round(
+            F.expr(
+                f"cast({num} as double) / (sqrt(cast({denx} as double))"
+                f" * sqrt(cast({deny} as double)))"
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )

@@ -1726,3 +1726,160 @@ def prf_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("w_micro") / 1e6, 6).alias("weight"),
         )
     )
+
+
+RAKE_TOP_K = 30
+# phrase splitter: stopwords break candidate phrases (RAKE's core idea)
+_RAKE_STOPS = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs; each word
+    scores degree/frequency (degree = its total co-occurrence span
+    inside candidates — favors words that appear in LONG phrases), a
+    phrase scores the sum of its words, and the corpus-level top-K
+    phrases by (score, then count) surface as the keyphrase vocabulary
+    — the unsupervised topic-surface pass run before any embedding
+    clustering.
+
+    Determinism: degree and frequency are exact integer counts;
+    per-word score ratios quantize to micro BEFORE the phrase sum
+    (exact bigint); ranking compares (score_micro, n_occurrences,
+    phrase) exactly.
+
+    Scale shape: phrase segmentation is a per-row higher-order
+    expression (aggregate fold splitting on stopwords — no UDF);
+    word/phrase stats are combiner-folded keyed counts; top-K is
+    TakeOrderedAndProject.
+    """
+    from pyspark.sql import Window
+
+    # split each doc's token array into stopword-free runs via an
+    # aggregate fold: accumulate (phrases, current_run)
+    split_expr = (
+        f"filter(aggregate({TOKS},"
+        " named_struct('ph', cast(array() as array<string>),"
+        " 'cur', cast('' as string)),"
+        f" (acc, x) -> IF(x IN ({_RAKE_STOPS}),"
+        " named_struct('ph', IF(acc.cur = '', acc.ph,"
+        " array_append(acc.ph, acc.cur)), 'cur', ''),"
+        " named_struct('ph', acc.ph,"
+        " 'cur', IF(acc.cur = '', x, concat(acc.cur, ' ', x)))),"
+        " acc -> IF(acc.cur = '', acc.ph, array_append(acc.ph, acc.cur))),"
+        " p -> p != '')"
+    )
+    phrases = (
+        spread(read_table(spark, sf_dir, "documents"))
+        .select(F.explode(F.expr(split_expr)).alias("phrase"))
+    )
+    ph_stats = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    words = phrases.select(
+        F.expr("size(split(phrase, ' '))").alias("plen"),
+        F.explode(F.expr("split(phrase, ' ')")).alias("w"),
+    )
+    wstats = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+    ).withColumn(
+        "wscore_micro", F.expr("(degree * 1000000L) div freq")
+    )
+    scored = (
+        ph_stats.select(
+            "phrase",
+            "n_occurrences",
+            F.explode(F.expr("split(phrase, ' ')")).alias("w"),
+        )
+        .join(wstats.select("w", "wscore_micro"), "w")
+        .groupBy("phrase", "n_occurrences")
+        .agg(F.sum("wscore_micro").alias("score_micro"))
+    )
+    w = Window.orderBy(
+        F.col("score_micro").desc(), F.col("n_occurrences").desc(),
+        F.col("phrase").asc(),
+    )
+    return (
+        scored.orderBy(
+            F.col("score_micro").desc(), F.col("n_occurrences").desc(),
+            F.col("phrase").asc(),
+        )
+        .limit(RAKE_TOP_K)
+        .select(
+            "phrase",
+            "n_occurrences",
+            F.round(F.col("score_micro") / 1e6, 6).alias("rake_score"),
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+    )
+
+
+SYMSPELL_MIN_FREQ = 3
+
+
+def symspell_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell deletion-neighborhood typo detection (Garbe's algorithm,
+    the fast spell-checker index): every vocabulary token generates its
+    1-deletion variants; two tokens sharing a variant (or one being the
+    other's deletion) are edit-distance-≤-1 CANDIDATES, verified with
+    exact levenshtein and oriented rare→frequent (the typo is the rare
+    side).  This is dedup blocking for VOCABULARY — the spelling-noise
+    profile of a corpus, and the standard normalization table a search
+    index ships with.
+
+    Determinism: deletion variants, joins, and levenshtein are exact;
+    the pair orients by (freq, token) so each candidate emits once.
+
+    Scale shape: the deletion explode is |vocab|·len rows of SHORT
+    strings (never documents); one equi-join on the variant key (the
+    SymSpell trick: edit-distance joins become equality joins); verify
+    runs only on candidates.
+    """
+    vocab = (
+        spread(read_table(spark, sf_dir, "documents"))
+        .select(F.explode(F.expr(TOKS)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .filter(F.col("freq") >= SYMSPELL_MIN_FREQ)
+    )
+    # keys: the token itself + every 1-deletion variant
+    dels = vocab.select(
+        "w",
+        "freq",
+        F.explode(
+            F.expr(
+                "array_distinct(array_union(array(w),"
+                " transform(sequence(1, length(w)),"
+                " i -> concat(substring(w, 1, i - 1), substring(w, i + 1)))))"
+            )
+        ).alias("k"),
+    )
+    a = dels.select(
+        F.col("w").alias("w_a"), F.col("freq").alias("f_a"), "k"
+    )
+    b = dels.select(
+        F.col("w").alias("w_b"), F.col("freq").alias("f_b"), "k"
+    )
+    cand = (
+        a.join(b, "k")
+        .filter(F.col("w_a") != F.col("w_b"))
+        .select("w_a", "f_a", "w_b", "f_b")
+        .distinct()
+        # orient: rare (the typo) -> frequent (the correction)
+        .filter(
+            (F.col("f_a") < F.col("f_b"))
+            | ((F.col("f_a") == F.col("f_b")) & (F.col("w_a") < F.col("w_b")))
+        )
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("w_a", "w_b"))
+        .filter(F.col("dist") <= 1)
+        .select(
+            F.col("w_a").alias("typo"),
+            F.col("f_a").alias("typo_freq"),
+            F.col("w_b").alias("correction"),
+            F.col("f_b").alias("correction_freq"),
+            F.col("dist").cast("int").alias("edit_distance"),
+        )
+    )

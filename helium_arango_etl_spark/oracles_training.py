@@ -4834,3 +4834,119 @@ ORACLE_TRAINING["null_semantics_battery"] = """
                         THEN 1 ELSE 0 END) AS BIGINT) AS nullif_zeroed
         FROM ev
     """
+
+from .operators.textops import RAKE_TOP_K, SYMSPELL_MIN_FREQ, STOPWORDS  # noqa: E402
+
+_RAKE_STOPS_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+ORACLE_TRAINING["rake_keyphrases"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+        ), pos AS (
+          SELECT doc_id, u.i AS p, u.w FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) + 1),
+                          i -> {{'i': i, 'w': t[i]}})) AS u
+            FROM toks
+          )
+        ), nonstop AS (
+          SELECT doc_id, w, p,
+                 p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+                     AS isl
+          FROM pos WHERE w NOT IN ({_RAKE_STOPS_SQL})
+        ), phr AS (
+          SELECT string_agg(w, ' ' ORDER BY p) AS phrase
+          FROM nonstop GROUP BY doc_id, isl
+        ), ph_stats AS (
+          SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+          FROM phr GROUP BY phrase
+        ), words AS (
+          SELECT len(string_split(phrase, ' ')) AS plen,
+                 unnest(string_split(phrase, ' ')) AS w
+          FROM phr
+        ), wstats AS (
+          SELECT w, (CAST(sum(plen) AS BIGINT) * 1000000)
+                     // CAST(count(*) AS BIGINT) AS wscore_micro
+          FROM words GROUP BY w
+        ), scored AS (
+          SELECT pw.phrase, pw.n_occurrences,
+                 CAST(sum(ws.wscore_micro) AS BIGINT) AS score_micro
+          FROM (SELECT phrase, n_occurrences,
+                       unnest(string_split(phrase, ' ')) AS w
+                FROM ph_stats) pw
+          JOIN wstats ws USING (w)
+          GROUP BY pw.phrase, pw.n_occurrences
+        )
+        SELECT phrase, n_occurrences,
+               round(score_micro / 1e6, 6) AS rake_score,
+               CAST(row_number() OVER (ORDER BY score_micro DESC,
+                   n_occurrences DESC, phrase ASC) AS INT) AS rank
+        FROM scored
+        ORDER BY score_micro DESC, n_occurrences DESC, phrase ASC
+        LIMIT {RAKE_TOP_K}
+    """
+
+ORACLE_TRAINING["symspell_typo_pairs"] = f"""
+        WITH vocab AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+          GROUP BY w HAVING count(*) >= {SYMSPELL_MIN_FREQ}
+        ), dels AS (
+          SELECT w, freq, unnest(list_distinct(list_concat([w],
+                 list_transform(range(1, length(w) + 1),
+                     i -> substr(w, 1, i - 1) || substr(w, i + 1))))) AS k
+          FROM vocab
+        ), cand AS (
+          SELECT DISTINCT a.w AS w_a, a.freq AS f_a, b.w AS w_b, b.freq AS f_b
+          FROM dels a JOIN dels b ON a.k = b.k AND a.w <> b.w
+          WHERE a.freq < b.freq OR (a.freq = b.freq AND a.w < b.w)
+        )
+        SELECT w_a AS typo, f_a AS typo_freq,
+               w_b AS correction, f_b AS correction_freq,
+               CAST(levenshtein(w_a, w_b) AS INT) AS edit_distance
+        FROM cand WHERE levenshtein(w_a, w_b) <= 1
+    """
+
+ORACLE_TRAINING["spearman_price_qty"] = """
+        WITH d AS (
+          SELECT p.p_type,
+                 CAST(round(l.l_extendedprice / l.l_quantity * 100) AS BIGINT)
+                     AS price_c,
+                 CAST(l.l_quantity AS BIGINT) AS qty
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ), rx AS (
+          SELECT p_type, price_c,
+                 CAST(2 * sum(t) OVER (PARTITION BY p_type ORDER BY price_c
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - t + 1 AS BIGINT) AS r2_price
+          FROM (SELECT p_type, price_c, CAST(count(*) AS BIGINT) AS t
+                FROM d GROUP BY p_type, price_c)
+        ), ry AS (
+          SELECT p_type, qty,
+                 CAST(2 * sum(t) OVER (PARTITION BY p_type ORDER BY qty
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - t + 1 AS BIGINT) AS r2_qty
+          FROM (SELECT p_type, qty, CAST(count(*) AS BIGINT) AS t
+                FROM d GROUP BY p_type, qty)
+        ), j AS (
+          SELECT d.p_type, rx.r2_price, ry.r2_qty
+          FROM d
+          JOIN rx ON rx.p_type = d.p_type AND rx.price_c = d.price_c
+          JOIN ry ON ry.p_type = d.p_type AND ry.qty = d.qty
+        ), agg AS (
+          SELECT p_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(r2_price) AS BIGINT) AS sx,
+                 CAST(sum(r2_qty) AS BIGINT) AS sy,
+                 sum(CAST(r2_price AS HUGEINT) * r2_qty) AS sxy,
+                 sum(CAST(r2_price AS HUGEINT) * r2_price) AS sxx,
+                 sum(CAST(r2_qty AS HUGEINT) * r2_qty) AS syy
+          FROM j GROUP BY p_type
+        )
+        SELECT p_type, n,
+               round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+                          AS DOUBLE))
+                        * sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy
+                            AS DOUBLE))), 6) AS spearman_rho
+        FROM agg
+    """

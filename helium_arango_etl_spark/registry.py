@@ -2414,6 +2414,9 @@ QUERIES["rolling_correlation"] = RG.rolling_correlation
 QUERIES["grouping_sets_report"] = R.grouping_sets_report
 QUERIES["unpivot_metrics"] = R.unpivot_metrics
 QUERIES["null_semantics_battery"] = R.null_semantics_battery
+QUERIES["rake_keyphrases"] = T.rake_keyphrases
+QUERIES["symspell_typo_pairs"] = T.symspell_typo_pairs
+QUERIES["spearman_price_qty"] = RG.spearman_price_qty
 ORACLE["local_clustering_coeff"] = f"""
         WITH edges0 AS ({_WITNESS_SQL}),
         edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
