@@ -2456,18 +2456,16 @@ ORACLE["local_clustering_coeff"] = f"""
 # ---------- driver-window ordering (round 5 rotation) ----------
 #
 # The driver's CORRECTNESS gate certifies the first 50 insertion-order
-# entries of QUERIES.  Rounds 1-3 certified 77 distinct queries green;
-# this block ROTATES the window (VERDICT r3 top-next): every slot now
-# holds a query with no prior fully-green driver row, so cumulative
-# driver-certified coverage reaches ~127/147.  Rotated-out queries keep
-# their oracles and stay under tests/test_oracle_parity.py (the local
-# driver mirror) as the regression net.  16 never-certified queries
-# remain for the round-5 window (siblings of already-certified family
-# representatives): simhash_near_pairs, shingle_novelty,
-# prefix_edit_distance, mixture_sample, corpus_manifest, mixture_report,
-# session_stats, hll_distinct, ann_batch_topk, bloom_prune_stats,
-# user_trailing_7d, promo_revenue_share, co_witness_recommendations,
-# audio_resample, daily_event_pivot, per_source_cap.
+# entries of QUERIES.  Rounds 1-4 certified 131 distinct queries; this
+# window holds 50 never-certified round-4 additions plus every query
+# touched by the round-5 ADVICE fixes (so the repairs are certified the
+# round they landed).  Rotated-out queries stay under
+# tests/test_oracle_parity.py as the regression net.  Still
+# never-certified after this round (rotate in round 6): the 33 deferred
+# round-4 siblings (simhash_near_pairs window comment of r4 + mixture/
+# corpus/session/sketch strays listed in VERDICT r4) and all round-5
+# additions (minhash_containment .. spearman_price_qty — see
+# COVERAGE.md round-5 rows).
 _DRIVER_WINDOW = [
     # round-5 rotation: the 50 highest-priority never-driver-certified
     # oracled queries (round-4 retrieval/curation/ML-analytics/graph

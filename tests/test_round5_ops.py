@@ -167,3 +167,76 @@ def test_attribution_no_nested_loop_join(spark, sf_dir):
     plan = plan_of(QUERIES["attribution_models"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------- batch 9-15 invariants ----------
+
+
+def test_ktruss_supports_above_threshold_and_subset(spark, sf_dir):
+    from helium_arango_etl_spark.operators.graph import TRUSS_SUPPORT
+
+    truss = QUERIES["ktruss_edges"](spark, sf_dir)
+    rows = truss.collect()
+    assert all(r.support >= TRUSS_SUPPORT for r in rows)
+    proj = QUERIES["co_witness_pairs"](spark, sf_dir).select(
+        "city_key", "src_a", "src_b"
+    )
+    extra = truss.select("city_key", "src_a", "src_b").exceptAll(proj)
+    assert extra.count() == 0  # truss edges ⊆ projection edges
+
+
+def test_stickiness_bounded(spark, sf_dir):
+    for r in QUERIES["stickiness_dau_mau"](spark, sf_dir).collect():
+        assert 0.0 < r.stickiness <= 1.0 + 1e-9
+        assert r.dau <= r.mau
+
+
+def test_hll_mau_error_bounded(spark, sf_dir):
+    # HLL with m=64 has ~13% typical error; allow 3 sigma
+    for r in QUERIES["hll_mau_window"](spark, sf_dir).collect():
+        assert abs(r.rel_error) < 0.4, r
+
+
+def test_symspell_pairs_are_distance_one(spark, sf_dir):
+    for r in QUERIES["symspell_typo_pairs"](spark, sf_dir).collect():
+        assert r.edit_distance == 1
+        assert (r.typo_freq, r.typo) < (r.correction_freq, r.correction) or (
+            r.typo_freq < r.correction_freq
+        )
+
+
+def test_geo_join_within_radius(spark, sf_dir):
+    from helium_arango_etl_spark.operators.relational import GEO_RADIUS_M
+
+    df = QUERIES["geo_grid_join"](spark, sf_dir)
+    assert df.filter(F.col("distance_m") > GEO_RADIUS_M).count() == 0
+
+
+def test_spearman_in_unit_interval(spark, sf_dir):
+    for r in QUERIES["spearman_price_qty"](spark, sf_dir).collect():
+        if r.spearman_rho is not None:
+            assert -1.0 - 1e-9 <= r.spearman_rho <= 1.0 + 1e-9
+
+
+def test_perplexity_prune_retention_band(spark, sf_dir):
+    for r in QUERIES["perplexity_prune"](spark, sf_dir).collect():
+        assert 0 < r.n_kept <= r.n_docs
+        assert r.band_lo_bits <= r.band_hi_bits
+
+
+def test_length_buckets_reduce_padding(spark, sf_dir):
+    rows = QUERIES["length_bucket_batches"](spark, sf_dir).collect()
+    bucketed_pad = sum(r.pad_tokens for r in rows)
+    assert bucketed_pad <= rows[0].naive_pad  # bucketing never hurts
+
+
+def test_weighted_median_within_range(spark, sf_dir):
+    for r in QUERIES["weighted_median_udaf"](spark, sf_dir).collect():
+        assert r.wmedian_cents > 0 and r.w_total > 0
+
+
+def test_phash_clusters_consistent(spark, sf_dir):
+    rows = QUERIES["phash_dup_clusters"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.cluster_id <= r.doc_id
+        assert r.cluster_size >= 2  # only docs with >= 1 near pair appear
