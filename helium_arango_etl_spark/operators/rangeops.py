@@ -2057,3 +2057,137 @@ def spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+def conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on purchase conversion between the
+    hash-split experiment variants (user parity, as `sprt_monitor`):
+    pooled-variance z statistic + the absolute lift with its 95%
+    Wald interval — the fixed-horizon readout next to SPRT's
+    sequential one.
+
+    Determinism: counts are exact; the z and CI arithmetic is one
+    fixed double expression of exact integers (the chi2_independence
+    discipline), rounded 6dp.
+
+    Scale shape: one keyed (variant) aggregation; output is one row.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        F.expr("user_id % 2").alias("variant"),
+        F.expr("if(event_type = 'purchase', 1L, 0L)").alias("is_p"),
+    )
+    per = ev.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("is_p").cast("bigint").alias("x"),
+    )
+    a = per.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n0"), F.col("x").alias("x0")
+    )
+    b = per.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n1"), F.col("x").alias("x1")
+    )
+    z = (
+        "(x1 / cast(n1 as double) - x0 / cast(n0 as double))"
+        " / sqrt((x0 + x1) / cast(n0 + n1 as double)"
+        " * (1 - (x0 + x1) / cast(n0 + n1 as double))"
+        " * (1.0 / n0 + 1.0 / n1))"
+    )
+    se = (
+        "sqrt(x0 / cast(n0 as double) * (1 - x0 / cast(n0 as double)) / n0"
+        " + x1 / cast(n1 as double) * (1 - x1 / cast(n1 as double)) / n1)"
+    )
+    return a.crossJoin(b).select(
+        "n0",
+        "x0",
+        "n1",
+        "x1",
+        F.round(F.expr("x1 / cast(n1 as double) - x0 / cast(n0 as double)"), 6)
+        .alias("lift"),
+        F.round(F.expr(z), 6).alias("z_stat"),
+        F.round(
+            F.expr(
+                f"x1 / cast(n1 as double) - x0 / cast(n0 as double)"
+                f" - 1.959963985 * ({se})"
+            ),
+            6,
+        ).alias("ci_lo"),
+        F.round(
+            F.expr(
+                f"x1 / cast(n1 as double) - x0 / cast(n0 as double)"
+                f" + 1.959963985 * ({se})"
+            ),
+            6,
+        ).alias("ci_hi"),
+    )
+
+
+QINI_BINS = 10
+
+
+def qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve: rank users by a targeting score (trailing
+    total engagement cents — the stand-in for an uplift model's score),
+    split into deciles, and report per-decile incremental conversions
+    treated-vs-control (user-parity assignment) with the cumulative
+    Qini coefficient numerator — the evaluation curve uplift models are
+    compared on (Radcliffe 2007): a useful score concentrates positive
+    uplift in the top deciles.
+
+    Determinism: decile cuts are exact integer rank positions; uplift
+    per decile is n_c·x_t − n_t·x_c over exact counts (kept as the
+    exact integer CROSS-product numerator; the displayed rate divides
+    once, rounded); cumulative sums are exact bigints.
+
+    Scale shape: one per-user aggregation, one rank window, one decile
+    rollup + cumulative window over 10 rows.
+    """
+    from pyspark.sql import Window
+
+    per_user = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("cast(floor(value * 100) as bigint)")).alias("score"),
+            F.max(F.expr("if(event_type = 'purchase', 1L, 0L)")).alias("conv"),
+        )
+        .withColumn("treated", F.expr("cast(user_id % 2 as bigint)"))
+    )
+    n = per_user.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = (
+        per_user.crossJoin(F.broadcast(n))
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("user_id").asc()))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "decile", F.expr(f"least({QINI_BINS - 1}L, ((rk - 1) * {QINI_BINS}) div n)")
+        )
+    )
+    per_dec = ranked.groupBy("decile").agg(
+        F.sum(F.expr("if(treated = 1, 1L, 0L)")).alias("n_t"),
+        F.sum(F.expr("if(treated = 1, conv, 0L)")).alias("x_t"),
+        F.sum(F.expr("if(treated = 0, 1L, 0L)")).alias("n_c"),
+        F.sum(F.expr("if(treated = 0, conv, 0L)")).alias("x_c"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_dec.withColumn("uplift_num", F.expr("x_t * n_c - x_c * n_t"))
+        .withColumn("cum_uplift_num", F.sum("uplift_num").over(wc))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_t",
+            "x_t",
+            "n_c",
+            "x_c",
+            F.round(
+                F.expr(
+                    "if(n_t = 0 or n_c = 0, null,"
+                    " x_t / cast(n_t as double) - x_c / cast(n_c as double))"
+                ),
+                6,
+            ).alias("uplift_rate"),
+            F.col("cum_uplift_num").cast("bigint").alias("cum_qini_num"),
+        )
+    )

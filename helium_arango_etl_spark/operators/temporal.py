@@ -1358,3 +1358,63 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pi.select(
         "state", F.round(F.expr("pi_micro / 1e6"), 6).alias("stationary_prob")
     )
+
+
+WF_WINDOW_US = 7 * 86_400 * 1_000_000
+WF_STEPS = ("view", "click", "purchase")
+
+
+def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel (ClickHouse `windowFunnel` semantics): the
+    deepest prefix of WF_STEPS a user completes IN ORDER with the WHOLE
+    chain inside a 7-day window anchored at the user's FIRST step-1
+    event — unlike `funnel_conversion`'s unbounded ordering, a user who
+    views in January and purchases in June does NOT convert here, which
+    is what campaign-attribution funnels actually mean.  Output: users
+    per max-level (0..|steps|) plus cumulative conversion from level 1.
+
+    Determinism: all timestamps are integer microseconds; each step's
+    first-qualifying time is a conditional MIN; level comparisons are
+    integer.
+
+    Scale shape: same one-pass conditional-aggregation shape as
+    `funnel_conversion` — per-user nested conditional MINs with
+    map-side combine, then one tiny level rollup; no self-joins, no
+    per-user explode.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    t0 = F.min(F.expr(f"IF(event_type = '{WF_STEPS[0]}', us, null)")).alias("t0")
+    per = ev.groupBy("user_id").agg(
+        t0,
+        F.collect_list(F.struct("us", "event_type")).alias("evs"),
+    )
+    # per-user fold over the SORTED event list: advance the step cursor
+    # when the next step type appears after the previous step's time and
+    # before t0 + window
+    step_arr = ", ".join(f"'{s}'" for s in WF_STEPS)
+    fold = (
+        "aggregate(array_sort(evs),"
+        " named_struct('lvl', IF(t0 is null, 0, 0), 'last', t0),"
+        f" (acc, e) -> IF(t0 is null OR acc.lvl >= {len(WF_STEPS)}"
+        f" OR e.us > t0 + {WF_WINDOW_US}, acc,"
+        f" IF(e.event_type = element_at(array({step_arr}), acc.lvl + 1)"
+        " AND (acc.lvl = 0 AND e.us >= t0 OR acc.lvl > 0 AND e.us > acc.last),"
+        " named_struct('lvl', acc.lvl + 1, 'last', e.us), acc)),"
+        " acc -> acc.lvl)"
+    )
+    levels = per.select(F.expr(fold).alias("max_level"))
+    total = levels.agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        levels.groupBy("max_level")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_at_level"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("max_level").cast("int").alias("max_level"),
+            "n_at_level",
+            F.round(F.expr("n_at_level / cast(n_users as double)"), 6).alias(
+                "frac_users"
+            ),
+        )
+    )

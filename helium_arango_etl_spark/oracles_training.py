@@ -4950,3 +4950,116 @@ ORACLE_TRAINING["spearman_price_qty"] = """
                             AS DOUBLE))), 6) AS spearman_rho
         FROM agg
     """
+
+from .operators.rangeops import QINI_BINS  # noqa: E402
+from .operators.temporal import WF_STEPS, WF_WINDOW_US  # noqa: E402
+
+ORACLE_TRAINING["window_funnel"] = f"""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+        ), t0s AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = '{WF_STEPS[0]}' THEN us END) AS t0
+          FROM ev GROUP BY user_id
+        ), t1s AS (
+          SELECT t.user_id, t.t0,
+                 min(CASE WHEN e.event_type = '{WF_STEPS[1]}'
+                          AND e.us > t.t0
+                          AND e.us <= t.t0 + {WF_WINDOW_US}
+                     THEN e.us END) AS t1
+          FROM t0s t LEFT JOIN ev e ON e.user_id = t.user_id
+          WHERE t.t0 IS NOT NULL
+          GROUP BY t.user_id, t.t0
+        ), t2s AS (
+          SELECT t.user_id, t.t0, t.t1,
+                 min(CASE WHEN e.event_type = '{WF_STEPS[2]}'
+                          AND e.us > t.t1
+                          AND e.us <= t.t0 + {WF_WINDOW_US}
+                     THEN e.us END) AS t2
+          FROM t1s t LEFT JOIN ev e ON e.user_id = t.user_id
+          GROUP BY t.user_id, t.t0, t.t1
+        ), lv AS (
+          SELECT user_id,
+                 CASE WHEN t2 IS NOT NULL THEN 3
+                      WHEN t1 IS NOT NULL THEN 2
+                      ELSE 1 END AS max_level
+          FROM t2s
+          UNION ALL
+          SELECT user_id, 0 AS max_level FROM t0s WHERE t0 IS NULL
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_users FROM lv
+        )
+        SELECT CAST(max_level AS INT) AS max_level,
+               CAST(count(*) AS BIGINT) AS n_at_level,
+               round(count(*) / CAST(t.n_users AS DOUBLE), 6) AS frac_users
+        FROM lv CROSS JOIN tot t
+        GROUP BY max_level, t.n_users
+    """
+
+ORACLE_TRAINING["conversion_ztest"] = """
+        WITH per AS (
+          SELECT user_id % 2 AS variant,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x
+          FROM events GROUP BY variant
+        ), a AS (SELECT n AS n0, x AS x0 FROM per WHERE variant = 0),
+        b AS (SELECT n AS n1, x AS x1 FROM per WHERE variant = 1)
+        SELECT n0, x0, n1, x1,
+               round(x1 / CAST(n1 AS DOUBLE) - x0 / CAST(n0 AS DOUBLE), 6)
+                   AS lift,
+               round((x1 / CAST(n1 AS DOUBLE) - x0 / CAST(n0 AS DOUBLE))
+                     / sqrt((x0 + x1) / CAST(n0 + n1 AS DOUBLE)
+                            * (1 - (x0 + x1) / CAST(n0 + n1 AS DOUBLE))
+                            * (1.0 / n0 + 1.0 / n1)), 6) AS z_stat,
+               round(x1 / CAST(n1 AS DOUBLE) - x0 / CAST(n0 AS DOUBLE)
+                     - 1.959963985 * sqrt(
+                         x0 / CAST(n0 AS DOUBLE)
+                         * (1 - x0 / CAST(n0 AS DOUBLE)) / n0
+                         + x1 / CAST(n1 AS DOUBLE)
+                         * (1 - x1 / CAST(n1 AS DOUBLE)) / n1), 6) AS ci_lo,
+               round(x1 / CAST(n1 AS DOUBLE) - x0 / CAST(n0 AS DOUBLE)
+                     + 1.959963985 * sqrt(
+                         x0 / CAST(n0 AS DOUBLE)
+                         * (1 - x0 / CAST(n0 AS DOUBLE)) / n0
+                         + x1 / CAST(n1 AS DOUBLE)
+                         * (1 - x1 / CAST(n1 AS DOUBLE)) / n1), 6) AS ci_hi
+        FROM a CROSS JOIN b
+    """
+
+ORACLE_TRAINING["qini_curve"] = f"""
+        WITH per_user AS (
+          SELECT user_id,
+                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                     AS score,
+                 CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS conv,
+                 CAST(user_id % 2 AS BIGINT) AS treated
+          FROM events GROUP BY user_id
+        ), ranked AS (
+          SELECT *, row_number() OVER (ORDER BY score DESC, user_id ASC)
+                     AS rk,
+                 count(*) OVER () AS n
+          FROM per_user
+        ), per_dec AS (
+          SELECT least({QINI_BINS - 1}, ((rk - 1) * {QINI_BINS}) // n)
+                     AS decile,
+                 CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_t,
+                 CAST(sum(CASE WHEN treated = 1 THEN conv ELSE 0 END)
+                   AS BIGINT) AS x_t,
+                 CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_c,
+                 CAST(sum(CASE WHEN treated = 0 THEN conv ELSE 0 END)
+                   AS BIGINT) AS x_c
+          FROM ranked GROUP BY decile
+        )
+        SELECT CAST(decile AS INT) AS decile, n_t, x_t, n_c, x_c,
+               round(CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+                     ELSE x_t / CAST(n_t AS DOUBLE)
+                          - x_c / CAST(n_c AS DOUBLE) END, 6) AS uplift_rate,
+               CAST(sum(x_t * n_c - x_c * n_t) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_qini_num
+        FROM per_dec
+    """

@@ -2417,6 +2417,9 @@ QUERIES["null_semantics_battery"] = R.null_semantics_battery
 QUERIES["rake_keyphrases"] = T.rake_keyphrases
 QUERIES["symspell_typo_pairs"] = T.symspell_typo_pairs
 QUERIES["spearman_price_qty"] = RG.spearman_price_qty
+QUERIES["window_funnel"] = TP.window_funnel
+QUERIES["conversion_ztest"] = RG.conversion_ztest
+QUERIES["qini_curve"] = RG.qini_curve
 ORACLE["local_clustering_coeff"] = f"""
         WITH edges0 AS ({_WITNESS_SQL}),
         edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
