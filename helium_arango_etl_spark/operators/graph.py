@@ -1859,3 +1859,235 @@ def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _edge_support(proj).select(
         "city_key", F.col("a").alias("src_a"), F.col("b").alias("src_b"), "support"
     )
+
+
+def city_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-city degree assortativity of the witness graph: the Pearson
+    correlation, over distinct edges, between the OUT-degree of the
+    supplier endpoint and the IN-degree of the customer endpoint — "do
+    well-connected suppliers witness for well-connected customers?".
+    The bipartite form of Newman's assortativity coefficient; negative
+    values are the hub-to-leaf pattern typical of radio topologies.
+
+    Degrees are exact integers from two keyed aggregates; the per-city
+    moment sums are DECIMAL(38,0)/HUGEINT exact, and the coefficient is
+    the shared `corr_pair_expr` expression tree (mlstats) rounded 6 dp.
+    Cities with a degenerate side (all equal degrees) surface NULL.
+
+    Scale shape: the edge list shuffles twice on its natural keys
+    ((city, src) then (city, dst)) to build degrees, then joins back by
+    the same keys — no pair explosion, no window over edges.
+
+    Reference parity: extends /root/reference/src/arango_queries.py's
+    per-city metric family (betweenness/pagerank) with the standard
+    mixing metric the reference never shipped.
+    """
+    edges = (
+        witness_subgraph(spark, sf_dir)
+        .select("city_key", "src", "dst")
+        .distinct()
+        .persist()
+    )
+    outdeg = edges.groupBy("city_key", "src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("od")
+    )
+    indeg = edges.groupBy("city_key", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("idg")
+    )
+    j = edges.join(outdeg, ["city_key", "src"]).join(
+        indeg, ["city_key", "dst"]
+    )
+    mom = j.groupBy("city_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("cast(od as decimal(38,0))")).alias("s_od"),
+        F.sum(F.expr("cast(idg as decimal(38,0))")).alias("s_idg"),
+        F.sum(F.expr("cast(od as decimal(38,0)) * od")).alias("ss_od"),
+        F.sum(F.expr("cast(idg as decimal(38,0)) * idg")).alias("ss_idg"),
+        F.sum(F.expr("cast(od as decimal(38,0)) * idg")).alias("sx_od_idg"),
+    )
+    edges.unpersist()
+    from .mlstats import corr_pair_expr
+
+    num_zero = (
+        "cast(n as decimal(38,0)) * ss_od - cast(s_od as decimal(38,0))"
+        " * s_od = 0 or cast(n as decimal(38,0)) * ss_idg"
+        " - cast(s_idg as decimal(38,0)) * s_idg = 0"
+    )
+    return mom.select(
+        "city_key",
+        F.col("n").alias("n_edges"),
+        F.round(
+            F.expr(
+                f"if({num_zero}, null, {corr_pair_expr('od', 'idg')})"
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+# Personalized PageRank: same quantized-iteration discipline as
+# city_pagerank_joins, but all teleport AND dangling mass returns to a
+# per-city SEED node (the lexicographically-smallest supplier) instead of
+# spreading uniformly — the "similar to this node" ranking used for
+# seed-based recommendation.
+PPR_ITERS = 3
+PPR_ALPHA = 0.85
+
+
+def city_ppr_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-city personalized PageRank from a deterministic seed (the
+    min supplier node) as pure DataFrame joins — fully oracled via
+    unrolled quantized iterations (registry._ppr_sql), the companion of
+    city_pagerank_joins with restart mass concentrated on the seed.
+
+    r₀ = 1 on the seed; each step r' = (1−α)·e_seed + α·(Mᵀr +
+    dangling·e_seed), ranks re-quantized (round 9) per step so both
+    engines iterate identical float64 states.
+
+    Scale shape per iteration: identical to city_pagerank_joins — one
+    (city, node) rank/out-degree join, one (city, dst)-keyed
+    contribution shuffle with map-side partial sums, and a per-city
+    dangling scalar broadcast.
+    """
+    edges = (
+        witness_subgraph(spark, sf_dir)
+        .select("city_key", "src", "dst")
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select("city_key", F.col("src").alias("node"))
+        .unionByName(edges.select("city_key", F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = (
+        edges.groupBy("city_key")
+        .agg(F.min("src").alias("seed"))
+    )
+    outdeg = edges.groupBy("city_key", "src").agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    base = nodes.join(F.broadcast(seeds), "city_key")
+    a = PPR_ALPHA
+    r = base.select(
+        "city_key",
+        "node",
+        "seed",
+        F.expr("if(node = seed, cast(1 as double), cast(0 as double))").alias(
+            "r"
+        ),
+    ).localCheckpoint()
+    for _ in range(PPR_ITERS):
+        rd = r.join(
+            outdeg.withColumnRenamed("src", "node"), ["city_key", "node"]
+        ).select(
+            "city_key",
+            F.col("node").alias("src"),
+            (F.col("r") / F.col("deg")).alias("w"),
+        )
+        contrib = (
+            edges.join(rd, ["city_key", "src"])
+            .groupBy("city_key", F.col("dst").alias("node"))
+            .agg(F.sum("w").alias("c"))
+        )
+        dang = (
+            r.join(
+                outdeg.withColumnRenamed("src", "node"),
+                ["city_key", "node"],
+                "left_anti",
+            )
+            .groupBy("city_key")
+            .agg(F.sum("r").alias("dsum"))
+        )
+        r = (
+            base.join(contrib, ["city_key", "node"], "left")
+            .join(F.broadcast(dang), "city_key", "left")
+            .select(
+                "city_key",
+                "node",
+                "seed",
+                F.round(
+                    F.expr(
+                        f"cast({1 - a!r} as double)"
+                        " * if(node = seed, 1.0, 0.0)"
+                        f" + cast({a!r} as double)"
+                        " * (coalesce(c, cast(0 as double))"
+                        "    + coalesce(dsum, cast(0 as double))"
+                        "      * if(node = seed, 1.0, 0.0))"
+                    ),
+                    9,
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    return r.select("city_key", "node", F.round("r", 6).alias("ppr"))
+
+
+def city_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity (3·triangles / wedges) of each city's
+    supplier co-witness projection — the one-number cohesion summary
+    whose per-node decomposition is `local_clustering_coeff`: high
+    transitivity means co-witnessing is cliquish, not hub-mediated.
+
+    Wedges are Σ_v C(deg_v, 2) over projection degrees (exact
+    integers); triangles are counted once each via the ordered
+    three-way self-join (a < b < c, string order, the
+    local_clustering_coeff discipline).  NULL where the projection has
+    no wedge.
+
+    Scale shape: the projection reuses the grouped pair-fold
+    (`_co_pairs` — per-witness sorted fold, never an edge self-join);
+    the triangle join is projection-sized and city-keyed.  Projection
+    density is capped by the witness fan-in bound discussed in
+    butterfly_stats.
+    """
+    edges = (
+        witness_subgraph(spark, sf_dir)
+        .select("city_key", "src", "dst")
+        .distinct()
+    )
+    proj = (
+        _co_pairs(edges)
+        .select("city_key", F.col("src_a").alias("a"), F.col("src_b").alias("b"))
+        .localCheckpoint()
+    )
+    deg = (
+        proj.select("city_key", F.col("a").alias("node"))
+        .unionByName(proj.select("city_key", F.col("b").alias("node")))
+        .groupBy("city_key", "node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    wed = deg.groupBy("city_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("degree * (degree - 1) div 2"))
+        .cast("bigint")
+        .alias("wedges"),
+    )
+    e1 = proj
+    e2 = proj.select(
+        "city_key", F.col("a").alias("b"), F.col("b").alias("c")
+    )
+    e3 = proj.select(
+        "city_key", F.col("a").alias("a"), F.col("b").alias("c")
+    )
+    tri = (
+        e1.join(e2, ["city_key", "b"])
+        .join(e3, ["city_key", "a", "c"])
+        .groupBy("city_key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    return wed.join(tri, "city_key", "left").select(
+        "city_key",
+        "n_nodes",
+        "wedges",
+        F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+        F.round(
+            F.expr(
+                "if(wedges = 0, null,"
+                " 3.0 * cast(coalesce(triangles, 0) as double)"
+                " / cast(wedges as double))"
+            ),
+            6,
+        ).alias("transitivity"),
+    )

@@ -1,0 +1,1153 @@
+"""Distribution tests, robust trends, and experiment-planning surfaces.
+
+Round-6 additions: the nonparametric / planning half of the ML-analytics
+shelf.  ``conversion_ztest``/``sprt_monitor`` (rangeops) answer "did the
+metric move?"; these answer the questions around that one — "do the two
+DISTRIBUTIONS differ?" (Kolmogorov–Smirnov, Mann–Whitney), "what is the
+robust trend?" (Theil–Sen), "how big must the experiment be?" (power /
+MDE grid), "which measures co-move?" (exact-moment correlation matrix),
+and the closed-form multi-feature OLS that `price_elasticity`'s simple
+regression generalizes to.
+
+Determinism discipline (the `spearman_price_qty` playbook):
+
+- every count / rank / cumulative is an exact integer (bigint, or
+  DECIMAL(38,0) where fact-scale products can overflow int64);
+- average ranks are carried DOUBLED (`2·cum − t + 1`) so ties stay exact;
+- each statistic surfaces as ONE fixed double expression of those exact
+  integers, rounded once (6 dp) at the output boundary;
+- sorted-selection medians tie-break on a full deterministic key, or use
+  `percentile`/`quantile_cont` whose (1−f)·a+f·b interpolation is
+  bit-identical across Spark and DuckDB (see rangeops module docstring).
+
+Scale shapes: every operator aggregates to a bounded surface before any
+global window — distinct-VALUE tables for CDFs (domain-bounded, not
+row-bounded), calendar-bounded day grids for trend pairs, group-bounded
+moment rows for correlation/OLS.  The only global windows run over those
+bounded tables, never over facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import read_table
+
+# experiment-planning constants: two-sided alpha=0.05, power=0.80
+Z_ALPHA = "1.959963984540054"
+Z_BETA = "0.8416212335729143"
+POWER_MDE_GRID = (0.02, 0.05, 0.10, 0.20)
+
+
+def ks_price_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D between the order-price
+    distributions of urgent (priority 1–2) and non-urgent orders — the
+    distribution-shift screen that catches what a mean test misses.
+
+    D = max over values v of |F_a(v) − F_b(v)|.  With exact per-value
+    counts the scaled gap |ca·n_b − cb·n_a| is an exact DECIMAL(38,0)
+    integer, so the argmax (and its tie-break: smallest value attaining
+    the max) is decided in integer arithmetic; the single division
+    happens once at the surface.
+
+    Scale shape: one fact scan → distinct-value (cents) aggregate, a
+    value-domain-bounded CDF window, and a 1-row broadcast of totals.
+    The fact table is never windowed.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+        F.expr(
+            "if(o_orderpriority in ('1-URGENT', '2-HIGH'), 1L, 0L)"
+        ).alias("is_a"),
+    )
+    per = o.groupBy("cents").agg(
+        F.sum("is_a").cast("bigint").alias("a_n"),
+        F.sum(F.expr("1L - is_a")).cast("bigint").alias("b_n"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "cents",
+        F.sum("a_n").over(w).alias("ca"),
+        F.sum("b_n").over(w).alias("cb"),
+    )
+    tot = per.agg(
+        F.sum("a_n").cast("bigint").alias("n_a"),
+        F.sum("b_n").cast("bigint").alias("n_b"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "n_a",
+        "n_b",
+        F.expr(
+            "abs(cast(ca as decimal(38,0)) * n_b"
+            " - cast(cb as decimal(38,0)) * n_a)"
+        ).alias("dnum"),
+    )
+    m = d.agg(F.max("dnum").alias("dmax"))
+    return (
+        d.join(F.broadcast(m), d.dnum == m.dmax)
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.min("cents").alias("ks_at_cents"),
+            F.max("dnum").alias("dm"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "ks_at_cents",
+            F.round(
+                F.expr(
+                    "cast(dm as double)"
+                    " / (cast(n_a as double) * cast(n_b as double))"
+                ),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+def mannwhitney_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) comparing purchase vs click
+    event values — the nonparametric location test that stays valid when
+    the value distribution is skewed (and event revenue always is).
+
+    Doubled average ranks keep ties exact; U₁×2 = Σ2r₁ − n₁(n₁+1) is an
+    exact integer; the tie-corrected normal z uses the standard
+    σ² = n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1))) with Σ(t³−t) carried as an
+    exact DECIMAL sum.
+
+    Scale shape: distinct-value rank table (domain-bounded) + one
+    1-row moment aggregate; no fact-side window.
+    """
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .where(F.col("value").isNotNull())
+        .select(
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+            F.expr("if(event_type = 'purchase', 1L, 0L)").alias("is_a"),
+        )
+    )
+    per = ev.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum("is_a").cast("bigint").alias("a_n"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    r = per.withColumn("cum", F.sum("t").over(w)).select(
+        "cents",
+        "t",
+        "a_n",
+        F.expr("2 * cum - t + 1").alias("r2"),
+    )
+    agg = r.agg(
+        F.sum("a_n").cast("bigint").alias("n_a"),
+        F.sum(F.expr("t - a_n")).cast("bigint").alias("n_b"),
+        F.sum(F.expr("cast(a_n as decimal(38,0)) * r2")).alias("s2a"),
+        F.sum(
+            F.expr(
+                "cast(t as decimal(38,0)) * t * t - t"
+            )
+        ).alias("tcorr"),
+    )
+    u1x2 = "s2a - cast(n_a as decimal(38,0)) * (n_a + 1)"
+    nd = "cast(n_a + n_b as double)"
+    sigma2 = (
+        f"cast(n_a as double) * cast(n_b as double) / 12.0"
+        f" * (({nd} + 1.0) - cast(tcorr as double)"
+        f" / ({nd} * ({nd} - 1.0)))"
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.expr(f"cast({u1x2} as bigint)").alias("u1_x2"),
+        F.round(
+            F.expr(
+                f"(cast({u1x2} as double)"
+                f" - cast(n_a as double) * cast(n_b as double))"
+                f" / (2.0 * sqrt({sigma2}))"
+            ),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily order counts: the median of all
+    pairwise day-to-day slopes — immune to the outlier days that wreck
+    an OLS fit of the same series.
+
+    Slopes are IEEE doubles of exact integer differences, identical in
+    both engines; the median uses `percentile`/`quantile_cont`, whose
+    (1−f)·a + f·b interpolation is bit-identical (rangeops docstring).
+
+    Scale shape: the pair set is CALENDAR-bounded (days², independent of
+    fact rows — ~2.9M pairs for a 7-year grid), built by broadcasting
+    the day-grid aggregate against itself; facts are touched once.
+    """
+    d = read_table(spark, sf_dir, "orders").groupBy(
+        F.expr("datediff(o_orderdate, date '1970-01-01')").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    x = d.select(F.col("d").alias("dx"), F.col("c").alias("cx"))
+    y = d.select(F.col("d").alias("dy"), F.col("c").alias("cy"))
+    pairs = x.join(F.broadcast(y), F.col("dy") > F.col("dx")).select(
+        F.expr(
+            "cast(cy - cx as double) / cast(dy - dx as double)"
+        ).alias("slope")
+    )
+    return (
+        pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
+                "trend_per_day"
+            ),
+        )
+        .crossJoin(F.broadcast(nd))
+        .select("n_days", "n_pairs", "trend_per_day")
+    )
+
+
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power planning: per relative-MDE candidate, the
+    required observations PER ARM to detect that lift of the observed
+    baseline purchase share at two-sided α=0.05 with 80% power — the
+    two-proportion sample-size formula
+    n = (z_{α/2}·√(2p̄q̄) + z_β·√(p₀q₀+p₁q₁))² / (p₁−p₀)².
+
+    The baseline is the EVENT-level purchase share (a rate safely below
+    1/(1+max lift), so p₁ stays a probability at every grid point —
+    per-user conversion here is ~0.9 and would push p₁ past 1).  Exact
+    integer inputs; the whole formula is one fixed double expression per
+    grid row, ceil'd to a bigint.  Grid rows come from a literal explode
+    on both engines.
+
+    Scale shape: one map-side-combinable aggregate (1 row) × a 4-row
+    literal grid.
+    """
+    base = read_table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nu"),
+        F.sum(F.expr("if(event_type = 'purchase', 1L, 0L)"))
+        .cast("bigint")
+        .alias("nc"),
+    )
+    grid = base.select(
+        "nu",
+        "nc",
+        F.explode(
+            F.array(*[F.lit(x) for x in POWER_MDE_GRID])
+        ).alias("rel_mde"),
+    )
+    p0 = "(cast(nc as double) / cast(nu as double))"
+    p1 = f"({p0} * (1.0 + rel_mde))"
+    pbar = f"(({p0} + {p1}) / 2.0)"
+    n_expr = (
+        f"pow({Z_ALPHA} * sqrt(2.0 * {pbar} * (1.0 - {pbar}))"
+        f" + {Z_BETA} * sqrt({p0} * (1.0 - {p0})"
+        f" + {p1} * (1.0 - {p1})), 2)"
+        f" / pow({p1} - {p0}, 2)"
+    )
+    return grid.select(
+        "rel_mde",
+        F.round(F.expr(p0), 6).alias("p0_rate"),
+        F.round(F.expr(p1), 6).alias("p1_rate"),
+        F.expr(f"cast(ceil({n_expr}) as bigint)").alias("n_per_arm"),
+    )
+
+
+# correlation-matrix measures: (short name, exact-integer extraction)
+_CORR_MEASURES = [
+    ("quantity", "cast(round(l_quantity) as bigint)"),
+    ("price", "cast(round(l_extendedprice * 100) as bigint)"),
+    ("discount", "cast(round(l_discount * 10000) as bigint)"),
+    ("tax", "cast(round(l_tax * 10000) as bigint)"),
+]
+
+
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the four lineitem
+    measures (quantity, price, discount, tax) — the co-movement screen
+    run before any feature goes into a model.
+
+    All 14 moments (4 sums, 4 squares, 6 cross-products) are exact
+    DECIMAL(38,0) sums of integer-scaled values, collected in ONE scan /
+    one aggregate row; each of the 6 correlations is the usual
+    (n·Sxy − Sx·Sy) / √(n·Sxx − Sx²)·√(n·Syy − Sy²) evaluated as one
+    fixed double expression, then unpivoted to (m_x, m_y, corr) rows.
+
+    Scale shape: single map-side-combinable aggregate; the unpivot is a
+    6-row literal stack on a 1-row input.
+    """
+    names = [n for n, _ in _CORR_MEASURES]
+    src = read_table(spark, sf_dir, "lineitem").select(
+        *[F.expr(e).alias(n) for n, e in _CORR_MEASURES]
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for n, _ in _CORR_MEASURES:
+        aggs.append(F.sum(F.expr(f"cast({n} as decimal(38,0))")).alias(f"s_{n}"))
+        aggs.append(
+            F.sum(F.expr(f"cast({n} as decimal(38,0)) * {n}")).alias(f"ss_{n}")
+        )
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            aggs.append(
+                F.sum(
+                    F.expr(f"cast({a} as decimal(38,0)) * {b}")
+                ).alias(f"sx_{a}_{b}")
+            )
+    mom = src.agg(*aggs)
+    pair_cols = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            expr = corr_pair_expr(a, b)
+            pair_cols.append(F.round(F.expr(expr), 6).alias(f"c_{a}_{b}"))
+    flat = mom.select("n", *pair_cols)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c_{a}_{b}"
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+    )
+    return flat.selectExpr(
+        "n",
+        f"stack(6, {stack_args}) as (m_x, m_y, corr)",
+    ).select("m_x", "m_y", "n", "corr")
+
+
+def corr_pair_expr(a: str, b: str, big: str = "decimal(38,0)") -> str:
+    """The shared Spark/DuckDB double expression for one Pearson cell —
+    the oracle imports this with big='HUGEINT' so both engines evaluate
+    the same expression tree over the same exact-integer moments (the
+    wide-int TYPE differs per engine; the values, and therefore the
+    nearest-double conversions, are identical)."""
+    num = f"cast(n as {big}) * sx_{a}_{b} - cast(s_{a} as {big}) * s_{b}"
+    dena = f"cast(n as {big}) * ss_{a} - cast(s_{a} as {big}) * s_{a}"
+    denb = f"cast(n as {big}) * ss_{b} - cast(s_{b} as {big}) * s_{b}"
+    return (
+        f"cast({num} as double) / (sqrt(cast({dena} as double))"
+        f" * sqrt(cast({denb} as double)))"
+    )
+
+
+# shared Cramer's-rule double expressions for the 2-feature OLS — the
+# oracle f-string imports these so both engines evaluate identical trees.
+_OLS_D = {
+    v: f"cast({v} as double)"
+    for v in ("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y")
+}
+OLS_DET = (
+    "({n} * ({s11} * {s22} - {s12} * {s12})"
+    " - {s1} * ({s1} * {s22} - {s12} * {s2})"
+    " + {s2} * ({s1} * {s12} - {s11} * {s2}))"
+).format(**_OLS_D)
+OLS_B0 = (
+    "({sy} * ({s11} * {s22} - {s12} * {s12})"
+    " - {s1} * ({s1y} * {s22} - {s12} * {s2y})"
+    " + {s2} * ({s1y} * {s12} - {s11} * {s2y}))"
+).format(**_OLS_D)
+OLS_B1 = (
+    "({n} * ({s1y} * {s22} - {s12} * {s2y})"
+    " - {sy} * ({s1} * {s22} - {s12} * {s2})"
+    " + {s2} * ({s1} * {s2y} - {s1y} * {s2}))"
+).format(**_OLS_D)
+OLS_B2 = (
+    "({n} * ({s11} * {s2y} - {s1y} * {s12})"
+    " - {s1} * ({s1} * {s2y} - {s1y} * {s2})"
+    " + {sy} * ({s1} * {s12} - {s11} * {s2}))"
+).format(**_OLS_D)
+
+
+def ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form two-feature OLS per part brand: quantity regressed on
+    discount (bps) and unit price (cents) via the 3×3 normal equations
+    solved by Cramer's rule — the multi-feature generalization of
+    `price_elasticity`'s simple regression, with no iterative fitting.
+
+    All nine moments are exact DECIMAL(38,0) sums gathered in one keyed
+    aggregate; the three determinants are fixed double expressions
+    (shared verbatim with the oracle via OLS_DET/B0/B1/B2).  Intercept
+    rounds at 6 dp; the per-bps / per-cent slopes at 9 dp (their natural
+    magnitude).  Degenerate groups (det = 0) surface NULL coefficients.
+
+    Scale shape: one fact scan, one broadcast dim join, one keyed
+    map-side-combinable aggregate (25 brand rows); solving is per-row
+    arithmetic.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("cast(round(l_quantity) as bigint)").alias("y"),
+        F.expr("cast(round(l_discount * 10000) as bigint)").alias("x1"),
+        F.expr(
+            "cast(round(l_extendedprice / l_quantity * 100) as bigint)"
+        ).alias("x2"),
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    d = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    mom = d.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("cast(x1 as decimal(38,0))")).alias("s1"),
+        F.sum(F.expr("cast(x2 as decimal(38,0))")).alias("s2"),
+        F.sum(F.expr("cast(y as decimal(38,0))")).alias("sy"),
+        F.sum(F.expr("cast(x1 as decimal(38,0)) * x1")).alias("s11"),
+        F.sum(F.expr("cast(x1 as decimal(38,0)) * x2")).alias("s12"),
+        F.sum(F.expr("cast(x2 as decimal(38,0)) * x2")).alias("s22"),
+        F.sum(F.expr("cast(x1 as decimal(38,0)) * y")).alias("s1y"),
+        F.sum(F.expr("cast(x2 as decimal(38,0)) * y")).alias("s2y"),
+    )
+    return mom.select(
+        "p_brand",
+        "n",
+        F.round(
+            F.expr(f"if({OLS_DET} = 0.0, null, {OLS_B0} / {OLS_DET})"), 6
+        ).alias("intercept"),
+        F.round(
+            F.expr(f"if({OLS_DET} = 0.0, null, {OLS_B1} / {OLS_DET})"), 9
+        ).alias("beta_discount_bps"),
+        F.round(
+            F.expr(f"if({OLS_DET} = 0.0, null, {OLS_B2} / {OLS_DET})"), 9
+        ).alias("beta_price_cent"),
+    )
+
+
+L_DIVERSITY_MIN_K = 10
+L_DIVERSITY_MIN_L = 3
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the privacy check k-anonymity
+    (`k_anonymity_audit`) famously misses: a quasi-identifier group can
+    be large (k-anonymous) yet expose everyone in it because all its
+    rows share one SENSITIVE value.  Per (nation, market-segment) group
+    over customer orders: group size k, distinct sensitive order
+    priorities l, and the entropy of the sensitive distribution
+    (ln k − Σc·ln c / k — exact counts, one double expression).
+
+    Scale shape: two-level keyed aggregate — (QI, sensitive) counts then
+    QI rollup — both map-side combinable; no fact-side window.
+    """
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    d = o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+    per = d.groupBy("c_nationkey", "c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    return per.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("l"),
+        F.round(
+            F.expr(
+                "ln(cast(sum(cnt) as double))"
+                " - sum(cast(cnt as double) * ln(cast(cnt as double)))"
+                " / cast(sum(cnt) as double)"
+            ),
+            6,
+        ).alias("sens_entropy"),
+        F.expr(
+            f"sum(cnt) < {L_DIVERSITY_MIN_K}"
+            f" or count(1) < {L_DIVERSITY_MIN_L}"
+        ).alias("is_weak"),
+    )
+
+
+SN_WINDOW = 2
+SN_JACCARD_MIN = 0.25
+
+
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking over part names —
+    the OTHER classic ER blocking scheme next to `part_er_blocking`'s
+    key-equality blocks: sort records by a blocking key and compare each
+    record only to its SN_WINDOW successors, so near-duplicates that
+    disagree on every exact key still meet if they sort adjacently.
+    Candidates are verified with distinct-token Jaccard ≥ 0.25.
+
+    The neighbor join is an equality join on rank offset (rn + 1, rn + 2
+    exploded), never an inequality scan.  Spark verifies with
+    array_intersect/array_union on distinct token arrays; the oracle
+    unnests tokens and counts matches — two algorithms, same sets.
+
+    Scale shape: dim-sized sort (at 100 TB: range-partition the sort and
+    duplicate the SN_WINDOW boundary rows per partition — the classic
+    distributed sorted-neighborhood construction); the verify touches
+    only the 2N candidate pairs.
+    """
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.array_distinct(F.split("p_name", " ")).alias("toks"),
+    )
+    rn = p.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy("p_name", "p_partkey")),
+    )
+    probe = rn.select(
+        F.col("p_partkey").alias("pk_b"),
+        F.col("toks").alias("toks_b"),
+        F.explode(
+            F.array(*[F.expr(f"rn - {i}") for i in range(1, SN_WINDOW + 1)])
+        ).alias("rn_a"),
+    )
+    base = rn.select(
+        F.col("rn").alias("rn_a"),
+        F.col("p_partkey").alias("pk_a"),
+        F.col("toks").alias("toks_a"),
+    )
+    pairs = base.join(probe, "rn_a").select(
+        "pk_a",
+        "pk_b",
+        F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint").alias(
+            "n_inter"
+        ),
+        F.size(F.array_union("toks_a", "toks_b")).cast("bigint").alias(
+            "n_union"
+        ),
+    )
+    return pairs.select(
+        "pk_a",
+        "pk_b",
+        "n_inter",
+        "n_union",
+        F.round(
+            F.expr("cast(n_inter as double) / cast(n_union as double)"), 6
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= SN_JACCARD_MIN)
+
+
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source document lengths onto the
+    global length distribution — the cross-source calibration step
+    (bioinformatics' quantile normalization) that makes length-based
+    quality thresholds comparable across sources with different length
+    profiles.
+
+    Each doc's DOUBLED average rank r2 within its source (ns docs) maps
+    to the global position tr = ⌈r2·N / (2·ns)⌉ — computed in exact
+    integer arithmetic as (r2·N + 2·ns − 1) div (2·ns), positive
+    operands so floor-div and trunc-div agree across engines — and the
+    normalized value is the global n_chars at sorted position tr
+    (position→value lookup on the distinct-value CDF, so equal values
+    give one deterministic answer regardless of tie order).
+
+    Scale shape: per-source rank windows over (source, n_chars) distinct
+    pairs; the global CDF is a distinct-VALUE table (domain-bounded)
+    range-joined by containment — at petabyte scale swap it for an
+    approx-quantile sketch lookup, same mapping.
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    grp = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    ws = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = grp.withColumn("cum", F.sum("t").over(ws)).select(
+        "source",
+        "n_chars",
+        F.expr("2 * cum - t + 1").alias("r2"),
+    )
+    sizes = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    tr = (
+        ranked.join(F.broadcast(sizes), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_chars",
+            F.expr("(r2 * nn + 2 * ns - 1) div (2 * ns)").alias("tr"),
+        )
+    )
+    gv = docs.groupBy(F.col("n_chars").alias("gv")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("gt")
+    )
+    wg = Window.orderBy("gv").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = gv.withColumn("gcum", F.sum("gt").over(wg))
+    looked = tr.join(
+        F.broadcast(gcum),
+        (F.col("tr") > F.col("gcum") - F.col("gt"))
+        & (F.col("tr") <= F.col("gcum")),
+    ).select("source", "n_chars", F.col("gv").alias("norm_chars"))
+    return docs.join(looked, ["source", "n_chars"]).select(
+        "doc_id", "source", "n_chars", "norm_chars"
+    )
+
+
+ACF_LAGS = (1, 2, 7, 14)
+
+
+def autocorrelation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily order-count series at the standard
+    diagnostic lags (1, 2, 7, 14 days) — the seasonality/memory screen
+    read before fitting any forecast (`holt_forecast_error`,
+    `seasonal_forecast_error` downstream).
+
+    ACF(k) is the Pearson correlation of (c_t, c_{t−k}) over the pairs
+    where BOTH days are observed (sparse-calendar semantics, documented:
+    no zero-imputation).  All moments are exact integer sums gathered
+    per lag after an equality self-join on the day grid; each
+    correlation is one fixed double expression rounded 6 dp.
+
+    Scale shape: the day grid is CALENDAR-bounded; the lag join is an
+    equality join on (day − lag) after a 4-way literal lag explode —
+    broadcast-sized at any fact scale.
+    """
+    d = read_table(spark, sf_dir, "orders").groupBy(
+        F.expr("datediff(o_orderdate, date '1970-01-01')").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    lags = d.select(
+        "d",
+        "c",
+        F.explode(F.array(*[F.lit(k) for k in ACF_LAGS])).alias("lag"),
+    )
+    prev = d.select(F.col("d").alias("dp"), F.col("c").alias("cp"))
+    j = lags.join(
+        F.broadcast(prev), F.expr("dp = d - lag")
+    ).select("lag", "c", "cp")
+    mom = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("cast(c as decimal(38,0))")).alias("s_a"),
+        F.sum(F.expr("cast(cp as decimal(38,0))")).alias("s_b"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * c")).alias("ss_a"),
+        F.sum(F.expr("cast(cp as decimal(38,0)) * cp")).alias("ss_b"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * cp")).alias("sx_a_b"),
+    )
+    return mom.select(
+        "lag",
+        "n",
+        F.round(F.expr(corr_pair_expr("a", "b")), 6).alias("acf"),
+    )
+
+
+# shared Spark/DuckDB SSE expressions for best_changepoint (column names
+# k/s/ss = left prefix, kt/st/sst = totals)
+# nullif guards the right-segment denominator: under Spark's ANSI mode
+# the projection can be evaluated on the (filtered-out) k = kt row, and
+# ANSI double division by zero THROWS instead of yielding NULL/Inf.
+CP_SSE2 = (
+    "(cast(ss as double) - cast(s as double) * cast(s as double)"
+    " / cast(k as double))"
+    " + (cast(sst - ss as double)"
+    "    - cast(st - s as double) * cast(st - s as double)"
+    "      / cast(nullif(kt - k, 0) as double))"
+)
+CP_SSE1 = (
+    "cast(sst as double) - cast(st as double)"
+    " * cast(st as double) / cast(kt as double)"
+)
+
+
+def best_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single best changepoint of the daily order-count series — binary
+    segmentation's first (and most informative) step: the split day t
+    minimizing SSE_left(t) + SSE_right(t), i.e. the two-segment
+    piecewise-constant fit.
+
+    With prefix sums (k, s, ss) every candidate's total SSE is the fixed
+    double expression (ss_l − s_l²/k_l) + (ss_r − s_r²/k_r) of exact
+    integers, so the argmin — and its earliest-day tie-break — is a
+    deterministic decision.  Both boundary directions keep ≥ 1 day.
+
+    Scale shape: facts collapse to the calendar-bounded day grid; the
+    prefix-sum window and the argmin run over that grid only.
+    """
+    d = read_table(spark, sf_dir, "orders").groupBy(
+        F.expr("datediff(o_orderdate, date '1970-01-01')").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pre = d.select(
+        "d",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("k"),
+        F.sum("c").over(w).cast("bigint").alias("s"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * c")).over(w).alias("ss"),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("kt"),
+        F.sum("c").cast("bigint").alias("st"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * c")).alias("sst"),
+    )
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .where(F.expr("k < kt"))
+        .select("d", F.round(F.expr(CP_SSE2), 6).alias("sse2"))
+    )
+    m = cand.agg(F.min("sse2").alias("best"))
+    return (
+        cand.join(F.broadcast(m), cand.sse2 == m.best)
+        .agg(
+            F.min("d").alias("split_day"),
+            F.min("sse2").alias("sse_two_segment"),
+        )
+        .crossJoin(
+            F.broadcast(
+                tot.select(
+                    "kt",
+                    F.round(F.expr(CP_SSE1), 6).alias("sse_one_segment"),
+                )
+            )
+        )
+        .select(
+            "split_day",
+            F.col("kt").alias("n_days"),
+            "sse_one_segment",
+            "sse_two_segment",
+        )
+    )
+
+
+MAD_K = 3.0
+MAD_CONSISTENCY = 1.4826
+
+
+def mad_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-revenue anomaly flags: days whose order revenue sits
+    more than 3 robust sigmas (1.4826·MAD) from the median — the
+    outlier monitor whose thresholds a single spike cannot drag (unlike
+    mean/stddev z-scores).  Revenue, not counts: count-valued series at
+    small scale factors have a degenerate (zero) MAD.
+
+    Median and MAD both use the bit-identical percentile/quantile_cont
+    interpolation (rangeops docstring); deviations |rev − med| are exact
+    doubles of integer cents; the flag compares against one fixed
+    threshold expression (guarded for mad = 0), and the rounded robust z
+    is emitted for ranking.
+
+    Scale shape: calendar-bounded day grid; two grid-sized percentile
+    aggregates (the second over |rev − med|), one broadcast join back.
+    """
+    d = read_table(spark, sf_dir, "orders").groupBy(
+        F.expr("datediff(o_orderdate, date '1970-01-01')").alias("d")
+    ).agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    med = d.agg(F.expr("percentile(rev_c, 0.5)").alias("med"))
+    dev = d.crossJoin(F.broadcast(med)).select(
+        "d",
+        "rev_c",
+        "med",
+        F.expr("abs(cast(rev_c as double) - med)").alias("adev"),
+    )
+    mad = dev.agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    z = f"(cast(rev_c as double) - med) / ({MAD_CONSISTENCY!r} * mad)"
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .where(F.expr(f"mad > 0.0 and abs({z}) > {MAD_K!r}"))
+        .select(
+            "d",
+            "rev_c",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round(F.expr(z), 6).alias("robust_z"),
+        )
+    )
+
+
+RP_BUCKETS = 16
+
+
+def range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-planning audit: assign part keys to RP_BUCKETS buckets
+    by (a) md5-hash partitioning and (b) weight-balanced RANGE
+    partitioning (boundaries from the cumulative row-count CDF — what a
+    range-partitioned sort/write would pick), and report each bucket's
+    key count, row load, and load ratio vs the ideal total/N.  The
+    planner's answer to "will this partitioning skew?" BEFORE shuffling
+    100 TB by it.
+
+    Hash buckets reuse the LSH md5→28-bit idiom (bit-identical across
+    engines); range buckets are the exact integer ((cum − w)·N) div
+    total over the key-sorted cumulative weights.
+
+    Scale shape: facts collapse to the key-domain-bounded (key, weight)
+    table; the CDF window runs over keys only; both bucketings are
+    per-row expressions on that table.
+    """
+    keys = read_table(spark, sf_dir, "lineitem").groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    tot = keys.agg(F.sum("w").cast("bigint").alias("total"))
+    hashed = keys.select(
+        F.lit("hash").alias("scheme"),
+        F.expr(
+            "cast(cast(conv(substring(md5(cast(l_partkey as string)), 1, 7),"
+            f" 16, 10) as bigint) % {RP_BUCKETS} as int)"
+        ).alias("bucket"),
+        "w",
+    )
+    wc = Window.orderBy("l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranged = (
+        keys.withColumn("cum", F.sum("w").over(wc))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit("range").alias("scheme"),
+            F.expr(
+                f"cast(((cum - w) * {RP_BUCKETS}) div total as int)"
+            ).alias("bucket"),
+            "w",
+        )
+    )
+    per = (
+        hashed.unionByName(ranged)
+        .groupBy("scheme", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("w").cast("bigint").alias("n_rows"),
+        )
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "scheme",
+        "bucket",
+        "n_keys",
+        "n_rows",
+        F.round(
+            F.expr(
+                f"cast(n_rows as double) * {RP_BUCKETS}"
+                " / cast(total as double)"
+            ),
+            6,
+        ).alias("load_ratio"),
+    )
+
+
+BLOOM_BPK_GRID = (8, 12, 16, 20)
+LN2 = "0.6931471805599453"
+
+
+def bloom_fpr_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing plan for the lineitem part-key set: per
+    bits-per-key candidate, the filter size, optimal hash count
+    k = round(ln2·bpk), and the resulting false-positive rate
+    (1 − e^(−k/bpk))^k — the capacity planning read before shipping a
+    semi-join filter (`bloom_semi_join_audit` measures the realized
+    counterpart).
+
+    Exact distinct-key count; the FPR is one fixed double expression of
+    that count and the grid literal, rounded 9 dp.
+
+    Scale shape: one distinct-count aggregate × a 4-row literal grid.
+    """
+    base = read_table(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("n_keys")
+    )
+    grid = base.select(
+        "n_keys",
+        F.explode(
+            F.array(*[F.lit(int(b)) for b in BLOOM_BPK_GRID])
+        ).alias("bits_per_key"),
+    )
+    k = f"cast(round({LN2} * bits_per_key) as int)"
+    fpr = (
+        f"pow(1.0 - exp(-cast({k} as double)"
+        " / cast(bits_per_key as double)),"
+        f" cast({k} as double))"
+    )
+    return grid.select(
+        "bits_per_key",
+        "n_keys",
+        F.expr("cast(n_keys as bigint) * bits_per_key").alias("m_bits"),
+        F.expr(k).alias("k_hashes"),
+        F.round(F.expr(fpr), 9).alias("fpr"),
+    )
+
+
+TRIM_PCT = 5  # percent trimmed from EACH side
+
+
+def trimmed_mean_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of event values per event type, next to the raw
+    mean — the robust location estimate that DROPS the tails
+    (`value_winsorize` clips them; trimming is the other classic).
+
+    The trim boundary lo = (5·n) div 100 is exact; each distinct value
+    contributes kept_cnt = max(0, min(cum, n−lo) − max(cum−t, lo))
+    occurrences — pure integer interval intersection on the value CDF,
+    so the kept multiset is exact and engine-independent; one division
+    at the surface.
+
+    Scale shape: distinct-value CDF per type (domain-bounded window),
+    exact integer aggregate; no fact-side sort.
+    """
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+    )
+    per = ev.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.withColumn("cum", F.sum("t").over(w))
+    nn = per.groupBy("event_type").agg(F.sum("t").cast("bigint").alias("n"))
+    j = cum.join(F.broadcast(nn), "event_type").select(
+        "event_type",
+        "cents",
+        "t",
+        "n",
+        F.expr(f"(({TRIM_PCT} * n) div 100)").alias("lo"),
+        F.expr(
+            f"greatest(0L, least(cum, n - (({TRIM_PCT} * n) div 100))"
+            f" - greatest(cum - t, ({TRIM_PCT} * n) div 100))"
+        ).alias("kept"),
+    )
+    return j.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("lo").alias("n_trimmed_each_side"),
+        F.round(
+            F.expr(
+                "cast(sum(cast(cents as decimal(38,0)) * t) as double)"
+                " / cast(max(n) as double)"
+            ),
+            6,
+        ).alias("mean_cents"),
+        F.round(
+            F.expr(
+                "cast(sum(cast(cents as decimal(38,0)) * kept) as double)"
+                " / cast(sum(kept) as double)"
+            ),
+            6,
+        ).alias("trimmed_mean_cents"),
+    )
+
+
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman revenue-concentration index per nation: the
+    sum of squared customer revenue shares — the antitrust-standard
+    concentration measure beside `gini_by_type`'s inequality curve.
+    HHI = Σsᵢ² = Σrᵢ² / (Σrᵢ)² over exact integer cents, plus the
+    normalized form (HHI − 1/n)/(1 − 1/n) ∈ [0, 1] (NULL for
+    single-customer nations, where normalization is undefined).
+
+    Scale shape: two keyed map-side-combinable aggregates (customer
+    rollup, then nation rollup) and one broadcast dim join; the squares
+    are DECIMAL(38,0)/HUGEINT exact.
+    """
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    per_cust = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum("cents").cast("bigint").alias("rev"))
+    )
+    mom = per_cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.expr("cast(rev as decimal(38,0))")).alias("s"),
+        F.sum(F.expr("cast(rev as decimal(38,0)) * rev")).alias("ss"),
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    hhi = (
+        "cast(ss as double) / (cast(s as double) * cast(s as double))"
+    )
+    return mom.join(
+        F.broadcast(nation), mom.c_nationkey == nation.n_nationkey
+    ).select(
+        "c_nationkey",
+        "n_name",
+        "n_customers",
+        F.round(F.expr(hhi), 6).alias("hhi"),
+        F.round(
+            F.expr(
+                f"if(n_customers = 1, null,"
+                f" ({hhi} - 1.0 / cast(n_customers as double))"
+                f" / (1.0 - 1.0 / cast(n_customers as double)))"
+            ),
+            6,
+        ).alias("hhi_normalized"),
+    )
+
+
+def weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of daily order counts grouped by weekday — the
+    day-of-week seasonality significance test behind what
+    `autocorrelation_daily`'s lag-7 coefficient only hints at.  Emits
+    the F statistic, effect size η² = SSB/SST, and the Fano dispersion
+    ratio (variance/mean) of the whole series as the overdispersion
+    check.
+
+    Weekday is (epoch_day + 4) % 7 — pure integer arithmetic (1970-01-01
+    was a Thursday), never the engine-specific dayofweek() whose origin
+    differs between Spark (1=Sunday) and DuckDB (0=Sunday).  Per-group
+    squared-sum terms s_g²/n_g are MICRO-QUANTIZED (×10⁶, rounded to
+    bigint) before the cross-group sum — the retention_survival
+    discipline that keeps a sum of doubles order-independent — and the
+    F/η² surface is one fixed double expression of those exact micros.
+
+    Scale shape: facts → calendar-bounded day grid → 7 weekday moment
+    rows → 1-row fold; nothing wider than the day grid ever shuffles.
+    """
+    d = read_table(spark, sf_dir, "orders").groupBy(
+        F.expr("datediff(o_orderdate, date '1970-01-01')").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    g = d.groupBy(F.expr("(d + 4) % 7").alias("wd")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("c").cast("bigint").alias("s_g"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * c")).alias("ss_g"),
+    )
+    micro = g.select(
+        "n_g",
+        "s_g",
+        "ss_g",
+        F.expr(
+            "cast(round(cast(s_g as double) * cast(s_g as double)"
+            " / cast(n_g as double) * 1000000.0) as bigint)"
+        ).alias("term_micro"),
+    )
+    tot = micro.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum("term_micro").cast("bigint").alias("tm"),
+    )
+    grand = (
+        "cast(s as double) * cast(s as double) / cast(n as double)"
+    )
+    ssb = f"(cast(tm as double) / 1000000.0 - {grand})"
+    ssw = "(cast(ss as double) - cast(tm as double) / 1000000.0)"
+    sst = f"(cast(ss as double) - {grand})"
+    return tot.select(
+        F.col("n").alias("n_days"),
+        F.round(
+            F.expr(
+                f"({ssb} / (cast(k as double) - 1.0))"
+                f" / ({ssw} / (cast(n as double) - cast(k as double)))"
+            ),
+            6,
+        ).alias("f_stat"),
+        F.round(F.expr(f"{ssb} / {sst}"), 6).alias("eta_sq"),
+        F.round(
+            F.expr(
+                f"({sst} / (cast(n as double) - 1.0))"
+                " / (cast(s as double) / cast(n as double))"
+            ),
+            6,
+        ).alias("fano_dispersion"),
+    )
+
+
+def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal burstiness B = (σ−μ)/(σ+μ) of per-user inter-event gaps,
+    pooled per event type (Goh & Barabási 2008) — B→1 is bursty, B→−1
+    metronomic, B≈0 Poisson.  The temporal twin of `term_burstiness`'s
+    lexical statistic, and the check that decides whether a Poisson
+    rate model (`bloom_fpr_plan`-style closed forms) is even admissible.
+
+    Gaps are exact microsecond integers from a per-user lag window
+    (deterministic (us, event_id) order); μ and the POPULATION σ come
+    from exact DECIMAL moment sums; B is one fixed double expression
+    rounded 6 dp.
+
+    Scale shape: one keyed (user) sort window over facts — the same
+    shape as sessionization — then a map-side-combinable per-type
+    moment aggregate.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        ev.withColumn("pus", F.lag("us").over(w))
+        .where(F.col("pus").isNotNull())
+        .select("event_type", F.expr("us - pus").alias("gap"))
+    )
+    mom = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum(F.expr("cast(gap as decimal(38,0))")).alias("s"),
+        F.sum(F.expr("cast(gap as decimal(38,0)) * gap")).alias("ss"),
+    )
+    mu = "(cast(s as double) / cast(n_gaps as double))"
+    sig = (
+        f"sqrt(cast(ss as double) / cast(n_gaps as double)"
+        f" - {mu} * {mu})"
+    )
+    return mom.select(
+        "event_type",
+        "n_gaps",
+        F.round(F.expr(mu), 6).alias("mean_gap_us"),
+        F.round(F.expr(sig), 6).alias("std_gap_us"),
+        F.round(
+            F.expr(f"({sig} - {mu}) / ({sig} + {mu})"), 6
+        ).alias("burstiness"),
+    )
+
+
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical entropy rate of the per-user event-type Markov chain:
+    H = −Σ_ab p(a,b)·ln p(b|a) over observed transitions — how
+    predictable the next action is given the current one, the
+    one-number summary of the transition matrix `markov_stationary`
+    iterates on (H = 0: deterministic flows; H = ln|types|: uniform).
+
+    Each transition's term (c_ab/C)·ln(c_a/c_ab) is micro-quantized
+    (×10⁹ → bigint; ln of a ratio of exact counts) and the cross-cell
+    sum is EXACT integer addition — the order-independent double-sum
+    discipline — with one division at the surface.  Per-row conditional
+    entropies are emitted alongside for drill-down.
+
+    Scale shape: one keyed (user) lag window over facts, a |types|²
+    transition aggregate, a |types| marginal join, and a 1-row fold.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    tr = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("a"), F.col("event_type").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    marg = tr.groupBy("a").agg(F.sum("c_ab").cast("bigint").alias("c_a"))
+    cells = tr.join(F.broadcast(marg), "a").select(
+        "a",
+        "b",
+        "c_ab",
+        "c_a",
+        F.expr(
+            "cast(round(cast(c_ab as double)"
+            " * ln(cast(c_a as double) / cast(c_ab as double))"
+            " * 1000000000.0) as bigint)"
+        ).alias("nano_term"),
+    )
+    return cells.agg(
+        F.sum("c_ab").cast("bigint").alias("n_transitions"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.round(
+            F.expr(
+                "cast(sum(nano_term) as double) / 1000000000.0"
+                " / cast(sum(c_ab) as double)"
+            ),
+            6,
+        ).alias("entropy_rate_nats"),
+    )

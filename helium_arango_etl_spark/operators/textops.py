@@ -1883,3 +1883,56 @@ def symspell_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").cast("int").alias("edit_distance"),
         )
     )
+
+
+MEM_NGRAM_K = 8
+
+
+def memorization_risk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source memorization-risk profile: the share of a source's
+    word 8-grams that occur EXACTLY ONCE in the whole corpus — the
+    standard proxy for verbatim-memorization exposure (unique long
+    n-grams are the sequences a model can only reproduce by memorizing;
+    cf. the dedup literature's k-gram uniqueness curves).
+
+    8-grams are md5-hashed at extraction (the dedup discipline: bodies
+    never shuffle, only 16-byte digests), counted once per (source,
+    hash) and once globally; singletons are decided on exact global
+    counts.
+
+    Scale shape: two keyed hash-count aggregates (map-side combinable)
+    + one hash-keyed join — the `shingle_novelty` data flow with a
+    different rollup; no text ever crosses the shuffle.
+    """
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("t", F.expr(TOKS))
+    )
+    ng = (
+        f"CASE WHEN size(t) < {MEM_NGRAM_K} THEN array()"
+        f" ELSE transform(sequence(1, size(t) - {MEM_NGRAM_K - 1}),"
+        f" i -> md5(array_join(slice(t, i, {MEM_NGRAM_K}), ' '))) END"
+    )
+    ex = docs.select(
+        "source", F.explode(F.expr(ng)).alias("h")
+    )
+    per = ex.groupBy("source", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_s")
+    )
+    glob = per.groupBy("h").agg(F.sum("cnt_s").cast("bigint").alias("cnt_g"))
+    j = per.join(glob, "h")
+    return j.groupBy("source").agg(
+        F.sum("cnt_s").cast("bigint").alias("n_ngrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.expr("if(cnt_g = 1, 1L, 0L)")).cast("bigint").alias(
+            "n_singleton"
+        ),
+        F.round(
+            F.expr(
+                "cast(sum(if(cnt_g = 1, 1L, 0L)) as double)"
+                " / cast(sum(cnt_s) as double)"
+            ),
+            6,
+        ).alias("risk_ratio"),
+    )
