@@ -69,6 +69,13 @@ HEADLINE = [
     "part_er_blocking",      # ER blocking + in-group candidate scoring
     "ndcg_at_k",             # retrieval eval on the BM25 run
     "mutual_knn_graph",      # all-pairs cosine kNN + mutual semi-join
+    # round-6 operators promoted to tracked per-round numbers
+    "ks_price_test",         # two-sample KS over the value-domain CDF
+    "corr_matrix",           # 14 exact moments in one scan, 6-cell unpivot
+    "theilsen_daily_trend",  # calendar-bounded pair median (robust trend)
+    "memorization_risk_ngrams",  # corpus-unique 8-gram exposure (hash-only shuffles)
+    "range_partition_planner",   # hash-vs-range bucket load audit
+    "city_ppr_joins",        # seed-restart PageRank, quantized join iterations
 ]
 # Deliberately NOT in the headline: city_betweenness_joins — it is the
 # correctness-harness mirror of the applyInPandas production path

@@ -5063,3 +5063,655 @@ ORACLE_TRAINING["qini_curve"] = f"""
                  AS BIGINT) AS cum_qini_num
         FROM per_dec
     """
+
+# ---------- round-6 ML-stats / experiment-planning batch ----------
+
+from .operators.mlstats import (  # noqa: E402
+    _CORR_MEASURES,
+    L_DIVERSITY_MIN_K,
+    L_DIVERSITY_MIN_L,
+    OLS_B0,
+    OLS_B1,
+    OLS_B2,
+    OLS_DET,
+    POWER_MDE_GRID,
+    SN_JACCARD_MIN,
+    SN_WINDOW,
+    Z_ALPHA,
+    Z_BETA,
+    corr_pair_expr,
+)
+
+ORACLE_TRAINING["ks_price_test"] = """
+        WITH o AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END AS is_a
+          FROM orders
+        ), per AS (
+          SELECT cents, CAST(sum(is_a) AS BIGINT) AS a_n,
+                 CAST(sum(1 - is_a) AS BIGINT) AS b_n
+          FROM o GROUP BY cents
+        ), cum AS (
+          SELECT cents,
+                 sum(a_n) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS ca,
+                 sum(b_n) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS cb
+          FROM per
+        ), tot AS (
+          SELECT CAST(sum(a_n) AS BIGINT) AS n_a,
+                 CAST(sum(b_n) AS BIGINT) AS n_b
+          FROM per
+        ), d AS (
+          SELECT cents, n_a, n_b,
+                 abs(CAST(ca AS HUGEINT) * n_b
+                     - CAST(cb AS HUGEINT) * n_a) AS dnum
+          FROM cum CROSS JOIN tot
+        ), m AS (SELECT max(dnum) AS dmax FROM d)
+        SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+               CAST(min(cents) AS BIGINT) AS ks_at_cents,
+               round(CAST(max(dnum) AS DOUBLE)
+                     / (CAST(max(n_a) AS DOUBLE)
+                        * CAST(max(n_b) AS DOUBLE)), 6) AS ks_stat
+        FROM d JOIN m ON d.dnum = m.dmax
+    """
+
+ORACLE_TRAINING["mannwhitney_value_test"] = """
+        WITH ev AS (
+          SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+          FROM events
+          WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+        ), per AS (
+          SELECT cents, CAST(count(*) AS BIGINT) AS t,
+                 CAST(sum(is_a) AS BIGINT) AS a_n
+          FROM ev GROUP BY cents
+        ), r AS (
+          SELECT cents, t, a_n,
+                 2 * sum(t) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) - t + 1 AS r2
+          FROM per
+        ), agg AS (
+          SELECT CAST(sum(a_n) AS BIGINT) AS n_a,
+                 CAST(sum(t - a_n) AS BIGINT) AS n_b,
+                 sum(CAST(a_n AS HUGEINT) * r2) AS s2a,
+                 sum(CAST(t AS HUGEINT) * t * t - t) AS tcorr
+          FROM r
+        )
+        SELECT n_a, n_b,
+               CAST(s2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT)
+                   AS u1_x2,
+               round((CAST(s2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE)
+                      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                     / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                          / 12.0
+                          * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                             - CAST(tcorr AS DOUBLE)
+                               / (CAST(n_a + n_b AS DOUBLE)
+                                  * (CAST(n_a + n_b AS DOUBLE) - 1.0))))),
+                     6) AS z_stat
+        FROM agg
+    """
+
+ORACLE_TRAINING["theilsen_daily_trend"] = """
+        WITH d AS (
+          SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1
+        ), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d),
+        pairs AS (
+          SELECT CAST(y.c - x.c AS DOUBLE) / CAST(y.d - x.d AS DOUBLE)
+                     AS slope
+          FROM d x JOIN d y ON y.d > x.d
+        )
+        SELECT n_days, CAST(count(*) AS BIGINT) AS n_pairs,
+               round(quantile_cont(slope, 0.5), 6) AS trend_per_day
+        FROM pairs CROSS JOIN nd GROUP BY n_days
+    """
+
+_PM_P0 = "(cast(nc as double) / cast(nu as double))"
+_PM_P1 = f"({_PM_P0} * (1.0 + rel_mde))"
+_PM_PBAR = f"(({_PM_P0} + {_PM_P1}) / 2.0)"
+_PM_N = (
+    f"pow({Z_ALPHA} * sqrt(2.0 * {_PM_PBAR} * (1.0 - {_PM_PBAR}))"
+    f" + {Z_BETA} * sqrt({_PM_P0} * (1.0 - {_PM_P0})"
+    f" + {_PM_P1} * (1.0 - {_PM_P1})), 2)"
+    f" / pow({_PM_P1} - {_PM_P0}, 2)"
+)
+_PM_VALUES = ", ".join(f"({x!r})" for x in POWER_MDE_GRID)
+
+ORACLE_TRAINING["ab_power_mde"] = f"""
+        WITH base AS (
+          SELECT CAST(count(*) AS BIGINT) AS nu,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS nc
+          FROM events
+        ), grid AS (
+          SELECT CAST(g.rel_mde AS DOUBLE) AS rel_mde
+          FROM (VALUES {_PM_VALUES}) g(rel_mde)
+        )
+        SELECT rel_mde,
+               round({_PM_P0}, 6) AS p0_rate,
+               round({_PM_P1}, 6) AS p1_rate,
+               CAST(ceil({_PM_N}) AS BIGINT) AS n_per_arm
+        FROM base CROSS JOIN grid
+    """
+
+_CM_NAMES = [n for n, _ in _CORR_MEASURES]
+_CM_EXTRACT = ",\n                 ".join(
+    f"{e} AS {n}" for n, e in _CORR_MEASURES
+)
+_CM_MOMENTS = ["CAST(count(*) AS BIGINT) AS n"]
+for _n in _CM_NAMES:
+    _CM_MOMENTS.append(f"CAST(sum({_n}) AS BIGINT) AS s_{_n}")
+    _CM_MOMENTS.append(f"sum(CAST({_n} AS HUGEINT) * {_n}) AS ss_{_n}")
+for _i, _a in enumerate(_CM_NAMES):
+    for _b in _CM_NAMES[_i + 1 :]:
+        _CM_MOMENTS.append(
+            f"sum(CAST({_a} AS HUGEINT) * {_b}) AS sx_{_a}_{_b}"
+        )
+_CM_ROWS = "\n        UNION ALL\n".join(
+    f"        SELECT '{_a}' AS m_x, '{_b}' AS m_y, n,"
+    f" round({corr_pair_expr(_a, _b, 'HUGEINT')}, 6) AS corr FROM mom"
+    for _i, _a in enumerate(_CM_NAMES)
+    for _b in _CM_NAMES[_i + 1 :]
+)
+
+ORACLE_TRAINING["corr_matrix"] = f"""
+        WITH src AS (
+          SELECT {_CM_EXTRACT}
+          FROM lineitem
+        ), mom AS (
+          SELECT {", ".join(_CM_MOMENTS)}
+          FROM src
+        )
+        SELECT m_x, m_y, n, corr FROM (
+{_CM_ROWS}
+        )
+    """
+
+ORACLE_TRAINING["ols_price_model"] = f"""
+        WITH d AS (
+          SELECT p.p_brand,
+                 CAST(round(l.l_quantity) AS BIGINT) AS y,
+                 CAST(round(l.l_discount * 10000) AS BIGINT) AS x1,
+                 CAST(round(l.l_extendedprice / l.l_quantity * 100)
+                   AS BIGINT) AS x2
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ), mom AS (
+          SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x1) AS BIGINT) AS s1,
+                 CAST(sum(x2) AS BIGINT) AS s2,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+                 sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+                 sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+                 sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+                 sum(CAST(x2 AS HUGEINT) * y) AS s2y
+          FROM d GROUP BY p_brand
+        )
+        SELECT p_brand, n,
+               round(CASE WHEN {OLS_DET} = 0.0 THEN NULL
+                     ELSE {OLS_B0} / {OLS_DET} END, 6) AS intercept,
+               round(CASE WHEN {OLS_DET} = 0.0 THEN NULL
+                     ELSE {OLS_B1} / {OLS_DET} END, 9)
+                   AS beta_discount_bps,
+               round(CASE WHEN {OLS_DET} = 0.0 THEN NULL
+                     ELSE {OLS_B2} / {OLS_DET} END, 9) AS beta_price_cent
+        FROM mom
+    """
+
+ORACLE_TRAINING["l_diversity_audit"] = f"""
+        WITH d AS (
+          SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ), per AS (
+          SELECT c_nationkey, c_mktsegment, o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM d GROUP BY 1, 2, 3
+        )
+        SELECT c_nationkey, c_mktsegment,
+               CAST(sum(cnt) AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS l,
+               round(ln(cast(sum(cnt) as double))
+                     - sum(cast(cnt as double) * ln(cast(cnt as double)))
+                       / cast(sum(cnt) as double), 6) AS sens_entropy,
+               (sum(cnt) < {L_DIVERSITY_MIN_K}
+                OR count(*) < {L_DIVERSITY_MIN_L}) AS is_weak
+        FROM per GROUP BY 1, 2
+    """
+
+_SN_OFFS = ", ".join(str(i) for i in range(1, SN_WINDOW + 1))
+
+ORACLE_TRAINING["sorted_neighborhood_pairs"] = f"""
+        WITH p AS (
+          SELECT p_partkey, p_name,
+                 row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+          FROM part
+        ), tok AS (
+          SELECT DISTINCT p.p_partkey, t.tok
+          FROM p, unnest(string_split(p.p_name, ' ')) AS t(tok)
+        ), tsz AS (
+          SELECT p_partkey, CAST(count(*) AS BIGINT) AS sz
+          FROM tok GROUP BY 1
+        ), cand AS (
+          SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b
+          FROM p a JOIN p b ON b.rn - a.rn IN ({_SN_OFFS})
+        ), inter AS (
+          SELECT c.pk_a, c.pk_b, CAST(count(*) AS BIGINT) AS n_inter
+          FROM cand c
+          JOIN tok ta ON ta.p_partkey = c.pk_a
+          JOIN tok tb ON tb.p_partkey = c.pk_b AND tb.tok = ta.tok
+          GROUP BY 1, 2
+        ), scored AS (
+          SELECT c.pk_a, c.pk_b,
+                 coalesce(i.n_inter, 0) AS n_inter,
+                 sa.sz + sb.sz - coalesce(i.n_inter, 0) AS n_union,
+                 round(coalesce(i.n_inter, 0)
+                       / CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0)
+                           AS DOUBLE), 6) AS jaccard
+          FROM cand c
+          JOIN tsz sa ON sa.p_partkey = c.pk_a
+          JOIN tsz sb ON sb.p_partkey = c.pk_b
+          LEFT JOIN inter i ON i.pk_a = c.pk_a AND i.pk_b = c.pk_b
+        )
+        SELECT pk_a, pk_b, CAST(n_inter AS BIGINT) AS n_inter,
+               CAST(n_union AS BIGINT) AS n_union, jaccard
+        FROM scored WHERE jaccard >= {SN_JACCARD_MIN}
+    """
+
+ORACLE_TRAINING["quantile_normalize"] = """
+        WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+        grp AS (
+          SELECT source, n_chars, CAST(count(*) AS BIGINT) AS t
+          FROM docs GROUP BY 1, 2
+        ), ranked AS (
+          SELECT source, n_chars,
+                 2 * sum(t) OVER (PARTITION BY source ORDER BY n_chars
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - t + 1 AS r2
+          FROM grp
+        ), sizes AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS ns
+          FROM docs GROUP BY 1
+        ), tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),
+        tr AS (
+          SELECT r.source, r.n_chars,
+                 (r.r2 * t.nn + 2 * s.ns - 1) // (2 * s.ns) AS tr
+          FROM ranked r JOIN sizes s ON s.source = r.source
+          CROSS JOIN tot t
+        ), gv AS (
+          SELECT n_chars AS gvv, CAST(count(*) AS BIGINT) AS gt
+          FROM docs GROUP BY 1
+        ), gcum AS (
+          SELECT gvv, gt,
+                 sum(gt) OVER (ORDER BY gvv ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS gcum
+          FROM gv
+        )
+        SELECT d.doc_id, d.source, d.n_chars, g.gvv AS norm_chars
+        FROM docs d
+        JOIN tr ON tr.source = d.source AND tr.n_chars = d.n_chars
+        JOIN gcum g ON tr.tr > g.gcum - g.gt AND tr.tr <= g.gcum
+    """
+
+# ---------- round-6 time-series batch ----------
+
+from .operators.mlstats import (  # noqa: E402
+    ACF_LAGS,
+    CP_SSE1,
+    CP_SSE2,
+    MAD_CONSISTENCY,
+    MAD_K,
+)
+
+_ACF_VALUES = ", ".join(f"({k})" for k in ACF_LAGS)
+
+ORACLE_TRAINING["autocorrelation_daily"] = f"""
+        WITH d AS (
+          SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1
+        ), lags AS (
+          SELECT CAST(g.lag AS INT) AS lag
+          FROM (VALUES {_ACF_VALUES}) g(lag)
+        ), j AS (
+          SELECT l.lag, a.c AS c, b.c AS cp
+          FROM d a CROSS JOIN lags l
+          JOIN d b ON b.d = a.d - l.lag
+        ), mom AS (
+          SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS s_a,
+                 CAST(sum(cp) AS BIGINT) AS s_b,
+                 sum(CAST(c AS HUGEINT) * c) AS ss_a,
+                 sum(CAST(cp AS HUGEINT) * cp) AS ss_b,
+                 sum(CAST(c AS HUGEINT) * cp) AS sx_a_b
+          FROM j GROUP BY lag
+        )
+        SELECT lag, n,
+               round({corr_pair_expr("a", "b", "HUGEINT")}, 6) AS acf
+        FROM mom
+    """
+
+ORACLE_TRAINING["best_changepoint"] = f"""
+        WITH d AS (
+          SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1
+        ), pre AS (
+          SELECT d,
+                 CAST(count(*) OVER wnd AS BIGINT) AS k,
+                 CAST(sum(c) OVER wnd AS BIGINT) AS s,
+                 sum(CAST(c AS HUGEINT) * c) OVER wnd AS ss
+          FROM d WINDOW wnd AS (ORDER BY d ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW)
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS kt,
+                 CAST(sum(c) AS BIGINT) AS st,
+                 sum(CAST(c AS HUGEINT) * c) AS sst
+          FROM d
+        ), cand AS (
+          SELECT d, round({CP_SSE2}, 6) AS sse2
+          FROM pre CROSS JOIN tot WHERE k < kt
+        ), m AS (SELECT min(sse2) AS best FROM cand),
+        f AS (
+          SELECT min(d) AS split_day, min(sse2) AS sse_two_segment
+          FROM cand JOIN m ON cand.sse2 = m.best
+        )
+        SELECT f.split_day, t.kt AS n_days,
+               round({CP_SSE1}, 6) AS sse_one_segment,
+               f.sse_two_segment
+        FROM f CROSS JOIN tot t
+    """
+
+_MAD_Z = f"(cast(rev_c as double) - med) / ({MAD_CONSISTENCY!r} * mad)"
+
+ORACLE_TRAINING["mad_anomaly_days"] = f"""
+        WITH d AS (
+          SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS rev_c
+          FROM orders GROUP BY 1
+        ), med AS (SELECT quantile_cont(rev_c, 0.5) AS med FROM d),
+        dev AS (
+          SELECT d.d, d.rev_c, m.med,
+                 abs(CAST(d.rev_c AS DOUBLE) - m.med) AS adev
+          FROM d CROSS JOIN med m
+        ), mad AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dev)
+        SELECT d, rev_c, round(med, 6) AS med, round(mad, 6) AS mad,
+               round({_MAD_Z}, 6) AS robust_z
+        FROM dev CROSS JOIN mad
+        WHERE mad > 0.0 AND abs({_MAD_Z}) > {MAD_K!r}
+    """
+
+# ---------- round-6 pipeline-planning / robust-stats batch ----------
+
+from .operators.mlstats import (  # noqa: E402
+    BLOOM_BPK_GRID,
+    LN2,
+    RP_BUCKETS,
+    TRIM_PCT,
+)
+from .operators.textops import MEM_NGRAM_K  # noqa: E402
+
+_MEM_NG = (
+    f"CASE WHEN len(t) < {MEM_NGRAM_K} THEN [] "
+    f"ELSE list_transform(range(1, len(t) - {MEM_NGRAM_K - 2}), "
+    f"i -> md5(array_to_string(t[i:i+{MEM_NGRAM_K - 1}], ' '))) END"
+)
+
+ORACLE_TRAINING["memorization_risk_ngrams"] = f"""
+        WITH toks AS (
+          SELECT doc_id, source, {_TOKS} AS t FROM documents
+        ), ex AS (
+          SELECT source, unnest({_MEM_NG}) AS h FROM toks
+        ), per AS (
+          SELECT source, h, CAST(count(*) AS BIGINT) AS cnt_s
+          FROM ex GROUP BY 1, 2
+        ), gl AS (
+          SELECT h, CAST(sum(cnt_s) AS BIGINT) AS cnt_g
+          FROM per GROUP BY 1
+        ), j AS (SELECT per.source, per.cnt_s, gl.cnt_g
+                 FROM per JOIN gl USING (h))
+        SELECT source,
+               CAST(sum(cnt_s) AS BIGINT) AS n_ngrams,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(CASE WHEN cnt_g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_singleton,
+               round(cast(sum(CASE WHEN cnt_g = 1 THEN 1 ELSE 0 END)
+                       as double)
+                     / cast(sum(cnt_s) as double), 6) AS risk_ratio
+        FROM j GROUP BY source
+    """
+
+ORACLE_TRAINING["range_partition_planner"] = f"""
+        WITH keys AS (
+          SELECT l_partkey, CAST(count(*) AS BIGINT) AS w
+          FROM lineitem GROUP BY 1
+        ), tot AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM keys),
+        hashed AS (
+          SELECT 'hash' AS scheme,
+                 CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+                     1, 7))::BIGINT % {RP_BUCKETS} AS INT) AS bucket,
+                 w
+          FROM keys
+        ), ranged AS (
+          SELECT 'range' AS scheme,
+                 CAST(((cum - w) * {RP_BUCKETS}) // total AS INT) AS bucket,
+                 w
+          FROM (
+            SELECT w,
+                   sum(w) OVER (ORDER BY l_partkey ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cum
+            FROM keys
+          ) c CROSS JOIN tot
+        ), per AS (
+          SELECT scheme, bucket,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(w) AS BIGINT) AS n_rows
+          FROM (SELECT * FROM hashed UNION ALL SELECT * FROM ranged)
+          GROUP BY 1, 2
+        )
+        SELECT scheme, bucket, n_keys, n_rows,
+               round(cast(n_rows as double) * {RP_BUCKETS}
+                     / cast(total as double), 6) AS load_ratio
+        FROM per CROSS JOIN tot
+    """
+
+_BL_VALUES = ", ".join(f"({int(b)})" for b in BLOOM_BPK_GRID)
+_BL_K = f"cast(round({LN2} * bits_per_key) as int)"
+
+ORACLE_TRAINING["bloom_fpr_plan"] = f"""
+        WITH base AS (
+          SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_keys
+          FROM lineitem
+        ), grid AS (
+          SELECT CAST(g.bpk AS INT) AS bits_per_key
+          FROM (VALUES {_BL_VALUES}) g(bpk)
+        )
+        SELECT bits_per_key, n_keys,
+               CAST(n_keys AS BIGINT) * bits_per_key AS m_bits,
+               {_BL_K} AS k_hashes,
+               round(pow(1.0 - exp(-cast({_BL_K} as double)
+                       / cast(bits_per_key as double)),
+                     cast({_BL_K} as double)), 9) AS fpr
+        FROM base CROSS JOIN grid
+    """
+
+ORACLE_TRAINING["trimmed_mean_values"] = f"""
+        WITH ev AS (
+          SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE value IS NOT NULL
+        ), per AS (
+          SELECT event_type, cents, CAST(count(*) AS BIGINT) AS t
+          FROM ev GROUP BY 1, 2
+        ), cum AS (
+          SELECT event_type, cents, t,
+                 sum(t) OVER (PARTITION BY event_type ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM per
+        ), nn AS (
+          SELECT event_type, CAST(sum(t) AS BIGINT) AS n
+          FROM per GROUP BY 1
+        ), j AS (
+          SELECT c.event_type, c.cents, c.t, nn.n,
+                 (({TRIM_PCT} * nn.n) // 100) AS lo,
+                 greatest(0, least(c.cum,
+                     nn.n - (({TRIM_PCT} * nn.n) // 100))
+                   - greatest(c.cum - c.t,
+                     ({TRIM_PCT} * nn.n) // 100)) AS kept
+          FROM cum c JOIN nn USING (event_type)
+        )
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(max(lo) AS BIGINT) AS n_trimmed_each_side,
+               round(cast(sum(CAST(cents AS HUGEINT) * t) as double)
+                     / cast(max(n) as double), 6) AS mean_cents,
+               round(cast(sum(CAST(cents AS HUGEINT) * kept) as double)
+                     / cast(sum(kept) as double), 6)
+                   AS trimmed_mean_cents
+        FROM j GROUP BY event_type
+    """
+
+_HHI = "cast(ss as double) / (cast(s as double) * cast(s as double))"
+
+ORACLE_TRAINING["hhi_concentration"] = f"""
+        WITH per_cust AS (
+          SELECT c.c_nationkey, o.o_custkey,
+                 CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS rev
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2
+        ), mom AS (
+          SELECT c_nationkey,
+                 CAST(count(*) AS BIGINT) AS n_customers,
+                 CAST(sum(rev) AS BIGINT) AS s,
+                 sum(CAST(rev AS HUGEINT) * rev) AS ss
+          FROM per_cust GROUP BY 1
+        )
+        SELECT m.c_nationkey, n.n_name, m.n_customers,
+               round({_HHI}, 6) AS hhi,
+               round(CASE WHEN m.n_customers = 1 THEN NULL
+                     ELSE ({_HHI} - 1.0 / cast(n_customers as double))
+                          / (1.0 - 1.0 / cast(n_customers as double))
+                     END, 6) AS hhi_normalized
+        FROM mom m JOIN nation n ON m.c_nationkey = n.n_nationkey
+    """
+
+# ---------- round-6 seasonality / sequence-dynamics batch ----------
+
+ORACLE_TRAINING["weekday_anova"] = """
+        WITH d AS (
+          SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1
+        ), g AS (
+          SELECT (d + 4) % 7 AS wd,
+                 CAST(count(*) AS BIGINT) AS n_g,
+                 CAST(sum(c) AS BIGINT) AS s_g,
+                 sum(CAST(c AS HUGEINT) * c) AS ss_g
+          FROM d GROUP BY 1
+        ), micro AS (
+          SELECT n_g, s_g, ss_g,
+                 CAST(round(cast(s_g as double) * cast(s_g as double)
+                     / cast(n_g as double) * 1000000.0) AS BIGINT)
+                   AS term_micro
+          FROM g
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n_g) AS BIGINT) AS n,
+                 CAST(sum(s_g) AS BIGINT) AS s,
+                 sum(ss_g) AS ss,
+                 CAST(sum(term_micro) AS BIGINT) AS tm
+          FROM micro
+        )
+        SELECT n AS n_days,
+               round(((cast(tm as double) / 1000000.0
+                       - cast(s as double) * cast(s as double)
+                         / cast(n as double))
+                      / (cast(k as double) - 1.0))
+                     / ((cast(ss as double)
+                         - cast(tm as double) / 1000000.0)
+                        / (cast(n as double) - cast(k as double))), 6)
+                   AS f_stat,
+               round((cast(tm as double) / 1000000.0
+                      - cast(s as double) * cast(s as double)
+                        / cast(n as double))
+                     / (cast(ss as double)
+                        - cast(s as double) * cast(s as double)
+                          / cast(n as double)), 6) AS eta_sq,
+               round(((cast(ss as double)
+                       - cast(s as double) * cast(s as double)
+                         / cast(n as double))
+                      / (cast(n as double) - 1.0))
+                     / (cast(s as double) / cast(n as double)), 6)
+                   AS fano_dispersion
+        FROM tot
+    """
+
+ORACLE_TRAINING["interevent_burstiness"] = """
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+          FROM events
+        ), gaps AS (
+          SELECT event_type,
+                 us - lag(us) OVER (PARTITION BY user_id
+                     ORDER BY us, event_id) AS gap
+          FROM ev
+        ), mom AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_gaps,
+                 CAST(sum(gap) AS BIGINT) AS s,
+                 sum(CAST(gap AS HUGEINT) * gap) AS ss
+          FROM gaps WHERE gap IS NOT NULL GROUP BY 1
+        )
+        SELECT event_type, n_gaps,
+               round((cast(s as double) / cast(n_gaps as double)), 6)
+                   AS mean_gap_us,
+               round(sqrt(cast(ss as double) / cast(n_gaps as double)
+                     - (cast(s as double) / cast(n_gaps as double))
+                       * (cast(s as double) / cast(n_gaps as double))), 6)
+                   AS std_gap_us,
+               round((sqrt(cast(ss as double) / cast(n_gaps as double)
+                      - (cast(s as double) / cast(n_gaps as double))
+                        * (cast(s as double) / cast(n_gaps as double)))
+                      - (cast(s as double) / cast(n_gaps as double)))
+                     / (sqrt(cast(ss as double) / cast(n_gaps as double)
+                        - (cast(s as double) / cast(n_gaps as double))
+                          * (cast(s as double) / cast(n_gaps as double)))
+                        + (cast(s as double) / cast(n_gaps as double))),
+                     6) AS burstiness
+        FROM mom
+    """
+
+ORACLE_TRAINING["markov_entropy_rate"] = """
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+          FROM events
+        ), seq AS (
+          SELECT lag(event_type) OVER (PARTITION BY user_id
+                     ORDER BY us, event_id) AS a,
+                 event_type AS b
+          FROM ev
+        ), tr AS (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+          FROM seq WHERE a IS NOT NULL GROUP BY 1, 2
+        ), marg AS (
+          SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM tr GROUP BY 1
+        ), cells AS (
+          SELECT tr.a, tr.b, tr.c_ab, marg.c_a,
+                 CAST(round(cast(tr.c_ab as double)
+                     * ln(cast(marg.c_a as double)
+                          / cast(tr.c_ab as double))
+                     * 1000000000.0) AS BIGINT) AS nano_term
+          FROM tr JOIN marg USING (a)
+        )
+        SELECT CAST(sum(c_ab) AS BIGINT) AS n_transitions,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               round(cast(sum(nano_term) as double) / 1000000000.0
+                     / cast(sum(c_ab) as double), 6) AS entropy_rate_nats
+        FROM cells
+    """

@@ -16,7 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import dedup as D
 from .operators import graph as G
+from .operators import mlstats as ML
 from .operators import multimodal as M
+from .operators.mlstats import corr_pair_expr as _ml_corr_pair
 from .operators import pipeline as P
 from .operators import rangeops as RG
 from .operators import relational as R
@@ -2454,6 +2456,177 @@ ORACLE["local_clustering_coeff"] = f"""
                     ELSE 0.0 END AS clustering_coeff
         FROM deg d LEFT JOIN corner c USING (city_key, node)
     """
+
+
+# ---------- round-6 ML-stats / experiment-planning batch ----------
+# Oracles live in oracles_training.py (already merged into ORACLE via
+# ORACLE.update above — the module-level append executes at import).
+QUERIES["ks_price_test"] = ML.ks_price_test
+QUERIES["mannwhitney_value_test"] = ML.mannwhitney_value_test
+QUERIES["theilsen_daily_trend"] = ML.theilsen_daily_trend
+QUERIES["ab_power_mde"] = ML.ab_power_mde
+QUERIES["corr_matrix"] = ML.corr_matrix
+QUERIES["ols_price_model"] = ML.ols_price_model
+QUERIES["l_diversity_audit"] = ML.l_diversity_audit
+QUERIES["sorted_neighborhood_pairs"] = ML.sorted_neighborhood_pairs
+QUERIES["quantile_normalize"] = ML.quantile_normalize
+QUERIES["autocorrelation_daily"] = ML.autocorrelation_daily
+QUERIES["best_changepoint"] = ML.best_changepoint
+QUERIES["mad_anomaly_days"] = ML.mad_anomaly_days
+QUERIES["memorization_risk_ngrams"] = T.memorization_risk_ngrams
+QUERIES["range_partition_planner"] = ML.range_partition_planner
+QUERIES["bloom_fpr_plan"] = ML.bloom_fpr_plan
+QUERIES["trimmed_mean_values"] = ML.trimmed_mean_values
+QUERIES["hhi_concentration"] = ML.hhi_concentration
+
+
+# ---------- round-6 graph additions: assortativity + personalized PR ----------
+
+QUERIES["city_assortativity"] = G.city_assortativity
+ORACLE["city_assortativity"] = f"""
+        WITH edges0 AS ({_WITNESS_SQL}),
+        edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        outdeg AS (
+          SELECT city_key, src, CAST(count(*) AS BIGINT) AS od
+          FROM edges GROUP BY 1, 2
+        ), indeg AS (
+          SELECT city_key, dst, CAST(count(*) AS BIGINT) AS idg
+          FROM edges GROUP BY 1, 2
+        ), j AS (
+          SELECT e.city_key, o.od, i.idg
+          FROM edges e
+          JOIN outdeg o ON o.city_key = e.city_key AND o.src = e.src
+          JOIN indeg i ON i.city_key = e.city_key AND i.dst = e.dst
+        ), mom AS (
+          SELECT city_key, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(od) AS BIGINT) AS s_od,
+                 CAST(sum(idg) AS BIGINT) AS s_idg,
+                 sum(CAST(od AS HUGEINT) * od) AS ss_od,
+                 sum(CAST(idg AS HUGEINT) * idg) AS ss_idg,
+                 sum(CAST(od AS HUGEINT) * idg) AS sx_od_idg
+          FROM j GROUP BY 1
+        )
+        SELECT city_key, n AS n_edges,
+               round(CASE WHEN CAST(n AS HUGEINT) * ss_od
+                            - CAST(s_od AS HUGEINT) * s_od = 0
+                          OR CAST(n AS HUGEINT) * ss_idg
+                            - CAST(s_idg AS HUGEINT) * s_idg = 0
+                     THEN NULL
+                     ELSE {_ml_corr_pair('od', 'idg', 'HUGEINT')} END, 6)
+                   AS assortativity
+        FROM mom
+    """
+
+
+def _ppr_sql() -> str:
+    """Unrolled quantized personalized-PageRank oracle — the seed-restart
+    variant of _pagerank_sql, same per-iteration round(…, 9) discipline
+    so both engines iterate identical float64 states."""
+    a = repr(G.PPR_ALPHA)
+    um = repr(1 - G.PPR_ALPHA)
+    seed_ind = "CASE WHEN b.node = b.seed THEN 1.0 ELSE 0.0 END"
+    parts = [
+        f"""
+        WITH edges0 AS ({_WITNESS_SQL}),
+        edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        nodes AS (
+          SELECT DISTINCT city_key, node FROM (
+            SELECT city_key, src AS node FROM edges
+            UNION ALL SELECT city_key, dst FROM edges
+          )
+        ),
+        seeds AS (
+          SELECT city_key, min(src) AS seed FROM edges GROUP BY city_key
+        ),
+        outdeg AS (
+          SELECT city_key, src, count(*) AS deg
+          FROM edges GROUP BY city_key, src
+        ),
+        nb AS (
+          SELECT n.city_key, n.node, s.seed
+          FROM nodes n JOIN seeds s USING (city_key)
+        ),
+        r0 AS (
+          SELECT city_key, node, seed,
+                 CASE WHEN node = seed THEN CAST(1 AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END AS r
+          FROM nb
+        )"""
+    ]
+    for i in range(1, G.PPR_ITERS + 1):
+        p = f"r{i - 1}"
+        parts.append(f"""
+        , rd{i} AS (
+          SELECT r.city_key, r.node AS src, r.r / o.deg AS w
+          FROM {p} r
+          JOIN outdeg o ON o.city_key = r.city_key AND o.src = r.node
+        ), co{i} AS (
+          SELECT e.city_key, e.dst AS node, sum(w) AS c
+          FROM edges e JOIN rd{i} USING (city_key, src)
+          GROUP BY e.city_key, e.dst
+        ), dg{i} AS (
+          SELECT r.city_key, sum(r.r) AS dsum
+          FROM {p} r
+          LEFT JOIN outdeg o ON o.city_key = r.city_key AND o.src = r.node
+          WHERE o.src IS NULL GROUP BY r.city_key
+        ), r{i} AS (
+          SELECT b.city_key, b.node, b.seed,
+                 round(CAST({um} AS DOUBLE) * ({seed_ind})
+                       + CAST({a} AS DOUBLE)
+                         * (coalesce(c.c, CAST(0 AS DOUBLE))
+                            + coalesce(g.dsum, CAST(0 AS DOUBLE))
+                              * ({seed_ind})), 9) AS r
+          FROM nb b
+          LEFT JOIN co{i} c ON c.city_key = b.city_key AND c.node = b.node
+          LEFT JOIN dg{i} g ON g.city_key = b.city_key
+        )""")
+    parts.append(f"""
+        SELECT city_key, node, round(r, 6) AS ppr FROM r{G.PPR_ITERS}
+    """)
+    return "".join(parts)
+
+
+QUERIES["city_ppr_joins"] = G.city_ppr_joins
+ORACLE["city_ppr_joins"] = _ppr_sql()
+
+QUERIES["city_transitivity"] = G.city_transitivity
+ORACLE["city_transitivity"] = f"""
+        WITH edges0 AS ({_WITNESS_SQL}),
+        edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        proj AS (
+          SELECT DISTINCT a.city_key, a.src AS a, b.src AS b
+          FROM edges a
+          JOIN edges b ON a.city_key = b.city_key AND a.dst = b.dst
+                      AND a.src < b.src
+        ), deg AS (
+          SELECT city_key, node, CAST(count(*) AS BIGINT) AS degree
+          FROM (SELECT city_key, a AS node FROM proj
+                UNION ALL SELECT city_key, b FROM proj)
+          GROUP BY city_key, node
+        ), wed AS (
+          SELECT city_key, CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS wedges
+          FROM deg GROUP BY city_key
+        ), tri AS (
+          SELECT e1.city_key, CAST(count(*) AS BIGINT) AS triangles
+          FROM proj e1
+          JOIN proj e2 ON e2.city_key = e1.city_key AND e2.a = e1.b
+          JOIN proj e3 ON e3.city_key = e1.city_key AND e3.a = e1.a
+                      AND e3.b = e2.b
+          GROUP BY e1.city_key
+        )
+        SELECT w.city_key, w.n_nodes, w.wedges,
+               CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+               round(CASE WHEN w.wedges = 0 THEN NULL
+                     ELSE 3.0 * cast(coalesce(t.triangles, 0) as double)
+                          / cast(w.wedges as double) END, 6)
+                   AS transitivity
+        FROM wed w LEFT JOIN tri t USING (city_key)
+    """
+
+QUERIES["weekday_anova"] = ML.weekday_anova
+QUERIES["interevent_burstiness"] = ML.interevent_burstiness
+QUERIES["markov_entropy_rate"] = ML.markov_entropy_rate
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------

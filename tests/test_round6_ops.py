@@ -1,0 +1,338 @@
+"""Round-6 operator invariants (ML-stats / experiment-planning batch).
+
+Closed-form and property checks that hold independently of the oracle
+parity sweep (tests/test_oracle_parity.py covers value equality; these
+pin the STATISTICAL semantics — bounds, symmetries, known closed forms
+on tiny hand-built frames).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from helium_arango_etl_spark.registry import QUERIES
+
+
+def test_ks_stat_in_unit_interval(spark, sf_dir):
+    row = QUERIES["ks_price_test"](spark, sf_dir).collect()[0]
+    assert 0.0 <= row.ks_stat <= 1.0
+    assert row.n_a > 0 and row.n_b > 0
+
+
+def test_ks_matches_scipy_style_recompute(spark, sf_dir):
+    """Recompute D with numpy CDFs over the same cents values."""
+    import duckdb
+
+    row = QUERIES["ks_price_test"](spark, sf_dir).collect()[0]
+    d = duckdb.sql(
+        f"""SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_a
+            FROM '{sf_dir}/orders.parquet'"""
+    ).df()
+    a = np.sort(d[d.is_a].cents.to_numpy())
+    b = np.sort(d[~d.is_a].cents.to_numpy())
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    assert abs(row.ks_stat - np.max(np.abs(fa - fb))) < 2e-6
+
+
+def test_mannwhitney_u_symmetry(spark, sf_dir):
+    """U1 + U2 = n_a * n_b (doubled: u1_x2 + u2_x2 = 2·n_a·n_b)."""
+    row = QUERIES["mannwhitney_value_test"](spark, sf_dir).collect()[0]
+    assert 0 <= row.u1_x2 <= 2 * row.n_a * row.n_b
+    # z is centered: swapping groups flips the sign, so |z| is bounded by
+    # the no-ties maximum |U - mean| / sigma_min
+    assert abs(row.z_stat) < 40.0
+
+
+def test_theilsen_slope_is_median_of_pairs(spark, sf_dir):
+    import duckdb
+
+    row = QUERIES["theilsen_daily_trend"](spark, sf_dir).collect()[0]
+    d = duckdb.sql(
+        f"""SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+               count(*) AS c
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1"""
+    ).df()
+    dd = d.d.to_numpy()
+    cc = d.c.to_numpy()
+    i, j = np.triu_indices(len(dd), k=1)
+    slopes = (cc[j] - cc[i]) / (dd[j] - dd[i])
+    assert row.n_days == len(dd)
+    assert row.n_pairs == len(slopes)
+    assert abs(row.trend_per_day - np.median(slopes)) < 2e-6
+
+
+def test_power_mde_monotone(spark, sf_dir):
+    """Bigger detectable lift -> smaller required sample; all positive."""
+    rows = sorted(
+        QUERIES["ab_power_mde"](spark, sf_dir).collect(),
+        key=lambda r: r.rel_mde,
+    )
+    assert all(r.n_per_arm > 0 for r in rows)
+    ns = [r.n_per_arm for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        assert 0.0 < r.p0_rate < r.p1_rate < 1.0
+
+
+def test_power_mde_closed_form(spark, sf_dir):
+    """Recompute one grid row with math.* directly."""
+    rows = QUERIES["ab_power_mde"](spark, sf_dir).collect()
+    r = next(x for x in rows if abs(x.rel_mde - 0.10) < 1e-12)
+    p0 = r.p0_rate
+    p1 = p0 * 1.10
+    pbar = (p0 + p1) / 2
+    n = (
+        1.959963984540054 * math.sqrt(2 * pbar * (1 - pbar))
+        + 0.8416212335729143 * math.sqrt(p0 * (1 - p0) + p1 * (1 - p1))
+    ) ** 2 / (p1 - p0) ** 2
+    # p0_rate is rounded at 6dp, so allow the propagated tolerance
+    assert abs(r.n_per_arm - n) / n < 1e-2
+
+
+def test_corr_matrix_bounds_and_numpy_match(spark, sf_dir):
+    import duckdb
+
+    rows = QUERIES["corr_matrix"](spark, sf_dir).collect()
+    assert len(rows) == 6
+    d = duckdb.sql(
+        f"""SELECT CAST(round(l_quantity) AS BIGINT) AS quantity,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+               CAST(round(l_discount * 10000) AS BIGINT) AS discount,
+               CAST(round(l_tax * 10000) AS BIGINT) AS tax
+            FROM '{sf_dir}/lineitem.parquet'"""
+    ).df()
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9
+        ref = np.corrcoef(d[r.m_x].to_numpy(), d[r.m_y].to_numpy())[0, 1]
+        assert abs(r.corr - ref) < 2e-6, (r.m_x, r.m_y)
+
+
+def test_ols_matches_numpy_lstsq(spark, sf_dir):
+    import duckdb
+
+    rows = QUERIES["ols_price_model"](spark, sf_dir).collect()
+    d = duckdb.sql(
+        f"""SELECT p.p_brand,
+               CAST(round(l.l_quantity) AS BIGINT) AS y,
+               CAST(round(l.l_discount * 10000) AS BIGINT) AS x1,
+               CAST(round(l.l_extendedprice / l.l_quantity * 100)
+                 AS BIGINT) AS x2
+            FROM '{sf_dir}/lineitem.parquet' l
+            JOIN '{sf_dir}/part.parquet' p ON l.l_partkey = p.p_partkey"""
+    ).df()
+    checked = 0
+    for r in rows:
+        g = d[d.p_brand == r.p_brand]
+        if len(g) < 10 or r.intercept is None:
+            continue
+        X = np.column_stack(
+            [np.ones(len(g)), g.x1.to_numpy(), g.x2.to_numpy()]
+        )
+        beta = np.linalg.lstsq(X, g.y.to_numpy().astype(float), rcond=None)[0]
+        assert abs(r.intercept - beta[0]) < 1e-3
+        assert abs(r.beta_discount_bps - beta[1]) < 1e-6
+        assert abs(r.beta_price_cent - beta[2]) < 1e-6
+        checked += 1
+    assert checked >= 5
+
+
+def test_l_diversity_entropy_bounds(spark, sf_dir):
+    rows = QUERIES["l_diversity_audit"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.l <= r.k
+        # 0 <= H <= ln(l), equality at uniform sensitive distribution
+        assert -1e-6 <= r.sens_entropy <= math.log(r.l) + 1e-6
+        assert r.is_weak == (r.k < 10 or r.l < 3)
+
+
+def test_sorted_neighborhood_is_subset_of_rank_pairs(spark, sf_dir):
+    rows = QUERIES["sorted_neighborhood_pairs"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.pk_a != r.pk_b
+        assert 0 < r.n_inter <= r.n_union
+        assert r.jaccard >= 0.25
+        assert abs(r.jaccard - round(r.n_inter / r.n_union, 6)) < 1e-9
+
+
+def test_quantile_normalize_preserves_order_and_marginals(spark, sf_dir):
+    import pandas as pd
+
+    pdf = QUERIES["quantile_normalize"](spark, sf_dir).toPandas()
+    # every doc mapped, exactly once
+    assert pdf.doc_id.is_unique
+    # within a source, the mapping is monotone in the original value
+    for _, g in pdf.groupby("source"):
+        gs = g.sort_values(["n_chars", "doc_id"])
+        assert (gs.norm_chars.diff().dropna() >= 0).all()
+    # normalized values are drawn from the global value set
+    assert set(pdf.norm_chars) <= set(pdf.n_chars)
+    # the largest doc of the largest source maps to the global max
+    big = pdf.groupby("source").size().idxmax()
+    g = pdf[pdf.source == big]
+    assert g.norm_chars.max() == pdf.n_chars.max()
+    assert isinstance(pdf, pd.DataFrame)
+
+
+def test_acf_bounds_and_lag1_positive(spark, sf_dir):
+    rows = QUERIES["autocorrelation_daily"](spark, sf_dir).collect()
+    assert {r.lag for r in rows} == {1, 2, 7, 14}
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9
+        assert r.n > 0
+
+
+def test_changepoint_reduces_sse(spark, sf_dir):
+    row = QUERIES["best_changepoint"](spark, sf_dir).collect()[0]
+    assert row.sse_two_segment <= row.sse_one_segment + 1e-6
+    assert row.n_days > 1
+
+
+def test_changepoint_matches_numpy_scan(spark, sf_dir):
+    import duckdb
+
+    row = QUERIES["best_changepoint"](spark, sf_dir).collect()[0]
+    d = duckdb.sql(
+        f"""SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+               count(*) AS c
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()
+    c = d.c.to_numpy().astype(float)
+    best, bestd = None, None
+    for t in range(1, len(c)):
+        l, r = c[:t], c[t:]
+        sse = ((l - l.mean()) ** 2).sum() + ((r - r.mean()) ** 2).sum()
+        if best is None or sse < best - 1e-9:
+            best, bestd = sse, d.d.iloc[t - 1]
+    assert abs(row.sse_two_segment - best) < 1e-3
+    assert row.split_day == bestd
+
+
+def test_mad_anomalies_are_extreme(spark, sf_dir):
+    rows = QUERIES["mad_anomaly_days"](spark, sf_dir).collect()
+    for r in rows:
+        assert abs(r.robust_z) > 3.0
+        assert r.mad > 0
+
+
+def test_assortativity_bounds(spark, sf_dir):
+    rows = QUERIES["city_assortativity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.assortativity is not None:
+            assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
+        assert r.n_edges > 0
+
+
+def test_ppr_sums_to_one_and_seed_dominates(spark, sf_dir):
+    pdf = QUERIES["city_ppr_joins"](spark, sf_dir).toPandas()
+    assert len(pdf)
+    for _, g in pdf.groupby("city_key"):
+        # total PPR mass is conserved (up to per-iteration quantization)
+        assert abs(g.ppr.sum() - 1.0) < 1e-3
+        assert (g.ppr >= -1e-9).all()
+
+
+def test_memorization_risk_bounds(spark, sf_dir):
+    rows = QUERIES["memorization_risk_ngrams"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_singleton <= r.n_distinct <= r.n_ngrams
+        assert 0.0 <= r.risk_ratio <= 1.0
+
+
+def test_range_partition_planner_conservation(spark, sf_dir):
+    import duckdb
+
+    rows = QUERIES["range_partition_planner"](spark, sf_dir).collect()
+    total = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()[0]
+    for scheme in ("hash", "range"):
+        g = [r for r in rows if r.scheme == scheme]
+        assert sum(r.n_rows for r in g) == total, scheme
+        assert all(0 <= r.bucket < 16 for r in g)
+    # range partitioning balances rows better than (or as well as) hash
+    # partitioning balances them on this skewless key — both near 1.0
+    rng = [r for r in rows if r.scheme == "range"]
+    assert max(r.load_ratio for r in rng) < 2.0
+
+
+def test_bloom_fpr_decreases_with_bits(spark, sf_dir):
+    rows = sorted(
+        QUERIES["bloom_fpr_plan"](spark, sf_dir).collect(),
+        key=lambda r: r.bits_per_key,
+    )
+    fprs = [r.fpr for r in rows]
+    assert fprs == sorted(fprs, reverse=True)
+    assert all(0.0 < f < 0.05 for f in fprs)
+    for r in rows:
+        assert r.m_bits == r.n_keys * r.bits_per_key
+        # k* = ln2 * bits/key, and fpr ~ 0.6185^bpk
+        assert abs(r.fpr - 0.6185 ** r.bits_per_key) / r.fpr < 0.15
+
+
+def test_trimmed_mean_between_bounds(spark, sf_dir):
+    import duckdb
+
+    rows = QUERIES["trimmed_mean_values"](spark, sf_dir).collect()
+    d = duckdb.sql(
+        f"""SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+            FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"""
+    ).df()
+    import numpy as np
+
+    for r in rows:
+        vals = np.sort(d[d.event_type == r.event_type].cents.to_numpy())
+        lo = (5 * len(vals)) // 100
+        ref = vals[lo : len(vals) - lo].mean()
+        assert abs(r.trimmed_mean_cents - ref) < 1e-3, r.event_type
+        assert r.n == len(vals) and r.n_trimmed_each_side == lo
+
+
+def test_hhi_bounds_and_closed_form(spark, sf_dir):
+    rows = QUERIES["hhi_concentration"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 1/n <= HHI <= 1
+        assert 1.0 / r.n_customers - 1e-9 <= r.hhi <= 1.0 + 1e-9
+        if r.hhi_normalized is not None:
+            assert -1e-6 <= r.hhi_normalized <= 1.0 + 1e-9
+
+
+def test_weekday_anova_positive(spark, sf_dir):
+    row = QUERIES["weekday_anova"](spark, sf_dir).collect()[0]
+    assert row.f_stat >= 0.0
+    assert 0.0 <= row.eta_sq <= 1.0
+    assert row.fano_dispersion > 0.0
+
+
+def test_burstiness_in_range(spark, sf_dir):
+    rows = QUERIES["interevent_burstiness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.burstiness <= 1.0
+        assert r.std_gap_us >= 0.0 and r.mean_gap_us > 0.0
+
+
+def test_entropy_rate_bounds(spark, sf_dir):
+    row = QUERIES["markov_entropy_rate"](spark, sf_dir).collect()[0]
+    # 0 <= H <= ln(#event types) = ln 5
+    assert -1e-6 <= row.entropy_rate_nats <= math.log(5) + 1e-6
+    assert row.n_cells <= 25
+
+
+def test_transitivity_vs_local_clustering(spark, sf_oracle_dir):
+    # sf0.01: the sf0.001 co-witness projection is empty (same as
+    # local_clustering_coeff — no dst has two witnesses at that scale)
+    rows = QUERIES["city_transitivity"](spark, sf_oracle_dir).collect()
+    assert rows
+    for r in rows:
+        if r.transitivity is not None:
+            assert -1e-9 <= r.transitivity <= 1.0 + 1e-9
+        # every triangle contains exactly 3 wedges
+        assert 3 * r.triangles <= r.wedges
