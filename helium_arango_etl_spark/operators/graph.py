@@ -1953,7 +1953,7 @@ def city_ppr_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         witness_subgraph(spark, sf_dir)
         .select("city_key", "src", "dst")
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     nodes = (
         edges.select("city_key", F.col("src").alias("node"))
@@ -1967,20 +1967,30 @@ def city_ppr_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     outdeg = edges.groupBy("city_key", "src").agg(
         F.count(F.lit(1)).alias("deg")
     )
-    base = nodes.join(F.broadcast(seeds), "city_key")
+    # deg is STATIC across iterations: fold it into the base table once so
+    # each step reads it from the carried rank row instead of re-joining
+    # outdeg (and anti-joining for the dangling set) every iteration.
+    base = (
+        nodes.join(F.broadcast(seeds), "city_key")
+        .join(
+            outdeg.withColumnRenamed("src", "node"),
+            ["city_key", "node"],
+            "left",
+        )
+        .localCheckpoint()
+    )
     a = PPR_ALPHA
     r = base.select(
         "city_key",
         "node",
         "seed",
+        "deg",
         F.expr("if(node = seed, cast(1 as double), cast(0 as double))").alias(
             "r"
         ),
-    ).localCheckpoint()
+    )
     for _ in range(PPR_ITERS):
-        rd = r.join(
-            outdeg.withColumnRenamed("src", "node"), ["city_key", "node"]
-        ).select(
+        rd = r.where(F.col("deg").isNotNull()).select(
             "city_key",
             F.col("node").alias("src"),
             (F.col("r") / F.col("deg")).alias("w"),
@@ -1991,11 +2001,7 @@ def city_ppr_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("w").alias("c"))
         )
         dang = (
-            r.join(
-                outdeg.withColumnRenamed("src", "node"),
-                ["city_key", "node"],
-                "left_anti",
-            )
+            r.where(F.col("deg").isNull())
             .groupBy("city_key")
             .agg(F.sum("r").alias("dsum"))
         )
@@ -2006,6 +2012,7 @@ def city_ppr_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "city_key",
                 "node",
                 "seed",
+                "deg",
                 F.round(
                     F.expr(
                         f"cast({1 - a!r} as double)"
@@ -2018,9 +2025,7 @@ def city_ppr_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
                     9,
                 ).alias("r"),
             )
-            .localCheckpoint()
         )
-    edges.unpersist()
     return r.select("city_key", "node", F.round("r", 6).alias("ppr"))
 
 

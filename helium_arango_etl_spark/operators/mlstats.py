@@ -1151,3 +1151,443 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_rate_nats"),
     )
+
+
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic cohort-retention triangle: users grouped by the
+    calendar month of their FIRST event (cohort), retention(k) = share
+    of the cohort active in cohort-month + k — the product-analytics
+    view that `retention_survival`'s Kaplan–Meier curve aggregates
+    away (a KM curve cannot show cohort-quality drift; this can).
+
+    Month index is year·12 + month — pure integer arithmetic from the
+    timestamp fields both engines extract identically.  Counts are
+    exact; retention is one division rounded 6 dp.
+
+    Scale shape: user-keyed min-aggregate (cohort assignment), distinct
+    (user, month) activity, one keyed join + (cohort, k) rollup — all
+    map-side combinable; output is months² triangle rows.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("year(ts) * 12 + month(ts)").alias("mi"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("mi").alias("m0"))
+    size = cohort.groupBy("m0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    active = (
+        ev.distinct()
+        .join(cohort, "user_id")
+        .groupBy("m0", F.expr("mi - m0").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    return active.join(F.broadcast(size), "m0").select(
+        F.col("m0").alias("cohort_month_idx"),
+        F.col("k").cast("int").alias("months_since"),
+        "n_active",
+        "n_cohort",
+        F.round(
+            F.expr("cast(n_active as double) / cast(n_cohort as double)"), 6
+        ).alias("retention"),
+    )
+
+
+def ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (purchase
+    revenue per event) per experiment variant — the estimator
+    experimentation platforms need because per-user ratios are not
+    i.i.d.: Var(ΣX/ΣY) ≈ (Var x − 2R·Cov(x,y) + R²·Var y) / (n·ȳ²)
+    over per-user totals (x = purchase cents, y = events).
+
+    All six per-variant moments (Σx, Σy, Σx², Σy², Σxy, n) are exact
+    DECIMAL sums of integer cents/counts; R, the standard error, and
+    the 95% Wald interval are one fixed double expression each.
+
+    Scale shape: user-keyed rollup then a 2-row variant aggregate —
+    both map-side combinable; no window.
+    """
+    per_user = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.expr("user_id % 2").alias("variant"), F.col("user_id"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "if(event_type = 'purchase' and value is not null,"
+                    " cast(round(value * 100) as bigint), 0L)"
+                )
+            ).alias("x"),
+            F.count(F.lit(1)).cast("bigint").alias("y"),
+        )
+    )
+    mom = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("cast(x as decimal(38,0))")).alias("sx"),
+        F.sum(F.expr("cast(y as decimal(38,0))")).alias("sy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("cast(y as decimal(38,0)) * y")).alias("syy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * y")).alias("sxy"),
+    )
+    nd = "cast(n as double)"
+    mx = f"(cast(sx as double) / {nd})"
+    my = f"(cast(sy as double) / {nd})"
+    ratio = "(cast(sx as double) / cast(sy as double))"
+    vx = f"(cast(sxx as double) / {nd} - {mx} * {mx})"
+    vy = f"(cast(syy as double) / {nd} - {my} * {my})"
+    cxy = f"(cast(sxy as double) / {nd} - {mx} * {my})"
+    se = (
+        f"sqrt(({vx} - 2.0 * {ratio} * {cxy}"
+        f" + {ratio} * {ratio} * {vy}) / ({nd} * {my} * {my}))"
+    )
+    return mom.select(
+        "variant",
+        F.col("n").alias("n_users"),
+        F.round(F.expr(ratio), 6).alias("cents_per_event"),
+        F.round(F.expr(se), 6).alias("se"),
+        F.round(F.expr(f"{ratio} - {Z_ALPHA} * {se}"), 6).alias("ci_lo"),
+        F.round(F.expr(f"{ratio} + {Z_ALPHA} * {se}"), 6).alias("ci_hi"),
+    )
+
+
+def wasserstein_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between the urgent and
+    non-urgent order-price distributions — the integral ∫|F_a − F_b|
+    that reports HOW FAR mass moved where `ks_price_test`'s sup-norm
+    only reports the single worst gap.
+
+    On the distinct-value CDF, W₁ = Σᵢ |ca·n_b − cb·n_a| · (vᵢ₊₁ − vᵢ)
+    / (n_a·n_b): the scaled gap × gap-width products are exact wide
+    integers (value-domain bounded), summed exactly; ONE division at
+    the surface.  Also emits the normalized form W₁ / (max − min).
+
+    Scale shape: identical to ks_price_test — distinct-value CDF window
+    + lead(), 1-row broadcast of totals, no fact-side window.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+        F.expr(
+            "if(o_orderpriority in ('1-URGENT', '2-HIGH'), 1L, 0L)"
+        ).alias("is_a"),
+    )
+    per = o.groupBy("cents").agg(
+        F.sum("is_a").cast("bigint").alias("a_n"),
+        F.sum(F.expr("1L - is_a")).cast("bigint").alias("b_n"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("cents")
+    cum = per.select(
+        "cents",
+        F.sum("a_n").over(w).alias("ca"),
+        F.sum("b_n").over(w).alias("cb"),
+        F.lead("cents").over(wl).alias("next_cents"),
+    )
+    tot = per.agg(
+        F.sum("a_n").cast("bigint").alias("n_a"),
+        F.sum("b_n").cast("bigint").alias("n_b"),
+        F.min("cents").cast("bigint").alias("v_min"),
+        F.max("cents").cast("bigint").alias("v_max"),
+    )
+    seg = (
+        cum.where(F.col("next_cents").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_a",
+            "n_b",
+            "v_min",
+            "v_max",
+            F.expr(
+                "abs(cast(ca as decimal(38,0)) * n_b"
+                " - cast(cb as decimal(38,0)) * n_a)"
+                " * (next_cents - cents)"
+            ).alias("seg_mass"),
+        )
+    )
+    return seg.groupBy("n_a", "n_b", "v_min", "v_max").agg(
+        F.round(
+            F.expr(
+                "cast(sum(seg_mass) as double)"
+                " / (cast(n_a as double) * cast(n_b as double))"
+            ),
+            6,
+        ).alias("w1_cents"),
+        F.round(
+            F.expr(
+                "cast(sum(seg_mass) as double)"
+                " / (cast(n_a as double) * cast(n_b as double))"
+                " / cast(v_max - v_min as double)"
+            ),
+            6,
+        ).alias("w1_normalized"),
+    ).select("n_a", "n_b", "w1_cents", "w1_normalized")
+
+
+# Cramér's V matrix: categorical dimension pairs over the order/customer
+# denormalized row (column, short label)
+CRAMER_DIMS = [
+    ("o_orderpriority", "priority"),
+    ("c_mktsegment", "segment"),
+    ("o_orderstatus", "status"),
+]
+
+
+def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cramér's V over the categorical order dimensions
+    (priority × segment × status) — the categorical counterpart of
+    `corr_matrix`: V = √(χ² / (n·min(r−1, c−1))) per dimension pair,
+    the effect size behind `chi2_independence`'s per-cell terms.
+
+    Each cell's χ² term is computed as one double expression of exact
+    marginals, MICRO-QUANTIZED (×10⁶ → bigint) and summed exactly — the
+    order-independent cross-cell sum discipline — with the √ and the
+    final division applied once per pair.
+
+    Scale shape: one denormalized scan feeds three keyed cell
+    aggregates (each |dims|² rows); marginals broadcast back; output is
+    3 rows.
+    """
+    d = (
+        read_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_mktsegment"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(*[F.col(c).alias(lbl) for c, lbl in CRAMER_DIMS])
+        .localCheckpoint()
+    )
+    outs = []
+    labels = [lbl for _, lbl in CRAMER_DIMS]
+    for i, a in enumerate(labels):
+        for b in labels[i + 1 :]:
+            cells = d.groupBy(a, b).agg(
+                F.count(F.lit(1)).cast("bigint").alias("o")
+            )
+            rows = cells.groupBy(a).agg(
+                F.sum("o").cast("bigint").alias("rn")
+            )
+            cols = cells.groupBy(b).agg(
+                F.sum("o").cast("bigint").alias("cn")
+            )
+            tot = cells.agg(
+                F.sum("o").cast("bigint").alias("n"),
+                F.countDistinct(a).cast("bigint").alias("r"),
+                F.countDistinct(b).cast("bigint").alias("c"),
+            )
+            term = (
+                "cast(round(pow(cast(o as double)"
+                " - cast(rn as double) * cast(cn as double)"
+                "   / cast(n as double), 2)"
+                " / (cast(rn as double) * cast(cn as double)"
+                "    / cast(n as double)) * 1000000.0) as bigint)"
+            )
+            per = (
+                cells.join(F.broadcast(rows), a)
+                .join(F.broadcast(cols), b)
+                .crossJoin(F.broadcast(tot))
+                .select(
+                    "n",
+                    "r",
+                    "c",
+                    F.expr(term).alias("term_micro"),
+                )
+            )
+            outs.append(
+                per.groupBy("n", "r", "c")
+                .agg(
+                    F.sum("term_micro").cast("bigint").alias("tm")
+                )
+                .select(
+                    F.lit(a).alias("dim_x"),
+                    F.lit(b).alias("dim_y"),
+                    "n",
+                    F.round(
+                        F.expr("cast(tm as double) / 1000000.0"), 6
+                    ).alias("chi2"),
+                    F.round(
+                        F.expr(
+                            "sqrt(cast(tm as double) / 1000000.0"
+                            " / (cast(n as double)"
+                            "    * cast(least(r - 1, c - 1) as double)))"
+                        ),
+                        6,
+                    ).alias("cramers_v"),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+HIST_CBRT = "cast(0.3333333333333333 as double)"
+
+
+def optimal_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram bin-count planning for the two money measures (order
+    price, event value): Freedman–Diaconis (2·IQR/n^⅓ bin width) next
+    to Sturges (⌈log₂n⌉+1) — what a dashboard or data-profiler layer
+    computes before rendering a distribution at 100 TB (the answer
+    decides the width of the ONE aggregation pass that builds the
+    histogram).
+
+    Quartiles via the bit-identical percentile/quantile_cont
+    interpolation; the cube root is pow(n, 0.3333333333333333) with the
+    exponent pinned as an explicit double literal on both engines
+    (never 1/3, whose decimal-division value differs by parser); bin
+    counts ceil to bigints, NULL when IQR = 0.
+
+    Scale shape: two 1-row aggregates (percentile buffers are
+    value-domain bounded at the reporting grain).
+    """
+    parts = []
+    for label, table, expr_ in (
+        ("order_price", "orders", "cast(round(o_totalprice * 100) as bigint)"),
+        ("event_value", "events", "cast(round(value * 100) as bigint)"),
+    ):
+        src = read_table(spark, sf_dir, table).select(
+            F.expr(expr_).alias("v")
+        ).where(F.col("v").isNotNull())
+        agg = src.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("v").cast("bigint").alias("v_min"),
+            F.max("v").cast("bigint").alias("v_max"),
+            F.expr("percentile(v, 0.25)").alias("q1"),
+            F.expr("percentile(v, 0.75)").alias("q3"),
+        )
+        h = f"(2.0 * (q3 - q1) / pow(cast(n as double), {HIST_CBRT}))"
+        parts.append(
+            agg.select(
+                F.lit(label).alias("measure"),
+                "n",
+                "v_min",
+                "v_max",
+                F.round(F.expr("q3 - q1"), 6).alias("iqr"),
+                F.expr(
+                    f"if(q3 - q1 = 0.0, null,"
+                    f" cast(ceil(cast(v_max - v_min as double) / {h})"
+                    f" as bigint))"
+                ).alias("bins_fd"),
+                F.expr(
+                    "cast(ceil(ln(cast(n as double)) /"
+                    " ln(cast(2 as double))) + 1 as bigint)"
+                ).alias("bins_sturges"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+P_CHART_SIGMA = "3.0"
+
+
+def p_chart_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-process-control p-chart over the daily purchase
+    share: per-day proportion with 3σ binomial control limits around
+    the overall rate (limits vary with the day's sample size) and an
+    out-of-control flag — the Shewhart companion to
+    `cusum_daily_counts`' drift detector and `sprt_monitor`'s
+    sequential test (Shewhart catches big single-day shifts; CUSUM
+    catches small sustained ones).
+
+    Counts are exact; p̂, p̄, and the limits are fixed double
+    expressions (clamped to [0, 1]); the flag compares the UNROUNDED
+    expressions so display rounding cannot flip it.
+
+    Scale shape: one keyed daily aggregate + a 1-row broadcast of the
+    center line.
+    """
+    d = read_table(spark, sf_dir, "events").groupBy(
+        F.expr("cast(unix_micros(ts) div 86400000000 as bigint)").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("if(event_type = 'purchase', 1L, 0L)"))
+        .cast("bigint")
+        .alias("x"),
+    )
+    tot = d.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("x").cast("bigint").alias("tx"),
+    )
+    pbar = "(cast(tx as double) / cast(tn as double))"
+    half = (
+        f"({P_CHART_SIGMA} * sqrt({pbar} * (1.0 - {pbar})"
+        " / cast(n as double)))"
+    )
+    phat = "(cast(x as double) / cast(n as double))"
+    return d.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        "x",
+        F.round(F.expr(phat), 6).alias("p_hat"),
+        F.round(F.expr(pbar), 6).alias("p_bar"),
+        F.round(F.expr(f"greatest(0.0, {pbar} - {half})"), 6).alias("lcl"),
+        F.round(F.expr(f"least(1.0, {pbar} + {half})"), 6).alias("ucl"),
+        F.expr(
+            f"{phat} < greatest(0.0, {pbar} - {half})"
+            f" or {phat} > least(1.0, {pbar} + {half})"
+        ).alias("out_of_control"),
+    )
+
+
+CWS_WINDOWS_DAYS = (1, 3, 7, 14)
+
+
+def conversion_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion at four attribution-window widths —
+    the sensitivity sweep that decides how long a conversion window the
+    funnel metrics (`window_funnel`, `promo_attribution`) should use:
+    report the rate at 1/3/7/14 days and let the elbow pick.
+
+    Per user: first signup time t0 (exact µs), earliest purchase delay
+    dt = min(purchase_us − t0 > 0); each window's conversion is an
+    exact conditional count over dt.  One user-keyed aggregate, one
+    4-way literal unpivot.
+
+    Scale shape: two keyed user aggregates + a broadcast join; the
+    window sweep is arithmetic on the already-aggregated delays.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    t0s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t0"))
+    )
+    dts = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t0s, "user_id")
+        .where(F.col("us") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min(F.expr("us - t0")).alias("dt"))
+    )
+    base = t0s.join(dts, "user_id", "left")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_users")]
+    for wd in CWS_WINDOWS_DAYS:
+        us = wd * 86_400 * 1_000_000
+        aggs.append(
+            F.sum(
+                F.expr(f"if(dt is not null and dt <= {us}, 1L, 0L)")
+            ).cast("bigint").alias(f"c_{wd}")
+        )
+    flat = base.agg(*aggs)
+    stack = ", ".join(f"{wd}, c_{wd}" for wd in CWS_WINDOWS_DAYS)
+    return flat.selectExpr(
+        "n_users",
+        f"stack({len(CWS_WINDOWS_DAYS)}, {stack})"
+        " as (window_days, n_converted)",
+    ).select(
+        F.col("window_days").cast("int").alias("window_days"),
+        "n_users",
+        "n_converted",
+        F.round(
+            F.expr(
+                "cast(n_converted as double) / cast(n_users as double)"
+            ),
+            6,
+        ).alias("conversion"),
+    )

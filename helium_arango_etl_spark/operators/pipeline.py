@@ -936,3 +936,67 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "naive_pad",
         )
     )
+
+
+TSP_BATCH_SIZES = (32, 128, 512)
+
+
+def training_step_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steps-per-epoch planning per split × global batch size — the
+    arithmetic a training launcher runs over the packed corpus before
+    provisioning: packed SEQ_LEN sequences per split (contiguous
+    stream packing, so n_seqs = ⌈Σtokens / SEQ_LEN⌉ — the
+    pack_sequences invariant), steps = n_seqs div B with drop_last,
+    and the residual sequences (and token fraction) dropped.
+
+    Exact integer arithmetic throughout (ceil as (t + L − 1) div L,
+    positive operands); the dropped-token share is the only double.
+
+    Scale shape: per-doc token counts (codegen'd), one split-keyed
+    rollup, 3-row literal batch grid.
+    """
+    from .textops import TOKS
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.expr(BUCKET_EXPR).alias("b"),
+    )
+    split = docs.select(
+        F.when(F.col("b") < SPLIT_TRAIN, F.lit("train"))
+        .when(F.col("b") < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        F.expr(f"cast(size({TOKS}) as bigint)").alias("n_tokens"),
+    )
+    per = split.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens"),
+    )
+    from .temporal import SEQ_LEN
+
+    grid = per.select(
+        "split",
+        "n_docs",
+        "tokens",
+        F.expr(f"(tokens + {SEQ_LEN - 1}) div {SEQ_LEN}").alias("n_seqs"),
+        F.explode(
+            F.array(*[F.lit(int(b)) for b in TSP_BATCH_SIZES])
+        ).alias("batch_size"),
+    )
+    return grid.select(
+        "split",
+        "batch_size",
+        "n_docs",
+        "tokens",
+        "n_seqs",
+        F.expr("n_seqs div batch_size").alias("steps_per_epoch"),
+        F.expr("n_seqs % batch_size").alias("seqs_dropped"),
+        F.round(
+            F.expr(
+                "cast(n_seqs % batch_size as double)"
+                " / cast(n_seqs as double)"
+            ),
+            6,
+        ).alias("drop_fraction"),
+    )

@@ -1510,3 +1510,76 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("nullif_zeroed"),
     )
+
+
+GEO_CORE_MINPTS = 3
+
+
+def geo_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core-point detection over supplier locations: a supplier
+    is CORE when ≥ GEO_CORE_MINPTS other suppliers sit within 100 km —
+    the density classification DBSCAN clusters are built from, computed
+    with the same 2° grid-bucketing as `geo_grid_join` (3×3 neighbor
+    explode on one side, single-cell map on the other, exact haversine
+    verify post-join) so the plan is a broadcast equi-join, never a
+    quadratic distance join.
+
+    Determinism: integer-grid synthetic coordinates; distance rounded
+    3 dp exactly as `haversine_pairs`; neighbor counts are exact after
+    a distinct on (point, neighbor).
+
+    Scale shape: per-cell candidate fan-out is density-bounded; the
+    oracle is the naive self cross join, proving the grid misses no
+    neighbor (the `geo_grid_join` cell-size proof covers the radius).
+    """
+    from ..functions.scalars import haversine_m, synthetic_lat, synthetic_lon
+
+    lat_cell = "cast((lat + 60) as bigint) div " + str(GEO_CELL_DEG)
+    lon_cell = "cast((lon + 180) as bigint) div " + str(GEO_CELL_DEG)
+    n_lon_cells = 360 // GEO_CELL_DEG
+    pts = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey"),
+        synthetic_lat(F.col("s_suppkey")).alias("lat"),
+        synthetic_lon(F.col("s_suppkey")).alias("lon"),
+    )
+    base = pts.withColumn(
+        "cell", F.expr(f"({lat_cell}) * 1000 + ({lon_cell})")
+    )
+    probe = (
+        pts.withColumn("la", F.expr(lat_cell))
+        .withColumn("lo", F.expr(lon_cell))
+        .select(
+            F.col("s_suppkey").alias("nb_key"),
+            F.col("lat").alias("nb_lat"),
+            F.col("lon").alias("nb_lon"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(-1, 1), dy ->"
+                    " transform(sequence(-1, 1), dx ->"
+                    f" (la + dy) * 1000 + pmod(lo + dx, {n_lon_cells}))))"
+                )
+            ).alias("cell"),
+        )
+    )
+    dist = haversine_m(
+        F.col("lat"), F.col("lon"), F.col("nb_lat"), F.col("nb_lon")
+    )
+    nbrs = (
+        base.join(F.broadcast(probe), "cell")
+        .where(F.col("nb_key") != F.col("s_suppkey"))
+        .withColumn("distance_m", F.round(dist, 3))
+        .where(F.col("distance_m") <= GEO_RADIUS_M)
+        .select("s_suppkey", "nb_key")
+        .distinct()
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_neighbors"))
+    )
+    return pts.join(nbrs, "s_suppkey", "left").select(
+        "s_suppkey",
+        F.coalesce("n_neighbors", F.lit(0)).cast("bigint").alias(
+            "n_neighbors"
+        ),
+        (
+            F.coalesce("n_neighbors", F.lit(0)) >= GEO_CORE_MINPTS
+        ).alias("is_core"),
+    )

@@ -9,7 +9,7 @@ zero shuffle (per-row only); only downstream aggregations shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import read_table, spread
@@ -1935,4 +1935,151 @@ def memorization_risk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("risk_ratio"),
+    )
+
+
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch reading-ease profile — the classic readability
+    screen a text-quality pipeline runs beside `gopher_quality`'s
+    heuristics: 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    words), with syllables approximated by vowel-group counts (the
+    standard dictionary-free proxy).
+
+    All three counts are exact integers per document (regex classes
+    [.!?]+ and [aeiou]+ evaluate identically under Java regex and RE2);
+    sentence count floors at 1 so fragments don't divide by zero.
+    Source rollups are exact integer sums; the score is one fixed
+    double expression rounded 6 dp.
+
+    Scale shape: per-row regex counting (codegen'd, no UDF), one keyed
+    map-side-combinable rollup.
+    """
+    d = read_table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(f"size({TOKS})").cast("bigint").alias("words"),
+        F.expr(
+            "greatest(1L, cast(size(regexp_extract_all(text, '[.!?]+', 0))"
+            " as bigint))"
+        ).alias("sentences"),
+        F.expr(
+            "cast(size(regexp_extract_all(lower(text), '[aeiou]+', 0))"
+            " as bigint)"
+        ).alias("syllables"),
+    )
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("w"),
+        F.sum("sentences").cast("bigint").alias("s"),
+        F.sum("syllables").cast("bigint").alias("y"),
+    )
+    flesch = (
+        "206.835 - 1.015 * (cast(w as double) / cast(s as double))"
+        " - 84.6 * (cast(y as double) / cast(w as double))"
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"),
+        F.col("y").alias("n_syllables"),
+        F.round(F.expr(flesch), 6).alias("flesch_ease"),
+    )
+
+
+STYLO_TOP_V = 50
+STYLO_Z_SCALE = 1_000_000  # z micro-quantization
+STYLO_F_SCALE = 1_000_000_000  # relative-frequency nano-quantization
+
+
+def stylometry_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta authorship distance between every source pair —
+    the classical stylometry measure: z-score each source's relative
+    frequency of the corpus' top-50 words against the across-source
+    distribution, Delta(a,b) = mean |z_a − z_b|.  Low Delta = same
+    "hand"; the source-attribution companion to
+    `source_divergence_matrix`'s topical JS distance.
+
+    Determinism ladder: relative frequencies are FLOOR-quantized
+    integers (cnt·10⁹ div total — exact positive-operand division);
+    per-word across-source mean/std come from exact integer sums;
+    z-scores are micro-quantized (×10⁶ → bigint) so the per-pair sum of
+    |z diffs| is exact integer addition; words with zero across-source
+    variance are excluded globally (nullif guard) and the pair mean
+    normalizes by the surviving word count.
+
+    Scale shape: token explode → vocabulary-keyed counts (the
+    `zipf_fit` flow); the z table is sources × 50 rows; the pair join
+    is (sources² × 50) — reporting-grain sized.
+    """
+    toks = read_table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x != '')")
+        ).alias("w"),
+    )
+    wc = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    topv = (
+        wc.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("w"))
+            ),
+        )
+        .where(F.col("rk") <= STYLO_TOP_V)
+        .select("w")
+    )
+    n_s = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total")
+    )
+    sw = (
+        toks.join(F.broadcast(topv), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_sw"))
+    )
+    dense = (
+        n_s.crossJoin(F.broadcast(topv))
+        .join(sw, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.expr(
+                f"(coalesce(cnt_sw, 0L) * {STYLO_F_SCALE}) div total"
+            ).alias("fq"),
+        )
+    )
+    stats = dense.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.sum("fq").cast("bigint").alias("sf"),
+        F.sum(F.expr("cast(fq as decimal(38,0)) * fq")).alias("sff"),
+    )
+    mu = "(cast(sf as double) / cast(ns as double))"
+    sd = (
+        f"sqrt(cast(sff as double) / cast(ns as double) - {mu} * {mu})"
+    )
+    z = dense.join(F.broadcast(stats), "w").select(
+        "source",
+        "w",
+        F.expr(
+            f"cast(round((cast(fq as double) - {mu})"
+            f" / nullif({sd}, 0.0) * {STYLO_Z_SCALE}) as bigint)"
+        ).alias("zq"),
+    ).where(F.col("zq").isNotNull())
+    za = z.select(
+        F.col("source").alias("source_a"), "w", F.col("zq").alias("za")
+    )
+    zb = z.select(
+        F.col("source").alias("source_b"), "w", F.col("zq").alias("zb")
+    )
+    pairs = za.join(zb, "w").where(F.col("source_a") < F.col("source_b"))
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.round(
+            F.expr(
+                f"cast(sum(abs(za - zb)) as double)"
+                f" / cast(count(1) as double) / {STYLO_Z_SCALE}.0"
+            ),
+            6,
+        ).alias("delta"),
     )
