@@ -5715,3 +5715,430 @@ ORACLE_TRAINING["markov_entropy_rate"] = """
                      / cast(sum(c_ab) as double), 6) AS entropy_rate_nats
         FROM cells
     """
+
+# ---------- round-6 cohort / ratio / spatial-density / readability ----------
+
+from .operators.relational import (  # noqa: E402
+    GEO_CELL_DEG,
+    GEO_CORE_MINPTS,
+    GEO_RADIUS_M,
+)
+
+ORACLE_TRAINING["cohort_retention_matrix"] = """
+        WITH ev AS (
+          SELECT user_id,
+                 CAST(year(ts) * 12 + month(ts) AS INT) AS mi
+          FROM events
+        ), cohort AS (
+          SELECT user_id, min(mi) AS m0 FROM ev GROUP BY 1
+        ), sz AS (
+          SELECT m0, CAST(count(*) AS BIGINT) AS n_cohort
+          FROM cohort GROUP BY 1
+        ), act AS (
+          SELECT c.m0, e.mi - c.m0 AS k,
+                 CAST(count(*) AS BIGINT) AS n_active
+          FROM (SELECT DISTINCT user_id, mi FROM ev) e
+          JOIN cohort c USING (user_id)
+          GROUP BY 1, 2
+        )
+        SELECT a.m0 AS cohort_month_idx,
+               CAST(a.k AS INT) AS months_since,
+               a.n_active, s.n_cohort,
+               round(cast(a.n_active as double)
+                     / cast(s.n_cohort as double), 6) AS retention
+        FROM act a JOIN sz s USING (m0)
+    """
+
+_RM_ND = "cast(n as double)"
+_RM_MX = f"(cast(sx as double) / {_RM_ND})"
+_RM_MY = f"(cast(sy as double) / {_RM_ND})"
+_RM_R = "(cast(sx as double) / cast(sy as double))"
+_RM_VX = f"(cast(sxx as double) / {_RM_ND} - {_RM_MX} * {_RM_MX})"
+_RM_VY = f"(cast(syy as double) / {_RM_ND} - {_RM_MY} * {_RM_MY})"
+_RM_CXY = f"(cast(sxy as double) / {_RM_ND} - {_RM_MX} * {_RM_MY})"
+_RM_SE = (
+    f"sqrt(({_RM_VX} - 2.0 * {_RM_R} * {_RM_CXY}"
+    f" + {_RM_R} * {_RM_R} * {_RM_VY}) / ({_RM_ND} * {_RM_MY} * {_RM_MY}))"
+)
+
+ORACLE_TRAINING["ratio_metric_ci"] = f"""
+        WITH per_user AS (
+          SELECT user_id % 2 AS variant, user_id,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          AND value IS NOT NULL
+                     THEN CAST(round(value * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS x,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ), mom AS (
+          SELECT variant,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) AS syy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy
+          FROM per_user GROUP BY 1
+        )
+        SELECT variant, n AS n_users,
+               round({_RM_R}, 6) AS cents_per_event,
+               round({_RM_SE}, 6) AS se,
+               round({_RM_R} - {Z_ALPHA} * {_RM_SE}, 6) AS ci_lo,
+               round({_RM_R} + {Z_ALPHA} * {_RM_SE}, 6) AS ci_hi
+        FROM mom
+    """
+
+ORACLE_TRAINING["wasserstein_price_shift"] = """
+        WITH o AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END AS is_a
+          FROM orders
+        ), per AS (
+          SELECT cents, CAST(sum(is_a) AS BIGINT) AS a_n,
+                 CAST(sum(1 - is_a) AS BIGINT) AS b_n
+          FROM o GROUP BY cents
+        ), cum AS (
+          SELECT cents,
+                 sum(a_n) OVER wnd AS ca,
+                 sum(b_n) OVER wnd AS cb,
+                 lead(cents) OVER (ORDER BY cents) AS next_cents
+          FROM per WINDOW wnd AS (ORDER BY cents ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW)
+        ), tot AS (
+          SELECT CAST(sum(a_n) AS BIGINT) AS n_a,
+                 CAST(sum(b_n) AS BIGINT) AS n_b,
+                 CAST(min(cents) AS BIGINT) AS v_min,
+                 CAST(max(cents) AS BIGINT) AS v_max
+          FROM per
+        ), seg AS (
+          SELECT n_a, n_b, v_min, v_max,
+                 abs(CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a)
+                   * (next_cents - cents) AS seg_mass
+          FROM cum CROSS JOIN tot
+          WHERE next_cents IS NOT NULL
+        )
+        SELECT n_a, n_b,
+               round(cast(sum(seg_mass) as double)
+                     / (cast(n_a as double) * cast(n_b as double)), 6)
+                   AS w1_cents,
+               round(cast(sum(seg_mass) as double)
+                     / (cast(n_a as double) * cast(n_b as double))
+                     / cast(v_max - v_min as double), 6) AS w1_normalized
+        FROM seg GROUP BY n_a, n_b, v_min, v_max
+    """
+
+ORACLE_TRAINING["geo_core_points"] = f"""
+        WITH pts AS (
+          SELECT s_suppkey,
+                 CAST((s_suppkey * 37) % 120 - 60 AS DOUBLE) AS lat,
+                 CAST((s_suppkey * 91) % 360 - 180 AS DOUBLE) AS lon
+          FROM supplier
+        ), pairs AS (
+          SELECT a.s_suppkey,
+                 round(2 * 6371008.8 * asin(sqrt(
+                     power(sin(radians(b.lat - a.lat) / 2), 2) +
+                     cos(radians(a.lat)) * cos(radians(b.lat)) *
+                     power(sin(radians(b.lon - a.lon) / 2), 2))), 3)
+                   AS distance_m
+          FROM pts a JOIN pts b ON a.s_suppkey <> b.s_suppkey
+        ), nbrs AS (
+          SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_neighbors
+          FROM pairs WHERE distance_m <= {GEO_RADIUS_M}
+          GROUP BY 1
+        )
+        SELECT p.s_suppkey,
+               CAST(coalesce(n.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+               coalesce(n.n_neighbors, 0) >= {GEO_CORE_MINPTS} AS is_core
+        FROM pts p LEFT JOIN nbrs n USING (s_suppkey)
+    """
+
+ORACLE_TRAINING["readability_scores"] = """
+        WITH d AS (
+          SELECT source,
+                 CAST(len(list_filter(string_split(text, ' '),
+                     x -> x <> '')) AS BIGINT) AS words,
+                 greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+                     AS BIGINT)) AS sentences,
+                 CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+                     AS BIGINT) AS syllables
+          FROM documents
+        ), agg AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(words) AS BIGINT) AS w,
+                 CAST(sum(sentences) AS BIGINT) AS s,
+                 CAST(sum(syllables) AS BIGINT) AS y
+          FROM d GROUP BY 1
+        )
+        SELECT source, n_docs, w AS n_words, s AS n_sentences,
+               y AS n_syllables,
+               round(206.835 - 1.015 * (cast(w as double)
+                       / cast(s as double))
+                     - 84.6 * (cast(y as double) / cast(w as double)), 6)
+                   AS flesch_ease
+        FROM agg
+    """
+
+# ---------- round-6 stylometry / categorical-association / histogram ----------
+
+from .operators.mlstats import CRAMER_DIMS, HIST_CBRT  # noqa: E402
+from .operators.textops import (  # noqa: E402
+    STYLO_F_SCALE,
+    STYLO_TOP_V,
+    STYLO_Z_SCALE,
+)
+
+_ST_MU = "(cast(sf as double) / cast(ns as double))"
+_ST_SD = (
+    f"sqrt(cast(sff as double) / cast(ns as double) - {_ST_MU} * {_ST_MU})"
+)
+
+ORACLE_TRAINING["stylometry_delta"] = f"""
+        WITH toks AS (
+          SELECT source,
+                 unnest(list_filter(string_split(lower(text), ' '),
+                     x -> x <> '')) AS w
+          FROM documents
+        ), wc AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1
+        ), topv AS (
+          SELECT w FROM (
+            SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS rk
+            FROM wc
+          ) WHERE rk <= {STYLO_TOP_V}
+        ), n_s AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS total
+          FROM toks GROUP BY 1
+        ), sw AS (
+          SELECT source, w, CAST(count(*) AS BIGINT) AS cnt_sw
+          FROM toks JOIN topv USING (w) GROUP BY 1, 2
+        ), dense AS (
+          SELECT n_s.source, topv.w,
+                 (coalesce(sw.cnt_sw, 0) * {STYLO_F_SCALE}) // n_s.total
+                   AS fq
+          FROM n_s CROSS JOIN topv
+          LEFT JOIN sw ON sw.source = n_s.source AND sw.w = topv.w
+        ), stats AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS ns,
+                 CAST(sum(fq) AS BIGINT) AS sf,
+                 sum(CAST(fq AS HUGEINT) * fq) AS sff
+          FROM dense GROUP BY 1
+        ), z AS (
+          SELECT d.source, d.w,
+                 CAST(round((cast(fq as double) - {_ST_MU})
+                     / nullif({_ST_SD}, 0.0) * {STYLO_Z_SCALE}) AS BIGINT)
+                   AS zq
+          FROM dense d JOIN stats USING (w)
+        ), zz AS (SELECT * FROM z WHERE zq IS NOT NULL)
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_words,
+               round(cast(sum(abs(a.zq - b.zq)) as double)
+                     / cast(count(*) as double) / {STYLO_Z_SCALE}.0, 6)
+                   AS delta
+        FROM zz a JOIN zz b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2
+    """
+
+_CV_TERM = (
+    "CAST(round(pow(cast(o as double)"
+    " - cast(rn as double) * cast(cn as double)"
+    "   / cast(n as double), 2)"
+    " / (cast(rn as double) * cast(cn as double)"
+    "    / cast(n as double)) * 1000000.0) AS BIGINT)"
+)
+_CV_PARTS = []
+_CV_LBLS = [lbl for _, lbl in CRAMER_DIMS]
+for _i, _a in enumerate(_CV_LBLS):
+    for _b in _CV_LBLS[_i + 1 :]:
+        _CV_PARTS.append(f"""
+        SELECT '{_a}' AS dim_x, '{_b}' AS dim_y, n,
+               round(cast(tm as double) / 1000000.0, 6) AS chi2,
+               round(sqrt(cast(tm as double) / 1000000.0
+                     / (cast(n as double)
+                        * cast(least(r - 1, c - 1) as double))), 6)
+                   AS cramers_v
+        FROM (
+          SELECT n, r, c, CAST(sum(term_micro) AS BIGINT) AS tm
+          FROM (
+            SELECT cl.o, rn, cn, t.n, t.r, t.c,
+                   {_CV_TERM} AS term_micro
+            FROM (
+              SELECT {_a}, {_b}, CAST(count(*) AS BIGINT) AS o
+              FROM cv_base GROUP BY 1, 2
+            ) cl
+            JOIN (
+              SELECT {_a}, CAST(sum(o) AS BIGINT) AS rn FROM (
+                SELECT {_a}, {_b}, CAST(count(*) AS BIGINT) AS o
+                FROM cv_base GROUP BY 1, 2) GROUP BY 1
+            ) rr USING ({_a})
+            JOIN (
+              SELECT {_b}, CAST(sum(o) AS BIGINT) AS cn FROM (
+                SELECT {_a}, {_b}, CAST(count(*) AS BIGINT) AS o
+                FROM cv_base GROUP BY 1, 2) GROUP BY 1
+            ) cc USING ({_b})
+            CROSS JOIN (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(DISTINCT {_a}) AS BIGINT) AS r,
+                     CAST(count(DISTINCT {_b}) AS BIGINT) AS c
+              FROM cv_base
+            ) t
+          )
+          GROUP BY n, r, c
+        )""")
+
+_CV_SELECT = ",\n               ".join(
+    f"{c} AS {lbl}" for c, lbl in CRAMER_DIMS
+)
+
+ORACLE_TRAINING["cramers_v_matrix"] = f"""
+        WITH cv_base AS (
+          SELECT {_CV_SELECT}
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        )
+        {" UNION ALL ".join(_CV_PARTS)}
+    """
+
+_HB_PARTS = []
+for _lbl, _tbl, _ex in (
+    ("order_price", "orders", "CAST(round(o_totalprice * 100) AS BIGINT)"),
+    ("event_value", "events", "CAST(round(value * 100) AS BIGINT)"),
+):
+    _h = f"(2.0 * (q3 - q1) / pow(cast(n as double), {HIST_CBRT}))"
+    _HB_PARTS.append(f"""
+        SELECT '{_lbl}' AS measure, n, v_min, v_max,
+               round(q3 - q1, 6) AS iqr,
+               CASE WHEN q3 - q1 = 0.0 THEN NULL
+                    ELSE CAST(ceil(cast(v_max - v_min as double) / {_h})
+                      AS BIGINT) END AS bins_fd,
+               CAST(ceil(ln(cast(n as double)) /
+                   ln(cast(2 as double))) + 1 AS BIGINT) AS bins_sturges
+        FROM (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(min(v) AS BIGINT) AS v_min,
+                 CAST(max(v) AS BIGINT) AS v_max,
+                 quantile_cont(v, 0.25) AS q1,
+                 quantile_cont(v, 0.75) AS q3
+          FROM (SELECT {_ex} AS v FROM {_tbl} WHERE {_ex} IS NOT NULL)
+        )""")
+
+ORACLE_TRAINING["optimal_histogram_bins"] = (
+    " UNION ALL ".join(_HB_PARTS)
+)
+
+# ---------- round-6 SPC / funnel-sensitivity / step-plan batch ----------
+
+from .operators.mlstats import (  # noqa: E402
+    CWS_WINDOWS_DAYS,
+    P_CHART_SIGMA,
+)
+from .operators.pipeline import (  # noqa: E402
+    SPLIT_TRAIN as _PIPE_TRAIN,
+    SPLIT_VAL as _PIPE_VAL,
+    TSP_BATCH_SIZES,
+)
+from .operators.temporal import SEQ_LEN as _TSP_SEQ_LEN  # noqa: E402
+
+_PC_PBAR = "(cast(tx as double) / cast(tn as double))"
+_PC_HALF = (
+    f"({P_CHART_SIGMA} * sqrt({_PC_PBAR} * (1.0 - {_PC_PBAR})"
+    " / cast(n as double)))"
+)
+_PC_PHAT = "(cast(x as double) / cast(n as double))"
+
+ORACLE_TRAINING["p_chart_days"] = f"""
+        WITH d AS (
+          SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS x
+          FROM events GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS tn,
+                 CAST(sum(x) AS BIGINT) AS tx
+          FROM d
+        )
+        SELECT d, n, x,
+               round({_PC_PHAT}, 6) AS p_hat,
+               round({_PC_PBAR}, 6) AS p_bar,
+               round(greatest(0.0, {_PC_PBAR} - {_PC_HALF}), 6) AS lcl,
+               round(least(1.0, {_PC_PBAR} + {_PC_HALF}), 6) AS ucl,
+               ({_PC_PHAT} < greatest(0.0, {_PC_PBAR} - {_PC_HALF})
+                OR {_PC_PHAT} > least(1.0, {_PC_PBAR} + {_PC_HALF}))
+                   AS out_of_control
+        FROM d CROSS JOIN tot
+    """
+
+_CWS_CONDS = ",\n                 ".join(
+    f"CAST(sum(CASE WHEN dt IS NOT NULL"
+    f" AND dt <= {wd * 86_400 * 1_000_000}"
+    f" THEN 1 ELSE 0 END) AS BIGINT) AS c_{wd}"
+    for wd in CWS_WINDOWS_DAYS
+)
+_CWS_ROWS = "\n        UNION ALL\n".join(
+    f"        SELECT {wd} AS window_days, n_users, c_{wd} AS n_converted"
+    f" FROM flat"
+    for wd in CWS_WINDOWS_DAYS
+)
+
+ORACLE_TRAINING["conversion_window_sensitivity"] = f"""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        ), t0s AS (
+          SELECT user_id, min(us) AS t0
+          FROM ev WHERE event_type = 'signup' GROUP BY 1
+        ), dts AS (
+          SELECT e.user_id, min(e.us - t.t0) AS dt
+          FROM ev e JOIN t0s t USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.us > t.t0
+          GROUP BY 1
+        ), base AS (
+          SELECT t.user_id, d.dt FROM t0s t
+          LEFT JOIN dts d USING (user_id)
+        ), flat AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 {_CWS_CONDS}
+          FROM base
+        )
+        SELECT CAST(window_days AS INT) AS window_days, n_users,
+               n_converted,
+               round(cast(n_converted as double)
+                     / cast(n_users as double), 6) AS conversion
+        FROM (
+{_CWS_ROWS}
+        )
+    """
+
+_TSP_VALUES = ", ".join(f"({int(b)})" for b in TSP_BATCH_SIZES)
+
+ORACLE_TRAINING["training_step_plan"] = f"""
+        WITH docs AS (
+          SELECT {_BUCKET_SQL} AS b,
+                 CAST(len(list_filter(string_split(text, ' '),
+                     x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), split AS (
+          SELECT CASE WHEN b < {_PIPE_TRAIN} THEN 'train'
+                      WHEN b < {_PIPE_VAL} THEN 'val'
+                      ELSE 'test' END AS split,
+                 n_tokens
+          FROM docs
+        ), per AS (
+          SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS tokens
+          FROM split GROUP BY 1
+        ), grid AS (
+          SELECT p.split, p.n_docs, p.tokens,
+                 (p.tokens + {_TSP_SEQ_LEN - 1}) // {_TSP_SEQ_LEN}
+                   AS n_seqs,
+                 CAST(g.bs AS INT) AS batch_size
+          FROM per p CROSS JOIN (VALUES {_TSP_VALUES}) g(bs)
+        )
+        SELECT split, batch_size, n_docs, tokens,
+               CAST(n_seqs AS BIGINT) AS n_seqs,
+               CAST(n_seqs // batch_size AS BIGINT) AS steps_per_epoch,
+               CAST(n_seqs % batch_size AS BIGINT) AS seqs_dropped,
+               round(cast(n_seqs % batch_size as double)
+                     / cast(n_seqs as double), 6) AS drop_fraction
+        FROM grid
+    """

@@ -2627,6 +2627,17 @@ ORACLE["city_transitivity"] = f"""
 QUERIES["weekday_anova"] = ML.weekday_anova
 QUERIES["interevent_burstiness"] = ML.interevent_burstiness
 QUERIES["markov_entropy_rate"] = ML.markov_entropy_rate
+QUERIES["cohort_retention_matrix"] = ML.cohort_retention_matrix
+QUERIES["ratio_metric_ci"] = ML.ratio_metric_ci
+QUERIES["wasserstein_price_shift"] = ML.wasserstein_price_shift
+QUERIES["geo_core_points"] = R.geo_core_points
+QUERIES["readability_scores"] = T.readability_scores
+QUERIES["stylometry_delta"] = T.stylometry_delta
+QUERIES["cramers_v_matrix"] = ML.cramers_v_matrix
+QUERIES["optimal_histogram_bins"] = ML.optimal_histogram_bins
+QUERIES["p_chart_days"] = ML.p_chart_days
+QUERIES["conversion_window_sensitivity"] = ML.conversion_window_sensitivity
+QUERIES["training_step_plan"] = P.training_step_plan
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------

@@ -336,3 +336,126 @@ def test_transitivity_vs_local_clustering(spark, sf_oracle_dir):
             assert -1e-9 <= r.transitivity <= 1.0 + 1e-9
         # every triangle contains exactly 3 wedges
         assert 3 * r.triangles <= r.wedges
+
+
+def test_cohort_retention_monotone_k0(spark, sf_dir):
+    rows = QUERIES["cohort_retention_matrix"](spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert 0.0 < r.retention <= 1.0
+        assert r.n_active <= r.n_cohort
+        by_cohort.setdefault(r.cohort_month_idx, {})[r.months_since] = r
+    for _, ks in by_cohort.items():
+        # month 0 contains every cohort member by construction
+        assert ks[0].retention == 1.0
+
+
+def test_ratio_metric_ci_contains_ratio(spark, sf_dir):
+    rows = QUERIES["ratio_metric_ci"](spark, sf_dir).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.ci_lo <= r.cents_per_event <= r.ci_hi
+        assert r.se >= 0.0
+
+
+def test_wasserstein_vs_numpy(spark, sf_dir):
+    import duckdb
+    import numpy as np
+
+    row = QUERIES["wasserstein_price_shift"](spark, sf_dir).collect()[0]
+    d = duckdb.sql(
+        f"""SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_a
+            FROM '{sf_dir}/orders.parquet'"""
+    ).df()
+    a = np.sort(d[d.is_a].cents.to_numpy())
+    b = np.sort(d[~d.is_a].cents.to_numpy())
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    ref = float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(grid)))
+    assert abs(row.w1_cents - ref) < 1e-2
+    assert 0.0 <= row.w1_normalized <= 1.0
+
+
+def test_geo_core_points_neighbor_symmetry(spark, sf_dir):
+    pdf = QUERIES["geo_core_points"](spark, sf_dir).toPandas()
+    assert pdf.s_suppkey.is_unique
+    # total neighbor relation is symmetric -> even sum
+    assert int(pdf.n_neighbors.sum()) % 2 == 0
+    for _, r in pdf.iterrows():
+        assert r.is_core == (r.n_neighbors >= 3)
+
+
+def test_readability_scores_sane(spark, sf_dir):
+    rows = QUERIES["readability_scores"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words > 0 and r.n_syllables > 0
+        assert r.n_sentences >= r.n_docs  # floor of 1 per doc
+        assert -200.0 < r.flesch_ease < 207.0
+
+
+def test_stylometry_delta_symmetric_nonneg(spark, sf_dir):
+    rows = QUERIES["stylometry_delta"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert r.delta >= 0.0
+        assert 0 < r.n_words <= 50
+        seen.add((r.source_a, r.source_b))
+    assert len(seen) == len(rows)
+
+
+def test_cramers_v_in_unit_interval(spark, sf_dir):
+    rows = QUERIES["cramers_v_matrix"](spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0.0 <= r.cramers_v <= 1.0 + 1e-6
+        assert r.chi2 >= 0.0
+
+
+def test_histogram_bins_positive(spark, sf_dir):
+    rows = QUERIES["optimal_histogram_bins"](spark, sf_dir).collect()
+    assert {r.measure for r in rows} == {"order_price", "event_value"}
+    for r in rows:
+        assert r.bins_sturges > 0
+        if r.bins_fd is not None:
+            assert r.bins_fd > 0
+            # FD typically recommends more bins than Sturges at scale
+            assert r.bins_fd >= 1
+
+
+def test_p_chart_limits_bracket_center(spark, sf_dir):
+    rows = QUERIES["p_chart_days"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.lcl <= r.p_bar <= r.ucl <= 1.0
+        assert 0.0 <= r.p_hat <= 1.0
+        assert r.x <= r.n
+
+
+def test_conversion_window_monotone(spark, sf_dir):
+    rows = sorted(
+        QUERIES["conversion_window_sensitivity"](spark, sf_dir).collect(),
+        key=lambda r: r.window_days,
+    )
+    assert [r.window_days for r in rows] == [1, 3, 7, 14]
+    convs = [r.conversion for r in rows]
+    # wider window can only capture more conversions
+    assert convs == sorted(convs)
+    for r in rows:
+        assert r.n_converted <= r.n_users
+
+
+def test_training_step_plan_consistency(spark, sf_dir):
+    rows = QUERIES["training_step_plan"](spark, sf_dir).collect()
+    assert {r.split for r in rows} == {"train", "val", "test"}
+    for r in rows:
+        assert r.n_seqs == -(-r.tokens // 512)
+        assert r.steps_per_epoch == r.n_seqs // r.batch_size
+        assert r.seqs_dropped == r.n_seqs % r.batch_size
+        # == 1.0 when the split is smaller than one global batch
+        assert 0.0 <= r.drop_fraction <= 1.0
