@@ -1591,3 +1591,238 @@ def conversion_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("conversion"),
     )
+
+
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between daily order count and daily revenue — the
+    fully tie-aware rank association completing the correlation shelf
+    (Pearson `corr_matrix`, Spearman `spearman_price_qty`): τ-b counts
+    concordant/discordant day pairs, so it is EXACT integer arithmetic
+    end to end, no ranks needed.
+
+    S = C − D over all day pairs; τ_b = S / √((n₀−n₁)(n₀−n₂)) with the
+    standard tie terms — every count a bigint, the denominator one
+    double √ at the surface.
+
+    Scale shape: facts collapse to the calendar-bounded day grid; the
+    pair join broadcasts the grid against itself (days², fact-size
+    independent).
+    """
+    d = read_table(spark, sf_dir, "orders").groupBy(
+        F.expr("datediff(o_orderdate, date '1970-01-01')").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    a = d.select(
+        F.col("d").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = d.select(
+        F.col("d").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    # sign(Δx)·sign(Δy), never sign(Δx·Δy): the cross product of a count
+    # delta and a cents delta overflows int64 at fact scale (and Spark's
+    # ANSI mode throws on overflow rather than wrapping)
+    pairs = a.join(F.broadcast(b), F.col("db") > F.col("da")).select(
+        F.expr(
+            "cast(sign(xb - xa) as bigint)"
+            " * cast(sign(yb - ya) as bigint)"
+        ).alias("cmp")
+    )
+    cd = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.sum(F.expr("if(cmp = 1, 1L, 0L)")).cast("bigint").alias("c"),
+        F.sum(F.expr("if(cmp = -1, 1L, 0L)")).cast("bigint").alias("dd"),
+    )
+    tx = (
+        d.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(F.expr("t * (t - 1) div 2")).cast("bigint").alias("n1")
+        )
+    )
+    ty = (
+        d.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(F.expr("t * (t - 1) div 2")).cast("bigint").alias("n2")
+        )
+    )
+    return (
+        cd.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            "n0",
+            F.expr("c - dd").alias("s"),
+            "n1",
+            "n2",
+            F.round(
+                F.expr(
+                    "cast(c - dd as double)"
+                    " / sqrt(cast(n0 - n1 as double)"
+                    "        * cast(n0 - n2 as double))"
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+    )
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test on the daily order-count
+    series: S = Σ_{i<j} sign(x_j − x_i) with the tie-corrected variance
+    (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18 and the continuity-corrected z —
+    the nonparametric significance test for the direction
+    `theilsen_daily_trend` estimates.
+
+    S, n, and the tie sum are exact integers; z is one fixed double
+    expression (S shifted toward zero by 1 per the standard
+    correction).
+
+    Scale shape: day-grid pair join (calendar-bounded broadcast) + a
+    distinct-count tie rollup.
+    """
+    d = read_table(spark, sf_dir, "orders").groupBy(
+        F.expr("datediff(o_orderdate, date '1970-01-01')").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    a = d.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = d.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    s = (
+        a.join(F.broadcast(b), F.col("db") > F.col("da"))
+        .agg(
+            F.sum(F.expr("cast(sign(xb - xa) as bigint)"))
+            .cast("bigint")
+            .alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n0"),
+        )
+    )
+    ties = (
+        d.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+            .cast("bigint")
+            .alias("tsum"),
+            F.sum("t").cast("bigint").alias("nd"),
+        )
+    )
+    var = (
+        "(cast(nd as double) * (cast(nd as double) - 1.0)"
+        " * (2.0 * cast(nd as double) + 5.0)"
+        " - cast(tsum as double)) / 18.0"
+    )
+    z = (
+        f"case when s > 0 then (cast(s as double) - 1.0) / sqrt({var})"
+        f" when s < 0 then (cast(s as double) + 1.0) / sqrt({var})"
+        f" else 0.0 end"
+    )
+    return s.crossJoin(F.broadcast(ties)).select(
+        F.col("nd").alias("n_days"),
+        "s",
+        F.round(F.expr(var), 6).alias("var_s"),
+        F.round(F.expr(z), 6).alias("z_stat"),
+    )
+
+
+HILL_K = 200
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-revenue tail index over the top
+    HILL_K order statistics: α̂ = K / Σᵢ ln(xᵢ/x₍K+1₎) — the heavy-tail
+    exponent behind `degree_powerlaw_fit`'s graph version, here for
+    money amounts (is revenue Pareto, and how fat?).
+
+    The (K+1)-th order statistic is found on the distinct-value
+    DESCENDING CDF (an integer containment decision, tie-exact:
+    boundary rows contribute ln(thr/thr) = 0, so only v > thr terms
+    matter).  Each value's ln(v/thr) term is nano-quantized and
+    multiplied by its exact count, summed as exact integers; the final
+    α is one division.
+
+    Scale shape: distinct-value CDF window (value-domain bounded) + a
+    1-row fold; no fact-side sort.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents")
+    )
+    per = o.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    w = (
+        Window.orderBy(F.col("cents").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.withColumn("cumd", F.sum("t").over(w))
+    thr = (
+        cum.where(
+            (F.col("cumd") - F.col("t") < F.lit(HILL_K + 1))
+            & (F.lit(HILL_K + 1) <= F.col("cumd"))
+        )
+        .select(F.col("cents").alias("thr"))
+    )
+    terms = (
+        per.crossJoin(F.broadcast(thr))
+        .where(F.col("cents") > F.col("thr"))
+        .select(
+            "thr",
+            F.expr(
+                "t * cast(round(ln(cast(cents as double)"
+                " / cast(thr as double)) * 1000000000.0) as bigint)"
+            ).alias("nano"),
+            "t",
+        )
+    )
+    return terms.groupBy("thr").agg(
+        F.sum("t").cast("bigint").alias("n_exceed"),
+        F.round(
+            F.expr(
+                f"{HILL_K}.0 / (cast(sum(nano) as double) / 1000000000.0)"
+            ),
+            6,
+        ).alias("hill_alpha"),
+    ).select(
+        F.col("thr").alias("threshold_cents"), "n_exceed", "hill_alpha"
+    )
+
+
+def negbin_fit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit of lines-per-order: the
+    overdispersed count model (r = μ²/(σ²−μ), p = r/(r+μ)) with the
+    dispersion index — the model-selection read on top of
+    `weekday_anova`'s Fano ratio: σ²/μ ≈ 1 says Poisson is enough,
+    > 1 says negative binomial (and r says how far).
+
+    Moments are exact integers (order line counts); every fitted
+    parameter is one fixed double expression; NULL when the data is
+    under-dispersed (σ² ≤ μ — MoM undefined).
+
+    Scale shape: one keyed count aggregate (orders) + a 1-row moment
+    fold.
+    """
+    per = read_table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    mom = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("ss"),
+    )
+    mu = "(cast(s as double) / cast(n as double))"
+    v = f"(cast(ss as double) / cast(n as double) - {mu} * {mu})"
+    r = f"({mu} * {mu} / nullif({v} - {mu}, 0.0))"
+    return mom.select(
+        "n",
+        F.round(F.expr(mu), 6).alias("mean_lines"),
+        F.round(F.expr(v), 6).alias("var_lines"),
+        F.round(F.expr(f"{v} / {mu}"), 6).alias("dispersion_index"),
+        F.round(
+            F.expr(f"if({v} <= {mu}, null, {r})"), 6
+        ).alias("nb_r"),
+        F.round(
+            F.expr(f"if({v} <= {mu}, null, {r} / ({r} + {mu}))"), 6
+        ).alias("nb_p"),
+    )

@@ -6142,3 +6142,127 @@ ORACLE_TRAINING["training_step_plan"] = f"""
                      / cast(n_seqs as double), 6) AS drop_fraction
         FROM grid
     """
+
+# ---------- round-6 rank-association / tail / count-model batch ----------
+
+from .operators.mlstats import HILL_K  # noqa: E402
+
+ORACLE_TRAINING["kendall_tau_daily"] = """
+        WITH d AS (
+          SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS x,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS y
+          FROM orders GROUP BY 1
+        ), pairs AS (
+          SELECT CAST(sign(b.x - a.x) AS BIGINT)
+                 * CAST(sign(b.y - a.y) AS BIGINT) AS cmp
+          FROM d a JOIN d b ON b.d > a.d
+        ), cd AS (
+          SELECT CAST(count(*) AS BIGINT) AS n0,
+                 CAST(sum(CASE WHEN cmp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS c,
+                 CAST(sum(CASE WHEN cmp = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS dd
+          FROM pairs
+        ), tx AS (
+          SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1
+          FROM (SELECT x, count(*) AS t FROM d GROUP BY 1)
+        ), ty AS (
+          SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2
+          FROM (SELECT y, count(*) AS t FROM d GROUP BY 1)
+        )
+        SELECT n0, CAST(c - dd AS BIGINT) AS s, n1, n2,
+               round(cast(c - dd as double)
+                     / sqrt(cast(n0 - n1 as double)
+                            * cast(n0 - n2 as double)), 6) AS tau_b
+        FROM cd CROSS JOIN tx CROSS JOIN ty
+    """
+
+_MK_VAR = (
+    "(cast(nd as double) * (cast(nd as double) - 1.0)"
+    " * (2.0 * cast(nd as double) + 5.0)"
+    " - cast(tsum as double)) / 18.0"
+)
+
+ORACLE_TRAINING["mann_kendall_trend"] = f"""
+        WITH d AS (
+          SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM orders GROUP BY 1
+        ), sp AS (
+          SELECT CAST(sum(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n0
+          FROM d a JOIN d b ON b.d > a.d
+        ), ties AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum,
+                 CAST(sum(t) AS BIGINT) AS nd
+          FROM (SELECT x, CAST(count(*) AS BIGINT) AS t FROM d GROUP BY 1)
+        )
+        SELECT nd AS n_days, s,
+               round({_MK_VAR}, 6) AS var_s,
+               round(CASE WHEN s > 0
+                          THEN (cast(s as double) - 1.0) / sqrt({_MK_VAR})
+                     WHEN s < 0
+                          THEN (cast(s as double) + 1.0) / sqrt({_MK_VAR})
+                     ELSE 0.0 END, 6) AS z_stat
+        FROM sp CROSS JOIN ties
+    """
+
+ORACLE_TRAINING["hill_tail_index"] = f"""
+        WITH o AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ), per AS (
+          SELECT cents, CAST(count(*) AS BIGINT) AS t
+          FROM o GROUP BY 1
+        ), cum AS (
+          SELECT cents, t,
+                 sum(t) OVER (ORDER BY cents DESC ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS cumd
+          FROM per
+        ), thr AS (
+          SELECT cents AS thr FROM cum
+          WHERE cumd - t < {HILL_K + 1} AND {HILL_K + 1} <= cumd
+        ), terms AS (
+          SELECT thr,
+                 t * CAST(round(ln(cast(cents as double)
+                     / cast(thr as double)) * 1000000000.0) AS BIGINT)
+                   AS nano,
+                 t
+          FROM per CROSS JOIN thr
+          WHERE cents > thr
+        )
+        SELECT thr AS threshold_cents,
+               CAST(sum(t) AS BIGINT) AS n_exceed,
+               round({HILL_K}.0
+                     / (cast(sum(nano) as double) / 1000000000.0), 6)
+                   AS hill_alpha
+        FROM terms GROUP BY thr
+    """
+
+_NB_MU = "(cast(s as double) / cast(n as double))"
+_NB_V = f"(cast(ss as double) / cast(n as double) - {_NB_MU} * {_NB_MU})"
+_NB_R = f"({_NB_MU} * {_NB_MU} / nullif({_NB_V} - {_NB_MU}, 0.0))"
+
+ORACLE_TRAINING["negbin_fit_orders"] = f"""
+        WITH per AS (
+          SELECT l_orderkey, CAST(count(*) AS BIGINT) AS x
+          FROM lineitem GROUP BY 1
+        ), mom AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS s,
+                 sum(CAST(x AS HUGEINT) * x) AS ss
+          FROM per
+        )
+        SELECT n,
+               round({_NB_MU}, 6) AS mean_lines,
+               round({_NB_V}, 6) AS var_lines,
+               round({_NB_V} / {_NB_MU}, 6) AS dispersion_index,
+               round(CASE WHEN {_NB_V} <= {_NB_MU} THEN NULL
+                     ELSE {_NB_R} END, 6) AS nb_r,
+               round(CASE WHEN {_NB_V} <= {_NB_MU} THEN NULL
+                     ELSE {_NB_R} / ({_NB_R} + {_NB_MU}) END, 6) AS nb_p
+        FROM mom
+    """

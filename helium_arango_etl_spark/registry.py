@@ -2638,6 +2638,10 @@ QUERIES["optimal_histogram_bins"] = ML.optimal_histogram_bins
 QUERIES["p_chart_days"] = ML.p_chart_days
 QUERIES["conversion_window_sensitivity"] = ML.conversion_window_sensitivity
 QUERIES["training_step_plan"] = P.training_step_plan
+QUERIES["kendall_tau_daily"] = ML.kendall_tau_daily
+QUERIES["mann_kendall_trend"] = ML.mann_kendall_trend
+QUERIES["hill_tail_index"] = ML.hill_tail_index
+QUERIES["negbin_fit_orders"] = ML.negbin_fit_orders
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------
@@ -2650,9 +2654,11 @@ QUERIES["training_step_plan"] = P.training_step_plan
 # tests/test_oracle_parity.py as the regression net.  Still
 # never-certified after this round (rotate in round 6): the 33 deferred
 # round-4 siblings (simhash_near_pairs window comment of r4 + mixture/
-# corpus/session/sketch strays listed in VERDICT r4) and all round-5
+# corpus/session/sketch strays listed in VERDICT r4), all round-5
 # additions (minhash_containment .. spearman_price_qty — see
-# COVERAGE.md round-5 rows).
+# COVERAGE.md round-5 rows), and the round-6 additions
+# (ks_price_test .. negbin_fit_orders — COVERAGE.md round-6 rows); all
+# are green under the local parity mirror at sf0.001 AND sf0.01.
 _DRIVER_WINDOW = [
     # round-5 rotation: the 50 highest-priority never-driver-certified
     # oracled queries (round-4 retrieval/curation/ML-analytics/graph

@@ -586,3 +586,57 @@ def test_dq_report_no_collect_shape(spark, sf_dir):
     plan = plan_of(QUERIES["dq_report"](spark, sf_dir))
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# ---------- round-6 plan pins ----------
+
+
+@pytest.mark.parametrize(
+    ("name", "max_widths"),
+    [
+        ("ks_price_test", 2),        # orders: totalprice, orderpriority
+        ("theilsen_daily_trend", 1), # orders: orderdate only
+        ("corr_matrix", 4),          # lineitem: the four measures
+        ("hill_tail_index", 1),      # orders: totalprice only
+    ],
+)
+def test_round6_column_pruning(spark, sf_dir, name, max_widths):
+    plan = plan_of(QUERIES[name](spark, sf_dir))
+    widths = scan_widths(plan)
+    assert widths and max(widths) <= max_widths, (widths, plan)
+
+
+def test_corr_matrix_single_scan_no_window(spark, sf_dir):
+    """All 15 moments must come from ONE lineitem scan and the unpivot
+    must not introduce a Window or extra Exchange."""
+    plan = plan_of(QUERIES["corr_matrix"](spark, sf_dir))
+    # one ReadSchema == one scan node ("Scan parquet" appears twice per
+    # node: once in the tree, once in the detail section)
+    assert len(scan_widths(plan)) == 1, plan
+    assert "Window" not in plan, plan
+
+
+def test_hhi_and_ols_broadcast_dims(spark, sf_dir):
+    for name in ("hhi_concentration", "ols_price_model", "l_diversity_audit"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+
+
+def test_geo_core_points_is_broadcast_equi_join(spark, sf_dir):
+    """The grid join must stay a broadcast equi-join — a
+    BroadcastNestedLoopJoin here means the cell-bucketing rewrite
+    regressed to the quadratic distance join."""
+    plan = plan_of(QUERIES["geo_core_points"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_memorization_ngrams_shuffles_hashes_only(spark, sf_dir):
+    """No Sort and no text column may cross the exchange: the shuffle
+    keys are md5 digests and counts."""
+    plan = plan_of(QUERIES["memorization_risk_ngrams"](spark, sf_dir))
+    assert "Sort " not in plan.replace("SortMergeJoin", ""), plan
+    ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert ex, plan
+    assert "text" not in " ".join(ex), ex

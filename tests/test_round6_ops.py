@@ -459,3 +459,47 @@ def test_training_step_plan_consistency(spark, sf_dir):
         assert r.seqs_dropped == r.n_seqs % r.batch_size
         # == 1.0 when the split is smaller than one global batch
         assert 0.0 <= r.drop_fraction <= 1.0
+
+
+def test_kendall_tau_vs_scipy_free_recompute(spark, sf_dir):
+    import duckdb
+
+    row = QUERIES["kendall_tau_daily"](spark, sf_dir).collect()[0]
+    d = duckdb.sql(
+        f"""SELECT count(*) AS x,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+            FROM '{sf_dir}/orders.parquet'
+            GROUP BY datediff('day', DATE '1970-01-01', o_orderdate)"""
+    ).df()
+    x = d.x.to_numpy()
+    y = d.y.to_numpy()
+    i, j = np.triu_indices(len(x), k=1)
+    cmp_ = np.sign(x[j] - x[i]) * np.sign(y[j] - y[i])
+    s = int(np.sum(cmp_))
+    assert row.s == s
+    assert -1.0 <= row.tau_b <= 1.0
+
+
+def test_mann_kendall_consistent_with_theilsen(spark, sf_dir):
+    mk = QUERIES["mann_kendall_trend"](spark, sf_dir).collect()[0]
+    ts = QUERIES["theilsen_daily_trend"](spark, sf_dir).collect()[0]
+    # the trend test's direction agrees with the robust slope's sign
+    # (both zero-ish counts as agreement)
+    if abs(mk.z_stat) > 2.0:
+        assert (mk.s > 0) == (ts.trend_per_day > 0)
+
+
+def test_hill_alpha_positive(spark, sf_dir):
+    row = QUERIES["hill_tail_index"](spark, sf_dir).collect()[0]
+    assert row.hill_alpha > 0.0
+    assert row.n_exceed <= 200
+    assert row.threshold_cents > 0
+
+
+def test_negbin_fit_closed_form(spark, sf_dir):
+    row = QUERIES["negbin_fit_orders"](spark, sf_dir).collect()[0]
+    assert row.dispersion_index > 0.0
+    if row.nb_r is not None:
+        mu, r = row.mean_lines, row.nb_r
+        assert abs(row.nb_p - r / (r + mu)) < 1e-4
+        assert r > 0.0
