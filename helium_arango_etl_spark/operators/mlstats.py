@@ -1826,3 +1826,169 @@ def negbin_fit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"if({v} <= {mu}, null, {r} / ({r} + {mu}))"), 6
         ).alias("nb_p"),
     )
+
+
+DP_EPS_GRID = (0.1, 0.5, 1.0, 2.0)
+DP_ERR_T = "10.0"
+
+
+def dp_laplace_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy noise planning for a daily-event-count
+    release: the L1 sensitivity is measured FROM THE DATA (the max
+    events one user contributes to one day — the quantity a bounded-
+    contribution pipeline must clamp), then for each ε candidate the
+    Laplace scale b = Δ/ε, the expected absolute noise (= b), and
+    P(|noise| > 10 counts) = e^(−10/b) — the utility-vs-privacy curve
+    read before choosing ε.  The planning shelf next to
+    `k_anonymity_audit`/`l_diversity_audit`'s syntactic checks.
+
+    Sensitivity is an exact integer max; each grid row is one fixed
+    double expression of it and literal constants.
+
+    Scale shape: one (user, day)-keyed count + max aggregate × a 4-row
+    literal grid.
+    """
+    sens = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.expr("cast(unix_micros(ts) div 86400000000 as bigint)").alias(
+                "d"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.max("c").cast("bigint").alias("sensitivity"))
+    )
+    grid = sens.select(
+        "sensitivity",
+        F.explode(
+            F.array(*[F.lit(e) for e in DP_EPS_GRID])
+        ).alias("epsilon"),
+    )
+    b = "(cast(sensitivity as double) / epsilon)"
+    return grid.select(
+        F.col("epsilon"),
+        "sensitivity",
+        F.round(F.expr(b), 6).alias("laplace_scale"),
+        F.round(F.expr(f"exp(-{DP_ERR_T} / {b})"), 6).alias(
+            "p_err_gt_10"
+        ),
+    )
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Freedman–Diaconis histogram itself (bins_fd from
+    `optimal_histogram_bins`, realized): equal-width bins over order
+    price with per-bin counts — the ONE aggregation pass the profiler
+    plan promised, exactly as wide as the FD rule says.
+
+    Bin width h = (max−min)/bins is a fixed double expression of exact
+    integers; assignment least(bins−1, floor((v−min)/h)) is identical
+    IEEE arithmetic in both engines.
+
+    Scale shape: the stats pass is a 1-row aggregate broadcast into a
+    per-row bin expression; the histogram is one keyed count — two
+    scans total, both column-pruned to the measure.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v")
+    )
+    st_ = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("v").cast("bigint").alias("v_min"),
+        F.max("v").cast("bigint").alias("v_max"),
+        F.expr("percentile(v, 0.25)").alias("q1"),
+        F.expr("percentile(v, 0.75)").alias("q3"),
+    )
+    h = f"(2.0 * (q3 - q1) / pow(cast(n as double), {HIST_CBRT}))"
+    bins = f"cast(ceil(cast(v_max - v_min as double) / {h}) as bigint)"
+    binned = o.crossJoin(F.broadcast(st_)).select(
+        "v_min",
+        "v_max",
+        F.expr(bins).alias("n_bins"),
+        F.expr(
+            f"least({bins} - 1,"
+            f" cast(floor(cast(v - v_min as double)"
+            f" / (cast(v_max - v_min as double) / {bins})) as bigint))"
+        ).alias("bin"),
+    )
+    return binned.groupBy("bin", "v_min", "v_max", "n_bins").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).select(
+        "bin",
+        "n_bins",
+        F.round(
+            F.expr(
+                "cast(v_min as double) + bin"
+                " * (cast(v_max - v_min as double)"
+                " / cast(n_bins as double))"
+            ),
+            6,
+        ).alias("bin_lo_cents"),
+        "cnt",
+    )
+
+
+AMS_K = 16
+
+
+def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon–Matias–Szegedy 1996)
+    over the event user stream: K estimators Zₖ = Σᵤ sₖ(u)·fᵤ with md5
+    sign hashes sₖ ∈ {−1, +1}; each Zₖ² is an unbiased F₂ estimate and
+    the mean is the sketch's answer — reported NEXT TO the exact
+    F₂ = Σfᵤ² and the relative error, so the operator is its own
+    accuracy audit (the sketch shelf's frequency-moment member beside
+    HLL's F₀ and CMS's point counts).
+
+    The sign of estimator k for user u is the low bit of
+    md5(k || '|' || u) — deterministic, engine-portable, and the reason
+    this sketch is oracle-checkable at all.  All sums are exact
+    integers; the estimate and error are fixed double expressions.
+
+    Scale shape: one user-keyed count, a K-way literal explode of the
+    (user, count) table (K·users rows, keyed sum — map-side
+    combinable), and exact F₂ from the same base.
+    """
+    per = read_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    exact = per.agg(
+        F.sum(F.expr("cast(f as decimal(38,0)) * f")).alias("f2_exact"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    ks = per.select(
+        "user_id",
+        "f",
+        F.explode(
+            F.array(*[F.lit(int(k)) for k in range(AMS_K)])
+        ).alias("k"),
+    )
+    signed = ks.select(
+        "k",
+        F.expr(
+            "if(conv(substring(md5(concat(cast(k as string), '|',"
+            " cast(user_id as string))), 32, 1), 16, 10) % 2 = 0,"
+            " f, -f)"
+        ).alias("sf"),
+    )
+    z = signed.groupBy("k").agg(F.sum("sf").cast("bigint").alias("z"))
+    est = z.agg(
+        F.sum(F.expr("cast(z as decimal(38,0)) * z")).alias("zz"),
+        F.count(F.lit(1)).cast("bigint").alias("kk"),
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("n_users"),
+        F.expr("cast(f2_exact as bigint)").alias("f2_exact"),
+        F.round(
+            F.expr("cast(zz as double) / cast(kk as double)"), 6
+        ).alias("f2_estimate"),
+        F.round(
+            F.expr(
+                "abs(cast(zz as double) / cast(kk as double)"
+                " - cast(f2_exact as double))"
+                " / cast(f2_exact as double)"
+            ),
+            6,
+        ).alias("rel_error"),
+    )

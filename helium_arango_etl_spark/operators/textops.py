@@ -2083,3 +2083,63 @@ def stylometry_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("delta"),
     )
+
+
+def phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search (position-adjacent term pair) for the
+    corpus' most frequent word bigram — what `inverted_index`'s
+    bag-of-words postings cannot answer: "these two words ADJACENT, in
+    this order".  Emits every matching document with its occurrence
+    count, plus the phrase itself for the audit trail.
+
+    The target bigram is chosen deterministically (max count, then
+    lexicographic order); occurrences are counted with a positional
+    fold over the token array (1-based element_at / list indexing —
+    identical semantics in both engines), so no positional posting
+    list needs to shuffle.
+
+    Scale shape: bigram counts are vocabulary²-bounded keyed
+    aggregates; the match pass is one per-row codegen'd fold with the
+    2-word phrase broadcast.
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).withColumn("t", F.expr(TOKS))
+    big = docs.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) < 2 THEN array()"
+                " ELSE transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                " element_at(t, i + 1) AS w2)) END"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    top = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), "w1", "w2")
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("w1", "w2")
+    )
+    hits = docs.crossJoin(F.broadcast(top)).select(
+        "doc_id",
+        "w1",
+        "w2",
+        F.expr(
+            "CASE WHEN size(t) < 2 THEN cast(0 as bigint)"
+            " ELSE cast(size(filter(sequence(1, size(t) - 1),"
+            " i -> element_at(t, i) = w1"
+            " and element_at(t, i + 1) = w2)) as bigint) END"
+        ).alias("n_occurrences"),
+    )
+    return hits.where(F.col("n_occurrences") > 0).select(
+        "doc_id",
+        F.concat_ws(" ", "w1", "w2").alias("phrase"),
+        "n_occurrences",
+    )

@@ -6266,3 +6266,116 @@ ORACLE_TRAINING["negbin_fit_orders"] = f"""
                      ELSE {_NB_R} / ({_NB_R} + {_NB_MU}) END, 6) AS nb_p
         FROM mom
     """
+
+# ---------- round-6 DP-planning / histogram / AMS / phrase batch ----------
+
+from .operators.mlstats import AMS_K, DP_EPS_GRID, DP_ERR_T  # noqa: E402
+
+_DP_B = "(cast(sensitivity as double) / epsilon)"
+_DP_VALUES = ", ".join(f"({e})" for e in DP_EPS_GRID)
+
+ORACLE_TRAINING["dp_laplace_plan"] = f"""
+        WITH per AS (
+          SELECT user_id,
+                 CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ), sens AS (
+          SELECT CAST(max(c) AS BIGINT) AS sensitivity FROM per
+        ), grid AS (
+          SELECT sensitivity, CAST(epsilon AS DOUBLE) AS epsilon
+          FROM sens CROSS JOIN (VALUES {_DP_VALUES}) AS g(epsilon)
+        )
+        SELECT epsilon, sensitivity,
+               round({_DP_B}, 6) AS laplace_scale,
+               round(exp(-{DP_ERR_T} / {_DP_B}), 6) AS p_err_gt_10
+        FROM grid
+    """
+
+_PH_H = f"(2.0 * (q3 - q1) / pow(cast(n as double), {HIST_CBRT}))"
+_PH_BINS = (
+    f"CAST(ceil(cast(v_max - v_min as double) / {_PH_H}) AS BIGINT)"
+)
+
+ORACLE_TRAINING["price_histogram"] = f"""
+        WITH o AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders
+        ), st AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(min(v) AS BIGINT) AS v_min,
+                 CAST(max(v) AS BIGINT) AS v_max,
+                 quantile_cont(v, 0.25) AS q1,
+                 quantile_cont(v, 0.75) AS q3
+          FROM o
+        ), binned AS (
+          SELECT v_min, v_max, {_PH_BINS} AS n_bins,
+                 least({_PH_BINS} - 1,
+                       CAST(floor(cast(v - v_min as double)
+                            / (cast(v_max - v_min as double)
+                               / {_PH_BINS})) AS BIGINT)) AS bin
+          FROM o CROSS JOIN st
+        )
+        SELECT bin, n_bins,
+               round(cast(v_min as double) + bin
+                     * (cast(v_max - v_min as double)
+                        / cast(n_bins as double)), 6) AS bin_lo_cents,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM binned GROUP BY bin, v_min, v_max, n_bins
+    """
+
+ORACLE_TRAINING["ams_f2_sketch"] = f"""
+        WITH per AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS f
+          FROM events GROUP BY 1
+        ), exact AS (
+          SELECT sum(CAST(f AS HUGEINT) * f) AS f2_exact,
+                 CAST(count(*) AS BIGINT) AS n_users
+          FROM per
+        ), ks AS (
+          SELECT k,
+                 CASE WHEN strpos('02468ace',
+                        substr(md5(CAST(k AS VARCHAR) || '|'
+                               || CAST(user_id AS VARCHAR)), 32, 1)) > 0
+                      THEN f ELSE -f END AS sf
+          FROM per CROSS JOIN (SELECT unnest(range(0, {AMS_K})) AS k)
+        ), z AS (
+          SELECT k, CAST(sum(sf) AS BIGINT) AS z FROM ks GROUP BY 1
+        ), est AS (
+          SELECT sum(CAST(z AS HUGEINT) * z) AS zz,
+                 CAST(count(*) AS BIGINT) AS kk
+          FROM z
+        )
+        SELECT n_users, CAST(f2_exact AS BIGINT) AS f2_exact,
+               round(cast(zz as double) / cast(kk as double), 6)
+                   AS f2_estimate,
+               round(abs(cast(zz as double) / cast(kk as double)
+                         - cast(f2_exact as double))
+                     / cast(f2_exact as double), 6) AS rel_error
+        FROM est CROSS JOIN exact
+    """
+
+ORACLE_TRAINING["phrase_match_docs"] = f"""
+        WITH docs AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+        ), big AS (
+          SELECT unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+                 unnest(list_slice(t, 2, len(t))) AS w2
+          FROM docs
+        ), cnt AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+          FROM big GROUP BY 1, 2
+        ), top AS (
+          SELECT w1, w2 FROM cnt
+          QUALIFY row_number() OVER (ORDER BY cnt DESC, w1, w2) = 1
+        ), hits AS (
+          SELECT d.doc_id, p.w1, p.w2,
+                 CASE WHEN len(t) < 2 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(len(list_filter(range(1, len(t)),
+                             i -> t[i] = p.w1 AND t[i + 1] = p.w2))
+                        AS BIGINT) END AS n_occurrences
+          FROM docs d CROSS JOIN top p
+        )
+        SELECT doc_id, w1 || ' ' || w2 AS phrase, n_occurrences
+        FROM hits WHERE n_occurrences > 0
+    """

@@ -2642,6 +2642,10 @@ QUERIES["kendall_tau_daily"] = ML.kendall_tau_daily
 QUERIES["mann_kendall_trend"] = ML.mann_kendall_trend
 QUERIES["hill_tail_index"] = ML.hill_tail_index
 QUERIES["negbin_fit_orders"] = ML.negbin_fit_orders
+QUERIES["dp_laplace_plan"] = ML.dp_laplace_plan
+QUERIES["price_histogram"] = ML.price_histogram
+QUERIES["ams_f2_sketch"] = ML.ams_f2_sketch
+QUERIES["phrase_match_docs"] = T.phrase_match_docs
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------
