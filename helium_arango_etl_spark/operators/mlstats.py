@@ -1992,3 +1992,235 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_error"),
     )
+
+
+ISO_BINS = 20
+PACF_LAGS = (1, 2, 3)
+# Durbin-Levinson closed forms over the lag-1..3 autocorrelations —
+# shared with the DuckDB oracle so both engines evaluate the identical
+# double expression tree over identically-derived r1/r2/r3.
+PACF_PHI22 = "((r2 - r1 * r1) / (1.0 - r1 * r1))"
+_PACF_PHI21 = f"(r1 * (1.0 - {PACF_PHI22}))"
+PACF_PHI33 = (
+    f"((r3 - {_PACF_PHI21} * r2 - {PACF_PHI22} * r1)"
+    f" / (1.0 - {_PACF_PHI21} * r1 - {PACF_PHI22} * r2))"
+)
+ABSORB_STEPS = 8
+ABSORB_TARGET = "purchase"
+
+
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (PAVA fit) of the high-priority share over
+    order-price bins — the calibration step a classifier pipeline runs
+    between raw scores and decisions (Zadrozny & Elkan 2002): the
+    monotone step function closest (L2) to the per-bin rates.
+
+    Instead of the sequential pool-adjacent-violators sweep, the fit is
+    computed by PAVA's minimax characterization — g(t) = max_{i<=t}
+    min_{j>=t} mean(y_i..y_j) — which is pure joins/aggregates over the
+    BIN-indexed prefix sums, so the whole fit is declarative (no UDF,
+    no driver loop).  Bin assignment is exact integer arithmetic
+    ((v - v_min) div w with w = span div B + 1); every prefix sum is an
+    exact bigint; segment means are single double divisions of exact
+    integers, so min/max comparisons agree bit-for-bit across engines.
+
+    Scale shape: one fact pass to a B-row bin table (B = 20); the
+    minimax runs over O(B^2) segment means joined to a B-row grid —
+    driver-free and broadcast-sized regardless of fact scale.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v"),
+        F.expr(
+            "if(o_orderpriority in ('1-URGENT', '2-HIGH'), 1L, 0L)"
+        ).alias("y"),
+    )
+    st_ = o.agg(
+        F.min("v").cast("bigint").alias("v_min"),
+        F.max("v").cast("bigint").alias("v_max"),
+    )
+    bins = (
+        o.crossJoin(F.broadcast(st_))
+        .select(
+            F.expr(
+                f"(v - v_min) div ((v_max - v_min) div {ISO_BINS} + 1)"
+            ).alias("bin"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("s"),
+        )
+    )
+    w = Window.orderBy("bin")
+    cum = bins.select(
+        "bin",
+        "n",
+        "s",
+        F.row_number().over(w).alias("r"),
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+        F.sum("s").over(w).cast("bigint").alias("cs"),
+    )
+    lo = cum.select(
+        F.col("r").alias("i0"), F.col("cn").alias("n0"), F.col("cs").alias("s0")
+    ).unionByName(
+        spark.range(1).select(
+            F.lit(0).alias("i0"),
+            F.lit(0).cast("bigint").alias("n0"),
+            F.lit(0).cast("bigint").alias("s0"),
+        )
+    )
+    seg = (
+        cum.select(
+            F.col("r").alias("j"), F.col("cn").alias("nj"), F.col("cs").alias("sj")
+        )
+        .join(F.broadcast(lo), F.expr("i0 < j"))
+        .select(
+            F.expr("i0 + 1").alias("i"),
+            "j",
+            F.expr(
+                "cast(sj - s0 as double) / cast(nj - n0 as double)"
+            ).alias("avg_ij"),
+        )
+    )
+    grid = cum.select(F.col("r").alias("t"), "bin", "n", "s")
+    inner = (
+        seg.join(F.broadcast(grid.select("t")), F.expr("i <= t and j >= t"))
+        .groupBy("t", "i")
+        .agg(F.min("avg_ij").alias("mn"))
+    )
+    iso = inner.groupBy("t").agg(F.max("mn").alias("iso"))
+    return (
+        grid.join(iso, "t")
+        .select(
+            "bin",
+            "n",
+            F.round(F.expr("cast(s as double) / cast(n as double)"), 6).alias(
+                "raw_rate"
+            ),
+            F.round(F.col("iso"), 6).alias("iso_rate"),
+        )
+    )
+
+
+def pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily order-count series at lags
+    1-3 via the Durbin-Levinson recursion unrolled to closed form —
+    the AR-order selection read next to `autocorrelation_daily`'s ACF
+    (an AR(p) series shows PACF cutting off after lag p while the ACF
+    tails; together they pick the forecast model family).
+
+    Each lag's autocorrelation is the pairwise-complete Pearson over
+    the sparse day grid (exact integer moments, the ACF_LAGS
+    discipline, documented deviation from the equal-n textbook form);
+    phi_22/phi_33 are fixed double expressions of r1..r3 shared
+    verbatim with the oracle.
+
+    Scale shape: calendar-bounded day grid, 3-way literal lag explode,
+    one broadcast self-join, one 3-row moment aggregate folded to a
+    single row.
+    """
+    d = read_table(spark, sf_dir, "orders").groupBy(
+        F.expr("datediff(o_orderdate, date '1970-01-01')").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    lags = d.select(
+        "d",
+        "c",
+        F.explode(F.array(*[F.lit(k) for k in PACF_LAGS])).alias("lag"),
+    )
+    prev = d.select(F.col("d").alias("dp"), F.col("c").alias("cp"))
+    j = lags.join(F.broadcast(prev), F.expr("dp = d - lag")).select(
+        "lag", "c", "cp"
+    )
+    mom = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("cast(c as decimal(38,0))")).alias("s_a"),
+        F.sum(F.expr("cast(cp as decimal(38,0))")).alias("s_b"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * c")).alias("ss_a"),
+        F.sum(F.expr("cast(cp as decimal(38,0)) * cp")).alias("ss_b"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * cp")).alias("sx_a_b"),
+    )
+    r = mom.select("lag", F.expr(corr_pair_expr("a", "b")).alias("r"))
+    piv = r.agg(
+        *[
+            F.max(F.expr(f"if(lag = {k}, r, null)")).alias(f"r{k}")
+            for k in PACF_LAGS
+        ]
+    )
+    return piv.select(
+        F.round("r1", 6).alias("acf_1"),
+        F.round("r2", 6).alias("acf_2"),
+        F.round("r3", 6).alias("acf_3"),
+        F.round("r1", 6).alias("pacf_1"),
+        F.round(F.expr(PACF_PHI22), 6).alias("pacf_2"),
+        F.round(F.expr(PACF_PHI33), 6).alias("pacf_3"),
+    )
+
+
+def markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorption probability of the per-user event-type Markov chain:
+    for every current state, the probability of reaching a purchase
+    within ABSORB_STEPS transitions under the empirical transition
+    matrix — the "how close is this state to converting" companion to
+    `markov_stationary`'s long-run occupancy and
+    `markov_entropy_rate`'s predictability number.
+
+    The value iteration h_{k+1}(a) = sum_b T(a,b) * (b = target ? 1 :
+    h_k(b)) runs entirely in quantized integer space: h is carried as
+    nano-probability bigints, each step's numerator sum_b c_ab * h_b is
+    an EXACT bigint sum (order-independent), and the single division by
+    c_a re-rounds to integer nanos — so all ABSORB_STEPS iterations are
+    bit-identical across engines and the oracle can unroll them as
+    CTEs.
+
+    Scale shape: one keyed lag window over facts to a |types|^2
+    transition table, then ABSORB_STEPS broadcast-sized self-joins over
+    that |types|-bounded state vector.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    tr = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("a"), F.col("event_type").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    tr = tr.persist()
+    marg = tr.groupBy("a").agg(F.sum("c_ab").cast("bigint").alias("c_a"))
+    h = marg.select(F.col("a").alias("st"), F.lit(0).cast("bigint").alias("h"))
+    for _ in range(ABSORB_STEPS):
+        h = (
+            tr.join(F.broadcast(h), tr["b"] == h["st"], "left")
+            .join(F.broadcast(marg), "a")
+            .groupBy("a", "c_a")
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"c_ab * if(b = '{ABSORB_TARGET}', 1000000000L,"
+                        " coalesce(h, 0L))"
+                    )
+                ).cast("bigint").alias("num")
+            )
+            .select(
+                F.col("a").alias("st"),
+                F.expr(
+                    "cast(round(cast(num as double) / cast(c_a as double))"
+                    " as bigint)"
+                ).alias("h"),
+            )
+        )
+    return (
+        h.join(marg, h["st"] == marg["a"])
+        .select(
+            F.col("st").alias("state"),
+            F.col("c_a").alias("n_out"),
+            F.round(
+                F.expr("cast(h as double) / 1000000000.0"), 6
+            ).alias(f"p_absorb_{ABSORB_STEPS}"),
+        )
+    )

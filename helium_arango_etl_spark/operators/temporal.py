@@ -1418,3 +1418,54 @@ def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def event_precedence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-precedence matrix over event types: for every ordered
+    pair (a, b), how many users have BOTH event types, and in what
+    share of those users the first a strictly precedes the first b —
+    the microsecond-exact "what leads to what" read that
+    `top_session_paths` (adjacent steps) and `windowed_funnel` (one
+    fixed sequence) cannot give, because it compares FIRST occurrences
+    across the full history of every pair.
+
+    Ties (first a and first b in the same microsecond) count toward
+    neither direction, so p_a_first(a,b) + p_a_first(b,a) <= 1 with
+    the deficit = tie share; all counts are exact integers and the
+    share is one division at the surface.
+
+    Scale shape: one (user, type)-keyed min aggregate, one user-keyed
+    self-join bounded by |types| rows per user per side, one
+    |types|^2-row aggregate.
+    """
+    firsts = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min(F.unix_micros("ts")).alias("us0"))
+    )
+    a = firsts.select(
+        "user_id", F.col("event_type").alias("a"), F.col("us0").alias("us_a")
+    )
+    b = firsts.select(
+        "user_id", F.col("event_type").alias("b"), F.col("us0").alias("us_b")
+    )
+    pairs = a.join(b, "user_id").where(F.col("a") != F.col("b"))
+    return (
+        pairs.groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_both"),
+            F.sum(F.expr("if(us_a < us_b, 1L, 0L)"))
+            .cast("bigint")
+            .alias("n_a_first"),
+        )
+        .select(
+            "a",
+            "b",
+            "n_both",
+            "n_a_first",
+            F.round(
+                F.expr("cast(n_a_first as double) / cast(n_both as double)"),
+                6,
+            ).alias("p_a_first"),
+        )
+    )

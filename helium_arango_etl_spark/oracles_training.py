@@ -6379,3 +6379,149 @@ ORACLE_TRAINING["phrase_match_docs"] = f"""
         SELECT doc_id, w1 || ' ' || w2 AS phrase, n_occurrences
         FROM hits WHERE n_occurrences > 0
     """
+
+# ---------- round-6 isotonic / PACF / absorption / precedence batch ----------
+
+from .operators.mlstats import (  # noqa: E402
+    ABSORB_STEPS,
+    ABSORB_TARGET,
+    ISO_BINS,
+    PACF_LAGS,
+    PACF_PHI22,
+    PACF_PHI33,
+)
+
+ORACLE_TRAINING["isotonic_calibration"] = f"""
+        WITH o AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                 CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END AS y
+          FROM orders
+        ), st AS (
+          SELECT CAST(min(v) AS BIGINT) AS v_min,
+                 CAST(max(v) AS BIGINT) AS v_max
+          FROM o
+        ), bins AS (
+          SELECT (v - v_min) // ((v_max - v_min) // {ISO_BINS} + 1) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS s
+          FROM o CROSS JOIN st GROUP BY 1
+        ), cum AS (
+          SELECT bin, n, s,
+                 CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS r,
+                 CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+                 CAST(sum(s) OVER (ORDER BY bin) AS BIGINT) AS cs
+          FROM bins
+        ), lo AS (
+          SELECT r AS i0, cn AS n0, cs AS s0 FROM cum
+          UNION ALL
+          SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        ), seg AS (
+          SELECT l.i0 + 1 AS i, c.r AS j,
+                 cast(c.cs - l.s0 as double)
+                 / cast(c.cn - l.n0 as double) AS avg_ij
+          FROM cum c JOIN lo l ON l.i0 < c.r
+        ), inner_min AS (
+          SELECT g.r AS t, seg.i, min(seg.avg_ij) AS mn
+          FROM seg JOIN cum g ON seg.i <= g.r AND seg.j >= g.r
+          GROUP BY 1, 2
+        ), iso AS (
+          SELECT t, max(mn) AS iso FROM inner_min GROUP BY 1
+        )
+        SELECT g.bin, g.n,
+               round(cast(g.s as double) / cast(g.n as double), 6)
+                   AS raw_rate,
+               round(i.iso, 6) AS iso_rate
+        FROM cum g JOIN iso i ON i.t = g.r
+    """
+
+_PACF_VALUES = ", ".join(f"({k})" for k in PACF_LAGS)
+_PACF_RS = ",\n               ".join(
+    f"max(CASE WHEN lag = {k} THEN r END) AS r{k}" for k in PACF_LAGS
+)
+
+ORACLE_TRAINING["pacf_daily"] = f"""
+        WITH d AS (
+          SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1
+        ), j AS (
+          SELECT l.lag, a.c AS c, b.c AS cp
+          FROM d a
+          CROSS JOIN (VALUES {_PACF_VALUES}) AS l(lag)
+          JOIN d b ON b.d = a.d - l.lag
+        ), mom AS (
+          SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(c AS HUGEINT)) AS s_a,
+                 sum(CAST(cp AS HUGEINT)) AS s_b,
+                 sum(CAST(c AS HUGEINT) * c) AS ss_a,
+                 sum(CAST(cp AS HUGEINT) * cp) AS ss_b,
+                 sum(CAST(c AS HUGEINT) * cp) AS sx_a_b
+          FROM j GROUP BY 1
+        ), r AS (
+          SELECT lag, {corr_pair_expr('a', 'b', 'HUGEINT')} AS r FROM mom
+        ), piv AS (
+          SELECT {_PACF_RS} FROM r
+        )
+        SELECT round(r1, 6) AS acf_1, round(r2, 6) AS acf_2,
+               round(r3, 6) AS acf_3, round(r1, 6) AS pacf_1,
+               round({PACF_PHI22}, 6) AS pacf_2,
+               round({PACF_PHI33}, 6) AS pacf_3
+        FROM piv
+    """
+
+_ABS_PARTS = [f"""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+          FROM events
+        ), lagged AS (
+          SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id) AS a,
+                 event_type AS b
+          FROM ev
+        ), tr AS (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+          FROM lagged WHERE a IS NOT NULL GROUP BY 1, 2
+        ), marg AS (
+          SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM tr GROUP BY 1
+        ), h0 AS (
+          SELECT a AS st, CAST(0 AS BIGINT) AS h FROM marg
+        )"""]
+for _k in range(ABSORB_STEPS):
+    _ABS_PARTS.append(f""", h{_k + 1} AS (
+          SELECT t.a AS st,
+                 CAST(round(cast(sum(t.c_ab
+                        * CASE WHEN t.b = '{ABSORB_TARGET}'
+                               THEN 1000000000
+                               ELSE coalesce(h.h, 0) END) as double)
+                      / cast(m.c_a as double)) AS BIGINT) AS h
+          FROM tr t
+          JOIN marg m ON m.a = t.a
+          LEFT JOIN h{_k} h ON h.st = t.b
+          GROUP BY t.a, m.c_a
+        )""")
+_ABS_PARTS.append(f"""
+        SELECT h.st AS state, m.c_a AS n_out,
+               round(cast(h.h as double) / 1000000000.0, 6)
+                   AS p_absorb_{ABSORB_STEPS}
+        FROM h{ABSORB_STEPS} h JOIN marg m ON m.a = h.st
+    """)
+ORACLE_TRAINING["markov_absorption"] = "".join(_ABS_PARTS)
+
+ORACLE_TRAINING["event_precedence_matrix"] = """
+        WITH firsts AS (
+          SELECT user_id, event_type, min(epoch_us(ts)) AS us0
+          FROM events GROUP BY 1, 2
+        )
+        SELECT a.event_type AS a, b.event_type AS b,
+               CAST(count(*) AS BIGINT) AS n_both,
+               CAST(sum(CASE WHEN a.us0 < b.us0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a_first,
+               round(cast(sum(CASE WHEN a.us0 < b.us0 THEN 1 ELSE 0 END)
+                          as double) / cast(count(*) as double), 6)
+                   AS p_a_first
+        FROM firsts a
+        JOIN firsts b ON b.user_id = a.user_id
+                     AND a.event_type <> b.event_type
+        GROUP BY 1, 2
+    """

@@ -2646,6 +2646,10 @@ QUERIES["dp_laplace_plan"] = ML.dp_laplace_plan
 QUERIES["price_histogram"] = ML.price_histogram
 QUERIES["ams_f2_sketch"] = ML.ams_f2_sketch
 QUERIES["phrase_match_docs"] = T.phrase_match_docs
+QUERIES["isotonic_calibration"] = ML.isotonic_calibration
+QUERIES["pacf_daily"] = ML.pacf_daily
+QUERIES["markov_absorption"] = ML.markov_absorption
+QUERIES["event_precedence_matrix"] = TP.event_precedence_matrix
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------

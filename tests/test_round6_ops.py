@@ -503,3 +503,82 @@ def test_negbin_fit_closed_form(spark, sf_dir):
         mu, r = row.mean_lines, row.nb_r
         assert abs(row.nb_p - r / (r + mu)) < 1e-4
         assert r > 0.0
+
+
+def test_isotonic_calibration_is_monotone_and_pooled(spark, sf_dir):
+    rows = sorted(
+        QUERIES["isotonic_calibration"](spark, sf_dir).collect(),
+        key=lambda r: r.bin,
+    )
+    iso = [r.iso_rate for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(iso, iso[1:]))
+    assert all(0.0 <= v <= 1.0 for v in iso)
+    # PAVA preserves the weighted mean of the fitted sequence
+    n = [r.n for r in rows]
+    raw = [r.raw_rate for r in rows]
+    w_raw = sum(ni * ri for ni, ri in zip(n, raw)) / sum(n)
+    w_iso = sum(ni * vi for ni, vi in zip(n, iso)) / sum(n)
+    assert abs(w_raw - w_iso) < 1e-4
+
+
+def test_isotonic_matches_sklearn_style_pava(spark, sf_dir):
+    """Independent sequential PAVA (pool-adjacent-violators sweep) must
+    agree with the declarative minimax form."""
+    rows = sorted(
+        QUERIES["isotonic_calibration"](spark, sf_dir).collect(),
+        key=lambda r: r.bin,
+    )
+    blocks = []  # (sum_y_estimate*n via raw-rate, n)
+    for r in rows:
+        s, n = r.raw_rate * r.n, r.n
+        blocks.append([s, n])
+        while len(blocks) > 1 and (
+            blocks[-2][0] * blocks[-1][1] > blocks[-1][0] * blocks[-2][1]
+        ):
+            s1, n1 = blocks.pop()
+            blocks[-1][0] += s1
+            blocks[-1][1] += n1
+    # expand: each block covers as many bins as merged
+    fit = []
+    i = 0
+    for s, n in blocks:
+        covered = 0
+        while covered < n - 1e-6:
+            covered += rows[i].n
+            fit.append(s / n)
+            i += 1
+    assert len(fit) == len(rows)
+    for got, r in zip(fit, rows):
+        assert abs(got - r.iso_rate) < 1e-4
+
+
+def test_pacf_lag1_equals_acf_lag1(spark, sf_dir):
+    row = QUERIES["pacf_daily"](spark, sf_dir).collect()[0]
+    assert row.pacf_1 == row.acf_1
+    for v in (row.pacf_1, row.pacf_2, row.pacf_3):
+        assert -1.0 - 1e-9 <= v <= 1.0 + 1e-9
+
+
+def test_markov_absorption_bounds_and_growth(spark, sf_dir):
+    from helium_arango_etl_spark.operators.mlstats import ABSORB_STEPS
+
+    rows = QUERIES["markov_absorption"](spark, sf_dir).collect()
+    col = f"p_absorb_{ABSORB_STEPS}"
+    assert rows
+    for r in rows:
+        assert 0.0 <= r[col] <= 1.0
+        assert r.n_out > 0
+    # with a purchase event type present, some state must have a
+    # nonzero absorption probability within 8 steps
+    assert any(r[col] > 0.0 for r in rows)
+
+
+def test_event_precedence_antisymmetry(spark, sf_dir):
+    rows = QUERIES["event_precedence_matrix"](spark, sf_dir).collect()
+    by_key = {(r.a, r.b): r for r in rows}
+    for (a, b), r in by_key.items():
+        mirror = by_key[(b, a)]
+        assert mirror.n_both == r.n_both
+        # strict-precedence counts can't double-count: ties go to neither
+        assert r.n_a_first + mirror.n_a_first <= r.n_both
+        assert 0.0 <= r.p_a_first <= 1.0
