@@ -1058,3 +1058,43 @@ def part_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("ni / cast(nu as double)"), 6).alias("name_jaccard"),
         F.round(F.expr("score_micro / 1e6"), 6).alias("match_score"),
     )
+
+
+PREFIX_CLUSTER_W = 16
+
+
+def prefix_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix clusters: documents grouped by their first
+    PREFIX_CLUSTER_W characters, reporting every cluster with ≥ 2
+    members — the cheap detector for templated openings (scraped
+    headers, license banners, generation prompts) that near-dup LSH
+    underweights because the shared span is a tiny fraction of the
+    document.  Production pipelines strip or downsample these clusters
+    before MinHash so banner-sharing docs don't flood the bands.
+
+    Determinism: the cluster key is an exact md5 of the exact prefix;
+    member counts, char sums and the min doc id are exact integers.
+
+    Scale shape: ONE shuffle of (16-byte key, doc_id, n_chars) triples —
+    bodies never move; the ≥2 filter drops the singleton long tail
+    before the surface.  At 100 TB the same plan holds: the key space is
+    bounded by distinct prefixes, and a hot boilerplate key concentrates
+    into one combiner-folded group, not a pair explosion.
+    """
+    w = PREFIX_CLUSTER_W
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("n_chars") >= w
+    ).select(
+        F.expr(f"md5(substring(text, 1, {w}))").alias("prefix_key"),
+        "doc_id",
+        "n_chars",
+    )
+    return (
+        docs.groupBy("prefix_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

@@ -2096,3 +2096,77 @@ def city_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("transitivity"),
     )
+
+
+RICH_CLUB_KS = (1, 2, 4, 8, 16)
+
+
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the per-city co-witness graph: for each
+    degree threshold k, the edge density φ(k) = 2·E_k / (N_k·(N_k−1))
+    among hotspots with co-witness degree ≥ k (Zhou & Mondragón 2004) —
+    a rising φ(k) means the best-connected hotspots preferentially
+    interconnect (a dense core the per-node metrics can't see).  Reads
+    next to `degree_powerlaw_fit` (degree tail) and
+    `city_assortativity` (pairwise mixing).
+
+    Determinism: degrees, node counts and edge counts are exact
+    integers off the distinct co-witness pair set; φ is one division,
+    rounded at the surface; NULL for degenerate clubs (N_k < 2).
+
+    Scale shape: pairs come from the group-local projection (never an
+    edge self-join); degrees are one keyed count; the k-grid is a
+    4-literal explode over the degree table; club edges are two
+    broadcast-sized degree joins + a |cities|×|grid| rollup.
+    """
+    pairs = co_witness_pairs(spark, sf_dir).select(
+        "city_key", "src_a", "src_b"
+    )
+    deg = (
+        pairs.select("city_key", F.col("src_a").alias("node"))
+        .unionByName(pairs.select("city_key", F.col("src_b").alias("node")))
+        .groupBy("city_key", "node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    kgrid = F.array(*[F.lit(k) for k in RICH_CLUB_KS])
+    nodes_k = (
+        deg.select("city_key", "deg", F.explode(kgrid).alias("k"))
+        .where(F.col("deg") >= F.col("k"))
+        .groupBy("city_key", "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    da = deg.select(
+        "city_key", F.col("node").alias("src_a"), F.col("deg").alias("deg_a")
+    )
+    db = deg.select(
+        "city_key", F.col("node").alias("src_b"), F.col("deg").alias("deg_b")
+    )
+    edges_k = (
+        pairs.join(da, ["city_key", "src_a"])
+        .join(db, ["city_key", "src_b"])
+        .select(
+            "city_key",
+            F.explode(kgrid).alias("k"),
+            "deg_a",
+            "deg_b",
+        )
+        .where((F.col("deg_a") >= F.col("k")) & (F.col("deg_b") >= F.col("k")))
+        .groupBy("city_key", "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )
+    return (
+        nodes_k.join(edges_k, ["city_key", "k"], "left")
+        .select(
+            "city_key",
+            F.col("k").cast("bigint").alias("k"),
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).cast("bigint").alias("n_edges"),
+            F.round(
+                F.expr(
+                    "cast(2 * coalesce(n_edges, 0L) as double)"
+                    " / cast(nullif(n_nodes * (n_nodes - 1), 0L) as double)"
+                ),
+                6,
+            ).alias("phi"),
+        )
+    )

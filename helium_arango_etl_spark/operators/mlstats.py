@@ -2224,3 +2224,400 @@ def markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"p_absorb_{ABSORB_STEPS}"),
         )
     )
+
+
+# ---------- Welch t-test (shared expression trees) ----------
+#
+# All expressions below are format strings over the pivoted exact-integer
+# moment columns (n_a, s_a, ss_a, n_b, s_b, ss_b); the oracle imports
+# them and instantiates with big='HUGEINT' so both engines evaluate the
+# identical double expression tree over identical integers.
+
+def welch_mean_expr(g: str) -> str:
+    return f"(cast(s_{g} as double) / cast(n_{g} as double))"
+
+
+def welch_var_expr(g: str, big: str) -> str:
+    """Unbiased sample variance from exact integer moments."""
+    return (
+        f"(cast(cast(n_{g} as {big}) * ss_{g} - cast(s_{g} as {big}) * s_{g}"
+        f" as double) / (cast(n_{g} as double) * cast(n_{g} - 1 as double)))"
+    )
+
+
+def welch_se2_expr(big: str) -> str:
+    return (
+        f"({welch_var_expr('a', big)} / cast(n_a as double)"
+        f" + {welch_var_expr('b', big)} / cast(n_b as double))"
+    )
+
+
+def welch_t_expr(big: str) -> str:
+    return (
+        f"(({welch_mean_expr('a')} - {welch_mean_expr('b')})"
+        f" / sqrt({welch_se2_expr(big)}))"
+    )
+
+
+def welch_df_expr(big: str) -> str:
+    """Welch-Satterthwaite effective degrees of freedom."""
+    va_n = f"({welch_var_expr('a', big)} / cast(n_a as double))"
+    vb_n = f"({welch_var_expr('b', big)} / cast(n_b as double))"
+    se2 = welch_se2_expr(big)
+    return (
+        f"(({se2} * {se2}) / ({va_n} * {va_n} / cast(n_a - 1 as double)"
+        f" + {vb_n} * {vb_n} / cast(n_b - 1 as double)))"
+    )
+
+
+def welch_ttest_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between purchase and click event
+    values — the default two-sample mean test (Welch 1947): unlike the
+    pooled-variance Student t it stays calibrated when the two arms have
+    different spreads and sizes, which real event values always do.  The
+    Satterthwaite df says which t distribution the statistic should be
+    referred to.  Completes the location-test shelf next to the exact
+    z (`conversion_ztest`), rank (`mannwhitney_value_test`) and
+    distribution (`ks_price_test` / `wasserstein_price_shift`) tests.
+
+    Determinism: values enter as exact integer cents; each arm's three
+    moments (n, Σx, Σx²) are exact wide integers; mean/variance/t/df are
+    ONE shared double expression tree (module constants, imported by the
+    oracle) over those integers — bit-identical across engines.
+
+    Scale shape: one fact scan folded to a 2-row moment aggregate,
+    pivoted to a single row; the test itself is O(1).
+    """
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.expr("if(event_type = 'purchase', 'a', 'b')").alias("g"),
+        F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+    )
+    mom = ev.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("cast(cents as decimal(38,0))")).alias("s"),
+        F.sum(F.expr("cast(cents as decimal(38,0)) * cents")).alias("ss"),
+    )
+    piv = mom.agg(
+        *[
+            F.max(F.expr(f"if(g = '{g}', {c}, null)")).alias(f"{c}_{g}")
+            for g in ("a", "b")
+            for c in ("n", "s", "ss")
+        ]
+    )
+    big = "decimal(38,0)"
+    return piv.select(
+        F.col("n_a").alias("n_purchase"),
+        F.col("n_b").alias("n_click"),
+        F.round(F.expr(welch_mean_expr("a")), 6).alias("mean_purchase"),
+        F.round(F.expr(welch_mean_expr("b")), 6).alias("mean_click"),
+        F.round(F.expr(welch_t_expr(big)), 6).alias("t_welch"),
+        F.round(F.expr(welch_df_expr(big)), 6).alias("df_welch"),
+    )
+
+
+# ---------- Jarque-Bera normality (shared expression trees) ----------
+#
+# Central moments from raw power sums; cents² is computed as an exact
+# bigint FIRST (c ≤ ~6e7 so c² < 2⁶³) and only the wide casts ride the
+# aggregation, keeping Σc³/Σc⁴ exact at any SF that fits 38 digits.
+
+_JB_ND = "cast(n as double)"
+_JB_MU = f"(cast(s1 as double) / {_JB_ND})"
+JB_M2 = f"(cast(s2 as double) / {_JB_ND} - {_JB_MU} * {_JB_MU})"
+JB_M3 = (
+    f"(cast(s3 as double) / {_JB_ND}"
+    f" - 3.0 * {_JB_MU} * (cast(s2 as double) / {_JB_ND})"
+    f" + 2.0 * {_JB_MU} * {_JB_MU} * {_JB_MU})"
+)
+JB_M4 = (
+    f"(cast(s4 as double) / {_JB_ND}"
+    f" - 4.0 * {_JB_MU} * (cast(s3 as double) / {_JB_ND})"
+    f" + 6.0 * {_JB_MU} * {_JB_MU} * (cast(s2 as double) / {_JB_ND})"
+    f" - 3.0 * {_JB_MU} * {_JB_MU} * {_JB_MU} * {_JB_MU})"
+)
+JB_SKEW = f"({JB_M3} / ({JB_M2} * sqrt({JB_M2})))"
+JB_KURT = f"({JB_M4} / ({JB_M2} * {JB_M2}) - 3.0)"
+JB_STAT = (
+    f"({_JB_ND} / 6.0 * ({JB_SKEW} * {JB_SKEW}"
+    f" + {JB_KURT} * {JB_KURT} / 4.0))"
+)
+
+
+def jarque_bera_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of order totals per priority class —
+    skewness and excess kurtosis from exact raw moments plus the omnibus
+    JB = n/6·(g₁² + g₂²/4) statistic (χ²₂ under normality).  The
+    model-assumption audit read before trusting the t/z family on a
+    measure: heavy tails here say "use the rank or robust tests".
+
+    Determinism: cents are exact integers; c² is an exact bigint before
+    the wide-integer power sums (Σc, Σc², Σc³, Σc⁴ all exact); the
+    skew/kurt/JB surface is one shared double expression tree (module
+    constants, oracle-imported) over those integers.
+
+    Scale shape: one scan, one |priorities|-row moment aggregate; the
+    statistics are O(1) per group.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("c"),
+        F.expr(
+            "cast(round(o_totalprice * 100) as bigint)"
+            " * cast(round(o_totalprice * 100) as bigint)"
+        ).alias("c2"),
+    )
+    mom = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("cast(c as decimal(38,0))")).alias("s1"),
+        F.sum(F.expr("cast(c2 as decimal(38,0))")).alias("s2"),
+        F.sum(F.expr("cast(c2 as decimal(38,0)) * c")).alias("s3"),
+        F.sum(F.expr("cast(c2 as decimal(38,0)) * c2")).alias("s4"),
+    )
+    return mom.select(
+        F.col("o_orderpriority").alias("priority"),
+        "n",
+        F.round(F.expr(JB_SKEW), 6).alias("skewness"),
+        F.round(F.expr(JB_KURT), 6).alias("excess_kurtosis"),
+        F.round(F.expr(JB_STAT), 6).alias("jb_stat"),
+    )
+
+
+# ---------- Wilson score interval (shared expression trees) ----------
+
+_WZ2 = "(1.96 * 1.96)"
+WILSON_P = "(cast(x as double) / cast(n as double))"
+_WDEN = f"(1.0 + {_WZ2} / cast(n as double))"
+WILSON_CENTER = f"(({WILSON_P} + {_WZ2} / (2.0 * cast(n as double))) / {_WDEN})"
+WILSON_HALF = (
+    f"(1.96 * sqrt({WILSON_P} * (1.0 - {WILSON_P}) / cast(n as double)"
+    f" + {_WZ2} / (4.0 * cast(n as double) * cast(n as double))) / {_WDEN})"
+)
+
+
+def wilson_ci_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% interval for the per-variant user conversion
+    share — the binomial CI that stays inside [0, 1] and behaves at
+    small n / extreme p where the Wald interval collapses (Wilson 1927;
+    the interval behind every honest A/B readout).  Pairs with
+    `conversion_ztest` (the test) and `ab_power_mde` (the plan).
+
+    Determinism: numerator and denominator are exact distinct-user
+    counts; center and half-width are one shared double expression tree
+    (module constants, oracle-imported) over (x, n).
+
+    Scale shape: one user-keyed conversion rollup (combiner-folded),
+    then a 2-row variant aggregate.
+    """
+    per_user = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.expr("user_id % 2").alias("variant"), F.col("user_id"))
+        .agg(
+            F.max(
+                F.expr("if(event_type = 'purchase', 1L, 0L)")
+            ).alias("converted")
+        )
+    )
+    agg = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("x"),
+    )
+    return agg.select(
+        "variant",
+        "n",
+        F.col("x").alias("conversions"),
+        F.round(F.expr(WILSON_P), 6).alias("p_hat"),
+        F.round(F.expr(f"{WILSON_CENTER} - {WILSON_HALF}"), 6).alias(
+            "wilson_lo"
+        ),
+        F.round(F.expr(f"{WILSON_CENTER} + {WILSON_HALF}"), 6).alias(
+            "wilson_hi"
+        ),
+    )
+
+
+# ---------- Mahalanobis outliers (shared expression trees) ----------
+#
+# Price-cents second moments exceed 2⁶³ at sf0.1, so every moment rides
+# a wide integer (decimal(38,0) Spark-side, HUGEINT in the oracle) and
+# the expressions are parametrized by the engine's wide type — the
+# corr_pair_expr discipline.
+
+MAHA_K = 25
+
+
+def maha_d2_expr(big: str) -> str:
+    nd = "cast(n as double)"
+    mux = f"(cast(sx as double) / {nd})"
+    muy = f"(cast(sy as double) / {nd})"
+    cxx = (
+        f"(cast(cast(n as {big}) * sxx - cast(sx as {big}) * sx as double)"
+        f" / ({nd} * {nd}))"
+    )
+    cyy = (
+        f"(cast(cast(n as {big}) * syy - cast(sy as {big}) * sy as double)"
+        f" / ({nd} * {nd}))"
+    )
+    cxy = (
+        f"(cast(cast(n as {big}) * sxy - cast(sx as {big}) * sy as double)"
+        f" / ({nd} * {nd}))"
+    )
+    det = f"({cxx} * {cyy} - {cxy} * {cxy})"
+    dx = f"(cast(x as double) - {mux})"
+    dy = f"(cast(y as double) - {muy})"
+    return (
+        f"(({cyy} * {dx} * {dx}"
+        f" - 2.0 * {cxy} * {dx} * {dy}"
+        f" + {cxx} * {dy} * {dy}) / {det})"
+    )
+
+
+def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K bivariate Mahalanobis outliers over (quantity, price) line
+    items — the covariance-aware distance that catches points ordinary
+    per-column z-scores miss (a high price is normal FOR a high
+    quantity; Mahalanobis scores the pair against the joint ellipse via
+    the closed-form 2×2 inverse).  The multivariate companion of
+    `value_outliers`' univariate flags.
+
+    Determinism: quantity and cents are exact integers; the five global
+    moments are exact bigints (n·Σ products stay < 2⁶³ through SF100 —
+    documented bound); d² is ONE shared double expression tree over
+    those integers, so the descending order and the K-boundary are the
+    same in both engines; ties broken by (orderkey, linenumber).
+
+    Scale shape: 1-row moment aggregate broadcast into a per-row
+    codegen'd distance, then a global top-K (TakeOrderedAndProject —
+    map-side partial top-K, never a full sort).
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("cast(round(l_quantity) as bigint)").alias("x"),
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("y"),
+    )
+    st_ = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("cast(x as decimal(38,0))")).alias("sx"),
+        F.sum(F.expr("cast(y as decimal(38,0))")).alias("sy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("cast(y as decimal(38,0)) * y")).alias("syy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * y")).alias("sxy"),
+    )
+    return (
+        li.crossJoin(F.broadcast(st_))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("x").alias("quantity"),
+            F.col("y").alias("price_cents"),
+            F.expr(maha_d2_expr("decimal(38,0)")).alias("d2_raw"),
+        )
+        .orderBy(
+            F.col("d2_raw").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .limit(MAHA_K)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "quantity",
+            "price_cents",
+            F.round(F.col("d2_raw"), 6).alias("mahalanobis_d2"),
+        )
+    )
+
+
+# ---------- Chow structural-break test (shared expression trees) ----------
+
+def chow_sse_expr(g: str) -> str:
+    """Two-variable OLS SSE from exact centered integer moments:
+    SSE = (Cyy - Cxy²/Cxx) / n with C.. = n·Σab - Σa·Σb (exact bigints;
+    day indices and daily counts keep every product < 2⁶³ at any SF)."""
+    cxx = f"cast(n_{g} * sxx_{g} - sx_{g} * sx_{g} as double)"
+    cxy = f"cast(n_{g} * sxy_{g} - sx_{g} * sy_{g} as double)"
+    cyy = f"cast(n_{g} * syy_{g} - sy_{g} * sy_{g} as double)"
+    return (
+        f"(({cyy} - {cxy} * {cxy} / nullif({cxx}, 0.0))"
+        f" / cast(n_{g} as double))"
+    )
+
+
+CHOW_F = (
+    f"((((sse_p) - (sse_1) - (sse_2)) / 2.0)"
+    f" / (((sse_1) + (sse_2)) / (cast(n_p as double) - 4.0)))"
+)
+
+
+def chow_break_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow (1960) structural-break F-test of the daily order-count
+    trend at the integer midpoint of the date span: do the two halves
+    follow the SAME linear trend, or did the data-generating process
+    change?  The hypothesis-test companion of `best_changepoint` (which
+    finds the split; Chow says whether ANY split is significant) and
+    the trend tests (`theilsen_daily_trend`, `mann_kendall_trend`).
+
+    Determinism: the split day is exact integer midpoint arithmetic
+    (min + (max-min) div 2 — the div discipline every midpoint op
+    follows); all six moments per segment are exact bigints from one
+    conditional aggregate; pooled moments are the exact sums of the
+    segment moments; SSE and F are one shared double expression tree.
+
+    Scale shape: one fact scan to the day grid, a broadcast 1-row
+    midpoint, one 1-row conditional moment aggregate.
+    """
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr("datediff(o_orderdate, date '1970-01-01')").alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    mid = daily.agg(
+        F.expr("min(d) + (max(d) - min(d)) div 2").alias("mid")
+    )
+    seg = daily.crossJoin(F.broadcast(mid)).select(
+        F.expr("if(d < mid, 1, 2)").alias("g"), "d", "c", "mid"
+    )
+    mom = seg.groupBy().agg(
+        F.max("mid").alias("break_day"),
+        *[
+            a
+            for g in (1, 2)
+            for a in (
+                F.sum(F.expr(f"if(g = {g}, 1L, 0L)")).alias(f"n_{g}"),
+                F.sum(F.expr(f"if(g = {g}, d, 0L)")).alias(f"sx_{g}"),
+                F.sum(F.expr(f"if(g = {g}, c, 0L)")).alias(f"sy_{g}"),
+                F.sum(F.expr(f"if(g = {g}, d * d, 0L)")).alias(f"sxx_{g}"),
+                F.sum(F.expr(f"if(g = {g}, c * c, 0L)")).alias(f"syy_{g}"),
+                F.sum(F.expr(f"if(g = {g}, d * c, 0L)")).alias(f"sxy_{g}"),
+            )
+        ],
+    )
+    pooled = mom.select(
+        "break_day",
+        *[F.col(f"{c}_1") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")],
+        *[F.col(f"{c}_2") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")],
+        *[
+            F.expr(f"{c}_1 + {c}_2").alias(f"{c}_p")
+            for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+        ],
+    )
+    sse = pooled.select(
+        "break_day",
+        "n_p",
+        F.col("n_1").alias("n_pre"),
+        F.col("n_2").alias("n_post"),
+        F.expr(chow_sse_expr("p")).alias("sse_p"),
+        F.expr(chow_sse_expr("1")).alias("sse_1"),
+        F.expr(chow_sse_expr("2")).alias("sse_2"),
+    )
+    return sse.select(
+        "break_day",
+        F.col("n_p").alias("n_days"),
+        "n_pre",
+        "n_post",
+        F.round("sse_p", 6).alias("sse_pooled"),
+        F.round(F.expr("sse_1 + sse_2"), 6).alias("sse_segments"),
+        F.round(F.expr(CHOW_F), 6).alias("chow_f"),
+    )

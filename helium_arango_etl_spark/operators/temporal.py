@@ -1469,3 +1469,82 @@ def event_precedence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_a_first"),
         )
     )
+
+
+# shared OLS-over-quantized-log expressions for retention_decay_fit —
+# moments are exact bigints (offsets and nano-quantized log shares);
+# the oracle imports these so both engines evaluate identical trees.
+RDF_SLOPE_NANO = (
+    "(cast(n * sdl - sd * sl as double)"
+    " / cast(n * sdd - sd * sd as double))"
+)
+RDF_SLOPE = f"({RDF_SLOPE_NANO} / 1000000000.0)"
+RDF_INTERCEPT = (
+    f"((cast(sl as double) - {RDF_SLOPE_NANO} * cast(sd as double))"
+    " / cast(n as double) / 1000000000.0)"
+)
+RDF_HALF_LIFE = (
+    f"if({RDF_SLOPE} < 0.0, ln(2.0) / (0.0 - {RDF_SLOPE}),"
+    " cast(null as double))"
+)
+
+
+def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay fit of pooled user retention: the share of
+    all users active again d days after their first day, fitted as
+    ln(share) = a + b·d by closed-form OLS over the day-offset grid —
+    the one-number summary (decay rate, half-life) of the
+    `cohort_retention` triangle that product models plug into LTV
+    projections.  A good fit (retention is near-geometric) justifies
+    the single-parameter churn models downstream.
+
+    Determinism: shares are exact integer ratios; ln(share) is
+    quantized to nano units BEFORE the moment sums so the OLS moments
+    are exact bigint arithmetic (order-independent); slope/intercept/
+    half-life are one shared double expression tree (module constants,
+    oracle-imported).
+
+    Scale shape: the same two keyed aggregates as `cohort_retention`
+    pooled over cohorts (user-keyed min + distinct activity join),
+    folded to a ≤|days| grid, then a 1-row moment aggregate.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    activity = ev.distinct()
+    first_seen = activity.groupBy("user_id").agg(
+        F.min("day").alias("day0")
+    )
+    n_users = first_seen.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    offsets = (
+        activity.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            F.datediff("day", "day0").cast("bigint").alias("d"),
+        )
+        .where(F.col("d") >= 1)
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+    pts = offsets.crossJoin(F.broadcast(n_users)).select(
+        "d",
+        F.expr(
+            "cast(round(ln(cast(n_active as double)"
+            " / cast(n_users as double)) * 1000000000.0) as bigint)"
+        ).alias("l"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum("l").cast("bigint").alias("sl"),
+        F.sum(F.expr("d * d")).cast("bigint").alias("sdd"),
+        F.sum(F.expr("d * l")).cast("bigint").alias("sdl"),
+    )
+    return mom.select(
+        F.col("n").alias("n_points"),
+        F.round(F.expr(RDF_SLOPE), 6).alias("decay_rate"),
+        F.round(F.expr(RDF_INTERCEPT), 6).alias("log_intercept"),
+        F.round(F.expr(RDF_HALF_LIFE), 6).alias("half_life_days"),
+    )

@@ -2143,3 +2143,62 @@ def phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", "w1", "w2").alias("phrase"),
         "n_occurrences",
     )
+
+
+INTRADOC_NGRAM_K = 5
+
+
+def intradoc_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition audit per source: the share of word
+    5-grams that are REPEATS inside their own document (1 − distinct/
+    total), pooled per source — the self-repetition signal (boilerplate
+    loops, templated spans, degenerate generations) that the corpus-wide
+    dedup family cannot see because it compares documents to EACH OTHER.
+    The per-source pooled rate is the quality gate a pretraining
+    pipeline thresholds on (Rae et al. 2021's repetition filters).
+
+    Determinism: gram totals and distinct counts are exact integers
+    computed per document (array ops, no shuffle of gram strings); the
+    pooled share is one division at the surface.
+
+    Scale shape: grams never leave their row — size() and
+    array_distinct() fold inside the projection, so the only shuffle is
+    the |sources|-row rollup.
+    """
+    k = INTRADOC_NGRAM_K
+    grams = read_table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(
+            f"CASE WHEN size({TOKS}) < {k} THEN array()"
+            f" ELSE transform(sequence(1, size({TOKS}) - {k - 1}),"
+            f" i -> concat_ws(' ', slice({TOKS}, i, {k}))) END"
+        ).alias("g"),
+    )
+    per_doc = grams.select(
+        "source",
+        F.expr("cast(size(g) as bigint)").alias("n_grams"),
+        F.expr("cast(size(array_distinct(g)) as bigint)").alias("n_distinct"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.expr("if(n_grams >= 1, 1L, 0L)")).alias("n_docs_scored"),
+            F.sum("n_grams").cast("bigint").alias("total_grams"),
+            F.sum("n_distinct").cast("bigint").alias("distinct_grams"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_docs_scored",
+            "total_grams",
+            "distinct_grams",
+            F.round(
+                F.expr(
+                    "1.0 - cast(distinct_grams as double)"
+                    " / cast(nullif(total_grams, 0L) as double)"
+                ),
+                6,
+            ).alias("dup_share"),
+        )
+    )

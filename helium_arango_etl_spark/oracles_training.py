@@ -6525,3 +6525,274 @@ ORACLE_TRAINING["event_precedence_matrix"] = """
                      AND a.event_type <> b.event_type
         GROUP BY 1, 2
     """
+
+# ---------- round-7 stats / structure batch ----------
+
+from .operators.mlstats import (  # noqa: E402
+    CHOW_F,
+    JB_KURT,
+    JB_SKEW,
+    JB_STAT,
+    MAHA_K,
+    WILSON_CENTER,
+    WILSON_HALF,
+    WILSON_P,
+    chow_sse_expr,
+    maha_d2_expr,
+    welch_df_expr,
+    welch_mean_expr,
+    welch_t_expr,
+)
+from .operators.temporal import (  # noqa: E402
+    RDF_HALF_LIFE,
+    RDF_INTERCEPT,
+    RDF_SLOPE,
+)
+from .operators.textops import INTRADOC_NGRAM_K
+from .operators.dedup import PREFIX_CLUSTER_W
+from .operators.graph import RICH_CLUB_KS
+
+ORACLE_TRAINING["welch_ttest_values"] = f"""
+        WITH ev AS (
+          SELECT CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS g,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type IN ('purchase', 'click')
+        ), mom AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(cents AS HUGEINT)) AS s,
+                 sum(CAST(cents AS HUGEINT) * cents) AS ss
+          FROM ev GROUP BY 1
+        ), piv AS (
+          SELECT max(CASE WHEN g = 'a' THEN n END) AS n_a,
+                 max(CASE WHEN g = 'a' THEN s END) AS s_a,
+                 max(CASE WHEN g = 'a' THEN ss END) AS ss_a,
+                 max(CASE WHEN g = 'b' THEN n END) AS n_b,
+                 max(CASE WHEN g = 'b' THEN s END) AS s_b,
+                 max(CASE WHEN g = 'b' THEN ss END) AS ss_b
+          FROM mom
+        )
+        SELECT n_a AS n_purchase, n_b AS n_click,
+               round({welch_mean_expr('a')}, 6) AS mean_purchase,
+               round({welch_mean_expr('b')}, 6) AS mean_click,
+               round({welch_t_expr('HUGEINT')}, 6) AS t_welch,
+               round({welch_df_expr('HUGEINT')}, 6) AS df_welch
+        FROM piv
+    """
+
+ORACLE_TRAINING["jarque_bera_priority"] = f"""
+        WITH o AS (
+          SELECT o_orderpriority,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                 CAST(round(o_totalprice * 100) AS BIGINT)
+                   * CAST(round(o_totalprice * 100) AS BIGINT) AS c2
+          FROM orders
+        ), mom AS (
+          SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(c AS HUGEINT)) AS s1,
+                 sum(CAST(c2 AS HUGEINT)) AS s2,
+                 sum(CAST(c2 AS HUGEINT) * c) AS s3,
+                 sum(CAST(c2 AS HUGEINT) * c2) AS s4
+          FROM o GROUP BY 1
+        )
+        SELECT o_orderpriority AS priority, n,
+               round({JB_SKEW}, 6) AS skewness,
+               round({JB_KURT}, 6) AS excess_kurtosis,
+               round({JB_STAT}, 6) AS jb_stat
+        FROM mom
+    """
+
+ORACLE_TRAINING["wilson_ci_variants"] = f"""
+        WITH pu AS (
+          SELECT user_id % 2 AS variant, user_id,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS converted
+          FROM events GROUP BY 1, 2
+        ), agg AS (
+          SELECT variant, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(converted) AS BIGINT) AS x
+          FROM pu GROUP BY 1
+        )
+        SELECT variant, n, x AS conversions,
+               round({WILSON_P}, 6) AS p_hat,
+               round({WILSON_CENTER} - {WILSON_HALF}, 6) AS wilson_lo,
+               round({WILSON_CENTER} + {WILSON_HALF}, 6) AS wilson_hi
+        FROM agg
+    """
+
+ORACLE_TRAINING["mahalanobis_outliers"] = f"""
+        WITH li AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(round(l_quantity) AS BIGINT) AS x,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+          FROM lineitem
+        ), st AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) AS syy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy
+          FROM li
+        )
+        SELECT l_orderkey, l_linenumber, x AS quantity, y AS price_cents,
+               round({maha_d2_expr('HUGEINT')}, 6) AS mahalanobis_d2
+        FROM li CROSS JOIN st
+        ORDER BY {maha_d2_expr('HUGEINT')} DESC, l_orderkey, l_linenumber
+        LIMIT {MAHA_K}
+    """
+
+_CHOW_MOMS = ",\n                 ".join(
+    f"CAST(sum(CASE WHEN g = {g} THEN {src} ELSE 0 END) AS BIGINT)"
+    f" AS {name}_{g}"
+    for g in (1, 2)
+    for name, src in (
+        ("n", "1"),
+        ("sx", "d"),
+        ("sy", "c"),
+        ("sxx", "d * d"),
+        ("syy", "c * c"),
+        ("sxy", "d * c"),
+    )
+)
+_CHOW_POOLED = ", ".join(
+    f"{c}_1 + {c}_2 AS {c}_p" for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+)
+
+ORACLE_TRAINING["chow_break_test"] = f"""
+        WITH daily AS (
+          SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1
+        ), mid AS (
+          SELECT min(d) + (max(d) - min(d)) // 2 AS mid FROM daily
+        ), seg AS (
+          SELECT CASE WHEN d < mid THEN 1 ELSE 2 END AS g, d, c, mid
+          FROM daily CROSS JOIN mid
+        ), mom AS (
+          SELECT max(mid) AS break_day,
+                 {_CHOW_MOMS}
+          FROM seg
+        ), pooled AS (
+          SELECT *, {_CHOW_POOLED} FROM mom
+        ), sse AS (
+          SELECT break_day, n_p, n_1 AS n_pre, n_2 AS n_post,
+                 {chow_sse_expr('p')} AS sse_p,
+                 {chow_sse_expr('1')} AS sse_1,
+                 {chow_sse_expr('2')} AS sse_2
+          FROM pooled
+        )
+        SELECT break_day, n_p AS n_days, n_pre, n_post,
+               round(sse_p, 6) AS sse_pooled,
+               round(sse_1 + sse_2, 6) AS sse_segments,
+               round({CHOW_F}, 6) AS chow_f
+        FROM sse
+    """
+
+_RC_KS = ", ".join(str(k) for k in RICH_CLUB_KS)
+
+ORACLE_TRAINING["rich_club_coefficient"] = f"""
+        WITH edges0 AS ({{WSQL}}),
+        e AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        cw AS (
+          SELECT a.city_key, a.src AS src_a, b.src AS src_b
+          FROM e a
+          JOIN e b ON a.city_key = b.city_key AND a.dst = b.dst
+                  AND a.src < b.src
+          GROUP BY 1, 2, 3
+        ), deg AS (
+          SELECT city_key, node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT city_key, src_a AS node FROM cw
+            UNION ALL SELECT city_key, src_b AS node FROM cw
+          ) GROUP BY 1, 2
+        ), ks AS (SELECT unnest([{_RC_KS}]) AS k),
+        nodes_k AS (
+          SELECT d.city_key, k.k, CAST(count(*) AS BIGINT) AS n_nodes
+          FROM deg d CROSS JOIN ks k WHERE d.deg >= k.k GROUP BY 1, 2
+        ), edges_k AS (
+          SELECT cw.city_key, k.k, CAST(count(*) AS BIGINT) AS n_edges
+          FROM cw
+          JOIN deg da ON da.city_key = cw.city_key AND da.node = cw.src_a
+          JOIN deg db ON db.city_key = cw.city_key AND db.node = cw.src_b
+          CROSS JOIN ks k
+          WHERE da.deg >= k.k AND db.deg >= k.k
+          GROUP BY 1, 2
+        )
+        SELECT n.city_key, CAST(n.k AS BIGINT) AS k, n.n_nodes,
+               CAST(coalesce(e2.n_edges, 0) AS BIGINT) AS n_edges,
+               round(CAST(2 * coalesce(e2.n_edges, 0) AS DOUBLE)
+                     / CAST(nullif(n.n_nodes * (n.n_nodes - 1), 0)
+                            AS DOUBLE), 6) AS phi
+        FROM nodes_k n
+        LEFT JOIN edges_k e2 ON e2.city_key = n.city_key AND e2.k = n.k
+    """
+
+_IDK = INTRADOC_NGRAM_K
+
+ORACLE_TRAINING["intradoc_duplication"] = f"""
+        WITH toks AS (
+          SELECT source, {_TOKS} AS t FROM documents
+        ), g AS (
+          SELECT source,
+                 CASE WHEN len(t) < {_IDK} THEN []
+                      ELSE list_transform(range(1, len(t) - {_IDK - 2}),
+                           i -> array_to_string(t[i:i+{_IDK - 1}], ' '))
+                 END AS g
+          FROM toks
+        ), per_doc AS (
+          SELECT source, CAST(len(g) AS BIGINT) AS n_grams,
+                 CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct
+          FROM g
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_grams >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_scored,
+               CAST(sum(n_grams) AS BIGINT) AS total_grams,
+               CAST(sum(n_distinct) AS BIGINT) AS distinct_grams,
+               round(1.0 - CAST(sum(n_distinct) AS DOUBLE)
+                     / CAST(nullif(sum(n_grams), 0) AS DOUBLE), 6)
+                   AS dup_share
+        FROM per_doc GROUP BY 1
+    """
+
+ORACLE_TRAINING["prefix_cluster_stats"] = f"""
+        SELECT md5(substr(text, 1, {PREFIX_CLUSTER_W})) AS prefix_key,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(min(doc_id) AS BIGINT) AS min_doc_id
+        FROM documents
+        WHERE n_chars >= {PREFIX_CLUSTER_W}
+        GROUP BY 1 HAVING count(*) >= 2
+    """
+
+ORACLE_TRAINING["retention_decay_fit"] = f"""
+        WITH ev AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), fs AS (
+          SELECT user_id, min(day) AS day0 FROM ev GROUP BY 1
+        ), nu AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_users FROM fs
+        ), offs AS (
+          SELECT datediff('day', f.day0, e.day) AS d,
+                 CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+          FROM ev e JOIN fs f USING (user_id)
+          WHERE datediff('day', f.day0, e.day) >= 1
+          GROUP BY 1
+        ), pts AS (
+          SELECT d,
+                 CAST(round(ln(CAST(n_active AS DOUBLE)
+                               / CAST(n_users AS DOUBLE))
+                            * 1000000000.0) AS BIGINT) AS l
+          FROM offs CROSS JOIN nu
+        ), mom AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(d) AS BIGINT) AS sd,
+                 CAST(sum(l) AS BIGINT) AS sl,
+                 CAST(sum(d * d) AS BIGINT) AS sdd,
+                 CAST(sum(d * l) AS BIGINT) AS sdl
+          FROM pts
+        )
+        SELECT n AS n_points, round({RDF_SLOPE}, 6) AS decay_rate,
+               round({RDF_INTERCEPT}, 6) AS log_intercept,
+               round({RDF_HALF_LIFE}, 6) AS half_life_days
+        FROM mom
+    """

