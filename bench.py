@@ -76,6 +76,13 @@ HEADLINE = [
     "memorization_risk_ngrams",  # corpus-unique 8-gram exposure (hash-only shuffles)
     "range_partition_planner",   # hash-vs-range bucket load audit
     "city_ppr_joins",        # seed-restart PageRank, quantized join iterations
+    # round-7 operators promoted to tracked per-round numbers
+    "isotonic_calibration",  # declarative PAVA fit (minimax over bin grid)
+    "markov_absorption",     # quantized value iteration over transition matrix
+    "event_precedence_matrix",  # first-occurrence pairwise ordering shares
+    "mahalanobis_outliers",  # broadcast-moments distance + global top-K
+    "intradoc_duplication",  # row-local 5-gram repetition audit
+    "rich_club_coefficient", # degree-threshold club density over co-witness pairs
 ]
 # Deliberately NOT in the headline: city_betweenness_joins — it is the
 # correctness-harness mirror of the applyInPandas production path

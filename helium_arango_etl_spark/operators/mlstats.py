@@ -2387,13 +2387,31 @@ def jarque_bera_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------- Wilson score interval (shared expression trees) ----------
 
 _WZ2 = "(1.96 * 1.96)"
-WILSON_P = "(cast(x as double) / cast(n as double))"
-_WDEN = f"(1.0 + {_WZ2} / cast(n as double))"
-WILSON_CENTER = f"(({WILSON_P} + {_WZ2} / (2.0 * cast(n as double))) / {_WDEN})"
-WILSON_HALF = (
-    f"(1.96 * sqrt({WILSON_P} * (1.0 - {WILSON_P}) / cast(n as double)"
-    f" + {_WZ2} / (4.0 * cast(n as double) * cast(n as double))) / {_WDEN})"
-)
+
+
+def wilson_p_expr(sfx: str = "") -> str:
+    return f"(cast(x{sfx} as double) / cast(n{sfx} as double))"
+
+
+def wilson_center_expr(sfx: str = "") -> str:
+    nd = f"cast(n{sfx} as double)"
+    den = f"(1.0 + {_WZ2} / {nd})"
+    return f"(({wilson_p_expr(sfx)} + {_WZ2} / (2.0 * {nd})) / {den})"
+
+
+def wilson_half_expr(sfx: str = "") -> str:
+    nd = f"cast(n{sfx} as double)"
+    den = f"(1.0 + {_WZ2} / {nd})"
+    p = wilson_p_expr(sfx)
+    return (
+        f"(1.96 * sqrt({p} * (1.0 - {p}) / {nd}"
+        f" + {_WZ2} / (4.0 * {nd} * {nd})) / {den})"
+    )
+
+
+WILSON_P = wilson_p_expr()
+WILSON_CENTER = wilson_center_expr()
+WILSON_HALF = wilson_half_expr()
 
 
 def wilson_ci_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2620,4 +2638,137 @@ def chow_break_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sse_p", 6).alias("sse_pooled"),
         F.round(F.expr("sse_1 + sse_2"), 6).alias("sse_segments"),
         F.round(F.expr(CHOW_F), 6).alias("chow_f"),
+    )
+
+
+# ---------- Newcombe score-interval difference CI ----------
+
+def newcombe_lo_expr() -> str:
+    d = f"({wilson_p_expr('_0')} - {wilson_p_expr('_1')})"
+    l0 = f"({wilson_center_expr('_0')} - {wilson_half_expr('_0')})"
+    u1 = f"({wilson_center_expr('_1')} + {wilson_half_expr('_1')})"
+    return (
+        f"({d} - sqrt(({wilson_p_expr('_0')} - {l0})"
+        f" * ({wilson_p_expr('_0')} - {l0})"
+        f" + ({u1} - {wilson_p_expr('_1')})"
+        f" * ({u1} - {wilson_p_expr('_1')})))"
+    )
+
+
+def newcombe_hi_expr() -> str:
+    d = f"({wilson_p_expr('_0')} - {wilson_p_expr('_1')})"
+    u0 = f"({wilson_center_expr('_0')} + {wilson_half_expr('_0')})"
+    l1 = f"({wilson_center_expr('_1')} - {wilson_half_expr('_1')})"
+    return (
+        f"({d} + sqrt(({u0} - {wilson_p_expr('_0')})"
+        f" * ({u0} - {wilson_p_expr('_0')})"
+        f" + ({wilson_p_expr('_1')} - {l1})"
+        f" * ({wilson_p_expr('_1')} - {l1})))"
+    )
+
+
+def newcombe_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newcombe (1998) hybrid-score 95% CI for the DIFFERENCE of two
+    conversion proportions — the interval a two-arm readout should
+    report instead of the Wald ±1.96·SE band, built by combining each
+    arm's Wilson interval (method 10 of Newcombe's comparison; it keeps
+    coverage at small n and extreme p where Wald collapses).  The
+    difference-scale companion of `wilson_ci_variants`; agrees in
+    direction with `conversion_ztest`'s z.
+
+    Determinism: the per-arm (x, n) counts are exact integers; every
+    bound is one shared double expression tree (module functions,
+    oracle-imported) over the pivoted 4-integer row.
+
+    Scale shape: one user-keyed conversion rollup, a 2-row aggregate
+    pivoted to a single row; the interval is O(1).
+    """
+    per_user = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.expr("user_id % 2").alias("variant"), F.col("user_id"))
+        .agg(
+            F.max(
+                F.expr("if(event_type = 'purchase', 1L, 0L)")
+            ).alias("converted")
+        )
+    )
+    agg = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("x"),
+    )
+    piv = agg.agg(
+        *[
+            F.max(F.expr(f"if(variant = {v}, {c}, null)")).alias(f"{c}_{v}")
+            for v in (0, 1)
+            for c in ("n", "x")
+        ]
+    )
+    return piv.select(
+        F.col("n_0").alias("n_control"),
+        F.col("x_0").alias("conv_control"),
+        F.col("n_1").alias("n_treat"),
+        F.col("x_1").alias("conv_treat"),
+        F.round(
+            F.expr(f"{wilson_p_expr('_0')} - {wilson_p_expr('_1')}"), 6
+        ).alias("p_diff"),
+        F.round(F.expr(newcombe_lo_expr()), 6).alias("diff_lo"),
+        F.round(F.expr(newcombe_hi_expr()), 6).alias("diff_hi"),
+    )
+
+
+XCORR_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+
+
+def xcorr_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between daily purchase and click
+    counts at lags −3..+3 days: r(lag) = corr(purchases_t,
+    clicks_{t−lag}) — the lead-lag read that says whether click volume
+    LEADS purchase volume (positive lag peaks) or merely co-moves
+    (peak at 0), the bivariate companion of `autocorrelation_daily` /
+    `pacf_daily` and the precedence evidence `event_precedence_matrix`
+    gives at user grain, here at aggregate grain.
+
+    Determinism: pairwise-complete day alignment via lag-offset
+    EQUALITY joins on the calendar-bounded grid; exact integer moments
+    through the shared corr_pair_expr template.
+
+    Scale shape: one keyed day aggregation per type, a 7-literal lag
+    explode, one broadcast self-join of the day grid, a 7-row moment
+    aggregate.
+    """
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    p = daily.where(F.col("event_type") == "purchase").select(
+        "day", F.col("c").alias("cp")
+    )
+    cl = daily.where(F.col("event_type") == "click").select(
+        F.col("day").alias("day_c"), F.col("c").alias("cc")
+    )
+    lags = p.select(
+        "day",
+        "cp",
+        F.explode(F.array(*[F.lit(k) for k in XCORR_LAGS])).alias("lag"),
+    )
+    j = lags.join(
+        F.broadcast(cl), F.expr("day_c = day - lag")
+    ).select("lag", F.col("cp").alias("a"), F.col("cc").alias("b"))
+    mom = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("cast(a as decimal(38,0))")).alias("s_a"),
+        F.sum(F.expr("cast(b as decimal(38,0))")).alias("s_b"),
+        F.sum(F.expr("cast(a as decimal(38,0)) * a")).alias("ss_a"),
+        F.sum(F.expr("cast(b as decimal(38,0)) * b")).alias("ss_b"),
+        F.sum(F.expr("cast(a as decimal(38,0)) * b")).alias("sx_a_b"),
+    )
+    return mom.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_days"),
+        F.round(F.expr(corr_pair_expr("a", "b")), 6).alias("xcorr"),
     )

@@ -2191,3 +2191,122 @@ def qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_uplift_num").cast("bigint").alias("cum_qini_num"),
         )
     )
+
+
+def varpop_expr(g: str, big: str) -> str:
+    """Population variance from exact integer moments (n_{g}, s_{g},
+    ss_{g}) — shared with the DuckDB oracle (big='HUGEINT')."""
+    return (
+        f"(cast(cast(n_{g} as {big}) * ss_{g} - cast(s_{g} as {big}) * s_{g}"
+        f" as double) / (cast(n_{g} as double) * cast(n_{g} as double)))"
+    )
+
+
+def seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality and trend strength per event type (Hyndman &
+    Athanasopoulos, FPP3 §4.4): F_s = max(0, 1 − Var(R)/Var(S+R)) and
+    F_t = max(0, 1 − Var(R)/Var(T+R)) over the `classical_decompose`
+    components — the one-number-per-series summary that ranks which
+    series are worth a seasonal model (`seasonal_forecast_error`) and
+    which are noise.
+
+    Determinism: the decomposition is re-derived in EXACT integer
+    micro-units (identical arithmetic to classical_decompose:
+    truncating div by 7, micro-quantized seasonal means), variances
+    come from exact wide-integer moments (n·Σx² − (Σx)²), and each
+    strength is one shared double expression (varpop_expr) — no float
+    ever aggregates.
+
+    Scale shape: same bounded (type, day) grid as the decompose; the
+    strength surface is a |types|-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
+            F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-DECOMP_HALF, DECOMP_HALF)
+    )
+    trended = daily.withColumn(
+        "s7",
+        F.when(
+            F.count(F.lit(1)).over(w) == 2 * DECOMP_HALF + 1,
+            F.sum("cents").over(w),
+        ),
+    )
+    seas = (
+        trended.filter(F.col("s7").isNotNull())
+        .groupBy("event_type", F.expr("(day_idx + 4) % 7").alias("weekday"))
+        .agg(
+            F.sum(F.expr("7 * cents - s7")).alias("sd7"),
+            F.count(F.lit(1)).cast("bigint").alias("nw"),
+        )
+        .select(
+            "event_type",
+            "weekday",
+            F.expr("(sd7 * 1000000L) div (7 * nw)").alias("seasonal_micro"),
+        )
+    )
+    comp = (
+        trended.filter(F.col("s7").isNotNull())
+        .withColumn("weekday", F.expr("(day_idx + 4) % 7"))
+        .join(seas, ["event_type", "weekday"])
+        .select(
+            "event_type",
+            F.expr("cents * 1000000L - s7 * 1000000L div 7").alias("detr"),
+            F.expr(
+                "cents * 1000000L - s7 * 1000000L div 7 - seasonal_micro"
+            ).alias("r"),
+            F.expr("cents * 1000000L - seasonal_micro").alias("tr"),
+        )
+    )
+    mom = comp.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r"),
+        F.sum(F.expr("cast(r as decimal(38,0))")).alias("s_r"),
+        F.sum(F.expr("cast(r as decimal(38,0)) * r")).alias("ss_r"),
+        F.sum(F.expr("cast(detr as decimal(38,0))")).alias("s_d"),
+        F.sum(F.expr("cast(detr as decimal(38,0)) * detr")).alias("ss_d"),
+        F.sum(F.expr("cast(tr as decimal(38,0))")).alias("s_t"),
+        F.sum(F.expr("cast(tr as decimal(38,0)) * tr")).alias("ss_t"),
+    )
+    big = "decimal(38,0)"
+    mom = mom.select(
+        "event_type",
+        F.col("n_r").alias("n_d"),
+        F.col("n_r").alias("n_t"),
+        "n_r",
+        "s_r",
+        "ss_r",
+        "s_d",
+        "ss_d",
+        "s_t",
+        "ss_t",
+    )
+    return mom.select(
+        "event_type",
+        F.col("n_r").alias("n_days"),
+        F.round(
+            F.expr(
+                f"greatest(0.0, 1.0 - {varpop_expr('r', big)}"
+                f" / {varpop_expr('d', big)})"
+            ),
+            6,
+        ).alias("strength_seasonal"),
+        F.round(
+            F.expr(
+                f"greatest(0.0, 1.0 - {varpop_expr('r', big)}"
+                f" / {varpop_expr('t', big)})"
+            ),
+            6,
+        ).alias("strength_trend"),
+    )

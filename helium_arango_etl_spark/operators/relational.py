@@ -1583,3 +1583,166 @@ def geo_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_neighbors", F.lit(0)) >= GEO_CORE_MINPTS
         ).alias("is_core"),
     )
+
+
+T_CLOSE_MAX = 0.2
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) over the
+    customer quasi-identifiers: per (nation, segment) group, the total
+    variation distance between the group's sensitive-attribute
+    distribution (account-balance decile) and the GLOBAL one — the
+    privacy check k-anonymity and l-diversity both miss: a group can be
+    large and diverse yet still leak because its sensitive distribution
+    is skewed far from the population's.  Flag = distance ≤ 0.2.
+
+    Determinism: deciles come from the same exact-percentile boundaries
+    as `k_anonymity_audit`; each cell's deviation |n_gc·N − n_c·n_g| is
+    an EXACT integer cross-product (no per-cell share is ever floated),
+    the per-group sum is exact integer addition over the 10-cell grid,
+    and t is ONE division at the surface; the flag compares unrounded.
+
+    Scale shape: one 1-row boundary aggregate broadcast; one keyed cell
+    count; the grid is |QI groups| × 10 rows built by a literal decile
+    explode with the 10-row global distribution broadcast onto it.
+    """
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("cast(floor(c_acctbal * 100) as bigint)").alias("bal_c"),
+    )
+    qs = ", ".join(str(i / 10) for i in range(1, 10))
+    bounds = cust.agg(F.expr(f"percentile(bal_c, array({qs}))").alias("bs"))
+    bin_expr = "1 + " + " + ".join(
+        f"IF(bal_c > element_at(bs, {i}), 1, 0)" for i in range(1, 10)
+    )
+    binned = cust.crossJoin(F.broadcast(bounds)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(bin_expr).cast("int").alias("sens"),
+    )
+    cells = binned.groupBy("c_nationkey", "c_mktsegment", "sens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gc")
+    )
+    groups = binned.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g")
+    )
+    glob = binned.groupBy("sens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c")
+    )
+    total = binned.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    grid = (
+        groups.select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_g",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(1, 11)])
+            ).alias("sens"),
+        )
+        .join(cells, ["c_nationkey", "c_mktsegment", "sens"], "left")
+        .join(F.broadcast(glob), "sens")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_g",
+            "nn",
+            F.expr("abs(coalesce(n_gc, 0L) * nn - n_c * n_g)").alias("dev"),
+        )
+    )
+    return (
+        grid.groupBy("c_nationkey", "c_mktsegment", "n_g", "nn")
+        .agg(F.sum("dev").cast("bigint").alias("sdev"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("n_g").alias("n"),
+            F.round(
+                F.expr(
+                    "cast(sdev as double)"
+                    " / (2.0 * cast(n_g as double) * cast(nn as double))"
+                ),
+                6,
+            ).alias("t_distance"),
+            F.expr(
+                "cast(sdev as double)"
+                f" / (2.0 * cast(n_g as double) * cast(nn as double))"
+                f" <= {T_CLOSE_MAX}"
+            ).alias("t_close"),
+        )
+    )
+
+
+PRICE_BAND_CENTS = 100
+
+
+def price_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded 1-D similarity self-join: count pairs of parts whose
+    retail prices sit within ±$1, per price band — the equality-join
+    rewrite of the inequality join |price_a − price_b| ≤ tol that a
+    naive theta-join would execute as a full cross product.  Each part
+    lands in ONE band of width = tol; every qualifying pair is either
+    same-band (counted once with key ordering) or adjacent-band
+    (counted once by band ordering) — the 1-D instance of the pattern
+    `geo_grid_join` runs in 2-D and `sorted_neighborhood_pairs` runs in
+    rank space.
+
+    Determinism: bands and gaps are exact integer cents; pair counts
+    are exact; per-band part counts are exact.
+
+    Scale shape: two keyed equi-joins on the band key (one self, one
+    band+1), never an inequality join; a hot band concentrates into one
+    combiner-folded group, and the pair filter runs inside the join
+    before aggregation.
+    """
+    w = PRICE_BAND_CENTS
+    parts = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr("cast(round(p_retailprice * 100) as bigint)").alias("cents"),
+        F.expr(
+            f"cast(round(p_retailprice * 100) as bigint) div {w}"
+        ).alias("band"),
+    )
+    a = parts.select(
+        F.col("p_partkey").alias("k_a"),
+        F.col("cents").alias("c_a"),
+        F.col("band").alias("band_a"),
+    )
+    b = parts.select(
+        F.col("p_partkey").alias("k_b"),
+        F.col("cents").alias("c_b"),
+        F.col("band").alias("band_b"),
+    )
+    same = (
+        a.join(b, F.expr("band_b = band_a AND k_a < k_b"))
+        .where(F.expr(f"abs(c_a - c_b) <= {w}"))
+        .select(F.col("band_a").alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs_within"))
+    )
+    adj = (
+        a.join(b, F.expr("band_b = band_a + 1"))
+        .where(F.expr(f"abs(c_a - c_b) <= {w}"))
+        .select(F.col("band_a").alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs_adjacent"))
+    )
+    per_band = parts.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
+    return (
+        per_band.join(same, "band", "left")
+        .join(adj, "band", "left")
+        .select(
+            "band",
+            "n_parts",
+            F.coalesce("n_pairs_within", F.lit(0)).cast("bigint").alias(
+                "n_pairs_within"
+            ),
+            F.coalesce("n_pairs_adjacent", F.lit(0)).cast("bigint").alias(
+                "n_pairs_adjacent"
+            ),
+        )
+    )

@@ -6796,3 +6796,202 @@ ORACLE_TRAINING["retention_decay_fit"] = f"""
                round({RDF_HALF_LIFE}, 6) AS half_life_days
         FROM mom
     """
+
+# ---------- round-7 second batch: CI / lead-lag / privacy / banding ----------
+
+from .operators.mlstats import (  # noqa: E402
+    XCORR_LAGS,
+    newcombe_hi_expr,
+    newcombe_lo_expr,
+    wilson_p_expr,
+)
+from .operators.rangeops import varpop_expr
+from .operators.relational import PRICE_BAND_CENTS, T_CLOSE_MAX
+
+ORACLE_TRAINING["newcombe_diff_ci"] = f"""
+        WITH pu AS (
+          SELECT user_id % 2 AS variant, user_id,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS converted
+          FROM events GROUP BY 1, 2
+        ), agg AS (
+          SELECT variant, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(converted) AS BIGINT) AS x
+          FROM pu GROUP BY 1
+        ), piv AS (
+          SELECT max(CASE WHEN variant = 0 THEN n END) AS n_0,
+                 max(CASE WHEN variant = 0 THEN x END) AS x_0,
+                 max(CASE WHEN variant = 1 THEN n END) AS n_1,
+                 max(CASE WHEN variant = 1 THEN x END) AS x_1
+          FROM agg
+        )
+        SELECT n_0 AS n_control, x_0 AS conv_control,
+               n_1 AS n_treat, x_1 AS conv_treat,
+               round({wilson_p_expr('_0')} - {wilson_p_expr('_1')}, 6)
+                   AS p_diff,
+               round({newcombe_lo_expr()}, 6) AS diff_lo,
+               round({newcombe_hi_expr()}, 6) AS diff_hi
+        FROM piv
+    """
+
+_XC_VALUES = ", ".join(f"({k})" for k in XCORR_LAGS)
+
+ORACLE_TRAINING["xcorr_purchase_click"] = f"""
+        WITH daily AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events WHERE event_type IN ('purchase', 'click')
+          GROUP BY 1, 2
+        ), p AS (
+          SELECT day, c AS cp FROM daily WHERE event_type = 'purchase'
+        ), cl AS (
+          SELECT day AS day_c, c AS cc FROM daily
+          WHERE event_type = 'click'
+        ), j AS (
+          SELECT l.lag, p.cp AS a, cl.cc AS b
+          FROM p CROSS JOIN (VALUES {_XC_VALUES}) AS l(lag)
+          JOIN cl ON cl.day_c = p.day - l.lag
+        ), mom AS (
+          SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(a AS HUGEINT)) AS s_a,
+                 sum(CAST(b AS HUGEINT)) AS s_b,
+                 sum(CAST(a AS HUGEINT) * a) AS ss_a,
+                 sum(CAST(b AS HUGEINT) * b) AS ss_b,
+                 sum(CAST(a AS HUGEINT) * b) AS sx_a_b
+          FROM j GROUP BY 1
+        )
+        SELECT CAST(lag AS INTEGER) AS lag, n AS n_days,
+               round({corr_pair_expr('a', 'b', 'HUGEINT')}, 6) AS xcorr
+        FROM mom
+    """
+
+ORACLE_TRAINING["t_closeness_audit"] = f"""
+        WITH cust AS (
+          SELECT c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+          FROM customer
+        ), bounds AS (
+          SELECT quantile_cont(bal_c,
+                   [{", ".join(str(i / 10) for i in range(1, 10))}]) AS bs
+          FROM cust
+        ), binned AS (
+          SELECT c_nationkey, c_mktsegment,
+                 CAST(1 + {" + ".join(
+                     f"CASE WHEN bal_c > bs[{i}] THEN 1 ELSE 0 END"
+                     for i in range(1, 10))} AS INTEGER) AS sens
+          FROM cust CROSS JOIN bounds
+        ), cells AS (
+          SELECT c_nationkey, c_mktsegment, sens,
+                 CAST(count(*) AS BIGINT) AS n_gc
+          FROM binned GROUP BY 1, 2, 3
+        ), groups AS (
+          SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_g
+          FROM binned GROUP BY 1, 2
+        ), gdist AS (
+          SELECT sens, CAST(count(*) AS BIGINT) AS n_c FROM binned GROUP BY 1
+        ), total AS (
+          SELECT CAST(count(*) AS BIGINT) AS nn FROM binned
+        ), grid AS (
+          SELECT g.c_nationkey, g.c_mktsegment, g.n_g, t.nn,
+                 abs(coalesce(c.n_gc, 0) * t.nn - gl.n_c * g.n_g) AS dev
+          FROM groups g
+          CROSS JOIN (SELECT unnest(range(1, 11)) AS sens) s
+          LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
+                           AND c.c_mktsegment = g.c_mktsegment
+                           AND c.sens = s.sens
+          JOIN gdist gl ON gl.sens = s.sens
+          CROSS JOIN total t
+        )
+        SELECT c_nationkey, c_mktsegment, n_g AS n,
+               round(CAST(sum(dev) AS DOUBLE)
+                     / (2.0 * CAST(n_g AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
+                   AS t_distance,
+               CAST(sum(dev) AS DOUBLE)
+                 / (2.0 * CAST(n_g AS DOUBLE) * CAST(nn AS DOUBLE))
+                 <= {T_CLOSE_MAX} AS t_close
+        FROM grid GROUP BY c_nationkey, c_mktsegment, n_g, nn
+    """
+
+ORACLE_TRAINING["price_band_pairs"] = f"""
+        WITH parts AS (
+          SELECT p_partkey AS k,
+                 CAST(round(p_retailprice * 100) AS BIGINT) AS c,
+                 CAST(round(p_retailprice * 100) AS BIGINT)
+                   // {PRICE_BAND_CENTS} AS band
+          FROM part
+        ), same AS (
+          SELECT a.band, CAST(count(*) AS BIGINT) AS n_pairs_within
+          FROM parts a JOIN parts b
+            ON b.band = a.band AND a.k < b.k
+          WHERE abs(a.c - b.c) <= {PRICE_BAND_CENTS}
+          GROUP BY 1
+        ), adj AS (
+          SELECT a.band, CAST(count(*) AS BIGINT) AS n_pairs_adjacent
+          FROM parts a JOIN parts b ON b.band = a.band + 1
+          WHERE abs(a.c - b.c) <= {PRICE_BAND_CENTS}
+          GROUP BY 1
+        ), per_band AS (
+          SELECT band, CAST(count(*) AS BIGINT) AS n_parts
+          FROM parts GROUP BY 1
+        )
+        SELECT p.band, p.n_parts,
+               CAST(coalesce(s.n_pairs_within, 0) AS BIGINT)
+                   AS n_pairs_within,
+               CAST(coalesce(a.n_pairs_adjacent, 0) AS BIGINT)
+                   AS n_pairs_adjacent
+        FROM per_band p
+        LEFT JOIN same s ON s.band = p.band
+        LEFT JOIN adj a ON a.band = p.band
+    """
+
+ORACLE_TRAINING["seasonality_strength"] = f"""
+        WITH daily AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                     AS cents
+          FROM events GROUP BY event_type, day_idx
+        ), trended AS (
+          SELECT event_type, day_idx, cents,
+                 CASE WHEN count(*) OVER w = 7
+                      THEN CAST(sum(cents) OVER w AS BIGINT) END AS s7
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ), seas AS (
+          SELECT event_type, (day_idx + 4) % 7 AS weekday,
+                 (CAST(sum(7 * cents - s7) AS BIGINT) * 1000000)
+                     // (7 * count(*)) AS seasonal_micro
+          FROM trended WHERE s7 IS NOT NULL
+          GROUP BY event_type, weekday
+        ), comp AS (
+          SELECT t.event_type,
+                 t.cents * 1000000 - t.s7 * 1000000 // 7 AS detr,
+                 t.cents * 1000000 - t.s7 * 1000000 // 7
+                   - s.seasonal_micro AS r,
+                 t.cents * 1000000 - s.seasonal_micro AS tr
+          FROM trended t
+          JOIN seas s ON s.event_type = t.event_type
+                     AND s.weekday = (t.day_idx + 4) % 7
+          WHERE t.s7 IS NOT NULL
+        ), mom AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_r,
+                 CAST(count(*) AS BIGINT) AS n_d,
+                 CAST(count(*) AS BIGINT) AS n_t,
+                 sum(CAST(r AS HUGEINT)) AS s_r,
+                 sum(CAST(r AS HUGEINT) * r) AS ss_r,
+                 sum(CAST(detr AS HUGEINT)) AS s_d,
+                 sum(CAST(detr AS HUGEINT) * detr) AS ss_d,
+                 sum(CAST(tr AS HUGEINT)) AS s_t,
+                 sum(CAST(tr AS HUGEINT) * tr) AS ss_t
+          FROM comp GROUP BY 1
+        )
+        SELECT event_type, n_r AS n_days,
+               round(greatest(0.0, 1.0 - {varpop_expr('r', 'HUGEINT')}
+                     / {varpop_expr('d', 'HUGEINT')}), 6)
+                   AS strength_seasonal,
+               round(greatest(0.0, 1.0 - {varpop_expr('r', 'HUGEINT')}
+                     / {varpop_expr('t', 'HUGEINT')}), 6)
+                   AS strength_trend
+        FROM mom
+    """

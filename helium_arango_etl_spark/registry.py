@@ -2662,6 +2662,11 @@ QUERIES["rich_club_coefficient"] = G.rich_club_coefficient
 QUERIES["intradoc_duplication"] = T.intradoc_duplication
 QUERIES["prefix_cluster_stats"] = D.prefix_cluster_stats
 QUERIES["retention_decay_fit"] = TP.retention_decay_fit
+QUERIES["newcombe_diff_ci"] = ML.newcombe_diff_ci
+QUERIES["xcorr_purchase_click"] = ML.xcorr_purchase_click
+QUERIES["t_closeness_audit"] = R.t_closeness_audit
+QUERIES["price_band_pairs"] = R.price_band_pairs
+QUERIES["seasonality_strength"] = RG.seasonality_strength
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------

@@ -186,3 +186,70 @@ def test_retention_decay_fit_matches_numpy_ols(spark, sf_dir):
     assert abs(row.log_intercept - intercept) < 1e-4
     if row.half_life_days is not None:
         assert abs(row.half_life_days - math.log(2) / -slope) < 1e-2
+
+
+def test_newcombe_brackets_diff_and_contains_wilson_logic(spark, sf_dir):
+    row = QUERIES["newcombe_diff_ci"](spark, sf_dir).collect()[0]
+    assert row.diff_lo <= row.p_diff <= row.diff_hi
+    assert -1.0 <= row.diff_lo <= row.diff_hi <= 1.0
+    # Newcombe interval is at least as wide as the naive Wald interval
+    p0 = row.conv_control / row.n_control
+    p1 = row.conv_treat / row.n_treat
+    wald = 1.96 * math.sqrt(
+        p0 * (1 - p0) / row.n_control + p1 * (1 - p1) / row.n_treat
+    )
+    assert (row.diff_hi - row.diff_lo) / 2.0 >= wald * 0.8
+
+
+def test_xcorr_lag0_matches_numpy(spark, sf_dir):
+    rows = {r.lag: r for r in QUERIES["xcorr_purchase_click"](spark, sf_dir).collect()}
+    assert set(rows) <= {-3, -2, -1, 0, 1, 2, 3}
+    for r in rows.values():
+        assert -1.0 - 1e-9 <= r.xcorr <= 1.0 + 1e-9
+    daily = duckdb.sql(
+        f"""SELECT event_type, epoch_us(ts) // 86400000000 AS d, count(*) AS c
+            FROM '{sf_dir}/events.parquet'
+            WHERE event_type IN ('purchase', 'click') GROUP BY 1, 2"""
+    ).fetchall()
+    p = {d: c for t, d, c in daily if t == "purchase"}
+    cl = {d: c for t, d, c in daily if t == "click"}
+    common = sorted(set(p) & set(cl))
+    a = np.array([p[d] for d in common], dtype=float)
+    b = np.array([cl[d] for d in common], dtype=float)
+    want = np.corrcoef(a, b)[0, 1]
+    assert abs(rows[0].xcorr - want) < 1e-4
+
+
+def test_t_closeness_bounds_and_global_consistency(spark, sf_dir):
+    rows = QUERIES["t_closeness_audit"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.t_distance <= 1.0 + 1e-9
+        assert r.t_close == (r.t_distance <= 0.2 or abs(r.t_distance - 0.2) < 1e-6)
+    # group sizes must sum to the corpus
+    n_cust = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/customer.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n for r in rows) == n_cust
+
+
+def test_price_band_pairs_matches_naive_theta_join(spark, sf_dir):
+    rows = QUERIES["price_band_pairs"](spark, sf_dir).collect()
+    got = sum(r.n_pairs_within + r.n_pairs_adjacent for r in rows)
+    want = duckdb.sql(
+        f"""WITH p AS (SELECT p_partkey AS k,
+                     CAST(round(p_retailprice * 100) AS BIGINT) AS c
+              FROM '{sf_dir}/part.parquet')
+            SELECT count(*) FROM p a JOIN p b
+              ON a.k < b.k AND abs(a.c - b.c) <= 100"""
+    ).fetchone()[0]
+    assert got == want  # banding finds EXACTLY the theta-join pairs
+
+
+def test_seasonality_strength_in_unit_interval(spark, sf_dir):
+    rows = QUERIES["seasonality_strength"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.strength_seasonal <= 1.0
+        assert 0.0 <= r.strength_trend <= 1.0
+        assert r.n_days > 0
