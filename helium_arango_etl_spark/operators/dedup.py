@@ -1098,3 +1098,65 @@ def prefix_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+# (bands, rows/band) candidates for the s-curve plan; (8, 2) is the
+# production NUM_BANDS/BAND_ROWS configuration.
+S_CURVE_CONFIGS = ((8, 2), (4, 4), (2, 8), (16, 1))
+S_CURVE_GRID = tuple(i / 20 for i in range(1, 20))  # s = 0.05 .. 0.95
+
+
+def s_curve_p_expr(b: int, r: int) -> str:
+    """P(candidate | jaccard = s) = 1 − (1 − s^r)^b with the powers
+    UNROLLED to repeated multiplication — integer-exponent pow as a
+    fixed expression tree, never libm pow(double, double), so both
+    engines produce bit-identical doubles."""
+    sr = " * ".join(["s"] * r)
+    q = f"(1.0 - {sr})"
+    qb = " * ".join([q] * b)
+    return f"(1.0 - {qb})"
+
+
+def lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding design curve: for each candidate (bands, rows/band)
+    configuration, the probability a pair with Jaccard similarity s
+    becomes an LSH candidate, over the s grid — the planning table that
+    justifies `lsh_candidate_pairs`' production (8, 2) choice before
+    any data is hashed (MMDS §3.4.2 s-curve), with the threshold
+    s* = (1/b)^(1/r) where the curve steps.  The LSH companion of
+    `bloom_fpr_plan` / `ab_power_mde`'s plan-before-run discipline.
+
+    Determinism: the grid is literal; every probability is an
+    integer-exponent power unrolled to repeated multiplication (shared
+    expression builder, oracle-imported); the threshold uses exp/ln of
+    exact literals.
+
+    Scale shape: a |configs|×|grid| literal table — no data touched;
+    the cost is zero at any corpus size (that is the point: plan THEN
+    hash).
+    """
+    rows = []
+    for b, r in S_CURVE_CONFIGS:
+        for s in S_CURVE_GRID:
+            rows.append((b, r, s))
+    grid = spark.createDataFrame(
+        rows, "bands int, rows_per_band int, s double"
+    )
+    p_expr = "CASE " + " ".join(
+        f"WHEN bands = {b} AND rows_per_band = {r}"
+        f" THEN {s_curve_p_expr(b, r)}"
+        for b, r in S_CURVE_CONFIGS
+    ) + " END"
+    return grid.select(
+        "bands",
+        "rows_per_band",
+        F.round("s", 6).alias("s"),
+        F.round(F.expr(p_expr), 6).alias("p_candidate"),
+        F.round(
+            F.expr(
+                "exp(ln(1.0 / cast(bands as double))"
+                " / cast(rows_per_band as double))"
+            ),
+            6,
+        ).alias("s_threshold"),
+    )

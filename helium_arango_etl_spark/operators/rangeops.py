@@ -2310,3 +2310,65 @@ def seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("strength_trend"),
     )
+
+
+# Theil-T surface: T = Σx·lnq(x)/(X·1e9) − ln(X/n), with lnq(x) the
+# nano-quantized ln so the Σx·lnq(x) sum is exact integer arithmetic.
+THEIL_T = (
+    "(cast(sxl as double) / (cast(sx as double) * 1000000000.0)"
+    " - ln(cast(sx as double) / cast(n as double)))"
+)
+
+
+def theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index of customer spend per nation — the
+    entropy-based inequality measure that, unlike `gini_by_type`'s
+    rank-based Gini, DECOMPOSES exactly into within-group +
+    between-group terms, which is why economic monitoring pairs them
+    (Theil 1967).  Reads beside `hhi_concentration` (squared-share
+    concentration) and `lorenz_points` (the full curve).
+
+    Determinism: spend is exact integer cents; ln(x_i) is
+    nano-quantized per row so Σx·lnq(x) rides exact wide-integer
+    addition (order-independent); the surface is one shared double
+    expression over (n, Σx, Σx·lnq) plus a final ln of an exact ratio.
+
+    Scale shape: one fact-fact keyed join (order→customer via
+    broadcast dim), one customer-keyed spend rollup, one
+    |nations|-row moment aggregate.
+    """
+    spend = (
+        read_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "customer").select(
+                    F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+                )
+            ),
+            "o_custkey",
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).alias("x")
+        )
+        .where(F.col("x") > 0)
+    )
+    mom = spend.select(
+        "c_nationkey",
+        "x",
+        F.expr(
+            "cast(round(ln(cast(x as double)) * 1000000000.0) as bigint)"
+        ).alias("lx"),
+    ).groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * lx")).alias("sxl"),
+    )
+    return mom.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("n").alias("n_customers"),
+        F.col("sx").alias("total_cents"),
+        F.round(F.expr(THEIL_T), 6).alias("theil_t"),
+    )

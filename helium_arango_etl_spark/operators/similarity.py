@@ -1606,3 +1606,93 @@ def ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "imbalance"
         ),
     )
+
+
+def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between CLUSTER CENTROIDS of the
+    embedding corpus (by stored label) — the cluster-overlap monitor
+    that says when two assigned clusters have collapsed onto the same
+    direction (near-1 centroid cosine ⇒ merge candidates; the
+    aggregate-grain companion of `cosine_near_dup_pairs`' per-vector
+    reads and `ivf_balance_report`'s size-only view).
+
+    Algorithm: centroid cosine equals the cosine of the per-label
+    component SUM vectors (the 1/n factors cancel), so no mean is ever
+    floated: components are micro-quantized per row, summed exactly per
+    (label, dim), and the pairwise dot/norms are exact wide-integer
+    folds with ONE double division at the surface.
+
+    Scale shape: one posexplode to (label, dim) exact sums —
+    |labels|×64 rows — then a broadcast-sized self-join over label
+    pairs; the corpus is scanned once and never shuffled by vector.
+    """
+    comp = (
+        read_table(spark, sf_dir, "embeddings")
+        .select(
+            "label",
+            F.posexplode("embedding").alias("dim", "v"),
+        )
+        .select(
+            "label",
+            "dim",
+            F.expr("cast(round(cast(v as double) * 1000000.0) as bigint)").alias(
+                "vq"
+            ),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("vq").cast("bigint").alias("s"))
+    )
+    sizes = (
+        read_table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    )
+    a = comp.select(
+        F.col("label").alias("label_a"), "dim", F.col("s").alias("sa")
+    )
+    b = comp.select(
+        F.col("label").alias("label_b"), "dim", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.expr("cast(sa as decimal(38,0)) * sb")).alias("dot")
+        )
+    )
+    norms = comp.groupBy("label").agg(
+        F.sum(F.expr("cast(s as decimal(38,0)) * s")).alias("n2")
+    )
+    na = norms.select(
+        F.col("label").alias("label_a"), F.col("n2").alias("n2_a")
+    )
+    nb = norms.select(
+        F.col("label").alias("label_b"), F.col("n2").alias("n2_b")
+    )
+    sa_ = sizes.select(
+        F.col("label").alias("label_a"), F.col("n_vecs").alias("n_a")
+    )
+    sb_ = sizes.select(
+        F.col("label").alias("label_b"), F.col("n_vecs").alias("n_b")
+    )
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .join(F.broadcast(sa_), "label_a")
+        .join(F.broadcast(sb_), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(
+                F.expr(
+                    "cast(dot as double)"
+                    " / (sqrt(cast(n2_a as double))"
+                    " * sqrt(cast(n2_b as double)))"
+                ),
+                6,
+            ).alias("centroid_cosine"),
+        )
+    )

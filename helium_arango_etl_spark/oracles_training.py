@@ -6995,3 +6995,113 @@ ORACLE_TRAINING["seasonality_strength"] = f"""
                    AS strength_trend
         FROM mom
     """
+
+# ---------- round-7 third batch: EB / Theil / s-curve / centroids ----------
+
+from .operators.mlstats import EB_M, EB_SHRUNK, EB_STRENGTH  # noqa: E402
+from .operators.rangeops import THEIL_T
+from .operators.dedup import S_CURVE_CONFIGS, S_CURVE_GRID, s_curve_p_expr
+
+ORACLE_TRAINING["eb_shrunk_rates"] = f"""
+        WITH o AS (
+          SELECT c.c_nationkey,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS x
+          FROM orders JOIN customer c ON c.c_custkey = o_custkey
+          GROUP BY 1
+        ), rates AS (
+          SELECT *, CAST(round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                               * 1000000000.0) AS BIGINT) AS p_nano
+          FROM o
+        ), prior AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(p_nano) AS BIGINT) AS sp,
+                 sum(CAST(p_nano AS HUGEINT) * p_nano) AS spp
+          FROM rates
+        )
+        SELECT c_nationkey, n, x AS n_urgent,
+               round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+               round({EB_M}, 6) AS prior_mean,
+               round({EB_STRENGTH}, 6) AS prior_strength,
+               round({EB_SHRUNK}, 6) AS shrunk_rate
+        FROM rates CROSS JOIN prior
+    """
+
+ORACLE_TRAINING["theil_index"] = f"""
+        WITH spend AS (
+          SELECT c.c_nationkey, o_custkey,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS x
+          FROM orders JOIN customer c ON c.c_custkey = o_custkey
+          GROUP BY 1, 2
+          HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT)) > 0
+        ), mom AS (
+          SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 sum(CAST(x AS HUGEINT)
+                     * CAST(round(ln(CAST(x AS DOUBLE)) * 1000000000.0)
+                            AS BIGINT)) AS sxl
+          FROM spend GROUP BY 1
+        )
+        SELECT c_nationkey AS nationkey, n AS n_customers,
+               sx AS total_cents,
+               round({THEIL_T}, 6) AS theil_t
+        FROM mom
+    """
+
+_SC_VALUES = ",\n                 ".join(
+    f"({b}, {r}, {s})"
+    for b, r in S_CURVE_CONFIGS
+    for s in S_CURVE_GRID
+)
+_SC_CASE = "CASE " + " ".join(
+    f"WHEN bands = {b} AND rows_per_band = {r} THEN {s_curve_p_expr(b, r)}"
+    for b, r in S_CURVE_CONFIGS
+) + " END"
+
+ORACLE_TRAINING["lsh_s_curve"] = f"""
+        WITH grid AS (
+          SELECT CAST(bands AS INTEGER) AS bands,
+                 CAST(rows_per_band AS INTEGER) AS rows_per_band,
+                 CAST(s AS DOUBLE) AS s
+          FROM (VALUES {_SC_VALUES}) AS t(bands, rows_per_band, s)
+        )
+        SELECT bands, rows_per_band, round(s, 6) AS s,
+               round({_SC_CASE}, 6) AS p_candidate,
+               round(exp(ln(1.0 / CAST(bands AS DOUBLE))
+                         / CAST(rows_per_band AS DOUBLE)), 6) AS s_threshold
+        FROM grid
+    """
+
+ORACLE_TRAINING["label_centroid_cosine"] = f"""
+        WITH comp AS (
+          SELECT label, i - 1 AS dim,
+                 CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE)
+                                     * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+          FROM embeddings,
+               (SELECT unnest(range(1, {DIM + 1})) AS i) t
+          GROUP BY 1, 2
+        ), sizes AS (
+          SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+          FROM embeddings GROUP BY 1
+        ), dots AS (
+          SELECT a.label AS label_a, b.label AS label_b,
+                 sum(CAST(a.s AS HUGEINT) * b.s) AS dot
+          FROM comp a JOIN comp b ON b.dim = a.dim AND a.label < b.label
+          GROUP BY 1, 2
+        ), norms AS (
+          SELECT label, sum(CAST(s AS HUGEINT) * s) AS n2
+          FROM comp GROUP BY 1
+        )
+        SELECT d.label_a, d.label_b, sa.n_vecs AS n_a, sb.n_vecs AS n_b,
+               round(CAST(d.dot AS DOUBLE)
+                     / (sqrt(CAST(na.n2 AS DOUBLE))
+                        * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+                   AS centroid_cosine
+        FROM dots d
+        JOIN norms na ON na.label = d.label_a
+        JOIN norms nb ON nb.label = d.label_b
+        JOIN sizes sa ON sa.label = d.label_a
+        JOIN sizes sb ON sb.label = d.label_b
+    """

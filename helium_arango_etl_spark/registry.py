@@ -2667,6 +2667,10 @@ QUERIES["xcorr_purchase_click"] = ML.xcorr_purchase_click
 QUERIES["t_closeness_audit"] = R.t_closeness_audit
 QUERIES["price_band_pairs"] = R.price_band_pairs
 QUERIES["seasonality_strength"] = RG.seasonality_strength
+QUERIES["eb_shrunk_rates"] = ML.eb_shrunk_rates
+QUERIES["theil_index"] = RG.theil_index
+QUERIES["lsh_s_curve"] = D.lsh_s_curve
+QUERIES["label_centroid_cosine"] = S.label_centroid_cosine
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------

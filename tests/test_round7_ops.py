@@ -253,3 +253,77 @@ def test_seasonality_strength_in_unit_interval(spark, sf_dir):
         assert 0.0 <= r.strength_seasonal <= 1.0
         assert 0.0 <= r.strength_trend <= 1.0
         assert r.n_days > 0
+
+
+def test_eb_shrinkage_pulls_toward_prior_mean(spark, sf_dir):
+    rows = QUERIES["eb_shrunk_rates"](spark, sf_dir).collect()
+    assert rows
+    m = rows[0].prior_mean
+    for r in rows:
+        assert 0.0 <= r.shrunk_rate <= 1.0
+        if r.prior_strength is not None:
+            # shrunk rate lies strictly between raw rate and prior mean
+            lo, hi = sorted((r.raw_rate, m))
+            assert lo - 1e-9 <= r.shrunk_rate <= hi + 1e-9
+            assert r.prior_strength > 0.0
+        else:
+            assert abs(r.shrunk_rate - r.raw_rate) < 1e-9
+
+
+def test_theil_index_nonneg_and_matches_numpy(spark, sf_dir):
+    rows = QUERIES["theil_index"](spark, sf_dir).collect()
+    assert rows
+    spend = duckdb.sql(
+        f"""SELECT c.c_nationkey, o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+            FROM '{sf_dir}/orders.parquet' o
+            JOIN '{sf_dir}/customer.parquet' c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2 HAVING x > 0"""
+    ).fetchall()
+    by_n: dict[int, list[int]] = {}
+    for nk, _, x in spend:
+        by_n.setdefault(nk, []).append(x)
+    for r in rows:
+        xs = np.array(by_n[r.nationkey], dtype=float)
+        mu = xs.mean()
+        want = float(np.mean(xs / mu * np.log(xs / mu)))
+        assert r.theil_t >= -1e-6  # Theil-T is nonnegative
+        assert abs(r.theil_t - want) < 1e-4
+
+
+def test_lsh_s_curve_monotone_and_production_config(spark, sf_dir):
+    rows = QUERIES["lsh_s_curve"](spark, sf_dir).collect()
+    assert len(rows) == 4 * 19
+    by_cfg: dict[tuple, list] = {}
+    for r in rows:
+        assert 0.0 <= r.p_candidate <= 1.0
+        by_cfg.setdefault((r.bands, r.rows_per_band), []).append(r)
+    for cfg, grp in by_cfg.items():
+        grp.sort(key=lambda r: r.s)
+        ps = [r.p_candidate for r in grp]
+        assert all(a <= b + 1e-9 for a, b in zip(ps, ps[1:]))  # monotone in s
+        b, rr = cfg
+        want_thr = (1.0 / b) ** (1.0 / rr)
+        assert abs(grp[0].s_threshold - want_thr) < 1e-6
+        # closed form check at one grid point
+        r5 = next(r for r in grp if abs(r.s - 0.5) < 1e-9)
+        want_p = 1.0 - (1.0 - 0.5**rr) ** b
+        assert abs(r5.p_candidate - want_p) < 1e-6
+
+
+def test_label_centroid_cosine_matches_numpy(spark, sf_dir):
+    rows = QUERIES["label_centroid_cosine"](spark, sf_dir).collect()
+    vecs = duckdb.sql(
+        f"SELECT label, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    sums: dict[int, np.ndarray] = {}
+    for lab, emb in vecs:
+        q = np.round(np.array(emb, dtype=float) * 1e6)
+        sums[lab] = sums.get(lab, 0) + q
+    n_labels = len(sums)
+    assert len(rows) == n_labels * (n_labels - 1) // 2
+    for r in rows:
+        a, b = sums[r.label_a], sums[r.label_b]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.centroid_cosine - want) < 1e-6
+        assert -1.0 <= r.centroid_cosine <= 1.0
