@@ -1000,3 +1000,81 @@ def training_step_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("drop_fraction"),
     )
+
+
+WF_BUDGET_DEN = 2  # budget = total available tokens div 2
+WF_ROUNDS = 20  # >= max saturation waves (= |sources| worst case)
+
+
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling allocation of a global token budget across sources:
+    every unsaturated source gets an equal share of the remaining
+    budget each round, capped at its availability; freed budget
+    redistributes to the still-unsaturated sources next round — the
+    max-min fair allocation (classic water-filling) that a mixture
+    planner runs AFTER `per_source_cap` decides availability and BEFORE
+    `mixture_sample` draws: small sources are fully taken, large
+    sources split the remainder equally.
+
+    Determinism: availability is exact integer tokens (n_chars div 4
+    proxy, the repo-wide convention); each round's share is a
+    truncating integer div of the remaining budget by the unsaturated
+    count; every add is min(share, headroom) — all-bigint state, so
+    the fixpoint is bit-exact and the oracle unrolls the rounds as
+    CTEs.  The final sub-|sources| remainder stays unallocated
+    (documented; a production run hands it to the largest source).
+
+    Scale shape: one corpus scan to a |sources|-row availability
+    table; WF_ROUNDS broadcast-sized folds over that table (each round
+    is a 1-row scalar + |sources|-row map) — the fact table is never
+    rescanned.
+    """
+    avail = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.expr("n_chars div 4")).cast("bigint").alias("avail")
+        )
+    )
+    total = avail.agg(
+        F.expr(f"sum(avail) div {WF_BUDGET_DEN}").alias("budget")
+    )
+    # state: per-source alloc; scalar remaining budget rides a rejoin
+    st = avail.crossJoin(F.broadcast(total)).select(
+        "source", "avail", F.lit(0).cast("bigint").alias("alloc"), "budget"
+    )
+    # localCheckpoint per round: the state is |sources| rows, but without
+    # it every round's TWO aggregations re-derive the full lineage and
+    # Catalyst planning goes super-linear in rounds (the city_ppr_joins
+    # lesson) — checkpointing keeps each round's plan O(1) deep.
+    st = st.localCheckpoint(eager=True)
+    for _ in range(WF_ROUNDS):
+        scal = st.agg(
+            F.max("budget").alias("budget"),
+            F.sum("alloc").cast("bigint").alias("allocated"),
+            F.sum(F.expr("if(alloc < avail, 1L, 0L)")).alias("n_unsat"),
+        )
+        st = (
+            st.select("source", "avail", "alloc")
+            .crossJoin(F.broadcast(scal))
+            .select(
+                "source",
+                "avail",
+                F.expr(
+                    "alloc + if(alloc < avail and n_unsat > 0,"
+                    " least((budget - allocated) div n_unsat,"
+                    " avail - alloc), 0L)"
+                ).alias("alloc"),
+                "budget",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return st.select(
+        "source",
+        F.col("avail").alias("avail_tokens"),
+        F.col("alloc").alias("alloc_tokens"),
+        (F.col("alloc") == F.col("avail")).alias("saturated"),
+        F.round(
+            F.expr("cast(alloc as double) / cast(avail as double)"), 6
+        ).alias("take_share"),
+    )

@@ -2372,3 +2372,56 @@ def theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx").alias("total_cents"),
         F.round(F.expr(THEIL_T), 6).alias("theil_t"),
     )
+
+
+# adjusted standardized residual: (o - e) / sqrt(e (1 - row/N)(1 - col/N))
+CHI2_ADJ_RESID = (
+    "((observed - row_n * col_n / cast(n as double))"
+    " / sqrt(row_n * col_n / cast(n as double)"
+    " * (1.0 - row_n / cast(n as double))"
+    " * (1.0 - col_n / cast(n as double))))"
+)
+
+
+def chi2_adjusted_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-hoc cell diagnosis for the `chi2_independence` cross-tab:
+    Haberman's ADJUSTED standardized residuals (o−e)/√(e(1−p_r)(1−p_c))
+    per cell, which are asymptotically N(0,1) under independence — the
+    answer to "WHICH cells drive the significant χ²?", flagged at
+    |r| > 2.  Raw χ² terms (the sibling op) overweight small-expectation
+    cells; the adjusted residual is the calibrated read.
+
+    Determinism: marginals are exact integers; the residual is one
+    shared double expression tree; the flag compares the UNROUNDED
+    residual.
+
+    Scale shape: identical to chi2_independence — one keyed |types|×7
+    aggregation plus broadcast marginals.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            f"(unix_micros(ts) div {86_400 * 1_000_000} + 4) % 7"
+        ).alias("weekday"),
+    )
+    cells = ev.groupBy("event_type", "weekday").agg(
+        F.count(F.lit(1)).cast("bigint").alias("observed")
+    )
+    rows = cells.groupBy("event_type").agg(F.sum("observed").alias("row_n"))
+    cols = cells.groupBy("weekday").agg(F.sum("observed").alias("col_n"))
+    tot = cells.agg(F.sum("observed").alias("n"))
+    return (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "weekday")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "weekday",
+            "observed",
+            F.round(
+                F.expr("row_n * col_n / cast(n as double)"), 6
+            ).alias("expected"),
+            F.round(F.expr(CHI2_ADJ_RESID), 6).alias("adj_residual"),
+            F.expr(f"abs({CHI2_ADJ_RESID}) > 2.0").alias("significant"),
+        )
+    )

@@ -7105,3 +7105,72 @@ ORACLE_TRAINING["label_centroid_cosine"] = f"""
         JOIN sizes sa ON sa.label = d.label_a
         JOIN sizes sb ON sb.label = d.label_b
     """
+
+# ---------- round-7 fourth batch: water-fill / chi2 residuals ----------
+
+from .operators.pipeline import WF_BUDGET_DEN, WF_ROUNDS  # noqa: E402
+from .operators.rangeops import CHI2_ADJ_RESID
+
+_WF_PARTS = [f"""
+        WITH avail AS (
+          SELECT source, CAST(sum(n_chars // 4) AS BIGINT) AS avail
+          FROM documents GROUP BY 1
+        ), total AS (
+          SELECT CAST(sum(avail) // {WF_BUDGET_DEN} AS BIGINT) AS budget
+          FROM avail
+        ), st0 AS (
+          SELECT source, avail, CAST(0 AS BIGINT) AS alloc FROM avail
+        )"""]
+for _k in range(WF_ROUNDS):
+    _WF_PARTS.append(f""", sc{_k} AS MATERIALIZED (
+          SELECT t.budget, CAST(sum(alloc) AS BIGINT) AS allocated,
+                 CAST(sum(CASE WHEN alloc < avail THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_unsat
+          FROM st{_k} CROSS JOIN total t GROUP BY t.budget
+        ), st{_k + 1} AS MATERIALIZED (
+          SELECT source, avail,
+                 alloc + CASE WHEN alloc < avail AND n_unsat > 0
+                         THEN least((budget - allocated) // n_unsat,
+                                    avail - alloc)
+                         ELSE CAST(0 AS BIGINT) END AS alloc
+          FROM st{_k} CROSS JOIN sc{_k}
+        )""")
+_WF_PARTS.append(f"""
+        SELECT source, avail AS avail_tokens, alloc AS alloc_tokens,
+               alloc = avail AS saturated,
+               round(CAST(alloc AS DOUBLE) / CAST(avail AS DOUBLE), 6)
+                   AS take_share
+        FROM st{WF_ROUNDS}
+    """)
+ORACLE_TRAINING["token_budget_waterfill"] = "".join(_WF_PARTS)
+
+ORACLE_TRAINING["chi2_adjusted_residuals"] = f"""
+        WITH ev AS (
+          SELECT event_type,
+                 (epoch_us(ts) // {86_400 * 1_000_000} + 4) % 7 AS weekday
+          FROM events
+        ), cells AS (
+          SELECT event_type, weekday, CAST(count(*) AS BIGINT) AS observed
+          FROM ev GROUP BY event_type, weekday
+        ), r AS (
+          SELECT event_type, CAST(sum(observed) AS BIGINT) AS row_n
+          FROM cells GROUP BY event_type
+        ), c AS (
+          SELECT weekday, CAST(sum(observed) AS BIGINT) AS col_n
+          FROM cells GROUP BY weekday
+        ), t AS (
+          SELECT CAST(sum(observed) AS BIGINT) AS n FROM cells
+        ), g AS (
+          SELECT cells.event_type, cells.weekday, cells.observed,
+                 r.row_n, c.col_n, t.n
+          FROM cells
+          JOIN r ON r.event_type = cells.event_type
+          JOIN c ON c.weekday = cells.weekday
+          CROSS JOIN t
+        )
+        SELECT event_type, weekday, observed,
+               round(row_n * col_n / CAST(n AS DOUBLE), 6) AS expected,
+               round({CHI2_ADJ_RESID}, 6) AS adj_residual,
+               abs({CHI2_ADJ_RESID}) > 2.0 AS significant
+        FROM g
+    """

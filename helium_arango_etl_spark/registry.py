@@ -2671,6 +2671,8 @@ QUERIES["eb_shrunk_rates"] = ML.eb_shrunk_rates
 QUERIES["theil_index"] = RG.theil_index
 QUERIES["lsh_s_curve"] = D.lsh_s_curve
 QUERIES["label_centroid_cosine"] = S.label_centroid_cosine
+QUERIES["token_budget_waterfill"] = P.token_budget_waterfill
+QUERIES["chi2_adjusted_residuals"] = RG.chi2_adjusted_residuals
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------

@@ -327,3 +327,45 @@ def test_label_centroid_cosine_matches_numpy(spark, sf_dir):
         want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(r.centroid_cosine - want) < 1e-6
         assert -1.0 <= r.centroid_cosine <= 1.0
+
+
+def test_waterfill_is_max_min_fair(spark, sf_dir):
+    rows = QUERIES["token_budget_waterfill"](spark, sf_dir).collect()
+    assert rows
+    avail = {r.source: r.avail_tokens for r in rows}
+    alloc = {r.source: r.alloc_tokens for r in rows}
+    budget = sum(avail.values()) // 2
+    spent = sum(alloc.values())
+    n_unsat = sum(1 for s in alloc if alloc[s] < avail[s])
+    # never exceeds budget; leftover is sub-|unsat| (integer remainder)
+    assert spent <= budget
+    assert budget - spent < max(n_unsat, 1)
+    for s in alloc:
+        assert 0 <= alloc[s] <= avail[s]
+    # max-min fairness: all unsaturated sources got the SAME water line
+    lines = {alloc[s] for s in alloc if alloc[s] < avail[s]}
+    assert len(lines) <= 1
+    # every saturated source sits at or below the water line
+    if lines:
+        (line,) = lines
+        for s in alloc:
+            if alloc[s] == avail[s]:
+                assert avail[s] <= line + 1
+
+
+def test_chi2_adjusted_residuals_center(spark, sf_dir):
+    rows = QUERIES["chi2_adjusted_residuals"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.significant == (abs(r.adj_residual) > 2.0) or abs(
+            abs(r.adj_residual) - 2.0
+        ) < 1e-6
+    # residuals sum to ~0 within each row of the cross-tab contribution
+    # (property of (o-e): marginals match exactly)
+    by_type: dict[str, float] = {}
+    for r in rows:
+        by_type[r.event_type] = by_type.get(r.event_type, 0.0) + (
+            r.observed - r.expected
+        )
+    for v in by_type.values():
+        assert abs(v) < 1e-3
