@@ -2170,3 +2170,78 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("phi"),
         )
     )
+
+
+BFS_MAX_HOPS = 4
+
+
+def city_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS layer census per city: from a deterministic seed (the
+    minimum node id), how many NEW nodes become reachable at each hop
+    ≤ BFS_MAX_HOPS over the undirected witness graph — the hop-distance
+    profile ("how far is the graph from its anchor") that complements
+    `witness_components` (who is connected at all) and
+    `city_graph_metrics`' centralities (who is important), and the
+    exact mirror of the level-synchronous BFS a cluster engine runs.
+
+    Determinism: pure set arithmetic on integer node ids — each layer
+    is distinct neighbors of the previous layer minus all visited
+    nodes; no scores, no floats anywhere.
+
+    Scale shape: BFS_MAX_HOPS rounds of frontier⋈edges joins keyed on
+    (city, node) with a visited anti-join — frontier and visited hold
+    (city, node) pairs only; the edge table is derived once.  This is
+    the textbook Pregel/GraphX BFS expressed as joins, so the 100 TB
+    form is the same plan with the edge table bucketed by city.
+    """
+    edges = (
+        witness_subgraph(spark, sf_dir)
+        .select("city_key", "src", "dst")
+        .distinct()
+    )
+    und = edges.select(
+        "city_key", F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionByName(
+        edges.select(
+            "city_key", F.col("dst").alias("a"), F.col("src").alias("b")
+        )
+    ).distinct()
+    nodes = und.select("city_key", F.col("a").alias("node")).distinct()
+    seed = nodes.groupBy("city_key").agg(F.min("node").alias("node"))
+    frontier = seed.select("city_key", "node")
+    visited = frontier
+    layers = [
+        frontier.select(
+            "city_key", F.lit(0).cast("int").alias("hop"), "node"
+        )
+    ]
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        # rename the frontier's columns before joining back to the edge
+        # table it derives from (self-join lineage would be ambiguous)
+        fr = frontier.select(
+            F.col("city_key").alias("fc"), F.col("node").alias("fn")
+        )
+        nbrs = (
+            fr.join(und, F.expr("city_key = fc AND a = fn"))
+            .select("city_key", F.col("b").alias("node"))
+            .distinct()
+        )
+        frontier = nbrs.join(
+            visited.select(
+                F.col("city_key").alias("vc"), F.col("node").alias("vn")
+            ),
+            F.expr("city_key = vc AND node = vn"),
+            "left_anti",
+        )
+        visited = visited.unionByName(frontier).distinct()
+        layers.append(
+            frontier.select(
+                "city_key", F.lit(hop).cast("int").alias("hop"), "node"
+            )
+        )
+    out = layers[0]
+    for ly in layers[1:]:
+        out = out.unionByName(ly)
+    return out.groupBy("city_key", "hop").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )

@@ -2202,3 +2202,88 @@ def intradoc_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_share"),
         )
     )
+
+
+LLR_MIN_COUNT = 5
+LLR_TOP_K = 50
+
+
+def llr_term(o: str, r: str, c: str) -> str:
+    """One observed-cell term of Dunning's G²: o·ln(o·N/(R·C)), with the
+    0·ln0 = 0 convention — a fixed double expression over exact bigint
+    cell/marginal counts, shared verbatim with the oracle."""
+    return (
+        f"(CASE WHEN {o} > 0 THEN cast({o} as double)"
+        f" * ln(cast({o} as double) * cast(nn as double)"
+        f" / (cast({r} as double) * cast({c} as double))) ELSE 0.0 END)"
+    )
+
+
+LLR_G2 = (
+    "(2.0 * ("
+    + " + ".join(
+        [
+            llr_term("k11", "r1", "c1"),
+            llr_term("(r1 - k11)", "r1", "(nn - c1)"),
+            llr_term("(c1 - k11)", "(nn - r1)", "c1"),
+            llr_term("(nn - r1 - c1 + k11)", "(nn - r1)", "(nn - c1)"),
+        ]
+    )
+    + "))"
+)
+
+
+def bigram_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K collocations by Dunning's log-likelihood ratio G² (Dunning
+    1993) over corpus bigrams — the collocation test that stays
+    calibrated at low counts where `bigram_pmi` explodes (PMI rewards
+    rare pairs; G² asks how surprising the 2×2 contingency table is
+    under independence, so frequent-AND-exclusive pairs win).  The
+    standard phrase-mining ranking before tokenizer/vocab decisions.
+
+    Determinism: all four cells derive from exact integer bigram,
+    prefix-marginal and suffix-marginal counts; G² is one shared
+    double expression tree (module constant, oracle-imported) with the
+    0·ln0 = 0 convention; top-K ordering ties break on the bigram.
+
+    Scale shape: one bigram explode with three combiner-folded keyed
+    counts (bigram, first-word marginal, second-word marginal) + a
+    1-row total broadcast; the top-K is TakeOrderedAndProject.
+    """
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "t", F.expr(TOKS)
+    )
+    bi = (
+        docs.select(F.explode(F.expr(_BIGRAMS_OVER_T)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k11"))
+        .withColumn("wa", F.expr("split(bg, ' ')[0]"))
+        .withColumn("wb", F.expr("split(bg, ' ')[1]"))
+    )
+    r = bi.groupBy("wa").agg(F.sum("k11").cast("bigint").alias("r1"))
+    c = bi.groupBy("wb").agg(F.sum("k11").cast("bigint").alias("c1"))
+    nn = bi.agg(F.sum("k11").cast("bigint").alias("nn"))
+    return (
+        bi.where(F.col("k11") >= LLR_MIN_COUNT)
+        .join(F.broadcast(r), "wa")
+        .join(F.broadcast(c), "wb")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "wa",
+            "wb",
+            "k11",
+            "r1",
+            "c1",
+            F.expr(LLR_G2).alias("g2_raw"),
+        )
+        .orderBy(F.col("g2_raw").desc(), "wa", "wb")
+        .limit(LLR_TOP_K)
+        .select(
+            "wa",
+            "wb",
+            F.col("k11").alias("n_pair"),
+            F.col("r1").alias("n_first"),
+            F.col("c1").alias("n_second"),
+            F.round("g2_raw", 6).alias("llr_g2"),
+        )
+    )

@@ -7174,3 +7174,71 @@ ORACLE_TRAINING["chi2_adjusted_residuals"] = f"""
                abs({CHI2_ADJ_RESID}) > 2.0 AS significant
         FROM g
     """
+
+# ---------- round-7 fifth batch: LLR collocations / BFS layers ----------
+
+from .operators.textops import LLR_G2, LLR_MIN_COUNT, LLR_TOP_K  # noqa: E402
+from .operators.graph import BFS_MAX_HOPS
+
+ORACLE_TRAINING["bigram_llr_collocations"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+        ), bi AS (
+          SELECT bg, CAST(count(*) AS BIGINT) AS k11,
+                 string_split(bg, ' ')[1] AS wa,
+                 string_split(bg, ' ')[2] AS wb
+          FROM (SELECT unnest({_BIGRAMS}) AS bg FROM toks)
+          GROUP BY bg
+        ), r AS (
+          SELECT wa, CAST(sum(k11) AS BIGINT) AS r1 FROM bi GROUP BY 1
+        ), c AS (
+          SELECT wb, CAST(sum(k11) AS BIGINT) AS c1 FROM bi GROUP BY 1
+        ), t AS (
+          SELECT CAST(sum(k11) AS BIGINT) AS nn FROM bi
+        ), scored AS (
+          SELECT bi.wa, bi.wb, bi.k11, r.r1, c.c1,
+                 {LLR_G2} AS g2_raw
+          FROM bi
+          JOIN r ON r.wa = bi.wa
+          JOIN c ON c.wb = bi.wb
+          CROSS JOIN t
+          WHERE bi.k11 >= {LLR_MIN_COUNT}
+        )
+        SELECT wa, wb, k11 AS n_pair, r1 AS n_first, c1 AS n_second,
+               round(g2_raw, 6) AS llr_g2
+        FROM scored
+        ORDER BY g2_raw DESC, wa, wb
+        LIMIT {LLR_TOP_K}
+    """
+
+_BFS_PARTS = ["""
+        WITH edges0 AS ({WSQL}),
+        e AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        und AS MATERIALIZED (
+          SELECT DISTINCT city_key, a, b FROM (
+            SELECT city_key, src AS a, dst AS b FROM e
+            UNION ALL SELECT city_key, dst AS a, src AS b FROM e)
+        ), seed AS (
+          SELECT city_key, min(a) AS node FROM und GROUP BY 1
+        ), f0 AS MATERIALIZED (SELECT city_key, node FROM seed),
+        v0 AS MATERIALIZED (SELECT city_key, node FROM f0)"""]
+for _h in range(1, BFS_MAX_HOPS + 1):
+    _BFS_PARTS.append(f""", f{_h} AS MATERIALIZED (
+          SELECT DISTINCT u.city_key, u.b AS node
+          FROM f{_h - 1} f JOIN und u
+            ON u.city_key = f.city_key AND u.a = f.node
+          WHERE NOT EXISTS (SELECT 1 FROM v{_h - 1} v
+                            WHERE v.city_key = u.city_key
+                              AND v.node = u.b)
+        ), v{_h} AS MATERIALIZED (
+          SELECT city_key, node FROM v{_h - 1}
+          UNION SELECT city_key, node FROM f{_h}
+        )""")
+_BFS_PARTS.append(f"""
+        SELECT city_key, hop, CAST(count(*) AS BIGINT) AS n_nodes FROM (
+          {" UNION ALL ".join(
+              f"SELECT city_key, CAST({h} AS INTEGER) AS hop, node FROM f{h}"
+              for h in range(BFS_MAX_HOPS + 1))}
+        ) GROUP BY city_key, hop
+    """)
+ORACLE_TRAINING["city_bfs_layers"] = "".join(_BFS_PARTS)

@@ -660,6 +660,9 @@ ORACLE["butterfly_stats"] = ORACLE["butterfly_stats"].replace(
 ORACLE["rich_club_coefficient"] = ORACLE["rich_club_coefficient"].replace(
     "{WSQL}", _WITNESS_SQL
 )
+ORACLE["city_bfs_layers"] = ORACLE["city_bfs_layers"].replace(
+    "{WSQL}", _WITNESS_SQL
+)
 
 
 # ---------- declarative PageRank oracle (unrolled quantized iterations) ----------
@@ -2673,6 +2676,8 @@ QUERIES["lsh_s_curve"] = D.lsh_s_curve
 QUERIES["label_centroid_cosine"] = S.label_centroid_cosine
 QUERIES["token_budget_waterfill"] = P.token_budget_waterfill
 QUERIES["chi2_adjusted_residuals"] = RG.chi2_adjusted_residuals
+QUERIES["bigram_llr_collocations"] = T.bigram_llr_collocations
+QUERIES["city_bfs_layers"] = G.city_bfs_layers
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------

@@ -369,3 +369,56 @@ def test_chi2_adjusted_residuals_center(spark, sf_dir):
         )
     for v in by_type.values():
         assert abs(v) < 1e-3
+
+
+def test_llr_collocations_match_independent_recompute(spark, sf_dir):
+    rows = QUERIES["bigram_llr_collocations"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    # independent python G2 for the top row
+    texts = duckdb.sql(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    from collections import Counter
+
+    bi, first, second = Counter(), Counter(), Counter()
+    for (t,) in texts:
+        ws = [w for w in t.split(" ") if w]
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] += 1
+            first[a] += 1
+            second[b] += 1
+    nn = sum(bi.values())
+
+    def g2(k11, r1, c1):
+        def term(o, r, c):
+            return o * math.log(o * nn / (r * c)) if o > 0 else 0.0
+
+        return 2.0 * (
+            term(k11, r1, c1)
+            + term(r1 - k11, r1, nn - c1)
+            + term(c1 - k11, nn - r1, c1)
+            + term(nn - r1 - c1 + k11, nn - r1, nn - c1)
+        )
+
+    top = rows[0]
+    want = g2(bi[(top.wa, top.wb)], first[top.wa], second[top.wb])
+    assert abs(top.llr_g2 - want) < 1e-3
+    assert top.n_pair == bi[(top.wa, top.wb)]
+    # G2 is the max over all bigrams with count >= 5
+    best = max(
+        g2(k, first[a], second[b]) for (a, b), k in bi.items() if k >= 5
+    )
+    assert abs(top.llr_g2 - best) < 1e-3
+
+
+def test_bfs_layers_census(spark, sf_oracle_dir):
+    rows = QUERIES["city_bfs_layers"](spark, sf_oracle_dir).collect()
+    assert rows
+    by_city: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_city.setdefault(r.city_key, {})[r.hop] = r.n_nodes
+    for hops in by_city.values():
+        assert hops.get(0) == 1  # the seed
+        # layers are contiguous: a gap means BFS exhausted
+        ks = sorted(hops)
+        assert ks == list(range(len(ks)))
