@@ -1548,3 +1548,183 @@ def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(RDF_INTERCEPT), 6).alias("log_intercept"),
         F.round(F.expr(RDF_HALF_LIFE), 6).alias("half_life_days"),
     )
+
+
+MA_CHANNELS = ("click", "signup", "view")
+MA_STEPS = 16
+MA_CONV = "CONV"
+MA_LOST = "LOST"
+MA_START = "START"
+
+
+def _ma_absorption(tr, spark):
+    """Quantized value iteration for P(absorb in CONV) over a
+    transition-count table (a, b, c) — nano-bigint state, exact integer
+    numerators, one rounded division per state per round (the
+    markov_absorption discipline), localCheckpoint per round to keep
+    the plan O(1) deep."""
+    from pyspark.sql import functions as F
+
+    marg = tr.groupBy("a").agg(F.sum("c").cast("bigint").alias("c_a"))
+    marg = marg.localCheckpoint(eager=True)
+    h = marg.select(
+        F.col("a").alias("st"), F.lit(0).cast("bigint").alias("h")
+    ).localCheckpoint(eager=True)
+    for _ in range(MA_STEPS):
+        h = (
+            tr.join(F.broadcast(h), tr["b"] == h["st"], "left")
+            .join(F.broadcast(marg), "a")
+            .groupBy("a", "c_a")
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"c * CASE WHEN b = '{MA_CONV}' THEN 1000000000L"
+                        f" WHEN b = '{MA_LOST}' THEN 0L"
+                        " ELSE coalesce(h, 0L) END"
+                    )
+                ).cast("bigint").alias("num")
+            )
+            .select(
+                F.col("a").alias("st"),
+                F.expr(
+                    "cast(round(cast(num as double) / cast(c_a as double))"
+                    " as bigint)"
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return h
+
+
+def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2016) — the
+    data-driven alternative to `attribution_models`' first/last/linear
+    heuristics: model user journeys as a Markov chain over touch
+    channels with CONV/LOST absorbing states, and credit each channel
+    by how much the corpus conversion probability DROPS when that
+    channel is deleted from the chain (its removal effect), normalized
+    to attribution shares.
+
+    Journeys: per user, the time-ordered view/click/signup touches;
+    START → first touch, touch → next touch, last touch → CONV if the
+    user ever purchases else LOST; touchless users contribute
+    START → CONV/LOST directly so total probability is conserved.
+    Removing channel c deletes its outgoing rows and redirects its
+    incoming edges to LOST (the node-deletion form).
+
+    Determinism: transition counts are exact integers; each absorption
+    run is MA_STEPS rounds of nano-quantized integer value iteration
+    (bit-identical across engines, oracle-unrolled as CTEs); removal
+    effects are re-quantized to nanos before the cross-channel share
+    sum so normalization is exact integer arithmetic.
+
+    Scale shape: ONE user-keyed lag window over the touch stream builds
+    the transition table; everything after is (1 + |channels|) × MA_STEPS
+    broadcast-sized folds over a ≤(|channels|+1)²-row matrix — fact
+    data is never rescanned.
+    """
+    tlist = ", ".join(f"'{t}'" for t in MA_CHANNELS)
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        "user_id"
+    ).distinct()
+    tch = ev.where(F.expr(f"event_type in ({tlist})"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = tch.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("ntch"),
+    )
+    mid = seq.where(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("a"), F.col("event_type").alias("b")
+    )
+    first = seq.where(F.col("rn") == 1).select(
+        F.lit(MA_START).alias("a"), F.col("event_type").alias("b")
+    )
+    last = (
+        seq.where(F.col("rn") == F.col("ntch"))
+        .join(conv.withColumn("is_conv", F.lit(1)), "user_id", "left")
+        .select(
+            F.col("event_type").alias("a"),
+            F.expr(
+                f"if(is_conv is not null, '{MA_CONV}', '{MA_LOST}')"
+            ).alias("b"),
+        )
+    )
+    touchless = (
+        ev.select("user_id")
+        .distinct()
+        .join(tch.select("user_id").distinct(), "user_id", "left_anti")
+        .join(conv.withColumn("is_conv", F.lit(1)), "user_id", "left")
+        .select(
+            F.lit(MA_START).alias("a"),
+            F.expr(
+                f"if(is_conv is not null, '{MA_CONV}', '{MA_LOST}')"
+            ).alias("b"),
+        )
+    )
+    tr = (
+        mid.unionByName(first)
+        .unionByName(last)
+        .unionByName(touchless)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    p_full = _ma_absorption(tr, spark).where(
+        F.col("st") == MA_START
+    ).select(F.col("h").alias("p_full_nano"))
+    per_channel = []
+    for ch in MA_CHANNELS:
+        tr_c = (
+            tr.where(F.col("a") != ch)
+            .select(
+                "a",
+                F.expr(f"if(b = '{ch}', '{MA_LOST}', b)").alias("b"),
+                "c",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+        p_c = _ma_absorption(tr_c, spark).where(
+            F.col("st") == MA_START
+        ).select(
+            F.lit(ch).alias("channel"), F.col("h").alias("p_removed_nano")
+        )
+        per_channel.append(p_c)
+    res = per_channel[0]
+    for df in per_channel[1:]:
+        res = res.unionByName(df)
+    scored = res.crossJoin(F.broadcast(p_full)).select(
+        "channel",
+        "p_full_nano",
+        "p_removed_nano",
+        F.expr(
+            "cast(round(greatest(0.0, 1.0 - cast(p_removed_nano as double)"
+            " / cast(p_full_nano as double)) * 1000000000.0) as bigint)"
+        ).alias("re_nano"),
+    )
+    tot = scored.agg(F.sum("re_nano").cast("bigint").alias("re_tot"))
+    return scored.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        F.round(
+            F.expr("cast(p_full_nano as double) / 1000000000.0"), 6
+        ).alias("p_conv_full"),
+        F.round(
+            F.expr("cast(p_removed_nano as double) / 1000000000.0"), 6
+        ).alias("p_conv_removed"),
+        F.round(
+            F.expr("cast(re_nano as double) / 1000000000.0"), 6
+        ).alias("removal_effect"),
+        F.round(
+            F.expr(
+                "cast(re_nano as double)"
+                " / cast(nullif(re_tot, 0L) as double)"
+            ),
+            6,
+        ).alias("attribution_share"),
+    )

@@ -7242,3 +7242,111 @@ _BFS_PARTS.append(f"""
         ) GROUP BY city_key, hop
     """)
 ORACLE_TRAINING["city_bfs_layers"] = "".join(_BFS_PARTS)
+
+# ---------- round-7 sixth batch: Markov removal-effect attribution ----------
+
+from .operators.temporal import (  # noqa: E402
+    MA_CHANNELS,
+    MA_CONV,
+    MA_LOST,
+    MA_START,
+    MA_STEPS,
+)
+
+_MA_TLIST = ", ".join(f"'{t}'" for t in MA_CHANNELS)
+_MA_PARTS = [f"""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+          FROM events
+        ), cu AS (
+          SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase'
+        ), tch AS (
+          SELECT user_id, event_type, us, event_id FROM ev
+          WHERE event_type IN ({_MA_TLIST})
+        ), seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER w AS prev,
+                 row_number() OVER w AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS ntch
+          FROM tch
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), parts AS (
+          SELECT prev AS a, event_type AS b FROM seq WHERE prev IS NOT NULL
+          UNION ALL
+          SELECT '{MA_START}', event_type FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.event_type,
+                 CASE WHEN cu.user_id IS NOT NULL THEN '{MA_CONV}'
+                      ELSE '{MA_LOST}' END
+          FROM seq s LEFT JOIN cu ON cu.user_id = s.user_id
+          WHERE s.rn = s.ntch
+          UNION ALL
+          SELECT '{MA_START}',
+                 CASE WHEN cu.user_id IS NOT NULL THEN '{MA_CONV}'
+                      ELSE '{MA_LOST}' END
+          FROM (SELECT DISTINCT user_id FROM ev) u
+          LEFT JOIN cu ON cu.user_id = u.user_id
+          WHERE u.user_id NOT IN (SELECT user_id FROM tch)
+        ), tr_full AS MATERIALIZED (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM parts GROUP BY 1, 2
+        )"""]
+_MA_VARIANTS = [("full", None)] + [(ch, ch) for ch in MA_CHANNELS]
+for _v, _rm in _MA_VARIANTS:
+    if _rm is None:
+        _MA_PARTS.append(f""", tr_{_v} AS MATERIALIZED (
+          SELECT a, b, c FROM tr_full
+        )""" if _v != "full" else "")
+    else:
+        _MA_PARTS.append(f""", tr_{_v} AS MATERIALIZED (
+          SELECT a, CASE WHEN b = '{_rm}' THEN '{MA_LOST}' ELSE b END AS b,
+                 CAST(sum(c) AS BIGINT) AS c
+          FROM tr_full WHERE a <> '{_rm}' GROUP BY 1, 2
+        )""")
+    _MA_PARTS.append(f""", marg_{_v} AS MATERIALIZED (
+          SELECT a, CAST(sum(c) AS BIGINT) AS c_a FROM tr_{_v} GROUP BY 1
+        ), h_{_v}_0 AS MATERIALIZED (
+          SELECT a AS st, CAST(0 AS BIGINT) AS h FROM marg_{_v}
+        )""")
+    for _k in range(MA_STEPS):
+        _MA_PARTS.append(f""", h_{_v}_{_k + 1} AS MATERIALIZED (
+          SELECT t.a AS st,
+                 CAST(round(cast(sum(t.c
+                        * CASE WHEN t.b = '{MA_CONV}' THEN 1000000000
+                               WHEN t.b = '{MA_LOST}' THEN 0
+                               ELSE coalesce(h.h, 0) END) as double)
+                      / cast(m.c_a as double)) AS BIGINT) AS h
+          FROM tr_{_v} t
+          JOIN marg_{_v} m ON m.a = t.a
+          LEFT JOIN h_{_v}_{_k} h ON h.st = t.b
+          GROUP BY t.a, m.c_a
+        )""")
+    _MA_PARTS.append(f""", p_{_v} AS (
+          SELECT h FROM h_{_v}_{MA_STEPS} WHERE st = '{MA_START}'
+        )""")
+_MA_SCORED = " UNION ALL ".join(
+    f"""SELECT '{ch}' AS channel, pf.h AS p_full_nano,
+               p.h AS p_removed_nano,
+               CAST(round(greatest(0.0,
+                    1.0 - cast(p.h as double) / cast(pf.h as double))
+                    * 1000000000.0) AS BIGINT) AS re_nano
+        FROM p_{ch} p CROSS JOIN p_full pf"""
+    for ch in MA_CHANNELS
+)
+_MA_PARTS.append(f""", scored AS (
+          {_MA_SCORED}
+        ), tot AS (
+          SELECT CAST(sum(re_nano) AS BIGINT) AS re_tot FROM scored
+        )
+        SELECT channel,
+               round(cast(p_full_nano as double) / 1000000000.0, 6)
+                   AS p_conv_full,
+               round(cast(p_removed_nano as double) / 1000000000.0, 6)
+                   AS p_conv_removed,
+               round(cast(re_nano as double) / 1000000000.0, 6)
+                   AS removal_effect,
+               round(cast(re_nano as double)
+                     / cast(nullif(re_tot, 0) as double), 6)
+                   AS attribution_share
+        FROM scored CROSS JOIN tot
+    """)
+ORACLE_TRAINING["markov_attribution"] = "".join(_MA_PARTS)

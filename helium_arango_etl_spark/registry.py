@@ -2678,6 +2678,7 @@ QUERIES["token_budget_waterfill"] = P.token_budget_waterfill
 QUERIES["chi2_adjusted_residuals"] = RG.chi2_adjusted_residuals
 QUERIES["bigram_llr_collocations"] = T.bigram_llr_collocations
 QUERIES["city_bfs_layers"] = G.city_bfs_layers
+QUERIES["markov_attribution"] = TP.markov_attribution
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------

@@ -422,3 +422,23 @@ def test_bfs_layers_census(spark, sf_oracle_dir):
         # layers are contiguous: a gap means BFS exhausted
         ks = sorted(hops)
         assert ks == list(range(len(ks)))
+
+
+def test_markov_attribution_shares_and_monotonicity(spark, sf_dir):
+    rows = QUERIES["markov_attribution"](spark, sf_dir).collect()
+    assert len(rows) == 3
+    tot = 0.0
+    for r in rows:
+        # removing a channel can only lose conversions
+        assert r.p_conv_removed <= r.p_conv_full + 1e-9
+        assert 0.0 <= r.removal_effect <= 1.0
+        if r.attribution_share is not None:
+            assert 0.0 <= r.attribution_share <= 1.0
+            tot += r.attribution_share
+    if tot:
+        assert abs(tot - 1.0) < 1e-4
+    # the chain's conversion probability is a MODEL estimate (aggregated
+    # transitions mix users), so it need not equal the empirical
+    # converter share — but it must be a probability and nonzero when
+    # any converter exists
+    assert 0.0 < rows[0].p_conv_full <= 1.0
