@@ -1078,3 +1078,119 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(alloc as double) / cast(avail as double)"), 6
         ).alias("take_share"),
     )
+
+
+ALPHA_GRID = (0.3, 0.5, 0.7, 1.0)
+
+
+def alpha_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights: for each exponent α
+    in the grid, w_s = n_s^α / Σ_t n_t^α over per-source token counts —
+    the exponential smoothing every multilingual/multi-source
+    pretraining mixture uses (XLM-R's α = 0.3, GPT-3's quality-scaled
+    variants): α = 1 is proportional sampling, α → 0 is uniform, and
+    the sweep shows how much each α boosts the tail sources.  Reads
+    beside `mixture_report` (realized mix) and `token_budget_waterfill`
+    (capped allocation).
+
+    Determinism: n^α = exp(α·ln n) evaluated as one fixed double
+    expression per row, then nano-quantized BEFORE the denominator sum
+    so normalization is exact integer arithmetic; one division at the
+    surface.
+
+    Scale shape: one corpus scan to a |sources|-row table, a 4-literal
+    α explode, a |grid|-row broadcast denominator.
+    """
+    avail = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.expr("n_chars div 4")).cast("bigint").alias("n_tok"))
+    )
+    grid = avail.select(
+        "source",
+        "n_tok",
+        F.explode(
+            F.array(*[F.lit(a) for a in ALPHA_GRID])
+        ).alias("alpha"),
+    ).select(
+        "source",
+        "n_tok",
+        "alpha",
+        F.expr(
+            "cast(round(exp(alpha * ln(cast(n_tok as double)))"
+            " * 1000.0) as bigint)"
+        ).alias("pw_milli"),
+    )
+    den = grid.groupBy("alpha").agg(
+        F.sum("pw_milli").cast("bigint").alias("den_milli")
+    )
+    return (
+        grid.join(F.broadcast(den), "alpha")
+        .select(
+            "source",
+            "alpha",
+            "n_tok",
+            F.round(
+                F.expr(
+                    "cast(pw_milli as double) / cast(den_milli as double)"
+                ),
+                6,
+            ).alias("weight"),
+        )
+    )
+
+
+PACK_LEN_GRID = (512, 1024, 2048, 4096)
+
+
+def packing_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length provisioning sweep: for each candidate training
+    sequence length L, the number of sequences and the padding-waste
+    share when every document is chunked independently to length-L
+    pieces (the no-cross-doc-packing regime) — the table that says what
+    `pack_sequences`' chosen length costs versus alternatives and how
+    much cross-document packing could recover.  Waste for a doc with T
+    tokens is L·⌈T/L⌉ − T (the padding of its final chunk).
+
+    Determinism: all counts are exact integers (ceiling division via
+    (T + L − 1) div L); the waste share is one division at the surface.
+
+    Scale shape: one corpus scan; the grid explode happens on the
+    per-document token count projection (4 rows per doc of two ints),
+    folded map-side to a 4-row surface.
+    """
+    toks = read_table(spark, sf_dir, "documents").select(
+        F.expr("n_chars div 4").alias("t")
+    ).where(F.col("t") > 0)
+    grid = toks.select(
+        "t",
+        F.explode(
+            F.array(*[F.lit(l) for l in PACK_LEN_GRID])
+        ).alias("seq_len"),
+    )
+    return (
+        grid.groupBy("seq_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("t").cast("bigint").alias("total_tokens"),
+            F.sum(F.expr("(t + seq_len - 1) div seq_len"))
+            .cast("bigint")
+            .alias("n_sequences"),
+        )
+        .select(
+            "seq_len",
+            "n_docs",
+            "total_tokens",
+            "n_sequences",
+            F.expr("n_sequences * seq_len - total_tokens").alias(
+                "padding_tokens"
+            ),
+            F.round(
+                F.expr(
+                    "cast(n_sequences * seq_len - total_tokens as double)"
+                    " / cast(n_sequences * seq_len as double)"
+                ),
+                6,
+            ).alias("waste_share"),
+        )
+    )

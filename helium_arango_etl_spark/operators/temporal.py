@@ -1728,3 +1728,83 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("attribution_share"),
     )
+
+
+def kaplan_meier_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve over the same censored lifetimes as
+    `retention_survival` / `nelson_aalen_hazard`: S(t) = Π_{i≤t}
+    (1 − dᵢ/nᵢ) — the product-limit estimator itself (Kaplan & Meier
+    1958), completing the survival shelf (KM = what fraction survives;
+    Nelson–Aalen = how hard churn bites; retention_survival = the raw
+    curve without censoring correction).
+
+    Determinism: the product runs as a SUM of nano-quantized
+    ln(1 − dᵢ/nᵢ) factors (exact bigint cumulative window) with one exp
+    at the surface; an offset where dᵢ = nᵢ (risk set dies out) pins
+    S = 0 exactly from that point on via an integer cumulative flag —
+    no −∞ ever floats.
+
+    Scale shape: identical to nelson_aalen_hazard — one keyed lifetime
+    aggregation, then windows over the |day-offsets| rollup only.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    corpus_end = ev.agg(F.max("day").alias("end_day"))
+    lifetimes = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("first_day"), F.max("day").alias("last_day"))
+        .crossJoin(F.broadcast(corpus_end))
+        .select(
+            F.datediff("last_day", "first_day").cast("bigint").alias(
+                "day_offset"
+            ),
+            (F.col("last_day") < F.col("end_day")).alias("churned"),
+        )
+    )
+    per_offset = lifetimes.groupBy("day_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ending"),
+        F.sum(F.expr("IF(churned, 1L, 0L)")).cast("bigint").alias("d"),
+    )
+    total = per_offset.agg(F.sum("n_ending").alias("n_total"))
+    w = Window.orderBy("day_offset").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wc = Window.orderBy("day_offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_offset.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum("n_ending").over(w), F.lit(0))
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "f_nano",
+            F.expr(
+                "if(d < n_at_risk, cast(round(ln(1.0 - cast(d as double)"
+                " / cast(n_at_risk as double)) * 1000000000.0) as bigint),"
+                " 0L)"
+            ),
+        )
+        .withColumn(
+            "dead",
+            F.max(F.expr("if(d >= n_at_risk, 1, 0)")).over(wc),
+        )
+        .withColumn("cum_nano", F.sum("f_nano").over(wc))
+        .select(
+            "day_offset",
+            "n_at_risk",
+            F.col("d").alias("n_churned"),
+            F.round(
+                F.expr(
+                    "if(dead = 1, 0.0,"
+                    " exp(cast(cum_nano as double) / 1000000000.0))"
+                ),
+                6,
+            ).alias("km_survival"),
+        )
+    )

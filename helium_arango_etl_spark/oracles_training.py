@@ -7350,3 +7350,101 @@ _MA_PARTS.append(f""", scored AS (
         FROM scored CROSS JOIN tot
     """)
 ORACLE_TRAINING["markov_attribution"] = "".join(_MA_PARTS)
+
+# ---------- round-7 seventh batch: KM / alpha sampling / packing sweep ----------
+
+from .operators.pipeline import ALPHA_GRID, PACK_LEN_GRID  # noqa: E402
+
+ORACLE_TRAINING["kaplan_meier_curve"] = """
+        WITH ev AS (
+          SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        ), ce AS (
+          SELECT max(day) AS end_day FROM ev
+        ), lifetimes AS (
+          SELECT datediff('day', min(day), max(day)) AS day_offset,
+                 max(day) < (SELECT end_day FROM ce) AS churned
+          FROM ev GROUP BY user_id
+        ), per_offset AS (
+          SELECT day_offset, CAST(count(*) AS BIGINT) AS n_ending,
+                 CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+                     AS d
+          FROM lifetimes GROUP BY 1
+        ), t AS (
+          SELECT CAST(sum(n_ending) AS BIGINT) AS n_total FROM per_offset
+        ), risk AS (
+          SELECT day_offset, d,
+                 t.n_total - CAST(coalesce(sum(n_ending) OVER (
+                     ORDER BY day_offset
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS n_at_risk
+          FROM per_offset CROSS JOIN t
+        ), f AS (
+          SELECT day_offset, d, n_at_risk,
+                 CASE WHEN d < n_at_risk
+                      THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+                               / CAST(n_at_risk AS DOUBLE))
+                               * 1000000000.0) AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS f_nano,
+                 CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END AS is_dead
+          FROM risk
+        ), c AS (
+          SELECT day_offset, d, n_at_risk,
+                 sum(f_nano) OVER (ORDER BY day_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_nano,
+                 max(is_dead) OVER (ORDER BY day_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS dead
+          FROM f
+        )
+        SELECT day_offset, n_at_risk, d AS n_churned,
+               round(CASE WHEN dead = 1 THEN 0.0
+                     ELSE exp(CAST(cum_nano AS DOUBLE) / 1000000000.0)
+                     END, 6) AS km_survival
+        FROM c
+    """
+
+_AG_VALUES = ", ".join(f"({a})" for a in ALPHA_GRID)
+
+ORACLE_TRAINING["alpha_sampling_weights"] = f"""
+        WITH avail AS (
+          SELECT source, CAST(sum(n_chars // 4) AS BIGINT) AS n_tok
+          FROM documents GROUP BY 1
+        ), grid AS (
+          SELECT source, n_tok, CAST(g.alpha AS DOUBLE) AS alpha,
+                 CAST(round(exp(CAST(g.alpha AS DOUBLE)
+                        * ln(CAST(n_tok AS DOUBLE))) * 1000.0) AS BIGINT)
+                     AS pw_milli
+          FROM avail CROSS JOIN (VALUES {_AG_VALUES}) AS g(alpha)
+        ), den AS (
+          SELECT alpha, CAST(sum(pw_milli) AS BIGINT) AS den_milli
+          FROM grid GROUP BY 1
+        )
+        SELECT g.source, g.alpha, g.n_tok,
+               round(CAST(g.pw_milli AS DOUBLE)
+                     / CAST(d.den_milli AS DOUBLE), 6) AS weight
+        FROM grid g JOIN den d ON d.alpha = g.alpha
+    """
+
+_PL_VALUES = ", ".join(f"({l})" for l in PACK_LEN_GRID)
+
+ORACLE_TRAINING["packing_length_sweep"] = f"""
+        WITH toks AS (
+          SELECT n_chars // 4 AS t FROM documents WHERE n_chars // 4 > 0
+        ), grid AS (
+          SELECT t, CAST(g.seq_len AS INTEGER) AS seq_len
+          FROM toks CROSS JOIN (VALUES {_PL_VALUES}) AS g(seq_len)
+        ), agg AS (
+          SELECT seq_len, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(t) AS BIGINT) AS total_tokens,
+                 CAST(sum((t + seq_len - 1) // seq_len) AS BIGINT)
+                     AS n_sequences
+          FROM grid GROUP BY 1
+        )
+        SELECT seq_len, n_docs, total_tokens, n_sequences,
+               n_sequences * seq_len - total_tokens AS padding_tokens,
+               round(CAST(n_sequences * seq_len - total_tokens AS DOUBLE)
+                     / CAST(n_sequences * seq_len AS DOUBLE), 6)
+                   AS waste_share
+        FROM agg
+    """

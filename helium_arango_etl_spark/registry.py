@@ -2679,6 +2679,9 @@ QUERIES["chi2_adjusted_residuals"] = RG.chi2_adjusted_residuals
 QUERIES["bigram_llr_collocations"] = T.bigram_llr_collocations
 QUERIES["city_bfs_layers"] = G.city_bfs_layers
 QUERIES["markov_attribution"] = TP.markov_attribution
+QUERIES["kaplan_meier_curve"] = TP.kaplan_meier_curve
+QUERIES["alpha_sampling_weights"] = P.alpha_sampling_weights
+QUERIES["packing_length_sweep"] = P.packing_length_sweep
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------

@@ -442,3 +442,56 @@ def test_markov_attribution_shares_and_monotonicity(spark, sf_dir):
     # converter share — but it must be a probability and nonzero when
     # any converter exists
     assert 0.0 < rows[0].p_conv_full <= 1.0
+
+
+def test_kaplan_meier_monotone_and_bounded(spark, sf_dir):
+    rows = sorted(
+        QUERIES["kaplan_meier_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.day_offset,
+    )
+    assert rows
+    s = [r.km_survival for r in rows]
+    assert all(0.0 <= v <= 1.0 for v in s)
+    assert all(a >= b - 1e-9 for a, b in zip(s, s[1:]))  # nonincreasing
+    # independent product-limit recompute
+    surv = 1.0
+    for r in rows:
+        if r.n_churned < r.n_at_risk:
+            surv *= 1.0 - r.n_churned / r.n_at_risk
+        else:
+            surv = 0.0
+        assert abs(r.km_survival - surv) < 1e-3
+
+
+def test_alpha_weights_normalize_and_flatten(spark, sf_dir):
+    rows = QUERIES["alpha_sampling_weights"](spark, sf_dir).collect()
+    by_a: dict[float, list] = {}
+    for r in rows:
+        by_a.setdefault(r.alpha, []).append(r)
+    assert set(by_a) == {0.3, 0.5, 0.7, 1.0}
+    import numpy as _np
+
+    spreads = {}
+    for a, grp in by_a.items():
+        ws = [r.weight for r in grp]
+        assert abs(sum(ws) - 1.0) < 1e-4
+        spreads[a] = max(ws) - min(ws)
+        # alpha=1 is proportional sampling
+        if a == 1.0:
+            tot = sum(r.n_tok for r in grp)
+            for r in grp:
+                assert abs(r.weight - r.n_tok / tot) < 1e-4
+    # smaller alpha flattens the distribution
+    assert spreads[0.3] <= spreads[0.5] <= spreads[0.7] <= spreads[1.0] + 1e-9
+
+
+def test_packing_sweep_waste_shrinks_with_fit(spark, sf_dir):
+    rows = {r.seq_len: r for r in QUERIES["packing_length_sweep"](spark, sf_dir).collect()}
+    assert set(rows) == {512, 1024, 2048, 4096}
+    for r in rows.values():
+        assert r.padding_tokens >= 0
+        assert 0.0 <= r.waste_share < 1.0
+        assert r.n_sequences >= r.n_docs  # every doc needs >= 1 chunk
+        assert r.n_sequences * r.seq_len >= r.total_tokens
+    # all docs fit in one 4096 chunk here, so n_sequences == n_docs
+    assert rows[4096].n_sequences == rows[4096].n_docs
