@@ -1105,6 +1105,9 @@ def alpha_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "documents")
         .groupBy("source")
         .agg(F.sum(F.expr("n_chars div 4")).cast("bigint").alias("n_tok"))
+        # zero-token sources have zero weight at every alpha; excluding
+        # them up front keeps ln(n) finite on both engines
+        .where(F.col("n_tok") > 0)
     )
     grid = avail.select(
         "source",

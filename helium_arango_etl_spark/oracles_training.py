@@ -7410,6 +7410,7 @@ ORACLE_TRAINING["alpha_sampling_weights"] = f"""
         WITH avail AS (
           SELECT source, CAST(sum(n_chars // 4) AS BIGINT) AS n_tok
           FROM documents GROUP BY 1
+          HAVING sum(n_chars // 4) > 0
         ), grid AS (
           SELECT source, n_tok, CAST(g.alpha AS DOUBLE) AS alpha,
                  CAST(round(exp(CAST(g.alpha AS DOUBLE)

@@ -48,6 +48,12 @@ DOC_OPS = [
     "bpe_merge_rules",
     "epoch_shuffle",
     "span_corruption",
+    "intradoc_duplication",
+    "prefix_cluster_stats",
+    "token_budget_waterfill",
+    "alpha_sampling_weights",
+    "packing_length_sweep",
+    "bigram_llr_collocations",
 ]
 
 
