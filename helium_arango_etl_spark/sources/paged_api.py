@@ -92,8 +92,53 @@ class _PagedApiReader(DataSourceReader):
             s = e
 
 
+# ---------- streaming half: the follower poll loop as a stream source ----------
+#
+# The reference follows the chain tip by polling in a while loop
+# (/root/reference/src/etl.py poll cadence, L1/L2 in SURVEY §2) and
+# re-querying [cursor, tip) each wake.  As a Spark streaming source the
+# same contract is declarative: the OFFSET is the cursor, each microbatch
+# reads [offset, min(offset + max_batch, tip)), and exactly-once restart
+# comes from the checkpoint instead of a hand-rolled cursor table.
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class _PagedApiStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.start = int(options.get("start_height", 0))
+        self.tip = int(options.get("tip_height", 5_000))
+        self.max_batch = int(options.get("max_blocks_per_batch", 1_000))
+
+    def initialOffset(self):
+        return {"height": self.start}
+
+    def read(self, start):
+        # rows are returned MATERIALIZED: the simple-reader protocol
+        # pickles the prefetched batch through the driver cache, and a
+        # generator cannot cross that boundary
+        s = int(start["height"])
+        e = min(s + self.max_batch, self.tip)
+        if e <= s:
+            return iter([]), {"height": s}
+        return iter(list(_fetch_page(s, e))), {"height": e}
+
+    def readBetweenOffsets(self, start, end):
+        # replay path after restart: offsets fully determine the rows
+        return iter(list(_fetch_page(int(start["height"]), int(end["height"]))))
+
+
 class PagedApiDataSource(DataSource):
-    """spark.read.format("paged_api") — see module docstring."""
+    """spark.read.format("paged_api") / spark.readStream.format("paged_api").
+
+    Batch half: partition-parallel page fetch (module docstring).
+    Streaming half: the reference's follower poll loop (etl.py cursor +
+    poll cadence, SURVEY §2 L1/L2) as a checkpointed stream source —
+    the OFFSET is the cursor, each microbatch reads
+    [offset, min(offset + max_blocks_per_batch, tip_height)), and
+    exactly-once restart comes from the checkpoint, not a hand-rolled
+    cursor table.  Offsets fully determine rows, so replay is exact.
+    """
 
     @classmethod
     def name(cls) -> str:
@@ -104,3 +149,8 @@ class PagedApiDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _PagedApiReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _PagedApiStreamReader(self.options)
+
+
