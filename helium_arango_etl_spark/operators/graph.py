@@ -2206,9 +2206,13 @@ def city_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "city_key", F.col("dst").alias("a"), F.col("src").alias("b")
         )
     ).distinct()
+    # the edge table is probed once per hop and the frontier/visited
+    # state feeds back into itself — checkpoint all three so hop k's
+    # plan doesn't re-derive hops 0..k-1 (the waterfill/PPR lesson)
+    und = und.localCheckpoint(eager=True)
     nodes = und.select("city_key", F.col("a").alias("node")).distinct()
     seed = nodes.groupBy("city_key").agg(F.min("node").alias("node"))
-    frontier = seed.select("city_key", "node")
+    frontier = seed.select("city_key", "node").localCheckpoint(eager=True)
     visited = frontier
     layers = [
         frontier.select(
@@ -2232,8 +2236,12 @@ def city_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.expr("city_key = vc AND node = vn"),
             "left_anti",
+        ).localCheckpoint(eager=True)
+        visited = (
+            visited.unionByName(frontier)
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        visited = visited.unionByName(frontier).distinct()
         layers.append(
             frontier.select(
                 "city_key", F.lit(hop).cast("int").alias("hop"), "node"

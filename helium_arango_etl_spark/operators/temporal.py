@@ -1557,43 +1557,50 @@ MA_LOST = "LOST"
 MA_START = "START"
 
 
-def _ma_absorption(tr, spark):
-    """Quantized value iteration for P(absorb in CONV) over a
-    transition-count table (a, b, c) — nano-bigint state, exact integer
-    numerators, one rounded division per state per round (the
-    markov_absorption discipline), localCheckpoint per round to keep
-    the plan O(1) deep."""
+def _ma_absorption_all(tr_all):
+    """Quantized value iteration for P(absorb in CONV), for ALL chain
+    variants AT ONCE — as ONE codegen'd expression fold, not a job per
+    round.  The per-variant transition matrix is bounded
+    ((|channels|+2)² rows), so it collapses to an array column and the
+    MA_STEPS rounds run inside a single `aggregate(sequence(...))`
+    higher-order expression (the ewma_daily_counts fold idiom): nano-
+    bigint state, EXACT integer numerators (the inner aggregate sums
+    bigints, so collect_list order cannot matter), one rounded double
+    division per (variant, state) per round — bit-identical to the
+    oracle's unrolled CTE rounds, in ONE Spark job."""
     from pyspark.sql import functions as F
 
-    marg = tr.groupBy("a").agg(F.sum("c").cast("bigint").alias("c_a"))
-    marg = marg.localCheckpoint(eager=True)
-    h = marg.select(
-        F.col("a").alias("st"), F.lit(0).cast("bigint").alias("h")
-    ).localCheckpoint(eager=True)
-    for _ in range(MA_STEPS):
-        h = (
-            tr.join(F.broadcast(h), tr["b"] == h["st"], "left")
-            .join(F.broadcast(marg), "a")
-            .groupBy("a", "c_a")
-            .agg(
-                F.sum(
-                    F.expr(
-                        f"c * CASE WHEN b = '{MA_CONV}' THEN 1000000000L"
-                        f" WHEN b = '{MA_LOST}' THEN 0L"
-                        " ELSE coalesce(h, 0L) END"
-                    )
-                ).cast("bigint").alias("num")
-            )
-            .select(
-                F.col("a").alias("st"),
-                F.expr(
-                    "cast(round(cast(num as double) / cast(c_a as double))"
-                    " as bigint)"
-                ).alias("h"),
-            )
-            .localCheckpoint(eager=True)
+    marg = tr_all.groupBy("variant", "a").agg(
+        F.sum("c").cast("bigint").alias("c_a")
+    )
+    mat = tr_all.groupBy("variant").agg(
+        F.collect_list(F.struct("a", "b", "c")).alias("m")
+    )
+    sts = marg.groupBy("variant").agg(
+        F.sort_array(F.collect_list(F.struct("a", "c_a"))).alias("s")
+    )
+    iter_expr = f"""
+      aggregate(
+        sequence(1, {MA_STEPS}),
+        transform(s, x -> named_struct('st', x.a, 'h', 0L)),
+        (acc, i) -> transform(s, x -> named_struct('st', x.a, 'h',
+          cast(round(cast(aggregate(filter(m, e -> e.a = x.a), 0L,
+            (n, e) -> n + e.c *
+              CASE WHEN e.b = '{MA_CONV}' THEN 1000000000L
+                   WHEN e.b = '{MA_LOST}' THEN 0L
+                   ELSE coalesce(filter(acc, y -> y.st = e.b)[0].h, 0L)
+              END
+          ) as double) / cast(x.c_a as double)) as bigint))))
+    """
+    return (
+        mat.join(sts, "variant")
+        .select("variant", F.explode(F.expr(iter_expr)).alias("hs"))
+        .select(
+            "variant",
+            F.col("hs.st").alias("st"),
+            F.col("hs.h").alias("h"),
         )
-    return h
+    )
 
 
 def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1675,30 +1682,33 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .localCheckpoint(eager=True)
     )
-    p_full = _ma_absorption(tr, spark).where(
-        F.col("st") == MA_START
-    ).select(F.col("h").alias("p_full_nano"))
-    per_channel = []
+    variants = [tr.select(F.lit("full").alias("variant"), "a", "b", "c")]
     for ch in MA_CHANNELS:
-        tr_c = (
-            tr.where(F.col("a") != ch)
-            .select(
+        variants.append(
+            tr.where(F.col("a") != ch).select(
+                F.lit(ch).alias("variant"),
                 "a",
                 F.expr(f"if(b = '{ch}', '{MA_LOST}', b)").alias("b"),
                 "c",
             )
-            .groupBy("a", "b")
-            .agg(F.sum("c").cast("bigint").alias("c"))
         )
-        p_c = _ma_absorption(tr_c, spark).where(
-            F.col("st") == MA_START
-        ).select(
-            F.lit(ch).alias("channel"), F.col("h").alias("p_removed_nano")
-        )
-        per_channel.append(p_c)
-    res = per_channel[0]
-    for df in per_channel[1:]:
-        res = res.unionByName(df)
+    tr_all = variants[0]
+    for df in variants[1:]:
+        tr_all = tr_all.unionByName(df)
+    tr_all = (
+        tr_all.groupBy("variant", "a", "b")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    starts = _ma_absorption_all(tr_all).where(F.col("st") == MA_START)
+    p_full = starts.where(F.col("variant") == "full").select(
+        F.col("h").alias("p_full_nano")
+    )
+    res = starts.where(F.col("variant") != "full").select(
+        F.col("variant").alias("channel"),
+        F.col("h").alias("p_removed_nano"),
+    )
     scored = res.crossJoin(F.broadcast(p_full)).select(
         "channel",
         "p_full_nano",
