@@ -83,6 +83,10 @@ HEADLINE = [
     "mahalanobis_outliers",  # broadcast-moments distance + global top-K
     "intradoc_duplication",  # row-local 5-gram repetition audit
     "rich_club_coefficient", # degree-threshold club density over co-witness pairs
+    "markov_attribution",    # removal-effect credit via one expression-fold iteration
+    "city_bfs_layers",       # level-synchronous BFS (checkpointed frontier joins)
+    "token_budget_waterfill",  # max-min fair allocation (20 exact integer rounds)
+    "bigram_llr_collocations",  # Dunning G2 top-K collocations
 ]
 # Deliberately NOT in the headline: city_betweenness_joins — it is the
 # correctness-harness mirror of the applyInPandas production path
