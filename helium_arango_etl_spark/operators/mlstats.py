@@ -2866,3 +2866,52 @@ def eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr(EB_SHRUNK), 6).alias("shrunk_rate"),
         )
     )
+
+
+# SRM chi-square for a 50/50 design: chi2 = (n0-n1)^2 / (n0+n1), exact
+# integers, one division — shared with the oracle.
+SRM_CHI2 = (
+    "(cast((n_0 - n_1) * (n_0 - n_1) as double)"
+    " / cast(n_0 + n_1 as double))"
+)
+
+
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for the user_id % 2 experiment
+    split: the 1-df chi-square of observed arm sizes against the
+    designed 50/50 allocation, flagged at the 0.001 level (χ² > 10.83)
+    — THE health gate every A/B readout must pass first, because a
+    biased assignment invalidates `conversion_ztest` /
+    `wilson_ci_variants` / `newcombe_diff_ci` no matter what they say
+    (Fabijan et al. 2019).
+
+    Determinism: arm sizes are exact distinct-user counts; for a 50/50
+    design the statistic collapses to (n₀−n₁)²/(n₀+n₁) — one exact
+    integer square, one division; the flag compares unrounded.
+
+    Scale shape: one user-keyed distinct, one 2-row aggregate, a 1-row
+    pivot.
+    """
+    arms = (
+        read_table(spark, sf_dir, "events")
+        .select(F.expr("user_id % 2").alias("variant"), "user_id")
+        .distinct()
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    piv = arms.agg(
+        F.max(F.expr("if(variant = 0, n, null)")).alias("n_0"),
+        F.max(F.expr("if(variant = 1, n, null)")).alias("n_1"),
+    )
+    return piv.select(
+        F.col("n_0").alias("n_control"),
+        F.col("n_1").alias("n_treat"),
+        F.round(
+            F.expr(
+                "cast(n_0 as double) / cast(n_0 + n_1 as double)"
+            ),
+            6,
+        ).alias("control_share"),
+        F.round(F.expr(SRM_CHI2), 6).alias("srm_chi2"),
+        F.expr(f"{SRM_CHI2} > 10.83").alias("srm_detected"),
+    )

@@ -2425,3 +2425,42 @@ def chi2_adjusted_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"abs({CHI2_ADJ_RESID}) > 2.0").alias("significant"),
         )
     )
+
+
+def hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week activity profile per event type: counts and shares
+    over the 7×24 grid — the seasonality fingerprint behind
+    `weekday_anova` (which tests day-grain differences) at the hour
+    grain every traffic dashboard and capacity plan reads.
+
+    Determinism: weekday from (epoch_day + 4) % 7 and hour from
+    epoch-second arithmetic (never engine-specific dayofweek()/hour()
+    functions); counts exact; one division per cell.
+
+    Scale shape: one keyed |types|×168-cell aggregation with map-side
+    combine; the per-type totals broadcast back onto the grid.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            f"(unix_micros(ts) div {86_400 * 1_000_000} + 4) % 7"
+        ).alias("weekday"),
+        F.expr(
+            f"(unix_micros(ts) div {3_600 * 1_000_000}) % 24"
+        ).alias("hour"),
+    )
+    cells = ev.groupBy("event_type", "weekday", "hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("tot")
+    )
+    return cells.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "weekday",
+        "hour",
+        "n",
+        F.round(
+            F.expr("cast(n as double) / cast(tot as double)"), 6
+        ).alias("share"),
+    )

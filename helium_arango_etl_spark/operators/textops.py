@@ -2287,3 +2287,69 @@ def bigram_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("g2_raw", 6).alias("llr_g2"),
         )
     )
+
+
+def retrieval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average Precision and Recall@K for the `bm25_topk` run — the
+    rank-sensitive eval companion to `ndcg_at_k` (NDCG rewards graded
+    order; AP integrates binary precision over the relevant ranks, and
+    Recall@K says how much of the corpus's relevant mass the cutoff
+    captured).  Relevance is the same deterministic grading: a document
+    is relevant iff it contains ≥ 1 BM25 query term.
+
+    Determinism: precision@r terms are exact rationals micro-quantized
+    to bigints before summing; relevant-set sizes are exact integer
+    counts; AP and recall are one division each at the surface.
+
+    Scale shape: the run is K rows; corpus relevant-count is one
+    combiner-folded aggregate off the grading projection; the
+    cumulative precision runs over the K-row run only.
+    """
+    from pyspark.sql import Window
+
+    qlist = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    docs = spread(read_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.expr(
+            f"cast(if(size(array_intersect(array_distinct({TOKS}),"
+            f" array({qlist}))) >= 1, 1, 0) as bigint)"
+        ).alias("rel"),
+    )
+    run = bm25_topk(spark, sf_dir).select("doc_id", "rank")
+    w = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    scored = (
+        run.join(docs, "doc_id")
+        .withColumn("cum_rel", F.sum("rel").over(w))
+        .select(
+            "rel",
+            F.expr(
+                "if(rel = 1, cast(round(cast(cum_rel as double)"
+                " / cast(rank as double) * 1000000.0) as bigint), 0L)"
+            ).alias("prec_micro"),
+        )
+        .agg(
+            F.sum("prec_micro").cast("bigint").alias("sum_prec_micro"),
+            F.sum("rel").cast("bigint").alias("n_rel_run"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
+    )
+    corpus = docs.agg(F.sum("rel").cast("bigint").alias("n_rel_corpus"))
+    return scored.crossJoin(F.broadcast(corpus)).select(
+        "k",
+        "n_rel_run",
+        "n_rel_corpus",
+        F.round(
+            F.expr(
+                "cast(sum_prec_micro as double) / 1000000.0"
+                " / cast(nullif(n_rel_run, 0L) as double)"
+            ),
+            6,
+        ).alias("avg_precision"),
+        F.round(
+            F.expr(
+                "cast(n_rel_run as double)"
+                " / cast(nullif(n_rel_corpus, 0L) as double)"
+            ),
+            6,
+        ).alias("recall_at_k"),
+    )

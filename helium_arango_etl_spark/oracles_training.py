@@ -7449,3 +7449,81 @@ ORACLE_TRAINING["packing_length_sweep"] = f"""
                    AS waste_share
         FROM agg
     """
+
+# ---------- round-7 eighth batch: MAP / SRM / hour-of-week ----------
+
+from .operators.mlstats import SRM_CHI2  # noqa: E402
+
+ORACLE_TRAINING["retrieval_map"] = f"""
+        WITH docs AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN len(list_intersect(
+                        list_distinct({_TOKS}), [{_BM25_QL}])) >= 1
+                      THEN 1 ELSE 0 END AS BIGINT) AS rel
+          FROM documents
+        ), run AS (
+          SELECT doc_id, rank FROM ({ORACLE_TRAINING["bm25_topk"]})
+        ), scored0 AS (
+          SELECT r.rank, d.rel,
+                 CAST(sum(d.rel) OVER (ORDER BY r.rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_rel
+          FROM run r JOIN docs d USING (doc_id)
+        ), scored AS (
+          SELECT CAST(sum(CASE WHEN rel = 1
+                     THEN CAST(round(CAST(cum_rel AS DOUBLE)
+                          / CAST(rank AS DOUBLE) * 1000000.0) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS sum_prec_micro,
+                 CAST(sum(rel) AS BIGINT) AS n_rel_run,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM scored0
+        ), corpus AS (
+          SELECT CAST(sum(rel) AS BIGINT) AS n_rel_corpus FROM docs
+        )
+        SELECT k, n_rel_run, n_rel_corpus,
+               round(CAST(sum_prec_micro AS DOUBLE) / 1000000.0
+                     / CAST(nullif(n_rel_run, 0) AS DOUBLE), 6)
+                   AS avg_precision,
+               round(CAST(n_rel_run AS DOUBLE)
+                     / CAST(nullif(n_rel_corpus, 0) AS DOUBLE), 6)
+                   AS recall_at_k
+        FROM scored CROSS JOIN corpus
+    """
+
+ORACLE_TRAINING["srm_check"] = f"""
+        WITH arms AS (
+          SELECT user_id % 2 AS variant,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n
+          FROM events GROUP BY 1
+        ), piv AS (
+          SELECT max(CASE WHEN variant = 0 THEN n END) AS n_0,
+                 max(CASE WHEN variant = 1 THEN n END) AS n_1
+          FROM arms
+        )
+        SELECT n_0 AS n_control, n_1 AS n_treat,
+               round(CAST(n_0 AS DOUBLE) / CAST(n_0 + n_1 AS DOUBLE), 6)
+                   AS control_share,
+               round({SRM_CHI2}, 6) AS srm_chi2,
+               {SRM_CHI2} > 10.83 AS srm_detected
+        FROM piv
+    """
+
+ORACLE_TRAINING["hour_of_week_profile"] = f"""
+        WITH ev AS (
+          SELECT event_type,
+                 (epoch_us(ts) // {86_400 * 1_000_000} + 4) % 7 AS weekday,
+                 (epoch_us(ts) // {3_600 * 1_000_000}) % 24 AS hour
+          FROM events
+        ), cells AS (
+          SELECT event_type, weekday, hour,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM ev GROUP BY 1, 2, 3
+        ), totals AS (
+          SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+          FROM cells GROUP BY 1
+        )
+        SELECT c.event_type, c.weekday, c.hour, c.n,
+               round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+                   AS share
+        FROM cells c JOIN totals t USING (event_type)
+    """

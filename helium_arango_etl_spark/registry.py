@@ -2682,6 +2682,9 @@ QUERIES["markov_attribution"] = TP.markov_attribution
 QUERIES["kaplan_meier_curve"] = TP.kaplan_meier_curve
 QUERIES["alpha_sampling_weights"] = P.alpha_sampling_weights
 QUERIES["packing_length_sweep"] = P.packing_length_sweep
+QUERIES["retrieval_map"] = T.retrieval_map
+QUERIES["srm_check"] = ML.srm_check
+QUERIES["hour_of_week_profile"] = RG.hour_of_week_profile
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------

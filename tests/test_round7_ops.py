@@ -495,3 +495,41 @@ def test_packing_sweep_waste_shrinks_with_fit(spark, sf_dir):
         assert r.n_sequences * r.seq_len >= r.total_tokens
     # all docs fit in one 4096 chunk here, so n_sequences == n_docs
     assert rows[4096].n_sequences == rows[4096].n_docs
+
+
+def test_retrieval_map_consistent_with_ndcg_run(spark, sf_dir):
+    row = QUERIES["retrieval_map"](spark, sf_dir).collect()[0]
+    assert 0.0 <= row.avg_precision <= 1.0
+    assert 0.0 <= row.recall_at_k <= 1.0
+    assert row.n_rel_run <= min(row.k, row.n_rel_corpus)
+    # BM25 ranks by query-term match, so the run's relevant share must
+    # be at least the corpus base rate (a random ranking's expectation)
+    n_corpus = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert row.n_rel_run / row.k >= row.n_rel_corpus / n_corpus - 1e-9
+
+
+def test_srm_check_matches_manual_chi2(spark, sf_dir):
+    row = QUERIES["srm_check"](spark, sf_dir).collect()[0]
+    n0, n1 = row.n_control, row.n_treat
+    want = (n0 - n1) ** 2 / (n0 + n1)
+    assert abs(row.srm_chi2 - want) < 1e-6
+    assert row.srm_detected == (want > 10.83)
+    assert abs(row.control_share - n0 / (n0 + n1)) < 1e-6
+
+
+def test_hour_of_week_shares_sum_to_one(spark, sf_dir):
+    rows = QUERIES["hour_of_week_profile"](spark, sf_dir).collect()
+    by_type: dict[str, float] = {}
+    n_by_type: dict[str, int] = {}
+    for r in rows:
+        assert 0 <= r.weekday <= 6 and 0 <= r.hour <= 23
+        by_type[r.event_type] = by_type.get(r.event_type, 0.0) + r.share
+        n_by_type[r.event_type] = n_by_type.get(r.event_type, 0) + r.n
+    for t, s in by_type.items():
+        assert abs(s - 1.0) < 1e-3
+    total = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(n_by_type.values()) == total
