@@ -2915,3 +2915,223 @@ def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(SRM_CHI2), 6).alias("srm_chi2"),
         F.expr(f"{SRM_CHI2} > 10.83").alias("srm_detected"),
     )
+
+
+# ---------- Newton logistic regression (shared expression trees) ----------
+
+LOGIT_ITERS = 8
+LOGIT_ETA = "((cast(b0 as double) + cast(b1 as double) * x) / 1000000000.0)"
+LOGIT_P = f"(1.0 / (1.0 + exp(0.0 - {LOGIT_ETA})))"
+LOGIT_PC = (
+    f"(greatest(least({LOGIT_P}, 1.0 - 1e-12), 1e-12))"
+)
+LOGIT_G0 = f"cast(round((y - {LOGIT_P}) * 1000000.0) as bigint)"
+LOGIT_G1 = f"cast(round((y - {LOGIT_P}) * x * 1000000.0) as bigint)"
+LOGIT_W = f"cast(round({LOGIT_P} * (1.0 - {LOGIT_P}) * 1000000.0) as bigint)"
+LOGIT_WX = (
+    f"cast(round({LOGIT_P} * (1.0 - {LOGIT_P}) * x * 1000000.0) as bigint)"
+)
+LOGIT_WXX = (
+    f"cast(round({LOGIT_P} * (1.0 - {LOGIT_P}) * x * x * 1000000.0)"
+    " as bigint)"
+)
+_LOGIT_DET = (
+    "(cast(sw as double) * cast(swxx as double)"
+    " - cast(swx as double) * cast(swx as double))"
+)
+LOGIT_D0 = (
+    f"((cast(sg0 as double) * cast(swxx as double)"
+    f" - cast(sg1 as double) * cast(swx as double)) / {_LOGIT_DET})"
+)
+LOGIT_D1 = (
+    f"((cast(sw as double) * cast(sg1 as double)"
+    f" - cast(swx as double) * cast(sg0 as double)) / {_LOGIT_DET})"
+)
+LOGIT_DEV_T = (
+    f"cast(round((0.0 - 2.0) * (y * ln({LOGIT_PC}) + (1.0 - y)"
+    f" * ln(1.0 - {LOGIT_PC})) * 1000000.0) as bigint)"
+)
+
+
+def logistic_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression of order urgency on log price by
+    Newton-Raphson (IRLS) — the canonical GLM, fitted INSIDE the engine
+    with LOGIT_ITERS exact unrolled Newton steps: per step, the
+    gradient and the 2×2 Hessian fold from per-row micro-quantized
+    terms (exact bigint sums, order-independent), the update solves the
+    2×2 system by Cramer's rule in one shared double expression, and
+    the new coefficients re-quantize to nano units — so every iterate
+    is bit-identical across engines and the oracle unrolls the steps as
+    CTEs.  Completes the regression shelf next to `ols_price_model`
+    (linear), `isotonic_calibration` (monotone) and `woe_encoding`
+    (binned log-odds).
+
+    Scale shape: LOGIT_ITERS full scans of the fact table, each a
+    map-side moment fold against a broadcast 1-row coefficient state —
+    the textbook distributed IRLS (gradient aggregation), no shuffle of
+    rows ever.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "ln(cast(cast(round(o_totalprice * 100) as bigint) as double)"
+            " / 100.0)"
+        ).alias("x"),
+        F.expr(
+            "cast(if(o_orderpriority in ('1-URGENT', '2-HIGH'),"
+            " 1.0, 0.0) as double)"
+        ).alias("y"),
+    )
+    beta = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("b0"),
+        F.lit(0).cast("bigint").alias("b1"),
+    )
+    for _ in range(LOGIT_ITERS):
+        mom = (
+            o.crossJoin(F.broadcast(beta))
+            .select(
+                F.expr(LOGIT_G0).alias("g0"),
+                F.expr(LOGIT_G1).alias("g1"),
+                F.expr(LOGIT_W).alias("w"),
+                F.expr(LOGIT_WX).alias("wx"),
+                F.expr(LOGIT_WXX).alias("wxx"),
+                "b0",
+                "b1",
+            )
+            .groupBy("b0", "b1")
+            .agg(
+                F.sum("g0").cast("bigint").alias("sg0"),
+                F.sum("g1").cast("bigint").alias("sg1"),
+                F.sum("w").cast("bigint").alias("sw"),
+                F.sum("wx").cast("bigint").alias("swx"),
+                F.sum("wxx").cast("bigint").alias("swxx"),
+            )
+        )
+        beta = mom.select(
+            F.expr(
+                f"b0 + cast(round({LOGIT_D0} * 1000000000.0) as bigint)"
+            ).alias("b0"),
+            F.expr(
+                f"b1 + cast(round({LOGIT_D1} * 1000000000.0) as bigint)"
+            ).alias("b1"),
+        ).localCheckpoint(eager=True)
+    fit = (
+        o.crossJoin(F.broadcast(beta))
+        .select(F.expr(LOGIT_DEV_T).alias("dev"), "b0", "b1")
+        .groupBy("b0", "b1")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("dev").cast("bigint").alias("sdev"),
+        )
+    )
+    return fit.select(
+        "n",
+        F.round(
+            F.expr("cast(b0 as double) / 1000000000.0"), 6
+        ).alias("beta0"),
+        F.round(
+            F.expr("cast(b1 as double) / 1000000000.0"), 6
+        ).alias("beta1"),
+        F.round(
+            F.expr("cast(sdev as double) / 1000000.0"), 4
+        ).alias("deviance"),
+    )
+
+
+# ---------- best binary split by Gini impurity ----------
+
+GINI_N_CANDIDATES = 19  # ventile boundaries
+
+
+def gini_expr(x: str, n: str) -> str:
+    """Gini impurity 1 - p² - (1-p)² of a binary class split cell from
+    exact counts — shared with the oracle."""
+    p = f"(cast({x} as double) / cast({n} as double))"
+    return f"(1.0 - {p} * {p} - (1.0 - {p}) * (1.0 - {p}))"
+
+
+def best_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first split of a CART decision tree on the price feature:
+    among the 19 exact ventile boundaries of order price, the threshold
+    that minimizes the weighted child Gini impurity of the urgency
+    class — the decision-stump baseline every tree ensemble grows from
+    (Breiman et al. 1984), and the nonparametric split companion to
+    `logistic_price_model`'s smooth fit and `woe_encoding`'s bins.
+
+    Determinism: candidate boundaries come from the bit-identical
+    exact-percentile interpolation; left/right counts are exact
+    integers from ONE conditional aggregate pass; impurities are shared
+    double trees; the argmin breaks ties on the candidate index.
+
+    Scale shape: a 1-row boundary aggregate broadcast, one fact pass
+    exploded ×19 into a 19-row conditional rollup, a top-1.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v"),
+        F.expr(
+            "if(o_orderpriority in ('1-URGENT', '2-HIGH'), 1L, 0L)"
+        ).alias("y"),
+    )
+    k = GINI_N_CANDIDATES
+    qs = ", ".join(str(i / (k + 1)) for i in range(1, k + 1))
+    bounds = o.agg(F.expr(f"percentile(v, array({qs}))").alias("bs"))
+    grid = (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            "v",
+            "y",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(1, k + 1)])
+            ).alias("idx"),
+            "bs",
+        )
+        .select(
+            "idx",
+            F.expr("element_at(bs, idx)").alias("thr"),
+            F.expr("if(v <= element_at(bs, idx), 1L, 0L)").alias("is_l"),
+            "y",
+        )
+        .groupBy("idx", "thr")
+        .agg(
+            F.sum("is_l").cast("bigint").alias("n_l"),
+            F.sum(F.expr("is_l * y")).cast("bigint").alias("x_l"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("x"),
+        )
+        .select(
+            "idx",
+            "thr",
+            "n_l",
+            "x_l",
+            F.expr("n - n_l").alias("n_r"),
+            F.expr("x - x_l").alias("x_r"),
+            "n",
+            "x",
+        )
+        .where((F.col("n_l") > 0) & (F.col("n_r") > 0))
+    )
+    weighted = (
+        f"((cast(n_l as double) * {gini_expr('x_l', 'n_l')}"
+        f" + cast(n_r as double) * {gini_expr('x_r', 'n_r')})"
+        " / cast(n as double))"
+    )
+    return (
+        grid.select(
+            "idx",
+            "thr",
+            "n_l",
+            "n_r",
+            F.expr(weighted).alias("w_raw"),
+            F.expr(gini_expr("x", "n")).alias("g_parent"),
+        )
+        .orderBy(F.col("w_raw").asc(), F.col("idx").asc())
+        .limit(1)
+        .select(
+            F.col("idx").cast("int").alias("candidate_idx"),
+            F.round(F.expr("thr / 100.0"), 2).alias("threshold_price"),
+            "n_l",
+            "n_r",
+            F.round("g_parent", 6).alias("gini_parent"),
+            F.round("w_raw", 6).alias("gini_weighted"),
+            F.round(F.expr("g_parent - w_raw"), 6).alias("gini_gain"),
+        )
+    )

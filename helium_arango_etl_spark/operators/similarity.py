@@ -1696,3 +1696,66 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cosine"),
         )
     )
+
+
+def simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per trained k-means cluster: for every
+    vector, a = distance to its OWN centroid and b = distance to the
+    nearest OTHER centroid, s = (b − a)/max(a, b); reported as the
+    per-cluster mean — the O(N·K) clustering-quality score (Hruschka et
+    al. 2004) that replaces the O(N²) full silhouette at corpus scale,
+    and the quality companion to `kmeans_centroids`' inertia and
+    `ivf_balance_report`'s size skew (low mean silhouette ⇒ the cluster
+    overlaps a neighbor ⇒ see `label_centroid_cosine`).
+
+    Determinism: distances are fixed fold expressions over the shared
+    prepared embeddings and the cached quantized centroids; each
+    vector's s is micro-quantized BEFORE the per-cluster mean so the
+    aggregate is exact integer arithmetic.
+
+    Scale shape: assignment and the all-centroid distance pass are the
+    same broadcast map passes as `_kmeans_assign` (K×DIM doubles
+    broadcast; the corpus never shuffles by vector); the surface is a
+    K-row rollup.
+    """
+    emb = embedding_table(spark, sf_dir)
+    cent = kmeans_fit_cached(spark, sf_dir)
+    own = _kmeans_assign(emb, cent).select("vec_id", "centroid_id")
+    d2 = (
+        "aggregate(zip_with(v64, cv, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    dists = (
+        emb.select("vec_id", "v64")
+        .join(F.broadcast(cent.select("centroid_id", "cv")))
+        .select(
+            "vec_id",
+            F.col("centroid_id").alias("cid"),
+            F.expr(f"sqrt({d2})").alias("d"),
+        )
+    )
+    per_vec = (
+        dists.join(own, "vec_id")
+        .groupBy("vec_id", "centroid_id")
+        .agg(
+            F.max(F.expr("if(cid = centroid_id, d, null)")).alias("a"),
+            F.min(F.expr("if(cid != centroid_id, d, null)")).alias("b"),
+        )
+        .select(
+            "centroid_id",
+            F.expr(
+                "cast(round((b - a) / greatest(a, b) * 1000000.0)"
+                " as bigint)"
+            ).alias("s_micro"),
+        )
+    )
+    return per_vec.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.round(
+            F.expr(
+                "cast(sum(s_micro) as double) / 1000000.0"
+                " / cast(count(*) as double)"
+            ),
+            6,
+        ).alias("mean_silhouette"),
+    )

@@ -7527,3 +7527,153 @@ ORACLE_TRAINING["hour_of_week_profile"] = f"""
                    AS share
         FROM cells c JOIN totals t USING (event_type)
     """
+
+# ---------- round-7 ninth batch: logistic / gini split / silhouette ----------
+
+from .operators.mlstats import (  # noqa: E402
+    GINI_N_CANDIDATES,
+    LOGIT_D0,
+    LOGIT_D1,
+    LOGIT_DEV_T,
+    LOGIT_G0,
+    LOGIT_G1,
+    LOGIT_ITERS,
+    LOGIT_W,
+    LOGIT_WX,
+    LOGIT_WXX,
+    gini_expr,
+)
+
+_LG_PARTS = ["""
+        WITH o AS (
+          SELECT ln(cast(CAST(round(o_totalprice * 100) AS BIGINT)
+                    as double) / 100.0) AS x,
+                 cast(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1.0 ELSE 0.0 END as double) AS y
+          FROM orders
+        ), beta_0 AS (
+          SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1
+        )"""]
+for _k in range(LOGIT_ITERS):
+    _LG_PARTS.append(f""", m_{_k} AS MATERIALIZED (
+          SELECT b0, b1,
+                 CAST(sum({LOGIT_G0}) AS BIGINT) AS sg0,
+                 CAST(sum({LOGIT_G1}) AS BIGINT) AS sg1,
+                 CAST(sum({LOGIT_W}) AS BIGINT) AS sw,
+                 CAST(sum({LOGIT_WX}) AS BIGINT) AS swx,
+                 CAST(sum({LOGIT_WXX}) AS BIGINT) AS swxx
+          FROM o CROSS JOIN beta_{_k} GROUP BY b0, b1
+        ), beta_{_k + 1} AS MATERIALIZED (
+          SELECT b0 + CAST(round({LOGIT_D0} * 1000000000.0) AS BIGINT)
+                     AS b0,
+                 b1 + CAST(round({LOGIT_D1} * 1000000000.0) AS BIGINT)
+                     AS b1
+          FROM m_{_k}
+        )""")
+_LG_PARTS.append(f""", fit AS (
+          SELECT b0, b1, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum({LOGIT_DEV_T}) AS BIGINT) AS sdev
+          FROM o CROSS JOIN beta_{LOGIT_ITERS} GROUP BY b0, b1
+        )
+        SELECT n,
+               round(cast(b0 as double) / 1000000000.0, 6) AS beta0,
+               round(cast(b1 as double) / 1000000000.0, 6) AS beta1,
+               round(cast(sdev as double) / 1000000.0, 4) AS deviance
+        FROM fit
+    """)
+ORACLE_TRAINING["logistic_price_model"] = "".join(_LG_PARTS)
+
+_GN_K = GINI_N_CANDIDATES
+_GN_WEIGHTED = (
+    f"((cast(n_l as double) * {gini_expr('x_l', 'n_l')}"
+    f" + cast(n_r as double) * {gini_expr('x_r', 'n_r')})"
+    " / cast(n as double))"
+)
+
+ORACLE_TRAINING["best_gini_split"] = f"""
+        WITH o AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                 CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END AS y
+          FROM orders
+        ), bounds AS (
+          SELECT quantile_cont(v,
+            [{", ".join(str(i / (_GN_K + 1)) for i in range(1, _GN_K + 1))}])
+            AS bs
+          FROM o
+        ), grid AS (
+          SELECT g.idx, bs[g.idx] AS thr,
+                 CAST(sum(CASE WHEN v <= bs[g.idx] THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_l,
+                 CAST(sum(CASE WHEN v <= bs[g.idx] THEN y ELSE 0 END)
+                      AS BIGINT) AS x_l,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS x
+          FROM o CROSS JOIN bounds
+          CROSS JOIN (SELECT unnest(range(1, {_GN_K + 1})) AS idx) g
+          GROUP BY 1, 2
+        ), cells AS (
+          SELECT idx, thr, n_l, x_l, n - n_l AS n_r, x - x_l AS x_r, n, x
+          FROM grid WHERE n_l > 0 AND n - n_l > 0
+        ), scored AS (
+          SELECT idx, thr, n_l, n_r,
+                 {_GN_WEIGHTED} AS w_raw,
+                 {gini_expr('x', 'n')} AS g_parent
+          FROM cells
+        )
+        SELECT CAST(idx AS INTEGER) AS candidate_idx,
+               round(thr / 100.0, 2) AS threshold_price,
+               n_l, n_r,
+               round(g_parent, 6) AS gini_parent,
+               round(w_raw, 6) AS gini_weighted,
+               round(g_parent - w_raw, 6) AS gini_gain
+        FROM scored
+        ORDER BY w_raw, idx LIMIT 1
+    """
+
+
+def _silhouette_sql() -> str:
+    parts = [
+        f"""
+        WITH emb AS (
+          SELECT vec_id, {_CAST64} AS v FROM embeddings
+        ), c0 AS (
+          SELECT vec_id AS centroid_id,
+                 list_transform(v, x -> round(x, 6)) AS cv
+          FROM emb WHERE vec_id < {NUM_CENTROIDS}
+        )"""
+    ]
+    for it in range(KMEANS_ITERS):
+        parts.append(_km_assign("emb", f"c{it}", f"a{it + 1}"))
+        parts.append(_km_update(f"a{it + 1}", f"c{it}", f"c{it + 1}"))
+    last = f"c{KMEANS_ITERS}"
+    parts.append(_km_assign("emb", last, "afinal"))
+    d = (
+        f"sqrt(list_sum(list_transform(range(1, {DIM + 1}),"
+        " i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))))"
+    )
+    parts.append(f"""
+        , dists AS (
+          SELECT e.vec_id, c.centroid_id AS cid, {d} AS d
+          FROM emb e CROSS JOIN {last} c
+        ), pv AS (
+          SELECT a.centroid_id,
+                 CAST(round(
+                   (min(CASE WHEN dd.cid <> a.centroid_id THEN dd.d END)
+                    - max(CASE WHEN dd.cid = a.centroid_id THEN dd.d END))
+                   / greatest(
+                       max(CASE WHEN dd.cid = a.centroid_id THEN dd.d END),
+                       min(CASE WHEN dd.cid <> a.centroid_id THEN dd.d END))
+                   * 1000000.0) AS BIGINT) AS s_micro
+          FROM afinal a JOIN dists dd ON dd.vec_id = a.vec_id
+          GROUP BY a.vec_id, a.centroid_id
+        )
+        SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_members,
+               round(CAST(sum(s_micro) AS DOUBLE) / 1000000.0
+                     / CAST(count(*) AS DOUBLE), 6) AS mean_silhouette
+        FROM pv GROUP BY 1
+    """)
+    return "".join(parts)
+
+
+ORACLE_TRAINING["simplified_silhouette"] = _silhouette_sql()

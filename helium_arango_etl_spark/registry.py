@@ -2685,6 +2685,9 @@ QUERIES["packing_length_sweep"] = P.packing_length_sweep
 QUERIES["retrieval_map"] = T.retrieval_map
 QUERIES["srm_check"] = ML.srm_check
 QUERIES["hour_of_week_profile"] = RG.hour_of_week_profile
+QUERIES["logistic_price_model"] = ML.logistic_price_model
+QUERIES["best_gini_split"] = ML.best_gini_split
+QUERIES["simplified_silhouette"] = S.simplified_silhouette
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------

@@ -533,3 +533,75 @@ def test_hour_of_week_shares_sum_to_one(spark, sf_dir):
         f"SELECT count(*) FROM '{sf_dir}/events.parquet'"
     ).fetchone()[0]
     assert sum(n_by_type.values()) == total
+
+
+def test_logistic_matches_sklearn_style_newton(spark, sf_dir):
+    row = QUERIES["logistic_price_model"](spark, sf_dir).collect()[0]
+    # independent unregularized Newton in numpy over the same design
+    vals = duckdb.sql(
+        f"""SELECT CAST(ln(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS DOUBLE) / 100.0) AS DOUBLE),
+                   CAST(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1.0 ELSE 0.0 END AS DOUBLE)
+            FROM '{sf_dir}/orders.parquet'"""
+    ).fetchall()
+    X = np.column_stack(
+        [np.ones(len(vals)), np.array([v[0] for v in vals])]
+    )
+    y = np.array([v[1] for v in vals])
+    b = np.zeros(2)
+    for _ in range(25):
+        p = 1.0 / (1.0 + np.exp(-X @ b))
+        g = X.T @ (y - p)
+        H = X.T @ (X * (p * (1 - p))[:, None])
+        b = b + np.linalg.solve(H, g)
+    assert abs(row.beta0 - b[0]) < 1e-2
+    assert abs(row.beta1 - b[1]) < 1e-2
+    p = 1.0 / (1.0 + np.exp(-X @ b))
+    dev = -2.0 * np.sum(y * np.log(p) + (1 - y) * np.log(1 - p))
+    assert abs(row.deviance - dev) / dev < 1e-3
+    assert row.n == len(vals)
+
+
+def test_gini_split_matches_exhaustive_search(spark, sf_dir):
+    row = QUERIES["best_gini_split"](spark, sf_dir).collect()[0]
+    assert 0.0 <= row.gini_weighted <= row.gini_parent <= 0.5
+    assert row.gini_gain >= -1e-9
+    # recompute weighted impurity at the chosen threshold exactly
+    thr_cents = round(row.threshold_price * 100)
+    n_l, x_l, n, x = duckdb.sql(
+        f"""SELECT sum(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                        <= {thr_cents} THEN 1 ELSE 0 END),
+                   sum(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                        <= {thr_cents} AND o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END),
+                   count(*),
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)
+            FROM '{sf_dir}/orders.parquet'"""
+    ).fetchone()
+
+    def gini(xx, nn):
+        p = xx / nn
+        return 1 - p * p - (1 - p) * (1 - p)
+
+    want = (n_l * gini(x_l, n_l) + (n - n_l) * gini(x - x_l, n - n_l)) / n
+    # the boundary is an interpolated quantile; allow the count at the
+    # rounded threshold to differ by the boundary rows only
+    assert abs(row.gini_weighted - want) < 5e-3
+
+
+def test_silhouette_bounded_and_majority_positive(spark, sf_dir):
+    rows = QUERIES["simplified_silhouette"](spark, sf_dir).collect()
+    assert rows
+    total = 0
+    for r in rows:
+        assert -1.0 <= r.mean_silhouette <= 1.0
+        total += r.n_members
+    n_vecs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert total == n_vecs
+    # after Lloyd iterations most clusters should score positive
+    pos = sum(1 for r in rows if r.mean_silhouette > 0)
+    assert pos >= len(rows) // 2
