@@ -2253,3 +2253,66 @@ def city_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("city_key", "hop").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
+
+
+def cowitness_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-witness lift against the degree-preserving null model: for
+    every hotspot pair, observed shared witnesses over the
+    configuration-model expectation dₐ·d_b / n_witnesses — lift > 1
+    means the pair co-occurs MORE than their popularity alone predicts
+    (genuine co-location), the significance correction
+    `co_witness_recommendations`' raw shared counts lack (popular
+    hotspots co-occur with everyone).
+
+    Determinism: shared counts, witness degrees and the per-city
+    witness census are exact integers off the distinct edge set; lift
+    is one division at the surface.
+
+    Scale shape: pair weights come from the group-local projection;
+    degrees and the census are keyed counts; two broadcast-sized joins
+    per pair row.
+    """
+    pairs = co_witness_pairs(spark, sf_dir)
+    edges = (
+        witness_subgraph(spark, sf_dir)
+        .select("city_key", "src", "dst")
+        .distinct()
+    )
+    deg = edges.groupBy("city_key", "src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    nw = (
+        edges.select("city_key", "dst")
+        .distinct()
+        .groupBy("city_key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_witnesses"))
+    )
+    da = deg.select(
+        "city_key", F.col("src").alias("src_a"), F.col("d").alias("deg_a")
+    )
+    db = deg.select(
+        "city_key", F.col("src").alias("src_b"), F.col("d").alias("deg_b")
+    )
+    return (
+        pairs.join(da, ["city_key", "src_a"])
+        .join(db, ["city_key", "src_b"])
+        .join(F.broadcast(nw), "city_key")
+        .select(
+            "city_key",
+            "src_a",
+            "src_b",
+            F.col("shared_witnesses").cast("bigint").alias(
+                "shared_witnesses"
+            ),
+            "deg_a",
+            "deg_b",
+            "n_witnesses",
+            F.round(
+                F.expr(
+                    "cast(shared_witnesses * n_witnesses as double)"
+                    " / cast(deg_a * deg_b as double)"
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -3135,3 +3135,186 @@ def best_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("g_parent - w_raw"), 6).alias("gini_gain"),
         )
     )
+
+
+# ---------- deterministic randomization test ----------
+
+PERM_B = 64
+# content-hash pseudo-random arm for replicate b — the hash_split
+# bucketing idiom, engine-portable (DuckDB hex-cast = Spark conv)
+PERM_ARM = (
+    "cast(conv(substring(md5(concat(cast(event_id as string), '|',"
+    " cast(b as string))), 1, 7), 16, 10) as bigint) % 2"
+)
+
+
+def perm_test_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (approximate permutation) test for the
+    purchase-vs-click mean value difference: the observed difference is
+    compared against PERM_B label reassignments, each a DETERMINISTIC
+    content-hash relabeling (md5(event_id|b) % 2 — no RNG, so the test
+    reproduces bit-for-bit across engines/reruns and is embarrassingly
+    parallel).  The distribution-free companion of
+    `welch_ttest_values` (parametric) and `mannwhitney_value_test`
+    (rank): p = (1 + #{|Δ_b| ≥ |Δ_obs|}) / (B + 1), the standard
+    add-one Monte-Carlo estimate (Davison & Hinkley 1997).
+
+    Determinism: per-replicate sums are exact integers off ONE
+    conditional pass (the ×B explode is combiner-folded map-side);
+    each Δ is one double expression; the comparison runs on identical
+    doubles in both engines.
+
+    Scale shape: one fact scan exploded ×B into a B-row conditional
+    rollup — no shuffle of raw rows, no per-replicate pass.
+    """
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        "event_id",
+        F.expr("if(event_type = 'purchase', 1, 0)").alias("arm"),
+        F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+    )
+    obs = ev.agg(
+        F.expr(
+            "cast(sum(if(arm = 1, cents, 0L)) as double)"
+            " / sum(if(arm = 1, 1.0, 0.0))"
+            " - cast(sum(if(arm = 0, cents, 0L)) as double)"
+            " / sum(if(arm = 0, 1.0, 0.0))"
+        ).alias("d_obs")
+    )
+    reps = (
+        ev.select(
+            "event_id",
+            "cents",
+            F.explode(
+                F.array(*[F.lit(b) for b in range(1, PERM_B + 1)])
+            ).alias("b"),
+        )
+        .select("cents", "b", F.expr(PERM_ARM).alias("parm"))
+        .groupBy("b")
+        .agg(
+            F.expr(
+                "cast(sum(if(parm = 1, cents, 0L)) as double)"
+                " / sum(if(parm = 1, 1.0, 0.0))"
+                " - cast(sum(if(parm = 0, cents, 0L)) as double)"
+                " / sum(if(parm = 0, 1.0, 0.0))"
+            ).alias("d_b")
+        )
+    )
+    return (
+        reps.crossJoin(F.broadcast(obs))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+            F.sum(
+                F.expr("if(abs(d_b) >= abs(d_obs), 1L, 0L)")
+            ).cast("bigint").alias("n_extreme"),
+            F.round(F.max("d_obs"), 6).alias("d_obs"),
+        )
+        .select(
+            "n_replicates",
+            "n_extreme",
+            "d_obs",
+            F.round(
+                F.expr(
+                    "cast(1 + n_extreme as double)"
+                    " / cast(n_replicates + 1 as double)"
+                ),
+                6,
+            ).alias("p_value"),
+        )
+    )
+
+
+# ---------- Huber robust location (shared expression trees) ----------
+
+HUBER_ITERS = 6
+HUBER_C = 1.345  # 95% efficiency at the normal
+# weight for one row given mu (nano) and c (nano): min(1, c/|x - mu|)
+HUBER_W = (
+    "if(abs(cast(x as double) - cast(mu as double) / 1000000000.0)"
+    " < 1e-9, 1.0,"
+    " least(1.0, (cast(c as double) / 1000000000.0)"
+    " / abs(cast(x as double) - cast(mu as double) / 1000000000.0)))"
+)
+
+
+def huber_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of the purchase-value location — the robust
+    mean (Huber 1964): IRLS with the min(1, c/|x−μ|) weight, tuning
+    c = 1.345·MAD-scale (95% efficiency at the normal, near-immunity to
+    the heavy tail that drags the plain mean).  Completes the robust
+    shelf beside `trimmed_mean_values` (drop), `value_winsorize`
+    (clip) and `mad_anomaly_days` (flag) with the estimator that uses
+    ALL the data at reduced weight.
+
+    Determinism: the start (median) and scale (1.4826·MAD) use the
+    bit-identical percentile interpolation, quantized to nano; each
+    IRLS round quantizes per-row (w, w·x) to micro BEFORE summing
+    (exact bigints) and re-quantizes μ to nano — every iterate is
+    bit-identical across engines and the oracle unrolls the rounds.
+
+    Scale shape: two percentile passes + HUBER_ITERS scans, each a
+    map-side fold against a broadcast 1-row (μ, c) state.
+    """
+    x = read_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(F.expr("cast(floor(value * 100) as bigint)").alias("x"))
+    med = x.agg(
+        F.expr(
+            "cast(round(percentile(x, 0.5) * 1000000000.0) as bigint)"
+        ).alias("mu")
+    )
+    scale = (
+        x.crossJoin(F.broadcast(med))
+        .select(
+            F.expr(
+                "abs(cast(x as double) - cast(mu as double)"
+                " / 1000000000.0)"
+            ).alias("ad"),
+            "mu",
+        )
+        .groupBy("mu")
+        .agg(
+            F.expr(
+                f"cast(round(percentile(ad, 0.5) * 1.4826 * {HUBER_C}"
+                " * 1000000000.0) as bigint)"
+            ).alias("c")
+        )
+    )
+    st_ = scale.select("mu", "c").localCheckpoint(eager=True)
+    for _ in range(HUBER_ITERS):
+        st_ = (
+            x.crossJoin(F.broadcast(st_))
+            .select(
+                F.expr(
+                    f"cast(round({HUBER_W} * 1000000.0) as bigint)"
+                ).alias("w"),
+                F.expr(
+                    f"cast(round({HUBER_W} * cast(x as double)"
+                    " * 1000000.0) as bigint)"
+                ).alias("wx"),
+                "c",
+            )
+            .groupBy("c")
+            .agg(
+                F.expr(
+                    "cast(round(cast(sum(wx) as double)"
+                    " / cast(sum(w) as double) * 1000000000.0) as bigint)"
+                ).alias("mu")
+            )
+            .select("mu", "c")
+            .localCheckpoint(eager=True)
+        )
+    n = x.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return st_.crossJoin(F.broadcast(n)).select(
+        "n",
+        F.round(
+            F.expr("cast(mu as double) / 1000000000.0 / 100.0"), 6
+        ).alias("huber_location"),
+        F.round(
+            F.expr(
+                f"cast(c as double) / 1000000000.0 / {HUBER_C} / 100.0"
+            ),
+            6,
+        ).alias("mad_scale"),
+    )

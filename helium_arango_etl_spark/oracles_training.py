@@ -7677,3 +7677,118 @@ def _silhouette_sql() -> str:
 
 
 ORACLE_TRAINING["simplified_silhouette"] = _silhouette_sql()
+
+# ---------- round-7 tenth batch: perm test / Huber / co-witness lift ----------
+
+from .operators.mlstats import (  # noqa: E402
+    HUBER_C,
+    HUBER_ITERS,
+    HUBER_W,
+    PERM_B,
+)
+
+ORACLE_TRAINING["perm_test_values"] = f"""
+        WITH ev AS (
+          SELECT event_id,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS arm,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type IN ('purchase', 'click')
+        ), obs AS (
+          SELECT cast(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END)
+                   as double)
+                 / sum(CASE WHEN arm = 1 THEN 1.0 ELSE 0.0 END)
+                 - cast(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END)
+                     as double)
+                 / sum(CASE WHEN arm = 0 THEN 1.0 ELSE 0.0 END) AS d_obs
+          FROM ev
+        ), tagged AS (
+          SELECT ev.cents, g.b,
+                 ('0x' || substr(md5(CAST(ev.event_id AS VARCHAR) || '|'
+                     || CAST(g.b AS VARCHAR)), 1, 7))::BIGINT % 2 AS parm
+          FROM ev CROSS JOIN
+               (SELECT unnest(range(1, {PERM_B + 1})) AS b) g
+        ), reps AS (
+          SELECT b,
+                 cast(sum(CASE WHEN parm = 1 THEN cents ELSE 0 END)
+                   as double)
+                 / sum(CASE WHEN parm = 1 THEN 1.0 ELSE 0.0 END)
+                 - cast(sum(CASE WHEN parm = 0 THEN cents ELSE 0 END)
+                     as double)
+                 / sum(CASE WHEN parm = 0 THEN 1.0 ELSE 0.0 END) AS d_b
+          FROM tagged GROUP BY b
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+               CAST(sum(CASE WHEN abs(d_b) >= abs(d_obs)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+               round(max(d_obs), 6) AS d_obs,
+               round(cast(1 + sum(CASE WHEN abs(d_b) >= abs(d_obs)
+                          THEN 1 ELSE 0 END) as double)
+                     / cast(count(*) + 1 as double), 6) AS p_value
+        FROM reps CROSS JOIN obs
+    """
+
+_HB_PARTS = [f"""
+        WITH x AS (
+          SELECT CAST(floor(value * 100) AS BIGINT) AS x FROM events
+          WHERE event_type = 'purchase'
+        ), med AS (
+          SELECT CAST(round(quantile_cont(x, 0.5) * 1000000000.0)
+                      AS BIGINT) AS mu
+          FROM x
+        ), st_0 AS MATERIALIZED (
+          SELECT m.mu,
+                 CAST(round(quantile_cont(abs(cast(x.x as double)
+                        - cast(m.mu as double) / 1000000000.0), 0.5)
+                      * 1.4826 * {HUBER_C} * 1000000000.0) AS BIGINT) AS c
+          FROM x CROSS JOIN med m GROUP BY m.mu
+        )"""]
+for _k in range(HUBER_ITERS):
+    _HB_PARTS.append(f""", st_{_k + 1} AS MATERIALIZED (
+          SELECT CAST(round(cast(sum(wx) as double)
+                      / cast(sum(w) as double) * 1000000000.0)
+                      AS BIGINT) AS mu, c
+          FROM (
+            SELECT CAST(round({HUBER_W} * 1000000.0) AS BIGINT) AS w,
+                   CAST(round({HUBER_W} * cast(x as double)
+                        * 1000000.0) AS BIGINT) AS wx,
+                   c
+            FROM x CROSS JOIN st_{_k}
+          ) GROUP BY c
+        )""")
+_HB_PARTS.append(f"""
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM x) AS n,
+               round(cast(mu as double) / 1000000000.0 / 100.0, 6)
+                   AS huber_location,
+               round(cast(c as double) / 1000000000.0 / {HUBER_C}
+                     / 100.0, 6) AS mad_scale
+        FROM st_{HUBER_ITERS}
+    """)
+ORACLE_TRAINING["huber_location"] = "".join(_HB_PARTS)
+
+ORACLE_TRAINING["cowitness_lift"] = """
+        WITH edges0 AS ({WSQL}),
+        e AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        cw AS (
+          SELECT a.city_key, a.src AS src_a, b.src AS src_b,
+                 CAST(count(*) AS BIGINT) AS shared_witnesses
+          FROM e a
+          JOIN e b ON a.city_key = b.city_key AND a.dst = b.dst
+                  AND a.src < b.src
+          GROUP BY 1, 2, 3
+        ), deg AS (
+          SELECT city_key, src, CAST(count(*) AS BIGINT) AS d
+          FROM e GROUP BY 1, 2
+        ), nw AS (
+          SELECT city_key, CAST(count(DISTINCT dst) AS BIGINT)
+                     AS n_witnesses
+          FROM e GROUP BY 1
+        )
+        SELECT cw.city_key, cw.src_a, cw.src_b, cw.shared_witnesses,
+               da.d AS deg_a, db.d AS deg_b, nw.n_witnesses,
+               round(cast(cw.shared_witnesses * nw.n_witnesses as double)
+                     / cast(da.d * db.d as double), 6) AS lift
+        FROM cw
+        JOIN deg da ON da.city_key = cw.city_key AND da.src = cw.src_a
+        JOIN deg db ON db.city_key = cw.city_key AND db.src = cw.src_b
+        JOIN nw ON nw.city_key = cw.city_key
+    """

@@ -663,6 +663,9 @@ ORACLE["rich_club_coefficient"] = ORACLE["rich_club_coefficient"].replace(
 ORACLE["city_bfs_layers"] = ORACLE["city_bfs_layers"].replace(
     "{WSQL}", _WITNESS_SQL
 )
+ORACLE["cowitness_lift"] = ORACLE["cowitness_lift"].replace(
+    "{WSQL}", _WITNESS_SQL
+)
 
 
 # ---------- declarative PageRank oracle (unrolled quantized iterations) ----------
@@ -2688,6 +2691,9 @@ QUERIES["hour_of_week_profile"] = RG.hour_of_week_profile
 QUERIES["logistic_price_model"] = ML.logistic_price_model
 QUERIES["best_gini_split"] = ML.best_gini_split
 QUERIES["simplified_silhouette"] = S.simplified_silhouette
+QUERIES["perm_test_values"] = ML.perm_test_values
+QUERIES["huber_location"] = ML.huber_location
+QUERIES["cowitness_lift"] = G.cowitness_lift
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------

@@ -605,3 +605,44 @@ def test_silhouette_bounded_and_majority_positive(spark, sf_dir):
     # after Lloyd iterations most clusters should score positive
     pos = sum(1 for r in rows if r.mean_silhouette > 0)
     assert pos >= len(rows) // 2
+
+
+def test_perm_test_pvalue_bounds_and_significance(spark, sf_dir):
+    row = QUERIES["perm_test_values"](spark, sf_dir).collect()[0]
+    assert row.n_replicates == 64
+    assert 1 / 65 <= row.p_value <= 1.0
+    assert row.n_extreme <= row.n_replicates
+    # purchase and click values come from different distributions in the
+    # synthetic data, so the observed gap should be non-trivial
+    assert abs(row.d_obs) > 0.0
+
+
+def test_huber_location_between_median_and_mean(spark, sf_dir):
+    row = QUERIES["huber_location"](spark, sf_dir).collect()[0]
+    vals = duckdb.sql(
+        f"""SELECT floor(value * 100) / 100.0
+            FROM '{sf_dir}/events.parquet'
+            WHERE event_type = 'purchase'"""
+    ).fetchall()
+    xs = np.array([v[0] for v in vals])
+    lo, hi = sorted((np.median(xs), xs.mean()))
+    # Huber interpolates between median (c->0) and mean (c->inf)
+    assert lo - 0.5 <= row.huber_location <= hi + 0.5
+    assert row.n == len(xs)
+    assert row.mad_scale > 0
+    # independent IRLS recompute
+    mu = np.median(xs)
+    c = 1.345 * 1.4826 * np.median(np.abs(xs - mu))
+    for _ in range(30):
+        w = np.minimum(1.0, c / np.maximum(np.abs(xs - mu), 1e-12))
+        mu = (w * xs).sum() / w.sum()
+    assert abs(row.huber_location - mu) < 0.05
+
+
+def test_cowitness_lift_consistency(spark, sf_oracle_dir):
+    rows = QUERIES["cowitness_lift"](spark, sf_oracle_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.lift > 0
+        assert r.shared_witnesses <= min(r.deg_a, r.deg_b)
+        assert max(r.deg_a, r.deg_b) <= r.n_witnesses
