@@ -3318,3 +3318,254 @@ def huber_location(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mad_scale"),
     )
+
+
+# ---------- OLS residual diagnostics (shared expression trees) ----------
+
+_ORD_B = (
+    "(cast(n * sxy - sx * sy as double) / cast(n * sxx - sx * sx as double))"
+)
+_ORD_A = f"((cast(sy as double) - {_ORD_B} * cast(sx as double)) / cast(n as double))"
+ORD_R2 = (
+    "(cast(n * sxy - sx * sy as double) * cast(n * sxy - sx * sy as double)"
+    " / (cast(n * sxx - sx * sx as double)"
+    " * cast(n * syy - sy * sy as double)))"
+)
+
+
+def ols_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual diagnostics for the daily-order-count trend OLS:
+    Durbin-Watson autocorrelation (DW ≈ 2(1−ρ₁); <2 means positive
+    serial correlation — the assumption `chow_break_test` and the trend
+    tests silently need) and the Breusch-Pagan heteroscedasticity
+    statistic (n·R² of e² on the regressor; large means the variance
+    itself trends, invalidating the OLS standard errors).  The
+    "should you trust the fit" companion to `ols_price_model` /
+    `theilsen_daily_trend`.
+
+    Determinism: the fit comes from exact integer moments; fitted
+    coefficients are nano-quantized before residuals are computed, and
+    every residual is micro-quantized before the DW / BP sums — so the
+    ratio numerators/denominators are exact wide-integer arithmetic and
+    each output is one double expression.
+
+    Scale shape: one fact scan to the day grid, one 1-row moment
+    aggregate broadcast back, one ordered lag window over the
+    |days|-row grid.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr("datediff(o_orderdate, date '1970-01-01')").alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sx"),
+        F.sum("c").cast("bigint").alias("sy"),
+        F.sum(F.expr("d * d")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("d * c")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("c * c")).cast("bigint").alias("syy"),
+    ).select(
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        "syy",
+        F.expr(
+            f"cast(round({_ORD_B} * 1000000000.0) as bigint)"
+        ).alias("b_nano"),
+        F.expr(
+            f"cast(round({_ORD_A} * 1000000000.0) as bigint)"
+        ).alias("a_nano"),
+    )
+    resid = daily.crossJoin(F.broadcast(mom)).select(
+        "d",
+        "n",
+        "sx",
+        "sxx",
+        F.expr(ORD_R2).alias("r2"),
+        F.expr(
+            "cast(round((cast(c as double)"
+            " - (cast(a_nano as double) + cast(b_nano as double) * d)"
+            " / 1000000000.0) * 1000000.0) as bigint)"
+        ).alias("em"),
+    )
+    w = Window.orderBy("d")
+    lagged = resid.withColumn("em_prev", F.lag("em").over(w))
+    agg = lagged.groupBy("n", "sx", "sxx", "r2").agg(
+        F.sum(F.expr("cast(em as decimal(38,0)) * em")).alias("see"),
+        F.sum(
+            F.expr(
+                "if(em_prev is null, cast(0 as decimal(38,0)),"
+                " cast(em - em_prev as decimal(38,0)) * (em - em_prev))"
+            )
+        ).alias("sdd"),
+        F.sum(F.expr("cast(em as decimal(38,0)) * em * d")).alias("sxu"),
+        F.sum(
+            F.expr("cast(em as decimal(38,0)) * em * (cast(em as"
+                   " decimal(38,0)) * em)")
+        ).alias("suu"),
+    )
+    # Σu (the aux regressand total) IS Σem² = see
+    bp_r2 = (
+        "(cast(cast(n as decimal(38,0)) * sxu - cast(sx as decimal(38,0))"
+        " * see as double) * cast(cast(n as decimal(38,0)) * sxu"
+        " - cast(sx as decimal(38,0)) * see as double)"
+        " / (cast(cast(n as decimal(38,0)) * sxx - cast(sx as"
+        " decimal(38,0)) * sx as double)"
+        " * cast(cast(n as decimal(38,0)) * suu - cast(see as"
+        " decimal(38,0)) * see as double)))"
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.round("r2", 6).alias("r2"),
+        F.round(
+            F.expr("cast(sdd as double) / cast(see as double)"), 6
+        ).alias("dw_stat"),
+        F.round(
+            F.expr(f"cast(n as double) * {bp_r2}"), 6
+        ).alias("bp_stat"),
+    )
+
+
+# ---------- Gumbel block-maxima fit (shared expression trees) ----------
+
+GUMBEL_EULER = "0.5772156649015329"
+GUMBEL_SQRT6_PI = "0.7796968012336093"  # sqrt(6)/pi as a pinned literal
+
+
+def gumbel_daily_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel (EV-I) fit of daily maximum order totals by method of
+    moments — block-maxima extreme-value analysis (Gumbel 1958):
+    β = s·√6/π, μ = m̄ − γ·β over the daily-max series, plus the
+    fitted probability that a future day's maximum exceeds the
+    corpus-wide record (the capacity/risk number extreme-value theory
+    exists for).  Reads beside `hill_tail_index` (tail exponent of the
+    ALL-order distribution; Gumbel models the per-block maxima).
+
+    Determinism: daily maxima are exact integers; mean/std come from
+    exact wide-integer moments; β, μ and the exceedance probability
+    are one shared double expression tree with √6/π and Euler's γ
+    pinned as explicit literals (never engine math-constant calls).
+
+    Scale shape: one keyed max aggregation to the day grid, one 1-row
+    moment fold.
+    """
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr("datediff(o_orderdate, date '1970-01-01')").alias("d")
+        )
+        .agg(
+            F.max(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).alias("m")
+        )
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("m").cast("bigint").alias("s1"),
+        F.sum(F.expr("cast(m as decimal(38,0)) * m")).alias("s2"),
+        F.max("m").cast("bigint").alias("record"),
+    )
+    sd = (
+        "sqrt(cast(cast(n as decimal(38,0)) * s2 - cast(s1 as"
+        " decimal(38,0)) * s1 as double)"
+        " / (cast(n as double) * cast(n - 1 as double)))"
+    )
+    beta = f"({sd} * {GUMBEL_SQRT6_PI})"
+    mu = (
+        f"(cast(s1 as double) / cast(n as double)"
+        f" - {GUMBEL_EULER} * {beta})"
+    )
+    p_exceed = (
+        f"(1.0 - exp(0.0 - exp(0.0 - (cast(record as double) - {mu})"
+        f" / {beta})))"
+    )
+    return mom.select(
+        F.col("n").alias("n_days"),
+        F.round(F.expr(f"{mu} / 100.0"), 4).alias("gumbel_mu"),
+        F.round(F.expr(f"{beta} / 100.0"), 4).alias("gumbel_beta"),
+        F.round(F.expr("cast(record as double) / 100.0"), 2).alias(
+            "record_max"
+        ),
+        F.round(F.expr(p_exceed), 6).alias("p_exceed_record"),
+    )
+
+
+# ---------- historical VaR / expected shortfall ----------
+
+CVAR_ALPHA_DEN = 20  # tail = top n div 20 (the 95% level)
+
+
+def cvar_value_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical Value-at-Risk and Expected Shortfall of order totals:
+    VaR95 = the 95th-percentile order value, ES95 = the exact mean of
+    the top n/20 order values — the coherent tail-risk pair (Artzner et
+    al. 1999; ES is what Basel replaced VaR with, because it sees HOW
+    BAD the tail is, not just where it starts).  Reads beside
+    `hill_tail_index` / `gumbel_daily_max` as the nonparametric
+    tail-risk number.
+
+    Determinism: VaR uses the bit-identical percentile interpolation;
+    the tail set is the exact top-k (k = n div 20) chosen by descending
+    rank with key tie-break on the distinct-value CDF, so the ES mean
+    is a ratio of exact integers.
+
+    Scale shape: one 1-row percentile aggregate; the top-k mean comes
+    from the value-domain CDF (distinct values + counts), never a full
+    sort of the fact table.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v")
+    )
+    var_ = o.agg(
+        F.expr("percentile(v, 0.95)").alias("var95_raw"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    cdf = (
+        o.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = cdf.withColumn(
+        "cum", F.sum("cnt").over(w).cast("bigint")
+    )
+    tail = (
+        ranked.crossJoin(F.broadcast(var_))
+        .where(F.expr(f"cum - cnt < n div {CVAR_ALPHA_DEN}"))
+        .select(
+            "v",
+            "cnt",
+            "cum",
+            "n",
+            "var95_raw",
+            # clip the boundary value's multiplicity to exactly fill k
+            F.expr(
+                f"least(cnt, n div {CVAR_ALPHA_DEN} - (cum - cnt))"
+            ).alias("take"),
+        )
+    )
+    return tail.groupBy("n", "var95_raw").agg(
+        F.sum("take").cast("bigint").alias("k"),
+        F.sum(F.expr("cast(v as decimal(38,0)) * take")).alias("sv"),
+    ).select(
+        "n",
+        F.col("k").alias("tail_k"),
+        F.round(F.expr("var95_raw / 100.0"), 4).alias("var95"),
+        F.round(
+            F.expr(
+                "cast(sv as double) / cast(k as double) / 100.0"
+            ),
+            4,
+        ).alias("es95"),
+    )

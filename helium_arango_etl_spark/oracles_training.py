@@ -7792,3 +7792,140 @@ ORACLE_TRAINING["cowitness_lift"] = """
         JOIN deg db ON db.city_key = cw.city_key AND db.src = cw.src_b
         JOIN nw ON nw.city_key = cw.city_key
     """
+
+# ---------- round-7 eleventh batch: diagnostics / Gumbel / VaR-ES ----------
+
+from .operators.mlstats import (  # noqa: E402
+    CVAR_ALPHA_DEN,
+    GUMBEL_EULER,
+    GUMBEL_SQRT6_PI,
+    ORD_R2,
+)
+
+ORACLE_TRAINING["ols_residual_diagnostics"] = f"""
+        WITH daily AS (
+          SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1
+        ), mom AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(d) AS BIGINT) AS sx,
+                 CAST(sum(c) AS BIGINT) AS sy,
+                 CAST(sum(d * d) AS BIGINT) AS sxx,
+                 CAST(sum(d * c) AS BIGINT) AS sxy,
+                 CAST(sum(c * c) AS BIGINT) AS syy
+          FROM daily
+        ), fit AS (
+          SELECT *,
+                 CAST(round((cast(n * sxy - sx * sy as double)
+                      / cast(n * sxx - sx * sx as double))
+                      * 1000000000.0) AS BIGINT) AS b_nano,
+                 CAST(round(((cast(sy as double)
+                      - (cast(n * sxy - sx * sy as double)
+                         / cast(n * sxx - sx * sx as double))
+                        * cast(sx as double)) / cast(n as double))
+                      * 1000000000.0) AS BIGINT) AS a_nano
+          FROM mom
+        ), resid AS (
+          SELECT daily.d, f.n, f.sx, f.sxx, {ORD_R2} AS r2,
+                 CAST(round((cast(c as double)
+                      - (cast(a_nano as double)
+                         + cast(b_nano as double) * daily.d)
+                        / 1000000000.0) * 1000000.0) AS BIGINT) AS em
+          FROM daily CROSS JOIN fit f
+        ), lagged AS (
+          SELECT *, lag(em) OVER (ORDER BY d) AS em_prev FROM resid
+        ), agg AS (
+          SELECT n, sx, sxx, r2,
+                 sum(CAST(em AS HUGEINT) * em) AS see,
+                 sum(CASE WHEN em_prev IS NULL THEN CAST(0 AS HUGEINT)
+                     ELSE CAST(em - em_prev AS HUGEINT) * (em - em_prev)
+                     END) AS sdd,
+                 sum(CAST(em AS HUGEINT) * em * d) AS sxu,
+                 sum(CAST(em AS HUGEINT) * em
+                     * (CAST(em AS HUGEINT) * em)) AS suu
+          FROM lagged GROUP BY n, sx, sxx, r2
+        )
+        SELECT n AS n_days, round(r2, 6) AS r2,
+               round(cast(sdd as double) / cast(see as double), 6)
+                   AS dw_stat,
+               round(cast(n as double) *
+                 (cast(CAST(n AS HUGEINT) * sxu - CAST(sx AS HUGEINT)
+                       * see as double)
+                  * cast(CAST(n AS HUGEINT) * sxu - CAST(sx AS HUGEINT)
+                        * see as double)
+                  / (cast(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT)
+                         * sx as double)
+                     * cast(CAST(n AS HUGEINT) * suu
+                            - CAST(see AS HUGEINT) * see as double))), 6)
+                   AS bp_stat
+        FROM agg
+    """
+
+ORACLE_TRAINING["gumbel_daily_max"] = f"""
+        WITH daily AS (
+          SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+                 CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS m
+          FROM orders GROUP BY 1
+        ), mom AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(m) AS BIGINT) AS s1,
+                 sum(CAST(m AS HUGEINT) * m) AS s2,
+                 CAST(max(m) AS BIGINT) AS record
+          FROM daily
+        )
+        SELECT n AS n_days,
+               round((cast(s1 as double) / cast(n as double)
+                 - {GUMBEL_EULER}
+                   * (sqrt(cast(CAST(n AS HUGEINT) * s2
+                        - CAST(s1 AS HUGEINT) * s1 as double)
+                      / (cast(n as double) * cast(n - 1 as double)))
+                      * {GUMBEL_SQRT6_PI})) / 100.0, 4) AS gumbel_mu,
+               round((sqrt(cast(CAST(n AS HUGEINT) * s2
+                        - CAST(s1 AS HUGEINT) * s1 as double)
+                      / (cast(n as double) * cast(n - 1 as double)))
+                      * {GUMBEL_SQRT6_PI}) / 100.0, 4) AS gumbel_beta,
+               round(cast(record as double) / 100.0, 2) AS record_max,
+               round(1.0 - exp(0.0 - exp(0.0 - (cast(record as double)
+                 - (cast(s1 as double) / cast(n as double)
+                    - {GUMBEL_EULER}
+                      * (sqrt(cast(CAST(n AS HUGEINT) * s2
+                           - CAST(s1 AS HUGEINT) * s1 as double)
+                         / (cast(n as double) * cast(n - 1 as double)))
+                         * {GUMBEL_SQRT6_PI})))
+                 / (sqrt(cast(CAST(n AS HUGEINT) * s2
+                      - CAST(s1 AS HUGEINT) * s1 as double)
+                    / (cast(n as double) * cast(n - 1 as double)))
+                    * {GUMBEL_SQRT6_PI}))), 6) AS p_exceed_record
+        FROM mom
+    """
+
+ORACLE_TRAINING["cvar_value_tail"] = f"""
+        WITH o AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders
+        ), var_ AS (
+          SELECT quantile_cont(v, 0.95) AS var95_raw,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM o
+        ), cdf AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY 1
+        ), ranked AS (
+          SELECT v, cnt,
+                 CAST(sum(cnt) OVER (ORDER BY v DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM cdf
+        ), tail AS (
+          SELECT v, cnt, cum, n, var95_raw,
+                 least(cnt, n // {CVAR_ALPHA_DEN} - (cum - cnt)) AS take
+          FROM ranked CROSS JOIN var_
+          WHERE cum - cnt < n // {CVAR_ALPHA_DEN}
+        )
+        SELECT n, CAST(sum(take) AS BIGINT) AS tail_k,
+               round(var95_raw / 100.0, 4) AS var95,
+               round(cast(sum(CAST(v AS HUGEINT) * take) as double)
+                     / cast(sum(take) as double) / 100.0, 4) AS es95
+        FROM tail GROUP BY n, var95_raw
+    """

@@ -2694,6 +2694,9 @@ QUERIES["simplified_silhouette"] = S.simplified_silhouette
 QUERIES["perm_test_values"] = ML.perm_test_values
 QUERIES["huber_location"] = ML.huber_location
 QUERIES["cowitness_lift"] = G.cowitness_lift
+QUERIES["ols_residual_diagnostics"] = ML.ols_residual_diagnostics
+QUERIES["gumbel_daily_max"] = ML.gumbel_daily_max
+QUERIES["cvar_value_tail"] = ML.cvar_value_tail
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------

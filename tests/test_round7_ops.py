@@ -646,3 +646,53 @@ def test_cowitness_lift_consistency(spark, sf_oracle_dir):
         assert r.lift > 0
         assert r.shared_witnesses <= min(r.deg_a, r.deg_b)
         assert max(r.deg_a, r.deg_b) <= r.n_witnesses
+
+
+def test_ols_diagnostics_match_numpy(spark, sf_dir):
+    row = QUERIES["ols_residual_diagnostics"](spark, sf_dir).collect()[0]
+    pts = duckdb.sql(
+        f"""SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+                   count(*) AS c
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    d = np.array([p[0] for p in pts], dtype=float)
+    c = np.array([p[1] for p in pts], dtype=float)
+    b, a = np.polyfit(d, c, 1)
+    e = c - (a + b * d)
+    dw = np.sum(np.diff(e) ** 2) / np.sum(e**2)
+    r2 = np.corrcoef(d, c)[0, 1] ** 2
+    u = e**2
+    bp = len(d) * np.corrcoef(d, u)[0, 1] ** 2
+    assert 0.0 <= row.dw_stat <= 4.0
+    assert abs(row.dw_stat - dw) < 1e-3
+    assert abs(row.r2 - r2) < 1e-4
+    assert abs(row.bp_stat - bp) < 1e-2
+    assert row.n_days == len(pts)
+
+
+def test_gumbel_fit_matches_moments(spark, sf_dir):
+    row = QUERIES["gumbel_daily_max"](spark, sf_dir).collect()[0]
+    maxima = duckdb.sql(
+        f"""SELECT max(round(o_totalprice * 100)) / 100.0
+            FROM '{sf_dir}/orders.parquet'
+            GROUP BY CAST(o_orderdate AS DATE)"""
+    ).fetchall()
+    xs = np.array([m[0] for m in maxima])
+    beta = xs.std(ddof=1) * math.sqrt(6) / math.pi
+    mu = xs.mean() - 0.5772156649015329 * beta
+    assert abs(row.gumbel_beta - beta) < 0.02
+    assert abs(row.gumbel_mu - mu) < 0.02
+    assert 0.0 <= row.p_exceed_record <= 1.0
+    assert abs(row.record_max - xs.max()) < 1e-6
+
+
+def test_cvar_es_dominates_var(spark, sf_dir):
+    row = QUERIES["cvar_value_tail"](spark, sf_dir).collect()[0]
+    assert row.es95 >= row.var95 - 1e-6  # ES is the tail mean beyond VaR
+    assert row.tail_k == row.n // 20
+    vals = duckdb.sql(
+        f"""SELECT round(o_totalprice * 100) / 100.0
+            FROM '{sf_dir}/orders.parquet' ORDER BY 1 DESC"""
+    ).fetchall()
+    top = [v[0] for v in vals[: row.n // 20]]
+    assert abs(row.es95 - sum(top) / len(top)) < 1e-2
