@@ -1160,3 +1160,66 @@ def lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("s_threshold"),
     )
+
+
+def effective_corpus_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-discounted corpus accounting per source: each document
+    counts 1/k where k is its exact-duplicate cluster size, so a source
+    whose volume is mostly copies shows its EFFECTIVE (unique-content)
+    token mass — the number α-sampling and mixture weights should use
+    instead of raw counts, because raw counts double-pay duplicated
+    boilerplate (Lee et al. 2022's dedup-then-weigh finding).
+
+    Determinism: cluster sizes are exact integer counts; each 1/k
+    weight is nano-quantized before the per-source sums (exact bigint
+    addition); the deflation ratio is one division at the surface.
+
+    Scale shape: the cluster-size table is the exact_dedup rollup
+    ((hash, id) pairs shuffle — bodies never move); one broadcast-sized
+    hash join back, one |sources|-row rollup.
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("text_hash"),
+        F.expr("n_chars div 4").alias("n_tok"),
+    )
+    sizes = exact_dedup(spark, sf_dir).select("text_hash", "n_copies")
+    return (
+        docs.join(sizes, "text_hash")
+        .select(
+            "source",
+            "n_tok",
+            F.expr(
+                "cast(round(1000000000.0 / cast(n_copies as double))"
+                " as bigint)"
+            ).alias("w_nano"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("raw_tokens"),
+            F.sum("w_nano").cast("bigint").alias("eff_docs_nano"),
+            F.sum(F.expr("cast(w_nano as decimal(38,0)) * n_tok")).alias(
+                "eff_tok_nano"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "raw_tokens",
+            F.round(
+                F.expr("cast(eff_docs_nano as double) / 1000000000.0"), 6
+            ).alias("effective_docs"),
+            F.round(
+                F.expr("cast(eff_tok_nano as double) / 1000000000.0"), 2
+            ).alias("effective_tokens"),
+            F.round(
+                F.expr(
+                    "cast(eff_tok_nano as double) / 1000000000.0"
+                    " / cast(nullif(raw_tokens, 0L) as double)"
+                ),
+                6,
+            ).alias("unique_share"),
+        )
+    )

@@ -3569,3 +3569,46 @@ def cvar_value_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("es95"),
     )
+
+
+def last_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-digit uniformity audit of order cents — the fraud/entry
+    screen that pairs with `benford_audit`: FIRST digits follow
+    Benford's law in natural data, but LAST digits should be UNIFORM;
+    spikes at 0/5 betray rounding, fabrication or price-point policy.
+    Reports per-digit counts, shares, and the 9-df chi-square against
+    uniform.
+
+    Determinism: digits and counts are exact integers; each cell's χ²
+    term is one double expression of exact ints; the statistic is an
+    exact integer identity n·(100·Σc² /n² ...) folded as one tree.
+
+    Scale shape: one scan, a 10-row rollup, a broadcast total.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "cast(round(o_totalprice * 100) as bigint) % 10"
+        ).alias("digit")
+    )
+    cells = o.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cells.agg(F.sum("n").cast("bigint").alias("nn"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(
+                F.expr("cast(n as double) / cast(nn as double)"), 6
+            ).alias("share"),
+            F.round(
+                F.expr(
+                    "cast((10 * n - nn) as double)"
+                    " * cast((10 * n - nn) as double)"
+                    " / (10.0 * cast(nn as double))"
+                ),
+                6,
+            ).alias("chi2_term"),
+        )
+    )

@@ -1818,3 +1818,51 @@ def kaplan_meier_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("km_survival"),
         )
     )
+
+
+def twap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per event type: each user's
+    value stream is a step function (the value holds until their next
+    event of that type), and the pooled TWAP weights every held value
+    by its exact holding duration — the estimator that is immune to
+    sampling-rate bias, which the plain mean is not (a user who emits
+    10 events in one minute should not count 10× the weight of one who
+    holds a value all day).  The financial-TWAP pattern applied to
+    event streams; the duration-weighted companion of
+    `decayed_user_engagement`.
+
+    Determinism: holding durations are exact microsecond differences
+    from a keyed lag window; value·duration products are exact wide
+    integers; ONE division at the surface.
+
+    Scale shape: one user-keyed lag window (the sessionize shuffle),
+    then a |types|-row rollup — no state, no explode.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "us", "event_id"
+    )
+    held = ev.withColumn("next_us", F.lead("us").over(w)).where(
+        F.col("next_us").isNotNull()
+    ).select(
+        "event_type",
+        "cents",
+        F.expr("next_us - us").alias("dur_us"),
+    )
+    return held.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("dur_us").cast("bigint").alias("total_us"),
+        F.round(
+            F.expr(
+                "cast(sum(cast(cents as decimal(38,0)) * dur_us)"
+                " as double) / cast(sum(dur_us) as double) / 100.0"
+            ),
+            6,
+        ).alias("twap_value"),
+    )

@@ -7929,3 +7929,69 @@ ORACLE_TRAINING["cvar_value_tail"] = f"""
                      / cast(sum(take) as double) / 100.0, 4) AS es95
         FROM tail GROUP BY n, var95_raw
     """
+
+# ---------- round-7 twelfth batch: effective size / last digit / TWAP ----------
+
+ORACLE_TRAINING["effective_corpus_size"] = """
+        WITH docs AS (
+          SELECT doc_id, source, md5(text) AS text_hash,
+                 n_chars // 4 AS n_tok
+          FROM documents
+        ), sizes AS (
+          SELECT md5(text) AS text_hash,
+                 CAST(count(*) AS BIGINT) AS n_copies
+          FROM documents GROUP BY 1
+        ), weighted AS (
+          SELECT d.source, d.n_tok,
+                 CAST(round(1000000000.0 / CAST(s.n_copies AS DOUBLE))
+                      AS BIGINT) AS w_nano
+          FROM docs d JOIN sizes s USING (text_hash)
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+               round(CAST(sum(w_nano) AS DOUBLE) / 1000000000.0, 6)
+                   AS effective_docs,
+               round(CAST(sum(CAST(w_nano AS HUGEINT) * n_tok) AS DOUBLE)
+                     / 1000000000.0, 2) AS effective_tokens,
+               round(CAST(sum(CAST(w_nano AS HUGEINT) * n_tok) AS DOUBLE)
+                     / 1000000000.0
+                     / CAST(nullif(sum(n_tok), 0) AS DOUBLE), 6)
+                   AS unique_share
+        FROM weighted GROUP BY source
+    """
+
+ORACLE_TRAINING["last_digit_audit"] = """
+        WITH o AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 10 AS digit
+          FROM orders
+        ), cells AS (
+          SELECT digit, CAST(count(*) AS BIGINT) AS n FROM o GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells
+        )
+        SELECT digit, n,
+               round(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS share,
+               round(CAST((10 * n - nn) AS DOUBLE)
+                     * CAST((10 * n - nn) AS DOUBLE)
+                     / (10.0 * CAST(nn AS DOUBLE)), 6) AS chi2_term
+        FROM cells CROSS JOIN tot
+    """
+
+ORACLE_TRAINING["twap_by_type"] = """
+        WITH ev AS (
+          SELECT event_type, user_id, epoch_us(ts) AS us, event_id,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), held AS (
+          SELECT event_type, cents,
+                 lead(us) OVER (PARTITION BY event_type, user_id
+                                ORDER BY us, event_id) - us AS dur_us
+          FROM ev
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(sum(dur_us) AS BIGINT) AS total_us,
+               round(CAST(sum(CAST(cents AS HUGEINT) * dur_us) AS DOUBLE)
+                     / CAST(sum(dur_us) AS DOUBLE) / 100.0, 6)
+                   AS twap_value
+        FROM held WHERE dur_us IS NOT NULL GROUP BY event_type
+    """

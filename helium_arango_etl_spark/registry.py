@@ -2697,6 +2697,9 @@ QUERIES["cowitness_lift"] = G.cowitness_lift
 QUERIES["ols_residual_diagnostics"] = ML.ols_residual_diagnostics
 QUERIES["gumbel_daily_max"] = ML.gumbel_daily_max
 QUERIES["cvar_value_tail"] = ML.cvar_value_tail
+QUERIES["effective_corpus_size"] = D.effective_corpus_size
+QUERIES["last_digit_audit"] = ML.last_digit_audit
+QUERIES["twap_by_type"] = TP.twap_by_type
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------

@@ -696,3 +696,47 @@ def test_cvar_es_dominates_var(spark, sf_dir):
     ).fetchall()
     top = [v[0] for v in vals[: row.n // 20]]
     assert abs(row.es95 - sum(top) / len(top)) < 1e-2
+
+
+def test_effective_corpus_size_bounds(spark, sf_dir):
+    rows = QUERIES["effective_corpus_size"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.effective_docs <= r.n_docs + 1e-6
+        assert r.effective_tokens <= r.raw_tokens + 1e-6
+        assert 0.0 < r.unique_share <= 1.0 + 1e-9
+    # corpus-wide effective docs equals the number of DISTINCT texts
+    n_distinct = duckdb.sql(
+        f"SELECT count(DISTINCT text) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    # Σ over all docs of 1/cluster_size = number of clusters, but only
+    # when clusters never span sources; allow quantization slack
+    total_eff = sum(r.effective_docs for r in rows)
+    assert abs(total_eff - n_distinct) < 0.01 * n_distinct + 1.0
+
+
+def test_last_digit_audit_partition(spark, sf_dir):
+    rows = QUERIES["last_digit_audit"](spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(10))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.chi2_term >= 0.0
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n for r in rows) == n
+
+
+def test_twap_differs_from_plain_mean_but_in_range(spark, sf_dir):
+    rows = QUERIES["twap_by_type"](spark, sf_dir).collect()
+    assert rows
+    bounds = duckdb.sql(
+        f"""SELECT event_type, min(floor(value * 100) / 100.0),
+                   max(floor(value * 100) / 100.0)
+            FROM '{sf_dir}/events.parquet' GROUP BY 1"""
+    ).fetchall()
+    lims = {t: (lo, hi) for t, lo, hi in bounds}
+    for r in rows:
+        lo, hi = lims[r.event_type]
+        assert lo - 1e-6 <= r.twap_value <= hi + 1e-6
+        assert r.total_us > 0 and r.n_intervals > 0
