@@ -682,3 +682,30 @@ def test_centroid_cosine_corpus_never_pair_joined(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     # the only generate is the posexplode of the single corpus scan
     assert plan.count("Generate") >= 1, plan
+
+
+def test_perm_test_single_pass_no_join(spark, sf_dir):
+    """All B replicates fold from ONE exploded conditional pass — a
+    per-replicate join or repeated scan is the regression."""
+    plan = plan_of(QUERIES["perm_test_values"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    # formatted plans print each node twice (tree + details):
+    # one Generate node == 2 occurrences
+    assert plan.count("Generate") == 2, plan
+
+
+def test_cvar_windows_distinct_values_not_facts(spark, sf_dir):
+    """The ES tail comes from the value-domain CDF: the window runs
+    over DISTINCT values (post-aggregation), never raw fact rows."""
+    plan = plan_of(QUERIES["cvar_value_tail"](spark, sf_dir))
+    assert "Window" in plan, plan
+    # the aggregation (distinct values) must appear below the window
+    assert plan.index("HashAggregate") < plan.index("Window") or \
+        "SortAggregate" in plan, plan
+
+
+def test_twap_single_keyed_window(spark, sf_dir):
+    plan = plan_of(QUERIES["twap_by_type"](spark, sf_dir))
+    # one Window node == 2 occurrences in formatted output
+    assert plan.count("Window") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
