@@ -2714,9 +2714,12 @@ QUERIES["twap_by_type"] = TP.twap_by_type
 # round-4 siblings (simhash_near_pairs window comment of r4 + mixture/
 # corpus/session/sketch strays listed in VERDICT r4), all round-5
 # additions (minhash_containment .. spearman_price_qty — see
-# COVERAGE.md round-5 rows), and the round-6 additions
-# (ks_price_test .. negbin_fit_orders — COVERAGE.md round-6 rows); all
-# are green under the local parity mirror at sf0.001 AND sf0.01.
+# COVERAGE.md round-5 rows), the round-6 additions
+# (ks_price_test .. negbin_fit_orders — COVERAGE.md round-6 rows), and
+# the ~60 round-7 session additions (isotonic_calibration ..
+# twap_by_type — COVERAGE.md round-7 rows); all are green under the
+# local parity mirror at sf0.001 AND under the driver-contract
+# emulation at sf0.01 (each batch checked at both SFs pre-commit).
 _DRIVER_WINDOW = [
     # round-5 rotation: the 50 highest-priority never-driver-certified
     # oracled queries (round-4 retrieval/curation/ML-analytics/graph
