@@ -1746,3 +1746,133 @@ def price_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+MEDIAN_COARSE_BUCKETS = 1024
+
+
+def scalable_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median of lineitem price by the two-pass bucket-refine
+    pattern — the way an exact order statistic is computed over 100 TB
+    without ever sorting the fact table: pass 1 histograms the value
+    domain into 1024 equal-width buckets (one map-side-combined keyed
+    count) and locates the bucket containing rank k = (n+1) div 2;
+    pass 2 counts only WITHIN that bucket (a pushed-down range filter)
+    and picks the exact k'-th smallest off the bucket's distinct-value
+    CDF.  The oracle computes the same order statistic DIRECTLY
+    (ORDER BY ... OFFSET), so parity proves the two-pass algorithm
+    exactly equal to the ground-truth sort — the point of the pattern.
+
+    Determinism: pure integer counting end-to-end (the lower median,
+    never an interpolated midpoint); bucket width via exact integer
+    div.
+
+    Scale shape: two scans, each aggregating map-side (1024-row and
+    |bucket-distinct|-row rollups); the second scan's bucket-range
+    predicate reaches the parquet scan, so pass 2 reads a 1/1024 slice
+    under range-partitioned or z-ordered layouts.
+    """
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("v")
+    )
+    b = MEDIAN_COARSE_BUCKETS
+    st_ = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+    ).select(
+        "n",
+        "v_min",
+        F.expr(f"(v_max - v_min) div {b} + 1").alias("w"),
+        F.expr("(n + 1) div 2").alias("k"),
+    )
+    hist = (
+        li.crossJoin(F.broadcast(st_))
+        .groupBy(F.expr("(v - v_min) div w").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    target = (
+        hist.withColumn("cum", F.sum("cnt").over(wcum).cast("bigint"))
+        .crossJoin(F.broadcast(st_))
+        .where(
+            (F.col("cum") >= F.col("k"))
+            & (F.col("cum") - F.col("cnt") < F.col("k"))
+        )
+        .select(
+            "bucket",
+            F.expr("k - (cum - cnt)").alias("k_in_bucket"),
+            "n",
+            "k",
+            "v_min",
+            "w",
+        )
+    )
+    # pass 2: exact order statistic inside the single target bucket
+    in_bucket = (
+        li.join(
+            F.broadcast(target),
+            F.expr("v >= v_min + bucket * w AND v < v_min + (bucket + 1) * w"),
+        )
+        .groupBy("v", "k_in_bucket", "n", "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        in_bucket.withColumn(
+            "cum", F.sum("cnt").over(wv).cast("bigint")
+        )
+        .where(
+            (F.col("cum") >= F.col("k_in_bucket"))
+            & (F.col("cum") - F.col("cnt") < F.col("k_in_bucket"))
+        )
+        .select(
+            "n",
+            F.col("k").alias("rank"),
+            F.round(
+                F.expr("cast(v as double) / 100.0"), 2
+            ).alias("median_price"),
+        )
+    )
+
+
+def value_mode_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) of event cents per type with
+    deterministic smallest-value tie-break — the categorical "typical
+    value" read where the mean is meaningless (price points, plan
+    tiers); the modal companion of `rolling_median_value` /
+    `trimmed_mean_values`.
+
+    Determinism: frequency counts are exact; the argmax breaks ties on
+    the smallest value.
+
+    Scale shape: one keyed (type, value) count, then a per-type top-1
+    window over the distinct-value rollup only.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(floor(value * 100) as bigint)").alias("v"),
+    )
+    counts = ev.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("v").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.round(
+                F.expr("cast(v as double) / 100.0"), 2
+            ).alias("mode_value"),
+            F.col("cnt").alias("n_occurrences"),
+        )
+    )

@@ -7995,3 +7995,39 @@ ORACLE_TRAINING["twap_by_type"] = """
                    AS twap_value
         FROM held WHERE dur_us IS NOT NULL GROUP BY event_type
     """
+
+# ---------- round-7 thirteenth batch: two-pass median / grouped mode ----------
+
+ORACLE_TRAINING["scalable_median"] = """
+        WITH li AS (
+          SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+          FROM lineitem
+        ), st AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 (CAST(count(*) AS BIGINT) + 1) // 2 AS k
+          FROM li
+        )
+        -- ground truth: the k-th smallest directly (the two-pass
+        -- bucket-refine plan must equal the full sort's answer)
+        SELECT st.n, st.k AS rank,
+               round(CAST((SELECT v FROM li ORDER BY v
+                      LIMIT 1 OFFSET (SELECT k - 1 FROM st)) AS DOUBLE)
+                     / 100.0, 2) AS median_price
+        FROM st
+    """
+
+ORACLE_TRAINING["value_mode_by_type"] = """
+        WITH counts AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                     ORDER BY cnt DESC, v ASC) AS rnk
+          FROM counts
+        )
+        SELECT event_type,
+               round(CAST(v AS DOUBLE) / 100.0, 2) AS mode_value,
+               cnt AS n_occurrences
+        FROM ranked WHERE rnk = 1
+    """

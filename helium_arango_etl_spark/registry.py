@@ -2700,6 +2700,8 @@ QUERIES["cvar_value_tail"] = ML.cvar_value_tail
 QUERIES["effective_corpus_size"] = D.effective_corpus_size
 QUERIES["last_digit_audit"] = ML.last_digit_audit
 QUERIES["twap_by_type"] = TP.twap_by_type
+QUERIES["scalable_median"] = R.scalable_median
+QUERIES["value_mode_by_type"] = R.value_mode_by_type
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------

@@ -740,3 +740,28 @@ def test_twap_differs_from_plain_mean_but_in_range(spark, sf_dir):
         lo, hi = lims[r.event_type]
         assert lo - 1e-6 <= r.twap_value <= hi + 1e-6
         assert r.total_us > 0 and r.n_intervals > 0
+
+
+def test_scalable_median_equals_direct_order_statistic(spark, sf_dir):
+    row = QUERIES["scalable_median"](spark, sf_dir).collect()[0]
+    want = duckdb.sql(
+        f"""WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                        AS v FROM '{sf_dir}/lineitem.parquet')
+            SELECT v / 100.0 FROM li ORDER BY v
+            LIMIT 1 OFFSET (SELECT (count(*) + 1) // 2 - 1 FROM li)"""
+    ).fetchone()[0]
+    assert abs(row.median_price - float(want)) < 1e-6
+    assert row.rank == (row.n + 1) // 2
+
+
+def test_value_mode_is_argmax_frequency(spark, sf_dir):
+    rows = QUERIES["value_mode_by_type"](spark, sf_dir).collect()
+    for r in rows:
+        best = duckdb.sql(
+            f"""SELECT floor(value * 100) AS v, count(*) AS c
+                FROM '{sf_dir}/events.parquet'
+                WHERE event_type = '{r.event_type}'
+                GROUP BY 1 ORDER BY c DESC, v ASC LIMIT 1"""
+        ).fetchone()
+        assert r.n_occurrences == best[1]
+        assert abs(r.mode_value - best[0] / 100.0) < 1e-9
