@@ -132,9 +132,20 @@ _EDGE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
 )
 
 
+# the one-mode co-witness pair projection is likewise shared by four
+# consumers (recommendations, jaccard, rich club, lift) — one persist
+# per (session, sf_dir), dropped together with the edge cache
+_PAIRS_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def clear_edge_cache(spark: SparkSession) -> None:
-    """Drop this session's persisted witness-edge tables (bench/test hook)."""
+    """Drop this session's persisted witness-edge AND co-witness pair
+    tables (bench/test hook)."""
     for df in _EDGE_CACHE.pop(spark, {}).values():
+        df.unpersist()
+    for df in _PAIRS_CACHE.pop(spark, {}).values():
         df.unpersist()
 
 
@@ -620,10 +631,17 @@ def co_witness_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with unbounded fan-in caps the group exactly like the LSH hot-bucket
     cap (dedup._bucket_pairs max_bucket + lsh_bucket_stats accounting).
     """
-    edges = (
-        witness_subgraph(spark, sf_dir).select("city_key", "src", "dst").distinct()
-    )
-    return _co_pairs(edges)
+    per_session = _PAIRS_CACHE.setdefault(spark, {})
+    df = per_session.get(sf_dir)
+    if df is None:
+        edges = (
+            witness_subgraph(spark, sf_dir)
+            .select("city_key", "src", "dst")
+            .distinct()
+        )
+        df = _co_pairs(edges).persist()
+        per_session[sf_dir] = df
+    return df
 
 
 def witness_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
