@@ -1876,3 +1876,85 @@ def value_mode_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("n_occurrences"),
         )
     )
+
+
+# price-volume decomposition effects from exact per-period integers:
+# volume = (Qb - Qa) * Pa, price = Qb * (Pb - Pa), with P = rev/qty —
+# the two terms sum EXACTLY to delta revenue by construction.
+PVM_VOLUME = (
+    "(cast(q_b - q_a as double)"
+    " * (cast(r_a as double) / cast(q_a as double)))"
+)
+PVM_PRICE = (
+    "(cast(q_b as double) * (cast(r_b as double) / cast(q_b as double)"
+    " - cast(r_a as double) / cast(q_a as double)))"
+)
+
+
+def price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume decomposition of revenue change per brand between
+    the two halves of the shipping date range: ΔRev = volume effect
+    ((Q_B−Q_A)·P_A) + price effect (Q_B·(P_B−P_A)) — the classic BI
+    bridge ("did we sell MORE, or at HIGHER prices?") that
+    `mom_revenue_change` reports undecomposed.  The two effects sum to
+    the exact revenue delta by construction (pinned in tests).
+
+    Determinism: the period split is the integer midpoint of the
+    shipdate span (the div discipline); per-period quantity and
+    revenue are exact integers from ONE conditional aggregate; the
+    effects are shared double expression trees; brands with an empty
+    period emit NULL effects (no phantom decomposition).
+
+    Scale shape: one fact-dim broadcast join, a 1-row midpoint
+    broadcast, one |brands|-row conditional rollup.
+    """
+    li = read_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(
+            read_table(spark, sf_dir, "part").select(
+                F.col("p_partkey").alias("l_partkey"), "p_brand"
+            )
+        ),
+        "l_partkey",
+    ).select(
+        "p_brand",
+        F.expr("datediff(l_shipdate, date '1970-01-01')").alias("d"),
+        F.expr("cast(round(l_quantity) as bigint)").alias("q"),
+        F.expr(
+            "cast(round(l_extendedprice * 100) as bigint)"
+        ).alias("r"),
+    )
+    mid = li.agg(
+        F.expr("min(d) + (max(d) - min(d)) div 2").alias("mid")
+    )
+    agg = (
+        li.crossJoin(F.broadcast(mid))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.expr("if(d < mid, q, 0L)")).cast("bigint").alias("q_a"),
+            F.sum(F.expr("if(d < mid, r, 0L)")).cast("bigint").alias("r_a"),
+            F.sum(F.expr("if(d >= mid, q, 0L)")).cast("bigint").alias("q_b"),
+            F.sum(F.expr("if(d >= mid, r, 0L)")).cast("bigint").alias("r_b"),
+        )
+    )
+    return agg.select(
+        "p_brand",
+        F.round(F.expr("cast(r_a as double) / 100.0"), 2).alias("rev_a"),
+        F.round(F.expr("cast(r_b as double) / 100.0"), 2).alias("rev_b"),
+        F.round(
+            F.expr("cast(r_b - r_a as double) / 100.0"), 2
+        ).alias("delta_rev"),
+        F.round(
+            F.expr(
+                f"if(q_a > 0 and q_b > 0, {PVM_VOLUME} / 100.0,"
+                " cast(null as double))"
+            ),
+            2,
+        ).alias("volume_effect"),
+        F.round(
+            F.expr(
+                f"if(q_a > 0 and q_b > 0, {PVM_PRICE} / 100.0,"
+                " cast(null as double))"
+            ),
+            2,
+        ).alias("price_effect"),
+    )

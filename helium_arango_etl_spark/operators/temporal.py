@@ -1866,3 +1866,55 @@ def twap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twap_value"),
     )
+
+
+def conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of the signup→first-purchase lag: exact
+    interpolated P10/P25/P50/P75/P90 of per-user hours-to-convert,
+    plus the converter count — the latency view of the funnel that
+    `conversion_window_sensitivity` (which sweeps cutoffs) and
+    `window_funnel` (which fixes one) both summarize away.  The P90
+    IS the attribution-window recommendation.
+
+    Determinism: lags are exact microsecond differences of per-user
+    first-event aggregates; percentiles use the bit-identical
+    interpolation; hours are one division at the surface.
+
+    Scale shape: one user-keyed conditional min aggregate, one 1-row
+    percentile fold over the converter rows.
+    """
+    firsts = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.expr(
+                    "if(event_type = 'signup', unix_micros(ts), null)"
+                )
+            ).alias("su"),
+            F.min(
+                F.expr(
+                    "if(event_type = 'purchase', unix_micros(ts), null)"
+                )
+            ).alias("pu"),
+        )
+    )
+    lags = firsts.where(
+        F.col("su").isNotNull()
+        & F.col("pu").isNotNull()
+        & (F.col("pu") >= F.col("su"))
+    ).select(F.expr("pu - su").alias("lag_us"))
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9)
+    return lags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converters"),
+        *[
+            F.round(
+                F.expr(
+                    f"percentile(lag_us, {q}) / 3600000000.0"
+                ),
+                6,
+            ).alias(f"p{int(q * 100)}_hours")
+            for q in qs
+        ],
+    )

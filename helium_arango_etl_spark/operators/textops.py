@@ -2353,3 +2353,95 @@ def retrieval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall_at_k"),
     )
+
+
+KEYNESS_ALPHA = 0.01  # Dirichlet prior mass per word
+KEYNESS_TOP_K = 10
+# Monroe et al. (2008) log-odds with informative Dirichlet prior:
+# delta = ln((y+a)/(n+a0-y-a)) - ln((y'+a)/(n'+a0-y'-a)); var ~ 1/(y+a)+1/(y'+a)
+KEYNESS_Z = (
+    "((ln((cast(y_s as double) + a) / (cast(n_s as double) + a0"
+    " - cast(y_s as double) - a))"
+    " - ln((cast(y_r as double) + a) / (cast(n_r as double) + a0"
+    " - cast(y_r as double) - a)))"
+    " / sqrt(1.0 / (cast(y_s as double) + a)"
+    " + 1.0 / (cast(y_r as double) + a)))"
+)
+
+
+def monroe_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keyness: the top-K most DISTINCTIVE words of every
+    source by Monroe, Colaresi & Quinn's (2008) log-odds ratio with an
+    informative Dirichlet prior — the text-analytics standard that
+    fixes both tf-idf (no variance control) and raw log-odds (explodes
+    on rare words): the prior shrinks rare-word odds and the z-score
+    divides by the estimated sampling variance, so a word must be both
+    frequent AND lopsided to score.
+
+    Determinism: word counts per source and for the complement are
+    exact integers off one corpus scan; the z is one shared double
+    expression (module constant, oracle-imported) over those integers
+    with the prior masses as pinned literals; top-K ties break on the
+    word.
+
+    Scale shape: one (source, word) keyed count; the complement comes
+    from the global word rollup broadcast back (never a self-join of
+    the corpus); top-K per source is a bounded window over the scored
+    vocabulary.
+    """
+    from pyspark.sql import Window
+
+    words = read_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.expr(TOKS)).alias("w")
+    )
+    per_src = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("y_s")
+    )
+    glob = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("y_g")
+    )
+    n_src = words.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    n_tot = words.agg(F.count(F.lit(1)).cast("bigint").alias("n_g"))
+    vocab = glob.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    scored = (
+        per_src.join(F.broadcast(glob), "w")
+        .join(F.broadcast(n_src), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            "w",
+            "y_s",
+            F.expr("y_g - y_s").alias("y_r"),
+            "n_s",
+            F.expr("n_g - n_s").alias("n_r"),
+            F.expr(f"cast({KEYNESS_ALPHA} as double)").alias("a"),
+            F.expr(
+                f"cast(v as double) * {KEYNESS_ALPHA}"
+            ).alias("a0"),
+        )
+        .select(
+            "source",
+            "w",
+            "y_s",
+            "y_r",
+            F.expr(KEYNESS_Z).alias("z_raw"),
+        )
+    )
+    w_top = Window.partitionBy("source").orderBy(
+        F.col("z_raw").desc(), F.col("w").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_top))
+        .where(F.col("rnk") <= KEYNESS_TOP_K)
+        .select(
+            "source",
+            F.col("rnk").cast("int").alias("rank"),
+            "w",
+            F.col("y_s").alias("n_in_source"),
+            F.col("y_r").alias("n_in_rest"),
+            F.round("z_raw", 6).alias("keyness_z"),
+        )
+    )

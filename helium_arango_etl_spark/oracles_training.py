@@ -8031,3 +8031,109 @@ ORACLE_TRAINING["value_mode_by_type"] = """
                cnt AS n_occurrences
         FROM ranked WHERE rnk = 1
     """
+
+# ---------- round-7 fourteenth batch: keyness / lag pcts / PVM ----------
+
+from .operators.textops import (  # noqa: E402
+    KEYNESS_ALPHA,
+    KEYNESS_TOP_K,
+    KEYNESS_Z,
+)
+from .operators.relational import PVM_PRICE, PVM_VOLUME
+
+ORACLE_TRAINING["monroe_keyness"] = f"""
+        WITH words AS (
+          SELECT source, unnest({_TOKS}) AS w FROM documents
+        ), per_src AS (
+          SELECT source, w, CAST(count(*) AS BIGINT) AS y_s
+          FROM words GROUP BY 1, 2
+        ), gw AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS y_g FROM words GROUP BY 1
+        ), n_src AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_s
+          FROM words GROUP BY 1
+        ), n_tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_g FROM words
+        ), vocab AS (
+          SELECT CAST(count(*) AS BIGINT) AS v FROM gw
+        ), base AS (
+          SELECT p.source, p.w, p.y_s, g.y_g - p.y_s AS y_r,
+                 s.n_s, n_tot.n_g - s.n_s AS n_r,
+                 cast({KEYNESS_ALPHA} as double) AS a,
+                 cast(v as double) * {KEYNESS_ALPHA} AS a0
+          FROM per_src p
+          JOIN gw g USING (w)
+          JOIN n_src s ON s.source = p.source
+          CROSS JOIN n_tot
+          CROSS JOIN vocab
+        ), scored AS (
+          SELECT source, w, y_s, y_r, {KEYNESS_Z} AS z_raw FROM base
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY source
+                     ORDER BY z_raw DESC, w ASC) AS rnk
+          FROM scored
+        )
+        SELECT source, CAST(rnk AS INTEGER) AS rank, w,
+               y_s AS n_in_source, y_r AS n_in_rest,
+               round(z_raw, 6) AS keyness_z
+        FROM ranked WHERE rnk <= {KEYNESS_TOP_K}
+    """
+
+ORACLE_TRAINING["conversion_lag_percentiles"] = """
+        WITH firsts AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup'
+                     THEN epoch_us(ts) END) AS su,
+                 min(CASE WHEN event_type = 'purchase'
+                     THEN epoch_us(ts) END) AS pu
+          FROM events WHERE event_type IN ('signup', 'purchase')
+          GROUP BY 1
+        ), lags AS (
+          SELECT pu - su AS lag_us FROM firsts
+          WHERE su IS NOT NULL AND pu IS NOT NULL AND pu >= su
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_converters,
+               round(quantile_cont(lag_us, 0.1) / 3600000000.0, 6)
+                   AS p10_hours,
+               round(quantile_cont(lag_us, 0.25) / 3600000000.0, 6)
+                   AS p25_hours,
+               round(quantile_cont(lag_us, 0.5) / 3600000000.0, 6)
+                   AS p50_hours,
+               round(quantile_cont(lag_us, 0.75) / 3600000000.0, 6)
+                   AS p75_hours,
+               round(quantile_cont(lag_us, 0.9) / 3600000000.0, 6)
+                   AS p90_hours
+        FROM lags
+    """
+
+ORACLE_TRAINING["price_volume_mix"] = f"""
+        WITH li AS (
+          SELECT p.p_brand,
+                 datediff('day', DATE '1970-01-01', l.l_shipdate) AS d,
+                 CAST(round(l.l_quantity) AS BIGINT) AS q,
+                 CAST(round(l.l_extendedprice * 100) AS BIGINT) AS r
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        ), mid AS (
+          SELECT min(d) + (max(d) - min(d)) // 2 AS mid FROM li
+        ), agg AS (
+          SELECT p_brand,
+                 CAST(sum(CASE WHEN d < mid THEN q ELSE 0 END) AS BIGINT)
+                     AS q_a,
+                 CAST(sum(CASE WHEN d < mid THEN r ELSE 0 END) AS BIGINT)
+                     AS r_a,
+                 CAST(sum(CASE WHEN d >= mid THEN q ELSE 0 END) AS BIGINT)
+                     AS q_b,
+                 CAST(sum(CASE WHEN d >= mid THEN r ELSE 0 END) AS BIGINT)
+                     AS r_b
+          FROM li CROSS JOIN mid GROUP BY 1
+        )
+        SELECT p_brand,
+               round(cast(r_a as double) / 100.0, 2) AS rev_a,
+               round(cast(r_b as double) / 100.0, 2) AS rev_b,
+               round(cast(r_b - r_a as double) / 100.0, 2) AS delta_rev,
+               round(if(q_a > 0 AND q_b > 0, {PVM_VOLUME} / 100.0,
+                     cast(null as double)), 2) AS volume_effect,
+               round(if(q_a > 0 AND q_b > 0, {PVM_PRICE} / 100.0,
+                     cast(null as double)), 2) AS price_effect
+        FROM agg
+    """

@@ -2702,6 +2702,9 @@ QUERIES["last_digit_audit"] = ML.last_digit_audit
 QUERIES["twap_by_type"] = TP.twap_by_type
 QUERIES["scalable_median"] = R.scalable_median
 QUERIES["value_mode_by_type"] = R.value_mode_by_type
+QUERIES["monroe_keyness"] = T.monroe_keyness
+QUERIES["conversion_lag_percentiles"] = TP.conversion_lag_percentiles
+QUERIES["price_volume_mix"] = R.price_volume_mix
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------

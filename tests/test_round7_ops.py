@@ -765,3 +765,43 @@ def test_value_mode_is_argmax_frequency(spark, sf_dir):
         ).fetchone()
         assert r.n_occurrences == best[1]
         assert abs(r.mode_value - best[0] / 100.0) < 1e-9
+
+
+def test_keyness_top_words_are_actually_overrepresented(spark, sf_dir):
+    rows = QUERIES["monroe_keyness"](spark, sf_dir).collect()
+    assert rows
+    n_tok = duckdb.sql(
+        f"""SELECT source, count(*) FROM (
+              SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM '{sf_dir}/documents.parquet') WHERE w <> ''
+            GROUP BY 1"""
+    ).fetchall()
+    tot = {s: n for s, n in n_tok}
+    grand = sum(tot.values())
+    for r in rows:
+        assert 1 <= r.rank <= 10
+        # a top-keyness word's in-source rate exceeds its rest rate
+        rate_in = r.n_in_source / tot[r.source]
+        rate_rest = r.n_in_rest / (grand - tot[r.source])
+        assert rate_in > rate_rest
+
+
+def test_conversion_lag_percentiles_ordered(spark, sf_dir):
+    row = QUERIES["conversion_lag_percentiles"](spark, sf_dir).collect()[0]
+    ps = [row.p10_hours, row.p25_hours, row.p50_hours, row.p75_hours,
+          row.p90_hours]
+    assert all(a <= b + 1e-9 for a, b in zip(ps, ps[1:]))
+    assert all(p >= 0 for p in ps)
+    assert row.n_converters > 0
+
+
+def test_pvm_effects_sum_to_delta(spark, sf_dir):
+    rows = QUERIES["price_volume_mix"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.volume_effect is not None:
+            # decomposition identity (2dp rounding slack on each term)
+            assert abs(
+                (r.volume_effect + r.price_effect) - r.delta_rev
+            ) < 0.05
+        assert abs((r.rev_b - r.rev_a) - r.delta_rev) < 0.05
