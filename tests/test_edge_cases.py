@@ -54,6 +54,8 @@ DOC_OPS = [
     "alpha_sampling_weights",
     "packing_length_sweep",
     "bigram_llr_collocations",
+    "monroe_keyness",
+    "effective_corpus_size",
 ]
 
 
