@@ -1958,3 +1958,64 @@ def price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("price_effect"),
     )
+
+
+def set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native set-operator battery over two customer cohorts — A =
+    customers with ≥1 urgent/high order, B = customers with ≥1 order
+    over the global P90 price — exercised through Spark's actual
+    INTERSECT / EXCEPT / UNION operators (not join rewrites), the one
+    SURVEY §2 G family the reference never uses: cohort sizes,
+    overlap, exclusives, union, and the Jaccard of the two cohorts.
+
+    Determinism: cohorts are exact distinct-key sets; every output is
+    an exact count; Jaccard is one division.
+
+    Scale shape: the set operators compile to the same keyed
+    hash-aggregation/join plans a manual semi/anti-join would — this
+    battery pins that the DECLARATIVE forms are available and correct;
+    counts fold map-side.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    thr = o.agg(F.expr("percentile(o_totalprice, 0.9)").alias("p90"))
+    a = o.where(
+        F.expr("o_orderpriority in ('1-URGENT', '2-HIGH')")
+    ).select("o_custkey").distinct()
+    b = (
+        o.crossJoin(F.broadcast(thr))
+        .where(F.expr("o_totalprice > p90"))
+        .select("o_custkey")
+        .distinct()
+    )
+    inter = a.intersect(b)
+    only_a = a.exceptAll(inter)
+    only_b = b.exceptAll(inter)
+    union = a.union(b).distinct()
+    counts = [
+        df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        for name, df in (
+            ("n_a", a),
+            ("n_b", b),
+            ("n_intersect", inter),
+            ("n_only_a", only_a),
+            ("n_only_b", only_b),
+            ("n_union", union),
+        )
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out.select(
+        "n_a",
+        "n_b",
+        "n_intersect",
+        "n_only_a",
+        "n_only_b",
+        "n_union",
+        F.round(
+            F.expr(
+                "cast(n_intersect as double) / cast(n_union as double)"
+            ),
+            6,
+        ).alias("cohort_jaccard"),
+    )

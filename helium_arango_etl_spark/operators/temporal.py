@@ -1918,3 +1918,78 @@ def conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in qs
         ],
     )
+
+
+PROMO_WINDOW_US = 3 * 86_400 * 1_000_000  # 3 days after signup
+SESSION_GAP_US = 30 * 60 * 1_000_000  # the sessionize gap
+
+
+def interval_overlap_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-INTERSECTION join: per user, the total hours their
+    activity sessions overlap their post-signup promo window
+    ([first signup, +3 days]) — the engagement-during-promo measure
+    that containment-style range joins (`promo_attribution`: point in
+    interval) cannot give, because it needs the LENGTH of the
+    interval∩interval overlap, summed: Σ max(0, min(ends) −
+    max(starts)).  Output is the per-user-bucketed distribution
+    (whole-hour buckets) so the surface is bounded.
+
+    Determinism: sessions come from the standard gap rule (30-min
+    inactivity) as exact microsecond [start, end] pairs; every overlap
+    is exact integer arithmetic; the bucket is an integer div.
+
+    Scale shape: one user-keyed session window, one per-user broadcast-
+    size equi-join on user_id (each user has ONE promo window — the
+    interval join is keyed, never banded), a bounded bucket rollup.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    sess = (
+        ev.withColumn("prev", F.lag("us").over(w))
+        .withColumn(
+            "new_sess",
+            F.expr(
+                f"if(prev is null or us - prev > {SESSION_GAP_US}, 1, 0)"
+            ),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("us").alias("s_start"), F.max("us").alias("s_end"))
+    )
+    promo = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("p_start"))
+        .select(
+            "user_id",
+            "p_start",
+            F.expr(f"p_start + {PROMO_WINDOW_US}").alias("p_end"),
+        )
+    )
+    per_user = (
+        sess.join(promo, "user_id")
+        .select(
+            "user_id",
+            F.expr(
+                "greatest(0L, least(s_end, p_end)"
+                " - greatest(s_start, p_start))"
+            ).alias("ov_us"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("ov_us").cast("bigint").alias("ov_us"))
+    )
+    return (
+        per_user.select(
+            F.expr("ov_us div 3600000000").alias("overlap_hours_bucket")
+        )
+        .groupBy("overlap_hours_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

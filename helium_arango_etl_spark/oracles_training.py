@@ -8137,3 +8137,74 @@ ORACLE_TRAINING["price_volume_mix"] = f"""
                      cast(null as double)), 2) AS price_effect
         FROM agg
     """
+
+# ---------- round-7 fifteenth batch: set ops / interval overlap ----------
+
+from .operators.temporal import PROMO_WINDOW_US, SESSION_GAP_US  # noqa: E402
+
+ORACLE_TRAINING["set_ops_battery"] = """
+        WITH thr AS (
+          SELECT quantile_cont(o_totalprice, 0.9) AS p90 FROM orders
+        ), a AS (
+          SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        ), b AS (
+          SELECT DISTINCT o_custkey FROM orders CROSS JOIN thr
+          WHERE o_totalprice > p90
+        ), i AS (
+          SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b
+        ), u AS (
+          SELECT o_custkey FROM a UNION SELECT o_custkey FROM b
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+               (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+               (SELECT CAST(count(*) AS BIGINT) FROM i) AS n_intersect,
+               (SELECT CAST(count(*) AS BIGINT) FROM
+                  (SELECT o_custkey FROM a EXCEPT
+                   SELECT o_custkey FROM i)) AS n_only_a,
+               (SELECT CAST(count(*) AS BIGINT) FROM
+                  (SELECT o_custkey FROM b EXCEPT
+                   SELECT o_custkey FROM i)) AS n_only_b,
+               (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_union,
+               round((SELECT count(*) FROM i) * 1.0
+                     / (SELECT count(*) FROM u), 6) AS cohort_jaccard
+    """
+
+ORACLE_TRAINING["interval_overlap_hours"] = f"""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+        ), lagged AS (
+          SELECT user_id, us,
+                 lag(us) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS prev
+          FROM ev
+        ), marked AS (
+          SELECT user_id, us,
+                 CASE WHEN prev IS NULL OR us - prev > {SESSION_GAP_US}
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM lagged
+        ), sess0 AS (
+          SELECT user_id, us,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sess_id
+          FROM marked
+        ), sess AS (
+          SELECT user_id, sess_id, min(us) AS s_start, max(us) AS s_end
+          FROM sess0 GROUP BY 1, 2
+        ), promo AS (
+          SELECT user_id, min(epoch_us(ts)) AS p_start,
+                 min(epoch_us(ts)) + {PROMO_WINDOW_US} AS p_end
+          FROM events WHERE event_type = 'signup' GROUP BY 1
+        ), per_user AS (
+          SELECT s.user_id,
+                 CAST(sum(greatest(0, least(s.s_end, p.p_end)
+                      - greatest(s.s_start, p.p_start))) AS BIGINT)
+                     AS ov_us
+          FROM sess s JOIN promo p USING (user_id)
+          GROUP BY 1
+        )
+        SELECT ov_us // 3600000000 AS overlap_hours_bucket,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM per_user GROUP BY 1
+    """

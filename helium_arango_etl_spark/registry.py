@@ -2705,6 +2705,8 @@ QUERIES["value_mode_by_type"] = R.value_mode_by_type
 QUERIES["monroe_keyness"] = T.monroe_keyness
 QUERIES["conversion_lag_percentiles"] = TP.conversion_lag_percentiles
 QUERIES["price_volume_mix"] = R.price_volume_mix
+QUERIES["set_ops_battery"] = R.set_ops_battery
+QUERIES["interval_overlap_hours"] = TP.interval_overlap_hours
 
 
 # ---------- driver-window ordering (round 5 rotation) ----------

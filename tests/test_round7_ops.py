@@ -805,3 +805,28 @@ def test_pvm_effects_sum_to_delta(spark, sf_dir):
                 (r.volume_effect + r.price_effect) - r.delta_rev
             ) < 0.05
         assert abs((r.rev_b - r.rev_a) - r.delta_rev) < 0.05
+
+
+def test_set_ops_battery_identities(spark, sf_dir):
+    row = QUERIES["set_ops_battery"](spark, sf_dir).collect()[0]
+    # inclusion-exclusion identities must hold exactly
+    assert row.n_union == row.n_a + row.n_b - row.n_intersect
+    assert row.n_only_a == row.n_a - row.n_intersect
+    assert row.n_only_b == row.n_b - row.n_intersect
+    assert 0.0 <= row.cohort_jaccard <= 1.0
+
+
+def test_interval_overlap_bounded_by_window(spark, sf_dir):
+    rows = QUERIES["interval_overlap_hours"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # overlap can never exceed the 3-day promo window
+        assert 0 <= r.overlap_hours_bucket <= 72
+        assert r.n_users > 0
+    # total bucketed users == users with a signup
+    n_signup = duckdb.sql(
+        f"""SELECT count(DISTINCT user_id)
+            FROM '{sf_dir}/events.parquet'
+            WHERE event_type = 'signup'"""
+    ).fetchone()[0]
+    assert sum(r.n_users for r in rows) == n_signup
