@@ -87,6 +87,8 @@ HEADLINE = [
     "city_bfs_layers",       # level-synchronous BFS (checkpointed frontier joins)
     "token_budget_waterfill",  # max-min fair allocation (20 exact integer rounds)
     "bigram_llr_collocations",  # Dunning G2 top-K collocations
+    # round-8 (driver round 6) operators promoted to tracked per-round numbers
+    "mutual_knn_graph_lsh",  # the 100 TB mutual-kNN form: bucket-join pair source
 ]
 # Deliberately NOT in the headline: city_betweenness_joins — it is the
 # correctness-harness mirror of the applyInPandas production path

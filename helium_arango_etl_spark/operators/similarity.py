@@ -1576,6 +1576,70 @@ def mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mutual_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of :func:`mutual_knn_graph`: identical rank /
+    mutual-semi-join / canonical-edge logic, but the pair source is the
+    hyperplane-LSH bucket join instead of the corpus² cross join — each
+    vector is ranked only against candidates sharing its sign bucket
+    (1/2^NUM_PLANES of the corpus in expectation), so the scored-pair
+    table is keyed-join-sized, never cartesian (pinned in
+    tests/test_plan_quality.py).  Approximate by design: a true
+    neighbor in another bucket is missed — the recall/cost dial is
+    NUM_PLANES, exactly as in :func:`lsh_bucket_topk`.
+
+    Determinism: buckets are the deterministic hyperplane sign bits
+    (integer-hash coefficients, no RNG); ranking compares micro-quantized
+    cosines with vec_id tie-break; the mutual check is an exact id-pair
+    semi-join; each surviving edge emits once in (min, max) order.
+
+    Scale shape: one equi-join on the bucket key (shuffle bounded by
+    in-bucket candidate counts; a hot bucket caps exactly like the
+    MinHash hot-bucket cap), rank window keyed on vec_id, semi-join on
+    the reversed id pair.  Norms and buckets come precomputed off the
+    shared persisted embedding table, so per-pair work is one fold.
+    """
+    from pyspark.sql import Window
+
+    emb = embedding_table(spark, sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("ia"),
+        F.col("label").alias("la"),
+        F.col("v64").alias("va"),
+        F.col("nv").alias("na"),
+        F.col("bucket").alias("bucket_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"),
+        F.col("label").alias("lb"),
+        F.col("v64").alias("vb"),
+        F.col("nv").alias("nb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    scored = (
+        a.join(b, F.col("bucket_a") == F.col("bucket_b"))
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "la",
+            "ib",
+            "lb",
+            F.expr(f"cast(round(({_DOT} / (na * nb)) * 1000000) as bigint)").alias(
+                "cos_micro"
+            ),
+        )
+    )
+    w = Window.partitionBy("ia").orderBy(F.col("cos_micro").desc(), F.col("ib").asc())
+    knn = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= KNN_K)
+    rev = knn.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
+    mutual = knn.join(rev, ["ia", "ib"], "leftsemi").filter(F.col("ia") < F.col("ib"))
+    return mutual.select(
+        F.col("ia").alias("vec_a"),
+        F.col("ib").alias("vec_b"),
+        F.round(F.col("cos_micro") / 1e6, 6).alias("cosine_sim"),
+        (F.col("la") == F.col("lb")).alias("same_label"),
+    )
+
+
 def ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-file health report: PRIMARY-assignment (probe_rank 1)
     cluster sizes with each list's share and imbalance factor

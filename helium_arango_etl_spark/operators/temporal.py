@@ -1993,3 +1993,22 @@ def interval_overlap_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("overlap_hours_bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+def running_balance_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime event totals — the ORACLED BATCH TWIN of the
+    custom stateful streaming operator ``streaming/stateful.running_balance``
+    (applyInPandasWithState): the stream's converged per-user state after
+    all micro-batches must equal this one keyed aggregation (the
+    equivalence tests/test_stateful_streaming.py pins with tolerance; this
+    registered form is the exact-integer driver-certifiable surface —
+    money summed as DECIMAL(18,2), last activity as epoch micros).
+
+    Scale shape: one combiner-folded groupBy on user_id; no joins.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        F.unix_micros(F.max("ts")).alias("last_ts_micros"),
+    )

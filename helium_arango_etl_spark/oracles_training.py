@@ -3982,6 +3982,36 @@ ORACLE_TRAINING["mutual_knn_graph"] = f"""
         WHERE k.ia < k.ib
     """
 
+# the LSH-sourced twin: identical rank/mutual pipeline, pair source is the
+# bucket equi-join (mirrors similarity.mutual_knn_graph_lsh exactly)
+ORACLE_TRAINING["mutual_knn_graph_lsh"] = f"""
+        WITH e AS (
+          SELECT vec_id, label, {_CAST64} AS v, {_bucket(_CAST64)} AS bucket
+          FROM embeddings
+        ), n AS (
+          SELECT vec_id, label, v, bucket,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nv
+          FROM e
+        ), scored AS (
+          SELECT a.vec_id AS ia, a.label AS la, b.vec_id AS ib, b.label AS lb,
+                 CAST(round(list_sum(list_transform(range(1, {DIM + 1}),
+                          i -> a.v[i] * b.v[i])) / (a.nv * b.nv) * 1000000)
+                   AS BIGINT) AS cos_micro
+          FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        ), knn AS (
+          SELECT *, row_number() OVER (PARTITION BY ia
+                        ORDER BY cos_micro DESC, ib ASC) AS rk
+          FROM scored
+        ), k AS (
+          SELECT * FROM knn WHERE rk <= {KNN_K}
+        )
+        SELECT k.ia AS vec_a, k.ib AS vec_b,
+               round(k.cos_micro / 1e6, 6) AS cosine_sim,
+               k.la = k.lb AS same_label
+        FROM k JOIN k r ON r.ia = k.ib AND r.ib = k.ia
+        WHERE k.ia < k.ib
+    """
+
 from .operators.rangeops import ROLL_MED_DAYS  # noqa: E402
 from .operators.textops import NDCG_K  # noqa: E402
 

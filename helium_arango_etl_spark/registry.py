@@ -2708,86 +2708,144 @@ QUERIES["price_volume_mix"] = R.price_volume_mix
 QUERIES["set_ops_battery"] = R.set_ops_battery
 QUERIES["interval_overlap_hours"] = TP.interval_overlap_hours
 
+# round-6: the LSH-sourced mutual-kNN twin (oracle via ORACLE_TRAINING) and
+# the capped co-witness projection + its no-silent-caps accounting
+QUERIES["mutual_knn_graph_lsh"] = S.mutual_knn_graph_lsh
 
-# ---------- driver-window ordering (round 5 rotation) ----------
+QUERIES["co_witness_pairs_capped"] = G.co_witness_pairs_capped
+# positional self-join mirrors the src-contiguous chunking exactly: 1-based
+# positions (i, j) pair iff j > i and j <= ((i-1) div m + 1) * m
+ORACLE["co_witness_pairs_capped"] = f"""
+        WITH edges0 AS ({_WITNESS_SQL}),
+        edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        g AS (
+          SELECT city_key, dst, list_sort(list(src)) AS ss
+          FROM edges GROUP BY city_key, dst HAVING count(*) >= 2
+        ),
+        m AS (
+          SELECT city_key, dst, unnest(ss) AS src,
+                 unnest(range(1, len(ss) + 1)) AS i
+          FROM g
+        )
+        SELECT a.city_key, a.src AS src_a, b.src AS src_b,
+               count(*) AS shared_witnesses
+        FROM m a JOIN m b ON a.city_key = b.city_key AND a.dst = b.dst
+         AND b.i > a.i
+         AND b.i <= ((a.i - 1) // {G.CO_WITNESS_MAX_GROUP} + 1)
+                    * {G.CO_WITNESS_MAX_GROUP}
+        GROUP BY a.city_key, a.src, b.src
+    """
+
+QUERIES["running_balance_totals"] = TP.running_balance_totals
+ORACLE["running_balance_totals"] = """
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+               epoch_us(max(ts)) AS last_ts_micros
+        FROM events GROUP BY user_id
+    """
+
+QUERIES["co_witness_bucket_stats"] = G.co_witness_bucket_stats
+ORACLE["co_witness_bucket_stats"] = f"""
+        WITH edges0 AS ({_WITNESS_SQL}),
+        edges AS (SELECT DISTINCT city_key, src, dst FROM edges0),
+        sizes AS (
+          SELECT city_key, dst, count(*) AS k FROM edges GROUP BY city_key, dst
+        ),
+        per AS (
+          SELECT k, k * (k - 1) // 2 AS all_pairs,
+                 (k // {G.CO_WITNESS_MAX_GROUP})
+                   * ({G.CO_WITNESS_MAX_GROUP} * ({G.CO_WITNESS_MAX_GROUP} - 1) // 2)
+                 + (k % {G.CO_WITNESS_MAX_GROUP})
+                   * (k % {G.CO_WITNESS_MAX_GROUP} - 1) // 2 AS capped_pairs
+          FROM sizes
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_multi_groups,
+               CAST(max(k) AS BIGINT) AS max_group_size,
+               CAST(sum(all_pairs) AS BIGINT) AS all_pairs,
+               CAST(sum(capped_pairs) AS BIGINT) AS capped_pairs,
+               CAST(sum(all_pairs) - sum(capped_pairs) AS BIGINT)
+                   AS dropped_pairs
+        FROM per
+    """
+
+
+# ---------- driver-window ordering (round 6 rotation) ----------
 #
 # The driver's CORRECTNESS gate certifies the first 50 insertion-order
-# entries of QUERIES.  Rounds 1-4 certified 131 distinct queries; this
-# window holds 50 never-certified round-4 additions plus every query
-# touched by the round-5 ADVICE fixes (so the repairs are certified the
-# round they landed).  Rotated-out queries stay under
-# tests/test_oracle_parity.py as the regression net.  Still
-# never-certified after this round (rotate in round 6): the 33 deferred
-# round-4 siblings (simhash_near_pairs window comment of r4 + mixture/
-# corpus/session/sketch strays listed in VERDICT r4), all round-5
-# additions (minhash_containment .. spearman_price_qty — see
-# COVERAGE.md round-5 rows), the round-6 additions
-# (ks_price_test .. negbin_fit_orders — COVERAGE.md round-6 rows), and
-# the ~60 round-7 session additions (isotonic_calibration ..
-# twap_by_type — COVERAGE.md round-7 rows); all are green under the
-# local parity mirror at sf0.001 AND under the driver-contract
-# emulation at sf0.01 (each batch checked at both SFs pre-commit).
+# entries of QUERIES.  Rounds 1-5 certified 177 distinct queries (50/50
+# green in r3, r4 AND r5).  This window front-loads, per VERDICT r5 #1:
+# (a) the 22 queries that are in the bench HEADLINE but were never
+#     driver-certified (city_bfs_layers .. mutual_knn_graph),
+# (b) simhash_near_pairs — the ONLY red driver row in repo history
+#     (r1 hash_match:false, fixed since; local parity green),
+# (c) the round-5-late batch (monroe_keyness .. interval_overlap_hours),
+# (d) the round-6 additions (mutual_knn_graph_lsh, the capped co-witness
+#     pair + accounting, running_balance_totals — the stateful-streaming
+#     batch twin),
+# (e) 16 of the oldest still-never-certified deferrals, streaming twins
+#     first (decayed_engagement_daily, watermark_late_audit,
+#     incremental_agg_merge).
+# ~113 oracled queries remain never-certified after this round — listed
+# in the rotation backlog note below; all green under the local parity
+# mirror at sf0.001 AND the driver-contract emulation at sf0.01.
 _DRIVER_WINDOW = [
-    # round-5 rotation: the 50 highest-priority never-driver-certified
-    # oracled queries (round-4 retrieval/curation/ML-analytics/graph
-    # additions plus the ADVICE-affected fixes, so the round-5 repairs
-    # are certified in the same round they landed).  Previously certified
-    # queries ride tests/test_oracle_parity.py as the regression net.
-    # retrieval / curation (round-4 marquee)
-    "bm25_topk",
-    "hybrid_rrf_topk",
-    "mmr_rerank",
-    "semantic_dedup",
-    "cluster_best_keep",
-    "dsir_weights",
-    "hard_negatives",
-    "preference_pairs",
-    "prototype_distances",
-    "source_overlap_matrix",
-    "source_divergence_matrix",
-    "tokenizer_fertility",
-    "distinct_ngram_diversity",
-    "term_burstiness",
-    "trigram_search",
-    "curated_corpus_manifest",
-    "weighted_sample",
-    "quantile_transform",
-    # ML / experimentation analytics
-    "asof_last_view",
-    "cuped_adjustment",
-    "target_encode_oof",
-    "woe_encoding",
-    "psi_drift",
-    "did_promo_uplift",
-    "chi2_independence",
-    "benford_audit",
-    "simpson_reversal_audit",
-    "abc_classification",
-    "cusum_daily_counts",
-    "ohlc_daily",
-    "decayed_user_engagement",
-    "user_behavior_entropy",
-    "gini_by_type",
-    "retention_survival",
-    "cohort_ltv",
-    "association_rules",
-    # temporal / SCD2
-    "scd2_history",
-    "scd2_pit_join",
-    "top_session_paths",
-    "fulfillment_latency",
-    # graph
-    "node2vec_walks",
-    "witness_edge_churn",
-    "neighborhood_jaccard",
-    "degree_powerlaw_fit",
-    "butterfly_stats",
-    # scale patterns / audits
-    "bloom_semi_join_audit",
-    "price_quantity_skyline",
-    "dq_report",
-    "embedding_whiten_audit",
-    "k_anonymity_audit",
+    # (a) benched but never certified
+    "city_bfs_layers",
+    "city_ppr_joins",
+    "markov_attribution",
+    "markov_absorption",
+    "corr_matrix",
+    "memorization_risk_ngrams",
+    "token_budget_waterfill",
+    "zipf_fit",
+    "ks_price_test",
+    "theilsen_daily_trend",
+    "intradoc_duplication",
+    "rich_club_coefficient",
+    "mahalanobis_outliers",
+    "isotonic_calibration",
+    "event_precedence_matrix",
+    "ndcg_at_k",
+    "part_er_blocking",
+    "auc_roc",
+    "cdc_apply",
+    "bigram_llr_collocations",
+    "range_partition_planner",
+    "mutual_knn_graph",
+    # (b) the one historical driver failure, re-windowed after the fix
+    "simhash_near_pairs",
+    # (c) round-5-late additions
+    "monroe_keyness",
+    "conversion_lag_percentiles",
+    "price_volume_mix",
+    "set_ops_battery",
+    "interval_overlap_hours",
+    "scalable_median",
+    "value_mode_by_type",
+    # (d) round-6 additions
+    "mutual_knn_graph_lsh",
+    "co_witness_pairs_capped",
+    "co_witness_bucket_stats",
+    "running_balance_totals",
+    # (e) oldest deferrals; streaming batch twins first
+    "decayed_engagement_daily",
+    "watermark_late_audit",
+    "incremental_agg_merge",
+    "session_stats",
+    "audio_resample",
+    "phash_dup_clusters",
+    "alpha_sampling_weights",
+    "perplexity_prune",
+    "mixture_sample",
+    "mixture_report",
+    "per_source_cap",
+    "corpus_manifest",
+    "shingle_novelty",
+    "prefix_edit_distance",
+    "hll_distinct",
+    "ann_batch_topk",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -187,3 +187,46 @@ def test_city_betweenness_joins_matches_pure_python_brandes(spark, sf_dir):
     mismatches = {k: (got[k], expected[k]) for k in got if got[k] != expected[k]}
     assert not mismatches, list(mismatches.items())[:5]
     assert any(v > 0 for v in got.values())
+
+
+def test_co_witness_cap_celebrity_fixture(spark):
+    """Cap semantics on a constructed celebrity witness (VERDICT r5 #3):
+    one witness with fan-in 20 under CO_WITNESS_MAX_GROUP=8 must emit
+    pairs only inside src-contiguous chunks of 8/8/4 — C(8,2)·2 + C(4,2)
+    = 62 pairs, never the 190 of the exact form — and the accounting
+    math must report exactly the 128 dropped."""
+    from helium_arango_etl_spark.operators.graph import (
+        CO_WITNESS_MAX_GROUP,
+        _co_pairs,
+    )
+
+    assert CO_WITNESS_MAX_GROUP == 8
+    edges = spark.createDataFrame(
+        [("c1", f"h{i:02d}", "celebrity") for i in range(20)]
+        + [("c1", "h00", "w2"), ("c1", "h01", "w2")],
+        "city_key string, src string, dst string",
+    )
+    capped = _co_pairs(edges, CO_WITNESS_MAX_GROUP).collect()
+    exact = _co_pairs(edges).collect()
+
+    assert sum(r["shared_witnesses"] for r in exact) == 190 + 1
+    assert sum(r["shared_witnesses"] for r in capped) == 62 + 1
+
+    # every surviving celebrity pair lives inside one chunk of 8
+    chunk = lambda s: int(s[1:]) // CO_WITNESS_MAX_GROUP
+    celeb_pairs = [
+        (r["src_a"], r["src_b"])
+        for r in capped
+        if not (r["src_a"] == "h00" and r["src_b"] == "h01")
+    ]
+    assert all(chunk(a) == chunk(b) for a, b in celeb_pairs), celeb_pairs
+    # the small witness survives untouched, stacking weight on (h00, h01)
+    w = {(r["src_a"], r["src_b"]): r["shared_witnesses"] for r in capped}
+    assert w[("h00", "h01")] == 2
+
+    # accounting mirror: k=20 -> all=190, capped=62, dropped=128 (plus
+    # the k=2 group: 1 pair, uncapped)
+    m = CO_WITNESS_MAX_GROUP
+    k = 20
+    capped_math = (k // m) * (m * (m - 1) // 2) + (k % m) * (k % m - 1) // 2
+    assert capped_math == 62

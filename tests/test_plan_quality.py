@@ -709,3 +709,15 @@ def test_twap_single_keyed_window(spark, sf_dir):
     # one Window node == 2 occurrences in formatted output
     assert plan.count("Window") == 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_mutual_knn_lsh_no_cartesian(spark, sf_dir):
+    """The LSH-sourced mutual-kNN twin must form candidate pairs via the
+    bucket equi-join — never the corpus² nested loop the exact form
+    deliberately demos (VERDICT r5 #2)."""
+    from helium_arango_etl_spark.operators.similarity import clear_emb_cache
+
+    clear_emb_cache(spark)
+    plan = plan_of(QUERIES["mutual_knn_graph_lsh"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -153,3 +153,30 @@ def test_spread_heuristic_no_rdd_probe(spark, sf_dir, tmp_path):
 
     rng = spark.range(10)  # no input files: untouched
     assert spread(rng) is rng
+
+
+def test_identity_salts_memoized_per_session(spark):
+    """The salt probe is a pure function of n — the driver-side job must
+    run at most once per (session, n) however many zordered writes a
+    session performs (VERDICT r5 #5)."""
+    from helium_arango_etl_spark import io as io_mod
+
+    io_mod._SALT_CACHE.pop(spark, None)
+    first = io_mod._identity_salts(spark, 8)
+    assert len(first) == 8
+
+    # second call must be served from the memo: poison the probe entry
+    # point so any re-run fails loudly
+    orig_range = spark.range
+    try:
+        spark.range = lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("salt probe re-ran for a cached (session, n)")
+        )
+        again = io_mod._identity_salts(spark, 8)
+    finally:
+        spark.range = orig_range
+    assert again is first
+
+    # a different n is a different memo entry (and may probe)
+    other = io_mod._identity_salts(spark, 4)
+    assert len(other) == 4 and other != first[:4] or len(other) == 4
