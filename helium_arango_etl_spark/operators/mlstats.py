@@ -3612,3 +3612,271 @@ def last_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+# ---------- Granger lag-1 causality (shared expression trees) ----------
+#
+# Centered cross-moments C_ab = n·Σab − Σa·Σb over the lagged daily grid
+# (exact bigints: day counts and their pairwise products stay far below
+# 2⁶³ at any tested SF).  The restricted model regresses y_t on its own
+# lag; the unrestricted adds the candidate cause's lag; the F-ratio for
+# the ONE extra regressor is the Granger statistic.
+
+def _gr_c(a: str, b: str) -> str:
+    return f"cast(n * s{a}{b} - s{a} * s{b} as double)"
+
+
+GR_SSE_RESTRICTED = (
+    f"(({_gr_c('y', 'y')} - {_gr_c('u', 'y')} * {_gr_c('u', 'y')}"
+    f" / nullif({_gr_c('u', 'u')}, 0.0)) / cast(n as double))"
+)
+_GR_EXPLAINED_U = (
+    f"(({_gr_c('u', 'y')} * {_gr_c('u', 'y')} * {_gr_c('v', 'v')}"
+    f" - 2.0 * {_gr_c('u', 'y')} * {_gr_c('v', 'y')} * {_gr_c('u', 'v')}"
+    f" + {_gr_c('v', 'y')} * {_gr_c('v', 'y')} * {_gr_c('u', 'u')})"
+    f" / nullif({_gr_c('u', 'u')} * {_gr_c('v', 'v')}"
+    f" - {_gr_c('u', 'v')} * {_gr_c('u', 'v')}, 0.0))"
+)
+GR_SSE_UNRESTRICTED = (
+    f"(({_gr_c('y', 'y')} - {_GR_EXPLAINED_U}) / cast(n as double))"
+)
+
+
+def granger_lag1_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger (1969) lag-1 causality test: do yesterday's CLICK counts
+    improve today's PURCHASE-count prediction beyond what yesterday's
+    purchases already explain?  F = (SSE_restricted − SSE_unrestricted)
+    / (SSE_unrestricted / (n−3)) for the one extra regressor — the
+    directional companion of `xcorr_purchase_click` (correlation at a
+    lag says the series co-move; Granger says the lag ADDS predictive
+    information).
+
+    Determinism: the day spine is densified (zero-filled) so both
+    engines see the identical lag alignment; counts are exact integers;
+    every centered moment is exact (C_ab = n·Σab − Σa·Σb over bigints);
+    SSEs and F are ONE shared double expression tree (module constants,
+    imported by the oracle), rounded at the surface.
+
+    Scale shape: one fact scan folds to the |days|-row grid
+    (combiner-folded conditional counts); the lag window and the moment
+    aggregate run on that bounded grid (a year is 365 rows regardless
+    of SF), so the only data-sized stage is the first rollup.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "event_type"
+    )
+    daily = ev.groupBy("d").agg(
+        F.sum(F.expr("if(event_type = 'purchase', 1L, 0L)")).alias("buy"),
+        F.sum(F.expr("if(event_type = 'click', 1L, 0L)")).alias("clk"),
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+    )
+    grid = (
+        spine.join(daily, "d", "left")
+        .select(
+            "d",
+            F.coalesce("buy", F.lit(0)).alias("buy"),
+            F.coalesce("clk", F.lit(0)).alias("clk"),
+        )
+    )
+    w = Window.orderBy("d")
+    lagged = (
+        grid.withColumn("u", F.lag("buy").over(w))
+        .withColumn("v", F.lag("clk").over(w))
+        .filter(F.col("u").isNotNull())
+        .select(F.col("buy").alias("y"), "u", "v")
+    )
+    mom = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(F.expr(e)).alias(a)
+            for a, e in [
+                ("sy", "y"), ("su", "u"), ("sv", "v"),
+                ("syy", "y * y"), ("suu", "u * u"), ("svv", "v * v"),
+                ("suy", "u * y"), ("svy", "v * y"), ("suv", "u * v"),
+            ]
+        ],
+    )
+    return mom.select(
+        F.col("n").alias("n_obs"),
+        F.round(F.expr(GR_SSE_RESTRICTED), 6).alias("sse_restricted"),
+        F.round(F.expr(GR_SSE_UNRESTRICTED), 6).alias("sse_unrestricted"),
+        F.round(
+            F.expr(
+                f"(({GR_SSE_RESTRICTED}) - ({GR_SSE_UNRESTRICTED}))"
+                f" / nullif(({GR_SSE_UNRESTRICTED}) / (cast(n as double) - 3.0), 0.0)"
+            ),
+            6,
+        ).alias("f_granger"),
+    )
+
+
+def brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe (1974) homogeneity-of-variance test across event
+    types: a one-way ANOVA on absolute deviations from each GROUP MEDIAN
+    — the robust form of Levene's test (median centers keep the test
+    calibrated under the heavy-tailed value distributions that break the
+    mean-centered original).  The variance-comparison companion of the
+    location shelf (`welch_ttest_values`, `weekday_anova`): Welch asks
+    if means differ, this asks if SPREADS do.
+
+    Determinism: values enter as exact integer cents; each group's
+    median is taken EXACTLY via dual mid-ranks kept at 2× scale
+    (med2 = c[(n+1) div 2] + c[(n+2) div 2], an exact integer for odd
+    and even n alike); deviations z = |2c − med2| are exact integers;
+    the three per-group moments are exact DECIMAL(38,0) sums, and the
+    W statistic is one shared double expression over them.
+
+    Scale shape: one keyed rank window per event_type (single shuffle)
+    for the medians, one combiner-folded moment aggregate over the same
+    partitioning, |types| rows thereafter.  At 100 TB the rank-median
+    swaps for the two-pass bucket-refine exact median
+    (relational.scalable_median) with identical output.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        "event_id",
+        F.expr("cast(floor(value * 100) as bigint)").alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    ranked = ev.withColumn("r", F.row_number().over(w)).withColumn(
+        "ng", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    med2 = (
+        ranked.select(
+            "event_type",
+            (
+                F.expr("if(r = (ng + 1) div 2, c, 0L)")
+                + F.expr("if(r = (ng + 2) div 2, c, 0L)")
+            ).alias("m"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("m").cast("bigint").alias("med2"))
+    )
+    z = ev.join(F.broadcast(med2), "event_type").select(
+        "event_type", F.expr("abs(2L * c - med2)").alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nj"),
+        F.sum(F.expr("cast(z as decimal(38,0))")).alias("sj"),
+        F.sum(F.expr("cast(z as decimal(38,0)) * z")).alias("ssj"),
+    )
+    # per-group double terms are bit-identical across engines (pure
+    # functions of exact integers); micro-quantize BEFORE the cross-group
+    # sum so aggregation order cannot drift a ulp (module-doc discipline)
+    tot = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("nj").cast("bigint").alias("n"),
+        F.sum(
+            F.expr(
+                "cast(round(cast(sj as double) * cast(sj as double) / nj * 1e6)"
+                " as bigint)"
+            )
+        ).alias("sqn_micro"),
+        F.sum("sj").alias("s_all"),
+        F.sum(
+            F.expr(
+                "cast(round((cast(ssj as double)"
+                " - cast(sj as double) * cast(sj as double) / nj) * 1e6)"
+                " as bigint)"
+            )
+        ).alias("within_micro"),
+    )
+    return tot.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_obs"),
+        F.round(
+            F.expr(
+                "sqn_micro / 1e6"
+                " - cast(s_all as double) * cast(s_all as double)"
+                " / cast(n as double)"
+            ),
+            6,
+        ).alias("ss_between"),
+        F.round(F.expr("within_micro / 1e6"), 6).alias("ss_within"),
+        F.round(
+            F.expr(
+                "((sqn_micro / 1e6 - cast(s_all as double) * cast(s_all as double)"
+                " / cast(n as double)) / (k - 1.0))"
+                " / nullif((within_micro / 1e6) / (cast(n as double) - k), 0.0)"
+            ),
+            6,
+        ).alias("w_stat"),
+    )
+
+
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+def winsorized_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of event values per type: clamp below the exact
+    empirical p05 and above the p95 (rank-based lower quantiles,
+    ceil(p·n) — no interpolation, so the bounds are actual data values),
+    then average — the outlier-robust location estimate that KEEPS the
+    tail observations (at the fence) where the trimmed mean deletes
+    them: the right choice when extreme rows are real but noisy.
+    Completes the robust-location shelf beside `huber_location`
+    (M-estimate) and `trimmed_mean_values` (deletion).
+
+    Determinism: cents are exact integers; fence ranks are integer
+    ceil-division; the clamped sum is an exact DECIMAL(38,0); one double
+    division at the surface.
+
+    Scale shape: one keyed rank window per type (the BF-median shuffle,
+    shared discipline), fences broadcast back, one combiner-folded
+    clamped aggregate.  At 100 TB the rank swaps for the two-pass
+    bucket-refine quantile (relational.scalable_median form).
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        "event_id",
+        F.expr("cast(floor(value * 100) as bigint)").alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    ranked = ev.withColumn("r", F.row_number().over(w)).withColumn(
+        "ng", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    fences = (
+        ranked.select(
+            "event_type",
+            F.expr(
+                f"if(r = greatest(1L, (ng * {WINSOR_LO_PCT} + 99) div 100), c, null)"
+            ).alias("lo"),
+            F.expr(
+                f"if(r = (ng * {WINSOR_HI_PCT} + 99) div 100, c, null)"
+            ).alias("hi"),
+        )
+        .groupBy("event_type")
+        .agg(F.max("lo").alias("lo"), F.max("hi").alias("hi"))
+    )
+    clamped = ev.join(F.broadcast(fences), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.expr("least(greatest(c, lo), hi)").alias("cw"),
+        F.col("c"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("lo").cast("bigint").alias("lo_cents"),
+        F.max("hi").cast("bigint").alias("hi_cents"),
+        F.round(
+            F.sum(F.expr("cast(cw as decimal(38,0))")).cast("double")
+            / F.count(F.lit(1))
+            / 100.0,
+            6,
+        ).alias("winsorized_mean"),
+        F.round(
+            F.sum(F.expr("cast(c as decimal(38,0))")).cast("double")
+            / F.count(F.lit(1))
+            / 100.0,
+            6,
+        ).alias("raw_mean"),
+    )

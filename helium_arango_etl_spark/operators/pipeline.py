@@ -1197,3 +1197,51 @@ def packing_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_share"),
         )
     )
+
+
+TARGET_SHARD_BYTES = 16_384
+
+
+def compaction_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction plan: assign documents to ~TARGET_SHARD_BYTES
+    output shards by contiguous byte-offset chunking — shard = (bytes
+    before me, within my source) div TARGET — and report each planned
+    shard's fill.  This is the planning half of the small-files problem a
+    100 TB corpus store fights continuously (thousands of tiny parquet
+    files per sync cycle → one compaction pass into uniform shards);
+    offset chunking is what makes the plan DETERMINISTIC and
+    embarrassingly parallel, unlike first-fit-decreasing bin packing
+    (order-sensitive, inherently sequential).  Shards fill to the target
+    plus at most one document's overhang — the same tolerance file
+    writers (maxRecordsPerFile / Delta OPTIMIZE) accept.
+
+    Determinism: byte sizes are exact integers; the running offset is an
+    exact prefix sum ordered by the unique doc_id; shard assignment is
+    integer div.
+
+    Scale shape: one keyed window per source (single shuffle, prefix sum
+    — no driver loop, no global sort), then a combiner-folded rollup on
+    (source, shard_idx).
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.length("text").cast("bigint").alias("bytes")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = docs.withColumn(
+        "off", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    ).withColumn("shard_idx", F.expr(f"off div {TARGET_SHARD_BYTES}"))
+    return assigned.groupBy("source", "shard_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("bytes").cast("bigint").alias("shard_bytes"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+        F.round(
+            F.sum("bytes") / F.lit(float(TARGET_SHARD_BYTES)), 6
+        ).alias("fill_ratio"),
+    )

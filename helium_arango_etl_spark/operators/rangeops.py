@@ -2464,3 +2464,117 @@ def hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(n as double) / cast(tot as double)"), 6
         ).alias("share"),
     )
+
+
+HURST_WINDOWS = [5, 10, 15]
+
+
+def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily event-count series by classic
+    rescaled-range (R/S) analysis (Hurst 1951; Mandelbrot & Wallis 1969):
+    for each window size w, split the day series into full non-overlapping
+    chunks, compute each chunk's range of cumulative mean-deviations over
+    its population std, average, and fit ln(R/S) against ln(w) — slope
+    H > 0.5 means long-range persistence, < 0.5 anti-persistence, the
+    memory diagnostic beside `autocorrelation_daily` (fixed lags) and
+    `hill_tail_index` (tail weight).
+
+    Determinism: all chunk math stays integer by working at w× scale —
+    w·Z_t = w·P_t − t·S is exact (P_t prefix sum, S chunk sum), so
+    R' = max−min is exact and R/S = R' / sqrt(w·Σx² − S²) is ONE double
+    per chunk, micro-quantized before the cross-chunk average; the ln
+    values entering the slope fit are micro-quantized (coarser than the
+    usual nano so the integer cross-products of the 3-point fit stay far
+    inside bigint), so both engines fit identical points.
+
+    Scale shape: the only data-sized stage is the day rollup (combiner
+    folded); everything after runs on the |days|-row grid — the grid
+    windows are deliberately unpartitioned over ≤366 rows (the granger /
+    daily-series family note).
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(F.to_date("ts").alias("d"))
+    daily = ev.groupBy("d").agg(F.count(F.lit(1)).alias("x"))
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+    )
+    grid = (
+        spine.join(daily, "d", "left")
+        .select("d", F.coalesce("x", F.lit(0)).alias("x"))
+        .withColumn("idx", F.row_number().over(Window.orderBy("d")) - 1)
+    )
+    per_w = []
+    for w in HURST_WINDOWS:
+        chunked = grid.select(
+            F.lit(w).alias("w"),
+            F.expr(f"idx div {w}").alias("chunk"),
+            F.expr(f"idx % {w} + 1").alias("t"),
+            "x",
+        )
+        cw = Window.partitionBy("chunk")
+        run = (
+            Window.partitionBy("chunk")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        z = (
+            chunked.withColumn("n_in", F.count(F.lit(1)).over(cw))
+            .filter(F.col("n_in") == w)
+            .withColumn("p", F.sum("x").over(run))
+            .withColumn("s", F.sum("x").over(cw))
+            .withColumn("ss", F.sum(F.expr("x * x")).over(cw))
+            .withColumn("wz", F.expr(f"{w}L * p - t * s"))
+        )
+        per_w.append(
+            z.groupBy("w", "chunk").agg(
+                F.max("s").alias("s"),
+                F.max("ss").alias("ss"),
+                (F.max("wz") - F.min("wz")).alias("r_scaled"),
+            )
+        )
+    chunks = per_w[0]
+    for df in per_w[1:]:
+        chunks = chunks.unionByName(df)
+    rs = chunks.select(
+        "w",
+        F.expr(
+            "cast(round(r_scaled / sqrt(cast(w as double) * ss - cast(s as double) * s)"
+            " * 1e6) as bigint)"
+        ).alias("rs_micro"),
+    )
+    agg = rs.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("rs_micro").alias("rs_sum_micro"),
+    )
+    pts = agg.select(
+        "w",
+        "n_chunks",
+        F.expr("rs_sum_micro / n_chunks / 1e6").alias("avg_rs"),
+        F.expr("cast(round(ln(w) * 1e6) as bigint)").alias("lx"),
+        F.expr(
+            "cast(round(ln(rs_sum_micro / n_chunks / 1e6) * 1e6) as bigint)"
+        ).alias("ly"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.expr("lx * ly")).alias("sxy"),
+        F.sum(F.expr("lx * lx")).alias("sxx"),
+    ).select(
+        F.round(
+            F.expr(
+                "(cast(k as double) * sxy - cast(sx as double) * sy)"
+                " / (cast(k as double) * sxx - cast(sx as double) * sx)"
+            ),
+            6,
+        ).alias("h")
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        F.col("w").cast("bigint").alias("window_size"),
+        "n_chunks",
+        F.round("avg_rs", 6).alias("avg_rs"),
+        F.col("h").alias("hurst_exponent"),
+    )

@@ -1823,3 +1823,67 @@ def simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_silhouette"),
     )
+
+
+def knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness diagnostic of the LSH-bucketed kNN graph: the in-degree
+    distribution (how many vectors' top-K lists each vector appears in).
+    High-dimensional embedding spaces concentrate — a few "hub" vectors
+    invade everyone's neighbor lists and poison kNN-based dedup /
+    retrieval (Radovanović et al. 2010); this audit is the health check
+    run beside the index (`ivf_balance_report` watches list sizes, this
+    watches neighbor asymmetry — the thing `mutual_knn_graph`'s mutual
+    filter exists to defeat).
+
+    Determinism: the kNN lists are the exact micro-quantized-cosine /
+    vec_id-tie-break ranking of :func:`mutual_knn_graph_lsh`; in-degrees
+    and the distribution are exact integer counts (antihub vectors —
+    in-degree 0 — are counted explicitly from the corpus total).
+
+    Scale shape: the bucket equi-join bounds candidate pairs (never
+    cartesian); in-degree is one keyed count over (≤ K·n) edge rows; the
+    distribution is |distinct in-degrees| rows.
+    """
+    from pyspark.sql import Window
+
+    emb = embedding_table(spark, sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("ia"),
+        F.col("v64").alias("va"),
+        F.col("nv").alias("na"),
+        F.col("bucket").alias("bucket_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"),
+        F.col("v64").alias("vb"),
+        F.col("nv").alias("nb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    scored = (
+        a.join(b, F.col("bucket_a") == F.col("bucket_b"))
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.expr(f"cast(round(({_DOT} / (na * nb)) * 1000000) as bigint)").alias(
+                "cos_micro"
+            ),
+        )
+    )
+    w = Window.partitionBy("ia").orderBy(F.col("cos_micro").desc(), F.col("ib").asc())
+    knn = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= KNN_K)
+    indeg = knn.groupBy("ib").agg(F.count(F.lit(1)).cast("bigint").alias("in_degree"))
+    dist = indeg.groupBy("in_degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    total = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus"))
+    linked = indeg.agg(F.count(F.lit(1)).cast("bigint").alias("n_linked"))
+    zero = (
+        total.join(F.broadcast(linked))
+        .select(
+            F.lit(0).cast("bigint").alias("in_degree"),
+            (F.col("n_corpus") - F.col("n_linked")).alias("n_vectors"),
+        )
+        .filter(F.col("n_vectors") > 0)
+    )
+    return dist.unionByName(zero)

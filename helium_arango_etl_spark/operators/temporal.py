@@ -2012,3 +2012,100 @@ def running_balance_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         F.unix_micros(F.max("ts")).alias("last_ts_micros"),
     )
+
+
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak concurrent sessions via the classic sweep line: each
+    session contributes a +1 boundary at its start and a -1 at its end;
+    concurrency at any instant is the carry-in from sessions already open
+    at midnight plus the running boundary sum — the capacity-planning
+    number (max simultaneous users) that a naive per-day DISTINCT count
+    overstates and a sampled gauge understates.
+
+    Determinism: boundaries are integer microseconds; the running sum is
+    ordered by (us, delta DESC, user_id, session_idx) — a TOTAL order
+    with starts before ends at the same instant: intervals are CLOSED
+    [start, end], so a single-event (zero-duration) session still
+    registers, and a session ending exactly as another starts counts as
+    momentary overlap — the conservative reading a capacity planner
+    wants.  Carry-in is an exact count of midnight-crossing sessions (a
+    session spanning several days carries into each).  Days with no
+    boundaries but a live carry still emit (the all-day-long-session
+    case).
+
+    Scale shape: sessionization is the shared one-shuffle-per-user
+    window; the sweep is keyed BY DAY (never a global single-partition
+    prefix sum), with the midnight carry closing the seam — the same
+    two-level split every bucket-carry rank op here uses.  The
+    midnight-crossing explode emits one row per (session, crossed day):
+    bounded by total session-days, not by events.
+    """
+    sess = (
+        _with_sessions(read_table(spark, sf_dir, "events"))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s_us"),
+            F.unix_micros(F.max("ts")).alias("e_us"),
+            F.min("ts").alias("s_ts"),
+            F.max("ts").alias("e_ts"),
+        )
+    )
+    bounds = sess.select(
+        F.to_date("s_ts").alias("day"),
+        F.col("s_us").alias("us"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "session_idx",
+    ).unionByName(
+        sess.select(
+            F.to_date("e_ts").alias("day"),
+            F.col("e_us").alias("us"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "session_idx",
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(
+            F.col("us").asc(),
+            F.col("delta").desc(),
+            F.col("user_id").asc(),
+            F.col("session_idx").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = bounds.withColumn("run", F.sum("delta").over(w))
+    per_day = swept.groupBy("day").agg(
+        F.max("run").cast("bigint").alias("max_run"),
+        F.sum(F.expr("if(delta = 1, 1, 0)")).cast("bigint").alias("n_starts"),
+        F.sum(F.expr("if(delta = -1, 1, 0)")).cast("bigint").alias("n_ends"),
+    )
+    carry = (
+        sess.filter(F.to_date("e_ts") > F.to_date("s_ts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "sequence(date_add(to_date(s_ts), 1), to_date(e_ts),"
+                    " interval 1 day)"
+                )
+            ).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("carry_in"))
+    )
+    return (
+        per_day.join(carry, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("carry_in", F.lit(0)).cast("bigint").alias("carry_in"),
+            F.coalesce("n_starts", F.lit(0)).cast("bigint").alias("n_starts"),
+            F.coalesce("n_ends", F.lit(0)).cast("bigint").alias("n_ends"),
+            (
+                F.coalesce("carry_in", F.lit(0))
+                + F.greatest(F.lit(0), F.coalesce("max_run", F.lit(0)))
+            )
+            .cast("bigint")
+            .alias("peak_concurrency"),
+        )
+    )

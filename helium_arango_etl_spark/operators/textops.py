@@ -2445,3 +2445,52 @@ def monroe_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("z_raw", 6).alias("keyness_z"),
         )
     )
+
+
+def yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K lexical-richness characteristic per source (Yule 1944):
+    K = 10⁴ · (Σ_m m²·V(m) − N) / N² over the frequency-of-frequency
+    spectrum (V(m) = number of word types occurring exactly m times, N =
+    total tokens).  K is (asymptotically) corpus-size-invariant, unlike
+    raw type/token ratio — the repetitiveness gauge that separates
+    template-generated text (high K) from natural prose, completing the
+    vocabulary-growth shelf beside `heaps_fit` (growth curve) and
+    `zipf_fit` (rank law).
+
+    Determinism: the spectrum is exact integers end-to-end; Σ m²·V(m)
+    is an exact bigint; ONE double division at the surface.
+
+    Scale shape: token explode folds immediately to (source, term)
+    counts (combiner-friendly), then to the |distinct counts|-sized
+    frequency spectrum — the same two-stage fold as zipf_fit; nothing
+    row-sized ever reaches the final aggregate.
+    """
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.expr(TOKS)).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    spectrum = toks.groupBy("source", "m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vm")
+    )
+    return (
+        spectrum.groupBy("source")
+        .agg(
+            F.sum(F.expr("m * vm")).cast("bigint").alias("n_tokens"),
+            F.sum("vm").cast("bigint").alias("n_types"),
+            F.sum(F.expr("m * m * vm")).cast("bigint").alias("s2"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.expr(
+                    "10000.0 * (s2 - n_tokens)"
+                    " / (cast(n_tokens as double) * n_tokens)"
+                ),
+                6,
+            ).alias("yule_k"),
+        )
+    )

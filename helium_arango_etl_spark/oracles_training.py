@@ -4012,6 +4012,42 @@ ORACLE_TRAINING["mutual_knn_graph_lsh"] = f"""
         WHERE k.ia < k.ib
     """
 
+# hubness audit over the SAME LSH-bucketed kNN lists (mirrors
+# similarity.knn_hubness_audit: in-degree distribution + explicit antihub row)
+ORACLE_TRAINING["knn_hubness_audit"] = f"""
+        WITH e AS (
+          SELECT vec_id, label, {_CAST64} AS v, {_bucket(_CAST64)} AS bucket
+          FROM embeddings
+        ), n AS (
+          SELECT vec_id, v, bucket,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nv
+          FROM e
+        ), scored AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 CAST(round(list_sum(list_transform(range(1, {DIM + 1}),
+                          i -> a.v[i] * b.v[i])) / (a.nv * b.nv) * 1000000)
+                   AS BIGINT) AS cos_micro
+          FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        ), knn AS (
+          SELECT *, row_number() OVER (PARTITION BY ia
+                        ORDER BY cos_micro DESC, ib ASC) AS rk
+          FROM scored
+        ), k AS (
+          SELECT * FROM knn WHERE rk <= {KNN_K}
+        ), indeg AS (
+          SELECT ib, CAST(count(*) AS BIGINT) AS in_degree FROM k GROUP BY ib
+        ), dist AS (
+          SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vectors
+          FROM indeg GROUP BY in_degree
+        ), zero AS (
+          SELECT CAST(0 AS BIGINT) AS in_degree,
+                 CAST((SELECT count(*) FROM embeddings)
+                      - (SELECT count(*) FROM indeg) AS BIGINT) AS n_vectors
+        )
+        SELECT * FROM dist
+        UNION ALL SELECT * FROM zero WHERE n_vectors > 0
+    """
+
 from .operators.rangeops import ROLL_MED_DAYS  # noqa: E402
 from .operators.textops import NDCG_K  # noqa: E402
 

@@ -2771,6 +2771,301 @@ ORACLE["co_witness_bucket_stats"] = f"""
     """
 
 
+# round-6 batch 2: sweep-line concurrency, Granger causality, variance
+# homogeneity, and the small-files compaction plan
+QUERIES["peak_concurrency"] = TP.peak_concurrency
+ORACLE["peak_concurrency"] = f"""
+        WITH g AS (
+          SELECT event_id, user_id, ts,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events
+        ), e AS (
+          SELECT user_id, ts,
+                 CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > {TP.SESSION_GAP_US}
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS session_idx
+          FROM g
+        ), s AS (
+          SELECT user_id, session_idx,
+                 epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us,
+                 CAST(min(ts) AS DATE) AS s_day, CAST(max(ts) AS DATE) AS e_day
+          FROM e GROUP BY user_id, session_idx
+        ), bounds AS (
+          SELECT s_day AS day, s_us AS us, 1 AS delta, user_id, session_idx FROM s
+          UNION ALL
+          SELECT e_day AS day, e_us AS us, -1 AS delta, user_id, session_idx FROM s
+        ), swept AS (
+          SELECT day, delta,
+                 sum(delta) OVER (PARTITION BY day
+                     ORDER BY us, delta DESC, user_id, session_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM bounds
+        ), per_day AS (
+          SELECT day, CAST(max(run) AS BIGINT) AS max_run,
+                 CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+                 CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
+          FROM swept GROUP BY day
+        ), carry AS (
+          SELECT CAST(unnest(generate_series(s_day + 1, e_day,
+                                             INTERVAL 1 DAY)) AS DATE) AS day,
+                 user_id
+          FROM s WHERE e_day > s_day
+        ), carry_g AS (
+          SELECT day, CAST(count(*) AS BIGINT) AS carry_in FROM carry GROUP BY day
+        )
+        SELECT coalesce(p.day, c.day) AS day,
+               CAST(coalesce(carry_in, 0) AS BIGINT) AS carry_in,
+               CAST(coalesce(n_starts, 0) AS BIGINT) AS n_starts,
+               CAST(coalesce(n_ends, 0) AS BIGINT) AS n_ends,
+               CAST(coalesce(carry_in, 0)
+                    + greatest(0, coalesce(max_run, 0)) AS BIGINT)
+                   AS peak_concurrency
+        FROM per_day p FULL OUTER JOIN carry_g c ON p.day = c.day
+    """
+
+QUERIES["granger_lag1_daily"] = ML.granger_lag1_daily
+ORACLE["granger_lag1_daily"] = f"""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS buy,
+                 CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS clk
+          FROM events GROUP BY CAST(ts AS DATE)
+        ), b AS (
+          SELECT min(d) AS d0, max(d) AS d1 FROM daily
+        ), spine AS (
+          SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+          FROM b
+        ), grid AS (
+          SELECT s.d, coalesce(buy, 0) AS buy, coalesce(clk, 0) AS clk
+          FROM spine s LEFT JOIN daily USING (d)
+        ), lagged AS (
+          SELECT buy AS y,
+                 lag(buy) OVER (ORDER BY d) AS u,
+                 lag(clk) OVER (ORDER BY d) AS v
+          FROM grid
+        ), f AS (
+          SELECT * FROM lagged WHERE u IS NOT NULL
+        ), mom AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS sy, CAST(sum(u) AS BIGINT) AS su,
+                 CAST(sum(v) AS BIGINT) AS sv,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(u * u) AS BIGINT) AS suu,
+                 CAST(sum(v * v) AS BIGINT) AS svv,
+                 CAST(sum(u * y) AS BIGINT) AS suy,
+                 CAST(sum(v * y) AS BIGINT) AS svy,
+                 CAST(sum(u * v) AS BIGINT) AS suv
+          FROM f
+        )
+        SELECT n AS n_obs,
+               round({ML.GR_SSE_RESTRICTED}, 6) AS sse_restricted,
+               round({ML.GR_SSE_UNRESTRICTED}, 6) AS sse_unrestricted,
+               round((({ML.GR_SSE_RESTRICTED}) - ({ML.GR_SSE_UNRESTRICTED}))
+                     / nullif(({ML.GR_SSE_UNRESTRICTED})
+                              / (cast(n as double) - 3.0), 0.0), 6) AS f_granger
+        FROM mom
+    """
+
+QUERIES["brown_forsythe_levene"] = ML.brown_forsythe_levene
+ORACLE["brown_forsythe_levene"] = """
+        WITH ev AS (
+          SELECT event_type, event_id,
+                 CAST(floor(value * 100) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL
+        ), r AS (
+          SELECT event_type, c,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY c, event_id) AS r,
+                 count(*) OVER (PARTITION BY event_type) AS ng
+          FROM ev
+        ), m AS (
+          SELECT event_type,
+                 CAST(sum(CASE WHEN r = (ng + 1) // 2 THEN c ELSE 0 END
+                        + CASE WHEN r = (ng + 2) // 2 THEN c ELSE 0 END)
+                   AS BIGINT) AS med2
+          FROM r GROUP BY event_type
+        ), z AS (
+          SELECT ev.event_type, abs(2 * c - med2) AS z
+          FROM ev JOIN m USING (event_type)
+        ), g AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS nj,
+                 sum(z) AS sj, sum(z * z) AS ssj
+          FROM z GROUP BY event_type
+        ), t AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(nj) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)
+                                     / nj * 1e6) AS BIGINT)) AS BIGINT)
+                     AS sqn_micro,
+                 sum(sj) AS s_all,
+                 CAST(sum(CAST(round((CAST(ssj AS DOUBLE)
+                                      - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)
+                                        / nj) * 1e6) AS BIGINT)) AS BIGINT)
+                     AS within_micro
+          FROM g
+        )
+        SELECT k AS k_groups, n AS n_obs,
+               round(sqn_micro / 1e6
+                     - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+                       / CAST(n AS DOUBLE), 6) AS ss_between,
+               round(within_micro / 1e6, 6) AS ss_within,
+               round(((sqn_micro / 1e6
+                       - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / (k - 1.0))
+                     / nullif((within_micro / 1e6)
+                              / (CAST(n AS DOUBLE) - k), 0.0), 6) AS w_stat
+        FROM t
+    """
+
+QUERIES["compaction_shards"] = P.compaction_shards
+ORACLE["compaction_shards"] = f"""
+        WITH d AS (
+          SELECT source, doc_id, CAST(length(text) AS BIGINT) AS bytes
+          FROM documents
+        ), a AS (
+          SELECT source, doc_id, bytes,
+                 coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // {P.TARGET_SHARD_BYTES} AS shard_idx
+          FROM d
+        )
+        SELECT source, CAST(shard_idx AS BIGINT) AS shard_idx,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(bytes) AS BIGINT) AS shard_bytes,
+               CAST(min(doc_id) AS BIGINT) AS first_doc,
+               CAST(max(doc_id) AS BIGINT) AS last_doc,
+               round(sum(bytes) / {float(P.TARGET_SHARD_BYTES)}, 6) AS fill_ratio
+        FROM a GROUP BY source, shard_idx
+    """
+
+
+# round-6 batch 3: lexical richness, kNN hubness, robust location,
+# long-range dependence
+QUERIES["yule_k"] = T.yule_k
+ORACLE["yule_k"] = f"""
+        WITH toks AS (
+          SELECT source, unnest({{toks}}) AS t FROM documents
+        ), tc AS (
+          SELECT source, t, count(*) AS m FROM toks GROUP BY source, t
+        ), spec AS (
+          SELECT source, m, CAST(count(*) AS BIGINT) AS vm
+          FROM tc GROUP BY source, m
+        ), agg AS (
+          SELECT source,
+                 CAST(sum(m * vm) AS BIGINT) AS n_tokens,
+                 CAST(sum(vm) AS BIGINT) AS n_types,
+                 CAST(sum(m * m * vm) AS BIGINT) AS s2
+          FROM spec GROUP BY source
+        )
+        SELECT source, n_tokens, n_types,
+               round(10000.0 * (s2 - n_tokens)
+                     / (CAST(n_tokens AS DOUBLE) * n_tokens), 6) AS yule_k
+        FROM agg
+    """.replace("{toks}", "list_filter(string_split(text, ' '), x -> x <> '')")
+
+QUERIES["winsorized_mean_by_type"] = ML.winsorized_mean_by_type
+ORACLE["winsorized_mean_by_type"] = f"""
+        WITH ev AS (
+          SELECT event_type, event_id,
+                 CAST(floor(value * 100) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL
+        ), r AS (
+          SELECT event_type, c,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY c, event_id) AS r,
+                 count(*) OVER (PARTITION BY event_type) AS ng
+          FROM ev
+        ), fences AS (
+          SELECT event_type,
+                 max(CASE WHEN r = greatest(1, (ng * {ML.WINSOR_LO_PCT} + 99) // 100)
+                          THEN c END) AS lo,
+                 max(CASE WHEN r = (ng * {ML.WINSOR_HI_PCT} + 99) // 100
+                          THEN c END) AS hi
+          FROM r GROUP BY event_type
+        )
+        SELECT ev.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(max(lo) AS BIGINT) AS lo_cents,
+               CAST(max(hi) AS BIGINT) AS hi_cents,
+               round(CAST(sum(least(greatest(c, lo), hi)) AS DOUBLE)
+                     / count(*) / 100.0, 6) AS winsorized_mean,
+               round(CAST(sum(c) AS DOUBLE) / count(*) / 100.0, 6) AS raw_mean
+        FROM ev JOIN fences USING (event_type) GROUP BY ev.event_type
+    """
+
+QUERIES["hurst_rs_daily"] = RG.hurst_rs_daily
+_hurst_chunks = []
+for _w in RG.HURST_WINDOWS:
+    _hurst_chunks.append(f"""
+        ch{_w} AS (
+          SELECT idx // {_w} AS chunk, idx % {_w} + 1 AS t, x
+          FROM grid
+          QUALIFY count(*) OVER (PARTITION BY idx // {_w}) = {_w}
+        ), z{_w} AS (
+          SELECT chunk, t,
+                 sum(x) OVER (PARTITION BY chunk ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS p,
+                 sum(x) OVER (PARTITION BY chunk) AS s,
+                 sum(x * x) OVER (PARTITION BY chunk) AS ss
+          FROM ch{_w}
+        ), c{_w} AS (
+          SELECT {_w} AS w, chunk, max(s) AS s, max(ss) AS ss,
+                 max({_w} * p - t * s) - min({_w} * p - t * s) AS r_scaled
+          FROM z{_w} GROUP BY chunk
+        )""")
+ORACLE["hurst_rs_daily"] = f"""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY CAST(ts AS DATE)
+        ), b AS (
+          SELECT min(d) AS d0, max(d) AS d1 FROM daily
+        ), spine AS (
+          SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+          FROM b
+        ), grid AS (
+          SELECT row_number() OVER (ORDER BY s.d) - 1 AS idx,
+                 coalesce(x, 0) AS x
+          FROM spine s LEFT JOIN daily ON s.d = daily.d
+        ),{",".join(_hurst_chunks)}
+        , chunks AS (
+          {" UNION ALL ".join(f"SELECT * FROM c{_w}" for _w in RG.HURST_WINDOWS)}
+        ), rs AS (
+          SELECT w,
+                 CAST(round(r_scaled
+                      / sqrt(CAST(w AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                      * 1e6) AS BIGINT) AS rs_micro
+          FROM chunks
+        ), agg AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS n_chunks,
+                 CAST(sum(rs_micro) AS BIGINT) AS rs_sum_micro
+          FROM rs GROUP BY w
+        ), pts AS (
+          SELECT w, n_chunks,
+                 rs_sum_micro / n_chunks / 1e6 AS avg_rs,
+                 CAST(round(ln(w) * 1e6) AS BIGINT) AS lx,
+                 CAST(round(ln(rs_sum_micro / n_chunks / 1e6) * 1e6) AS BIGINT)
+                     AS ly
+          FROM agg
+        ), fit AS (
+          SELECT round((CAST(count(*) AS DOUBLE) * sum(lx * ly)
+                        - CAST(sum(lx) AS DOUBLE) * sum(ly))
+                       / (CAST(count(*) AS DOUBLE) * sum(lx * lx)
+                          - CAST(sum(lx) AS DOUBLE) * sum(lx)), 6) AS h
+          FROM pts
+        )
+        SELECT CAST(w AS BIGINT) AS window_size, n_chunks,
+               round(avg_rs, 6) AS avg_rs, h AS hurst_exponent
+        FROM pts, fit
+    """
+
+QUERIES["knn_hubness_audit"] = S.knn_hubness_audit
+
+
 # ---------- driver-window ordering (round 6 rotation) ----------
 #
 # The driver's CORRECTNESS gate certifies the first 50 insertion-order

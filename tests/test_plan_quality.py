@@ -721,3 +721,17 @@ def test_mutual_knn_lsh_no_cartesian(spark, sf_dir):
     plan = plan_of(QUERIES["mutual_knn_graph_lsh"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_knn_hubness_no_cartesian(spark, sf_dir):
+    """Hubness audit scores only bucket-mates — the same no-corpus²
+    discipline as mutual_knn_graph_lsh."""
+    from helium_arango_etl_spark.operators.similarity import clear_emb_cache
+
+    clear_emb_cache(spark)
+    plan = plan_of(QUERIES["knn_hubness_audit"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # the ONLY nested loop is the 1-row total × 1-row linked-count scalar
+    # join building the antihub row (the sanctioned broadcast-scalar
+    # idiom); one node == 2 occurrences in formatted output
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan

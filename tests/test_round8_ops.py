@@ -1,0 +1,280 @@
+"""Round-8 operator invariants (sweep-line concurrency, Granger lag-1,
+Brown–Forsythe, compaction shards).
+
+Oracle parity (tests/test_oracle_parity.py) pins value equality; these
+pin the SEMANTICS against independent numpy/pure-python recomputes and
+structural invariants.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+from helium_arango_etl_spark.registry import QUERIES
+
+
+def _daily_counts(sf_dir):
+    rows = duckdb.sql(
+        f"""SELECT CAST(ts AS DATE) AS d,
+                   sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS buy,
+                   sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS clk
+            FROM '{sf_dir}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    days = [r[0] for r in rows]
+    spine = {days[0] + __import__("datetime").timedelta(days=i): (0, 0)
+             for i in range((days[-1] - days[0]).days + 1)}
+    for d, b, c in rows:
+        spine[d] = (int(b), int(c))
+    ordered = [spine[k] for k in sorted(spine)]
+    buy = np.array([b for b, _ in ordered], dtype=float)
+    clk = np.array([c for _, c in ordered], dtype=float)
+    return buy, clk
+
+
+def test_granger_matches_numpy_ols(spark, sf_dir):
+    buy, clk = _daily_counts(sf_dir)
+    y, u, v = buy[1:], buy[:-1], clk[:-1]
+    n = len(y)
+
+    def sse(X):
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        r = y - X @ beta
+        return float(r @ r)
+
+    ones = np.ones_like(y)
+    sse_r = sse(np.column_stack([ones, u]))
+    sse_u = sse(np.column_stack([ones, u, v]))
+    f_ref = (sse_r - sse_u) / (sse_u / (n - 3))
+
+    row = QUERIES["granger_lag1_daily"](spark, sf_dir).collect()[0]
+    assert row["n_obs"] == n
+    assert abs(row["sse_restricted"] - sse_r) < 1e-3 * max(1.0, sse_r)
+    assert abs(row["sse_unrestricted"] - sse_u) < 1e-3 * max(1.0, sse_u)
+    assert abs(row["f_granger"] - f_ref) < 1e-2 * max(1.0, abs(f_ref))
+
+
+def test_brown_forsythe_matches_numpy(spark, sf_dir):
+    vals = duckdb.sql(
+        f"""SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+            FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"""
+    ).fetchall()
+    groups: dict[str, list[int]] = {}
+    for t, c in vals:
+        groups.setdefault(t, []).append(int(c))
+    zs = []
+    for t, cs in groups.items():
+        cs.sort()
+        n = len(cs)
+        med2 = cs[(n + 1) // 2 - 1] + cs[(n + 2) // 2 - 1]
+        zs.append(np.array([abs(2 * c - med2) for c in cs], dtype=float))
+    k = len(zs)
+    n_tot = sum(len(z) for z in zs)
+    grand = np.concatenate(zs).mean()
+    between = sum(len(z) * (z.mean() - grand) ** 2 for z in zs)
+    within = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    w_ref = (between / (k - 1)) / (within / (n_tot - k))
+
+    row = QUERIES["brown_forsythe_levene"](spark, sf_dir).collect()[0]
+    assert row["k_groups"] == k
+    assert row["n_obs"] == n_tot
+    assert abs(row["w_stat"] - w_ref) < 1e-3 * max(1.0, w_ref)
+
+
+def test_peak_concurrency_brute_force(spark, sf_dir):
+    """Sweep-line peak per day must equal the brute-force maximum over
+    boundary instants of 'sessions open at that instant' (closed
+    intervals [s, e]: zero-duration sessions register, and a session
+    ending exactly as another starts overlaps it momentarily)."""
+    rows = QUERIES["peak_concurrency"](spark, sf_dir).collect()
+    got = {r["day"]: r["peak_concurrency"] for r in rows}
+
+    sess = duckdb.sql(
+        f"""WITH g AS (
+              SELECT user_id, ts,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM '{sf_dir}/events.parquet'
+            ), s AS (
+              SELECT user_id,
+                     sum(CASE WHEN gap IS NULL OR gap > 1800000000
+                              THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS idx,
+                     epoch_us(ts) AS us
+              FROM g
+            )
+            SELECT min(us), max(us) FROM s GROUP BY user_id, idx"""
+    ).fetchall()
+    import datetime
+
+    # concurrency only changes at boundaries; intervals are CLOSED
+    # [s, e] (the operator's contract), so the max is attained at some
+    # session start — probe each
+    days: dict[datetime.date, int] = {}
+    starts = sorted(s for s, _ in sess)
+    for probe in starts:
+        c = sum(1 for s, e in sess if s <= probe <= e)
+        d = datetime.datetime.fromtimestamp(
+            probe / 1e6, tz=datetime.timezone.utc
+        ).date()
+        days[d] = max(days.get(d, 0), c)
+    # the peak can also sit at midnight (carried sessions ending before
+    # the day's first start) — probe each reported day's first instant
+    for d in got:
+        midnight = int(
+            datetime.datetime.combine(
+                d, datetime.time.min, tzinfo=datetime.timezone.utc
+            ).timestamp()
+            * 1_000_000
+        )
+        c0 = sum(1 for s, e in sess if s < midnight <= e)
+        days[d] = max(days.get(d, 0), c0)
+    for d, c in days.items():
+        assert got[d] == c, (d, c, got[d])
+
+    # invariant: peaks are positive and bounded by sessions touching the day
+    for r in rows:
+        assert r["peak_concurrency"] >= r["carry_in"]
+        assert r["peak_concurrency"] >= 1
+
+
+def test_compaction_shards_invariants(spark, sf_dir):
+    """Within every source: shards partition the docs contiguously by
+    doc_id, every shard except possibly the last reaches the target once
+    its first doc's offset is included, and byte totals reconcile."""
+    from helium_arango_etl_spark.operators.pipeline import TARGET_SHARD_BYTES
+
+    rows = QUERIES["compaction_shards"](spark, sf_dir).collect()
+    total = duckdb.sql(
+        f"SELECT source, count(*), sum(length(text)) FROM '{sf_dir}/documents.parquet' GROUP BY source"
+    ).fetchall()
+    per_src = {s: (int(n), int(b)) for s, n, b in total}
+
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, shards in by_src.items():
+        shards.sort(key=lambda r: r["shard_idx"])
+        n, b = per_src[src]
+        assert sum(r["n_docs"] for r in shards) == n
+        assert sum(r["shard_bytes"] for r in shards) == b
+        # contiguity: doc ranges never interleave across shards
+        for a, c in zip(shards, shards[1:]):
+            assert a["last_doc"] < c["first_doc"]
+        # shard indices are the offset chunks: cumulative bytes before a
+        # shard's first doc must land inside its index's byte range
+        cum = 0
+        for r in shards:
+            assert cum // TARGET_SHARD_BYTES == r["shard_idx"]
+            cum += r["shard_bytes"]
+
+
+def test_yule_k_matches_pure_python(spark, sf_dir):
+    rows = QUERIES["yule_k"](spark, sf_dir).collect()
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    from collections import Counter
+
+    per_src: dict[str, Counter] = {}
+    for src, text in docs:
+        per_src.setdefault(src, Counter()).update(
+            t for t in text.split(" ") if t
+        )
+    for r in rows:
+        cnt = per_src[r["source"]]
+        n = sum(cnt.values())
+        s2 = sum(m * m for m in cnt.values())
+        assert r["n_tokens"] == n
+        assert r["n_types"] == len(cnt)
+        k_ref = 1e4 * (s2 - n) / (n * n)
+        assert abs(r["yule_k"] - k_ref) < 1e-4, r["source"]
+
+
+def test_winsorized_mean_matches_numpy(spark, sf_dir):
+    rows = QUERIES["winsorized_mean_by_type"](spark, sf_dir).collect()
+    vals = duckdb.sql(
+        f"""SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+            FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"""
+    ).fetchall()
+    groups: dict[str, list[int]] = {}
+    for t, c in vals:
+        groups.setdefault(t, []).append(int(c))
+    for r in rows:
+        cs = sorted(groups[r["event_type"]])
+        n = len(cs)
+        lo = cs[max(1, -(-n * 5 // 100)) - 1]
+        hi = cs[-(-n * 95 // 100) - 1]
+        assert r["lo_cents"] == lo and r["hi_cents"] == hi, r["event_type"]
+        wm = sum(min(max(c, lo), hi) for c in cs) / n / 100.0
+        assert abs(r["winsorized_mean"] - wm) < 1e-6
+        # winsorizing pulls the mean toward the center, never past the fences
+        assert lo / 100.0 <= r["winsorized_mean"] <= hi / 100.0
+
+
+def test_hurst_rs_matches_pure_python(spark, sf_dir):
+    from helium_arango_etl_spark.operators.rangeops import HURST_WINDOWS
+
+    buy, clk = _daily_counts(sf_dir)
+    x = buy + clk  # not the same series; recompute from scratch instead
+    rows_all = duckdb.sql(
+        f"""SELECT CAST(ts AS DATE) AS d, count(*) AS n
+            FROM '{sf_dir}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    import datetime
+
+    d0, d1 = rows_all[0][0], rows_all[-1][0]
+    by_day = {d: int(n) for d, n in rows_all}
+    series = [
+        by_day.get(d0 + datetime.timedelta(days=i), 0)
+        for i in range((d1 - d0).days + 1)
+    ]
+
+    def rs_avg(w):
+        chunks = [
+            series[i : i + w]
+            for i in range(0, len(series) - w + 1, w)
+        ]
+        chunks = [c for c in chunks if len(c) == w]
+        vals = []
+        for c in chunks:
+            mu = sum(c) / w
+            z, lo, hi, cum = 0.0, 0.0, 0.0, 0.0
+            for v in c:
+                cum += v - mu
+                lo, hi = min(lo, cum), max(hi, cum)
+            r = hi - lo
+            s = (sum(v * v for v in c) / w - mu * mu) ** 0.5
+            vals.append(r / s)
+        return len(chunks), sum(vals) / len(vals)
+
+    got = {r["window_size"]: r for r in QUERIES["hurst_rs_daily"](spark, sf_dir).collect()}
+    import math
+
+    pts = []
+    for w in HURST_WINDOWS:
+        n_chunks, avg = rs_avg(w)
+        assert got[w]["n_chunks"] == n_chunks, w
+        assert abs(got[w]["avg_rs"] - avg) < 1e-4, w
+        pts.append((math.log(w), math.log(avg)))
+    mx = sum(p[0] for p in pts) / len(pts)
+    my = sum(p[1] for p in pts) / len(pts)
+    slope = sum((a - mx) * (b - my) for a, b in pts) / sum(
+        (a - mx) ** 2 for a, b in pts
+    )
+    for w in HURST_WINDOWS:
+        assert abs(got[w]["hurst_exponent"] - slope) < 1e-4
+
+
+def test_knn_hubness_distribution_reconciles(spark, sf_dir):
+    rows = QUERIES["knn_hubness_audit"](spark, sf_dir).collect()
+    from helium_arango_etl_spark.operators.similarity import KNN_K
+
+    n_corpus = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_vectors"] for r in rows) == n_corpus
+    edges = sum(r["in_degree"] * r["n_vectors"] for r in rows)
+    # each vector emits at most K out-links (fewer if its bucket is thin)
+    assert 0 < edges <= KNN_K * n_corpus
