@@ -3880,3 +3880,79 @@ def winsorized_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("raw_mean"),
     )
+
+
+GPD_THRESHOLD_PCT = 90
+
+
+def gpd_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold extreme-value fit: generalized Pareto
+    (shape ξ, scale σ) over order-price exceedances of the exact
+    empirical p90, by probability-weighted moments (Hosking & Wallis
+    1987) — the EVT companion of `gumbel_daily_max` (block maxima need a
+    blocking choice; POT uses every tail observation) and the tail-index
+    sibling of `hill_tail_index` (Hill assumes ξ>0; PWM-GPD estimates
+    its sign, the bounded/unbounded-tail verdict).
+
+    Determinism: cents are exact integers; the threshold is the
+    rank-based lower p90 (integer ceil-division rank, key tie-break);
+    both PWM sums are exact bigints over integer exceedances with
+    integer rank weights (b1's descending (1−F) weights (m−i)/(m(m−1))
+    — the Hosking β₁ estimator — stay integral
+    until ONE division); ξ and σ are one shared double tree.
+
+    Scale shape: NO global single-partition rank — both rankings (the
+    threshold and the exceedance order statistics) use the two-level
+    bucket-carry form (row_number per price bucket + cumulative offsets
+    over the |buckets|-row summary, the balance_deciles discipline);
+    everything else is combiner-folded aggregation.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("c"),
+    )
+
+    def two_level_rank(df, col, key):
+        b = df.withColumn("wb", F.expr(f"{col} div 100000"))
+        w_local = Window.partitionBy("wb").orderBy(F.col(col).asc(), F.col(key).asc())
+        local = b.withColumn("lr", F.row_number().over(w_local))
+        summary = b.groupBy("wb").agg(F.count(F.lit(1)).alias("cnt"))
+        w_carry = Window.orderBy("wb").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = summary.select(
+            "wb", F.coalesce(F.sum("cnt").over(w_carry), F.lit(0)).alias("off")
+        )
+        return local.join(F.broadcast(offsets), "wb").withColumn(
+            "r", F.expr("off + lr")
+        )
+
+    ranked = two_level_rank(o, "c", "o_orderkey")
+    tot = o.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    u = (
+        ranked.join(F.broadcast(tot))
+        .filter(F.expr(f"r = (n * {GPD_THRESHOLD_PCT} + 99) div 100"))
+        .select(F.col("c").alias("u"))
+    )
+    exceed = (
+        o.join(F.broadcast(u))
+        .filter(F.col("c") > F.col("u"))
+        .select("o_orderkey", F.expr("c - u").alias("y"), "u")
+    )
+    ex_ranked = two_level_rank(exceed, "y", "o_orderkey")
+    m_tot = exceed.agg(F.count(F.lit(1)).cast("bigint").alias("m_in"))
+    pwm = ex_ranked.join(F.broadcast(m_tot)).groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.expr("cast(y as decimal(38,0))")).alias("sy"),
+        F.sum(F.expr("cast(y as decimal(38,0)) * (m_in - r)")).alias("t1"),
+    )
+    b0 = "(cast(sy as double) / m)"
+    b1 = "(cast(t1 as double) / (cast(m as double) * (m - 1)))"
+    return pwm.select(
+        F.col("u").alias("u_cents"),
+        F.col("m").alias("n_exceed"),
+        F.round(F.expr(b0), 6).alias("pwm_b0"),
+        F.round(F.expr(b1), 6).alias("pwm_b1"),
+        F.round(F.expr(f"2.0 - {b0} / ({b0} - 2.0 * {b1})"), 6).alias("gpd_shape"),
+        F.round(
+            F.expr(f"2.0 * {b0} * {b1} / ({b0} - 2.0 * {b1})"), 6
+        ).alias("gpd_scale"),
+    )

@@ -2578,3 +2578,155 @@ def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_rs", 6).alias("avg_rs"),
         F.col("h").alias("hurst_exponent"),
     )
+
+
+def fano_factor_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (Fano factor) of daily event counts per type:
+    variance-to-mean ratio of the zero-filled day series — the quick
+    over/under-dispersion triage that decides whether a Poisson rate
+    model is even admissible (Fano ≈ 1) or the negative-binomial
+    machinery (`negbin_fit_orders`) is needed (Fano > 1; clustered
+    arrivals), completing the count-model shelf.
+
+    Determinism: daily counts are exact integers on the shared
+    zero-filled spine; population variance is exact integer arithmetic
+    (n·Σx² − (Σx)²); ONE double division per group at the surface.
+
+    Scale shape: one fact scan folds to (type, day) counts
+    (combiner-folded); everything after runs on |types| × |days| rows.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("x"))
+    bounds = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+    )
+    types = ev.select("event_type").distinct()
+    dense = (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "d"], "left")
+        .select("event_type", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    mom = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("ss"),
+    )
+    return mom.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(F.expr("s / cast(n as double)"), 6).alias("mean_daily"),
+        F.round(
+            F.expr("(n * ss - s * s) / (cast(n as double) * n)"), 6
+        ).alias("var_daily"),
+        F.round(
+            F.expr("((n * ss - s * s) / (cast(n as double) * n)) / (s / cast(n as double))"),
+            6,
+        ).alias("fano_factor"),
+        F.expr(
+            "CASE WHEN (n * ss - s * s) / (cast(n as double) * n) / (s / cast(n as double)) > 1.5 THEN 'overdispersed'"
+            "     WHEN (n * ss - s * s) / (cast(n as double) * n) / (s / cast(n as double)) < 0.67 THEN 'underdispersed'"
+            "     ELSE 'poisson_like' END"
+        ).alias("dispersion_class"),
+    )
+
+
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score for the price→
+    urgency pseudo-probability that `calibration_bins` audits:
+    Brier = reliability − resolution + uncertainty (+ a within-bin
+    variance residual, since the binned decomposition replaces each
+    forecast by its bin mean).  Reliability isolates miscalibration
+    (what recalibration can fix), resolution the score's actual
+    discriminative information (what it cannot), uncertainty the
+    irreducible base-rate entropy — the diagnosis that says WHY a Brier
+    score is bad, where the raw score only says THAT it is.
+
+    Determinism: p̂ = (rank−1)/(n−1) is an exact integer rational
+    (min-rank ties, the calibration_bins convention); the global Brier
+    moments are exact bigints over denominator (n−1)²; per-bin
+    reliability/resolution terms are micro-quantized before the ≤10-row
+    cross-bin sum (module discipline).
+
+    Scale shape: the same one rank window over score values as
+    calibration_bins (prefix-sum shaped at scale), one 10-group and one
+    1-row aggregate; output is one row.
+    """
+    from pyspark.sql import Window
+
+    s = read_table(spark, sf_dir, "orders").select(
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+        F.expr("if(o_orderpriority = '1-URGENT', 1L, 0L)").alias("pos"),
+    )
+    n = s.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = (
+        s.withColumn("rk", F.rank().over(Window.orderBy("cents")).cast("bigint"))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "bin",
+            F.expr(f"least({CALIB_BINS - 1}L, ({CALIB_BINS} * (rk - 1)) div (n - 1))"),
+        )
+    )
+    glob = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum("pos").cast("bigint").alias("o"),
+        F.sum(F.expr("cast(rk - 1 as decimal(38,0)) * (rk - 1)")).alias("spp"),
+        F.sum(F.expr("cast(rk - 1 as decimal(38,0)) * pos")).alias("spo"),
+    )
+    bins = ranked.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("pos").cast("bigint").alias("o_b"),
+        F.sum(F.expr("cast(rk - 1 as decimal(38,0))")).alias("s_b"),
+        F.max("n").alias("n"),
+    )
+    # per-bin doubles are pure functions of exact integers — identical in
+    # both engines; micro-quantize BEFORE the cross-bin sum
+    pb = "(cast(s_b as double) / ((n - 1) * cast(n_b as double)))"
+    ob = "(o_b / cast(n_b as double))"
+    comp = bins.crossJoin(F.broadcast(glob.select(F.col("o").alias("o_all")))).agg(
+        F.sum(
+            F.expr(
+                f"cast(round(n_b * ({pb} - {ob}) * ({pb} - {ob}) * 1e6) as bigint)"
+            )
+        ).alias("rel_micro"),
+        F.sum(
+            F.expr(
+                f"cast(round(n_b * ({ob} - o_all / (cast(n as double) * 1.0))"
+                f" * ({ob} - o_all / (cast(n as double) * 1.0)) * 1e6) as bigint)"
+            )
+        ).alias("res_micro"),
+    )
+    return (
+        glob.crossJoin(F.broadcast(comp))
+        .select(
+            F.col("n").alias("n_obs"),
+            F.round(
+                F.expr(
+                    "(cast(spp as double) / ((n - 1) * cast(n - 1 as double))"
+                    " - 2.0 * cast(spo as double) / (n - 1) + o)"
+                    " / cast(n as double)"
+                ),
+                6,
+            ).alias("brier_score"),
+            F.round(F.expr("rel_micro / 1e6 / cast(n as double)"), 6).alias(
+                "reliability"
+            ),
+            F.round(F.expr("res_micro / 1e6 / cast(n as double)"), 6).alias(
+                "resolution"
+            ),
+            F.round(
+                F.expr(
+                    "(o / cast(n as double)) * (1.0 - o / cast(n as double))"
+                ),
+                6,
+            ).alias("uncertainty"),
+        )
+        .withColumn(
+            "decomp_residual",
+            F.round(
+                F.expr("brier_score - (reliability - resolution + uncertainty)"), 6
+            ),
+        )
+    )

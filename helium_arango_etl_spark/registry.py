@@ -3065,6 +3065,132 @@ ORACLE["hurst_rs_daily"] = f"""
 
 QUERIES["knn_hubness_audit"] = S.knn_hubness_audit
 
+# round-6 batch 4: count dispersion + EVT tail fit
+QUERIES["fano_factor_daily"] = RG.fano_factor_daily
+_FANO = "((n * ss - s * s) / (CAST(n AS DOUBLE) * n)) / (s / CAST(n AS DOUBLE))"
+ORACLE["fano_factor_daily"] = f"""
+        WITH ev AS (
+          SELECT event_type, CAST(ts AS DATE) AS d FROM events
+        ), daily AS (
+          SELECT event_type, d, CAST(count(*) AS BIGINT) AS x
+          FROM ev GROUP BY event_type, d
+        ), b AS (
+          SELECT min(d) AS d0, max(d) AS d1 FROM ev
+        ), spine AS (
+          SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+          FROM b
+        ), types AS (
+          SELECT DISTINCT event_type FROM ev
+        ), dense AS (
+          SELECT t.event_type, coalesce(x, 0) AS x
+          FROM types t CROSS JOIN spine s
+          LEFT JOIN daily dd ON dd.event_type = t.event_type AND dd.d = s.d
+        ), mom AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS s,
+                 CAST(sum(x * x) AS BIGINT) AS ss
+          FROM dense GROUP BY event_type
+        )
+        SELECT event_type, n AS n_days,
+               round(s / CAST(n AS DOUBLE), 6) AS mean_daily,
+               round((n * ss - s * s) / (CAST(n AS DOUBLE) * n), 6) AS var_daily,
+               round({_FANO}, 6) AS fano_factor,
+               CASE WHEN {_FANO} > 1.5 THEN 'overdispersed'
+                    WHEN {_FANO} < 0.67 THEN 'underdispersed'
+                    ELSE 'poisson_like' END AS dispersion_class
+        FROM mom
+    """
+
+QUERIES["gpd_tail_fit"] = ML.gpd_tail_fit
+_GPD_B0 = "(CAST(sy AS DOUBLE) / m)"
+_GPD_B1 = "(CAST(t1 AS DOUBLE) / (CAST(m AS DOUBLE) * (m - 1)))"
+ORACLE["gpd_tail_fit"] = f"""
+        WITH o AS (
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders
+        ), r AS (
+          SELECT c, row_number() OVER (ORDER BY c, o_orderkey) AS r,
+                 count(*) OVER () AS n
+          FROM o
+        ), u AS (
+          SELECT c AS u FROM r
+          WHERE r = (n * {ML.GPD_THRESHOLD_PCT} + 99) // 100
+        ), e AS (
+          SELECT o_orderkey, c - u AS y, u FROM o, u WHERE c > u
+        ), er AS (
+          SELECT u, y, row_number() OVER (ORDER BY y, o_orderkey) AS r,
+                 count(*) OVER () AS m_in
+          FROM e
+        ), pwm AS (
+          SELECT u, CAST(count(*) AS BIGINT) AS m,
+                 sum(y) AS sy, sum(y * (m_in - r)) AS t1
+          FROM er GROUP BY u
+        )
+        SELECT u AS u_cents, m AS n_exceed,
+               round({_GPD_B0}, 6) AS pwm_b0,
+               round({_GPD_B1}, 6) AS pwm_b1,
+               round(2.0 - {_GPD_B0} / ({_GPD_B0} - 2.0 * {_GPD_B1}), 6)
+                   AS gpd_shape,
+               round(2.0 * {_GPD_B0} * {_GPD_B1}
+                     / ({_GPD_B0} - 2.0 * {_GPD_B1}), 6) AS gpd_scale
+        FROM pwm
+    """
+
+
+QUERIES["brier_decomposition"] = RG.brier_decomposition
+_BR_PB = "(CAST(s_b AS DOUBLE) / ((n - 1) * CAST(n_b AS DOUBLE)))"
+_BR_OB = "(o_b / CAST(n_b AS DOUBLE))"
+ORACLE["brier_decomposition"] = f"""
+        WITH s AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+          FROM orders
+        ), n_t AS (
+          SELECT CAST(count(*) AS BIGINT) AS n FROM s
+        ), r0 AS (
+          SELECT pos, CAST(rank() OVER (ORDER BY cents) AS BIGINT) AS rk FROM s
+        ), ranked AS (
+          SELECT pos, rk, n,
+                 least({RG.CALIB_BINS - 1},
+                       ({RG.CALIB_BINS} * (rk - 1)) // (n - 1)) AS bin
+          FROM r0, n_t
+        ), gstats AS (
+          SELECT max(n) AS n, CAST(sum(pos) AS BIGINT) AS o,
+                 sum((rk - 1) * (rk - 1)) AS spp,
+                 sum((rk - 1) * pos) AS spo
+          FROM ranked
+        ), bins AS (
+          SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+                 CAST(sum(pos) AS BIGINT) AS o_b,
+                 sum(rk - 1) AS s_b, max(n) AS n
+          FROM ranked GROUP BY bin
+        ), comp AS (
+          SELECT
+            CAST(sum(CAST(round(n_b * ({_BR_PB} - {_BR_OB})
+                 * ({_BR_PB} - {_BR_OB}) * 1e6) AS BIGINT)) AS BIGINT)
+                AS rel_micro,
+            CAST(sum(CAST(round(n_b
+                 * ({_BR_OB} - o_all / (CAST(n AS DOUBLE) * 1.0))
+                 * ({_BR_OB} - o_all / (CAST(n AS DOUBLE) * 1.0))
+                 * 1e6) AS BIGINT)) AS BIGINT) AS res_micro
+          FROM bins, (SELECT o AS o_all FROM gstats)
+        ), core AS (
+          SELECT n AS n_obs,
+                 round((CAST(spp AS DOUBLE) / ((n - 1) * CAST(n - 1 AS DOUBLE))
+                        - 2.0 * CAST(spo AS DOUBLE) / (n - 1) + o)
+                       / CAST(n AS DOUBLE), 6) AS brier_score,
+                 round(rel_micro / 1e6 / CAST(n AS DOUBLE), 6) AS reliability,
+                 round(res_micro / 1e6 / CAST(n AS DOUBLE), 6) AS resolution,
+                 round((o / CAST(n AS DOUBLE))
+                       * (1.0 - o / CAST(n AS DOUBLE)), 6) AS uncertainty
+          FROM gstats, comp
+        )
+        SELECT *, round(brier_score
+                        - (reliability - resolution + uncertainty), 6)
+                   AS decomp_residual
+        FROM core
+    """
+
 
 # ---------- driver-window ordering (round 6 rotation) ----------
 #

@@ -278,3 +278,99 @@ def test_knn_hubness_distribution_reconciles(spark, sf_dir):
     edges = sum(r["in_degree"] * r["n_vectors"] for r in rows)
     # each vector emits at most K out-links (fewer if its bucket is thin)
     assert 0 < edges <= KNN_K * n_corpus
+
+
+def test_fano_factor_matches_numpy(spark, sf_dir):
+    rows = QUERIES["fano_factor_daily"](spark, sf_dir).collect()
+    raw = duckdb.sql(
+        f"""SELECT event_type, CAST(ts AS DATE) d, count(*) n
+            FROM '{sf_dir}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    import datetime
+
+    d0 = min(r[1] for r in raw)
+    d1 = max(r[1] for r in raw)
+    n_days = (d1 - d0).days + 1
+    per: dict[str, dict] = {}
+    for t, d, n in raw:
+        per.setdefault(t, {})[d] = int(n)
+    for r in rows:
+        series = np.array(
+            [
+                per[r["event_type"]].get(d0 + datetime.timedelta(days=i), 0)
+                for i in range(n_days)
+            ],
+            dtype=float,
+        )
+        assert r["n_days"] == n_days
+        assert abs(r["mean_daily"] - series.mean()) < 1e-6
+        assert abs(r["var_daily"] - series.var()) < 1e-4
+        fano = series.var() / series.mean()
+        assert abs(r["fano_factor"] - fano) < 1e-4
+        expected_class = (
+            "overdispersed"
+            if fano > 1.5
+            else "underdispersed" if fano < 0.67 else "poisson_like"
+        )
+        assert r["dispersion_class"] == expected_class
+
+
+def test_gpd_tail_fit_matches_pure_python(spark, sf_dir):
+    cents = [
+        int(c)
+        for (c,) in duckdb.sql(
+            f"""SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                FROM '{sf_dir}/orders.parquet'"""
+        ).fetchall()
+    ]
+    cs = sorted(cents)
+    n = len(cs)
+    u = cs[-(-n * 90 // 100) - 1]
+    y = sorted(c - u for c in cs if c > u)
+    m = len(y)
+    b0 = sum(y) / m
+    b1 = sum(v * (m - 1 - i) for i, v in enumerate(y)) / (m * (m - 1))
+    xi = 2.0 - b0 / (b0 - 2.0 * b1)
+    sigma = 2.0 * b0 * b1 / (b0 - 2.0 * b1)
+
+    row = QUERIES["gpd_tail_fit"](spark, sf_dir).collect()[0]
+    assert row["u_cents"] == u and row["n_exceed"] == m
+    assert abs(row["pwm_b0"] - b0) < 1e-4 * max(1.0, b0)
+    assert abs(row["pwm_b1"] - b1) < 1e-4 * max(1.0, b1)
+    assert abs(row["gpd_shape"] - xi) < 1e-4
+    assert abs(row["gpd_scale"] - sigma) < 1e-3 * max(1.0, sigma)
+    # a price tail is bounded-ish: scale positive, shape below 1
+    assert row["gpd_scale"] > 0 and row["gpd_shape"] < 1.0
+
+
+def test_brier_decomposition_reconciles(spark, sf_dir):
+    """Murphy decomposition must reconcile: brier ≈ rel − res + unc +
+    residual (exact by construction of the residual column), components
+    non-negative, and brier must match a direct numpy recompute of
+    mean (p̂ − o)² with p̂ = (rank−1)/(n−1) min-rank percentiles."""
+    row = QUERIES["brier_decomposition"](spark, sf_dir).collect()[0]
+    assert row["reliability"] >= 0 and row["resolution"] >= 0
+    assert 0 <= row["uncertainty"] <= 0.25
+    lhs = row["brier_score"]
+    rhs = row["reliability"] - row["resolution"] + row["uncertainty"] + row[
+        "decomp_residual"
+    ]
+    assert abs(lhs - rhs) < 2e-6
+
+    vals = duckdb.sql(
+        f"""SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+            FROM '{sf_dir}/orders.parquet'"""
+    ).fetchall()
+    import bisect
+
+    cs = sorted(c for c, _ in vals)
+    n = len(cs)
+    brier = 0.0
+    for c, pos in vals:
+        rk = bisect.bisect_left(cs, c) + 1  # min-rank of the tie group
+        p = (rk - 1) / (n - 1)
+        brier += (p - pos) ** 2
+    brier /= n
+    assert abs(row["brier_score"] - brier) < 1e-5
+    assert row["n_obs"] == n
