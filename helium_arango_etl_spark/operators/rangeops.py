@@ -2730,3 +2730,84 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+DTW_INF = 9_000_000_000_000_000
+
+
+def dtw_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between the daily CLICK and PURCHASE
+    count series — the alignment-tolerant series distance (a purchase
+    wave lagging its click wave by a shifting 1–3 days still matches,
+    where Euclidean/correlation at fixed lags penalize every shift
+    change).  Complements `xcorr_purchase_click` (best single lag) and
+    `granger_lag1_daily` (fixed-lag predictivity) with the elastic
+    alignment the pair actually exhibits.
+
+    Spark-first trick: the DTW recurrence D(i,j) = c + min(left, up,
+    diag) looks inherently sequential, but cells on one ANTI-DIAGONAL
+    i+j=k depend only on diagonals k−1 and k−2 — so the whole DP is ONE
+    `aggregate(sequence(2, 2n), …)` higher-order fold carrying two
+    arrays, each diagonal computed by a dependency-free `transform`
+    (the markov_attribution single-expression-iteration idiom).  A
+    virtual D(0,0)=0 cell seeds the recurrence so no special-casing.
+
+    Determinism: costs |a_i − b_j| and every DP cell are exact bigints
+    (invalid cells pinned to the DTW_INF sentinel, never accumulated);
+    the distance is exact; one double division for the per-step rate.
+
+    Scale shape: the day rollup is the only data-sized stage; the fold
+    runs on ONE row carrying two (n+1)-arrays — O(n²) lambda steps over
+    a ≤366-point series, all inside codegen.  (For cross-WAVEFORM DTW at
+    scale the same fold runs per key inside a grouped aggregate.)
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "event_type"
+    )
+    daily = ev.groupBy("d").agg(
+        F.sum(F.expr("if(event_type = 'click', 1L, 0L)")).alias("clk"),
+        F.sum(F.expr("if(event_type = 'purchase', 1L, 0L)")).alias("buy"),
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+    )
+    grid = spine.join(daily, "d", "left").select(
+        "d",
+        F.coalesce("clk", F.lit(0)).alias("clk"),
+        F.coalesce("buy", F.lit(0)).alias("buy"),
+    )
+    packed = grid.agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(d, clk))), s -> s.clk)"
+        ).alias("va"),
+        F.expr(
+            "transform(sort_array(collect_list(struct(d, buy))), s -> s.buy)"
+        ).alias("vb"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+    )
+    inf = DTW_INF
+    new_diag = (
+        "transform(sequence(0, n), i -> "
+        "IF(i >= greatest(1, k - n) AND i <= least(n, k - 1), "
+        "abs(element_at(va, i) - element_at(vb, k - i)) + least("
+        "element_at(acc.prev, i), "
+        "element_at(acc.prev, i + 1), "
+        "element_at(acc.pp, i)), "
+        f"{inf}L))"
+    )
+    fold = (
+        "aggregate(sequence(2, 2 * n), "
+        "named_struct("
+        f"'prev', transform(sequence(0, n), i -> {inf}L), "
+        f"'pp', transform(sequence(0, n), i -> IF(i = 0, 0L, {inf}L))), "
+        f"(acc, k) -> named_struct('prev', {new_diag}, 'pp', acc.prev), "
+        "acc -> element_at(acc.prev, n + 1))"
+    )
+    return packed.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr(fold).alias("dtw_distance"),
+        F.round(
+            F.expr(f"({fold}) / cast(2 * n - 1 as double)"), 6
+        ).alias("dtw_per_step"),
+    )

@@ -2109,3 +2109,80 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("peak_concurrency"),
         )
     )
+
+
+RFM_TIERS = 5
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation rollup: score every user's purchase Recency /
+    Frequency / Monetary value into quintile tiers and report each
+    (r, f, m) cell's population and averages — the classic CRM
+    segmentation grid ("champions" = 5-5-5, "at risk" = 1-4+-4+, …) that
+    mixture/retention work keeps reaching for and no existing query
+    exposes.
+
+    Determinism: recency is exact integer micros to the corpus max
+    timestamp; frequency an exact count; monetary exact cents; each
+    dimension's tier is ntile-equivalent EXACT integer arithmetic
+    (tier = n_tiers·(rank−1) div n + 1) over a (metric, user_id)-keyed
+    rank, so ties split identically in both engines.
+
+    Scale shape: one fact scan folds to per-user (r, f, m) — combiner
+    friendly; the three rank windows run over |users| rows (two-level
+    bucket-carry at 100 TB, same note as the other global ranks); the
+    grid rollup is ≤ n_tiers³ rows.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    anchor = ev.agg(F.unix_micros(F.max("ts")).alias("t_max"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.unix_micros(F.max("ts")).alias("t_last"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.expr("cast(floor(value * 100) as bigint)"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            (F.col("t_max") - F.col("t_last")).alias("recency_us"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    n = per_user.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    scored = per_user.crossJoin(F.broadcast(n))
+    # lower recency = better → rank recency DESCENDING so tier 5 = freshest
+    for order, alias in [
+        (F.col("recency_us").desc(), "r_tier"),
+        (F.col("frequency").asc(), "f_tier"),
+        (F.col("monetary_cents").asc(), "m_tier"),
+    ]:
+        w = Window.orderBy(order, F.col("user_id").asc())
+        scored = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .withColumn(
+                alias, F.expr(f"cast({RFM_TIERS} * (_rk - 1) div n + 1 as int)")
+            )
+            .drop("_rk")
+        )
+    return scored.groupBy("r_tier", "f_tier", "m_tier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(
+            F.sum("recency_us").cast("double")
+            / F.count(F.lit(1))
+            / 86400000000.0,
+            6,
+        ).alias("avg_recency_days"),
+        F.round(
+            F.sum("frequency").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_frequency"),
+        F.round(
+            F.sum("monetary_cents").cast("double") / F.count(F.lit(1)) / 100.0,
+            6,
+        ).alias("avg_monetary"),
+    )

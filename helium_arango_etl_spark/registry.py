@@ -3192,6 +3192,100 @@ ORACLE["brier_decomposition"] = f"""
     """
 
 
+QUERIES["rfm_segmentation"] = TP.rfm_segmentation
+ORACLE["rfm_segmentation"] = f"""
+        WITH ev AS (
+          SELECT user_id, ts, CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'
+        ), anchor AS (
+          SELECT epoch_us(max(ts)) AS t_max FROM ev
+        ), per_user AS (
+          SELECT user_id,
+                 t_max - epoch_us(max(ts)) AS recency_us,
+                 CAST(count(*) AS BIGINT) AS frequency,
+                 CAST(sum(cents) AS BIGINT) AS monetary_cents
+          FROM ev, anchor GROUP BY user_id, t_max
+        ), n_t AS (
+          SELECT CAST(count(*) AS BIGINT) AS n FROM per_user
+        ), scored AS (
+          SELECT user_id, recency_us, frequency, monetary_cents,
+                 CAST({TP.RFM_TIERS} * (row_number() OVER (
+                     ORDER BY recency_us DESC, user_id ASC) - 1) // n + 1
+                   AS INT) AS r_tier,
+                 CAST({TP.RFM_TIERS} * (row_number() OVER (
+                     ORDER BY frequency ASC, user_id ASC) - 1) // n + 1
+                   AS INT) AS f_tier,
+                 CAST({TP.RFM_TIERS} * (row_number() OVER (
+                     ORDER BY monetary_cents ASC, user_id ASC) - 1) // n + 1
+                   AS INT) AS m_tier
+          FROM per_user, n_t
+        )
+        SELECT r_tier, f_tier, m_tier,
+               CAST(count(*) AS BIGINT) AS n_users,
+               round(CAST(sum(recency_us) AS DOUBLE) / count(*)
+                     / 86400000000.0, 6) AS avg_recency_days,
+               round(CAST(sum(frequency) AS DOUBLE) / count(*), 6)
+                   AS avg_frequency,
+               round(CAST(sum(monetary_cents) AS DOUBLE) / count(*) / 100.0, 6)
+                   AS avg_monetary
+        FROM scored GROUP BY r_tier, f_tier, m_tier
+    """
+
+
+QUERIES["dtw_daily_series"] = RG.dtw_daily_series
+# the recursive CTE walks the SAME anti-diagonal recurrence: iteration k
+# holds diagonals k (prev) and k-1 (pp); each new diagonal is a
+# dependency-free list_transform, exactly mirroring the Spark fold
+ORACLE["dtw_daily_series"] = f"""
+        WITH RECURSIVE daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS clk,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS buy
+          FROM events GROUP BY CAST(ts AS DATE)
+        ), bnd AS (
+          SELECT min(d) AS d0, max(d) AS d1 FROM daily
+        ), spine AS (
+          SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+          FROM bnd
+        ), grid AS (
+          SELECT s.d, coalesce(clk, 0) AS clk, coalesce(buy, 0) AS buy
+          FROM spine s LEFT JOIN daily USING (d)
+        ), packed AS (
+          SELECT list(clk ORDER BY d) AS va,
+                 list(buy ORDER BY d) AS vb,
+                 CAST(count(*) AS INT) AS n
+          FROM grid
+        ), state(k, prev, pp) AS (
+          SELECT 1,
+                 list_transform(range(0, n + 1),
+                                i -> CAST({RG.DTW_INF} AS BIGINT)),
+                 list_transform(range(0, n + 1),
+                                i -> CAST(CASE WHEN i = 0 THEN 0
+                                          ELSE {RG.DTW_INF} END AS BIGINT))
+          FROM packed
+          UNION ALL
+          SELECT k + 1,
+                 list_transform(range(0, n + 1), i ->
+                   CAST(CASE WHEN i >= greatest(1, k + 1 - n)
+                              AND i <= least(n, k + 1 - 1)
+                        THEN abs(va[CAST(i AS INT)]
+                                 - vb[CAST(k + 1 - i AS INT)])
+                             + least(prev[CAST(i AS INT)],
+                                     prev[CAST(i + 1 AS INT)],
+                                     pp[CAST(i AS INT)])
+                        ELSE {RG.DTW_INF} END AS BIGINT)),
+                 prev
+          FROM state, packed WHERE k < 2 * n
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               prev[n + 1] AS dtw_distance,
+               round(prev[n + 1] / CAST(2 * n - 1 AS DOUBLE), 6) AS dtw_per_step
+        FROM state, packed WHERE k = 2 * n
+    """
+
+
 # ---------- driver-window ordering (round 6 rotation) ----------
 #
 # The driver's CORRECTNESS gate certifies the first 50 insertion-order
@@ -3208,9 +3302,15 @@ ORACLE["brier_decomposition"] = f"""
 # (e) 16 of the oldest still-never-certified deferrals, streaming twins
 #     first (decayed_engagement_daily, watermark_late_audit,
 #     incremental_agg_merge).
-# ~113 oracled queries remain never-certified after this round — listed
-# in the rotation backlog note below; all green under the local parity
-# mirror at sf0.001 AND the driver-contract emulation at sf0.01.
+# ~113 oracled queries remain never-certified after this round (plus the
+# round-6 session additions registered after this window was frozen:
+# peak_concurrency, granger_lag1_daily, brown_forsythe_levene,
+# compaction_shards, yule_k, winsorized_mean_by_type, hurst_rs_daily,
+# knn_hubness_audit, fano_factor_daily, gpd_tail_fit,
+# brier_decomposition, rfm_segmentation, dtw_daily_series — rotate these
+# in round 7); all green under the
+# local parity mirror at sf0.001 AND the driver-contract emulation at
+# sf0.01 (each batch checked at both SFs pre-commit).
 _DRIVER_WINDOW = [
     # (a) benched but never certified
     "city_bfs_layers",

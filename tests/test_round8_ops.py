@@ -374,3 +374,59 @@ def test_brier_decomposition_reconciles(spark, sf_dir):
     brier /= n
     assert abs(row["brier_score"] - brier) < 1e-5
     assert row["n_obs"] == n
+
+
+def test_dtw_matches_pure_python(spark, sf_dir):
+    """The anti-diagonal fold must equal the textbook row-by-row DTW DP."""
+    buy, clk = _daily_counts(sf_dir)
+    a = [int(v) for v in clk]
+    b = [int(v) for v in buy]
+    n = len(a)
+    INF = float("inf")
+    D = [[INF] * (n + 1) for _ in range(n + 1)]
+    D[0][0] = 0
+    for i in range(1, n + 1):
+        for j in range(1, n + 1):
+            c = abs(a[i - 1] - b[j - 1])
+            D[i][j] = c + min(D[i - 1][j], D[i][j - 1], D[i - 1][j - 1])
+    row = QUERIES["dtw_daily_series"](spark, sf_dir).collect()[0]
+    assert row["n_days"] == n
+    assert row["dtw_distance"] == D[n][n]
+    assert abs(row["dtw_per_step"] - D[n][n] / (2 * n - 1)) < 1e-6
+
+
+def test_rfm_segmentation_invariants(spark, sf_dir):
+    """Tier populations must be balanced quintiles per dimension, cells
+    must partition the purchasing-user population, and tier averages
+    must be monotone in the tier along each marginal."""
+    from helium_arango_etl_spark.operators.temporal import RFM_TIERS
+
+    rows = QUERIES["rfm_segmentation"](spark, sf_dir).collect()
+    n_users = duckdb.sql(
+        f"""SELECT count(DISTINCT user_id) FROM '{sf_dir}/events.parquet'
+            WHERE event_type = 'purchase'"""
+    ).fetchone()[0]
+    assert sum(r["n_users"] for r in rows) == n_users
+
+    for dim, avg_col, increasing in [
+        ("r_tier", "avg_recency_days", False),  # higher tier = fresher
+        ("f_tier", "avg_frequency", True),
+        ("m_tier", "avg_monetary", True),
+    ]:
+        marg: dict[int, list] = {}
+        for r in rows:
+            marg.setdefault(r[dim], []).append(r)
+        # quintile balance: ntile-exact arithmetic splits |n/5| +- 1
+        sizes = {t: sum(r["n_users"] for r in rs) for t, rs in marg.items()}
+        assert set(sizes) == set(range(1, RFM_TIERS + 1))
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        # weighted marginal means are monotone in the tier
+        means = {
+            t: sum(r[avg_col] * r["n_users"] for r in rs)
+            / sum(r["n_users"] for r in rs)
+            for t, rs in marg.items()
+        }
+        seq = [means[t] for t in sorted(means)]
+        if not increasing:
+            seq = seq[::-1]
+        assert all(x <= y + 1e-9 for x, y in zip(seq, seq[1:])), (dim, seq)
