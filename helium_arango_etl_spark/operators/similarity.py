@@ -1887,3 +1887,151 @@ def knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_vectors") > 0)
     )
     return dist.unionByName(zero)
+
+
+def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External cluster-quality audit of the fitted k-means clustering
+    against the ground-truth labels: per cluster, the majority label's
+    share (purity) — the label-supervised complement of
+    `simplified_silhouette` (geometry-only): silhouette says the
+    clusters are tight, purity says they mean something.  The quality
+    gate before `semantic_dedup`'s clusters are trusted to group
+    same-topic documents.
+
+    Determinism: assignment reads the session-cached quantized Lloyd
+    centroids (the shared fit); majority is argmax count with label
+    tie-break; purity is one division over exact counts.
+
+    Scale shape: one broadcast-centroid assignment pass over the shared
+    embedding table, a (cluster, label) keyed count, and an argmax
+    window over |clusters|·|labels| rows.
+    """
+    from pyspark.sql import Window
+
+    emb = embedding_table(spark, sf_dir)
+    cent = kmeans_fit_cached(spark, sf_dir)
+    assigned = _kmeans_assign(emb, cent).select("vec_id", "centroid_id")
+    lab = assigned.join(emb.select("vec_id", "label"), "vec_id")
+    counts = lab.groupBy("centroid_id", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    top = counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    sizes = counts.groupBy("centroid_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_vectors")
+    )
+    return (
+        top.join(sizes, "centroid_id")
+        .select(
+            "centroid_id",
+            "n_vectors",
+            F.col("label").alias("majority_label"),
+            F.col("cnt").alias("n_majority"),
+            F.round(F.expr("cnt / cast(n_vectors as double)"), 6).alias("purity"),
+        )
+    )
+
+
+IVF_SWEEP_PROBES = [1, 2, 4, 8]
+
+
+def ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-cost curve of the IVF index across query probe depths:
+    for nprobe ∈ IVF_SWEEP_PROBES, the mean recall@BATCH_K (against the
+    exact brute-force top-K) and the mean candidate count over the
+    NUM_QUERIES query block — THE operating-point table an ANN deployment
+    is tuned from (pick the smallest nprobe whose recall clears the
+    product bar).  Generalizes `ann_recall_audit` (one operating point,
+    hyperplane buckets) to the inverted-file family's dial.
+
+    Determinism: centroids are the training-free seed vectors; every
+    ranking orders by micro-exact dot/cosine with id tie-breaks; recall
+    and candidate means are exact integer ratios, one division each.
+
+    Scale shape: corpus→centroid assignment is the shared broadcast
+    pass (single-assignment lists); per-(query, vector) candidacy
+    carries the ONE matching probe rank, so the sweep explode costs
+    |candidates|·|probes rows ≥ rank| — bounded by the deepest probe,
+    not probes × corpus; all rankings window on (q_id, nprobe).
+    """
+    from pyspark.sql import Window
+
+    emb = embedding_table(spark, sf_dir)
+    corpus = _with_centroid_assignment(emb).filter(
+        F.col("probe_rank") == 1
+    ).select("vec_id", "v64", "nv", "centroid_id")
+    seeds = emb.filter(F.col("vec_id") < NUM_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v64").alias("cv")
+    )
+    q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v64").alias("va"), F.col("nv").alias("na")
+    )
+    qdot = (
+        "aggregate(zip_with(va, cv, (x, y) -> x * y),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("qd").desc(), F.col("centroid_id").asc())
+    q_cent = (
+        q.join(F.broadcast(seeds))
+        .withColumn("qd", F.expr(qdot))
+        .withColumn("rc", F.row_number().over(wq))
+        .filter(F.col("rc") <= max(IVF_SWEEP_PROBES))
+        .select("q_id", "va", "na", "centroid_id", "rc")
+    )
+    # exact yardstick: brute-force top-K per query
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        corpus.select("vec_id", F.col("v64").alias("vb"), F.col("nv").alias("nb"))
+        .join(F.broadcast(q))
+        .select("q_id", "vec_id", F.expr(COSINE).alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= BATCH_K)
+        .select("q_id", "vec_id")
+    )
+    # each corpus vector matches a query under exactly ONE probe rank
+    cand = corpus.select(
+        "vec_id", F.col("v64").alias("vb"), F.col("nv").alias("nb"), "centroid_id"
+    ).join(F.broadcast(q_cent), "centroid_id")
+    probes = F.array(*[F.lit(p) for p in IVF_SWEEP_PROBES])
+    swept = cand.select(
+        "q_id",
+        "vec_id",
+        F.expr(COSINE).alias("cosine_sim"),
+        F.explode(F.filter(probes, lambda p: p >= F.col("rc"))).alias("nprobe"),
+    )
+    wn = Window.partitionBy("q_id", "nprobe").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    topk = (
+        swept.withColumn("rank", F.row_number().over(wn))
+        .filter(F.col("rank") <= BATCH_K)
+        .select("q_id", "nprobe", "vec_id")
+    )
+    hits = (
+        topk.join(F.broadcast(exact), ["q_id", "vec_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    n_cand = swept.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    return (
+        n_cand.join(hits, "nprobe", "left")
+        .select(
+            F.col("nprobe").cast("bigint").alias("nprobe"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            "n_candidates",
+            F.round(
+                F.coalesce("n_hits", F.lit(0))
+                / F.lit(float(NUM_QUERIES * BATCH_K)),
+                6,
+            ).alias("mean_recall"),
+            F.round(
+                F.col("n_candidates") / F.lit(float(NUM_QUERIES)), 6
+            ).alias("avg_candidates"),
+        )
+    )

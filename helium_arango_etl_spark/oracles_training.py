@@ -811,6 +811,51 @@ def _kmeans_sql() -> str:
 
 ORACLE_TRAINING["kmeans_centroids"] = _kmeans_sql()
 
+
+def _cluster_purity_sql() -> str:
+    """Same unrolled quantized Lloyd fit as kmeans_centroids, then a
+    (cluster, label) majority-share rollup (mirrors
+    similarity.cluster_purity)."""
+    parts = [
+        f"""
+        WITH emb AS (
+          SELECT vec_id, {_CAST64} AS v FROM embeddings
+        ), labels AS (
+          SELECT vec_id, label FROM embeddings
+        ), c0 AS (
+          SELECT vec_id AS centroid_id, list_transform(v, x -> round(x, 6)) AS cv
+          FROM emb WHERE vec_id < {NUM_CENTROIDS}
+        )"""
+    ]
+    for it in range(KMEANS_ITERS):
+        parts.append(_km_assign("emb", f"c{it}", f"a{it + 1}"))
+        parts.append(_km_update(f"a{it + 1}", f"c{it}", f"c{it + 1}"))
+    parts.append(_km_assign("emb", f"c{KMEANS_ITERS}", "afinal"))
+    parts.append("""
+        , counts AS (
+          SELECT a.centroid_id, l.label, CAST(count(*) AS BIGINT) AS cnt
+          FROM afinal a JOIN labels l USING (vec_id)
+          GROUP BY a.centroid_id, l.label
+        ), top AS (
+          SELECT centroid_id, label, cnt FROM (
+            SELECT *, row_number() OVER (PARTITION BY centroid_id
+                          ORDER BY cnt DESC, label ASC) AS rk
+            FROM counts
+          ) WHERE rk = 1
+        ), sizes AS (
+          SELECT centroid_id, CAST(sum(cnt) AS BIGINT) AS n_vectors
+          FROM counts GROUP BY centroid_id
+        )
+        SELECT t.centroid_id, s.n_vectors, t.label AS majority_label,
+               t.cnt AS n_majority,
+               round(t.cnt / CAST(s.n_vectors AS DOUBLE), 6) AS purity
+        FROM top t JOIN sizes s USING (centroid_id)
+    """)
+    return "".join(parts)
+
+
+ORACLE_TRAINING["cluster_purity"] = _cluster_purity_sql()
+
 # ---------- text hygiene + per-source cap ----------
 
 from .operators.pipeline import PER_SOURCE_CAP  # noqa: E402
@@ -4010,6 +4055,88 @@ ORACLE_TRAINING["mutual_knn_graph_lsh"] = f"""
                k.la = k.lb AS same_label
         FROM k JOIN k r ON r.ia = k.ib AND r.ib = k.ia
         WHERE k.ia < k.ib
+    """
+
+from .operators.similarity import BATCH_K as _BK  # noqa: E402
+from .operators.similarity import IVF_SWEEP_PROBES, NUM_QUERIES  # noqa: E402
+
+_IVF_SWEEP_LIST = "[" + ", ".join(str(p) for p in IVF_SWEEP_PROBES) + "]"
+
+ORACLE_TRAINING["ivf_recall_sweep"] = f"""
+        WITH e AS (
+          SELECT vec_id, {_CAST64} AS v FROM embeddings
+        ), seeds AS (
+          SELECT vec_id AS centroid_id, v AS cv FROM e
+          WHERE vec_id < {NUM_CENTROIDS}
+        ), scored AS (
+          SELECT e.vec_id, e.v, s.centroid_id,
+                 list_sum(list_transform(range(1, {DIM + 1}),
+                                         i -> e.v[i] * s.cv[i])) AS dot
+          FROM e, seeds s
+        ), corpus AS (
+          SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nv,
+                 centroid_id
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dot DESC, centroid_id ASC) AS rnk
+            FROM scored
+          ) WHERE rnk = 1
+        ), q AS (
+          SELECT vec_id AS q_id, v AS va,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS na
+          FROM e WHERE vec_id < {NUM_QUERIES}
+        ), qc AS (
+          SELECT q_id, va, na, centroid_id, rc FROM (
+            SELECT q.q_id, q.va, q.na, s.centroid_id,
+                   row_number() OVER (PARTITION BY q.q_id ORDER BY
+                     list_sum(list_transform(range(1, {DIM + 1}),
+                                             i -> q.va[i] * s.cv[i])) DESC,
+                     s.centroid_id ASC) AS rc
+            FROM q, seeds s
+          ) WHERE rc <= {max(IVF_SWEEP_PROBES)}
+        ), scored_ex AS (
+          SELECT q.q_id, c.vec_id,
+                 round(list_sum(list_transform(range(1, {DIM + 1}),
+                       i -> c.v[i] * q.va[i])) / (c.nv * q.na), 6) AS cs
+          FROM corpus c, q
+        ), exact AS (
+          SELECT q_id, vec_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                          ORDER BY cs DESC, vec_id ASC) AS r
+            FROM scored_ex
+          ) WHERE r <= {_BK}
+        ), cand AS (
+          SELECT qc.q_id, c.vec_id,
+                 round(list_sum(list_transform(range(1, {DIM + 1}),
+                       i -> c.v[i] * qc.va[i])) / (c.nv * qc.na), 6) AS cs,
+                 qc.rc
+          FROM corpus c JOIN qc ON c.centroid_id = qc.centroid_id
+        ), swept AS (
+          SELECT q_id, vec_id, cs,
+                 unnest(list_filter({_IVF_SWEEP_LIST}, p -> p >= rc)) AS nprobe
+          FROM cand
+        ), topk AS (
+          SELECT q_id, nprobe, vec_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id, nprobe
+                          ORDER BY cs DESC, vec_id ASC) AS r
+            FROM swept
+          ) WHERE r <= {_BK}
+        ), hits AS (
+          SELECT nprobe, CAST(count(*) AS BIGINT) AS n_hits
+          FROM topk t JOIN exact x ON t.q_id = x.q_id AND t.vec_id = x.vec_id
+          GROUP BY nprobe
+        ), ncand AS (
+          SELECT nprobe, CAST(count(*) AS BIGINT) AS n_candidates
+          FROM swept GROUP BY nprobe
+        )
+        SELECT CAST(nc.nprobe AS BIGINT) AS nprobe,
+               CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+               n_candidates,
+               round(coalesce(n_hits, 0)
+                     / {float(NUM_QUERIES * _BK)}, 6) AS mean_recall,
+               round(n_candidates / {float(NUM_QUERIES)}, 6) AS avg_candidates
+        FROM ncand nc LEFT JOIN hits h ON nc.nprobe = h.nprobe
     """
 
 # hubness audit over the SAME LSH-bucketed kNN lists (mirrors

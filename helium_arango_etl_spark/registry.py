@@ -3232,6 +3232,9 @@ ORACLE["rfm_segmentation"] = f"""
     """
 
 
+QUERIES["cluster_purity"] = S.cluster_purity
+QUERIES["ivf_recall_sweep"] = S.ivf_recall_sweep
+
 QUERIES["dtw_daily_series"] = RG.dtw_daily_series
 # the recursive CTE walks the SAME anti-diagonal recurrence: iteration k
 # holds diagonals k (prev) and k-1 (pp); each new diagonal is a
@@ -3307,7 +3310,8 @@ ORACLE["dtw_daily_series"] = f"""
 # peak_concurrency, granger_lag1_daily, brown_forsythe_levene,
 # compaction_shards, yule_k, winsorized_mean_by_type, hurst_rs_daily,
 # knn_hubness_audit, fano_factor_daily, gpd_tail_fit,
-# brier_decomposition, rfm_segmentation, dtw_daily_series — rotate these
+# brier_decomposition, rfm_segmentation, dtw_daily_series,
+# cluster_purity, ivf_recall_sweep — rotate these
 # in round 7); all green under the
 # local parity mirror at sf0.001 AND the driver-contract emulation at
 # sf0.01 (each batch checked at both SFs pre-commit).

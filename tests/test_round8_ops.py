@@ -430,3 +430,37 @@ def test_rfm_segmentation_invariants(spark, sf_dir):
         if not increasing:
             seq = seq[::-1]
         assert all(x <= y + 1e-9 for x, y in zip(seq, seq[1:])), (dim, seq)
+
+
+def test_cluster_purity_reconciles(spark, sf_dir):
+    rows = QUERIES["cluster_purity"](spark, sf_dir).collect()
+    n_corpus = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_vectors"] for r in rows) == n_corpus
+    for r in rows:
+        assert 0 < r["n_majority"] <= r["n_vectors"]
+        assert abs(r["purity"] - r["n_majority"] / r["n_vectors"]) < 1e-6
+    # a labeled clustering must beat the single-cluster baseline share
+    labels = duckdb.sql(
+        f"SELECT count(DISTINCT label) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    weighted = sum(r["n_majority"] for r in rows) / n_corpus
+    assert weighted >= 1.0 / labels
+
+
+def test_ivf_recall_sweep_monotone(spark, sf_dir):
+    """Deeper probing can only add candidates — candidates and hits must
+    be non-decreasing in nprobe, recall bounded by 1, and the deepest
+    probe must do at least as well as the shallowest."""
+    from helium_arango_etl_spark.operators.similarity import IVF_SWEEP_PROBES
+
+    rows = {r["nprobe"]: r for r in QUERIES["ivf_recall_sweep"](spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(IVF_SWEEP_PROBES)
+    ps = sorted(rows)
+    for a, b in zip(ps, ps[1:]):
+        assert rows[a]["n_candidates"] <= rows[b]["n_candidates"]
+        assert rows[a]["n_hits"] <= rows[b]["n_hits"]
+    for r in rows.values():
+        assert 0.0 <= r["mean_recall"] <= 1.0
+    assert rows[ps[-1]]["mean_recall"] >= rows[ps[0]]["mean_recall"]
