@@ -2186,3 +2186,64 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_monetary"),
     )
+
+
+# Allen (1983) interval-algebra relations, evaluated equality-first so the
+# CASE is unambiguous; both engines run the IDENTICAL text over integer
+# microsecond endpoints.  A = the promo window, B = the session.
+ALLEN_CASE = """
+    CASE WHEN a1 = b1 AND a2 = b2 THEN 'equals'
+         WHEN a1 = b1 AND a2 < b2 THEN 'starts'
+         WHEN a1 = b1 AND a2 > b2 THEN 'started_by'
+         WHEN a2 = b2 AND a1 > b1 THEN 'finishes'
+         WHEN a2 = b2 AND a1 < b1 THEN 'finished_by'
+         WHEN a2 = b1 THEN 'meets'
+         WHEN a1 = b2 THEN 'met_by'
+         WHEN a1 > b1 AND a2 < b2 THEN 'during'
+         WHEN a1 < b1 AND a2 > b2 THEN 'contains'
+         WHEN a2 < b1 THEN 'precedes'
+         WHEN a1 > b2 THEN 'preceded_by'
+         WHEN a1 < b1 AND a2 > b1 AND a2 < b2 THEN 'overlaps'
+         ELSE 'overlapped_by' END
+"""
+
+
+def allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval-algebra census between each user's promo windows
+    (signup → +3 days, the `interval_overlap_hours` window) and their
+    gap sessions: how do campaign windows RELATE to activity bursts —
+    strictly before, meeting, overlapping, containing, contained…?  The
+    13-relation taxonomy (Allen 1983) is the lossless summary of
+    interval geometry that a single overlap flag collapses; marketing
+    reads `contains`/`during` as in-window engagement and
+    `precedes`/`meets` as post-window drift.
+
+    Determinism: endpoints are exact integer micros; the relation CASE
+    is evaluated equality-first (identical text both engines); counts
+    are exact.  Zero-duration sessions (single event) classify like any
+    degenerate interval — deterministically, by the same CASE.
+
+    Scale shape: both interval sets key by user_id, so the pair join is
+    a keyed equi-join (per-user signup × session counts are bounded);
+    the census is a |relations|-row rollup.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    promos = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("a1"),
+        F.expr(f"unix_micros(ts) + {PROMO_WINDOW_US}").alias("a2"),
+    )
+    sess = (
+        _with_sessions(ev)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("b1"),
+            F.unix_micros(F.max("ts")).alias("b2"),
+        )
+    )
+    pairs = promos.join(sess, "user_id").select(
+        F.expr(ALLEN_CASE).alias("relation")
+    )
+    return pairs.groupBy("relation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )

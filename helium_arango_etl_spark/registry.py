@@ -3192,6 +3192,36 @@ ORACLE["brier_decomposition"] = f"""
     """
 
 
+QUERIES["allen_interval_relations"] = TP.allen_interval_relations
+ORACLE["allen_interval_relations"] = f"""
+        WITH promos AS (
+          SELECT user_id, epoch_us(ts) AS a1,
+                 epoch_us(ts) + {TP.PROMO_WINDOW_US} AS a2
+          FROM events WHERE event_type = 'signup'
+        ), g AS (
+          SELECT event_id, user_id, ts,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events
+        ), e AS (
+          SELECT user_id, ts,
+                 CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > {TP.SESSION_GAP_US}
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS session_idx
+          FROM g
+        ), sess AS (
+          SELECT user_id, session_idx,
+                 epoch_us(min(ts)) AS b1, epoch_us(max(ts)) AS b2
+          FROM e GROUP BY user_id, session_idx
+        )
+        SELECT {TP.ALLEN_CASE} AS relation,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM promos p JOIN sess s USING (user_id)
+        GROUP BY relation
+    """
+
 QUERIES["rfm_segmentation"] = TP.rfm_segmentation
 ORACLE["rfm_segmentation"] = f"""
         WITH ev AS (
@@ -3311,7 +3341,7 @@ ORACLE["dtw_daily_series"] = f"""
 # compaction_shards, yule_k, winsorized_mean_by_type, hurst_rs_daily,
 # knn_hubness_audit, fano_factor_daily, gpd_tail_fit,
 # brier_decomposition, rfm_segmentation, dtw_daily_series,
-# cluster_purity, ivf_recall_sweep — rotate these
+# cluster_purity, ivf_recall_sweep, allen_interval_relations — rotate these
 # in round 7); all green under the
 # local parity mirror at sf0.001 AND the driver-contract emulation at
 # sf0.01 (each batch checked at both SFs pre-commit).

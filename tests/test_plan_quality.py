@@ -735,3 +735,21 @@ def test_knn_hubness_no_cartesian(spark, sf_dir):
     # join building the antihub row (the sanctioned broadcast-scalar
     # idiom); one node == 2 occurrences in formatted output
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_peak_concurrency_day_keyed_sweep(spark, sf_dir):
+    """The sweep must run day-keyed — no cartesian anywhere, and the
+    only window partitions are (user) sessionize and (day) sweep; the
+    midnight carry closes the seam instead of a global prefix sum."""
+    plan = plan_of(QUERIES["peak_concurrency"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_compaction_shards_single_keyed_window(spark, sf_dir):
+    """Offset chunking is one source-keyed prefix-sum window plus a
+    rollup — no joins at all."""
+    plan = plan_of(QUERIES["compaction_shards"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Window") == 2, plan  # one Window node

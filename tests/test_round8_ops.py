@@ -464,3 +464,64 @@ def test_ivf_recall_sweep_monotone(spark, sf_dir):
     for r in rows.values():
         assert 0.0 <= r["mean_recall"] <= 1.0
     assert rows[ps[-1]]["mean_recall"] >= rows[ps[0]]["mean_recall"]
+
+
+def test_allen_relations_partition_all_pairs(spark, sf_dir):
+    """Every (promo window, session) pair classifies into exactly one
+    relation — the census must total the raw pair count — and a
+    brute-force reclassification must agree per relation."""
+    rows = {r["relation"]: r["n_pairs"] for r in
+            QUERIES["allen_interval_relations"](spark, sf_dir).collect()}
+    pairs = duckdb.sql(
+        f"""WITH promos AS (
+              SELECT user_id, epoch_us(ts) AS a1,
+                     epoch_us(ts) + 259200000000 AS a2
+              FROM '{sf_dir}/events.parquet' WHERE event_type = 'signup'
+            ), g AS (
+              SELECT user_id, ts,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM '{sf_dir}/events.parquet'
+            ), e AS (
+              SELECT user_id,
+                     sum(CASE WHEN gap IS NULL OR gap > 1800000000
+                              THEN 1 ELSE 0 END) OVER (
+                         PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS idx,
+                     epoch_us(ts) AS us
+              FROM g
+            ), sess AS (
+              SELECT user_id, min(us) AS b1, max(us) AS b2
+              FROM e GROUP BY user_id, idx
+            )
+            SELECT a1, a2, b1, b2 FROM promos JOIN sess USING (user_id)"""
+    ).fetchall()
+    assert sum(rows.values()) == len(pairs)
+
+    def classify(a1, a2, b1, b2):
+        if a1 == b1 and a2 == b2:
+            return "equals"
+        if a1 == b1:
+            return "starts" if a2 < b2 else "started_by"
+        if a2 == b2:
+            return "finishes" if a1 > b1 else "finished_by"
+        if a2 == b1:
+            return "meets"
+        if a1 == b2:
+            return "met_by"
+        if a1 > b1 and a2 < b2:
+            return "during"
+        if a1 < b1 and a2 > b2:
+            return "contains"
+        if a2 < b1:
+            return "precedes"
+        if a1 > b2:
+            return "preceded_by"
+        if a1 < b1 and a2 > b1 and a2 < b2:
+            return "overlaps"
+        return "overlapped_by"
+
+    from collections import Counter
+
+    ref = Counter(classify(*p) for p in pairs)
+    assert rows == dict(ref)
