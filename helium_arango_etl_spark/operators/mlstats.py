@@ -3956,3 +3956,124 @@ def gpd_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"2.0 * {b0} * {b1} / ({b0} - 2.0 * {b1})"), 6
         ).alias("gpd_scale"),
     )
+
+
+# child-segment SSE expressions for binary segmentation (prefix columns
+# k/s/ss, the level-0 break's prefix k1/s1/ss1, totals kt/st/sst); every
+# denominator nullif-guarded for ANSI evaluation on filtered rows
+BINSEG_LEFT = (
+    "(cast(ss as double) - cast(s as double) * cast(s as double)"
+    " / cast(nullif(k, 0) as double))"
+    " + (cast(ss1 - ss as double)"
+    "    - cast(s1 - s as double) * cast(s1 - s as double)"
+    "      / cast(nullif(k1 - k, 0) as double))"
+)
+BINSEG_RIGHT = (
+    "(cast(ss - ss1 as double)"
+    " - cast(s - s1 as double) * cast(s - s1 as double)"
+    "   / cast(nullif(k - k1, 0) as double))"
+    " + (cast(sst - ss as double)"
+    "    - cast(st - s as double) * cast(st - s as double)"
+    "      / cast(nullif(kt - k, 0) as double))"
+)
+BINSEG_PARENT_LEFT = (
+    "cast(ss1 as double) - cast(s1 as double) * cast(s1 as double)"
+    " / cast(nullif(k1, 0) as double)"
+)
+BINSEG_PARENT_RIGHT = (
+    "cast(sst - ss1 as double)"
+    " - cast(st - s1 as double) * cast(st - s1 as double)"
+    "   / cast(nullif(kt - k1, 0) as double)"
+)
+
+
+def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 binary segmentation of the daily order-count series: the
+    best global changepoint (level 0), then the best changepoint WITHIN
+    each resulting half (level 1) — up to three breaks with their SSE
+    gains, the standard multi-changepoint procedure built on
+    `best_changepoint`'s single split (Scott & Knott 1974 lineage).
+    The gain column is what a model-selection rule (BIC / permutation)
+    thresholds to decide how many breaks are real.
+
+    Determinism: identical prefix-sum machinery as best_changepoint —
+    exact integer (k, s, ss) prefixes, per-candidate SSE is one shared
+    double expression, argmin ties break to the earliest day.
+
+    Scale shape: facts collapse to the calendar-bounded day grid; every
+    stage after runs on that grid (two windows, two broadcast 1-row
+    joins).
+    """
+    daily = read_table(spark, sf_dir, "orders").groupBy(
+        F.expr("datediff(o_orderdate, date '1970-01-01')").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("k"),
+        F.sum("c").over(w).cast("bigint").alias("s"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * c")).over(w).alias("ss"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("kt"),
+        F.sum("c").cast("bigint").alias("st"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * c")).alias("sst"),
+    )
+    cand0 = (
+        pre.crossJoin(F.broadcast(tot))
+        .where(F.expr("k < kt"))
+        .select("d", "k", "s", "ss", "kt", "st", "sst", F.expr(CP_SSE2).alias("sse2"))
+    )
+    w0 = Window.orderBy(F.col("sse2").asc(), F.col("d").asc())
+    best0 = (
+        cand0.withColumn("rn", F.row_number().over(w0))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("d").alias("t1_d"),
+            F.col("k").alias("k1"),
+            F.col("s").alias("s1"),
+            F.col("ss").alias("ss1"),
+            F.col("sse2").alias("sse2_best"),
+        )
+    )
+    root = best0.crossJoin(F.broadcast(tot)).select(
+        F.lit(0).cast("int").alias("level"),
+        F.lit("root").alias("side"),
+        F.col("t1_d").cast("bigint").alias("break_day"),
+        F.col("k1").cast("bigint").alias("n_left"),
+        F.expr("kt - k1").cast("bigint").alias("n_right"),
+        F.round(F.expr(f"({CP_SSE1}) - sse2_best"), 6).alias("gain"),
+    )
+    seg = pre.crossJoin(F.broadcast(best0)).crossJoin(F.broadcast(tot))
+    children = seg.select(
+        "d",
+        "k",
+        F.expr(
+            "CASE WHEN k < k1 THEN 'left'"
+            "     WHEN k > k1 AND k < kt THEN 'right' END"
+        ).alias("side"),
+        F.expr(
+            f"CASE WHEN k < k1 THEN {BINSEG_LEFT}"
+            f"     WHEN k > k1 AND k < kt THEN {BINSEG_RIGHT} END"
+        ).alias("sse"),
+        F.expr(
+            f"CASE WHEN k < k1 THEN {BINSEG_PARENT_LEFT}"
+            f"     WHEN k > k1 AND k < kt THEN {BINSEG_PARENT_RIGHT} END"
+        ).alias("parent_sse"),
+        F.expr("CASE WHEN k < k1 THEN k ELSE k - k1 END").alias("nl"),
+        F.expr("CASE WHEN k < k1 THEN k1 - k ELSE kt - k END").alias("nr"),
+    ).filter(F.col("side").isNotNull())
+    wc = Window.partitionBy("side").orderBy(F.col("sse").asc(), F.col("d").asc())
+    child_rows = (
+        children.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.lit(1).cast("int").alias("level"),
+            "side",
+            F.col("d").cast("bigint").alias("break_day"),
+            F.col("nl").cast("bigint").alias("n_left"),
+            F.col("nr").cast("bigint").alias("n_right"),
+            F.round(F.expr("parent_sse - sse"), 6).alias("gain"),
+        )
+    )
+    return root.unionByName(child_rows)

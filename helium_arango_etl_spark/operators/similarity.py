@@ -2035,3 +2035,46 @@ def ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_candidates"),
         )
     )
+
+
+def pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace health report of the PQ codebook: mean squared
+    quantization error, distinct codewords actually used, and the top
+    codeword's share — the index diagnostic that decides codebook
+    re-training, exactly as `ivf_balance_report` does for the coarse
+    quantizer: a subspace with one dominant codeword carries ~zero bits
+    (its ADC column is near-constant), and a fat mean error means the
+    subspace needs more codewords or a rotation.  Completes the PQ shelf
+    (encode → search → recall audit → distortion audit).
+
+    Determinism: winning codewords come from the exact (d, j) argmin
+    struct ordering; per-row squared errors are deterministic folds,
+    micro-quantized BEFORE the per-subspace sum; shares are exact-count
+    ratios.
+
+    Scale shape: encoding is the shared zero-shuffle broadcast-codebook
+    pass; the audit folds to PQ_M·PQ_K usage cells and PQ_M error rows.
+    """
+    enc = _pq_codes(embedding_table(spark, sf_dir))
+    win = enc.select(F.posexplode("mins").alias("s", "m")).select(
+        "s",
+        F.col("m.j").alias("j"),
+        F.expr("cast(round(m.d * 1e6) as bigint)").alias("d_micro"),
+    )
+    usage = win.groupBy("s", "j").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tops = usage.groupBy("s").agg(
+        F.max("cnt").cast("bigint").alias("top_code_count"),
+        F.count(F.lit(1)).cast("bigint").alias("n_codewords_used"),
+        F.sum("cnt").cast("bigint").alias("n_vectors"),
+    )
+    err = win.groupBy("s").agg(F.sum("d_micro").cast("bigint").alias("sum_d_micro"))
+    return tops.join(err, "s").select(
+        F.col("s").cast("bigint").alias("subspace"),
+        "n_vectors",
+        "n_codewords_used",
+        "top_code_count",
+        F.round(F.expr("top_code_count / cast(n_vectors as double)"), 6).alias(
+            "top_code_share"
+        ),
+        F.round(F.expr("sum_d_micro / 1e6 / n_vectors"), 6).alias("mean_sq_err"),
+    )

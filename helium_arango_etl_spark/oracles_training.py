@@ -1680,6 +1680,31 @@ ORACLE_TRAINING["pq_topk"] = _PQ_CTE + f"""
     """
 
 
+ORACLE_TRAINING["pq_distortion_audit"] = _PQ_CTE + """
+        , win AS (
+          SELECT vec_id, s, j,
+                 CAST(round(d * 1e6) AS BIGINT) AS d_micro
+          FROM codes WHERE r = 1
+        ), usage AS (
+          SELECT s, j, CAST(count(*) AS BIGINT) AS cnt
+          FROM win GROUP BY s, j
+        ), tops AS (
+          SELECT s, CAST(max(cnt) AS BIGINT) AS top_code_count,
+                 CAST(count(*) AS BIGINT) AS n_codewords_used,
+                 CAST(sum(cnt) AS BIGINT) AS n_vectors
+          FROM usage GROUP BY s
+        ), err AS (
+          SELECT s, CAST(sum(d_micro) AS BIGINT) AS sum_d_micro
+          FROM win GROUP BY s
+        )
+        SELECT CAST(t.s AS BIGINT) AS subspace, t.n_vectors,
+               t.n_codewords_used, t.top_code_count,
+               round(t.top_code_count / CAST(t.n_vectors AS DOUBLE), 6)
+                   AS top_code_share,
+               round(e2.sum_d_micro / 1e6 / t.n_vectors, 6) AS mean_sq_err
+        FROM tops t JOIN err e2 USING (s)
+    """
+
 ORACLE_TRAINING["ivf_pq_topk"] = _PQ_CTE + f"""
         , seeds AS (
           SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {NUM_CENTROIDS}

@@ -3222,6 +3222,62 @@ ORACLE["allen_interval_relations"] = f"""
         GROUP BY relation
     """
 
+QUERIES["binseg_changepoints"] = ML.binseg_changepoints
+ORACLE["binseg_changepoints"] = """
+        WITH daily AS (
+          SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM orders GROUP BY o_orderdate
+        ), pre AS (
+          SELECT d,
+                 CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k,
+                 CAST(sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+                 sum(c * c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS ss
+          FROM daily
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS kt, CAST(sum(c) AS BIGINT) AS st,
+                 sum(c * c) AS sst
+          FROM daily
+        ), cand0 AS (
+          SELECT d, k, s, ss, kt, st, sst, (cast(ss as double) - cast(s as double) * cast(s as double) / cast(k as double)) + (cast(sst - ss as double)    - cast(st - s as double) * cast(st - s as double)      / cast(nullif(kt - k, 0) as double)) AS sse2
+          FROM pre, tot WHERE k < kt
+        ), best0 AS (
+          SELECT d AS t1_d, k AS k1, s AS s1, ss AS ss1, sse2 AS sse2_best
+          FROM (SELECT *, row_number() OVER (ORDER BY sse2 ASC, d ASC) AS rn
+                FROM cand0) WHERE rn = 1
+        ), root AS (
+          SELECT CAST(0 AS INT) AS level, 'root' AS side,
+                 CAST(t1_d AS BIGINT) AS break_day,
+                 CAST(k1 AS BIGINT) AS n_left,
+                 CAST(kt - k1 AS BIGINT) AS n_right,
+                 round((cast(sst as double) - cast(st as double) * cast(st as double) / cast(kt as double)) - sse2_best, 6) AS gain
+          FROM best0, tot
+        ), seg AS (
+          SELECT * FROM pre, best0, tot
+        ), children AS (
+          SELECT d, k,
+                 CASE WHEN k < k1 THEN 'left'
+                      WHEN k > k1 AND k < kt THEN 'right' END AS side,
+                 CASE WHEN k < k1 THEN (cast(ss as double) - cast(s as double) * cast(s as double) / cast(nullif(k, 0) as double)) + (cast(ss1 - ss as double)    - cast(s1 - s as double) * cast(s1 - s as double)      / cast(nullif(k1 - k, 0) as double))
+                      WHEN k > k1 AND k < kt THEN (cast(ss - ss1 as double) - cast(s - s1 as double) * cast(s - s1 as double)   / cast(nullif(k - k1, 0) as double)) + (cast(sst - ss as double)    - cast(st - s as double) * cast(st - s as double)      / cast(nullif(kt - k, 0) as double)) END AS sse,
+                 CASE WHEN k < k1 THEN cast(ss1 as double) - cast(s1 as double) * cast(s1 as double) / cast(nullif(k1, 0) as double)
+                      WHEN k > k1 AND k < kt THEN cast(sst - ss1 as double) - cast(st - s1 as double) * cast(st - s1 as double)   / cast(nullif(kt - k1, 0) as double) END
+                     AS parent_sse,
+                 CASE WHEN k < k1 THEN k ELSE k - k1 END AS nl,
+                 CASE WHEN k < k1 THEN k1 - k ELSE kt - k END AS nr
+          FROM seg
+        ), child_rows AS (
+          SELECT CAST(1 AS INT) AS level, side,
+                 CAST(d AS BIGINT) AS break_day,
+                 CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+                 round(parent_sse - sse, 6) AS gain
+          FROM (SELECT *, row_number() OVER (PARTITION BY side
+                              ORDER BY sse ASC, d ASC) AS rn
+                FROM children WHERE side IS NOT NULL) WHERE rn = 1
+        )
+        SELECT * FROM root UNION ALL SELECT * FROM child_rows
+    """
+
 QUERIES["rfm_segmentation"] = TP.rfm_segmentation
 ORACLE["rfm_segmentation"] = f"""
         WITH ev AS (
@@ -3263,6 +3319,7 @@ ORACLE["rfm_segmentation"] = f"""
 
 
 QUERIES["cluster_purity"] = S.cluster_purity
+QUERIES["pq_distortion_audit"] = S.pq_distortion_audit
 QUERIES["ivf_recall_sweep"] = S.ivf_recall_sweep
 
 QUERIES["dtw_daily_series"] = RG.dtw_daily_series
@@ -3341,7 +3398,8 @@ ORACLE["dtw_daily_series"] = f"""
 # compaction_shards, yule_k, winsorized_mean_by_type, hurst_rs_daily,
 # knn_hubness_audit, fano_factor_daily, gpd_tail_fit,
 # brier_decomposition, rfm_segmentation, dtw_daily_series,
-# cluster_purity, ivf_recall_sweep, allen_interval_relations — rotate these
+# cluster_purity, ivf_recall_sweep, allen_interval_relations,
+# pq_distortion_audit, binseg_changepoints — rotate these
 # in round 7); all green under the
 # local parity mirror at sf0.001 AND the driver-contract emulation at
 # sf0.01 (each batch checked at both SFs pre-commit).

@@ -525,3 +525,70 @@ def test_allen_relations_partition_all_pairs(spark, sf_dir):
 
     ref = Counter(classify(*p) for p in pairs)
     assert rows == dict(ref)
+
+
+def test_pq_distortion_audit_reconciles(spark, sf_dir):
+    """Subspace rows must cover the whole corpus, usage is bounded by the
+    codebook size, shares reconcile, and the summed per-subspace MSE must
+    match the mean squared recon_err that pq_encode reports per vector."""
+    from helium_arango_etl_spark.operators.similarity import PQ_K, PQ_M
+
+    rows = QUERIES["pq_distortion_audit"](spark, sf_dir).collect()
+    n_corpus = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert sorted(r["subspace"] for r in rows) == list(range(PQ_M))
+    for r in rows:
+        assert r["n_vectors"] == n_corpus
+        assert 1 <= r["n_codewords_used"] <= PQ_K
+        assert abs(r["top_code_share"] - r["top_code_count"] / n_corpus) < 1e-6
+
+    enc = QUERIES["pq_encode"](spark, sf_dir).collect()
+    mse_from_encode = sum(e["recon_err"] ** 2 for e in enc) / n_corpus
+    mse_from_audit = sum(r["mean_sq_err"] for r in rows)
+    assert abs(mse_from_audit - mse_from_encode) < 1e-3 * max(1.0, mse_from_encode)
+
+
+def test_binseg_matches_pure_python(spark, sf_dir):
+    daily = duckdb.sql(
+        f"""SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+                   count(*) AS c
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    ds = [int(d) for d, _ in daily]
+    cs = [int(c) for _, c in daily]
+
+    def sse(lo, hi):  # half-open row range [lo, hi)
+        n = hi - lo
+        if n <= 0:
+            return 0.0
+        s = sum(cs[lo:hi])
+        ss = sum(c * c for c in cs[lo:hi])
+        return ss - s * s / n
+
+    def best(lo, hi):
+        cands = [
+            (sse(lo, m) + sse(m, hi), ds[m - 1], m) for m in range(lo + 1, hi)
+        ]
+        return min(cands) if cands else None
+
+    n = len(cs)
+    tot_sse, t1_d, m1 = best(0, n)
+    got = {(r["level"], r["side"]): r for r in
+           QUERIES["binseg_changepoints"](spark, sf_dir).collect()}
+    root = got[(0, "root")]
+    assert root["break_day"] == t1_d
+    assert root["n_left"] == m1 and root["n_right"] == n - m1
+    assert abs(root["gain"] - (sse(0, n) - tot_sse)) < 1e-3
+
+    for side, lo, hi in [("left", 0, m1), ("right", m1, n)]:
+        b = best(lo, hi)
+        if b is None:
+            assert (1, side) not in got
+            continue
+        child_sse, day, m = b
+        r = got[(1, side)]
+        assert r["break_day"] == day, side
+        assert r["n_left"] == m - lo and r["n_right"] == hi - m
+        assert abs(r["gain"] - (sse(lo, hi) - child_sse)) < 1e-3
+        assert r["gain"] >= -1e-6  # splitting never increases SSE
