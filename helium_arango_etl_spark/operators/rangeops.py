@@ -2811,3 +2811,62 @@ def dtw_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"({fold}) / cast(2 * n - 1 as double)"), 6
         ).alias("dtw_per_step"),
     )
+
+
+ATKINSON_TABLE = "orders"
+
+
+def atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index (ε = 1) of customer spend per nation:
+    A = 1 − geometric_mean / arithmetic_mean — the welfare-grounded
+    inequality measure whose ε dial states HOW inequality-averse the
+    observer is (ε=1 = Cobb-Douglas welfare; A is then the share of
+    total spend society would give up for perfect equality).  Completes
+    the inequality shelf beside `gini_by_type` (rank-based),
+    `theil_index` (entropy, decomposable) and `lorenz_points` (the
+    curve): four standard lenses, one exact engine.
+
+    Determinism: spend is exact integer cents; ln(x) is nano-quantized
+    per row (the theil_index discipline) so the log-sum rides exact
+    wide-integer addition; geometric mean and A are one shared double
+    expression over (n, Σx, Σlnq).
+
+    Scale shape: identical to theil_index — broadcast dim join, keyed
+    spend rollup, |nations|-row moments.
+    """
+    spend = (
+        read_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "customer").select(
+                    F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+                )
+            ),
+            "o_custkey",
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias("x")
+        )
+        .where(F.col("x") > 0)
+    )
+    mom = spend.select(
+        "c_nationkey",
+        "x",
+        F.expr(
+            "cast(round(ln(cast(x as double)) * 1000000000.0) as bigint)"
+        ).alias("lx"),
+    ).groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.expr("cast(lx as decimal(38,0))")).alias("sl"),
+    )
+    geo = "exp(cast(sl as double) / 1e9 / cast(n as double))"
+    mean = "(cast(sx as double) / cast(n as double))"
+    return mom.select(
+        "c_nationkey",
+        F.col("n").alias("n_customers"),
+        F.round(F.expr(f"{mean} / 100.0"), 6).alias("mean_spend"),
+        F.round(F.expr(f"{geo} / 100.0"), 6).alias("geo_mean_spend"),
+        F.round(F.expr(f"1.0 - {geo} / {mean}"), 6).alias("atkinson_e1"),
+    )

@@ -3222,6 +3222,34 @@ ORACLE["allen_interval_relations"] = f"""
         GROUP BY relation
     """
 
+QUERIES["atkinson_index"] = RG.atkinson_index
+ORACLE["atkinson_index"] = """
+        WITH spend AS (
+          SELECT c.c_nationkey, o.o_custkey,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS x
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_nationkey, o.o_custkey
+          HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT)) > 0
+        ), mom AS (
+          SELECT c_nationkey,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 sum(CAST(round(ln(CAST(x AS DOUBLE)) * 1000000000.0)
+                       AS BIGINT)) AS sl
+          FROM spend GROUP BY c_nationkey
+        )
+        SELECT c_nationkey, n AS n_customers,
+               round((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6)
+                   AS mean_spend,
+               round(exp(CAST(sl AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)) / 100.0, 6)
+                   AS geo_mean_spend,
+               round(1.0 - exp(CAST(sl AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))
+                     / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                   AS atkinson_e1
+        FROM mom
+    """
+
 QUERIES["binseg_changepoints"] = ML.binseg_changepoints
 ORACLE["binseg_changepoints"] = """
         WITH daily AS (
@@ -3399,7 +3427,7 @@ ORACLE["dtw_daily_series"] = f"""
 # knn_hubness_audit, fano_factor_daily, gpd_tail_fit,
 # brier_decomposition, rfm_segmentation, dtw_daily_series,
 # cluster_purity, ivf_recall_sweep, allen_interval_relations,
-# pq_distortion_audit, binseg_changepoints — rotate these
+# pq_distortion_audit, binseg_changepoints, atkinson_index — rotate these
 # in round 7); all green under the
 # local parity mirror at sf0.001 AND the driver-contract emulation at
 # sf0.01 (each batch checked at both SFs pre-commit).

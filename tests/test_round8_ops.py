@@ -592,3 +592,30 @@ def test_binseg_matches_pure_python(spark, sf_dir):
         assert r["n_left"] == m - lo and r["n_right"] == hi - m
         assert abs(r["gain"] - (sse(lo, hi) - child_sse)) < 1e-3
         assert r["gain"] >= -1e-6  # splitting never increases SSE
+
+
+def test_atkinson_matches_numpy(spark, sf_dir):
+    rows = QUERIES["atkinson_index"](spark, sf_dir).collect()
+    spend = duckdb.sql(
+        f"""SELECT c.c_nationkey, o.o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+            FROM '{sf_dir}/orders.parquet' o
+            JOIN '{sf_dir}/customer.parquet' c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2"""
+    ).fetchall()
+    per: dict[int, list[int]] = {}
+    for nk, _, x in spend:
+        if x > 0:
+            per.setdefault(int(nk), []).append(int(x))
+    for r in rows:
+        xs = np.array(per[r["c_nationkey"]], dtype=float)
+        mean = xs.mean()
+        geo = float(np.exp(np.log(xs).mean()))
+        a_ref = 1.0 - geo / mean
+        assert r["n_customers"] == len(xs)
+        assert abs(r["mean_spend"] - mean / 100) < 1e-3
+        assert abs(r["geo_mean_spend"] - geo / 100) < 1e-2
+        assert abs(r["atkinson_e1"] - a_ref) < 1e-5
+        # A in [0, 1); geometric mean never exceeds arithmetic
+        assert 0.0 <= r["atkinson_e1"] < 1.0
+        assert r["geo_mean_spend"] <= r["mean_spend"] + 1e-9
