@@ -647,6 +647,25 @@ def co_witness_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 CO_WITNESS_MAX_GROUP = 8
 
 
+def _co_witness_pairs_capped_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached capped projection, the cache twin of
+    :func:`co_witness_pairs` — the capped consumer family
+    (`*_capped` variants below) shares ONE persisted pair table per
+    (session, sf_dir) instead of regenerating pairs per consumer."""
+    per_session = _PAIRS_CACHE.setdefault(spark, {})
+    key = (sf_dir, CO_WITNESS_MAX_GROUP)
+    df = per_session.get(key)
+    if df is None:
+        edges = (
+            witness_subgraph(spark, sf_dir)
+            .select("city_key", "src", "dst")
+            .distinct()
+        )
+        df = _co_pairs(edges, CO_WITNESS_MAX_GROUP).persist()
+        per_session[key] = df
+    return df
+
+
 def co_witness_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production form of :func:`co_witness_pairs`: in-group pair
     generation capped at CO_WITNESS_MAX_GROUP src-contiguous chunk size
@@ -665,10 +684,7 @@ def co_witness_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     form; the cap bounds the worst task's emit count, which is what
     k²/2 breaks at 100 TB fan-ins.
     """
-    edges = (
-        witness_subgraph(spark, sf_dir).select("city_key", "src", "dst").distinct()
-    )
-    return _co_pairs(edges, CO_WITNESS_MAX_GROUP)
+    return _co_witness_pairs_capped_cached(spark, sf_dir)
 
 
 def co_witness_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1441,6 +1457,14 @@ def neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (city, node).  All-integer inputs, one rounded division.
     """
     pairs = co_witness_pairs(spark, sf_dir)
+    return _neighborhood_jaccard_body(spark, sf_dir, pairs)
+
+
+def _neighborhood_jaccard_body(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """Jaccard scoring over an arbitrary co-witness pair table —
+    shared by the exact and the capped registered forms."""
     edges = (
         witness_subgraph(spark, sf_dir).select("city_key", "src", "dst").distinct()
     )
@@ -1470,6 +1494,18 @@ def neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def neighborhood_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of :func:`neighborhood_jaccard`: rides the
+    CO_WITNESS_MAX_GROUP-capped pair projection (VERDICT r6 #2), so a
+    celebrity witness bounds its emit at O(k·cap) instead of k²/2.
+    Intersections UNDERCOUNT for fan-ins above the cap (pairs split
+    across chunks are not re-merged; the drop is accounted by
+    :func:`co_witness_bucket_stats`); degrees stay exact, so the capped
+    jaccard is a deterministic lower bound of the exact one."""
+    pairs = _co_witness_pairs_capped_cached(spark, sf_dir)
+    return _neighborhood_jaccard_body(spark, sf_dir, pairs)
 
 
 # power-law fit: continuous MLE over degrees >= PL_DMIN
@@ -1532,10 +1568,18 @@ def butterfly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-style cap noted there); degrees are keyed counts; joins carry
     (city, node, degree) triples.
     """
+    pairs = co_witness_pairs(spark, sf_dir)
+    return _butterfly_stats_body(spark, sf_dir, pairs)
+
+
+def _butterfly_stats_body(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """Butterfly census over an arbitrary co-witness pair table —
+    shared by the exact and the capped registered forms."""
     edges = (
         witness_subgraph(spark, sf_dir).select("city_key", "src", "dst").distinct()
     )
-    pairs = co_witness_pairs(spark, sf_dir)
     bf = pairs.groupBy("city_key").agg(
         F.sum(
             F.expr("shared_witnesses * (shared_witnesses - 1) div 2")
@@ -1567,6 +1611,17 @@ def butterfly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bipartite_clustering"),
         )
     )
+
+
+def butterfly_stats_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of :func:`butterfly_stats` over the
+    CO_WITNESS_MAX_GROUP-capped pair projection (VERDICT r6 #2): the
+    butterfly count is a deterministic lower bound (butterflies whose
+    wing pair straddles a chunk boundary are uncounted, with the drop
+    priced by :func:`co_witness_bucket_stats`); caterpillars use exact
+    degrees, so the clustering ratio is likewise a lower bound."""
+    pairs = _co_witness_pairs_capped_cached(spark, sf_dir)
+    return _butterfly_stats_body(spark, sf_dir, pairs)
 
 
 # node2vec bias (Grover & Leskovec 2016) as A-ES exponential-race keys
@@ -2206,6 +2261,14 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = co_witness_pairs(spark, sf_dir).select(
         "city_key", "src_a", "src_b"
     )
+    return _rich_club_body(pairs)
+
+
+def _rich_club_body(pairs: DataFrame) -> DataFrame:
+    """φ(k) grid over an arbitrary co-witness pair set — shared by the
+    exact and the capped registered forms.  Degrees are derived FROM
+    the pair set, so the capped form's club membership is consistent
+    with its own (capped) edge counts."""
     deg = (
         pairs.select("city_key", F.col("src_a").alias("node"))
         .unionByName(pairs.select("city_key", F.col("src_b").alias("node")))
@@ -2254,6 +2317,19 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("phi"),
         )
     )
+
+
+def rich_club_coefficient_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of :func:`rich_club_coefficient` over the
+    CO_WITNESS_MAX_GROUP-capped pair projection (VERDICT r6 #2): club
+    degrees and edge counts both come from the capped pair set, so φ(k)
+    stays internally consistent while the worst witness's emit is
+    bounded at O(k·cap); :func:`co_witness_bucket_stats` accounts for
+    every pair the cap drops."""
+    pairs = _co_witness_pairs_capped_cached(spark, sf_dir).select(
+        "city_key", "src_a", "src_b"
+    )
+    return _rich_club_body(pairs)
 
 
 BFS_MAX_HOPS = 4

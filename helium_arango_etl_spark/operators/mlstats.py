@@ -3767,14 +3767,17 @@ def brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-group double terms are bit-identical across engines (pure
     # functions of exact integers); micro-quantize BEFORE the cross-group
-    # sum so aggregation order cannot drift a ulp (module-doc discipline)
+    # sum so aggregation order cannot drift a ulp (module-doc discipline).
+    # The micro terms are held in DECIMAL(38,0) (HUGEINT oracle-side):
+    # sj²/nj·1e6 is ~1e18 already at sf0.1 and grows linearly with group
+    # size, so a bigint accumulator would overflow near sf1.
     tot = g.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("nj").cast("bigint").alias("n"),
         F.sum(
             F.expr(
                 "cast(round(cast(sj as double) * cast(sj as double) / nj * 1e6)"
-                " as bigint)"
+                " as decimal(38,0))"
             )
         ).alias("sqn_micro"),
         F.sum("sj").alias("s_all"),
@@ -3782,7 +3785,7 @@ def brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "cast(round((cast(ssj as double)"
                 " - cast(sj as double) * cast(sj as double) / nj) * 1e6)"
-                " as bigint)"
+                " as decimal(38,0))"
             )
         ).alias("within_micro"),
     )
@@ -3791,18 +3794,20 @@ def brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_obs"),
         F.round(
             F.expr(
-                "sqn_micro / 1e6"
+                "cast(sqn_micro as double) / 1e6"
                 " - cast(s_all as double) * cast(s_all as double)"
                 " / cast(n as double)"
             ),
             6,
         ).alias("ss_between"),
-        F.round(F.expr("within_micro / 1e6"), 6).alias("ss_within"),
+        F.round(F.expr("cast(within_micro as double) / 1e6"), 6).alias("ss_within"),
         F.round(
             F.expr(
-                "((sqn_micro / 1e6 - cast(s_all as double) * cast(s_all as double)"
+                "((cast(sqn_micro as double) / 1e6"
+                " - cast(s_all as double) * cast(s_all as double)"
                 " / cast(n as double)) / (k - 1.0))"
-                " / nullif((within_micro / 1e6) / (cast(n as double) - k), 0.0)"
+                " / nullif((cast(within_micro as double) / 1e6)"
+                " / (cast(n as double) - k), 0.0)"
             ),
             6,
         ).alias("w_stat"),

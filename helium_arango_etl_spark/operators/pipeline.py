@@ -1225,8 +1225,11 @@ def compaction_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # octet_length, not length: the target and the outputs are BYTES,
+    # and multi-byte text undercounts under character semantics (the
+    # planned shards would silently exceed the byte budget).
     docs = read_table(spark, sf_dir, "documents").select(
-        "source", "doc_id", F.length("text").cast("bigint").alias("bytes")
+        "source", "doc_id", F.octet_length("text").cast("bigint").alias("bytes")
     )
     w = (
         Window.partitionBy("source")

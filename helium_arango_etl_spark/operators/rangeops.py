@@ -2537,7 +2537,11 @@ def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = per_w[0]
     for df in per_w[1:]:
         chunks = chunks.unionByName(df)
-    rs = chunks.select(
+    # Drop zero-variance chunks explicitly (e.g. an all-zero >=w-day
+    # stretch on the zero-filled spine): w·Σx²−S² = 0 there, and 0/0
+    # NaN→bigint maps to 0 in Spark but errors in DuckDB — engine
+    # divergence on sparse data.  The integer predicate is exact.
+    rs = chunks.filter(F.expr("w * ss - s * s > 0")).select(
         "w",
         F.expr(
             "cast(round(r_scaled / sqrt(cast(w as double) * ss - cast(s as double) * s)"
@@ -2609,10 +2613,14 @@ def fano_factor_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(daily, ["event_type", "d"], "left")
         .select("event_type", F.coalesce("x", F.lit(0)).alias("x"))
     )
+    # moments in DECIMAL(38,0) (HUGEINT oracle-side): s is a type's
+    # TOTAL event count, so the n·Σx²−s² cross term leaves int64 once a
+    # type passes ~3e9 events — decimal keeps the arithmetic exact at
+    # any SF (sibling-op convention).
     mom = dense.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("s"),
-        F.sum(F.expr("x * x")).cast("bigint").alias("ss"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("ss"),
     )
     return mom.select(
         "event_type",

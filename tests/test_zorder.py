@@ -179,4 +179,12 @@ def test_identity_salts_memoized_per_session(spark):
 
     # a different n is a different memo entry (and may probe)
     other = io_mod._identity_salts(spark, 4)
-    assert len(other) == 4 and other != first[:4] or len(other) == 4
+    assert len(other) == 4
+    # the content property: salt p routes to partition p under mod n
+    routed = (
+        spark.createDataFrame([(s,) for s in other], "s long")
+        .select(F.pmod(F.hash("s"), F.lit(4)).alias("p"))
+        .collect()
+    )
+    assert sorted(r["p"] for r in routed) == [0, 1, 2, 3]
+    assert [r["p"] for r in routed] == list(range(4))
