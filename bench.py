@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from helium_arango_etl_spark.operators import dedup as D  # noqa: E402
 from helium_arango_etl_spark.operators import graph as G  # noqa: E402
 from helium_arango_etl_spark.operators import similarity as S  # noqa: E402
+from helium_arango_etl_spark.operators import textops as T  # noqa: E402
 from helium_arango_etl_spark.registry import QUERIES  # noqa: E402
 from helium_arango_etl_spark.session import get_spark  # noqa: E402
 
@@ -89,6 +90,11 @@ HEADLINE = [
     "bigram_llr_collocations",  # Dunning G2 top-K collocations
     # round-8 (driver round 6) operators promoted to tracked per-round numbers
     "mutual_knn_graph_lsh",  # the 100 TB mutual-kNN form: bucket-join pair source
+    # round-9 (driver round 7): the retrieval family's shared tokenized
+    # corpus, priced as its own step like emb_prepare; and the capped
+    # co-witness consumer (the production form of the rich-club entry)
+    "tok_prepare",           # retrieval-family shared table: tokenize+persist
+    "rich_club_coefficient_capped",  # bounded-emit club density (VERDICT r6 #2)
 ]
 # Deliberately NOT in the headline: city_betweenness_joins — it is the
 # correctness-harness mirror of the applyInPandas production path
@@ -103,7 +109,7 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = [n for n in HEADLINE if n in QUERIES or n == "emb_prepare"]
+    names = [n for n in HEADLINE if n in QUERIES or n in ("emb_prepare", "tok_prepare")]
 
     def run(name: str) -> float:
         # the combined city-metrics table is persisted per session by design
@@ -131,6 +137,15 @@ def main() -> None:
             S.clear_emb_cache(spark)
             t0 = time.perf_counter()
             S.embedding_table(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            return time.perf_counter() - t0
+        # the tokenized-corpus table is the retrieval family's shared
+        # materialization (bm25_topk, ndcg_at_k and every run-consumer ride
+        # it) — price the tokenize+persist pass as its own step, so the
+        # per-query numbers measure retrieval work
+        if name == "tok_prepare":
+            T.clear_tok_cache(spark)
+            t0 = time.perf_counter()
+            T.tokenized_corpus(spark, sf_dir).write.mode("overwrite").format("noop").save()
             return time.perf_counter() - t0
         # same for the shared signature table: the first dedup-chain query
         # pays the corpus scan + hashing, the verify/retention stages ride it

@@ -9,6 +9,8 @@ zero shuffle (per-row only); only downstream aggregations shuffle.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -16,6 +18,38 @@ from ..io import read_table, spread
 
 # token array: whitespace split, empties dropped (both engines agree on this)
 TOKS = "filter(split(text, ' '), x -> x != '')"
+
+# the tokenized-corpus projection (doc_id, t, dl) is shared by the whole
+# retrieval family (bm25_topk and every query that rides its run) and
+# materialized once per (session, sf_dir) — the textual analog of the
+# prepared-embedding table (similarity._EMB_CACHE) and the witness-edge
+# materialization: at 100 TB the corpus tokenization pass dominates, so
+# a resident engine pays it once per sync cycle, not once per consumer.
+_TOK_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def clear_tok_cache(spark: SparkSession) -> None:
+    """Drop the session's cached tokenized-corpus tables (bench uses this
+    to price the materialization explicitly, like emb_prepare)."""
+    for df in _TOK_CACHE.pop(spark, {}).values():
+        df.unpersist(blocking=True)
+
+
+def tokenized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-cached (doc_id, t, dl) tokenized corpus projection."""
+    per_session = _TOK_CACHE.setdefault(spark, {})
+    df = per_session.get(sf_dir)
+    if df is None:
+        df = (
+            spread(read_table(spark, sf_dir, "documents"))
+            .select("doc_id", F.expr(TOKS).alias("t"))
+            .withColumn("dl", F.expr("size(t)"))
+            .persist()
+        )
+        per_session[sf_dir] = df
+    return df
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
@@ -983,15 +1017,19 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     qlist = ", ".join(f"'{t}'" for t in BM25_QUERY)
-    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
-    stats = docs.agg(
+    # corpus stats and the query-term postings both read the session's
+    # tokenized-corpus materialization — no re-tokenization per consumer
+    base = tokenized_corpus(spark, sf_dir)
+    stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.expr("size(t)")).alias("total_len"),
+        F.sum("dl").alias("total_len"),
     )
-    dl = docs.select("doc_id", F.expr("size(t)").alias("dl"), "t")
     tf = (
-        dl.select("doc_id", "dl", F.explode("t").alias("term"))
-        .filter(F.expr(f"term IN ({qlist})"))
+        base.select(
+            "doc_id",
+            "dl",
+            F.explode(F.expr(f"filter(t, x -> x IN ({qlist}))")).alias("term"),
+        )
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -1505,10 +1543,13 @@ def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     qlist = ", ".join(f"'{t}'" for t in BM25_QUERY)
-    docs = spread(read_table(spark, sf_dir, "documents")).select(
+    # grades come off the session's tokenized-corpus materialization —
+    # the run-grade join and the corpus-wide ideal ranking are two cheap
+    # in-memory scans, not two fresh tokenization passes
+    docs = tokenized_corpus(spark, sf_dir).select(
         "doc_id",
         F.expr(
-            f"cast(size(array_intersect(array_distinct({TOKS}),"
+            f"cast(size(array_intersect(array_distinct(t),"
             f" array({qlist}))) as bigint)"
         ).alias("grade"),
     )

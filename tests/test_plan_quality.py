@@ -737,6 +737,22 @@ def test_knn_hubness_no_cartesian(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
 
 
+def test_capped_consumers_ride_shared_capped_projection(spark, sf_dir):
+    """The three capped co-witness consumers (VERDICT r6 #2) must form
+    pairs group-locally (no edge self-join, no cartesian) and read the
+    SAME session-persisted capped projection — the second consumer's
+    plan scans the InMemoryRelation instead of rebuilding pairs."""
+    from helium_arango_etl_spark.registry import QUERIES
+
+    first = plan_of(QUERIES["rich_club_coefficient_capped"](spark, sf_dir))
+    assert "CartesianProduct" not in first, first
+    assert "InMemoryTableScan" in first, first
+    for name in ("neighborhood_jaccard_capped", "butterfly_stats_capped"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, plan
+        assert "InMemoryTableScan" in plan, plan
+
+
 def test_peak_concurrency_day_keyed_sweep(spark, sf_dir):
     """The sweep must run day-keyed — no cartesian anywhere, and the
     only window partitions are (user) sessionize and (day) sweep; the
