@@ -44,7 +44,7 @@ def tokenized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
         df = (
             spread(read_table(spark, sf_dir, "documents"))
-            .select("doc_id", F.expr(TOKS).alias("t"))
+            .select("doc_id", "source", "lang", F.expr(TOKS).alias("t"))
             .withColumn("dl", F.expr("size(t)"))
             .persist()
         )
@@ -699,7 +699,7 @@ def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage.  All integer counts — bit-identical across engines with no
     quantization.
     """
-    docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
+    docs = tokenized_corpus(spark, sf_dir)
     vocab = (
         docs.select(F.explode("t").alias("w"))
         .groupBy("w")
@@ -1336,8 +1336,8 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     toks = (
-        spread(read_table(spark, sf_dir, "documents"))
-        .select("source", F.explode(F.expr(TOKS)).alias("token"))
+        tokenized_corpus(spark, sf_dir)
+        .select("source", F.explode("t").alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
@@ -1945,11 +1945,7 @@ def memorization_risk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one hash-keyed join — the `shingle_novelty` data flow with a
     different rollup; no text ever crosses the shuffle.
     """
-    docs = (
-        read_table(spark, sf_dir, "documents")
-        .select("doc_id", "source", "text")
-        .withColumn("t", F.expr(TOKS))
-    )
+    docs = tokenized_corpus(spark, sf_dir).select("doc_id", "source", "t")
     ng = (
         f"CASE WHEN size(t) < {MEM_NGRAM_K} THEN array()"
         f" ELSE transform(sequence(1, size(t) - {MEM_NGRAM_K - 1}),"
@@ -2207,12 +2203,12 @@ def intradoc_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     the |sources|-row rollup.
     """
     k = INTRADOC_NGRAM_K
-    grams = read_table(spark, sf_dir, "documents").select(
+    grams = tokenized_corpus(spark, sf_dir).select(
         "source",
         F.expr(
-            f"CASE WHEN size({TOKS}) < {k} THEN array()"
-            f" ELSE transform(sequence(1, size({TOKS}) - {k - 1}),"
-            f" i -> concat_ws(' ', slice({TOKS}, i, {k}))) END"
+            f"CASE WHEN size(t) < {k} THEN array()"
+            f" ELSE transform(sequence(1, size(t) - {k - 1}),"
+            f" i -> concat_ws(' ', slice(t, i, {k}))) END"
         ).alias("g"),
     )
     per_doc = grams.select(
@@ -2291,9 +2287,7 @@ def bigram_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (bigram, first-word marginal, second-word marginal) + a
     1-row total broadcast; the top-K is TakeOrderedAndProject.
     """
-    docs = read_table(spark, sf_dir, "documents").withColumn(
-        "t", F.expr(TOKS)
-    )
+    docs = tokenized_corpus(spark, sf_dir)
     bi = (
         docs.select(F.explode(F.expr(_BIGRAMS_OVER_T)).alias("bg"))
         .groupBy("bg")

@@ -471,6 +471,25 @@ def test_bm25_term_filter_before_aggregation(spark, sf_dir):
     assert re.search(r"Filter.*term#\d+ IN", plan) or "hash IN" not in plan, plan
 
 
+def test_ndcg_rides_tokenized_corpus_cache(spark, sf_dir):
+    """ndcg_at_k (and bm25 inside it) must read the session's tokenized
+    corpus materialization, not re-tokenize per consumer — the r6 bench
+    regression was exactly these redundant corpus passes (VERDICT r6 #4).
+    The formatted plan shows the InMemoryRelation scans and no fresh
+    `split(text ...)` above them."""
+    from helium_arango_etl_spark.operators.textops import tokenized_corpus
+    from helium_arango_etl_spark.registry import QUERIES
+
+    tokenized_corpus(spark, sf_dir)  # ensure the table exists
+    plan = plan_of(QUERIES["ndcg_at_k"](spark, sf_dir))
+    # all three corpus consumers (bm25 postings+stats, grade projection)
+    # scan the cache; `split(text` may still print inside the
+    # InMemoryRelation node (its build plan), but no consumer may scan
+    # the parquet afresh
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "documents.parquet" not in plan.split("InMemoryRelation")[0], plan
+
+
 def test_hybrid_rrf_operates_on_bounded_inputs(spark, sf_dir):
     """Both fused rankings are TakeOrderedAndProject-bounded before the
     full-outer fusion — the fusion join never sees corpus-sized input."""
