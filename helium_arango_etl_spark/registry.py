@@ -3579,6 +3579,10 @@ _WINDOW_PRIORITY = [
     "brier_decomposition",
     "mrl_prefix_recall",
     "dsir_resample",
+    # round-7 additions (VERDICT r6 #2): certify the capped consumers
+    "neighborhood_jaccard_capped",
+    "butterfly_stats_capped",
+    "rich_club_coefficient_capped",
 ]
 
 _backlog = [
