@@ -295,3 +295,51 @@ def test_capped_consumers_bounded_on_celebrity(spark):
     assert exact_deg == 19
     assert capped_deg <= CO_WITNESS_MAX_GROUP  # chunk-mates only (7) + w2 (1)
     assert deg_max(capped) <= deg_max(exact)
+
+
+@pytest.mark.parametrize("seed", [3, 17, 41])
+def test_capped_pairs_invariants_random_bipartite(spark, seed):
+    """Cap-vs-exact invariants on varied bipartite edge sets: the capped
+    pair set is a subset of the exact one, every capped weight is a
+    lower bound of its exact weight, and the per-group accounting
+    formula (co_witness_bucket_stats' capped_pairs math) predicts the
+    capped distinct-pair count exactly."""
+    import random
+
+    from helium_arango_etl_spark.operators.graph import (
+        CO_WITNESS_MAX_GROUP,
+        _co_pairs,
+    )
+
+    rng = random.Random(seed)
+    rows = sorted(
+        {
+            (f"c{rng.randrange(2)}", f"s{rng.randrange(30):02d}", f"w{rng.randrange(6)}")
+            for _ in range(220)
+        }
+    )
+    edges = spark.createDataFrame(rows, "city_key string, src string, dst string")
+    exact = {
+        (r["city_key"], r["src_a"], r["src_b"]): r["shared_witnesses"]
+        for r in _co_pairs(edges).collect()
+    }
+    capped = {
+        (r["city_key"], r["src_a"], r["src_b"]): r["shared_witnesses"]
+        for r in _co_pairs(edges, CO_WITNESS_MAX_GROUP).collect()
+    }
+    assert set(capped) <= set(exact)
+    assert all(capped[k] <= exact[k] for k in capped)
+
+    # accounting: per-(city, dst) group of size k, the chunked form emits
+    # (k div m)*C(m,2) + C(k mod m, 2) pairs; summed over groups this must
+    # equal the total capped pair EMISSIONS (= sum of capped weights)
+    m = CO_WITNESS_MAX_GROUP
+    from collections import Counter
+
+    sizes = Counter((c, d) for c, _, d in rows)
+    expected = sum(
+        (k // m) * (m * (m - 1) // 2) + (k % m) * (k % m - 1) // 2
+        for k in sizes.values()
+    )
+    assert sum(capped.values()) == expected
+    assert sum(exact.values()) == sum(k * (k - 1) // 2 for k in sizes.values())
