@@ -2288,12 +2288,18 @@ def bigram_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row total broadcast; the top-K is TakeOrderedAndProject.
     """
     docs = tokenized_corpus(spark, sf_dir)
+    # materialize the bigram count table once: FOUR consumers read it
+    # (row marginals, column marginals, grand total, the scored join) and
+    # exchange reuse does not dedupe them — without this the corpus-sized
+    # explode+aggregate executes four times.  The table is vocab²-sparse
+    # (observed bigrams only), the safe size for a checkpoint.
     bi = (
         docs.select(F.explode(F.expr(_BIGRAMS_OVER_T)).alias("bg"))
         .groupBy("bg")
         .agg(F.count(F.lit(1)).cast("bigint").alias("k11"))
         .withColumn("wa", F.expr("split(bg, ' ')[0]"))
         .withColumn("wb", F.expr("split(bg, ' ')[1]"))
+        .localCheckpoint(eager=True)
     )
     r = bi.groupBy("wa").agg(F.sum("k11").cast("bigint").alias("r1"))
     c = bi.groupBy("wb").agg(F.sum("k11").cast("bigint").alias("c1"))
