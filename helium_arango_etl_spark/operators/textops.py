@@ -1954,8 +1954,13 @@ def memorization_risk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = docs.select(
         "source", F.explode(F.expr(ng)).alias("h")
     )
-    per = ex.groupBy("source", "h").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt_s")
+    # materialize the (source, hash) counts once: the global rollup AND
+    # the join both read `per`, and without the checkpoint the corpus-
+    # sized n-gram explode+aggregate executes twice (no exchange reuse)
+    per = (
+        ex.groupBy("source", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_s"))
+        .localCheckpoint(eager=True)
     )
     glob = per.groupBy("h").agg(F.sum("cnt_s").cast("bigint").alias("cnt_g"))
     j = per.join(glob, "h")
