@@ -61,10 +61,15 @@ def ks_price_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "if(o_orderpriority in ('1-URGENT', '2-HIGH'), 1L, 0L)"
         ).alias("is_a"),
     )
+    # the per-value count table feeds BOTH the CDF window and the totals,
+    # and the gap table feeds BOTH the argmax and the tie-break join —
+    # exchange reuse does not dedupe either, so without the two
+    # checkpoints the fact scan executed four times.  Both tables are
+    # value-domain bounded (distinct cents), the safe checkpoint size.
     per = o.groupBy("cents").agg(
         F.sum("is_a").cast("bigint").alias("a_n"),
         F.sum(F.expr("1L - is_a")).cast("bigint").alias("b_n"),
-    )
+    ).localCheckpoint(eager=True)
     w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
     cum = per.select(
         "cents",
@@ -83,7 +88,7 @@ def ks_price_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs(cast(ca as decimal(38,0)) * n_b"
             " - cast(cb as decimal(38,0)) * n_a)"
         ).alias("dnum"),
-    )
+    ).localCheckpoint(eager=True)
     m = d.agg(F.max("dnum").alias("dmax"))
     return (
         d.join(F.broadcast(m), d.dnum == m.dmax)

@@ -846,17 +846,26 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("f"),
     )
-    docf = feats.groupBy("doc_id", "f").agg(F.count(F.lit(1)).alias("n"))
-    fx = feats.filter(F.col("f").isNotNull())
-    raw = fx.groupBy("f").agg(F.count(F.lit(1)).alias("cr"))
+    # ONE corpus pass: the per-doc counts, both distribution tables and
+    # the totals all derive from this aggregated (doc, lang, bucket)
+    # table — without the checkpoint the bigram explode executed four
+    # times (once per consumer; exchange reuse does not dedupe them).
+    # doc_id determines lang, so grouping by (doc_id, lang, f) yields
+    # exactly the former (doc_id, f) rows with lang carried along.
+    fc = feats.groupBy("doc_id", "lang", "f").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
+    docf = fc.select("doc_id", "f", "n")
+    fx = fc.filter(F.col("f").isNotNull())
+    raw = fx.groupBy("f").agg(F.sum("n").alias("cr"))
     tgt = (
         fx.filter(F.col("lang") == DSIR_TARGET_LANG)
         .groupBy("f")
-        .agg(F.count(F.lit(1)).alias("ct"))
+        .agg(F.sum("n").alias("ct"))
     )
     totals = fx.agg(
-        F.count(F.lit(1)).alias("r_total"),
-        F.sum(F.expr(f"IF(lang = '{DSIR_TARGET_LANG}', 1, 0)")).alias("t_total"),
+        F.sum("n").alias("r_total"),
+        F.sum(F.expr(f"IF(lang = '{DSIR_TARGET_LANG}', n, 0)")).alias("t_total"),
     )
     lr = (
         raw.join(tgt, "f", "left")
