@@ -3937,15 +3937,21 @@ def gpd_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranked = two_level_rank(o, "c", "o_orderkey")
     tot = o.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # checkpoint the 1-row threshold and the ~(1-pct) tail table: u's
+    # lineage contains the whole ranking and exceed's contains u, so the
+    # three downstream consumers would otherwise re-run the ranking
+    # pipeline multiplicatively (exchange reuse does not dedupe it)
     u = (
         ranked.join(F.broadcast(tot))
         .filter(F.expr(f"r = (n * {GPD_THRESHOLD_PCT} + 99) div 100"))
         .select(F.col("c").alias("u"))
+        .localCheckpoint(eager=True)
     )
     exceed = (
         o.join(F.broadcast(u))
         .filter(F.col("c") > F.col("u"))
         .select("o_orderkey", F.expr("c - u").alias("y"), "u")
+        .localCheckpoint(eager=True)
     )
     ex_ranked = two_level_rank(exceed, "y", "o_orderkey")
     m_tot = exceed.agg(F.count(F.lit(1)).cast("bigint").alias("m_in"))

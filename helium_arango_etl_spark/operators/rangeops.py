@@ -2500,10 +2500,14 @@ def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = bounds.select(
         F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
     )
+    # the ≤366-row zero-filled grid feeds one chunk pipeline per window
+    # size — checkpoint it so the fact rollup runs once, not |windows|
+    # times (exchange reuse does not dedupe the per-window subtrees)
     grid = (
         spine.join(daily, "d", "left")
         .select("d", F.coalesce("x", F.lit(0)).alias("x"))
         .withColumn("idx", F.row_number().over(Window.orderBy("d")) - 1)
+        .localCheckpoint(eager=True)
     )
     per_w = []
     for w in HURST_WINDOWS:
