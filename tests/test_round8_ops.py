@@ -619,3 +619,31 @@ def test_atkinson_matches_numpy(spark, sf_dir):
         # A in [0, 1); geometric mean never exceeds arithmetic
         assert 0.0 <= r["atkinson_e1"] < 1.0
         assert r["geo_mean_spend"] <= r["mean_spend"] + 1e-9
+
+
+def test_tokenized_corpus_cache_contract(spark, sf_dir):
+    """The retrieval family's shared materialization: same object per
+    (session, sf_dir); clear_tok_cache drops it; the projection carries
+    exactly the query-agnostic columns and dl == size(t)."""
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_spark.operators.textops import (
+        clear_tok_cache,
+        tokenized_corpus,
+    )
+
+    clear_tok_cache(spark)
+    a = tokenized_corpus(spark, sf_dir)
+    assert tokenized_corpus(spark, sf_dir) is a
+    assert set(a.columns) == {"doc_id", "source", "lang", "t", "dl"}
+    assert a.filter(F.expr("dl != size(t)")).count() == 0
+    n_docs = a.count()
+    import duckdb
+
+    assert n_docs == duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    clear_tok_cache(spark)
+    b = tokenized_corpus(spark, sf_dir)
+    assert b is not a
+    clear_tok_cache(spark)
