@@ -1088,6 +1088,11 @@ def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("cast(gap as decimal(38,0))")).alias("s"),
         F.sum(F.expr("cast(gap as decimal(38,0)) * gap")).alias("ss"),
     )
+    # surfaces are micro-second scale (~4e10): round(x, 6) there is past
+    # the double's fractional precision and the engines' fractional
+    # rounding algorithms diverge (found as a real sf0.1 mismatch in r7).
+    # Mean is an exact integer centi-division; std/burstiness quantize
+    # via integer round of a <2^53 scaled double (identical both engines).
     mu = "(cast(s as double) / cast(n_gaps as double))"
     sig = (
         f"sqrt(cast(ss as double) / cast(n_gaps as double)"
@@ -1096,10 +1101,12 @@ def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select(
         "event_type",
         "n_gaps",
-        F.round(F.expr(mu), 6).alias("mean_gap_us"),
-        F.round(F.expr(sig), 6).alias("std_gap_us"),
-        F.round(
-            F.expr(f"({sig} - {mu}) / ({sig} + {mu})"), 6
+        F.expr(
+            "cast((s * 100) div n_gaps as bigint) / 1e2"
+        ).alias("mean_gap_us"),
+        F.expr(f"cast(round({sig} * 1e2) as bigint) / 1e2").alias("std_gap_us"),
+        F.expr(
+            f"cast(round(({sig} - {mu}) / ({sig} + {mu}) * 1e6) as bigint) / 1e6"
         ).alias("burstiness"),
     )
 

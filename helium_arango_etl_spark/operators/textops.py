@@ -72,6 +72,13 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize ONCE into t; referencing the tokenizer expression 7 times
     # would re-split the text per use site (multi-use aliases survive
     # CollapseProject, single-use ones get inlined — keep them multi-use)
+    # 4dp rounding via the integer-quantize discipline, NOT round(x, 4):
+    # the ratio expressions are rationals that land on exact .xxxx5
+    # half-boundaries constantly (e.g. 3/8 · 0.4), and Spark (BigDecimal
+    # HALF_UP on the exact binary expansion) disagrees with DuckDB
+    # (scaled-multiply) there — found as a real sf0.1 mismatch in r7.
+    # round(y) to INTEGER of the same ≤1e6-magnitude double is identical
+    # in both engines.
     docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
     sw = ", ".join(f"'{w}'" for w in STOPWORDS)
     return docs.select(
@@ -79,21 +86,22 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("size(t)").alias("n_tokens"),
         F.length("text").alias("n_chars"),
         F.expr(
-            "round(aggregate(transform(t, x -> length(x)), 0, (acc, v) -> acc + v)"
-            " / cast(size(t) as double), 4)"
+            "cast(round(aggregate(transform(t, x -> length(x)), 0, (acc, v) -> acc + v)"
+            " / cast(size(t) as double) * 1e4) as bigint) / 1e4"
         ).alias("avg_token_len"),
         F.expr(
-            f"round(size(filter(t, x -> x in ({sw}))) / cast(size(t) as double), 4)"
+            f"cast(round(size(filter(t, x -> x in ({sw})))"
+            " / cast(size(t) as double) * 1e4) as bigint) / 1e4"
         ).alias("stopword_ratio"),
         F.expr(
-            "round((length(text) - length(regexp_replace(text, '[a-z]', '')))"
-            " / cast(length(text) as double), 4)"
+            "cast(round((length(text) - length(regexp_replace(text, '[a-z]', '')))"
+            " / cast(length(text) as double) * 1e4) as bigint) / 1e4"
         ).alias("alpha_ratio"),
         F.expr(
-            f"round(0.4 * (size(filter(t, x -> x in ({sw}))) / cast(size(t) as double))"
+            f"cast(round((0.4 * (size(filter(t, x -> x in ({sw}))) / cast(size(t) as double))"
             " + 0.3 * least(size(t) / 100.0, 1.0)"
             " + 0.3 * ((length(text) - length(regexp_replace(text, '[a-z]', '')))"
-            " / cast(length(text) as double)), 4)"
+            " / cast(length(text) as double))) * 1e4) as bigint) / 1e4"
         ).alias("quality_score"),
     )
 

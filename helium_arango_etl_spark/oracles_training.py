@@ -148,13 +148,13 @@ ORACLE_TRAINING: dict[str, str] = {
         SELECT doc_id,
                len(t) AS n_tokens,
                length(text) AS n_chars,
-               round(list_sum(list_transform(t, x -> length(x))) / CAST(len(t) AS DOUBLE), 4) AS avg_token_len,
-               round(len(list_filter(t, x -> x IN ({_sw}))) / CAST(len(t) AS DOUBLE), 4) AS stopword_ratio,
-               round((length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) / CAST(length(text) AS DOUBLE), 4) AS alpha_ratio,
-               round(0.4 * (len(list_filter(t, x -> x IN ({_sw}))) / CAST(len(t) AS DOUBLE))
+               CAST(round(list_sum(list_transform(t, x -> length(x))) / CAST(len(t) AS DOUBLE) * 1e4) AS BIGINT) / 1e4 AS avg_token_len,
+               CAST(round(len(list_filter(t, x -> x IN ({_sw}))) / CAST(len(t) AS DOUBLE) * 1e4) AS BIGINT) / 1e4 AS stopword_ratio,
+               CAST(round((length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) / CAST(length(text) AS DOUBLE) * 1e4) AS BIGINT) / 1e4 AS alpha_ratio,
+               CAST(round((0.4 * (len(list_filter(t, x -> x IN ({_sw}))) / CAST(len(t) AS DOUBLE))
                      + 0.3 * least(len(t) / 100.0, 1.0)
-                     + 0.3 * ((length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) / CAST(length(text) AS DOUBLE)),
-                     4) AS quality_score
+                     + 0.3 * ((length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) / CAST(length(text) AS DOUBLE)))
+                     * 1e4) AS BIGINT) / 1e4 AS quality_score
         FROM toks
     """,
     "lang_id": f"""
@@ -5887,21 +5887,21 @@ ORACLE_TRAINING["interevent_burstiness"] = """
           FROM gaps WHERE gap IS NOT NULL GROUP BY 1
         )
         SELECT event_type, n_gaps,
-               round((cast(s as double) / cast(n_gaps as double)), 6)
+               CAST((CAST(s AS HUGEINT) * 100) // n_gaps AS BIGINT) / 1e2
                    AS mean_gap_us,
-               round(sqrt(cast(ss as double) / cast(n_gaps as double)
+               CAST(round(sqrt(cast(ss as double) / cast(n_gaps as double)
                      - (cast(s as double) / cast(n_gaps as double))
-                       * (cast(s as double) / cast(n_gaps as double))), 6)
-                   AS std_gap_us,
-               round((sqrt(cast(ss as double) / cast(n_gaps as double)
+                       * (cast(s as double) / cast(n_gaps as double))) * 1e2)
+                    AS BIGINT) / 1e2 AS std_gap_us,
+               CAST(round((sqrt(cast(ss as double) / cast(n_gaps as double)
                       - (cast(s as double) / cast(n_gaps as double))
                         * (cast(s as double) / cast(n_gaps as double)))
                       - (cast(s as double) / cast(n_gaps as double)))
                      / (sqrt(cast(ss as double) / cast(n_gaps as double)
                         - (cast(s as double) / cast(n_gaps as double))
                           * (cast(s as double) / cast(n_gaps as double)))
-                        + (cast(s as double) / cast(n_gaps as double))),
-                     6) AS burstiness
+                        + (cast(s as double) / cast(n_gaps as double)))
+                     * 1e6) AS BIGINT) / 1e6 AS burstiness
         FROM mom
     """
 
