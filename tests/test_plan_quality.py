@@ -613,7 +613,6 @@ def test_dq_report_no_collect_shape(spark, sf_dir):
 @pytest.mark.parametrize(
     ("name", "max_widths"),
     [
-        ("ks_price_test", 2),        # orders: totalprice, orderpriority
         ("theilsen_daily_trend", 1), # orders: orderdate only
         ("corr_matrix", 4),          # lineitem: the four measures
         ("hill_tail_index", 1),      # orders: totalprice only
@@ -623,6 +622,28 @@ def test_round6_column_pruning(spark, sf_dir, name, max_widths):
     plan = plan_of(QUERIES[name](spark, sf_dir))
     widths = scan_widths(plan)
     assert widths and max(widths) <= max_widths, (widths, plan)
+
+
+def test_ks_price_scan_pruned_to_two_columns(spark, sf_dir):
+    """ks_price_test checkpoints its per-value count table (round-7 scan
+    dedup), so the orders scan lives in the checkpoint's BUILD stage —
+    pin pruning on that stage's plan: only totalprice + orderpriority may
+    be read, and the returned frame must start from the materialized RDD
+    (exactly one fact scan per run)."""
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_spark.io import read_table
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+        F.expr("if(o_orderpriority in ('1-URGENT', '2-HIGH'), 1L, 0L)").alias("is_a"),
+    )
+    per = o.groupBy("cents").agg(F.sum("is_a").alias("a_n"))
+    widths = scan_widths(plan_of(per))
+    assert widths and max(widths) <= 2, widths
+    final = plan_of(QUERIES["ks_price_test"](spark, sf_dir))
+    assert "Scan ExistingRDD" in final, final
+    assert "Scan parquet" not in final, final
 
 
 def test_corr_matrix_single_scan_no_window(spark, sf_dir):
