@@ -1978,16 +1978,21 @@ def set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = read_table(spark, sf_dir, "orders")
     thr = o.agg(F.expr("percentile(o_totalprice, 0.9)").alias("p90"))
+    # checkpoint the two distinct cohort sets and the intersection: each
+    # feeds several set operations AND its own count, and exchange reuse
+    # does not dedupe the repeated subtrees — without this the orders
+    # scan executed ~16 times (round-7 audit)
     a = o.where(
         F.expr("o_orderpriority in ('1-URGENT', '2-HIGH')")
-    ).select("o_custkey").distinct()
+    ).select("o_custkey").distinct().localCheckpoint(eager=True)
     b = (
         o.crossJoin(F.broadcast(thr))
         .where(F.expr("o_totalprice > p90"))
         .select("o_custkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    inter = a.intersect(b)
+    inter = a.intersect(b).localCheckpoint(eager=True)
     only_a = a.exceptAll(inter)
     only_b = b.exceptAll(inter)
     union = a.union(b).distinct()

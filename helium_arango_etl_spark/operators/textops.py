@@ -2076,9 +2076,14 @@ def stylometry_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("filter(split(lower(text), ' '), x -> x != '')")
         ).alias("w"),
     )
-    wc = toks.groupBy("w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
+    # ONE corpus explode: the global vocabulary ranking, the per-source
+    # totals and the per-(source, word) counts all derive from this
+    # checkpointed (source, w, cnt) aggregate — without it the token
+    # explode executed three times (round-7 audit)
+    sc = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=True)
+    wc = sc.groupBy("w").agg(F.sum("c").cast("bigint").alias("cnt"))
     topv = (
         wc.withColumn(
             "rk",
@@ -2089,13 +2094,11 @@ def stylometry_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= STYLO_TOP_V)
         .select("w")
     )
-    n_s = toks.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("total")
+    n_s = sc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("total")
     )
-    sw = (
-        toks.join(F.broadcast(topv), "w")
-        .groupBy("source", "w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_sw"))
+    sw = sc.join(F.broadcast(topv), "w").select(
+        "source", "w", F.col("c").alias("cnt_sw")
     )
     dense = (
         n_s.crossJoin(F.broadcast(topv))
