@@ -1188,17 +1188,21 @@ def source_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = JS_VOCAB
     docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
     words = docs.select("source", F.explode("t").alias("w"))
+    # ONE corpus explode: vocabulary ranking and per-source counts both
+    # derive from this checkpointed (source, w) aggregate (round-7 scan
+    # audit; the stylometry_delta fix, same shape)
+    sc = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("c0")
+    ).localCheckpoint(eager=True)
     vocab = (
-        words.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        sc.groupBy("w")
+        .agg(F.sum("c0").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("w").asc())
         .limit(v)
         .select("w")
     )
-    counts = (
-        words.join(F.broadcast(vocab), "w")
-        .groupBy("source", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
+    counts = sc.join(F.broadcast(vocab), "w").select(
+        "source", "w", F.col("c0").alias("c")
     )
     sources = docs.select("source").distinct()
     totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
