@@ -55,6 +55,11 @@ HEADLINE = [
     "image_features",        # binary mapInPandas feature extraction
     # round-3 operators promoted to tracked per-round numbers (VERDICT r3 #4)
     "promo_attribution",     # banded range join (last promo before purchase)
+    # tok_prepare sits directly BEFORE the first tokenized-corpus consumer
+    # (bpe_merge_rules), matching the emb_prepare placement discipline: the
+    # first consumer must not pay the tokenize+persist surcharge on a cold
+    # pass (ADVICE r7)
+    "tok_prepare",           # retrieval-family shared table: tokenize+persist
     "bpe_merge_rules",       # iterative BPE merge training (vocab-sized shuffles)
     "stratified_split",      # exact per-stratum quota split
     "snapshot_diff",         # digest-only full-outer table diff
@@ -90,10 +95,9 @@ HEADLINE = [
     "bigram_llr_collocations",  # Dunning G2 top-K collocations
     # round-8 (driver round 6) operators promoted to tracked per-round numbers
     "mutual_knn_graph_lsh",  # the 100 TB mutual-kNN form: bucket-join pair source
-    # round-9 (driver round 7): the retrieval family's shared tokenized
-    # corpus, priced as its own step like emb_prepare; and the capped
-    # co-witness consumer (the production form of the rich-club entry)
-    "tok_prepare",           # retrieval-family shared table: tokenize+persist
+    # round-9 (driver round 7): the capped co-witness consumer (the
+    # production form of the rich-club entry); tok_prepare moved up to
+    # precede its first consumer
     "rich_club_coefficient_capped",  # bounded-emit club density (VERDICT r6 #2)
 ]
 # Deliberately NOT in the headline: city_betweenness_joins — it is the

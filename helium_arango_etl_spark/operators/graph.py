@@ -1348,9 +1348,29 @@ def adamic_adar_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the score aggregation is exact bigint arithmetic — float partial sums
     are order-sensitive and could flip rank order between engines.
     """
+    return _adamic_adar_body(co_witness_pairs(spark, sf_dir))
+
+
+def adamic_adar_scores_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of :func:`adamic_adar_scores`: rides the
+    CO_WITNESS_MAX_GROUP-capped pair projection (VERDICT r7 #3), so a
+    celebrity witness bounds projection-pair generation at O(k·cap)
+    instead of k²/2 — and because the 2-hop middle-vertex expansion
+    fans out along projection edges, its worst-case emit is bounded by
+    the capped projection degree too.  Scores UNDERCOUNT for fan-ins
+    above the cap (drops accounted by :func:`co_witness_bucket_stats`);
+    within the surviving projection the arithmetic is the exact form's.
+    Scan count over the largest fact table: 1 (the session-cached capped
+    pair table; degrees derive from the projection itself)."""
+    return _adamic_adar_body(_co_witness_pairs_capped_cached(spark, sf_dir))
+
+
+def _adamic_adar_body(pairs: DataFrame) -> DataFrame:
+    """Adamic-Adar scoring over an arbitrary co-witness pair table —
+    shared by the exact and the capped registered forms."""
     from pyspark.sql import Window
 
-    cw = co_witness_pairs(spark, sf_dir).select(
+    cw = pairs.select(
         "city_key", F.col("src_a").alias("a"), F.col("src_b").alias("b")
     )
     adj = cw.unionByName(
@@ -1762,9 +1782,32 @@ def local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-ordered triangle counting rewrite; id-orientation here keeps
     the oracle bit-exact.
     """
-    proj = co_witness_pairs(spark, sf_dir).select(
-        "city_key", F.col("src_a").alias("a"), F.col("src_b").alias("b")
+    return _local_clustering_body(
+        co_witness_pairs(spark, sf_dir).select(
+            "city_key", F.col("src_a").alias("a"), F.col("src_b").alias("b")
+        )
     )
+
+
+def local_clustering_coeff_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of :func:`local_clustering_coeff`: rides the
+    CO_WITNESS_MAX_GROUP-capped pair projection (VERDICT r7 #3), so the
+    triangle enumeration's two keyed joins fan out along a projection
+    whose per-witness emit is O(k·cap), never k²/2.  Degrees and
+    triangle counts UNDERCOUNT for fan-ins above the cap (drops
+    accounted by :func:`co_witness_bucket_stats`); the coefficient stays
+    exact arithmetic over the surviving projection.  Scan count over the
+    largest fact table: 1 (the session-cached capped pair table)."""
+    return _local_clustering_body(
+        _co_witness_pairs_capped_cached(spark, sf_dir).select(
+            "city_key", F.col("src_a").alias("a"), F.col("src_b").alias("b")
+        )
+    )
+
+
+def _local_clustering_body(proj: DataFrame) -> DataFrame:
+    """Clustering-coefficient scoring over an arbitrary oriented (a<b)
+    projection edge set — shared by the exact and capped forms."""
     deg = (
         proj.select("city_key", F.col("a").alias("node"))
         .unionByName(proj.select("city_key", F.col("b").alias("node")))
@@ -1969,8 +2012,27 @@ def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out at scale) + one keyed support count + one semi-join on
     surviving edges; localCheckpoint truncates lineage per round.
     """
+    return _ktruss_body(co_witness_pairs(spark, sf_dir))
+
+
+def ktruss_edges_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of :func:`ktruss_edges`: the peel runs over the
+    CO_WITNESS_MAX_GROUP-capped pair projection (VERDICT r7 #3), so the
+    per-round triangle enumeration joins a projection whose per-witness
+    emit is O(k·cap), never k²/2.  Supports UNDERCOUNT for fan-ins above
+    the cap (drops accounted by :func:`co_witness_bucket_stats`), so the
+    capped truss is a subgraph of the exact one — peeling is monotone in
+    the edge set.  Scan count over the largest fact table: 1 (the
+    session-cached capped pair table; each peel round re-joins the
+    checkpointed projection, never the fact table)."""
+    return _ktruss_body(_co_witness_pairs_capped_cached(spark, sf_dir))
+
+
+def _ktruss_body(pairs: DataFrame) -> DataFrame:
+    """Edge-triangle peel over an arbitrary oriented (a<b) co-witness
+    pair table — shared by the exact and capped registered forms."""
     proj = (
-        co_witness_pairs(spark, sf_dir)
+        pairs
         .select("city_key", F.col("src_a").alias("a"), F.col("src_b").alias("b"))
         .localCheckpoint()
     )

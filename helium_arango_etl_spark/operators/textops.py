@@ -79,6 +79,12 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (scaled-multiply) there — found as a real sf0.1 mismatch in r7.
     # round(y) to INTEGER of the same ≤1e6-magnitude double is identical
     # in both engines.
+    # Zero-denominator guard (ADVICE r7, medium): for an empty or
+    # whitespace-only document size(t)=0 / length(text)=0 makes the ratio
+    # NaN, and the integer-quantize cast diverges cross-engine (Spark
+    # casts NaN->bigint as 0; DuckDB errors on CAST(round('NaN') AS
+    # BIGINT)).  Surface NULL on BOTH sides instead — the current corpus
+    # has no such docs, so certified hashes are unchanged.
     docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
     sw = ", ".join(f"'{w}'" for w in STOPWORDS)
     return docs.select(
@@ -86,22 +92,26 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("size(t)").alias("n_tokens"),
         F.length("text").alias("n_chars"),
         F.expr(
-            "cast(round(aggregate(transform(t, x -> length(x)), 0, (acc, v) -> acc + v)"
-            " / cast(size(t) as double) * 1e4) as bigint) / 1e4"
+            "if(size(t) = 0, cast(null as double),"
+            " cast(round(aggregate(transform(t, x -> length(x)), 0, (acc, v) -> acc + v)"
+            " / cast(size(t) as double) * 1e4) as bigint) / 1e4)"
         ).alias("avg_token_len"),
         F.expr(
-            f"cast(round(size(filter(t, x -> x in ({sw})))"
-            " / cast(size(t) as double) * 1e4) as bigint) / 1e4"
+            f"if(size(t) = 0, cast(null as double),"
+            f" cast(round(size(filter(t, x -> x in ({sw})))"
+            " / cast(size(t) as double) * 1e4) as bigint) / 1e4)"
         ).alias("stopword_ratio"),
         F.expr(
-            "cast(round((length(text) - length(regexp_replace(text, '[a-z]', '')))"
-            " / cast(length(text) as double) * 1e4) as bigint) / 1e4"
+            "if(length(text) = 0, cast(null as double),"
+            " cast(round((length(text) - length(regexp_replace(text, '[a-z]', '')))"
+            " / cast(length(text) as double) * 1e4) as bigint) / 1e4)"
         ).alias("alpha_ratio"),
         F.expr(
-            f"cast(round((0.4 * (size(filter(t, x -> x in ({sw}))) / cast(size(t) as double))"
+            f"if(size(t) = 0 or length(text) = 0, cast(null as double),"
+            f" cast(round((0.4 * (size(filter(t, x -> x in ({sw}))) / cast(size(t) as double))"
             " + 0.3 * least(size(t) / 100.0, 1.0)"
             " + 0.3 * ((length(text) - length(regexp_replace(text, '[a-z]', '')))"
-            " / cast(length(text) as double))) * 1e4) as bigint) / 1e4"
+            " / cast(length(text) as double))) * 1e4) as bigint) / 1e4)"
         ).alias("quality_score"),
     )
 

@@ -148,13 +148,17 @@ ORACLE_TRAINING: dict[str, str] = {
         SELECT doc_id,
                len(t) AS n_tokens,
                length(text) AS n_chars,
-               CAST(round(list_sum(list_transform(t, x -> length(x))) / CAST(len(t) AS DOUBLE) * 1e4) AS BIGINT) / 1e4 AS avg_token_len,
-               CAST(round(len(list_filter(t, x -> x IN ({_sw}))) / CAST(len(t) AS DOUBLE) * 1e4) AS BIGINT) / 1e4 AS stopword_ratio,
-               CAST(round((length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) / CAST(length(text) AS DOUBLE) * 1e4) AS BIGINT) / 1e4 AS alpha_ratio,
-               CAST(round((0.4 * (len(list_filter(t, x -> x IN ({_sw}))) / CAST(len(t) AS DOUBLE))
+               CASE WHEN len(t) = 0 THEN NULL ELSE
+                 CAST(round(list_sum(list_transform(t, x -> length(x))) / CAST(len(t) AS DOUBLE) * 1e4) AS BIGINT) / 1e4 END AS avg_token_len,
+               CASE WHEN len(t) = 0 THEN NULL ELSE
+                 CAST(round(len(list_filter(t, x -> x IN ({_sw}))) / CAST(len(t) AS DOUBLE) * 1e4) AS BIGINT) / 1e4 END AS stopword_ratio,
+               CASE WHEN length(text) = 0 THEN NULL ELSE
+                 CAST(round((length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) / CAST(length(text) AS DOUBLE) * 1e4) AS BIGINT) / 1e4 END AS alpha_ratio,
+               CASE WHEN len(t) = 0 OR length(text) = 0 THEN NULL ELSE
+                 CAST(round((0.4 * (len(list_filter(t, x -> x IN ({_sw}))) / CAST(len(t) AS DOUBLE))
                      + 0.3 * least(len(t) / 100.0, 1.0)
                      + 0.3 * ((length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) / CAST(length(text) AS DOUBLE)))
-                     * 1e4) AS BIGINT) / 1e4 AS quality_score
+                     * 1e4) AS BIGINT) / 1e4 END AS quality_score
         FROM toks
     """,
     "lang_id": f"""

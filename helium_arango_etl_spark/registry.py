@@ -2310,10 +2310,13 @@ def _tip_sql(rounds: int = 8) -> str:
     )
 
 
-def _truss_sql(rounds: int = 8) -> str:
+def _truss_sql(rounds: int = 8, capped: bool = False) -> str:
     """Unrolled edge-peeling oracle for :func:`operators.graph.ktruss_edges`
     (confluent monotone peel — extra rounds are a no-op; AS MATERIALIZED
-    for the same inlining reason as _kcore_sql)."""
+    for the same inlining reason as _kcore_sql).  ``capped=True`` seeds
+    the peel from the CO_WITNESS_MAX_GROUP-capped pair projection (the
+    positional src-contiguous chunk join mirroring graph._co_pairs
+    max_group) instead of the exact one — the ktruss_edges_capped twin."""
 
     def support(rel: str, alias: str) -> str:
         return f"""{alias} AS MATERIALIZED (
@@ -2345,15 +2348,32 @@ def _truss_sql(rounds: int = 8) -> str:
           ) GROUP BY city_key, a, b
         )"""
 
-    parts = [
-        f"WITH edges0 AS MATERIALIZED ({_WITNESS_SQL})",
-        """r0 AS MATERIALIZED (
+    if capped:
+        m = G.CO_WITNESS_MAX_GROUP
+        r0 = f"""gg AS (
+          SELECT city_key, dst, list_sort(list(src)) AS ss
+          FROM (SELECT DISTINCT city_key, src, dst FROM edges0)
+          GROUP BY city_key, dst HAVING count(*) >= 2
+        ),
+        mm AS (
+          SELECT city_key, dst, unnest(ss) AS src,
+                 unnest(range(1, len(ss) + 1)) AS i
+          FROM gg
+        ),
+        r0 AS MATERIALIZED (
+          SELECT DISTINCT x.city_key, x.src AS a, y.src AS b
+          FROM mm x JOIN mm y ON x.city_key = y.city_key AND x.dst = y.dst
+           AND y.i > x.i
+           AND y.i <= ((x.i - 1) // {m} + 1) * {m}
+        )"""
+    else:
+        r0 = """r0 AS MATERIALIZED (
           SELECT DISTINCT x.city_key, x.src AS a, y.src AS b
           FROM (SELECT DISTINCT city_key, src, dst FROM edges0) x
           JOIN (SELECT DISTINCT city_key, src, dst FROM edges0) y
             ON x.city_key = y.city_key AND x.dst = y.dst AND x.src < y.src
-        )""",
-    ]
+        )"""
+    parts = [f"WITH edges0 AS MATERIALIZED ({_WITNESS_SQL})", r0]
     for i in range(1, rounds + 1):
         parts.append(support(f"r{i - 1}", f"s{i}"))
         parts.append(
@@ -3513,6 +3533,82 @@ ORACLE["dtw_daily_series"] = f"""
     """
 
 
+# ---------- round-8: remaining co-witness capped twins (VERDICT r7 #3) ----------
+# The three costliest still-uncapped co-witness consumers get certified
+# bounded-emit twins over the shared capped projection, the same
+# cap-folded positional-chunk-join oracle pattern as the round-7 three.
+# The exact forms stay registered as the oracle-exact demos.
+
+QUERIES["adamic_adar_scores_capped"] = G.adamic_adar_scores_capped
+ORACLE["adamic_adar_scores_capped"] = f"""
+        WITH {_CO_CAPPED_CTES},
+        adj AS (
+          SELECT city_key, src_a AS a, src_b AS b FROM cw
+          UNION ALL SELECT city_key, src_b AS a, src_a AS b FROM cw
+        ), deg AS (
+          SELECT city_key, a AS m2, CAST(count(*) AS BIGINT) AS deg
+          FROM adj GROUP BY city_key, a
+        ), scored AS (
+          SELECT h1.city_key, h1.a AS src, h2.b AS rec,
+                 CAST(sum(CAST(round(1000000.0 / ln(CAST(d.deg AS DOUBLE)))
+                               AS BIGINT)) AS BIGINT) AS s
+          FROM adj h1
+          JOIN adj h2 ON h2.city_key = h1.city_key AND h2.a = h1.b
+          JOIN deg d ON d.city_key = h1.city_key AND d.m2 = h1.b
+          WHERE h1.a <> h2.b AND d.deg > 1
+          GROUP BY h1.city_key, h1.a, h2.b
+        ), nond AS (
+          SELECT sc.* FROM scored sc
+          WHERE NOT EXISTS (
+            SELECT 1 FROM adj d2
+            WHERE d2.city_key = sc.city_key AND d2.a = sc.src
+              AND d2.b = sc.rec)
+        )
+        SELECT city_key, src, rec,
+               round(s / 1000000.0, 6) AS aa_score, CAST(rank AS INT) AS rank
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY city_key, src
+                   ORDER BY s DESC, rec ASC) AS rank
+          FROM nond)
+        WHERE rank <= {G.REC_TOP_N}
+    """.replace("{WSQL}", _WITNESS_SQL)
+
+QUERIES["local_clustering_coeff_capped"] = G.local_clustering_coeff_capped
+ORACLE["local_clustering_coeff_capped"] = f"""
+        WITH {_CO_CAPPED_CTES},
+        proj AS (SELECT city_key, src_a AS a, src_b AS b FROM cw),
+        deg AS (
+          SELECT city_key, node, CAST(count(*) AS BIGINT) AS degree
+          FROM (SELECT city_key, a AS node FROM proj
+                UNION ALL SELECT city_key, b FROM proj)
+          GROUP BY city_key, node
+        ), tri AS (
+          SELECT e1.city_key, e1.a, e1.b, e2.b AS c
+          FROM proj e1
+          JOIN proj e2 ON e2.city_key = e1.city_key AND e2.a = e1.b
+          JOIN proj e3 ON e3.city_key = e1.city_key AND e3.a = e1.a
+                      AND e3.b = e2.b
+        ), corner AS (
+          SELECT city_key, node, CAST(count(*) AS BIGINT) AS n_triangles
+          FROM (SELECT city_key, a AS node FROM tri
+                UNION ALL SELECT city_key, b FROM tri
+                UNION ALL SELECT city_key, c FROM tri)
+          GROUP BY city_key, node
+        )
+        SELECT d.city_key, d.node, d.degree,
+               CAST(coalesce(c.n_triangles, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN d.degree >= 2
+                    THEN round(2 * coalesce(c.n_triangles, 0)
+                               / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+                    ELSE 0.0 END AS clustering_coeff
+        FROM deg d LEFT JOIN corner c USING (city_key, node)
+    """.replace("{WSQL}", _WITNESS_SQL)
+
+QUERIES["ktruss_edges_capped"] = G.ktruss_edges_capped
+ORACLE["ktruss_edges_capped"] = _truss_sql(capped=True)
+
+
 # ---------- driver-window ordering (auto-derived, round 7+) ----------
 #
 # The driver's CORRECTNESS gate certifies the first 50 insertion-order
@@ -3524,35 +3620,68 @@ ORACLE["dtw_daily_series"] = f"""
 # first (priority names, then registry insertion order), so rotation can
 # never be stale again.  The tripwire test stays as a backstop.
 
-def _certified_from_history(repo_root: str) -> set:
-    """Names with a fully-green driver row (rows+schema+hash) in any
-    checked-in CORRECTNESS_r*.json.  Empty when no history exists
-    (round 1, or an installed copy without the driver artifacts)."""
+def _history_rounds(repo_root: str) -> list:
+    """[(round_number, rows_dict)] per checked-in CORRECTNESS_r*.json,
+    ascending by round.  Empty when no history exists (round 1, or an
+    installed copy without the driver artifacts).  The glob pattern is
+    shared verbatim with tests/test_driver_window.py — two-digit round
+    files (CORRECTNESS_r10.json+) sort numerically here, not lexically."""
     import glob as _glob
     import json as _json
+    import re as _re
 
-    out = set()
-    for path in sorted(_glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+    out = []
+    for path in _glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
         try:
             with open(path) as fh:
                 rows = _json.load(fh)
         except (OSError, ValueError):
             continue
-        out |= {
-            k
-            for k, v in rows.items()
-            if isinstance(v, dict)
-            and v.get("rows_match")
-            and v.get("schema_match")
-            and v.get("hash_match")
-        }
+        if isinstance(rows, dict):
+            out.append((int(m.group(1)), rows))
+    out.sort(key=lambda t: t[0])
     return out
+
+
+def _row_green(v) -> bool:
+    return (
+        isinstance(v, dict)
+        and bool(v.get("rows_match"))
+        and bool(v.get("schema_match"))
+        and bool(v.get("hash_match"))
+    )
+
+
+def _certification_state(repo_root: str) -> tuple:
+    """(certified, last_green_round).
+
+    certified: names whose LATEST driver row is fully green
+    (rows+schema+hash).  A red row in a later round drops the name, so a
+    regressed query rotates back into the window automatically — the
+    simhash_near_pairs r1 precedent needed manual re-windowing under the
+    old any-round-green rule.
+
+    last_green_round: name -> most recent round with a fully-green row,
+    used to pad the window longest-ago-certified-first once the
+    never-certified backlog dips below 50."""
+    latest = {}
+    last_green = {}
+    for rnd, rows in _history_rounds(repo_root):
+        for k, v in rows.items():
+            green = _row_green(v)
+            latest[k] = green
+            if green:
+                last_green[k] = rnd
+    return {k for k, green in latest.items() if green}, last_green
 
 
 import os
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_CERTIFIED = _certified_from_history(_REPO_ROOT)
+_CERTIFIED, _LAST_GREEN_ROUND = _certification_state(_REPO_ROOT)
 
 # Front-loaded per VERDICT r6 #1: the benched + scale-probed round-6
 # additions, then the round-4 scale-probed family; anything here that is
@@ -3592,9 +3721,16 @@ _backlog = [
 ]
 _seen = set()
 _backlog = [k for k in _backlog if not (k in _seen or _seen.add(k))]
-# When the backlog dips below 50, pad with the longest-ago-certified
-# insertion-order entries so the window is always exactly 50 live queries.
-_DRIVER_WINDOW = (_backlog + [k for k in QUERIES if k not in set(_backlog)])[:50]
+# When the backlog dips below 50, pad with ORACLED certified entries,
+# longest-ago-certified first (ties broken by registry insertion order),
+# so the window is always exactly 50 live oracle-checkable queries and
+# stale certifications get re-verified first.
+_insertion_index = {k: i for i, k in enumerate(QUERIES)}
+_padding = sorted(
+    (k for k in QUERIES if k in ORACLE and k not in set(_backlog)),
+    key=lambda k: (_LAST_GREEN_ROUND.get(k, 0), _insertion_index[k]),
+)
+_DRIVER_WINDOW = (_backlog + _padding)[:50]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 _unoracled = [k for k in _DRIVER_WINDOW if k not in ORACLE]

@@ -99,6 +99,35 @@ def test_empty_corpus_yields_empty_results(spark, empty_dir, name):
     assert df.count() == 0
 
 
+def test_text_stats_empty_doc_matches_oracle(spark, degenerate_dir):
+    """ADVICE r7 (medium): an empty/whitespace-only doc makes the ratio
+    denominators zero; the integer-quantize cast used to diverge
+    cross-engine (Spark casts NaN->bigint as 0, DuckDB errors on
+    CAST(round('NaN') AS BIGINT)).  Both sides must now surface NULL and
+    match row-for-row on a corpus that CONTAINS such a doc."""
+    import duckdb
+
+    from helium_arango_etl_spark.oracles_training import ORACLE_TRAINING
+
+    got = {
+        r["doc_id"]: (r["avg_token_len"], r["stopword_ratio"], r["alpha_ratio"], r["quality_score"])
+        for r in QUERIES["text_stats"](spark, degenerate_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{degenerate_dir}/documents.parquet/*.parquet'"
+    )
+    want = {
+        r[0]: tuple(r[3:])
+        for r in con.execute(
+            f"SELECT * FROM ({ORACLE_TRAINING['text_stats']}) ORDER BY doc_id"
+        ).fetchall()
+    }
+    assert got == want
+    assert got[0] == (None, None, None, None)  # the empty-text doc
+
+
 def test_degenerate_semantics(spark, degenerate_dir):
     """Spot-check semantics on the degenerate corpus: the exact dup pair
     collapses, short docs have no signatures, empty text survives hygiene."""

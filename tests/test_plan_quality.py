@@ -787,10 +787,23 @@ def test_capped_consumers_ride_shared_capped_projection(spark, sf_dir):
     first = plan_of(QUERIES["rich_club_coefficient_capped"](spark, sf_dir))
     assert "CartesianProduct" not in first, first
     assert "InMemoryTableScan" in first, first
-    for name in ("neighborhood_jaccard_capped", "butterfly_stats_capped"):
+    for name in (
+        "neighborhood_jaccard_capped",
+        "butterfly_stats_capped",
+        # round-8 twins (VERDICT r7 #3)
+        "adamic_adar_scores_capped",
+        "local_clustering_coeff_capped",
+    ):
         plan = plan_of(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, plan
         assert "InMemoryTableScan" in plan, plan
+    # ktruss_edges_capped peels over a localCheckpoint OF the shared
+    # capped projection, so its final plan reads the checkpoint RDD (the
+    # cache is paid once at checkpoint creation), never a pair rebuild
+    plan = plan_of(QUERIES["ktruss_edges_capped"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
 
 
 def test_peak_concurrency_day_keyed_sweep(spark, sf_dir):
