@@ -74,7 +74,6 @@ HEADLINE = [
     "cdc_apply",             # changelog -> snapshot keyed last-write-wins
     "part_er_blocking",      # ER blocking + in-group candidate scoring
     "ndcg_at_k",             # retrieval eval on the BM25 run
-    "mutual_knn_graph",      # all-pairs cosine kNN + mutual semi-join
     # round-6 operators promoted to tracked per-round numbers
     "ks_price_test",         # two-sample KS over the value-domain CDF
     "corr_matrix",           # 14 exact moments in one scan, 6-cell unpivot
@@ -99,11 +98,21 @@ HEADLINE = [
     # production form of the rich-club entry); tok_prepare moved up to
     # precede its first consumer
     "rich_club_coefficient_capped",  # bounded-emit club density (VERDICT r6 #2)
+    # round-10 (driver round 8): the remaining capped co-witness twins
+    # (VERDICT r7 #3) — they ride the capped-pair persist the rich-club
+    # twin materializes, so these price consumer work, not pair builds
+    "adamic_adar_scores_capped",      # bounded-emit link prediction
+    "local_clustering_coeff_capped",  # bounded-emit transitivity
+    "ktruss_edges_capped",            # bounded-emit edge peel
 ]
-# Deliberately NOT in the headline: city_betweenness_joins — it is the
-# correctness-harness mirror of the applyInPandas production path
-# (city_graph_metrics), kept exact-oracle-checkable, not a production
-# query; its sf0.1 probe is tracked in BASELINE.md §5 instead.
+# Deliberately NOT in the headline (VERDICT r3 #5, r7 #5) — exact-contract
+# demos whose production twins ARE headlined; each stays registered,
+# oracle-certified, and sf0.1-probed in BASELINE.md §5:
+#   city_betweenness_joins — correctness-harness mirror of the
+#     applyInPandas production path (city_graph_metrics).
+#   mutual_knn_graph — the deliberate corpus² all-pairs demo; the
+#     headline tracks its LSH-bucketed scale form (mutual_knn_graph_lsh),
+#     so the headline measures only scale-shaped plans.
 
 
 def main() -> None:

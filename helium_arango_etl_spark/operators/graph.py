@@ -997,9 +997,26 @@ def co_witness_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct edges are removed with an anti-join, never a filter over a
     materialized cross product.  Only id triples shuffle.
     """
+    return _co_witness_recs_body(co_witness_pairs(spark, sf_dir))
+
+
+def co_witness_recommendations_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of :func:`co_witness_recommendations`: rides the
+    CO_WITNESS_MAX_GROUP-capped pair projection (VERDICT r7 #3), so both
+    the projection build AND the Σ deg(m)² middle-vertex expansion are
+    bounded by the cap instead of a celebrity's k²/2.  Counts UNDERCOUNT
+    for fan-ins above the cap (drops accounted by
+    :func:`co_witness_bucket_stats`).  Scan count over the largest fact
+    table: 1 (the session-cached capped pair table)."""
+    return _co_witness_recs_body(_co_witness_pairs_capped_cached(spark, sf_dir))
+
+
+def _co_witness_recs_body(pairs: DataFrame) -> DataFrame:
+    """Common-neighbor recommendation scoring over an arbitrary
+    co-witness pair table — shared by the exact and capped forms."""
     from pyspark.sql import Window
 
-    cw = co_witness_pairs(spark, sf_dir).select(
+    cw = pairs.select(
         "city_key", F.col("src_a").alias("a"), F.col("src_b").alias("b")
     )
     adj = cw.unionByName(
@@ -1895,11 +1912,12 @@ def _co_pairs(edges: DataFrame, max_group: int | None = None) -> DataFrame:
     )
 
 
-def _tip_support(edges: DataFrame) -> DataFrame:
+def _tip_support(edges: DataFrame, max_group: int | None = None) -> DataFrame:
     """Per-hotspot butterfly support Σ_v C(shared(u,v), 2) from the
     pair weights — a node with no co-witness partner has support 0 and
-    is simply absent."""
-    pairs = _co_pairs(edges).withColumn(
+    is simply absent.  ``max_group`` caps the per-round pair generation
+    (the tip_decomposition_capped path)."""
+    pairs = _co_pairs(edges, max_group).withColumn(
         "b", F.expr("shared_witnesses * (shared_witnesses - 1) div 2")
     )
     return (
@@ -1932,6 +1950,29 @@ def tip_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint truncates lineage per round; the driver-side
     convergence probe is one monotone edge count.
     """
+    return _tip_body(spark, sf_dir)
+
+
+def tip_decomposition_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of :func:`tip_decomposition`: every peel round
+    recomputes pair weights with the CO_WITNESS_MAX_GROUP cap (VERDICT
+    r7 #3), so the per-round worst-task emit is O(k·cap) even as the
+    surviving edge set changes — the iterative analog of the one-shot
+    capped projection.  Supports UNDERCOUNT above the cap, so the capped
+    peel removes a SUPERSET of the hotspots the exact peel removes (the
+    capped k-tip is a subgraph of the exact k-tip); drops are accounted
+    by :func:`co_witness_bucket_stats`.  Scan count over the largest
+    fact table: 1 (the checkpointed edge set; every round re-joins it,
+    never the fact table)."""
+    return _tip_body(spark, sf_dir, CO_WITNESS_MAX_GROUP)
+
+
+def _tip_body(
+    spark: SparkSession, sf_dir: str, max_group: int | None = None
+) -> DataFrame:
+    """Fixed-threshold tip peel over the witness edge set — shared by
+    the exact and capped registered forms (``max_group`` flows into the
+    per-round pair generation)."""
     edges = (
         witness_subgraph(spark, sf_dir)
         .select("city_key", "src", "dst")
@@ -1942,7 +1983,7 @@ def tip_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     converged = False
     for _ in range(MAX_TIP_ITERS):
         keep = (
-            _tip_support(edges)
+            _tip_support(edges, max_group)
             .filter(F.col("support") >= TIP_K)
             .select("city_key", F.col("node").alias("src"))
         )
@@ -1959,7 +2000,7 @@ def tip_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"tip peeling did not reach a fixpoint within {MAX_TIP_ITERS} "
             "iterations"
         )
-    return _tip_support(edges).select(
+    return _tip_support(edges, max_group).select(
         "city_key", F.col("node").alias("src"), "support"
     )
 

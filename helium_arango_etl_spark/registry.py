@@ -2248,7 +2248,7 @@ def _kcore_sql(rounds: int = 16) -> str:
 ORACLE["witness_kcore"] = _kcore_sql()
 
 
-def _tip_sql(rounds: int = 8) -> str:
+def _tip_sql(rounds: int = 8, capped: bool = False) -> str:
     """Unrolled peeling oracle for :func:`operators.graph.tip_decomposition`.
 
     Each round recomputes co-witness pair weights on the surviving
@@ -2257,23 +2257,46 @@ def _tip_sql(rounds: int = 8) -> str:
     supports >= TIP_K, and filters edges to surviving hotspots.  Peeling
     is confluent and monotone-shrinking, so unrolling more rounds than
     the fixpoint needs is a no-op.  AS MATERIALIZED for the same
-    inlining-blowup reason as _kcore_sql.
-    """
+    inlining-blowup reason as _kcore_sql.  ``capped=True`` applies the
+    CO_WITNESS_MAX_GROUP positional chunk cap to EVERY round's pair
+    generation (the tip_decomposition_capped twin)."""
+
+    def pair_cte(rel: str, name: str) -> str:
+        if not capped:
+            return f"""{name} AS MATERIALIZED (
+          SELECT a.city_key, a.src AS sa, b.src AS sb,
+                 CAST(count(*) AS BIGINT) AS sh
+          FROM {rel} a
+          JOIN {rel} b ON a.city_key = b.city_key AND a.dst = b.dst
+                         AND a.src < b.src
+          GROUP BY a.city_key, a.src, b.src
+        )"""
+        m = G.CO_WITNESS_MAX_GROUP
+        return f"""{name}g AS MATERIALIZED (
+          SELECT city_key, dst, list_sort(list(src)) AS ss
+          FROM {rel} GROUP BY city_key, dst HAVING count(*) >= 2
+        ),
+        {name}m AS MATERIALIZED (
+          SELECT city_key, dst, unnest(ss) AS src,
+                 unnest(range(1, len(ss) + 1)) AS i
+          FROM {name}g
+        ),
+        {name} AS MATERIALIZED (
+          SELECT a.city_key, a.src AS sa, b.src AS sb,
+                 CAST(count(*) AS BIGINT) AS sh
+          FROM {name}m a
+          JOIN {name}m b ON a.city_key = b.city_key AND a.dst = b.dst
+           AND b.i > a.i
+           AND b.i <= ((a.i - 1) // {m} + 1) * {m}
+          GROUP BY a.city_key, a.src, b.src
+        )"""
+
     parts = [
         f"WITH edges0 AS MATERIALIZED ({_WITNESS_SQL})",
         "r0 AS MATERIALIZED (SELECT DISTINCT city_key, src, dst FROM edges0)",
     ]
     for i in range(1, rounds + 1):
-        parts.append(
-            f"""p{i} AS MATERIALIZED (
-          SELECT a.city_key, a.src AS sa, b.src AS sb,
-                 CAST(count(*) AS BIGINT) AS sh
-          FROM r{i - 1} a
-          JOIN r{i - 1} b ON a.city_key = b.city_key AND a.dst = b.dst
-                         AND a.src < b.src
-          GROUP BY a.city_key, a.src, b.src
-        )"""
-        )
+        parts.append(pair_cte(f"r{i - 1}", f"p{i}"))
         parts.append(
             f"""s{i} AS MATERIALIZED (
           SELECT city_key, node
@@ -2290,15 +2313,7 @@ def _tip_sql(rounds: int = 8) -> str:
           JOIN s{i} s ON e.city_key = s.city_key AND e.src = s.node
         )"""
         )
-    final = f"""pf AS (
-          SELECT a.city_key, a.src AS sa, b.src AS sb,
-                 CAST(count(*) AS BIGINT) AS sh
-          FROM r{rounds} a
-          JOIN r{rounds} b ON a.city_key = b.city_key AND a.dst = b.dst
-                          AND a.src < b.src
-          GROUP BY a.city_key, a.src, b.src
-        )"""
-    parts.append(final)
+    parts.append(pair_cte(f"r{rounds}", "pf"))
     return (
         ",\n".join(parts)
         + """
@@ -3607,6 +3622,37 @@ ORACLE["local_clustering_coeff_capped"] = f"""
 
 QUERIES["ktruss_edges_capped"] = G.ktruss_edges_capped
 ORACLE["ktruss_edges_capped"] = _truss_sql(capped=True)
+
+QUERIES["co_witness_recommendations_capped"] = G.co_witness_recommendations_capped
+ORACLE["co_witness_recommendations_capped"] = f"""
+        WITH {_CO_CAPPED_CTES},
+        adj AS (
+          SELECT city_key, src_a AS a, src_b AS b FROM cw
+          UNION ALL SELECT city_key, src_b AS a, src_a AS b FROM cw
+        ), counts AS (
+          SELECT h1.city_key, h1.a AS src, h2.b AS rec,
+                 CAST(count(DISTINCT h1.b) AS BIGINT) AS shared_partners
+          FROM adj h1
+          JOIN adj h2 ON h2.city_key = h1.city_key AND h2.a = h1.b
+          WHERE h1.a <> h2.b
+          GROUP BY h1.city_key, h1.a, h2.b
+        ), nond AS (
+          SELECT c.* FROM counts c
+          WHERE NOT EXISTS (
+            SELECT 1 FROM adj d
+            WHERE d.city_key = c.city_key AND d.a = c.src AND d.b = c.rec)
+        )
+        SELECT city_key, src, rec, shared_partners, CAST(rank AS INT) AS rank
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY city_key, src
+                   ORDER BY shared_partners DESC, rec ASC) AS rank
+          FROM nond)
+        WHERE rank <= {G.REC_TOP_N}
+    """.replace("{WSQL}", _WITNESS_SQL)
+
+QUERIES["tip_decomposition_capped"] = G.tip_decomposition_capped
+ORACLE["tip_decomposition_capped"] = _tip_sql(capped=True)
 
 
 # ---------- driver-window ordering (auto-derived, round 7+) ----------

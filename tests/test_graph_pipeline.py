@@ -354,20 +354,39 @@ def test_round8_capped_twins_bounded_on_celebrity(spark):
     assert set(tr_capped) <= set(tr_exact)
     assert all(tr_capped[k] <= tr_exact[k] for k in tr_capped)
 
-    # adamic-adar: the exact projection of one celebrity witness is a
-    # near-clique (every pair adjacent -> zero non-adjacent candidates);
-    # the capped projection leaves cross-chunk pairs non-adjacent, so
-    # candidates exist and every one straddles a chunk boundary
+    # adamic-adar + common-neighbor recs: the exact projection of one
+    # celebrity witness is a near-clique (every pair adjacent -> zero
+    # non-adjacent candidates); the capped projection leaves cross-chunk
+    # pairs non-adjacent, so candidates exist and every one avoids the
+    # capped adjacency
+    from helium_arango_etl_spark.operators.graph import _co_witness_recs_body
+
     assert _adamic_adar_body(exact).count() == 0
-    got = _adamic_adar_body(capped).collect()
-    assert got, "capped adamic-adar should find cross-chunk candidates"
-    chunk = lambda s: int(s[1:]) // CO_WITNESS_MAX_GROUP if s.startswith("h") else -1
+    assert _co_witness_recs_body(exact).count() == 0
     adj_capped = {
         (r["src_a"], r["src_b"]) for r in capped.collect()
     } | {(r["src_b"], r["src_a"]) for r in capped.collect()}
-    for r in got:
-        assert (r["src"], r["rec"]) not in adj_capped
-        assert r["rank"] >= 1
+    for body in (_adamic_adar_body, _co_witness_recs_body):
+        got = body(capped).collect()
+        assert got, f"{body.__name__} should find cross-chunk candidates"
+        for r in got:
+            assert (r["src"], r["rec"]) not in adj_capped
+            assert r["rank"] >= 1
+
+    # tip support: the capped per-round support is a lower bound, so the
+    # capped peel removes a superset of hotspots (monotone peel)
+    from helium_arango_etl_spark.operators.graph import _tip_support
+
+    sup_exact = {
+        (r["city_key"], r["node"]): r["support"]
+        for r in _tip_support(edges).collect()
+    }
+    sup_capped = {
+        (r["city_key"], r["node"]): r["support"]
+        for r in _tip_support(edges, CO_WITNESS_MAX_GROUP).collect()
+    }
+    assert set(sup_capped) <= set(sup_exact)
+    assert all(sup_capped[k] <= sup_exact[k] for k in sup_capped)
 
 
 @pytest.mark.parametrize("seed", [3, 17, 41])

@@ -793,17 +793,20 @@ def test_capped_consumers_ride_shared_capped_projection(spark, sf_dir):
         # round-8 twins (VERDICT r7 #3)
         "adamic_adar_scores_capped",
         "local_clustering_coeff_capped",
+        "co_witness_recommendations_capped",
     ):
         plan = plan_of(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, plan
         assert "InMemoryTableScan" in plan, plan
-    # ktruss_edges_capped peels over a localCheckpoint OF the shared
-    # capped projection, so its final plan reads the checkpoint RDD (the
-    # cache is paid once at checkpoint creation), never a pair rebuild
-    plan = plan_of(QUERIES["ktruss_edges_capped"](spark, sf_dir))
-    assert "CartesianProduct" not in plan, plan
-    assert "ExistingRDD" in plan, plan
-    assert "Scan parquet" not in plan, plan
+    # the iterative twins peel over localCheckpoints (ktruss checkpoints
+    # the shared capped projection; tip checkpoints the edge set and
+    # re-derives capped pairs per round), so their final plans read
+    # checkpoint RDDs — never a fact-table rescan per round
+    for name in ("ktruss_edges_capped", "tip_decomposition_capped"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, plan
+        assert "ExistingRDD" in plan, plan
+        assert "Scan parquet" not in plan, plan
 
 
 def test_peak_concurrency_day_keyed_sweep(spark, sf_dir):
