@@ -373,6 +373,23 @@ def test_round8_capped_twins_bounded_on_celebrity(spark):
             assert (r["src"], r["rec"]) not in adj_capped
             assert r["rank"] >= 1
 
+    # the three unregistered bounded-emit bodies (oracle-exact demos keep
+    # the exact default; the capped path must still be callable and
+    # bounded): triangle census, assortativity, contrastive sampling
+    from helium_arango_etl_spark.operators.graph import (
+        _assortativity_body,
+        _contrastive_pairs_body,
+        _triangle_stats_body,
+    )
+
+    tri_exact = {r["city_key"]: r for r in _triangle_stats_body(exact).collect()}
+    tri_capped = {r["city_key"]: r for r in _triangle_stats_body(capped).collect()}
+    assert tri_capped["c1"]["n_triangles"] <= tri_exact["c1"]["n_triangles"]
+    assert tri_capped["c1"]["n_proj_edges"] <= tri_exact["c1"]["n_proj_edges"]
+    assert _assortativity_body(capped).count() == 1
+    cp = _contrastive_pairs_body(capped).collect()
+    assert all(r["label"] in (0, 1) for r in cp)
+
     # tip support: the capped per-round support is a lower bound, so the
     # capped peel removes a superset of hotspots (monotone peel)
     from helium_arango_etl_spark.operators.graph import _tip_support
