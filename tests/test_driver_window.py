@@ -98,6 +98,30 @@ def test_registry_and_test_glob_agree():
     assert reg_rounds == test_rounds
 
 
+def test_certification_state_on_synthetic_history(tmp_path):
+    """Unit-pin registry._certification_state on a synthetic history:
+    two-digit round files sort numerically (r2 < r10), a red row in a
+    LATER round drops a previously-green name, and a green row in a
+    later round restores it."""
+    import json as _json
+
+    from helium_arango_etl_spark import registry as R
+
+    g = {"rows_match": True, "schema_match": True, "hash_match": True}
+    r = {"rows_match": True, "schema_match": True, "hash_match": False}
+    (tmp_path / "CORRECTNESS_r2.json").write_text(
+        _json.dumps({"a": g, "b": g, "c": r})
+    )
+    (tmp_path / "CORRECTNESS_r10.json").write_text(
+        _json.dumps({"a": r, "c": g})
+    )
+    rounds = [rnd for rnd, _ in R._history_rounds(str(tmp_path))]
+    assert rounds == [2, 10]  # numeric, not lexicographic (10 > 2)
+    certified, last_green = R._certification_state(str(tmp_path))
+    assert certified == {"b", "c"}  # a regressed in r10; c recovered
+    assert last_green == {"a": 2, "b": 2, "c": 10}
+
+
 def test_simhash_regression_is_rewindowed():
     """simhash_near_pairs is the only historical red driver row (r1
     hash_match:false); it must stay in the window until a green row
