@@ -2186,8 +2186,15 @@ def markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs.
 
     Scale shape: one keyed lag window over facts to a |types|^2
-    transition table, then ABSORB_STEPS broadcast-sized self-joins over
-    that |types|-bounded state vector.
+    transition table; the value iteration then collapses the
+    |types|-bounded matrix to ONE array row and runs all ABSORB_STEPS
+    rounds inside a single `aggregate(sequence(...))` higher-order
+    expression (the `_ma_absorption_all` / ewma fold idiom — round 8:
+    was 8 broadcast-join jobs per run, now one codegen'd fold; the
+    inner numerator stays an EXACT bigint sum so collect_list order
+    cannot matter, and the per-round rounded division is byte-identical
+    to the join form and the oracle's unrolled CTEs).  Scan count over
+    the largest fact table: 1.
     """
     ev = read_table(spark, sf_dir, "events").select(
         "user_id",
@@ -2202,37 +2209,30 @@ def markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("prev").alias("a"), F.col("event_type").alias("b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
     )
-    tr = tr.persist()
-    marg = tr.groupBy("a").agg(F.sum("c_ab").cast("bigint").alias("c_a"))
-    h = marg.select(F.col("a").alias("st"), F.lit(0).cast("bigint").alias("h"))
-    for _ in range(ABSORB_STEPS):
-        h = (
-            tr.join(F.broadcast(h), tr["b"] == h["st"], "left")
-            .join(F.broadcast(marg), "a")
-            .groupBy("a", "c_a")
-            .agg(
-                F.sum(
-                    F.expr(
-                        f"c_ab * if(b = '{ABSORB_TARGET}', 1000000000L,"
-                        " coalesce(h, 0L))"
-                    )
-                ).cast("bigint").alias("num")
-            )
-            .select(
-                F.col("a").alias("st"),
-                F.expr(
-                    "cast(round(cast(num as double) / cast(c_a as double))"
-                    " as bigint)"
-                ).alias("h"),
-            )
-        )
+    packed = tr.agg(F.collect_list(F.struct("a", "b", "c_ab")).alias("m"))
+    # state vector = sorted distinct source states with their exact
+    # out-degree; h carried as nano-probability bigints, init 0
+    init = (
+        "transform(array_sort(array_distinct(transform(m, e -> e.a))),"
+        " a -> named_struct('st', a,"
+        " 'c_a', aggregate(filter(m, e -> e.a = a), 0L,"
+        " (n, e) -> n + e.c_ab), 'h', 0L))"
+    )
+    step = (
+        "transform(acc, x -> named_struct('st', x.st, 'c_a', x.c_a, 'h',"
+        " cast(round(cast(aggregate(filter(m, e -> e.a = x.st), 0L,"
+        f" (n, e) -> n + e.c_ab * IF(e.b = '{ABSORB_TARGET}', 1000000000L,"
+        " coalesce(filter(acc, y -> y.st = e.b)[0].h, 0L))) as double)"
+        " / cast(x.c_a as double)) as bigint)))"
+    )
+    fold = f"aggregate(sequence(1, {ABSORB_STEPS}), {init}, (acc, i) -> {step})"
     return (
-        h.join(marg, h["st"] == marg["a"])
+        packed.select(F.explode(F.expr(fold)).alias("r"))
         .select(
-            F.col("st").alias("state"),
-            F.col("c_a").alias("n_out"),
+            F.col("r.st").alias("state"),
+            F.col("r.c_a").alias("n_out"),
             F.round(
-                F.expr("cast(h as double) / 1000000000.0"), 6
+                F.expr("cast(r.h as double) / 1000000000.0"), 6
             ).alias(f"p_absorb_{ABSORB_STEPS}"),
         )
     )

@@ -1025,9 +1025,14 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documented; a production run hands it to the largest source).
 
     Scale shape: one corpus scan to a |sources|-row availability
-    table; WF_ROUNDS broadcast-sized folds over that table (each round
-    is a 1-row scalar + |sources|-row map) — the fact table is never
-    rescanned.
+    table; the WF_ROUNDS rounds then run inside a single
+    `aggregate(sequence(...))` higher-order expression over the
+    array-collected state (the markov_absorption fold idiom — round 8:
+    was 20 rounds × two checkpointed jobs, now one codegen'd fold; the
+    per-round scalars Σalloc and n_unsat are EXACT bigint folds over
+    the array, so element order cannot matter, and the truncating `div`
+    share math is byte-identical to the join form and the oracle's
+    unrolled CTEs).  Scan count over the largest fact table: 1.
     """
     avail = (
         read_table(spark, sf_dir, "documents")
@@ -1036,47 +1041,40 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("n_chars div 4")).cast("bigint").alias("avail")
         )
     )
-    total = avail.agg(
-        F.expr(f"sum(avail) div {WF_BUDGET_DEN}").alias("budget")
+    packed = avail.agg(
+        F.sort_array(F.collect_list(F.struct("source", "avail"))).alias("s")
+    ).withColumn(
+        "budget",
+        F.expr(f"aggregate(s, 0L, (n, x) -> n + x.avail) div {WF_BUDGET_DEN}"),
     )
-    # state: per-source alloc; scalar remaining budget rides a rejoin
-    st = avail.crossJoin(F.broadcast(total)).select(
-        "source", "avail", F.lit(0).cast("bigint").alias("alloc"), "budget"
+    step = (
+        "transform(acc, x -> named_struct("
+        "'source', x.source, 'avail', x.avail, 'alloc',"
+        " x.alloc + IF(x.alloc < x.avail"
+        " AND aggregate(acc, 0L,"
+        " (n, y) -> n + IF(y.alloc < y.avail, 1L, 0L)) > 0,"
+        " least((budget - aggregate(acc, 0L, (n, y) -> n + y.alloc))"
+        " div aggregate(acc, 0L,"
+        " (n, y) -> n + IF(y.alloc < y.avail, 1L, 0L)),"
+        " x.avail - x.alloc), 0L)))"
     )
-    # localCheckpoint per round: the state is |sources| rows, but without
-    # it every round's TWO aggregations re-derive the full lineage and
-    # Catalyst planning goes super-linear in rounds (the city_ppr_joins
-    # lesson) — checkpointing keeps each round's plan O(1) deep.
-    st = st.localCheckpoint(eager=True)
-    for _ in range(WF_ROUNDS):
-        scal = st.agg(
-            F.max("budget").alias("budget"),
-            F.sum("alloc").cast("bigint").alias("allocated"),
-            F.sum(F.expr("if(alloc < avail, 1L, 0L)")).alias("n_unsat"),
+    fold = (
+        f"aggregate(sequence(1, {WF_ROUNDS}),"
+        " transform(s, x -> named_struct("
+        "'source', x.source, 'avail', x.avail, 'alloc', 0L)),"
+        f" (acc, i) -> {step})"
+    )
+    return (
+        packed.select(F.explode(F.expr(fold)).alias("r"))
+        .select(
+            F.col("r.source").alias("source"),
+            F.col("r.avail").alias("avail_tokens"),
+            F.col("r.alloc").alias("alloc_tokens"),
+            (F.col("r.alloc") == F.col("r.avail")).alias("saturated"),
+            F.round(
+                F.expr("cast(r.alloc as double) / cast(r.avail as double)"), 6
+            ).alias("take_share"),
         )
-        st = (
-            st.select("source", "avail", "alloc")
-            .crossJoin(F.broadcast(scal))
-            .select(
-                "source",
-                "avail",
-                F.expr(
-                    "alloc + if(alloc < avail and n_unsat > 0,"
-                    " least((budget - allocated) div n_unsat,"
-                    " avail - alloc), 0L)"
-                ).alias("alloc"),
-                "budget",
-            )
-            .localCheckpoint(eager=True)
-        )
-    return st.select(
-        "source",
-        F.col("avail").alias("avail_tokens"),
-        F.col("alloc").alias("alloc_tokens"),
-        (F.col("alloc") == F.col("avail")).alias("saturated"),
-        F.round(
-            F.expr("cast(alloc as double) / cast(avail as double)"), 6
-        ).alias("take_share"),
     )
 
 

@@ -1184,47 +1184,71 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "ia", "ib", F.expr(micro).alias("sim_micro"))
         .localCheckpoint()
     )
-    w1 = Window.partitionBy("q_id").orderBy(
-        F.col("rel_micro").desc(), F.col("vec_id").asc()
+    # The greedy selection runs as ONE codegen'd expression fold per
+    # query (the markov_absorption fold idiom — round 8: was MMR_K-1
+    # join+window+checkpoint rounds, now one job): candidates and their
+    # pairwise sims are Q x C / Q x C² bounded arrays, every argmax is
+    # an integer-micro comparator sort with vec_id tie-breaks, and the
+    # max-prev reduction is an exact bigint greatest-fold — byte-
+    # identical to the join form and the oracle's unrolled greedy CTEs.
+    cs = cand.groupBy("q_id").agg(
+        F.sort_array(F.collect_list(F.struct("vec_id", "rel_micro"))).alias("cs")
     )
-    sel = (
-        cand.withColumn("rk", F.row_number().over(w1))
-        .filter(F.col("rk") == 1)
+    ps = pairs.groupBy("q_id").agg(
+        F.collect_list(F.struct("ia", "ib", "sim_micro")).alias("ps0")
+    )
+    packed = cs.join(ps, "q_id", "left").select(
+        "q_id", "cs", F.expr("coalesce(ps0, array())").alias("ps")
+    )
+    # best-first comparator: (rel - mp) desc, vec_id asc
+    by_score = (
+        "(l, r) -> CASE WHEN l.rel_micro - l.mp > r.rel_micro - r.mp THEN -1"
+        " WHEN l.rel_micro - l.mp < r.rel_micro - r.mp THEN 1"
+        " WHEN l.vec_id < r.vec_id THEN -1"
+        " WHEN l.vec_id > r.vec_id THEN 1 ELSE 0 END"
+    )
+    first = (
+        "array_sort(transform(cs, c -> named_struct("
+        "'vec_id', c.vec_id, 'rel_micro', c.rel_micro, 'mp', 0L)),"
+        f" {by_score})[0]"
+    )
+    init = (
+        f"array(named_struct('vec_id', {first}.vec_id,"
+        f" 'rel_micro', {first}.rel_micro, 'sel_order', 1,"
+        " 'max_prev_micro', 0L))"
+    )
+    # per step: score unselected candidates (mp = exact max sim to any
+    # selected; -2e6 init is below the cosine-micro floor of -1e6 and a
+    # pair to each selected always exists), pick the comparator minimum
+    scored = (
+        "transform("
+        " filter(cs, c -> size(filter(acc, s -> s.vec_id = c.vec_id)) = 0),"
+        " c -> named_struct('vec_id', c.vec_id, 'rel_micro', c.rel_micro,"
+        " 'mp', aggregate("
+        "   filter(ps, p -> p.ia = c.vec_id"
+        "     AND size(filter(acc, s -> s.vec_id = p.ib)) > 0),"
+        "   -2000000L, (m, p) -> greatest(m, p.sim_micro))))"
+    )
+    step = (
+        f"CASE WHEN size({scored}) = 0 THEN acc"
+        f" ELSE concat(acc, array(named_struct("
+        f"'vec_id', array_sort({scored}, {by_score})[0].vec_id,"
+        f" 'rel_micro', array_sort({scored}, {by_score})[0].rel_micro,"
+        f" 'sel_order', cast(i as int),"
+        f" 'max_prev_micro', array_sort({scored}, {by_score})[0].mp))) END"
+    )
+    fold = f"aggregate(sequence(2, {MMR_K}), {init}, (acc, i) -> {step})"
+    return (
+        packed.select("q_id", F.explode(F.expr(fold)).alias("r"))
         .select(
-            "q_id", "vec_id", "rel_micro",
-            F.lit(1).alias("sel_order"),
-            F.lit(0).cast("bigint").alias("max_prev_micro"),
+            "q_id",
+            F.col("r.sel_order").cast("int").alias("sel_order"),
+            F.col("r.vec_id").alias("vec_id"),
+            F.round(F.col("r.rel_micro") / 1e6, 6).alias("cosine_sim"),
+            F.round(
+                (F.col("r.rel_micro") - F.col("r.max_prev_micro")) / 1e6, 6
+            ).alias("mmr_score"),
         )
-    )
-    for step in range(2, MMR_K + 1):
-        mx = (
-            pairs.join(
-                sel.select("q_id", F.col("vec_id").alias("ib")), ["q_id", "ib"]
-            )
-            .groupBy("q_id", F.col("ia").alias("vec_id"))
-            .agg(F.max("sim_micro").alias("max_prev_micro"))
-        )
-        ws = Window.partitionBy("q_id").orderBy(
-            (F.col("rel_micro") - F.col("max_prev_micro")).desc(),
-            F.col("vec_id").asc(),
-        )
-        pick = (
-            cand.join(sel.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_anti")
-            .join(mx, ["q_id", "vec_id"])
-            .withColumn("rk", F.row_number().over(ws))
-            .filter(F.col("rk") == 1)
-            .select(
-                "q_id", "vec_id", "rel_micro",
-                F.lit(step).alias("sel_order"), "max_prev_micro",
-            )
-        )
-        sel = sel.unionByName(pick).localCheckpoint()
-    return sel.select(
-        "q_id",
-        F.col("sel_order").cast("int").alias("sel_order"),
-        "vec_id",
-        F.round(F.col("rel_micro") / 1e6, 6).alias("cosine_sim"),
-        F.round((F.col("rel_micro") - F.col("max_prev_micro")) / 1e6, 6).alias("mmr_score"),
     )
 
 
