@@ -97,8 +97,10 @@ def extract_image_features(binary_df: DataFrame) -> DataFrame:
                         meta["format"],
                         int(pixels.size),
                         # exact integer-sum / n division (not rounded): the
-                        # DuckDB oracle reproduces the identical float64
-                        float(pixels.mean()) if pixels.size else 0.0,
+                        # DuckDB oracle reproduces the identical float64;
+                        # an empty payload has no mean -> NULL on both
+                        # engines (degenerate sweep, round 8)
+                        float(pixels.mean()) if pixels.size else None,
                         [int(x) for x in hist],
                     )
                 )
@@ -163,6 +165,11 @@ def resize_images(binary_df: DataFrame, out_width: int = 8, out_height: int = 8)
             ):
                 w, h = int(meta["width"]), int(meta["height"])
                 pixels = np.frombuffer(_decode_rgb(payload, w, h), dtype=np.uint8)
+                if pixels.size == 0:
+                    # nothing to resize -> NULL on both engines
+                    # (degenerate sweep, round 8)
+                    out.append((doc_id, out_width, out_height, None, None))
+                    continue
                 # pad/trim the fake buffer to the declared geometry
                 img = np.resize(pixels, (h, w))
                 ys = (np.arange(out_height) * h) // out_height
@@ -199,7 +206,9 @@ def extract_audio_features(binary_df: DataFrame, n_windows: int = 4) -> DataFram
                 samples = np.frombuffer(bytes(payload), dtype=np.int8).astype(np.float64)
                 n = samples.size
                 if n == 0:
-                    out.append((doc_id, 0, 0.0, 0, 0, [0.0] * n_windows))
+                    # no samples: rms/peak are undefined -> NULL on both
+                    # engines (degenerate sweep, round 8)
+                    out.append((doc_id, 0, None, None, 0, [0.0] * n_windows))
                     continue
                 signs = np.sign(samples)
                 nz = signs != 0

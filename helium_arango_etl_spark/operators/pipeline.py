@@ -930,8 +930,11 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_batches",
             "pad_tokens",
-            F.round(
-                F.expr("pad_tokens / cast(pad_tokens + real_tokens as double)"), 6
+            # a bucket of all-empty docs has zero padded AND real tokens:
+            # NULL, not an ANSI division error (degenerate sweep, round 8)
+            F.expr(
+                "if(pad_tokens + real_tokens = 0, cast(null as double),"
+                " round(pad_tokens / cast(pad_tokens + real_tokens as double), 6))"
             ).alias("pad_frac"),
             "naive_pad",
         )

@@ -152,7 +152,13 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("size(filter(b, x -> x rlike '^[a-z]'))").alias("n_word_tokens"),
         F.expr("size(filter(b, x -> x rlike '^[0-9]'))").alias("n_digit_tokens"),
         F.expr("size(filter(b, x -> x rlike '^[^a-z0-9]'))").alias("n_punct_tokens"),
-        F.expr("round(size(b) / cast(size(t) as double), 4)").alias("tokens_per_word"),
+        # empty/whitespace-only docs: size(t)=0 makes the ratio an ANSI
+        # division-by-zero -- surface NULL on both engines (degenerate
+        # sweep, round 8)
+        F.expr(
+            "if(size(t) = 0, cast(null as double),"
+            " round(size(b) / cast(size(t) as double), 4))"
+        ).alias("tokens_per_word"),
     )
 
 
@@ -163,8 +169,17 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_table(spark, sf_dir, "documents")).withColumn("t", F.expr(TOKS))
     return docs.select(
         "doc_id",
-        F.expr("md5(array_join(array_sort(array_distinct(t)), ' '))").alias("bow_fingerprint"),
-        F.expr("md5(array_join(slice(t, 1, 8), ' '))").alias("prefix_fingerprint"),
+        # token-less docs surface NULL fingerprints on both engines (a
+        # hash of the empty string is a meaningless dedup key and DuckDB's
+        # list fold already yields NULL there; degenerate sweep, round 8)
+        F.expr(
+            "if(size(t) = 0, cast(null as string),"
+            " md5(array_join(array_sort(array_distinct(t)), ' ')))"
+        ).alias("bow_fingerprint"),
+        F.expr(
+            "if(size(t) = 0, cast(null as string),"
+            " md5(array_join(slice(t, 1, 8), ' ')))"
+        ).alias("prefix_fingerprint"),
     )
 
 
@@ -465,9 +480,13 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # the trailing + 0.0 normalizes IEEE negative zero (a single-token
+    # doc yields -(1*log2(1)) = -0.0, which DuckDB's round keeps and
+    # Spark's BigDecimal round strips -- degenerate sweep, round 8)
     ent = (
         "round(-aggregate(transform(cs, c -> (c / cast(n as double))"
-        " * log2(c / cast(n as double))), cast(0 as double), (acc, v) -> acc + v), 6)"
+        " * log2(c / cast(n as double))), cast(0 as double), (acc, v) -> acc + v)"
+        " + cast(0 as double), 6)"
     )
     return (
         tf.groupBy("doc_id")
@@ -940,10 +959,17 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_words",
             "n_bpe_tokens",
-            F.expr("round(n_bpe_tokens / cast(n_words as double), 4)").alias("fertility"),
-            F.expr("round(n_chars / cast(n_bpe_tokens as double), 4)").alias(
-                "chars_per_token"
-            ),
+            # a language whose docs are all empty/whitespace has zero
+            # words/BPE tokens: NULL, not an ANSI division error
+            # (degenerate sweep, round 8)
+            F.expr(
+                "if(n_words = 0, cast(null as double),"
+                " round(n_bpe_tokens / cast(n_words as double), 4))"
+            ).alias("fertility"),
+            F.expr(
+                "if(n_bpe_tokens = 0, cast(null as double),"
+                " round(n_chars / cast(n_bpe_tokens as double), 4))"
+            ).alias("chars_per_token"),
         )
     )
 
@@ -1396,12 +1422,12 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.col("r").alias("n_ranks"),
-            F.round(
-                (F.col("r") * F.col("sxy") - F.col("sx") * F.col("sy"))
-                / (F.col("r") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                    "double"
-                ),
-                6,
+            # a source with a single frequency rank has zero x-variance:
+            # NULL slope, not an ANSI division error (degenerate sweep, r8)
+            F.expr(
+                "if(r * sxx - sx * sx = 0, cast(null as double),"
+                " round((r * sxy - sx * sy)"
+                " / cast(r * sxx - sx * sx as double), 6))"
             ).alias("zipf_slope"),
         )
     )

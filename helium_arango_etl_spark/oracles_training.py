@@ -185,14 +185,17 @@ ORACLE_TRAINING: dict[str, str] = {
                len(list_filter(bt, x -> regexp_matches(x, '^[a-z]'))) AS n_word_tokens,
                len(list_filter(bt, x -> regexp_matches(x, '^[0-9]'))) AS n_digit_tokens,
                len(list_filter(bt, x -> regexp_matches(x, '^[^a-z0-9]'))) AS n_punct_tokens,
-               round(len(bt) / CAST(len(t) AS DOUBLE), 4) AS tokens_per_word
+               CASE WHEN len(t) = 0 THEN NULL ELSE
+                 round(len(bt) / CAST(len(t) AS DOUBLE), 4) END AS tokens_per_word
         FROM b
     """,
     "doc_fingerprint": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
         SELECT doc_id,
-               md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS bow_fingerprint,
-               md5(array_to_string(t[1:8], ' ')) AS prefix_fingerprint
+               CASE WHEN len(t) = 0 THEN NULL ELSE
+                 md5(array_to_string(list_sort(list_distinct(t)), ' ')) END AS bow_fingerprint,
+               CASE WHEN len(t) = 0 THEN NULL ELSE
+                 md5(array_to_string(t[1:8], ' ')) END AS prefix_fingerprint
         FROM toks
     """,
     "minhash_signatures": _SIG_CTE + f"""
@@ -1259,7 +1262,8 @@ ORACLE_TRAINING["token_entropy"] = f"""
                CAST(n AS BIGINT) AS n_tokens,
                n_distinct_tokens,
                round(-list_sum(list_transform(cs,
-                     c -> (c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE)))), 6)
+                     c -> (c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))))
+                     + CAST(0 AS DOUBLE), 6)
                    AS entropy_bits
         FROM per
     """
@@ -2015,8 +2019,10 @@ ORACLE_TRAINING["tokenizer_fertility"] = f"""
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(len(t)) AS BIGINT) AS n_words,
                CAST(sum(len(bt)) AS BIGINT) AS n_bpe_tokens,
-               round(sum(len(bt)) / CAST(sum(len(t)) AS DOUBLE), 4) AS fertility,
-               round(sum(nc) / CAST(sum(len(bt)) AS DOUBLE), 4) AS chars_per_token
+               CASE WHEN sum(len(t)) = 0 THEN NULL ELSE
+                 round(sum(len(bt)) / CAST(sum(len(t)) AS DOUBLE), 4) END AS fertility,
+               CASE WHEN sum(len(bt)) = 0 THEN NULL ELSE
+                 round(sum(nc) / CAST(sum(len(bt)) AS DOUBLE), 4) END AS chars_per_token
         FROM b GROUP BY lang
     """
 
@@ -3712,8 +3718,9 @@ ORACLE_TRAINING["zipf_fit"] = f"""
           FROM ranked WHERE rank <= {T.ZIPF_TOP_RANKS} GROUP BY source
         )
         SELECT source, r AS n_ranks,
-               round((r * sxy - sx * sy) / CAST(r * sxx - sx * sx AS DOUBLE), 6)
-                   AS zipf_slope
+               CASE WHEN r * sxx - sx * sx = 0 THEN NULL ELSE
+                 round((r * sxy - sx * sy) / CAST(r * sxx - sx * sx AS DOUBLE), 6)
+                 END AS zipf_slope
         FROM sums
     """
 
@@ -4802,9 +4809,11 @@ ORACLE_TRAINING["length_bucket_batches"] = f"""
                CAST(sum(p.bn) AS BIGINT) AS n_docs,
                CAST(count(*) AS BIGINT) AS n_batches,
                CAST(sum(p.bmax * p.bn - p.btok) AS BIGINT) AS pad_tokens,
-               round(sum(p.bmax * p.bn - p.btok)
+               CASE WHEN sum(p.bmax * p.bn - p.btok) + sum(p.btok) = 0
+                    THEN NULL ELSE
+                 round(sum(p.bmax * p.bn - p.btok)
                      / CAST(sum(p.bmax * p.bn - p.btok) + sum(p.btok)
-                       AS DOUBLE), 6) AS pad_frac,
+                       AS DOUBLE), 6) END AS pad_frac,
                n.naive_pad
         FROM per_batch p CROSS JOIN naive n
         GROUP BY p.bucket, n.naive_pad

@@ -1,0 +1,109 @@
+"""Cross-engine parity on a PATHOLOGICAL corpus, for every registered
+documents-only query.
+
+The driver gate and tests/test_oracle_parity.py compare on well-formed
+corpora; real 100 TB corpora always contain empty documents,
+whitespace-only documents, and single-token documents.  Round 8's
+degenerate sweep found nine latent divergences that only such rows
+trigger (ANSI division-by-zero crashes, Spark-0.0 vs DuckDB-NULL,
+round(-0.0) disagreement) — this file pins the whole class: EVERY
+oracled query whose SQL references only the documents table must
+produce byte-identical results on the degenerate corpus.
+
+NOTE the compare COLLECTS both sides — `df.count()` would let Catalyst
+prune the projected expressions, which is exactly why the original
+degenerate non-crash tests missed the ANSI division errors.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import re
+
+import duckdb
+import pytest
+
+from helium_arango_etl_spark.registry import ORACLE, QUERIES
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+# empty text, single token, below shingle K, an exact-dup pair, and a
+# whitespace-only doc (length > 0 but zero tokens — the row that
+# separates the size(t)=0 and length(text)=0 guard branches)
+DEGENERATE_ROWS = [
+    (0, "", "en", "src0", 0),
+    (1, "solo", "en", "src0", 4),
+    (2, "a b", "en", "src1", 3),
+    (3, "the quick brown fox jumps over it", "en", "src1", 33),
+    (4, "the quick brown fox jumps over it", "en", "src2", 33),
+    (5, "   ", "es", "src2", 3),
+]
+
+_OTHER_TABLES = re.compile(
+    r"\b(events|orders|lineitem|customer|supplier|part|nation|region|embeddings)\b"
+)
+
+DOCS_ONLY_OPS = sorted(
+    n for n, sql in ORACLE.items() if "documents" in sql and not _OTHER_TABLES.search(sql)
+)
+
+
+def _canon(v):
+    if v is None:
+        return "N"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+@pytest.fixture(scope="module")
+def degen(spark, tmp_path_factory):
+    from helium_arango_etl_spark.operators.dedup import clear_sig_cache
+    from helium_arango_etl_spark.operators.textops import clear_tok_cache
+
+    tmp = str(tmp_path_factory.mktemp("degen_parity"))
+    spark.createDataFrame(DEGENERATE_ROWS, DOC_SCHEMA).write.mode("overwrite").parquet(
+        tmp + "/documents.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp}/documents.parquet/*.parquet'"
+    )
+    clear_sig_cache(spark)
+    clear_tok_cache(spark)
+    yield tmp, con
+    clear_sig_cache(spark)
+    clear_tok_cache(spark)
+
+
+def test_docs_only_op_inventory_is_substantial():
+    # the sweep is only meaningful if it actually covers the text/dedup/
+    # pipeline/multimodal families — guard against the filter regressing
+    assert len(DOCS_ONLY_OPS) >= 100, len(DOCS_ONLY_OPS)
+
+
+@pytest.mark.parametrize("name", DOCS_ONLY_OPS)
+def test_degenerate_corpus_parity(spark, degen, name):
+    tmp, con = degen
+    srows = sorted(
+        tuple(_canon(v) for _, v in sorted(r.asDict().items()))
+        for r in QUERIES[name](spark, tmp).collect()
+    )
+    cur = con.execute(ORACLE[name])
+    cols = [d[0] for d in cur.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    drows = sorted(
+        tuple(_canon(r[i]) for i in order) for r in cur.fetchall()
+    )
+    assert srows == drows, (
+        f"{name}: spark {len(srows)} rows vs duckdb {len(drows)} rows; "
+        f"first spark={srows[:2]} duck={drows[:2]}"
+    )
