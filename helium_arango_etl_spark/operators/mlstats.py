@@ -328,9 +328,13 @@ def corr_pair_expr(a: str, b: str, big: str = "decimal(38,0)") -> str:
     num = f"cast(n as {big}) * sx_{a}_{b} - cast(s_{a} as {big}) * s_{b}"
     dena = f"cast(n as {big}) * ss_{a} - cast(s_{a} as {big}) * s_{a}"
     denb = f"cast(n as {big}) * ss_{b} - cast(s_{b} as {big}) * s_{b}"
+    # zero variance on either side leaves the correlation undefined:
+    # NULL on both engines (the exact-integer = 0 probe costs no division,
+    # so it is ANSI-safe to evaluate first) -- degenerate sweep, round 8
     return (
-        f"cast({num} as double) / (sqrt(cast({dena} as double))"
-        f" * sqrt(cast({denb} as double)))"
+        f"(CASE WHEN {dena} = 0 OR {denb} = 0 THEN NULL ELSE"
+        f" cast({num} as double) / (sqrt(cast({dena} as double))"
+        f" * sqrt(cast({denb} as double))) END)"
     )
 
 
@@ -2222,7 +2226,7 @@ def markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(acc, x -> named_struct('st', x.st, 'c_a', x.c_a, 'h',"
         " cast(round(cast(aggregate(filter(m, e -> e.a = x.st), 0L,"
         f" (n, e) -> n + e.c_ab * IF(e.b = '{ABSORB_TARGET}', 1000000000L,"
-        " coalesce(filter(acc, y -> y.st = e.b)[0].h, 0L))) as double)"
+        " coalesce(try_element_at(filter(acc, y -> y.st = e.b), 1).h, 0L))) as double)"
         " / cast(x.c_a as double)) as bigint)))"
     )
     fold = f"aggregate(sequence(1, {ABSORB_STEPS}), {init}, (acc, i) -> {step})"
@@ -2265,20 +2269,29 @@ def welch_se2_expr(big: str) -> str:
 
 
 def welch_t_expr(big: str) -> str:
+    # guard WHENs are separate clauses (not OR'd) so the se2 probe never
+    # evaluates while an arm has n < 2 -- its (n-1) division would raise
+    # under ANSI before the guard could apply (degenerate sweep, round 8)
     return (
-        f"(({welch_mean_expr('a')} - {welch_mean_expr('b')})"
-        f" / sqrt({welch_se2_expr(big)}))"
+        f"(CASE WHEN n_a < 2 OR n_b < 2 THEN NULL"
+        f" WHEN {welch_se2_expr(big)} = 0 THEN NULL"
+        f" ELSE (({welch_mean_expr('a')} - {welch_mean_expr('b')})"
+        f" / sqrt({welch_se2_expr(big)})) END)"
     )
 
 
 def welch_df_expr(big: str) -> str:
-    """Welch-Satterthwaite effective degrees of freedom."""
+    """Welch-Satterthwaite effective degrees of freedom (NULL when an arm
+    has n < 2 or both arms are zero-variance -- same guard discipline as
+    welch_t_expr)."""
     va_n = f"({welch_var_expr('a', big)} / cast(n_a as double))"
     vb_n = f"({welch_var_expr('b', big)} / cast(n_b as double))"
     se2 = welch_se2_expr(big)
     return (
-        f"(({se2} * {se2}) / ({va_n} * {va_n} / cast(n_a - 1 as double)"
-        f" + {vb_n} * {vb_n} / cast(n_b - 1 as double)))"
+        f"(CASE WHEN n_a < 2 OR n_b < 2 THEN NULL"
+        f" WHEN {se2} = 0 THEN NULL"
+        f" ELSE (({se2} * {se2}) / ({va_n} * {va_n} / cast(n_a - 1 as double)"
+        f" + {vb_n} * {vb_n} / cast(n_b - 1 as double))) END)"
     )
 
 
@@ -3186,12 +3199,17 @@ def perm_test_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("if(event_type = 'purchase', 1, 0)").alias("arm"),
         F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
     )
+    # an empty arm (observed or permuted) leaves the mean diff
+    # undefined: NULL on both engines, and the NULL |d| comparison then
+    # counts as non-extreme identically (degenerate sweep, round 8)
     obs = ev.agg(
         F.expr(
-            "cast(sum(if(arm = 1, cents, 0L)) as double)"
+            "if(sum(if(arm = 1, 1.0, 0.0)) = 0"
+            " or sum(if(arm = 0, 1.0, 0.0)) = 0, cast(null as double),"
+            " cast(sum(if(arm = 1, cents, 0L)) as double)"
             " / sum(if(arm = 1, 1.0, 0.0))"
             " - cast(sum(if(arm = 0, cents, 0L)) as double)"
-            " / sum(if(arm = 0, 1.0, 0.0))"
+            " / sum(if(arm = 0, 1.0, 0.0)))"
         ).alias("d_obs")
     )
     reps = (
@@ -3206,10 +3224,12 @@ def perm_test_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b")
         .agg(
             F.expr(
-                "cast(sum(if(parm = 1, cents, 0L)) as double)"
+                "if(sum(if(parm = 1, 1.0, 0.0)) = 0"
+                " or sum(if(parm = 0, 1.0, 0.0)) = 0, cast(null as double),"
+                " cast(sum(if(parm = 1, cents, 0L)) as double)"
                 " / sum(if(parm = 1, 1.0, 0.0))"
                 " - cast(sum(if(parm = 0, cents, 0L)) as double)"
-                " / sum(if(parm = 0, 1.0, 0.0))"
+                " / sum(if(parm = 0, 1.0, 0.0)))"
             ).alias("d_b")
         )
     )

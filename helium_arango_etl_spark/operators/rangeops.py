@@ -405,10 +405,13 @@ def woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos",
             "neg",
             F.round(F.col("woe_micro") / 1e6, 6).alias("woe"),
+            # + 0.0 normalizes IEEE negative zero (a negative share gap
+            # times woe 0.0 is -0.0, which DuckDB's round keeps and
+            # Spark's strips) -- degenerate sweep, round 8
             F.round(
                 F.expr(
                     "(pos / cast(tpos as double) - neg / cast(tneg as double))"
-                    " * (woe_micro / 1e6)"
+                    " * (woe_micro / 1e6) + cast(0 as double)"
                 ),
                 6,
             ).alias("iv_term"),
@@ -964,12 +967,16 @@ def holt_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             # .5, where Spark rounds the double's shortest decimal string
             # (HALF_UP on "….5") while DuckDB rounds the binary value —
             # floor is representation-independent on both engines
-            F.expr("cast(floor(h.sae / cast(h.k as double)) as bigint)").alias(
-                "hm_micro"
-            ),
+            # a single-day series scores nothing (k = 0): NULL errors,
+            # not an ANSI division error (degenerate sweep, round 8)
             F.expr(
-                f"cast(floor(({naive}) * 1e6 / cast(size(ns) - 1 as double))"
-                " as bigint)"
+                "if(h.k = 0, cast(null as bigint),"
+                " cast(floor(h.sae / cast(h.k as double)) as bigint))"
+            ).alias("hm_micro"),
+            F.expr(
+                f"if(size(ns) <= 1, cast(null as bigint),"
+                f" cast(floor(({naive}) * 1e6 / cast(size(ns) - 1 as double))"
+                " as bigint))"
             ).alias("nm_micro"),
         )
         .select(
@@ -977,8 +984,9 @@ def holt_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_scored",
             F.round(F.col("hm_micro") / 1e6, 6).alias("holt_mae"),
             F.round(F.col("nm_micro") / 1e6, 6).alias("naive_mae"),
-            F.round(
-                F.expr("hm_micro / cast(nm_micro as double)"), 6
+            F.expr(
+                "if(nm_micro is null or nm_micro = 0, cast(null as double),"
+                " round(hm_micro / cast(nm_micro as double), 6))"
             ).alias("holt_mase"),
         )
     )
@@ -1015,8 +1023,12 @@ def quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             "cents",
-            F.round(
-                F.expr("(rk - 1) / cast(n - 1 as double)"), 6
+            # a single-row group gets percent_rank 0.0 (the SQL-standard
+            # percent_rank convention), not an ANSI 0/0 error
+            # (degenerate sweep, round 8)
+            F.expr(
+                "if(n = 1, 0.0,"
+                " round((rk - 1) / cast(n - 1 as double), 6))"
             ).alias("pct_rank"),
         )
     )
@@ -1075,10 +1087,18 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("w", F.expr(w_expr))
         .groupBy("event_type", "b")
-        .agg(
+        .agg(F.sum(F.expr("w * cents")).alias("swc"), F.sum("w").alias("sw"))
+        # a replicate whose rows all drew weight 0 resamples nothing:
+        # drop it BEFORE ranking on both engines (a NULL mean would sort
+        # NULLS FIRST in Spark but NULLS LAST in DuckDB) -- degenerate
+        # sweep, round 8
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "b",
             F.expr(
-                "cast(floor(sum(w * cents) * 1000000.0 / sum(w)) as bigint)"
-            ).alias("m_micro")
+                "cast(floor(swc * 1000000.0 / sw) as bigint)"
+            ).alias("m_micro"),
         )
     )
     wr = Window.partitionBy("event_type").orderBy("m_micro", "b")
@@ -1142,12 +1162,13 @@ def gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n_users",
-            F.round(
-                F.expr(
-                    "2.0 * six / (n_users * cast(sx as double))"
-                    " - (n_users + 1) / cast(n_users as double)"
-                ),
-                6,
+            # a type whose users all spent zero has sx=0: Gini is
+            # undefined there -- NULL on both engines, not an ANSI
+            # division error (degenerate sweep, round 8)
+            F.expr(
+                "if(sx = 0, cast(null as double),"
+                " round(2.0 * six / (n_users * cast(sx as double))"
+                " - (n_users + 1) / cast(n_users as double), 6))"
             ).alias("gini"),
         )
     )
@@ -1326,7 +1347,12 @@ def lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "decile",
             F.round(F.expr("cu / cast(tu as double)"), 6).alias("cum_user_share"),
-            F.round(F.expr("cs / cast(ts as double)"), 6).alias("cum_spend_share"),
+            # all-zero spend in a type: the spend share is undefined ->
+            # NULL on both engines (degenerate sweep, round 8)
+            F.expr(
+                "if(ts = 0, cast(null as double),"
+                " round(cs / cast(ts as double), 6))"
+            ).alias("cum_spend_share"),
         )
     )
 
@@ -2375,11 +2401,17 @@ def theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # adjusted standardized residual: (o - e) / sqrt(e (1 - row/N)(1 - col/N))
+# a marginal spanning the whole table (row_n = n or col_n = n) zeroes
+# the variance factor: the residual is undefined there -- NULL on both
+# engines, not an ANSI division error (degenerate sweep, round 8; the
+# oracle imports this string, so the guard is engine-paired by
+# construction)
 CHI2_ADJ_RESID = (
-    "((observed - row_n * col_n / cast(n as double))"
+    "(CASE WHEN row_n = n OR col_n = n THEN NULL ELSE"
+    " ((observed - row_n * col_n / cast(n as double))"
     " / sqrt(row_n * col_n / cast(n as double)"
     " * (1.0 - row_n / cast(n as double))"
-    " * (1.0 - col_n / cast(n as double))))"
+    " * (1.0 - col_n / cast(n as double)))) END)"
 )
 
 

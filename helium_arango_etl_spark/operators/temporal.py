@@ -1588,7 +1588,7 @@ def _ma_absorption_all(tr_all):
             (n, e) -> n + e.c *
               CASE WHEN e.b = '{MA_CONV}' THEN 1000000000L
                    WHEN e.b = '{MA_LOST}' THEN 0L
-                   ELSE coalesce(filter(acc, y -> y.st = e.b)[0].h, 0L)
+                   ELSE coalesce(try_element_at(filter(acc, y -> y.st = e.b), 1).h, 0L)
               END
           ) as double) / cast(x.c_a as double)) as bigint))))
     """

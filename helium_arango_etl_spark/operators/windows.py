@@ -119,11 +119,17 @@ def normalize_by_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type")
-    norm = F.col("value") / F.avg("value").over(w)
+    mean = F.avg("value").over(w)
+    norm = F.col("value") / mean
+    # an all-zero group has mean 0: the reference's nan->0 rule (H12)
+    # maps its 0/0 rows to 0.0, but under ANSI the division itself
+    # throws first -- branch BEFORE dividing (degenerate sweep, round 8)
     return ev.select(
         "event_id",
         "event_type",
-        F.round(F.nanvl(norm, F.lit(0.0)), 6).alias("value_normalized"),
+        F.when(mean == 0, F.lit(0.0))
+        .otherwise(F.round(F.nanvl(norm, F.lit(0.0)), 6))
+        .alias("value_normalized"),
     )
 
 

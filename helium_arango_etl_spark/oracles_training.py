@@ -2409,7 +2409,7 @@ ORACLE_TRAINING["woe_encoding"] = f"""
         SELECT bin, n, pos, neg,
                round(woe_micro / 1e6, 6) AS woe,
                round((pos / CAST(tpos AS DOUBLE) - neg / CAST(tneg AS DOUBLE))
-                     * (woe_micro / 1e6), 6) AS iv_term
+                     * (woe_micro / 1e6) + CAST(0 AS DOUBLE), 6) AS iv_term
         FROM w
     """
 
@@ -3265,11 +3265,14 @@ ORACLE_TRAINING["holt_forecast_error"] = f"""
                k AS n_scored,
                round(hm_micro / 1e6, 6) AS holt_mae,
                round(nm_micro / 1e6, 6) AS naive_mae,
-               round(hm_micro / CAST(nm_micro AS DOUBLE), 6) AS holt_mase
+               CASE WHEN nm_micro IS NULL OR nm_micro = 0 THEN NULL ELSE
+                 round(hm_micro / CAST(nm_micro AS DOUBLE), 6) END AS holt_mase
         FROM (
           SELECT event_type, k,
-                 CAST(floor(sae / CAST(k AS DOUBLE)) AS BIGINT) AS hm_micro,
-                 CAST(floor(nsae * 1e6 / CAST(k AS DOUBLE)) AS BIGINT) AS nm_micro
+                 CASE WHEN k = 0 THEN NULL ELSE
+                   CAST(floor(sae / CAST(k AS DOUBLE)) AS BIGINT) END AS hm_micro,
+                 CASE WHEN k = 0 THEN NULL ELSE
+                   CAST(floor(nsae * 1e6 / CAST(k AS DOUBLE)) AS BIGINT) END AS nm_micro
           FROM last
         )
     """
@@ -3363,9 +3366,11 @@ ORACLE_TRAINING["quantile_transform"] = """
           FROM events
         )
         SELECT event_id, event_type, cents,
+               CASE WHEN count(*) OVER (PARTITION BY event_type) = 1 THEN 0.0
+                    ELSE
                round((rank() OVER (PARTITION BY event_type ORDER BY cents) - 1)
                      / CAST(count(*) OVER (PARTITION BY event_type) - 1
-                            AS DOUBLE), 6) AS pct_rank
+                            AS DOUBLE), 6) END AS pct_rank
         FROM ev
     """
 
@@ -3412,6 +3417,7 @@ ORACLE_TRAINING["bootstrap_ci"] = f"""
                  CAST(floor(sum(({_BOOT_W}) * cents) * 1000000.0
                             / sum({_BOOT_W})) AS BIGINT) AS m_micro
           FROM reps GROUP BY event_type, b
+          HAVING sum({_BOOT_W}) > 0
         ), ranked AS (
           SELECT event_type, b, m_micro,
                  row_number() OVER (PARTITION BY event_type
@@ -3448,8 +3454,9 @@ ORACLE_TRAINING["gini_by_type"] = """
         )
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_users,
-               round(2.0 * sum(i * x) / (count(*) * CAST(sum(x) AS DOUBLE))
-                     - (count(*) + 1) / CAST(count(*) AS DOUBLE), 6) AS gini
+               CASE WHEN sum(x) = 0 THEN NULL ELSE
+                 round(2.0 * sum(i * x) / (count(*) * CAST(sum(x) AS DOUBLE))
+                     - (count(*) + 1) / CAST(count(*) AS DOUBLE), 6) END AS gini
         FROM ranked GROUP BY event_type
     """
 
@@ -3548,7 +3555,8 @@ ORACLE_TRAINING["lorenz_points"] = f"""
         )
         SELECT c.event_type, c.decile,
                round(c.cu / CAST(t.tu AS DOUBLE), 6) AS cum_user_share,
-               round(c.cs / CAST(t.ts AS DOUBLE), 6) AS cum_spend_share
+               CASE WHEN t.ts = 0 THEN NULL ELSE
+                 round(c.cs / CAST(t.ts AS DOUBLE), 6) END AS cum_spend_share
         FROM cum c JOIN tot t USING (event_type)
     """
 
@@ -7925,12 +7933,15 @@ ORACLE_TRAINING["perm_test_values"] = f"""
                  CAST(floor(value * 100) AS BIGINT) AS cents
           FROM events WHERE event_type IN ('purchase', 'click')
         ), obs AS (
-          SELECT cast(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END)
+          SELECT CASE WHEN sum(CASE WHEN arm = 1 THEN 1.0 ELSE 0.0 END) = 0
+                        OR sum(CASE WHEN arm = 0 THEN 1.0 ELSE 0.0 END) = 0
+                      THEN NULL ELSE
+                 cast(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END)
                    as double)
                  / sum(CASE WHEN arm = 1 THEN 1.0 ELSE 0.0 END)
                  - cast(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END)
                      as double)
-                 / sum(CASE WHEN arm = 0 THEN 1.0 ELSE 0.0 END) AS d_obs
+                 / sum(CASE WHEN arm = 0 THEN 1.0 ELSE 0.0 END) END AS d_obs
           FROM ev
         ), tagged AS (
           SELECT ev.cents, g.b,
@@ -7940,12 +7951,15 @@ ORACLE_TRAINING["perm_test_values"] = f"""
                (SELECT unnest(range(1, {PERM_B + 1})) AS b) g
         ), reps AS (
           SELECT b,
+                 CASE WHEN sum(CASE WHEN parm = 1 THEN 1.0 ELSE 0.0 END) = 0
+                        OR sum(CASE WHEN parm = 0 THEN 1.0 ELSE 0.0 END) = 0
+                      THEN NULL ELSE
                  cast(sum(CASE WHEN parm = 1 THEN cents ELSE 0 END)
                    as double)
                  / sum(CASE WHEN parm = 1 THEN 1.0 ELSE 0.0 END)
                  - cast(sum(CASE WHEN parm = 0 THEN cents ELSE 0 END)
                      as double)
-                 / sum(CASE WHEN parm = 0 THEN 1.0 ELSE 0.0 END) AS d_b
+                 / sum(CASE WHEN parm = 0 THEN 1.0 ELSE 0.0 END) END AS d_b
           FROM tagged GROUP BY b
         )
         SELECT CAST(count(*) AS BIGINT) AS n_replicates,

@@ -90,9 +90,7 @@ def test_docs_only_op_inventory_is_substantial():
     assert len(DOCS_ONLY_OPS) >= 100, len(DOCS_ONLY_OPS)
 
 
-@pytest.mark.parametrize("name", DOCS_ONLY_OPS)
-def test_degenerate_corpus_parity(spark, degen, name):
-    tmp, con = degen
+def _compare(spark, tmp, con, name):
     srows = sorted(
         tuple(_canon(v) for _, v in sorted(r.asDict().items()))
         for r in QUERIES[name](spark, tmp).collect()
@@ -100,10 +98,84 @@ def test_degenerate_corpus_parity(spark, degen, name):
     cur = con.execute(ORACLE[name])
     cols = [d[0] for d in cur.description]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    drows = sorted(
-        tuple(_canon(r[i]) for i in order) for r in cur.fetchall()
-    )
+    drows = sorted(tuple(_canon(r[i]) for i in order) for r in cur.fetchall())
     assert srows == drows, (
         f"{name}: spark {len(srows)} rows vs duckdb {len(drows)} rows; "
         f"first spark={srows[:2]} duck={drows[:2]}"
     )
+
+
+@pytest.mark.parametrize("name", DOCS_ONLY_OPS)
+def test_degenerate_corpus_parity(spark, degen, name):
+    tmp, con = degen
+    _compare(spark, tmp, con, name)
+
+
+# ---------- degenerate EVENTS: the fact-table twin of the sweep ----------
+#
+# single-event users (lag -> NULL), identical timestamps (tie-breaks),
+# zero-variance days, all-zero values (log/ratio paths), and a type with
+# exactly one event (n-1 = 0 variance paths).  Round 8's events sweep
+# found 12 latent defects here: ANSI division-by-zero in
+# normalize_by_group_mean / gini / lorenz / welch / quantile_transform /
+# xcorr (via corr_pair_expr) / holt / bootstrap / perm_test /
+# chi2_adjusted_residuals, an out-of-bounds array index in the
+# absorption folds, and a -0.0 sign flip in woe_encoding's iv_term.
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _degenerate_events():
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta
+    return [
+        (1000, t, 100, "purchase", 50.0, '{"k": 1}'),
+        (1001, t, 101, "click", 10.0, '{"k": 2}'),
+        (1002, t, 101, "view", 10.0, '{"k": 3}'),
+        (1003, t + m(minutes=1), 102, "view", 7.0, '{"k": 4}'),
+        (1004, t + m(minutes=2), 102, "view", 7.0, '{"k": 5}'),
+        (1005, t + m(minutes=3), 102, "view", 7.0, '{"k": 6}'),
+        (1006, t + m(hours=1), 103, "signup", 0.0, '{"k": 7}'),
+        (1007, t + m(hours=2), 103, "purchase", 0.0, '{"k": 8}'),
+        (1008, t + m(hours=3), 103, "error", 1.0, '{"k": 9}'),
+    ]
+
+
+_OTHER_THAN_EVENTS = re.compile(
+    r"\b(documents|orders|lineitem|customer|supplier|part|nation|region|embeddings)\b"
+)
+
+EVENTS_ONLY_OPS = sorted(
+    n
+    for n, sql in ORACLE.items()
+    if re.search(r"\bevents\b", sql) and not _OTHER_THAN_EVENTS.search(sql)
+)
+
+
+@pytest.fixture(scope="module")
+def degen_events(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("degen_events"))
+    spark.createDataFrame(_degenerate_events(), EVENT_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(tmp + "/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp}/events.parquet/*.parquet'"
+    )
+    yield tmp, con
+
+
+def test_events_only_op_inventory_is_substantial():
+    assert len(EVENTS_ONLY_OPS) >= 100, len(EVENTS_ONLY_OPS)
+
+
+@pytest.mark.parametrize("name", EVENTS_ONLY_OPS)
+def test_degenerate_events_parity(spark, degen_events, name):
+    tmp, con = degen_events
+    _compare(spark, tmp, con, name)
