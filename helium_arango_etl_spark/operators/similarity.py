@@ -36,7 +36,10 @@ NUM_PLANES = 8
 # the pair (na is bit-identical either way), so the oracle needs no change.
 _DOT = "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"
 _NORM = "sqrt(aggregate(transform({v}, x -> x * x), cast(0 as double), (acc, v) -> acc + v))"
-COSINE = f"round({_DOT} / (na * nb), 6)"
+# a zero-norm vector leaves cosine undefined: NULL on both engines (and
+# NULLS sort LAST under DESC in both, so top-k ordering agrees) -- not an
+# ANSI division error (degenerate sweep, round 8)
+COSINE = f"(CASE WHEN na * nb = 0 THEN NULL ELSE round({_DOT} / (na * nb), 6) END)"
 
 _CAST64 = "transform(embedding, x -> cast(x as double))"
 
@@ -486,8 +489,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v64",
         (F.col("amax") / 127).alias("scale"),
     )
+    # a zero vector has scale 0: its codes are identically zero, not an
+    # ANSI division error (degenerate sweep, round 8)
     codes = (
-        "transform(v64, x -> cast(floor(x / scale + 0.5d) as int))"
+        "transform(v64, x -> if(scale = 0, 0,"
+        " cast(floor(x / scale + 0.5d) as int)))"
     )
     recon = (
         "sqrt(aggregate(zip_with(codes, v64, (c, x) -> (c * scale - x) * (c * scale - x)),"
@@ -981,7 +987,11 @@ def mrl_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sqrt(aggregate(transform(slice({v}, 1, %d), x -> x * x),"
         " cast(0 as double), (acc, v) -> acc + v))" % p
     )
-    pcos = f"round({pdot} / ({pnorm.format(v='va')} * {pnorm.format(v='vb')}), 6)"
+    pn = f"({pnorm.format(v='va')} * {pnorm.format(v='vb')})"
+    # a zero-norm PREFIX (zero vector, or zeros in the first p dims)
+    # leaves the prefix cosine undefined -> NULL, sorted last under DESC
+    # on both engines (degenerate sweep, round 8)
+    pcos = f"(CASE WHEN {pn} = 0 THEN NULL ELSE round({pdot} / {pn}, 6) END)"
     prefix = (
         joined.select("q_id", "vec_id", F.expr(pcos).alias("cosine_sim"))
         .withColumn("rank", F.row_number().over(w))
@@ -1164,6 +1174,11 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         corpus.join(F.broadcast(q))
         .select("q_id", "vec_id", F.expr(micro).alias("rel_micro"))
+        # zero-norm query or corpus vectors have NULL relevance: they are
+        # not rankable candidates -- exclude BEFORE the rank window on
+        # both engines (degenerate sweep, round 8); with zero-norm rows
+        # gone, every downstream pairwise sim is non-NULL too
+        .filter(F.col("rel_micro").isNotNull())
         .withColumn("rk", F.row_number().over(wc))
         .filter(F.col("rk") <= MMR_CANDS)
         .drop("rk")
@@ -1359,8 +1374,13 @@ def prototype_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.expr(COSINE).alias("proto_cos"))
     )
     w = Window.partitionBy("label").orderBy(F.col("proto_cos").asc(), F.col("vec_id").asc())
+    # zero-norm vectors have NULL proto_cos: exclude them BEFORE ranking
+    # on both engines (Spark sorts NULLs first ascending, DuckDB last --
+    # and an undefined cosine is not a mislabel signal) -- degenerate
+    # sweep, round 8
     return (
-        scored.withColumn("suspect_rank", F.row_number().over(w).cast("int"))
+        scored.filter(F.col("proto_cos").isNotNull())
+        .withColumn("suspect_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("suspect_rank") <= PROTO_SUSPECTS)
         .select("vec_id", "label", "proto_cos", "suspect_rank")
     )
@@ -1575,7 +1595,10 @@ def mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "la",
             "ib",
             "lb",
-            F.expr(f"cast(round(({_DOT} / (na * nb)) * 1000000) as bigint)").alias(
+            F.expr(
+                f"if(na * nb = 0, cast(null as bigint),"
+                f" cast(round(({_DOT} / (na * nb)) * 1000000) as bigint))"
+            ).alias(
                 "cos_micro"
             ),
         )
@@ -1647,7 +1670,10 @@ def mutual_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "la",
             "ib",
             "lb",
-            F.expr(f"cast(round(({_DOT} / (na * nb)) * 1000000) as bigint)").alias(
+            F.expr(
+                f"if(na * nb = 0, cast(null as bigint),"
+                f" cast(round(({_DOT} / (na * nb)) * 1000000) as bigint))"
+            ).alias(
                 "cos_micro"
             ),
         )
@@ -1831,9 +1857,13 @@ def simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "centroid_id",
+            # a point coincident with both its own and the nearest
+            # other centroid (a = b = 0) has silhouette 0 by convention,
+            # not an ANSI 0/0 error (degenerate sweep, round 8)
             F.expr(
-                "cast(round((b - a) / greatest(a, b) * 1000000.0)"
-                " as bigint)"
+                "if(greatest(a, b) = 0, 0L,"
+                " cast(round((b - a) / greatest(a, b) * 1000000.0)"
+                " as bigint))"
             ).alias("s_micro"),
         )
     )
@@ -1889,7 +1919,10 @@ def knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "ia",
             "ib",
-            F.expr(f"cast(round(({_DOT} / (na * nb)) * 1000000) as bigint)").alias(
+            F.expr(
+                f"if(na * nb = 0, cast(null as bigint),"
+                f" cast(round(({_DOT} / (na * nb)) * 1000000) as bigint))"
+            ).alias(
                 "cos_micro"
             ),
         )

@@ -112,7 +112,10 @@ _CAST64 = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 _DOT = f"list_sum(list_transform(range(1, {DIM + 1}), i -> vb[i] * va[i]))"
 _NA = f"sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> va[i] * va[i])))"
 _NB = f"sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> vb[i] * vb[i])))"
-_COSINE = f"round({_DOT} / ({_NA} * {_NB}), 6)"
+_COSINE = (
+    f"(CASE WHEN {_NA} * {_NB} = 0 THEN NULL"
+    f" ELSE round({_DOT} / ({_NA} * {_NB}), 6) END)"
+)
 
 
 def _plane_coef(plane: int) -> str:
@@ -1084,7 +1087,8 @@ ORACLE_TRAINING["embedding_quantize"] = f"""
           FROM e
         ), c AS (
           SELECT vec_id, label, v, scale,
-                 list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS codes
+                 list_transform(v, x -> CASE WHEN scale = 0 THEN 0 ELSE
+                     CAST(floor(x / scale + 0.5) AS INT) END) AS codes
           FROM s
         )
         SELECT vec_id, label, scale,
@@ -1483,7 +1487,10 @@ _P = MRL_PREFIX_DIM
 _PDOT = f"list_sum(list_transform(range(1, {_P + 1}), i -> vb[i] * va[i]))"
 _PNA = f"sqrt(list_sum(list_transform(range(1, {_P + 1}), i -> va[i] * va[i])))"
 _PNB = f"sqrt(list_sum(list_transform(range(1, {_P + 1}), i -> vb[i] * vb[i])))"
-_PCOSINE = f"round({_PDOT} / ({_PNA} * {_PNB}), 6)"
+_PCOSINE = (
+    f"(CASE WHEN {_PNA} * {_PNB} = 0 THEN NULL"
+    f" ELSE round({_PDOT} / ({_PNA} * {_PNB}), 6) END)"
+)
 
 ORACLE_TRAINING["mrl_prefix_recall"] = f"""
         WITH e AS (
@@ -1959,6 +1966,7 @@ def _mmr_sql() -> str:
             CROSS JOIN (SELECT q_id, va,
                                sqrt(list_sum(list_transform(va, x -> x * x))) AS na
                         FROM q) q
+            WHERE {micro_qc} IS NOT NULL
           ) WHERE rk <= {MMR_CANDS}
         ), pairs AS (
           SELECT a.q_id, a.vec_id AS ia, b.vec_id AS ib, {micro_pp} AS sim_micro
@@ -2159,16 +2167,18 @@ ORACLE_TRAINING["prototype_distances"] = f"""
           FROM pm
         ), sc AS (
           SELECT e.vec_id, e.label,
+                 CASE WHEN sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                           * p.np = 0 THEN NULL ELSE
                  round(list_sum(list_transform(range(1, {DIM + 1}),
                                                i -> e.v[i] * p.pv[i]))
                        / (sqrt(list_sum(list_transform(e.v, x -> x * x))) * p.np),
-                       6) AS proto_cos
+                       6) END AS proto_cos
           FROM e JOIN p USING (label)
         )
         SELECT vec_id, label, proto_cos, CAST(rk AS INT) AS suspect_rank FROM (
           SELECT *, row_number() OVER (PARTITION BY label
                                        ORDER BY proto_cos ASC, vec_id ASC) AS rk
-          FROM sc
+          FROM sc WHERE proto_cos IS NOT NULL
         ) WHERE rk <= {PROTO_SUSPECTS}
     """
 
@@ -4053,9 +4063,10 @@ ORACLE_TRAINING["mutual_knn_graph"] = f"""
           FROM e
         ), scored AS (
           SELECT a.vec_id AS ia, a.label AS la, b.vec_id AS ib, b.label AS lb,
+                 CASE WHEN a.nv * b.nv = 0 THEN NULL ELSE
                  CAST(round(list_sum(list_transform(range(1, {DIM + 1}),
                           i -> a.v[i] * b.v[i])) / (a.nv * b.nv) * 1000000)
-                   AS BIGINT) AS cos_micro
+                   AS BIGINT) END AS cos_micro
           FROM n a JOIN n b ON a.vec_id <> b.vec_id
         ), knn AS (
           SELECT *, row_number() OVER (PARTITION BY ia
@@ -4083,9 +4094,10 @@ ORACLE_TRAINING["mutual_knn_graph_lsh"] = f"""
           FROM e
         ), scored AS (
           SELECT a.vec_id AS ia, a.label AS la, b.vec_id AS ib, b.label AS lb,
+                 CASE WHEN a.nv * b.nv = 0 THEN NULL ELSE
                  CAST(round(list_sum(list_transform(range(1, {DIM + 1}),
                           i -> a.v[i] * b.v[i])) / (a.nv * b.nv) * 1000000)
-                   AS BIGINT) AS cos_micro
+                   AS BIGINT) END AS cos_micro
           FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
         ), knn AS (
           SELECT *, row_number() OVER (PARTITION BY ia
@@ -4195,9 +4207,10 @@ ORACLE_TRAINING["knn_hubness_audit"] = f"""
           FROM e
         ), scored AS (
           SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 CASE WHEN a.nv * b.nv = 0 THEN NULL ELSE
                  CAST(round(list_sum(list_transform(range(1, {DIM + 1}),
                           i -> a.v[i] * b.v[i])) / (a.nv * b.nv) * 1000000)
-                   AS BIGINT) AS cos_micro
+                   AS BIGINT) END AS cos_micro
           FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
         ), knn AS (
           SELECT *, row_number() OVER (PARTITION BY ia
@@ -7897,13 +7910,17 @@ def _silhouette_sql() -> str:
           FROM emb e CROSS JOIN {last} c
         ), pv AS (
           SELECT a.centroid_id,
+                 CASE WHEN greatest(
+                       max(CASE WHEN dd.cid = a.centroid_id THEN dd.d END),
+                       min(CASE WHEN dd.cid <> a.centroid_id THEN dd.d END))
+                     = 0 THEN 0 ELSE
                  CAST(round(
                    (min(CASE WHEN dd.cid <> a.centroid_id THEN dd.d END)
                     - max(CASE WHEN dd.cid = a.centroid_id THEN dd.d END))
                    / greatest(
                        max(CASE WHEN dd.cid = a.centroid_id THEN dd.d END),
                        min(CASE WHEN dd.cid <> a.centroid_id THEN dd.d END))
-                   * 1000000.0) AS BIGINT) AS s_micro
+                   * 1000000.0) AS BIGINT) END AS s_micro
           FROM afinal a JOIN dists dd ON dd.vec_id = a.vec_id
           GROUP BY a.vec_id, a.centroid_id
         )

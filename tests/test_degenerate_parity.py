@@ -179,3 +179,74 @@ def test_events_only_op_inventory_is_substantial():
 def test_degenerate_events_parity(spark, degen_events, name):
     tmp, con = degen_events
     _compare(spark, tmp, con, name)
+
+
+# ---------- degenerate EMBEDDINGS ----------
+#
+# a ZERO vector (norm 0 -> every cosine against it is undefined; common
+# in production as a padding/failed-encode artifact) plus an exact
+# duplicate pair.  The corpus keeps >= 16 vectors because the PQ family
+# trains its 16 codewords from the first 16 vec_ids — a corpus smaller
+# than the codebook is a build-time precondition violation, not a data
+# edge case (k-means with k > n fails the same way).  Round 8's sweep
+# found 21 zero-norm crash sites (all cosine/scale divisions) plus two
+# NULL-ordering divergences (Spark NULLS FIRST asc vs DuckDB NULLS LAST)
+# in prototype_distances and mmr_rerank's candidate pools.
+
+EMB_SCHEMA = "vec_id long, label string, embedding array<float>"
+
+
+def _degenerate_embeddings():
+    import random
+
+    rng = random.Random(7)
+    dim = 64
+    rows = [
+        (0, "a", [0.0] * dim),                    # the zero vector
+        (1, "a", [1.0] + [0.0] * (dim - 1)),      # unit axis
+        (2, "b", [1.0] + [0.0] * (dim - 1)),      # exact duplicate of 1
+    ]
+    for i in range(3, 20):
+        rows.append(
+            (i, "ab"[i % 2], [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+        )
+    return rows
+
+
+_OTHER_THAN_EMB = re.compile(
+    r"\b(documents|orders|lineitem|customer|supplier|part|nation|region|events)\b"
+)
+
+EMB_ONLY_OPS = sorted(
+    n
+    for n, sql in ORACLE.items()
+    if re.search(r"\bembeddings\b", sql) and not _OTHER_THAN_EMB.search(sql)
+)
+
+
+@pytest.fixture(scope="module")
+def degen_emb(spark, tmp_path_factory):
+    from helium_arango_etl_spark.operators.similarity import clear_emb_cache
+
+    tmp = str(tmp_path_factory.mktemp("degen_emb"))
+    spark.createDataFrame(_degenerate_embeddings(), EMB_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(tmp + "/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp}/embeddings.parquet/*.parquet'"
+    )
+    clear_emb_cache(spark)
+    yield tmp, con
+    clear_emb_cache(spark)
+
+
+def test_emb_only_op_inventory_is_substantial():
+    assert len(EMB_ONLY_OPS) >= 30, len(EMB_ONLY_OPS)
+
+
+@pytest.mark.parametrize("name", EMB_ONLY_OPS)
+def test_degenerate_embeddings_parity(spark, degen_emb, name):
+    tmp, con = degen_emb
+    _compare(spark, tmp, con, name)
