@@ -210,6 +210,10 @@ def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .crossJoin(F.broadcast(nd))
+        # a single-day grid has no slope pairs and therefore no trend
+        # row -- matching the oracle's GROUP-BY-over-empty semantics
+        # (degenerate sweep, round 8)
+        .filter(F.col("n_pairs") > 0)
         .select("n_days", "n_pairs", "trend_per_day")
     )
 
@@ -1039,22 +1043,24 @@ def weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     ssb = f"(cast(tm as double) / 1000000.0 - {grand})"
     ssw = "(cast(ss as double) - cast(tm as double) / 1000000.0)"
     sst = f"(cast(ss as double) - {grand})"
+    # degenerate designs (one weekday group, zero within/total variance,
+    # or a single day) leave the statistics undefined: NULL on both
+    # engines, never an ANSI division error (degenerate sweep, round 8)
     return tot.select(
         F.col("n").alias("n_days"),
-        F.round(
-            F.expr(
-                f"({ssb} / (cast(k as double) - 1.0))"
-                f" / ({ssw} / (cast(n as double) - cast(k as double)))"
-            ),
-            6,
+        F.expr(
+            f"if(k < 2 or n = k or {ssw} = 0, cast(null as double),"
+            f" round(({ssb} / (cast(k as double) - 1.0))"
+            f" / ({ssw} / (cast(n as double) - cast(k as double))), 6))"
         ).alias("f_stat"),
-        F.round(F.expr(f"{ssb} / {sst}"), 6).alias("eta_sq"),
-        F.round(
-            F.expr(
-                f"({sst} / (cast(n as double) - 1.0))"
-                " / (cast(s as double) / cast(n as double))"
-            ),
-            6,
+        F.expr(
+            f"if({sst} = 0, cast(null as double),"
+            f" round({ssb} / {sst}, 6))"
+        ).alias("eta_sq"),
+        F.expr(
+            f"if(n < 2, cast(null as double),"
+            f" round(({sst} / (cast(n as double) - 1.0))"
+            " / (cast(s as double) / cast(n as double)), 6))"
         ).alias("fano_dispersion"),
     )
 
@@ -1917,15 +1923,22 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(v, 0.75)").alias("q3"),
     )
     h = f"(2.0 * (q3 - q1) / pow(cast(n as double), {HIST_CBRT}))"
-    bins = f"cast(ceil(cast(v_max - v_min as double) / {h}) as bigint)"
+    # a constant-price corpus has IQR 0 / zero range: the FD rule is
+    # undefined there, so the histogram collapses to ONE bin on both
+    # engines instead of an ANSI division error (degenerate sweep, r8)
+    bins = (
+        f"if(q3 = q1 or v_max = v_min, 1L,"
+        f" cast(ceil(cast(v_max - v_min as double) / {h}) as bigint))"
+    )
     binned = o.crossJoin(F.broadcast(st_)).select(
         "v_min",
         "v_max",
         F.expr(bins).alias("n_bins"),
         F.expr(
-            f"least({bins} - 1,"
+            f"if({bins} = 1, 0L,"
+            f" least({bins} - 1,"
             f" cast(floor(cast(v - v_min as double)"
-            f" / (cast(v_max - v_min as double) / {bins})) as bigint))"
+            f" / (cast(v_max - v_min as double) / {bins})) as bigint)))"
         ).alias("bin"),
     )
     return binned.groupBy("bin", "v_min", "v_max", "n_bins").agg(
@@ -2362,8 +2375,11 @@ JB_M4 = (
     f" + 6.0 * {_JB_MU} * {_JB_MU} * (cast(s2 as double) / {_JB_ND})"
     f" - 3.0 * {_JB_MU} * {_JB_MU} * {_JB_MU} * {_JB_MU})"
 )
-JB_SKEW = f"({JB_M3} / ({JB_M2} * sqrt({JB_M2})))"
-JB_KURT = f"({JB_M4} / ({JB_M2} * {JB_M2}) - 3.0)"
+# a zero-variance group (all values identical) leaves skew/kurtosis
+# undefined: NULL on both engines (the oracle imports these strings, so
+# the guard pairs by construction) -- degenerate sweep, round 8
+JB_SKEW = f"(CASE WHEN {JB_M2} = 0 THEN NULL ELSE ({JB_M3} / ({JB_M2} * sqrt({JB_M2}))) END)"
+JB_KURT = f"(CASE WHEN {JB_M2} = 0 THEN NULL ELSE ({JB_M4} / ({JB_M2} * {JB_M2}) - 3.0) END)"
 JB_STAT = (
     f"({_JB_ND} / 6.0 * ({JB_SKEW} * {JB_SKEW}"
     f" + {JB_KURT} * {JB_KURT} / 4.0))"
@@ -2996,15 +3012,22 @@ def logistic_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     the textbook distributed IRLS (gradient aggregation), no shuffle of
     rows ever.
     """
-    o = read_table(spark, sf_dir, "orders").select(
-        F.expr(
-            "ln(cast(cast(round(o_totalprice * 100) as bigint) as double)"
-            " / 100.0)"
-        ).alias("x"),
-        F.expr(
-            "cast(if(o_orderpriority in ('1-URGENT', '2-HIGH'),"
-            " 1.0, 0.0) as double)"
-        ).alias("y"),
+    # a zero-price order has no log-price feature: exclude it on both
+    # engines (Spark ln(0) yields NULL while DuckDB raises -- degenerate
+    # sweep, round 8)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.expr("cast(round(o_totalprice * 100) as bigint) > 0"))
+        .select(
+            F.expr(
+                "ln(cast(cast(round(o_totalprice * 100) as bigint) as double)"
+                " / 100.0)"
+            ).alias("x"),
+            F.expr(
+                "cast(if(o_orderpriority in ('1-URGENT', '2-HIGH'),"
+                " 1.0, 0.0) as double)"
+            ).alias("y"),
+        )
     )
     beta = spark.range(1).select(
         F.lit(0).cast("bigint").alias("b0"),
@@ -3358,10 +3381,13 @@ _ORD_B = (
     "(cast(n * sxy - sx * sy as double) / cast(n * sxx - sx * sx as double))"
 )
 _ORD_A = f"((cast(sy as double) - {_ORD_B} * cast(sx as double)) / cast(n as double))"
+# zero x- or y-variance leaves R2 undefined: NULL on both engines (the
+# oracle imports this string) -- degenerate sweep, round 8
 ORD_R2 = (
-    "(cast(n * sxy - sx * sy as double) * cast(n * sxy - sx * sy as double)"
+    "(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL"
+    " ELSE cast(n * sxy - sx * sy as double) * cast(n * sxy - sx * sy as double)"
     " / (cast(n * sxx - sx * sx as double)"
-    " * cast(n * syy - sy * sy as double)))"
+    " * cast(n * syy - sy * sy as double)) END)"
 )
 
 
@@ -3408,11 +3434,15 @@ def ols_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sxx",
         "sxy",
         "syy",
+        # a single-day grid (or constant x) has no fit: NULL coefficients
+        # cascade to NULL diagnostics on both engines (degenerate sweep, r8)
         F.expr(
-            f"cast(round({_ORD_B} * 1000000000.0) as bigint)"
+            f"if(n * sxx - sx * sx = 0, cast(null as bigint),"
+            f" cast(round({_ORD_B} * 1000000000.0) as bigint))"
         ).alias("b_nano"),
         F.expr(
-            f"cast(round({_ORD_A} * 1000000000.0) as bigint)"
+            f"if(n * sxx - sx * sx = 0, cast(null as bigint),"
+            f" cast(round({_ORD_A} * 1000000000.0) as bigint))"
         ).alias("a_nano"),
     )
     resid = daily.crossJoin(F.broadcast(mom)).select(
@@ -3456,11 +3486,19 @@ def ols_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("n").alias("n_days"),
         F.round("r2", 6).alias("r2"),
-        F.round(
-            F.expr("cast(sdd as double) / cast(see as double)"), 6
+        # a perfect fit (all residuals zero) leaves DW/BP undefined
+        F.expr(
+            "if(see is null or see = 0, cast(null as double),"
+            " round(cast(sdd as double) / cast(see as double), 6))"
         ).alias("dw_stat"),
-        F.round(
-            F.expr(f"cast(n as double) * {bp_r2}"), 6
+        F.expr(
+            "if(see is null"
+            " or cast(n as decimal(38,0)) * sxx"
+            "    - cast(sx as decimal(38,0)) * sx = 0"
+            " or cast(n as decimal(38,0)) * suu"
+            "    - cast(see as decimal(38,0)) * see = 0,"
+            " cast(null as double),"
+            f" round(cast(n as double) * {bp_r2}, 6))"
         ).alias("bp_stat"),
     )
 
@@ -3519,14 +3557,27 @@ def gumbel_daily_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(1.0 - exp(0.0 - exp(0.0 - (cast(record as double) - {mu})"
         f" / {beta})))"
     )
+    # a single day or a zero-variance maxima series has no Gumbel fit
+    # (beta = 0 would also divide the exceedance probability by zero):
+    # NULL on both engines (degenerate sweep, round 8)
+    degen = (
+        "(n < 2 or cast(n as decimal(38,0)) * s2"
+        " - cast(s1 as decimal(38,0)) * s1 = 0)"
+    )
     return mom.select(
         F.col("n").alias("n_days"),
-        F.round(F.expr(f"{mu} / 100.0"), 4).alias("gumbel_mu"),
-        F.round(F.expr(f"{beta} / 100.0"), 4).alias("gumbel_beta"),
+        F.expr(
+            f"if({degen}, cast(null as double), round({mu} / 100.0, 4))"
+        ).alias("gumbel_mu"),
+        F.expr(
+            f"if({degen}, cast(null as double), round({beta} / 100.0, 4))"
+        ).alias("gumbel_beta"),
         F.round(F.expr("cast(record as double) / 100.0"), 2).alias(
             "record_max"
         ),
-        F.round(F.expr(p_exceed), 6).alias("p_exceed_record"),
+        F.expr(
+            f"if({degen}, cast(null as double), round({p_exceed}, 6))"
+        ).alias("p_exceed_record"),
     )
 
 

@@ -1921,6 +1921,11 @@ def weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = (
         read_table(spark, sf_dir, "lineitem")
+        # a zero-quantity line has no unit price and zero weight: it
+        # cannot move the weighted median -- filter it BEFORE the unit
+        # division, which would otherwise raise under ANSI (degenerate
+        # sweep, round 8; the oracle applies the same predicate)
+        .filter(F.col("l_quantity") > 0)
         .select(
             "l_returnflag",
             F.expr(

@@ -4954,7 +4954,7 @@ ORACLE_TRAINING["weighted_median_udaf"] = """
                  CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)
                      AS cents,
                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
-          FROM lineitem GROUP BY l_returnflag, cents
+          FROM lineitem WHERE l_quantity > 0 GROUP BY l_returnflag, cents
         ), cum AS (
           SELECT l_returnflag, cents, qty,
                  CAST(sum(qty) OVER (PARTITION BY l_returnflag ORDER BY cents
@@ -5881,6 +5881,10 @@ ORACLE_TRAINING["weekday_anova"] = """
           FROM micro
         )
         SELECT n AS n_days,
+               CASE WHEN k < 2 OR n = k
+                      OR cast(ss as double)
+                         - cast(tm as double) / 1000000.0 = 0
+                    THEN NULL ELSE
                round(((cast(tm as double) / 1000000.0
                        - cast(s as double) * cast(s as double)
                          / cast(n as double))
@@ -5888,19 +5892,24 @@ ORACLE_TRAINING["weekday_anova"] = """
                      / ((cast(ss as double)
                          - cast(tm as double) / 1000000.0)
                         / (cast(n as double) - cast(k as double))), 6)
-                   AS f_stat,
+                   END AS f_stat,
+               CASE WHEN cast(ss as double)
+                         - cast(s as double) * cast(s as double)
+                           / cast(n as double) = 0
+                    THEN NULL ELSE
                round((cast(tm as double) / 1000000.0
                       - cast(s as double) * cast(s as double)
                         / cast(n as double))
                      / (cast(ss as double)
                         - cast(s as double) * cast(s as double)
-                          / cast(n as double)), 6) AS eta_sq,
+                          / cast(n as double)), 6) END AS eta_sq,
+               CASE WHEN n < 2 THEN NULL ELSE
                round(((cast(ss as double)
                        - cast(s as double) * cast(s as double)
                          / cast(n as double))
                       / (cast(n as double) - 1.0))
                      / (cast(s as double) / cast(n as double)), 6)
-                   AS fano_dispersion
+                   END AS fano_dispersion
         FROM tot
     """
 
@@ -6546,7 +6555,8 @@ ORACLE_TRAINING["dp_laplace_plan"] = f"""
 
 _PH_H = f"(2.0 * (q3 - q1) / pow(cast(n as double), {HIST_CBRT}))"
 _PH_BINS = (
-    f"CAST(ceil(cast(v_max - v_min as double) / {_PH_H}) AS BIGINT)"
+    f"(CASE WHEN q3 = q1 OR v_max = v_min THEN 1 ELSE"
+    f" CAST(ceil(cast(v_max - v_min as double) / {_PH_H}) AS BIGINT) END)"
 )
 
 ORACLE_TRAINING["price_histogram"] = f"""
@@ -6562,10 +6572,11 @@ ORACLE_TRAINING["price_histogram"] = f"""
           FROM o
         ), binned AS (
           SELECT v_min, v_max, {_PH_BINS} AS n_bins,
+                 CASE WHEN {_PH_BINS} = 1 THEN 0 ELSE
                  least({_PH_BINS} - 1,
                        CAST(floor(cast(v - v_min as double)
                             / (cast(v_max - v_min as double)
-                               / {_PH_BINS})) AS BIGINT)) AS bin
+                               / {_PH_BINS})) AS BIGINT)) END AS bin
           FROM o CROSS JOIN st
         )
         SELECT bin, n_bins,
@@ -7803,6 +7814,7 @@ _LG_PARTS = ["""
                  cast(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                       THEN 1.0 ELSE 0.0 END as double) AS y
           FROM orders
+          WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
         ), beta_0 AS (
           SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1
         )"""]
@@ -8079,14 +8091,16 @@ ORACLE_TRAINING["ols_residual_diagnostics"] = f"""
           FROM daily
         ), fit AS (
           SELECT *,
+                 CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
                  CAST(round((cast(n * sxy - sx * sy as double)
                       / cast(n * sxx - sx * sx as double))
-                      * 1000000000.0) AS BIGINT) AS b_nano,
+                      * 1000000000.0) AS BIGINT) END AS b_nano,
+                 CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
                  CAST(round(((cast(sy as double)
                       - (cast(n * sxy - sx * sy as double)
                          / cast(n * sxx - sx * sx as double))
                         * cast(sx as double)) / cast(n as double))
-                      * 1000000000.0) AS BIGINT) AS a_nano
+                      * 1000000000.0) AS BIGINT) END AS a_nano
           FROM mom
         ), resid AS (
           SELECT daily.d, f.n, f.sx, f.sxx, {ORD_R2} AS r2,
@@ -8109,8 +8123,15 @@ ORACLE_TRAINING["ols_residual_diagnostics"] = f"""
           FROM lagged GROUP BY n, sx, sxx, r2
         )
         SELECT n AS n_days, round(r2, 6) AS r2,
+               CASE WHEN see IS NULL OR see = 0 THEN NULL ELSE
                round(cast(sdd as double) / cast(see as double), 6)
-                   AS dw_stat,
+                   END AS dw_stat,
+               CASE WHEN see IS NULL
+                      OR CAST(n AS HUGEINT) * sxx
+                         - CAST(sx AS HUGEINT) * sx = 0
+                      OR CAST(n AS HUGEINT) * suu
+                         - CAST(see AS HUGEINT) * see = 0
+                    THEN NULL ELSE
                round(cast(n as double) *
                  (cast(CAST(n AS HUGEINT) * sxu - CAST(sx AS HUGEINT)
                        * see as double)
@@ -8120,7 +8141,7 @@ ORACLE_TRAINING["ols_residual_diagnostics"] = f"""
                          * sx as double)
                      * cast(CAST(n AS HUGEINT) * suu
                             - CAST(see AS HUGEINT) * see as double))), 6)
-                   AS bp_stat
+                   END AS bp_stat
         FROM agg
     """
 
@@ -8138,17 +8159,20 @@ ORACLE_TRAINING["gumbel_daily_max"] = f"""
           FROM daily
         )
         SELECT n AS n_days,
+               CASE WHEN (n < 2 OR CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 = 0) THEN NULL ELSE
                round((cast(s1 as double) / cast(n as double)
                  - {GUMBEL_EULER}
                    * (sqrt(cast(CAST(n AS HUGEINT) * s2
                         - CAST(s1 AS HUGEINT) * s1 as double)
                       / (cast(n as double) * cast(n - 1 as double)))
-                      * {GUMBEL_SQRT6_PI})) / 100.0, 4) AS gumbel_mu,
+                      * {GUMBEL_SQRT6_PI})) / 100.0, 4) END AS gumbel_mu,
+               CASE WHEN (n < 2 OR CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 = 0) THEN NULL ELSE
                round((sqrt(cast(CAST(n AS HUGEINT) * s2
                         - CAST(s1 AS HUGEINT) * s1 as double)
                       / (cast(n as double) * cast(n - 1 as double)))
-                      * {GUMBEL_SQRT6_PI}) / 100.0, 4) AS gumbel_beta,
+                      * {GUMBEL_SQRT6_PI}) / 100.0, 4) END AS gumbel_beta,
                round(cast(record as double) / 100.0, 2) AS record_max,
+               CASE WHEN (n < 2 OR CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 = 0) THEN NULL ELSE
                round(1.0 - exp(0.0 - exp(0.0 - (cast(record as double)
                  - (cast(s1 as double) / cast(n as double)
                     - {GUMBEL_EULER}
@@ -8159,7 +8183,7 @@ ORACLE_TRAINING["gumbel_daily_max"] = f"""
                  / (sqrt(cast(CAST(n AS HUGEINT) * s2
                       - CAST(s1 AS HUGEINT) * s1 as double)
                     / (cast(n as double) * cast(n - 1 as double)))
-                    * {GUMBEL_SQRT6_PI}))), 6) AS p_exceed_record
+                    * {GUMBEL_SQRT6_PI}))), 6) END AS p_exceed_record
         FROM mom
     """
 

@@ -250,3 +250,90 @@ def test_emb_only_op_inventory_is_substantial():
 def test_degenerate_embeddings_parity(spark, degen_emb, name):
     tmp, con = degen_emb
     _compare(spark, tmp, con, name)
+
+
+# ---------- degenerate ORDERS/LINEITEM ----------
+#
+# a single-day grid (no trend pairs, no variance across days), constant
+# prices (zero IQR/variance), a zero-price order (no log feature), a
+# zero-quantity line (no unit price), and a priority class with one
+# order.  Round 8's sweep found 9 defects: ANSI division-by-zero in
+# gumbel / weekday_anova / price_histogram / ols_residual_diagnostics /
+# the shared JB skew-kurtosis strings / weighted_median's unit-price
+# division, a Spark-1-row-vs-DuckDB-0-row divergence in theilsen, and a
+# DuckDB ln(0) error in logistic_price_model's log-price feature.
+
+O_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string,"
+    " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+L_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+    " l_quantity double, l_extendedprice double, l_discount double,"
+    " l_tax double, l_returnflag string, l_linestatus string,"
+    " l_shipdate timestamp"
+)
+
+
+def _degenerate_orders_lineitem():
+    import datetime as dt
+
+    d = dt.datetime(1997, 1, 15)
+    orders = [
+        (0, 85, "F", 100.0, d, "3-MEDIUM"),
+        (1, 85, "O", 100.0, d, "3-MEDIUM"),
+        (2, 85, "F", 100.0, d, "3-MEDIUM"),
+        (3, 86, "F", 0.0, d, "1-URGENT"),
+        (4, 86, "O", 100.0, d, "2-HIGH"),
+    ]
+    lineitem = [
+        (0, 101, 9, 1, 0.0, 0.0, 0.0, 0.0, "N", "O", d),
+        (0, 102, 9, 2, 1.0, 50.0, 0.0, 0.0, "N", "O", d),
+        (1, 101, 9, 1, 1.0, 50.0, 0.5, 0.0, "R", "F", d),
+        (2, 103, 8, 1, 2.0, 100.0, 0.0, 0.0, "A", "F", d),
+        (3, 101, 8, 1, 1.0, 0.0, 0.0, 0.0, "N", "O", d),
+    ]
+    return orders, lineitem
+
+
+_OTHER_THAN_OLI = re.compile(
+    r"\b(documents|events|customer|supplier|part|nation|region|embeddings)\b"
+)
+
+OLI_ONLY_OPS = sorted(
+    n
+    for n, sql in ORACLE.items()
+    if (re.search(r"\borders\b", sql) or re.search(r"\blineitem\b", sql))
+    and not _OTHER_THAN_OLI.search(sql)
+    # the raw-SQL surface (A2) registers EVERY table as a temp view by
+    # design, so it cannot run against a two-table fixture
+    and n != "sql_rewards_summary"
+)
+
+
+@pytest.fixture(scope="module")
+def degen_oli(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("degen_oli"))
+    orders, lineitem = _degenerate_orders_lineitem()
+    spark.createDataFrame(orders, O_SCHEMA).write.mode("overwrite").parquet(
+        tmp + "/orders.parquet"
+    )
+    spark.createDataFrame(lineitem, L_SCHEMA).write.mode("overwrite").parquet(
+        tmp + "/lineitem.parquet"
+    )
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmp}/{t}.parquet/*.parquet'"
+        )
+    yield tmp, con
+
+
+def test_oli_only_op_inventory_is_substantial():
+    assert len(OLI_ONLY_OPS) >= 50, len(OLI_ONLY_OPS)
+
+
+@pytest.mark.parametrize("name", OLI_ONLY_OPS)
+def test_degenerate_orders_lineitem_parity(spark, degen_oli, name):
+    tmp, con = degen_oli
+    _compare(spark, tmp, con, name)
