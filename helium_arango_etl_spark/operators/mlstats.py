@@ -386,13 +386,20 @@ def ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable aggregate (25 brand rows); solving is per-row
     arithmetic.
     """
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        F.expr("cast(round(l_quantity) as bigint)").alias("y"),
-        F.expr("cast(round(l_discount * 10000) as bigint)").alias("x1"),
-        F.expr(
-            "cast(round(l_extendedprice / l_quantity * 100) as bigint)"
-        ).alias("x2"),
+    # a zero-quantity line has no unit price: exclude it BEFORE the
+    # division, which raises under ANSI (degenerate sweep, round 8;
+    # the oracle applies the same predicate)
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .select(
+            "l_partkey",
+            F.expr("cast(round(l_quantity) as bigint)").alias("y"),
+            F.expr("cast(round(l_discount * 10000) as bigint)").alias("x1"),
+            F.expr(
+                "cast(round(l_extendedprice / l_quantity * 100) as bigint)"
+            ).alias("x2"),
+        )
     )
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     d = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -1428,13 +1435,14 @@ def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(
                         F.expr("cast(tm as double) / 1000000.0"), 6
                     ).alias("chi2"),
-                    F.round(
-                        F.expr(
-                            "sqrt(cast(tm as double) / 1000000.0"
-                            " / (cast(n as double)"
-                            "    * cast(least(r - 1, c - 1) as double)))"
-                        ),
-                        6,
+                    # a single-category dimension has min(r-1, c-1) = 0:
+                    # V is undefined -> NULL, not an ANSI division error
+                    # (degenerate sweep, round 8)
+                    F.expr(
+                        "if(least(r - 1, c - 1) = 0, cast(null as double),"
+                        " round(sqrt(cast(tm as double) / 1000000.0"
+                        " / (cast(n as double)"
+                        "    * cast(least(r - 1, c - 1) as double))), 6))"
                     ).alias("cramers_v"),
                 )
             )

@@ -1520,9 +1520,12 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("sum(mi_term) / (n * 1e6)"), 6).alias("mi_nats"),
         F.round(F.expr("sum(hx_term) / (n * 1e6)"), 6).alias("h_nation"),
         F.round(F.expr("sum(hy_term) / (n * 1e6)"), 6).alias("h_segment"),
-        F.round(
-            F.expr("sum(mi_term) / cast(least(sum(hx_term), sum(hy_term)) as double)"),
-            6,
+        # a zero-entropy marginal (single category) leaves NMI undefined:
+        # NULL on both engines (degenerate sweep, round 8)
+        F.expr(
+            "if(least(sum(hx_term), sum(hy_term)) = 0, cast(null as double),"
+            " round(sum(mi_term)"
+            " / cast(least(sum(hx_term), sum(hy_term)) as double), 6))"
         ).alias("nmi"),
     ).drop("n")
 
@@ -1714,10 +1717,17 @@ def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one fact scan + broadcast part-dim join, one keyed
     aggregation with map-side combine; output is |types| rows.
     """
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("cents"),
-        F.col("l_quantity").cast("bigint").alias("qty"),
+    # log-log elasticity needs positive quantity AND price: exclude
+    # zero lines BEFORE the division/ln (ANSI raises on the division,
+    # DuckDB on ln(0)) -- degenerate sweep, round 8
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.expr("l_quantity > 0 and round(l_extendedprice * 100) > 0"))
+        .select(
+            "l_partkey",
+            F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("cents"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
     )
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     d = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
@@ -2031,12 +2041,18 @@ def spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        F.expr("cast(round(l_extendedprice / l_quantity * 100) as bigint)").alias(
-            "price_c"
-        ),
-        F.col("l_quantity").cast("bigint").alias("qty"),
+    # zero-quantity lines have no unit price (ANSI division error):
+    # excluded on both engines -- degenerate sweep, round 8
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .select(
+            "l_partkey",
+            F.expr(
+                "cast(round(l_extendedprice / l_quantity * 100) as bigint)"
+            ).alias("price_c"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
     )
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     d = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(

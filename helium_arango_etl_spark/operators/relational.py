@@ -865,8 +865,13 @@ def bloom_semi_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bloom_pass",
             F.col("n_true").cast("bigint").alias("n_true"),
             (F.col("n_bloom_pass") - F.col("n_true")).cast("bigint").alias("n_false_pos"),
-            F.round(
-                F.expr("(n_bloom_pass - n_true) / cast(n_orders - n_true as double)"), 6
+            # when every probe row is a true match there are no negatives
+            # to false-positive on: NULL rate, not an ANSI 0/0 error
+            # (degenerate sweep, round 8)
+            F.expr(
+                "if(n_orders = n_true, cast(null as double),"
+                " round((n_bloom_pass - n_true)"
+                " / cast(n_orders - n_true as double), 6))"
             ).alias("fp_rate"),
         )
     )

@@ -2545,8 +2545,9 @@ def _bloom_sql() -> str:
                CAST(sum(bloom_pass) AS BIGINT) AS n_bloom_pass,
                t.n_true,
                CAST(sum(bloom_pass) - t.n_true AS BIGINT) AS n_false_pos,
+               CASE WHEN count(*) = t.n_true THEN NULL ELSE
                round((sum(bloom_pass) - t.n_true)
-                     / CAST(count(*) - t.n_true AS DOUBLE), 6) AS fp_rate
+                     / CAST(count(*) - t.n_true AS DOUBLE), 6) END AS fp_rate
         FROM flagged CROSS JOIN truth t
         GROUP BY t.n_true
     """
@@ -3896,8 +3897,9 @@ ORACLE_TRAINING["mutual_information"] = """
                round(mi.mi_sum / (t.n * 1e6), 6) AS mi_nats,
                round(hx.hx_sum / (t.n * 1e6), 6) AS h_nation,
                round(hy.hy_sum / (t.n * 1e6), 6) AS h_segment,
+               CASE WHEN least(hx.hx_sum, hy.hy_sum) = 0 THEN NULL ELSE
                round(mi.mi_sum / CAST(least(hx.hx_sum, hy.hy_sum) AS DOUBLE), 6)
-                   AS nmi
+                   END AS nmi
         FROM mi, hx, hy, tot t
     """
 
@@ -4449,6 +4451,7 @@ ORACLE_TRAINING["price_elasticity"] = """
                  CAST(round(ln(CAST(l.l_quantity AS BIGINT)) * 1000000)
                    AS BIGINT) AS y
           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE l.l_quantity > 0 AND round(l.l_extendedprice * 100) > 0
         ), agg AS (
           SELECT p_type, CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
@@ -5166,6 +5169,7 @@ ORACLE_TRAINING["spearman_price_qty"] = """
                      AS price_c,
                  CAST(l.l_quantity AS BIGINT) AS qty
           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE l.l_quantity > 0
         ), rx AS (
           SELECT p_type, price_c,
                  CAST(2 * sum(t) OVER (PARTITION BY p_type ORDER BY price_c
@@ -5491,6 +5495,7 @@ ORACLE_TRAINING["ols_price_model"] = f"""
                  CAST(round(l.l_extendedprice / l.l_quantity * 100)
                    AS BIGINT) AS x2
           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE l.l_quantity > 0
         ), mom AS (
           SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(x1) AS BIGINT) AS s1,
@@ -6215,10 +6220,11 @@ for _i, _a in enumerate(_CV_LBLS):
         _CV_PARTS.append(f"""
         SELECT '{_a}' AS dim_x, '{_b}' AS dim_y, n,
                round(cast(tm as double) / 1000000.0, 6) AS chi2,
+               CASE WHEN least(r - 1, c - 1) = 0 THEN NULL ELSE
                round(sqrt(cast(tm as double) / 1000000.0
                      / (cast(n as double)
                         * cast(least(r - 1, c - 1) as double))), 6)
-                   AS cramers_v
+                   END AS cramers_v
         FROM (
           SELECT n, r, c, CAST(sum(term_micro) AS BIGINT) AS tm
           FROM (

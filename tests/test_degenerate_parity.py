@@ -337,3 +337,121 @@ def test_oli_only_op_inventory_is_substantial():
 def test_degenerate_orders_lineitem_parity(spark, degen_oli, name):
     tmp, con = degen_oli
     _compare(spark, tmp, con, name)
+
+
+# ---------- degenerate MULTI-TABLE (combined fixture) ----------
+#
+# every remaining oracled query (the witness-graph family and other
+# cross-family joins) runs against a combined minimal fixture: one
+# region/nation, 3 suppliers (one with no valid witness edges), 3
+# customers (one zero-balance), a zero-quantity and an invalid ('R')
+# lineitem, a zero-price order, plus the family degenerate tables.
+# Round 8's sweep found 6 defects here: unit-price ANSI divisions in
+# ols_price_model / spearman_price_qty, log-of-zero in
+# price_elasticity, zero-negative-set bloom fp_rate, single-category
+# Cramer's V, and zero-entropy normalized mutual information.
+
+def _combined_fixture(spark, tmp):
+    import datetime as dt
+    import random
+
+    d = dt.datetime(1997, 1, 15)
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rng = random.Random(7)
+    spark.createDataFrame([(0, "AFRICA")], "r_regionkey int, r_name string").write.parquet(tmp + "/region.parquet")
+    spark.createDataFrame(
+        [(0, "NATION_0", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    ).write.parquet(tmp + "/nation.parquet")
+    spark.createDataFrame(
+        [(i, f"Customer#{i}", 0, 0.0 if i == 0 else 100.0, "FURNITURE") for i in range(3)],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.parquet(tmp + "/customer.parquet")
+    spark.createDataFrame(
+        [(i, f"Supplier#{i}", 0, 50.0) for i in range(3)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).write.parquet(tmp + "/supplier.parquet")
+    spark.createDataFrame(
+        [(0, "cold widget", "Brand#13", "ECONOMY", 24, 900.0),
+         (1, "hot gear", "Brand#13", "ECONOMY", 0, 0.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    ).write.parquet(tmp + "/part.parquet")
+    spark.createDataFrame(
+        [(0, 0, "F", 100.0, d, "3-MEDIUM"), (1, 1, "O", 100.0, d, "3-MEDIUM"),
+         (2, 2, "F", 0.0, d, "1-URGENT"), (3, 0, "O", 100.0, d, "2-HIGH")],
+        O_SCHEMA,
+    ).write.parquet(tmp + "/orders.parquet")
+    spark.createDataFrame(
+        [(0, 0, 0, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", d),
+         (1, 0, 0, 1, 0.0, 0.0, 0.0, 0.0, "N", "O", d),
+         (0, 1, 1, 2, 1.0, 60.0, 0.0, 0.0, "N", "O", d),
+         (2, 0, 2, 1, 2.0, 70.0, 0.5, 0.0, "R", "F", d),
+         (3, 1, 1, 1, 1.0, 80.0, 0.0, 0.0, "N", "O", d)],
+        L_SCHEMA,
+    ).write.parquet(tmp + "/lineitem.parquet")
+    spark.createDataFrame(
+        [(1000, t, 100, "purchase", 50.0, '{"k": 1}'),
+         (1001, t, 101, "click", 10.0, '{"k": 2}'),
+         (1002, t, 101, "view", 10.0, '{"k": 3}'),
+         (1006, t + dt.timedelta(hours=1), 103, "signup", 0.0, '{"k": 7}'),
+         (1008, t + dt.timedelta(hours=3), 103, "error", 1.0, '{"k": 9}')],
+        EVENT_SCHEMA,
+    ).write.parquet(tmp + "/events.parquet")
+    spark.createDataFrame(
+        [(0, "", "en", "src0", 0), (1, "solo", "en", "src0", 4),
+         (3, "the quick brown fox jumps over it", "en", "src1", 33),
+         (4, "the quick brown fox jumps over it", "en", "src2", 33),
+         (5, "   ", "es", "src2", 3)],
+        DOC_SCHEMA,
+    ).write.parquet(tmp + "/documents.parquet")
+    emb = [(0, "a", [0.0] * 64)] + [
+        (i, "ab"[i % 2], [round(rng.uniform(-1, 1), 3) for _ in range(64)])
+        for i in range(1, 20)
+    ]
+    spark.createDataFrame(emb, EMB_SCHEMA).write.parquet(tmp + "/embeddings.parquet")
+
+
+MULTI_TABLE_OPS = sorted(
+    set(ORACLE) - set(DOCS_ONLY_OPS) - set(EVENTS_ONLY_OPS)
+    - set(EMB_ONLY_OPS) - set(OLI_ONLY_OPS) - {"sql_rewards_summary"}
+)
+
+
+@pytest.fixture(scope="module")
+def degen_all(spark, tmp_path_factory):
+    from helium_arango_etl_spark.operators.dedup import clear_sig_cache
+    from helium_arango_etl_spark.operators.graph import clear_edge_cache
+    from helium_arango_etl_spark.operators.similarity import clear_emb_cache
+    from helium_arango_etl_spark.operators.textops import clear_tok_cache
+
+    tmp = str(tmp_path_factory.mktemp("degen_all"))
+    _combined_fixture(spark, tmp)
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+        " documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmp}/{t}.parquet/*.parquet'"
+        )
+    for clear in (clear_edge_cache, clear_sig_cache, clear_emb_cache, clear_tok_cache):
+        clear(spark)
+    yield tmp, con
+    for clear in (clear_edge_cache, clear_sig_cache, clear_emb_cache, clear_tok_cache):
+        clear(spark)
+
+
+def test_multi_table_inventory_covers_the_rest():
+    # the five sections together must cover every oracled query except
+    # the raw-SQL surface
+    assert len(MULTI_TABLE_OPS) >= 70, len(MULTI_TABLE_OPS)
+    total = (
+        len(DOCS_ONLY_OPS) + len(EVENTS_ONLY_OPS) + len(EMB_ONLY_OPS)
+        + len(OLI_ONLY_OPS) + len(MULTI_TABLE_OPS) + 1  # + sql_rewards_summary
+    )
+    assert total == len(ORACLE), (total, len(ORACLE))
+
+
+@pytest.mark.parametrize("name", MULTI_TABLE_OPS)
+def test_degenerate_multi_table_parity(spark, degen_all, name):
+    tmp, con = degen_all
+    _compare(spark, tmp, con, name)
