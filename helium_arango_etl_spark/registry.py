@@ -347,7 +347,10 @@ ORACLE: dict[str, str] = {
     """,
     "normalize_by_group_mean": """
         SELECT event_id, event_type,
-               round(value / avg(value) OVER (PARTITION BY event_type), 6) AS value_normalized
+               CASE WHEN avg(value) OVER (PARTITION BY event_type) = 0
+                    THEN 0.0 ELSE
+                 round(value / avg(value) OVER (PARTITION BY event_type), 6)
+                 END AS value_normalized
         FROM events
     """,
     "witness_subgraph": _WITNESS_SQL,
