@@ -2875,6 +2875,10 @@ def dtw_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.expr(f"({fold}) / cast(2 * n - 1 as double)"), 6
         ).alias("dtw_per_step"),
+    ).filter(
+        # an empty day grid has no alignment, matching the oracle's
+        # recursive-CTE-over-empty shape (empty-table probe, round 8)
+        F.col("n_days") > 0
     )
 
 

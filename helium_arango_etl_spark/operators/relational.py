@@ -874,6 +874,9 @@ def bloom_semi_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " / cast(n_orders - n_true as double), 6))"
             ).alias("fp_rate"),
         )
+        # empty probe set -> no audit row, matching the oracle's
+        # group-over-empty shape (empty-table probe, round 8)
+        .filter(F.col("n_orders") > 0)
     )
 
 
@@ -1268,8 +1271,12 @@ def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_right",
                 "d_left",
                 "d_right",
+                # an empty side has zero distinct keys: the estimate is
+                # 0 rows, not an ANSI division error (empty-table probe,
+                # round 8)
                 F.expr(
-                    "(n_left * n_right) div greatest(d_left, d_right)"
+                    "if(greatest(d_left, d_right) = 0, 0L,"
+                    " (n_left * n_right) div greatest(d_left, d_right))"
                 ).alias("est_rows"),
                 "actual_rows",
             )
@@ -1279,12 +1286,10 @@ def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = audit("orders_customer", orders.select("o_custkey"), "o_custkey", cust, "c_custkey")
     return a.unionByName(b).select(
         "*",
-        F.round(
-            F.expr(
-                "greatest(est_rows / cast(actual_rows as double),"
-                " actual_rows / cast(est_rows as double))"
-            ),
-            6,
+        F.expr(
+            "if(est_rows = 0 or actual_rows = 0, cast(null as double),"
+            " round(greatest(est_rows / cast(actual_rows as double),"
+            " actual_rows / cast(est_rows as double)), 6))"
         ).alias("q_error"),
     )
 
@@ -2022,10 +2027,11 @@ def set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_only_a",
         "n_only_b",
         "n_union",
-        F.round(
-            F.expr(
-                "cast(n_intersect as double) / cast(n_union as double)"
-            ),
-            6,
+        # an empty union leaves Jaccard undefined: NULL, not an ANSI
+        # 0/0 error (empty-table probe, round 8)
+        F.expr(
+            "if(n_union = 0, cast(null as double),"
+            " round(cast(n_intersect as double)"
+            " / cast(n_union as double), 6))"
         ).alias("cohort_jaccard"),
     )

@@ -200,6 +200,8 @@ def bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_bloom_pass") - F.col("n_exact_match")).alias("n_false_positive"),
             "n_set_bits",
         )
+        # empty probe set -> no stats row (empty-table probe, round 8)
+        .filter(F.col("n_probe") > 0)
     )
 
 

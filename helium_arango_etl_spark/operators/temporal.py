@@ -415,12 +415,14 @@ def session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     converted = (
         "t_view IS NOT NULL AND size(filter(purchases, p -> p > t_view)) > 0"
     )
+    # coalesce(sum, 0): on an empty input both counters read 0 like
+    # n_sessions, matching the oracle (empty-table probe, round 8)
     return per.agg(
         F.count(F.lit(1)).alias("n_sessions"),
-        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+        F.expr("coalesce(sum(if(t_view is not null, 1, 0)), 0)")
         .cast("bigint")
         .alias("n_with_view"),
-        F.sum(F.when(F.expr(converted), 1).otherwise(0))
+        F.expr(f"coalesce(sum(if({converted}, 1, 0)), 0)")
         .cast("bigint")
         .alias("n_converted"),
     )
@@ -1343,8 +1345,12 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = p.coalesce(1).localCheckpoint()
     states = p.select(F.col("src").alias("state")).distinct()
     k = states.count()
+    # an empty transition set keeps the literal valid (empty in -> empty
+    # out either way); k=0 would otherwise be a div-by-zero LITERAL that
+    # fails analysis before the emptiness could save it (empty-table
+    # probe, round 8)
     pi = states.select(
-        "state", F.expr(f"1000000L div {k}").alias("pi_micro")
+        "state", F.expr(f"1000000L div {max(k, 1)}").alias("pi_micro")
     ).coalesce(1)
     for _ in range(MARKOV_ITERS):
         pi = (

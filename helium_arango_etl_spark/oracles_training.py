@@ -2259,6 +2259,7 @@ ORACLE_TRAINING["corpus_cube_stats"] = f"""
                CAST(sum(len(t)) AS BIGINT) AS total_tokens,
                CAST(GROUPING(source, lang) AS INT) AS gid
         FROM toks GROUP BY CUBE (source, lang)
+        HAVING count(*) > 0
     """
 
 
@@ -3900,7 +3901,7 @@ ORACLE_TRAINING["mutual_information"] = """
                CASE WHEN least(hx.hx_sum, hy.hy_sum) = 0 THEN NULL ELSE
                round(mi.mi_sum / CAST(least(hx.hx_sum, hy.hy_sum) AS DOUBLE), 6)
                    END AS nmi
-        FROM mi, hx, hy, tot t
+        FROM mi, hx, hy, tot t WHERE t.n > 0
     """
 
 ORACLE_TRAINING["cdc_apply"] = f"""
@@ -4641,14 +4642,19 @@ ORACLE_TRAINING["join_cardinality_audit"] = """
           SELECT * FROM a UNION ALL SELECT * FROM b
         )
         SELECT join_name, n_left, n_right, d_left, d_right,
+               CASE WHEN greatest(d_left, d_right) = 0 THEN 0 ELSE
                CAST((n_left * n_right) // greatest(d_left, d_right) AS BIGINT)
-                   AS est_rows,
+                   END AS est_rows,
                actual_rows,
+               CASE WHEN greatest(d_left, d_right) = 0 OR actual_rows = 0
+                      OR (n_left * n_right) // greatest(d_left, d_right) = 0
+                    THEN NULL ELSE
                round(greatest(
                    ((n_left * n_right) // greatest(d_left, d_right))
                        / CAST(actual_rows AS DOUBLE),
                    actual_rows / CAST((n_left * n_right)
-                       // greatest(d_left, d_right) AS DOUBLE)), 6) AS q_error
+                       // greatest(d_left, d_right) AS DOUBLE)), 6)
+                   END AS q_error
         FROM u
     """
 
@@ -6278,8 +6284,9 @@ for _lbl, _tbl, _ex in (
                CASE WHEN q3 - q1 = 0.0 THEN NULL
                     ELSE CAST(ceil(cast(v_max - v_min as double) / {_h})
                       AS BIGINT) END AS bins_fd,
+               CASE WHEN n = 0 THEN NULL ELSE
                CAST(ceil(ln(cast(n as double)) /
-                   ln(cast(2 as double))) + 1 AS BIGINT) AS bins_sturges
+                   ln(cast(2 as double))) + 1 AS BIGINT) END AS bins_sturges
         FROM (
           SELECT CAST(count(*) AS BIGINT) AS n,
                  CAST(min(v) AS BIGINT) AS v_min,
@@ -8305,7 +8312,7 @@ ORACLE_TRAINING["scalable_median"] = """
                round(CAST((SELECT v FROM li ORDER BY v
                       LIMIT 1 OFFSET (SELECT k - 1 FROM st)) AS DOUBLE)
                      / 100.0, 2) AS median_price
-        FROM st
+        FROM st WHERE st.n > 0
     """
 
 ORACLE_TRAINING["value_mode_by_type"] = """
@@ -8458,8 +8465,9 @@ ORACLE_TRAINING["set_ops_battery"] = """
                   (SELECT o_custkey FROM b EXCEPT
                    SELECT o_custkey FROM i)) AS n_only_b,
                (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_union,
+               CASE WHEN (SELECT count(*) FROM u) = 0 THEN NULL ELSE
                round((SELECT count(*) FROM i) * 1.0
-                     / (SELECT count(*) FROM u), 6) AS cohort_jaccard
+                     / (SELECT count(*) FROM u), 6) END AS cohort_jaccard
     """
 
 ORACLE_TRAINING["interval_overlap_hours"] = f"""

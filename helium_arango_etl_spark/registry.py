@@ -978,6 +978,7 @@ ORACLE["revenue_rollup"] = """
         WHERE l_shipdate > TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1998-01-01'
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        HAVING count(*) > 0
     """
 
 
@@ -1050,7 +1051,8 @@ ORACLE["session_conversion"] = f"""
             AND s.ts > per.t_view
         )
         SELECT count(*) AS n_sessions,
-               CAST(sum(CASE WHEN p.t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               CAST(coalesce(sum(CASE WHEN p.t_view IS NOT NULL
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
                    AS n_with_view,
                CAST(count(c.user_id) AS BIGINT) AS n_converted
         FROM per p
@@ -1220,6 +1222,7 @@ ORACLE["events_time_rollup"] = """
                      AS total_value
           FROM events
           GROUP BY ROLLUP (d, h)
+          HAVING count(*) > 0
         )
     """
 
