@@ -662,7 +662,13 @@ def _bpe_merge_once(vocab: DataFrame, step: int):
     offsets, rebuild with a pure transform + filter.  Everything stays
     vocabulary-sized and declarative in both engines.
     """
-    pairs = vocab.select(
+    # a fully-merged word (single symbol) has NO adjacent pairs; filter
+    # it BEFORE the position explode: Spark's sequence(1, 0) generates a
+    # DESCENDING [1, 0] (step defaults to -1 when start > stop), so the
+    # i=0 position would hit ANSI element_at(t, 0) and kill the job the
+    # moment any frequent short word finishes merging -- DuckDB's
+    # range(1, 1) is naturally empty (randomized parity audit, round 8)
+    pairs = vocab.filter(F.expr("size(t) >= 2")).select(
         "n", F.explode(F.expr("sequence(1, size(t) - 1)")).alias("i"), "t"
     ).select(
         F.expr("element_at(t, i)").alias("a"),
@@ -678,7 +684,7 @@ def _bpe_merge_once(vocab: DataFrame, step: int):
     from pyspark.sql import Window
 
     withbest = vocab.crossJoin(F.broadcast(best))
-    pos = withbest.select(
+    pos = withbest.filter(F.expr("size(t) >= 2")).select(
         "w", F.explode(F.expr("sequence(1, size(t) - 1)")).alias("i"), "t", "a", "b"
     ).filter(
         (F.expr("element_at(t, i)") == F.col("a"))

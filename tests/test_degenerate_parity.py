@@ -455,3 +455,38 @@ def test_multi_table_inventory_covers_the_rest():
 def test_degenerate_multi_table_parity(spark, degen_all, name):
     tmp, con = degen_all
     _compare(spark, tmp, con, name)
+
+
+# ---------- tiny-vocabulary BPE regression ----------
+#
+# Spark's sequence(1, 0) is a DESCENDING [1, 0] (step defaults to -1
+# when start > stop), so the BPE pair generation crashed with an ANSI
+# element_at(t, 0) the moment any word fully merged to one symbol --
+# guaranteed on a small vocabulary within the merge budget, and latent
+# on any corpus where a frequent short word finishes merging.  Found by
+# the round-8 randomized parity audit (three seeds, 253 ops each, this
+# was the only failure).
+
+def test_bpe_survives_fully_merged_words(spark, tmp_path_factory):
+    import duckdb
+
+    from helium_arango_etl_spark.operators.textops import clear_tok_cache
+
+    tmp = str(tmp_path_factory.mktemp("bpe_tiny"))
+    # two-char words merge to a single symbol on their first rule
+    rows = [
+        (0, "ab ab ab ab cd cd cd xyz xyz", "en", "src0", 29),
+        (1, "ab cd xyz xyz xyz", "en", "src1", 17),
+    ]
+    spark.createDataFrame(rows, DOC_SCHEMA).write.parquet(tmp + "/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp}/documents.parquet/*.parquet'"
+    )
+    clear_tok_cache(spark)
+    try:
+        for name in ("bpe_merge_rules", "bpe_encode_stats"):
+            _compare(spark, tmp, con, name)
+    finally:
+        clear_tok_cache(spark)
