@@ -3880,27 +3880,32 @@ def brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("within_micro"),
     )
+    # ss_between and w_stat are FRESH fractional doubles, so round(x, 6)
+    # sits on half boundaries the two engines resolve differently (seed-16
+    # randomized audit: a ...610870.5 half case) — quantize via
+    # round-to-integer of the 1e6-scaled double (module-doc discipline;
+    # valid while |x·1e6| < 2^53, i.e. SS < ~9e9, comfortably above the
+    # cents-scaled deviations at any tested SF).  ss_within stays a plain
+    # round: within_micro/1e6 is already quantized, the safe case.
+    between = (
+        "cast(sqn_micro as double) / 1e6"
+        " - cast(s_all as double) * cast(s_all as double)"
+        " / cast(n as double)"
+    )
+    wstat = (
+        f"(({between}) / (k - 1.0))"
+        " / nullif((cast(within_micro as double) / 1e6)"
+        " / (cast(n as double) - k), 0.0)"
+    )
     return tot.select(
         F.col("k").alias("k_groups"),
         F.col("n").alias("n_obs"),
-        F.round(
-            F.expr(
-                "cast(sqn_micro as double) / 1e6"
-                " - cast(s_all as double) * cast(s_all as double)"
-                " / cast(n as double)"
-            ),
-            6,
+        F.expr(
+            f"cast(round(({between}) * 1e6) as bigint) / 1e6"
         ).alias("ss_between"),
         F.round(F.expr("cast(within_micro as double) / 1e6"), 6).alias("ss_within"),
-        F.round(
-            F.expr(
-                "((cast(sqn_micro as double) / 1e6"
-                " - cast(s_all as double) * cast(s_all as double)"
-                " / cast(n as double)) / (k - 1.0))"
-                " / nullif((cast(within_micro as double) / 1e6)"
-                " / (cast(n as double) - k), 0.0)"
-            ),
-            6,
+        F.expr(
+            f"cast(round(({wstat}) * 1e6) as bigint) / 1e6"
         ).alias("w_stat"),
     )
 

@@ -2937,5 +2937,11 @@ def atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_customers"),
         F.round(F.expr(f"{mean} / 100.0"), 6).alias("mean_spend"),
         F.round(F.expr(f"{geo} / 100.0"), 6).alias("geo_mean_spend"),
-        F.round(F.expr(f"1.0 - {geo} / {mean}"), 6).alias("atkinson_e1"),
+        # single-customer nations make geo/mean land an ulp above 1, so
+        # the rounded index is IEEE ±0.0: Spark's BigDecimal round strips
+        # the sign, DuckDB keeps -0.0 — normalize post-round on BOTH
+        # sides (randomized multi-table audit, round 8)
+        F.expr(f"round(1.0 - {geo} / {mean}, 6) + cast(0 as double)").alias(
+            "atkinson_e1"
+        ),
     )

@@ -1011,19 +1011,31 @@ def retention_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bigint"
             ),
         )
+        # d = n_at_risk (every remaining user churns at this offset) makes
+        # the KM factor exactly 0: ln(0) is a DuckDB runtime error and a
+        # Spark NULL that the null-skipping window sum would silently DROP
+        # (survival would stay > 0 past total churn).  Track the zero
+        # factor explicitly and clamp survival to 0 from that offset on —
+        # found by the seed-17 randomized audit (tools/random_audit.py).
         .withColumn(
             "lnt",
             F.expr(
-                "IF(d = 0, 0L, cast(round(ln((n_at_risk - d)"
+                "IF(d = 0 OR d = n_at_risk, 0L, cast(round(ln((n_at_risk - d)"
                 " / cast(n_at_risk as double)) * 1000000) as bigint))"
             ),
         )
         .withColumn("cum_ln", F.sum("lnt").over(wc))
+        .withColumn(
+            "zeroed", F.max(F.expr("IF(d = n_at_risk, 1, 0)")).over(wc)
+        )
         .select(
             "day_offset",
             "n_at_risk",
             "d",
-            F.round(F.exp(F.col("cum_ln") / 1e6), 6).alias("survival"),
+            F.expr(
+                "IF(zeroed = 1, cast(0 as double),"
+                " round(exp(cum_ln / 1e6), 6))"
+            ).alias("survival"),
         )
     )
 

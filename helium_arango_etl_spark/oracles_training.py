@@ -3625,14 +3625,18 @@ ORACLE_TRAINING["retention_survival"] = """
           FROM po CROSS JOIN tot t
         ), terms AS (
           SELECT day_offset, n_at_risk, d,
-                 CASE WHEN d = 0 THEN 0
+                 CASE WHEN d = 0 OR d = n_at_risk THEN 0
                       ELSE CAST(round(ln((n_at_risk - d)
                                          / CAST(n_at_risk AS DOUBLE))
                                       * 1000000) AS BIGINT) END AS lnt
           FROM risk
         )
         SELECT day_offset, n_at_risk, d,
-               round(exp(sum(lnt) OVER (ORDER BY day_offset) / 1e6), 6) AS survival
+               CASE WHEN max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+                          OVER (ORDER BY day_offset) = 1
+                    THEN CAST(0 AS DOUBLE)
+                    ELSE round(exp(sum(lnt) OVER (ORDER BY day_offset)
+                                   / 1e6), 6) END AS survival
         FROM terms
     """
 

@@ -3060,15 +3060,17 @@ ORACLE["brown_forsythe_levene"] = """
           FROM g
         )
         SELECT k AS k_groups, n AS n_obs,
-               round(CAST(sqn_micro AS DOUBLE) / 1e6
+               CAST(round((CAST(sqn_micro AS DOUBLE) / 1e6
                      - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
-                       / CAST(n AS DOUBLE), 6) AS ss_between,
+                       / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) / 1e6
+                   AS ss_between,
                round(CAST(within_micro AS DOUBLE) / 1e6, 6) AS ss_within,
-               round(((CAST(sqn_micro AS DOUBLE) / 1e6
+               CAST(round((((CAST(sqn_micro AS DOUBLE) / 1e6
                        - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
                          / CAST(n AS DOUBLE)) / (k - 1.0))
                      / nullif((CAST(within_micro AS DOUBLE) / 1e6)
-                              / (CAST(n AS DOUBLE) - k), 0.0), 6) AS w_stat
+                              / (CAST(n AS DOUBLE) - k), 0.0)) * 1e6)
+                    AS BIGINT) / 1e6 AS w_stat
         FROM t
     """
 
@@ -3396,6 +3398,7 @@ ORACLE["atkinson_index"] = """
                    AS geo_mean_spend,
                round(1.0 - exp(CAST(sl AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))
                      / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                   + CAST(0 AS DOUBLE)
                    AS atkinson_e1
         FROM mom
     """
@@ -3405,7 +3408,7 @@ ORACLE["binseg_changepoints"] = """
         WITH daily AS (
           SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
                  CAST(count(*) AS BIGINT) AS c
-          FROM orders GROUP BY o_orderdate
+          FROM orders GROUP BY 1
         ), pre AS (
           SELECT d,
                  CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k,

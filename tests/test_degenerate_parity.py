@@ -467,6 +467,114 @@ def test_degenerate_multi_table_parity(spark, degen_all, name):
 # the round-8 randomized parity audit (three seeds, 253 ops each, this
 # was the only failure).
 
+def test_intraday_timestamps_and_singleton_nations(spark, tmp_path_factory):
+    """Pin the two defects the round-8 randomized MULTI-TABLE audit
+    found (tools/random_audit.py, seeds 11-15, 387 ops each):
+
+    - binseg_changepoints' oracle grouped its daily series BY THE RAW
+      o_orderdate TIMESTAMP while Spark groups by calendar day —
+      equivalent only on midnight-aligned testdata, divergent the
+      moment orders carry a time of day (every real corpus).
+    - atkinson_index: a single-customer nation makes geo/mean land an
+      ulp above 1, so the rounded index is IEEE ±0.0 — Spark's
+      BigDecimal round strips the sign, DuckDB keeps -0.0.
+    """
+    import datetime as dt
+
+    import duckdb
+
+    tmp = str(tmp_path_factory.mktemp("intraday"))
+    orders = [
+        # two intra-day timestamps on the SAME calendar day (the binseg
+        # trap), plus enough days for a depth-2 segmentation
+        (0, 0, "F", 100.0, dt.datetime(1997, 1, 15, 9, 30, 11), "3-MEDIUM"),
+        (1, 0, "O", 200.0, dt.datetime(1997, 1, 15, 17, 5, 2), "3-MEDIUM"),
+        (2, 1, "F", 300.0, dt.datetime(1997, 1, 16, 8, 0, 59), "1-URGENT"),
+        (3, 1, "O", 400.0, dt.datetime(1997, 1, 17, 23, 59, 59), "2-HIGH"),
+        (4, 1, "F", 500.0, dt.datetime(1997, 1, 18, 12, 0, 0), "2-HIGH"),
+        (5, 2, "O", 129838.27, dt.datetime(1997, 1, 19, 1, 2, 3), "5-LOW"),
+    ]
+    customer = [
+        # nation 7 has exactly ONE customer (the atkinson ±0.0 trap)
+        (0, "Customer#0", 3, 10.0, "BUILDING"),
+        (1, "Customer#1", 3, 20.0, "MACHINERY"),
+        (2, "Customer#2", 7, 30.0, "BUILDING"),
+    ]
+    spark.createDataFrame(orders, O_SCHEMA).write.parquet(tmp + "/orders.parquet")
+    spark.createDataFrame(
+        customer,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.parquet(tmp + "/customer.parquet")
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmp}/{t}.parquet/*.parquet'"
+        )
+    for name in ("binseg_changepoints", "atkinson_index"):
+        _compare(spark, tmp, con, name)
+
+
+def test_total_churn_offset_zeroes_survival(spark, tmp_path_factory):
+    """Pin the seed-17 randomized-audit find: an offset where EVERY
+    remaining user churns (d = n_at_risk) makes the Kaplan-Meier factor
+    exactly 0 — DuckDB raised on ln(0) and Spark's null-skipping window
+    sum silently dropped the -inf term (survival stayed > 0 past total
+    churn).  Both sides now clamp survival to 0 from that offset on."""
+    import datetime as dt
+
+    import duckdb
+
+    tmp = str(tmp_path_factory.mktemp("total_churn"))
+    d0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # u1 lives day0..day8 and churns (corpus ends day9): at its
+        # offset 8 it is the ONLY user at risk -> d = n_at_risk = 1
+        (0, d0, 1, "click", 1.0, "{}"),
+        (1, d0 + dt.timedelta(days=8), 1, "view", 2.0, "{}"),
+        # u2's single event ON the corpus end day -> censored, offset 0
+        (2, d0 + dt.timedelta(days=9), 2, "click", 3.0, "{}"),
+    ]
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(tmp + "/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp}/events.parquet/*.parquet'"
+    )
+    _compare(spark, tmp, con, "retention_survival")
+    surv = {
+        r["day_offset"]: r["survival"]
+        for r in QUERIES["retention_survival"](spark, tmp).collect()
+    }
+    assert surv[8] == 0.0, surv
+
+
+def test_brown_forsythe_round_half_boundary(spark):
+    """Pin the seed-16 randomized-audit find: ss_between's fresh
+    fractional round(x, 6) landed on a .5 half boundary the two engines
+    resolve differently (Spark BigDecimal saw ...87049..., DuckDB's
+    scaled round saw ...8705) — both sides now quantize via
+    round-to-integer of the 1e6-scaled double.  Regenerates the exact
+    seed-16 events fixture from the checked-in audit tool."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "random_audit", os.path.join(repo, "tools", "random_audit.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    tmp = os.path.join(repo, ".tmp", "pin_seed16")
+    mod._gen(16, tmp, spark)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp}/events.parquet/*.parquet'"
+    )
+    _compare(spark, tmp, con, "brown_forsythe_levene")
+
+
 def test_bpe_survives_fully_merged_words(spark, tmp_path_factory):
     import duckdb
 

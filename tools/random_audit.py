@@ -1,0 +1,235 @@
+"""Randomized full-registry cross-engine audit.
+
+Generates IN-DOMAIN random fixtures for ALL ten tables (the family-pure
+round-8 audit covered documents/events/embeddings queries only; this
+tool extends the same generalization check to the ~130 cross-table
+queries: the TPC-H-ish relational battery and the witness-graph family
+whose edges derive from lineitem⋈orders⋈supplier⋈nation), then runs
+every oracled registry query on Spark AND DuckDB per seed and compares
+collected rows byte-for-byte.
+
+Usage:  python tools/random_audit.py [seed ...]    (default: 11 12 13)
+
+Each seed writes its fixture under .tmp/rand_audit_<seed>/ and prints
+one MATCH/MISMATCH line per query; exit code 1 if anything diverged.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import json
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+from helium_arango_etl_spark.registry import ORACLE, QUERIES  # noqa: E402
+
+VOCAB = (
+    "the fast key order sort table scan merge part window small hash join "
+    "batch stream spark dup page cache shard block row group file split"
+).split()
+LANGS = ["en", "es", "de", "fr", "zh"]
+EVENT_TYPES = ["signup", "click", "error", "view", "purchase"]
+SEGMENTS = ["BUILDING", "AUTOMOBILE", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+BRANDS = ["Brand#11", "Brand#22", "Brand#33", "Brand#44"]
+PTYPES = ["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY"]
+EPOCH = datetime.datetime(2024, 1, 1)
+
+
+def _gen(seed: int, tmp: str, spark: SparkSession) -> None:
+    rng = random.Random(seed)
+
+    def ts(day: int) -> datetime.datetime:
+        return EPOCH + datetime.timedelta(
+            days=day, seconds=rng.randrange(86400), microseconds=rng.randrange(10**6)
+        )
+
+    region = [(i, f"REGION{i}") for i in range(3)]
+    nation = [(i, f"NATION{i}", rng.randrange(3)) for i in range(6)]
+    customer = [
+        (i, f"Customer#{i}", rng.randrange(6), round(rng.uniform(-100, 2000), 2),
+         rng.choice(SEGMENTS))
+        for i in range(20)
+    ]
+    supplier = [
+        (i, f"Supplier#{i}", rng.randrange(6), round(rng.uniform(-100, 2000), 2))
+        for i in range(10)
+    ]
+    part = [
+        (i, f"part {rng.choice(VOCAB)} {rng.choice(VOCAB)}", rng.choice(BRANDS),
+         rng.choice(PTYPES), rng.randrange(1, 51), round(rng.uniform(100, 2000), 2))
+        for i in range(15)
+    ]
+    orders = [
+        (i, rng.randrange(20), rng.choice("OFP"), round(rng.uniform(100, 30000), 2),
+         ts(rng.randrange(20)), rng.choice(PRIORITIES))
+        for i in range(80)
+    ]
+    lineitem = [
+        (rng.randrange(80), rng.randrange(15), rng.randrange(10), ln,
+         float(rng.randrange(1, 51)), round(rng.uniform(100, 5000), 2),
+         round(rng.uniform(0, 0.1), 2), round(rng.uniform(0, 0.08), 2),
+         rng.choice("RAN"), rng.choice("OF"), ts(rng.randrange(20)))
+        for i in range(200)
+        for ln in [1 + i % 4]
+    ]
+    events = [
+        (i, ts(rng.randrange(20)), rng.randrange(12), rng.choice(EVENT_TYPES),
+         round(rng.uniform(0, 500), 2), json.dumps({"k": rng.randrange(100)}))
+        for i in range(150)
+    ]
+    documents = [
+        (i, " ".join(rng.choice(VOCAB) for _ in range(rng.randrange(1, 40))),
+         rng.choice(LANGS), f"src{rng.randrange(4)}", 0)
+        for i in range(40)
+    ]
+    documents = [(i, t, lg, s, len(t)) for i, t, lg, s, _ in documents]
+    embeddings = [
+        (i, [round(rng.uniform(-1, 1), 4) for _ in range(64)], rng.randrange(8))
+        for i in range(30)
+    ]
+
+    tables = {
+        "region": (region, "r_regionkey int, r_name string"),
+        "nation": (nation, "n_nationkey int, n_name string, n_regionkey int"),
+        "customer": (
+            customer,
+            "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+            " c_mktsegment string",
+        ),
+        "supplier": (
+            supplier,
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        ),
+        "part": (
+            part,
+            "p_partkey long, p_name string, p_brand string, p_type string,"
+            " p_size int, p_retailprice double",
+        ),
+        "orders": (
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ),
+        "lineitem": (
+            lineitem,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+            " l_quantity double, l_extendedprice double, l_discount double,"
+            " l_tax double, l_returnflag string, l_linestatus string,"
+            " l_shipdate timestamp",
+        ),
+        "events": (
+            events,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ),
+        "documents": (
+            documents,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ),
+        "embeddings": (
+            embeddings,
+            "vec_id long, embedding array<float>, label int",
+        ),
+    }
+    for name, (rows, schema) in tables.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, f"{name}.parquet"))
+
+
+def _canon(v):
+    if v is None:
+        return "N"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def _clear_caches(spark: SparkSession) -> None:
+    from helium_arango_etl_spark.operators.dedup import clear_sig_cache
+    from helium_arango_etl_spark.operators.graph import clear_edge_cache
+    from helium_arango_etl_spark.operators.similarity import clear_emb_cache
+    from helium_arango_etl_spark.operators.textops import clear_tok_cache
+
+    clear_sig_cache(spark)
+    clear_edge_cache(spark)
+    clear_emb_cache(spark)
+    clear_tok_cache(spark)
+
+
+def main() -> int:
+    seeds = [int(s) for s in sys.argv[1:]] or [11, 12, 13]
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    failures: list[tuple[int, str, str]] = []
+    for seed in seeds:
+        tmp = os.path.join(repo, ".tmp", f"rand_audit_{seed}")
+        _gen(seed, tmp, spark)
+        con = duckdb.connect()
+        for t in tables_list():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{tmp}/{t}.parquet/*.parquet'"
+            )
+        _clear_caches(spark)
+        n_ok = 0
+        for name in sorted(ORACLE):
+            try:
+                srows = sorted(
+                    tuple(_canon(v) for _, v in sorted(r.asDict().items()))
+                    for r in QUERIES[name](spark, tmp).collect()
+                )
+                cur = con.execute(ORACLE[name])
+                cols = [d[0] for d in cur.description]
+                order = sorted(range(len(cols)), key=lambda i: cols[i])
+                drows = sorted(
+                    tuple(_canon(r[i]) for i in order) for r in cur.fetchall()
+                )
+            except Exception as exc:  # either engine crashing is a finding
+                failures.append((seed, name, f"ERROR {type(exc).__name__}: {exc}"))
+                print(f"seed {seed} {name} ERROR {type(exc).__name__}: {exc}")
+                continue
+            if srows == drows:
+                n_ok += 1
+            else:
+                failures.append((seed, name, f"{len(srows)} vs {len(drows)} rows"))
+                print(
+                    f"seed {seed} {name} MISMATCH spark={len(srows)}"
+                    f" duck={len(drows)} first_s={srows[:1]} first_d={drows[:1]}"
+                )
+        _clear_caches(spark)
+        print(f"seed {seed}: {n_ok}/{len(ORACLE)} MATCH")
+    print("RESULT:", "ALL MATCH" if not failures else failures)
+    return 1 if failures else 0
+
+
+def tables_list():
+    return (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
