@@ -2417,7 +2417,12 @@ def theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nationkey"),
         F.col("n").alias("n_customers"),
         F.col("sx").alias("total_cents"),
-        F.round(F.expr(THEIL_T), 6).alias("theil_t"),
+        # single-customer nations put the quantized log-sum an ulp under
+        # the fresh ln term, so the rounded index is IEEE ±0.0 — Spark
+        # strips the sign, DuckDB keeps -0.0; normalize post-round on
+        # both sides (the atkinson_index convention; randomized --degen
+        # audit, round 8)
+        F.expr(f"round({THEIL_T}, 6) + cast(0 as double)").alias("theil_t"),
     )
 
 
@@ -2612,7 +2617,7 @@ def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = agg.select(
         "w",
         "n_chunks",
-        F.expr("rs_sum_micro / n_chunks / 1e6").alias("avg_rs"),
+        "rs_sum_micro",
         F.expr("cast(round(ln(w) * 1e6) as bigint)").alias("lx"),
         F.expr(
             "cast(round(ln(rs_sum_micro / n_chunks / 1e6) * 1e6) as bigint)"
@@ -2636,7 +2641,14 @@ def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.crossJoin(F.broadcast(fit)).select(
         F.col("w").cast("bigint").alias("window_size"),
         "n_chunks",
-        F.round("avg_rs", 6).alias("avg_rs"),
+        # rs_sum_micro/n_chunks is a FRESH fractional double, so
+        # round(x, 6) sits on half boundaries the engines resolve
+        # differently (e.g. .../4 = ...0.5 micro exactly) — quantize by
+        # rounding at the micro scale instead (randomized --degen audit,
+        # round 8); equal to the old value everywhere off the boundary
+        F.expr(
+            "cast(round(rs_sum_micro / n_chunks) as bigint) / 1e6"
+        ).alias("avg_rs"),
         F.col("h").alias("hurst_exponent"),
     )
 

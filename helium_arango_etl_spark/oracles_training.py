@@ -7326,7 +7326,7 @@ ORACLE_TRAINING["theil_index"] = f"""
         )
         SELECT c_nationkey AS nationkey, n AS n_customers,
                sx AS total_cents,
-               round({THEIL_T}, 6) AS theil_t
+               round({THEIL_T}, 6) + CAST(0 AS DOUBLE) AS theil_t
         FROM mom
     """
 

@@ -3197,8 +3197,7 @@ ORACLE["hurst_rs_daily"] = f"""
                  CAST(sum(rs_micro) AS BIGINT) AS rs_sum_micro
           FROM rs GROUP BY w
         ), pts AS (
-          SELECT w, n_chunks,
-                 rs_sum_micro / n_chunks / 1e6 AS avg_rs,
+          SELECT w, n_chunks, rs_sum_micro,
                  CAST(round(ln(w) * 1e6) AS BIGINT) AS lx,
                  CAST(round(ln(rs_sum_micro / n_chunks / 1e6) * 1e6) AS BIGINT)
                      AS ly
@@ -3211,7 +3210,8 @@ ORACLE["hurst_rs_daily"] = f"""
           FROM pts
         )
         SELECT CAST(w AS BIGINT) AS window_size, n_chunks,
-               round(avg_rs, 6) AS avg_rs, h AS hurst_exponent
+               CAST(round(rs_sum_micro / n_chunks) AS BIGINT) / 1e6 AS avg_rs,
+               h AS hurst_exponent
         FROM pts, fit
     """
 

@@ -575,6 +575,39 @@ def test_brown_forsythe_round_half_boundary(spark):
     _compare(spark, tmp, con, "brown_forsythe_levene")
 
 
+def test_degen_seed31_theil_and_hurst(spark):
+    """Pin the two --degen randomized-audit finds (random corpus WITH
+    the pathological rows embedded; tools/random_audit.py seed 31):
+
+    - theil_index: the single-customer ±0.0 class again (quantized
+      log-sum an ulp under the fresh ln term) — post-round normalize,
+      the atkinson convention.
+    - hurst_rs_daily: avg_rs was a fresh fractional round(x, 6) and the
+      degen corpus landed rs_sum_micro/n_chunks on an exact .5 micro —
+      now quantized by rounding at the micro scale.
+    """
+    import importlib.util
+    import os
+
+    import duckdb
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "random_audit", os.path.join(repo, "tools", "random_audit.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    tmp = os.path.join(repo, ".tmp", "pin_seed31_degen")
+    mod._gen(31, tmp, spark, degen=True)
+    con = duckdb.connect()
+    for t in ("orders", "customer", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmp}/{t}.parquet/*.parquet'"
+        )
+    for name in ("theil_index", "hurst_rs_daily"):
+        _compare(spark, tmp, con, name)
+
+
 def test_bpe_survives_fully_merged_words(spark, tmp_path_factory):
     import duckdb
 

@@ -8,7 +8,13 @@ whose edges derive from lineitem⋈orders⋈supplier⋈nation), then runs
 every oracled registry query on Spark AND DuckDB per seed and compares
 collected rows byte-for-byte.
 
-Usage:  python tools/random_audit.py [seed ...]    (default: 11 12 13)
+Usage:  python tools/random_audit.py [--degen] [seed ...]   (default: 11 12 13)
+
+With --degen, each random fixture additionally carries the pathological
+rows the crafted sweeps test in isolation (empty/whitespace docs, a zero
+and a duplicate embedding, zero-price orders, zero-quantity lines,
+single-event users on identical timestamps) so the audit exercises the
+random x degenerate INTERACTION space neither sweep covers alone.
 
 Each seed writes its fixture under .tmp/rand_audit_<seed>/ and prints
 one MATCH/MISMATCH line per query; exit code 1 if anything diverged.
@@ -43,7 +49,7 @@ PTYPES = ["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY"]
 EPOCH = datetime.datetime(2024, 1, 1)
 
 
-def _gen(seed: int, tmp: str, spark: SparkSession) -> None:
+def _gen(seed: int, tmp: str, spark: SparkSession, degen: bool = False) -> None:
     rng = random.Random(seed)
 
     def ts(day: int) -> datetime.datetime:
@@ -139,6 +145,36 @@ def _gen(seed: int, tmp: str, spark: SparkSession) -> None:
             "vec_id long, embedding array<float>, label int",
         ),
     }
+    if degen:
+        # the crafted-sweep pathologies, embedded IN a random corpus:
+        # ids continue past the random ranges so keys stay unique
+        documents += [
+            (100, "", "en", "src0", 0),                      # empty text
+            (101, "   ", "es", "src1", 3),                   # whitespace-only
+            (102, "solo", "en", "src2", 4),                  # single token
+            (103, documents[0][1], "en", "src3", documents[0][4]),  # exact dup
+        ]
+        embeddings += [
+            (100, [0.0] * 64, 0),                            # zero vector
+            (101, list(embeddings[0][1]), embeddings[0][2]),  # exact dup
+        ]
+        orders += [
+            (100, rng.randrange(20), "F", 0.0, ts(0), "1-URGENT"),  # zero price
+        ]
+        lineitem += [
+            (100, 0, 0, 1, 0.0, 0.0, 0.0, 0.0, "N", "O", ts(0)),  # zero qty
+        ]
+        same_ts = ts(5)
+        events += [
+            (1000, same_ts, 99, "click", 0.0, '{"k": 0}'),   # single-event
+            (1001, same_ts, 98, "view", 0.0, '{"k": 0}'),    # user, identical
+            (1002, same_ts, 98, "view", 0.0, '{"k": 0}'),    # ts, zero value
+        ]
+        tables["documents"] = (documents, tables["documents"][1])
+        tables["embeddings"] = (embeddings, tables["embeddings"][1])
+        tables["orders"] = (orders, tables["orders"][1])
+        tables["lineitem"] = (lineitem, tables["lineitem"][1])
+        tables["events"] = (events, tables["events"][1])
     for name, (rows, schema) in tables.items():
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(
             "overwrite"
@@ -172,7 +208,9 @@ def _clear_caches(spark: SparkSession) -> None:
 
 
 def main() -> int:
-    seeds = [int(s) for s in sys.argv[1:]] or [11, 12, 13]
+    args = sys.argv[1:]
+    degen = "--degen" in args
+    seeds = [int(s) for s in args if s != "--degen"] or [11, 12, 13]
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "8")
@@ -185,8 +223,10 @@ def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     failures: list[tuple[int, str, str]] = []
     for seed in seeds:
-        tmp = os.path.join(repo, ".tmp", f"rand_audit_{seed}")
-        _gen(seed, tmp, spark)
+        tmp = os.path.join(
+            repo, ".tmp", f"rand_audit_{seed}{'_degen' if degen else ''}"
+        )
+        _gen(seed, tmp, spark, degen=degen)
         con = duckdb.connect()
         for t in tables_list():
             con.execute(
