@@ -3968,17 +3968,18 @@ def winsorized_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.max("lo").cast("bigint").alias("lo_cents"),
         F.max("hi").cast("bigint").alias("hi_cents"),
-        F.round(
-            F.sum(F.expr("cast(cw as decimal(38,0))")).cast("double")
-            / F.count(F.lit(1))
-            / 100.0,
-            6,
+        # 6dp-dollar means quantize via round-to-integer of the 1e4-scaled
+        # cent sum (mean·1e6 = Σcents·1e4/n): a fresh round(x, 6) sits on
+        # half boundaries whenever n divides Σcents·1e4 to an exact .5 —
+        # guaranteed territory for power-of-two group sizes (seed-21
+        # randomized audit, round 8)
+        F.expr(
+            "cast(round(cast(sum(cast(cw as decimal(38,0))) as double)"
+            " * 1e4 / count(*)) as bigint) / 1e6"
         ).alias("winsorized_mean"),
-        F.round(
-            F.sum(F.expr("cast(c as decimal(38,0))")).cast("double")
-            / F.count(F.lit(1))
-            / 100.0,
-            6,
+        F.expr(
+            "cast(round(cast(sum(cast(c as decimal(38,0))) as double)"
+            " * 1e4 / count(*)) as bigint) / 1e6"
         ).alias("raw_mean"),
     )
 

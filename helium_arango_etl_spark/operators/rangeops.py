@@ -1119,9 +1119,20 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hi, "event_type")
         .select(
             "event_type",
-            F.round(F.col("pt_micro") / 1e6 / 100, 6).alias("mean_value"),
-            F.round(F.col("lo_micro") / 1e6 / 100, 6).alias("ci_lo"),
-            F.round(F.col("hi_micro") / 1e6 / 100, 6).alias("ci_hi"),
+            # *_micro are integer micro-cents, so the 6dp-dollar surface
+            # is round(micro/100)/1e6 — rounding the SCALED value to an
+            # integer, not round(x, 6) of a fresh fraction whose half
+            # boundary (micro % 100 = 50) the engines resolve
+            # differently (seed-21 randomized audit, round 8)
+            F.expr(
+                "cast(round(pt_micro / cast(100 as double)) as bigint) / 1e6"
+            ).alias("mean_value"),
+            F.expr(
+                "cast(round(lo_micro / cast(100 as double)) as bigint) / 1e6"
+            ).alias("ci_lo"),
+            F.expr(
+                "cast(round(hi_micro / cast(100 as double)) as bigint) / 1e6"
+            ).alias("ci_hi"),
         )
     )
 

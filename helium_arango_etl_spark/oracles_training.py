@@ -3442,9 +3442,9 @@ ORACLE_TRAINING["bootstrap_ci"] = f"""
           FROM ev GROUP BY event_type
         )
         SELECT p.event_type,
-               round(p.pt_micro / 1e6 / 100, 6) AS mean_value,
-               round(l.m_micro / 1e6 / 100, 6) AS ci_lo,
-               round(h.m_micro / 1e6 / 100, 6) AS ci_hi
+               CAST(round(p.pt_micro / 100.0) AS BIGINT) / 1e6 AS mean_value,
+               CAST(round(l.m_micro / 100.0) AS BIGINT) / 1e6 AS ci_lo,
+               CAST(round(h.m_micro / 100.0) AS BIGINT) / 1e6 AS ci_hi
         FROM pt p
         JOIN (SELECT event_type, m_micro FROM ranked WHERE rk = 2) l
           USING (event_type)

@@ -3144,9 +3144,10 @@ ORACLE["winsorized_mean_by_type"] = f"""
                CAST(count(*) AS BIGINT) AS n,
                CAST(max(lo) AS BIGINT) AS lo_cents,
                CAST(max(hi) AS BIGINT) AS hi_cents,
-               round(CAST(sum(least(greatest(c, lo), hi)) AS DOUBLE)
-                     / count(*) / 100.0, 6) AS winsorized_mean,
-               round(CAST(sum(c) AS DOUBLE) / count(*) / 100.0, 6) AS raw_mean
+               CAST(round(CAST(sum(least(greatest(c, lo), hi)) AS DOUBLE)
+                     * 1e4 / count(*)) AS BIGINT) / 1e6 AS winsorized_mean,
+               CAST(round(CAST(sum(c) AS DOUBLE) * 1e4 / count(*))
+                    AS BIGINT) / 1e6 AS raw_mean
         FROM ev JOIN fences USING (event_type) GROUP BY ev.event_type
     """
 

@@ -575,6 +575,33 @@ def test_brown_forsythe_round_half_boundary(spark):
     _compare(spark, tmp, con, "brown_forsythe_levene")
 
 
+def test_seed21_power_of_two_group_means(spark):
+    """Pin the seed-21 randomized-audit find: a 32-event purchase group
+    put Σcents/n on an exact .5 at the 6th decimal (power-of-two group
+    sizes divide exactly in binary), and the fresh round(x, 6) in
+    bootstrap_ci / winsorized_mean_by_type resolved the half differently
+    per engine — both now round the 1e4-scaled cent sum to an integer."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "random_audit", os.path.join(repo, "tools", "random_audit.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    tmp = os.path.join(repo, ".tmp", "pin_seed21")
+    mod._gen(21, tmp, spark)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp}/events.parquet/*.parquet'"
+    )
+    for name in ("bootstrap_ci", "winsorized_mean_by_type"):
+        _compare(spark, tmp, con, name)
+
+
 def test_degen_seed31_theil_and_hurst(spark):
     """Pin the two --degen randomized-audit finds (random corpus WITH
     the pathological rows embedded; tools/random_audit.py seed 31):
