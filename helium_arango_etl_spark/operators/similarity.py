@@ -219,14 +219,25 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding statistics (sanity/monitoring surface for the
     similarity stack)."""
     emb = embedding_table(spark, sf_dir)
+    # norms are held as integer MICRO units end-to-end: re-rounding a
+    # 6dp-quantized value at 4dp lands on .5 halves at the 5th digit
+    # (seed-33 --degen audit, round 8), so the 4dp surface rounds the
+    # integer-micro value instead — byte-equal off the boundary
     return (
-        emb.select("label", F.round(F.col("nv"), 6).alias("l2_norm"))
+        emb.select("label", F.expr("cast(round(nv * 1e6) as bigint)").alias("ln6"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.avg("l2_norm"), 4).alias("avg_norm"),
-            F.round(F.min("l2_norm"), 4).alias("min_norm"),
-            F.round(F.max("l2_norm"), 4).alias("max_norm"),
+            F.expr(
+                "cast(round(sum(ln6) / (cast(count(1) as double) * 100))"
+                " as bigint) / 1e4"
+            ).alias("avg_norm"),
+            F.expr(
+                "cast(round(min(ln6) / cast(100 as double)) as bigint) / 1e4"
+            ).alias("min_norm"),
+            F.expr(
+                "cast(round(max(ln6) / cast(100 as double)) as bigint) / 1e4"
+            ).alias("max_norm"),
         )
     )
 

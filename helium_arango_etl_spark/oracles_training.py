@@ -395,13 +395,15 @@ ORACLE_TRAINING: dict[str, str] = {
     "embedding_norms": f"""
         WITH n AS (
           SELECT label,
-                 round(sqrt(list_sum(list_transform({_CAST64}, x -> x * x))), 6) AS l2_norm
+                 CAST(round(sqrt(list_sum(list_transform({_CAST64},
+                        x -> x * x))) * 1e6) AS BIGINT) AS ln6
           FROM embeddings
         )
         SELECT label, count(*) AS n_vectors,
-               round(avg(l2_norm), 4) AS avg_norm,
-               round(min(l2_norm), 4) AS min_norm,
-               round(max(l2_norm), 4) AS max_norm
+               CAST(round(sum(ln6) / (count(*) * 100.0)) AS BIGINT) / 1e4
+                   AS avg_norm,
+               CAST(round(min(ln6) / 100.0) AS BIGINT) / 1e4 AS min_norm,
+               CAST(round(max(ln6) / 100.0) AS BIGINT) / 1e4 AS max_norm
         FROM n GROUP BY label
     """,
 }

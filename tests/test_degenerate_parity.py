@@ -602,6 +602,32 @@ def test_seed21_power_of_two_group_means(spark):
         _compare(spark, tmp, con, name)
 
 
+def test_degen_seed33_embedding_norms(spark):
+    """Pin the seed-33 --degen audit find: re-rounding a 6dp-quantized
+    l2 norm at 4dp lands on .5 halves at the 5th digit (the COVERAGE
+    rule's blind spot: 'already-quantized' is only safe at the SAME
+    precision).  embedding_norms now carries integer-micro norms
+    end-to-end and rounds the integer for the 4dp surface."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "random_audit", os.path.join(repo, "tools", "random_audit.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    tmp = os.path.join(repo, ".tmp", "pin_seed33_degen")
+    mod._gen(33, tmp, spark, degen=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp}/embeddings.parquet/*.parquet'"
+    )
+    _compare(spark, tmp, con, "embedding_norms")
+
+
 def test_degen_seed31_theil_and_hurst(spark):
     """Pin the two --degen randomized-audit finds (random corpus WITH
     the pathological rows embedded; tools/random_audit.py seed 31):
