@@ -1811,13 +1811,16 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label_b",
             "n_a",
             "n_b",
-            F.round(
-                F.expr(
-                    "cast(dot as double)"
-                    " / (sqrt(cast(n2_a as double))"
-                    " * sqrt(cast(n2_b as double)))"
-                ),
-                6,
+            # a zero-norm centroid (a label whose components sum to the
+            # zero vector — guaranteed once a degenerate corpus has a
+            # zero-embedding singleton label) is an ANSI job killer, not
+            # a NaN: exact-integer probe BEFORE the division, NULL out,
+            # the shared-COSINE convention (seed-34 --degen audit)
+            F.expr(
+                "CASE WHEN n2_a = 0 OR n2_b = 0 THEN NULL"
+                " ELSE round(cast(dot as double)"
+                " / (sqrt(cast(n2_a as double))"
+                " * sqrt(cast(n2_b as double))), 6) END"
             ).alias("centroid_cosine"),
         )
     )
@@ -1880,12 +1883,12 @@ def simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_vec.groupBy("centroid_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
-        F.round(
-            F.expr(
-                "cast(sum(s_micro) as double) / 1000000.0"
-                " / cast(count(*) as double)"
-            ),
-            6,
+        # mean of integer-micro silhouettes: round the scaled integer
+        # division, not a fresh round(x, 6) — power-of-two cluster sizes
+        # land Σmicro/n on exact .5 halves (seed-25 randomized audit)
+        F.expr(
+            "cast(round(cast(sum(s_micro) as double) / cast(count(*) as double))"
+            " as bigint) / 1e6"
         ).alias("mean_silhouette"),
     )
 

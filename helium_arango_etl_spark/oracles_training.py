@@ -7377,9 +7377,10 @@ ORACLE_TRAINING["label_centroid_cosine"] = f"""
           FROM comp GROUP BY 1
         )
         SELECT d.label_a, d.label_b, sa.n_vecs AS n_a, sb.n_vecs AS n_b,
-               round(CAST(d.dot AS DOUBLE)
+               CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN NULL
+                    ELSE round(CAST(d.dot AS DOUBLE)
                      / (sqrt(CAST(na.n2 AS DOUBLE))
-                        * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+                        * sqrt(CAST(nb.n2 AS DOUBLE))), 6) END
                    AS centroid_cosine
         FROM dots d
         JOIN norms na ON na.label = d.label_a
@@ -7956,8 +7957,9 @@ def _silhouette_sql() -> str:
           GROUP BY a.vec_id, a.centroid_id
         )
         SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_members,
-               round(CAST(sum(s_micro) AS DOUBLE) / 1000000.0
-                     / CAST(count(*) AS DOUBLE), 6) AS mean_silhouette
+               CAST(round(CAST(sum(s_micro) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE)) AS BIGINT) / 1e6
+                   AS mean_silhouette
         FROM pv GROUP BY 1
     """)
     return "".join(parts)

@@ -628,6 +628,49 @@ def test_degen_seed33_embedding_norms(spark):
     _compare(spark, tmp, con, "embedding_norms")
 
 
+def test_seed25_silhouette_and_seed34_zero_centroid(spark):
+    """Pin two more randomized-audit finds:
+
+    - seed 25: simplified_silhouette's mean over a 4-member cluster put
+      Σmicro/n on an exact .5 half — now rounds the integer division.
+    - seed 34 --degen: a label whose components sum to the zero vector
+      (a zero-embedding singleton label) made label_centroid_cosine an
+      ANSI divide-by-zero JOB KILLER on Spark and a DuckDB error — both
+      now probe the exact-integer norm and NULL out, the shared-COSINE
+      convention.
+    """
+    import importlib.util
+    import os
+
+    import duckdb
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "random_audit", os.path.join(repo, "tools", "random_audit.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for seed, degen, names in (
+        (25, False, ("simplified_silhouette",)),
+        (34, True, ("label_centroid_cosine", "simplified_silhouette")),
+    ):
+        tmp = os.path.join(
+            repo, ".tmp", f"pin_seed{seed}{'_degen' if degen else ''}"
+        )
+        mod._gen(seed, tmp, spark, degen=degen)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{tmp}/embeddings.parquet/*.parquet'"
+        )
+        from helium_arango_etl_spark.operators.similarity import clear_emb_cache
+
+        for name in names:
+            clear_emb_cache(spark)
+            _compare(spark, tmp, con, name)
+        clear_emb_cache(spark)
+
+
 def test_degen_seed31_theil_and_hurst(spark):
     """Pin the two --degen randomized-audit finds (random corpus WITH
     the pathological rows embedded; tools/random_audit.py seed 31):
