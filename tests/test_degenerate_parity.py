@@ -671,6 +671,56 @@ def test_seed25_silhouette_and_seed34_zero_centroid(spark):
         clear_emb_cache(spark)
 
 
+def test_degen_seed41_celebrity_binds_cap_cross_engine(spark):
+    """The --degen fixture embeds a CELEBRITY WITNESS (one customer with
+    valid lines from 12 same-nation suppliers, fan-in 12 >
+    CO_WITNESS_MAX_GROUP=8), so the co-witness cap BINDS on random data
+    — and every capped graph twin still matches its cap-folded DuckDB
+    oracle byte-for-byte.  The crafted celebrity fixture asserts
+    boundedness; this asserts cross-engine cap SEMANTICS on a random
+    graph."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    from helium_arango_etl_spark.operators.graph import clear_edge_cache
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "random_audit", os.path.join(repo, "tools", "random_audit.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    tmp = os.path.join(repo, ".tmp", "pin_seed41_degen")
+    mod._gen(41, tmp, spark, degen=True)
+    con = duckdb.connect()
+    for t in mod.tables_list():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmp}/{t}.parquet/*.parquet'"
+        )
+    clear_edge_cache(spark)
+    try:
+        exact = QUERIES["co_witness_pairs"](spark, tmp).count()
+        capped = QUERIES["co_witness_pairs_capped"](spark, tmp).count()
+        assert capped < exact, (exact, capped)  # the cap must actually bind
+        for name in (
+            "co_witness_pairs_capped",
+            "co_witness_bucket_stats",
+            "neighborhood_jaccard_capped",
+            "butterfly_stats_capped",
+            "rich_club_coefficient_capped",
+            "adamic_adar_scores_capped",
+            "local_clustering_coeff_capped",
+            "ktruss_edges_capped",
+            "co_witness_recommendations_capped",
+            "tip_decomposition_capped",
+        ):
+            _compare(spark, tmp, con, name)
+    finally:
+        clear_edge_cache(spark)
+
+
 def test_degen_seed31_theil_and_hurst(spark):
     """Pin the two --degen randomized-audit finds (random corpus WITH
     the pathological rows embedded; tools/random_audit.py seed 31):

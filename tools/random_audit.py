@@ -170,8 +170,24 @@ def _gen(seed: int, tmp: str, spark: SparkSession, degen: bool = False) -> None:
             (1001, same_ts, 98, "view", 0.0, '{"k": 0}'),    # user, identical
             (1002, same_ts, 98, "view", 0.0, '{"k": 0}'),    # ts, zero value
         ]
+        # celebrity witness that BINDS the co-witness cap: 12 extra
+        # suppliers all in nation 0, one customer-0 order with a valid
+        # (returnflag N) line from each -> a single witness with fan-in
+        # 12 > CO_WITNESS_MAX_GROUP=8 in one city, so the capped graph
+        # twins' cap-folded oracles are exercised on random data
+        supplier += [
+            (10 + i, f"Supplier#{10 + i}", 0, round(rng.uniform(0, 500), 2))
+            for i in range(12)
+        ]
+        orders += [(101, 0, "O", 5000.0, ts(3), "2-HIGH")]
+        lineitem += [
+            (101, rng.randrange(15), 10 + i, 1 + i, 1.0,
+             round(rng.uniform(100, 500), 2), 0.0, 0.0, "N", "O", ts(3))
+            for i in range(12)
+        ]
         tables["documents"] = (documents, tables["documents"][1])
         tables["embeddings"] = (embeddings, tables["embeddings"][1])
+        tables["supplier"] = (supplier, tables["supplier"][1])
         tables["orders"] = (orders, tables["orders"][1])
         tables["lineitem"] = (lineitem, tables["lineitem"][1])
         tables["events"] = (events, tables["events"][1])
