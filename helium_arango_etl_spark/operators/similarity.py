@@ -939,15 +939,23 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("dim").cast("int").alias("dim"),
             "n",
-            F.round(F.col("sx") / 1e6 / F.col("n"), 6).alias("mean"),
+            # mean·1e6 = sx/n: round the scaled integer division, not a
+            # fresh round(x, 6) — a 32-vector corpus (power-of-two n)
+            # lands sx/n on an exact .5 micro, which the engines resolve
+            # differently AND propagates into every consumer of the
+            # published stats (seed-46 audit: whiten_audit diverged on 8
+            # rows purely through this mean)
+            F.expr(
+                "cast(round(sx / cast(n as double)) as bigint) / 1e6"
+            ).alias("mean"),
             # variance numerator n·sxx − sx² stays an EXACT integer; only
             # one int→double conversion + sqrt + divide touch floats, so
             # no cross-engine association drift (a chained double formula
-            # differed by 1 ulp at 6dp)
-            F.round(
-                F.sqrt(F.expr("cast(n * sxx - sx * sx as double)"))
-                / (F.col("n") * F.lit(1e6)),
-                6,
+            # differed by 1 ulp at 6dp); std·1e6 = sqrt(·)/n, quantized
+            # the same way
+            F.expr(
+                "cast(round(sqrt(cast(n * sxx - sx * sx as double))"
+                " / cast(n as double)) as bigint) / 1e6"
             ).alias("std"),
         )
     )

@@ -1331,10 +1331,17 @@ def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w",
             "df",
             F.col("sx").cast("bigint").alias("total_tf"),
-            # zeros of absent docs contribute 0 to sx/sxx; mean/var use nd
-            F.round(F.expr("sx / cast(nd as double)"), 6).alias("mean_tf"),
-            F.round(
-                F.expr("(nd * sxx - sx * sx) / cast(nd as double) / sx"), 6
+            # zeros of absent docs contribute 0 to sx/sxx; mean/var use nd.
+            # Both surfaces are fresh fractional divisions of exact ints —
+            # quantize via round-to-integer of the 1e6-scaled double (a
+            # power-of-two nd with odd sx lands sx/nd on an exact half;
+            # the seed-21/46 audit class)
+            F.expr(
+                "cast(round(sx / cast(nd as double) * 1e6) as bigint) / 1e6"
+            ).alias("mean_tf"),
+            F.expr(
+                "cast(round((nd * sxx - sx * sx) / cast(nd as double) / sx"
+                " * 1e6) as bigint) / 1e6"
             ).alias("burstiness"),
         )
     )

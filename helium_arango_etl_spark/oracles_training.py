@@ -2959,9 +2959,10 @@ def _whiten_sql() -> str:
                  CAST(sum(xi * xi) AS BIGINT) AS sxx
           FROM dims GROUP BY dim
         ), pub AS (
-          SELECT dim, round(sx / 1e6 / n, 6) AS mean,
-                 round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / (n * 1e6), 6)
-                     AS std
+          SELECT dim,
+                 CAST(round(sx / CAST(n AS DOUBLE)) AS BIGINT) / 1e6 AS mean,
+                 CAST(round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            / CAST(n AS DOUBLE)) AS BIGINT) / 1e6 AS std
           FROM st
         ), srow AS (
           SELECT list(mean ORDER BY dim) AS ms, list(std ORDER BY dim) AS ss
@@ -3092,8 +3093,10 @@ ORACLE_TRAINING["term_burstiness"] = f"""
           FROM per_doc GROUP BY w
         )
         SELECT w, df, sx AS total_tf,
-               round(sx / CAST(nd.nd AS DOUBLE), 6) AS mean_tf,
-               round((nd.nd * sxx - sx * sx) / CAST(nd.nd AS DOUBLE) / sx, 6)
+               CAST(round(sx / CAST(nd.nd AS DOUBLE) * 1e6) AS BIGINT) / 1e6
+                   AS mean_tf,
+               CAST(round((nd.nd * sxx - sx * sx) / CAST(nd.nd AS DOUBLE)
+                          / sx * 1e6) AS BIGINT) / 1e6
                    AS burstiness
         FROM ag CROSS JOIN nd
     """

@@ -1976,9 +1976,9 @@ ORACLE["embedding_dim_stats"] = """
           FROM q GROUP BY dim
         )
         SELECT CAST(dim AS INT) AS dim, n,
-               round(sx / 1000000.0 / n, 6) AS mean,
-               round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                     / (n * 1000000.0), 6) AS std
+               CAST(round(sx / CAST(n AS DOUBLE)) AS BIGINT) / 1e6 AS mean,
+               CAST(round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          / CAST(n AS DOUBLE)) AS BIGINT) / 1e6 AS std
         FROM a
     """
 

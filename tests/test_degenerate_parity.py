@@ -721,6 +721,41 @@ def test_degen_seed41_celebrity_binds_cap_cross_engine(spark):
         clear_edge_cache(spark)
 
 
+def test_degen_seed46_dim_stats_propagation(spark):
+    """Pin the seed-46 --degen find: a 32-vector corpus (power-of-two n)
+    landed embedding_dim_stats' mean on an exact .5 micro, and the
+    divergence PROPAGATED into embedding_whiten_audit through the
+    published stats (8 of 32 rows).  Both stats surfaces now round the
+    scaled integer division; the whiten audit is pinned alongside to
+    guard the propagation path."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    from helium_arango_etl_spark.operators.similarity import clear_emb_cache
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "random_audit", os.path.join(repo, "tools", "random_audit.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    tmp = os.path.join(repo, ".tmp", "pin_seed46_degen")
+    mod._gen(46, tmp, spark, degen=True)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp}/embeddings.parquet/*.parquet'"
+    )
+    try:
+        for name in ("embedding_dim_stats", "embedding_whiten_audit"):
+            clear_emb_cache(spark)
+            _compare(spark, tmp, con, name)
+    finally:
+        clear_emb_cache(spark)
+
+
 def test_degen_seed31_theil_and_hurst(spark):
     """Pin the two --degen randomized-audit finds (random corpus WITH
     the pathological rows embedded; tools/random_audit.py seed 31):

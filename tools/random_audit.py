@@ -185,6 +185,20 @@ def _gen(seed: int, tmp: str, spark: SparkSession, degen: bool = False) -> None:
              round(rng.uniform(100, 500), 2), 0.0, 0.0, "N", "O", ts(3))
             for i in range(12)
         ]
+        # ...and a celebrity SUPPLIER (hub src): one same-nation supplier
+        # with a valid line in 14 orders of 14 DISTINCT customers, so one
+        # projection node carries out-degree 14 — the src-side hub that
+        # stresses degree/assortativity paths the witness-side hub above
+        # does not
+        supplier += [(22, "Supplier#22", 0, 100.0)]
+        orders += [
+            (102 + i, 1 + i, "F", 1000.0, ts(4), "3-MEDIUM") for i in range(14)
+        ]
+        lineitem += [
+            (102 + i, rng.randrange(15), 22, 1, 2.0,
+             round(rng.uniform(100, 500), 2), 0.0, 0.0, "N", "F", ts(4))
+            for i in range(14)
+        ]
         tables["documents"] = (documents, tables["documents"][1])
         tables["embeddings"] = (embeddings, tables["embeddings"][1])
         tables["supplier"] = (supplier, tables["supplier"][1])
