@@ -105,6 +105,12 @@ HEADLINE = [
     "local_clustering_coeff_capped",  # bounded-emit transitivity
     "ktruss_edges_capped",            # bounded-emit edge peel
 ]
+# The applyInPandas/mapInPandas entries: Python process spawn + Arrow IPC
+# degrade far more than JVM codegen under sustained VM load, so these are
+# bucketed separately in the host-signature diagnostic (BASELINE.md
+# "Host-drift signature", VERDICT r8 #4).
+PY_WORKER_QUERIES = {"city_graph_metrics", "city_hits", "image_features"}
+
 # Deliberately NOT in the headline (VERDICT r3 #5, r7 #5) — exact-contract
 # demos whose production twins ARE headlined; each stays registered,
 # oracle-certified, and sf0.1-probed in BASELINE.md §5:
@@ -115,10 +121,101 @@ HEADLINE = [
 #     so the headline measures only scale-shaped plans.
 
 
+def _baseline_targets() -> dict:
+    """Per-query targets parsed from BASELINE.md's CURRENT TARGETS table
+    (the last section so marked; rows are `| q | s | q | s |`).  Keeping
+    the table as the single source of truth means a re-baseline never
+    needs a second edit here.  Empty dict when BASELINE.md is absent."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    try:
+        text = open(path, encoding="utf-8").read()
+    except OSError:
+        return {}
+    # anchor on the section HEADER (a `#`-line ending in the marker) so
+    # prose that merely mentions the marker can't hijack the parse
+    header = re.compile(r"^#+ .*CURRENT TARGETS\s*$", re.MULTILINE)
+    matches = list(header.finditer(text))
+    if not matches:
+        return {}
+    targets: dict = {}
+    for line in text[matches[-1].end():].splitlines():
+        if line.startswith("60-query min-merged total"):
+            break
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        if len(cells) != 4:
+            continue
+        for name, val in ((cells[0], cells[1]), (cells[2], cells[3])):
+            try:
+                targets[name] = float(val)
+            except ValueError:
+                pass
+    return targets
+
+
+def _host_signature(timings: dict) -> dict:
+    """One-line machine verdict on whether this run's inflation vs the
+    consolidated targets looks like HOST degradation or a PLAN break
+    (VERDICT r8 #4, mechanizing BASELINE.md's host-drift signature):
+
+    - host signature: UNIFORM ratio across pure-JVM entries, with the
+      applyInPandas/mapInPandas bucket degrading ~2x harder (Python
+      process spawn + Arrow IPC pay VM load disproportionately);
+    - plan signature: one or few queries skewed (>1.5x the JVM median
+      ratio) while the rest sit uniform — a real plan break never
+      inflates twenty unrelated queries by the same factor.
+
+    Sub-0.5 s entries are never flagged as suspects (the r8 window's
+    worst 'regression' was 1.45x on a 0.24 s query — pure noise)."""
+    import statistics
+
+    targets = _baseline_targets()
+    ratios = {
+        n: timings[n] / targets[n]
+        for n in timings
+        if targets.get(n, 0) > 0
+    }
+    if not ratios:
+        return {"verdict": "no-baseline"}
+    jvm = {n: r for n, r in ratios.items() if n not in PY_WORKER_QUERIES}
+    pyw = {n: r for n, r in ratios.items() if n in PY_WORKER_QUERIES}
+    med_jvm = round(statistics.median(jvm.values()), 3) if jvm else None
+    med_py = round(statistics.median(pyw.values()), 3) if pyw else None
+    suspects = sorted(
+        n
+        for n, r in jvm.items()
+        if r > 1.5 * (med_jvm or 1.0) and r > 1.3 and timings[n] > 0.5
+    )
+    if suspects:
+        verdict = "plan-suspect: " + ",".join(suspects)
+    elif med_jvm is not None and med_jvm <= 1.15:
+        verdict = "quiet"
+    elif med_py is not None and med_jvm is not None and med_py >= 1.5 * med_jvm:
+        verdict = (
+            f"host-degraded (uniform jvm x{med_jvm}, python-worker x{med_py})"
+        )
+    else:
+        verdict = f"host-inflated (uniform x{med_jvm})"
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    return {
+        "median_jvm_ratio": med_jvm,
+        "median_pyworker_ratio": med_py,
+        "plan_suspects": suspects,
+        "loadavg_end": load1,
+        "verdict": verdict,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    try:
+        load_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_start = None
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -180,6 +277,8 @@ def main() -> None:
     timings = {name: round(min(second[name], run(name)), 3) for name in names}
     total = sum(timings.values())
 
+    host = _host_signature(timings)
+    host["loadavg_start"] = load_start
     print(
         json.dumps(
             {
@@ -188,6 +287,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "host_signature": host,
             }
         )
     )

@@ -3665,6 +3665,202 @@ QUERIES["tip_decomposition_capped"] = G.tip_decomposition_capped
 ORACLE["tip_decomposition_capped"] = _tip_sql(capped=True)
 
 
+# ---------- round-9: the last three co-witness capped twins (VERDICT r8 #2) ----------
+# Every co-witness consumer now has a registered bounded-emit form
+# (11/11).  The exact forms stay registered as documented oracle-exact
+# demos; EXACT_DEMO_QUERIES below makes that convention machine-checked
+# (tests/test_graph_pipeline.py::test_exact_demo_convention_is_closed).
+
+QUERIES["city_triangle_stats_capped"] = G.city_triangle_stats_capped
+ORACLE["city_triangle_stats_capped"] = f"""
+        WITH {_CO_CAPPED_CTES},
+        proj AS (SELECT city_key, src_a AS u, src_b AS v FROM cw),
+        deg AS (
+          SELECT city_key, node, count(*) AS d
+          FROM (SELECT city_key, u AS node FROM proj
+                UNION ALL SELECT city_key, v AS node FROM proj) t
+          GROUP BY city_key, node
+        ), tri AS (
+          SELECT e1.city_key, CAST(count(*) AS BIGINT) AS n_triangles
+          FROM proj e1
+          JOIN proj e2 ON e2.city_key = e1.city_key AND e2.u = e1.u AND e2.v > e1.v
+          JOIN proj e3 ON e3.city_key = e1.city_key AND e3.u = e1.v AND e3.v = e2.v
+          GROUP BY e1.city_key
+        ), wed AS (
+          SELECT city_key, CAST(sum(d * (d - 1)) AS BIGINT) // 2 AS n_wedges
+          FROM deg GROUP BY city_key
+        ), ne AS (
+          SELECT city_key, CAST(count(*) AS BIGINT) AS n_proj_edges
+          FROM proj GROUP BY city_key
+        )
+        SELECT ne.city_key, ne.n_proj_edges, w.n_wedges,
+               CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+               round(CASE WHEN w.n_wedges > 0
+                          THEN 3.0 * coalesce(t.n_triangles, 0) / w.n_wedges
+                          ELSE 0.0 END, 6) AS transitivity
+        FROM ne
+        JOIN wed w ON w.city_key = ne.city_key
+        LEFT JOIN tri t ON t.city_key = ne.city_key
+    """.replace("{WSQL}", _WITNESS_SQL)
+
+QUERIES["degree_assortativity_capped"] = G.degree_assortativity_capped
+ORACLE["degree_assortativity_capped"] = f"""
+        WITH {_CO_CAPPED_CTES},
+        deg AS (
+          SELECT city_key, node, count(*) AS d
+          FROM (SELECT city_key, src_a AS node FROM cw
+                UNION ALL SELECT city_key, src_b AS node FROM cw) t
+          GROUP BY city_key, node
+        ), ed AS (
+          SELECT c.city_key, da.d AS da, db.d AS db
+          FROM cw c
+          JOIN deg da ON da.city_key = c.city_key AND da.node = c.src_a
+          JOIN deg db ON db.city_key = c.city_key AND db.node = c.src_b
+        ), agg AS (
+          SELECT city_key, count(*) AS m, sum(da + db) AS s1,
+                 sum(da * db) AS sxy, sum(da * da + db * db) AS sxx
+          FROM ed GROUP BY city_key
+        )
+        SELECT city_key, CAST(m AS BIGINT) AS n_proj_edges,
+               round(CASE WHEN 2 * m * sxx - s1 * s1 <> 0
+                          THEN CAST(4 * m * sxy - s1 * s1 AS DOUBLE)
+                               / (2 * m * sxx - s1 * s1)
+                          ELSE NULL END, 6) AS assortativity
+        FROM agg
+    """.replace("{WSQL}", _WITNESS_SQL)
+
+QUERIES["contrastive_pairs_capped"] = G.contrastive_pairs_capped
+ORACLE["contrastive_pairs_capped"] = f"""
+        WITH {_CO_CAPPED_CTES},
+        adj AS (
+          SELECT city_key, src_a AS a, src_b AS b FROM cw
+          UNION ALL SELECT city_key, src_b AS a, src_a AS b FROM cw
+        ), nodes AS (SELECT DISTINCT city_key, a AS node FROM adj),
+        nnc AS (
+          SELECT city_key, CAST(count(*) AS BIGINT) AS n_nodes
+          FROM nodes GROUP BY city_key
+        ),
+        anchors AS (
+          SELECT n.city_key, n.node AS anchor
+          FROM nodes n JOIN nnc USING (city_key)
+          WHERE ('0x' || substr(md5(n.node), 1, 4))::BIGINT * nnc.n_nodes
+                < {65536 * G.CONTRAST_ANCHOR_K}
+        ),
+        pos AS (
+          SELECT city_key, anchor, other, 1 AS label, rnk FROM (
+            SELECT an.city_key, an.anchor, ad.b AS other,
+                   row_number() OVER (
+                       PARTITION BY an.city_key, an.anchor
+                       ORDER BY md5(concat_ws('|', an.anchor, 'p', ad.b)),
+                                ad.b) AS rnk
+            FROM anchors an
+            JOIN adj ad ON ad.city_key = an.city_key AND ad.a = an.anchor
+          ) WHERE rnk <= {G.CONTRAST_POS}
+        ),
+        neg AS (
+          SELECT city_key, anchor, other, 0 AS label, rnk FROM (
+            SELECT an.city_key, an.anchor, nd.node AS other,
+                   row_number() OVER (
+                       PARTITION BY an.city_key, an.anchor
+                       ORDER BY md5(concat_ws('|', an.anchor, 'n', nd.node)),
+                                nd.node) AS rnk
+            FROM anchors an
+            JOIN nodes nd ON nd.city_key = an.city_key
+                         AND nd.node <> an.anchor
+            WHERE NOT EXISTS (
+              SELECT 1 FROM adj ad
+              WHERE ad.city_key = an.city_key AND ad.a = an.anchor
+                AND ad.b = nd.node)
+          ) WHERE rnk <= {G.CONTRAST_NEG}
+        )
+        SELECT city_key, anchor, other, CAST(label AS INT) AS label,
+               CAST(rnk AS INT) AS rnk
+        FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+    """.replace("{WSQL}", _WITNESS_SQL)
+
+
+# Two MORE exact-default consumers the convention sweep itself found
+# (beyond VERDICT r8 #2's three): city_transitivity and cowitness_lift
+# also rode the uncapped projection.  Closed the same way — body
+# refactor + capped twin + cap-folded oracle.
+
+QUERIES["city_transitivity_capped"] = G.city_transitivity_capped
+ORACLE["city_transitivity_capped"] = f"""
+        WITH {_CO_CAPPED_CTES},
+        proj AS (SELECT city_key, src_a AS a, src_b AS b FROM cw),
+        deg AS (
+          SELECT city_key, node, CAST(count(*) AS BIGINT) AS degree
+          FROM (SELECT city_key, a AS node FROM proj
+                UNION ALL SELECT city_key, b FROM proj)
+          GROUP BY city_key, node
+        ), wed AS (
+          SELECT city_key, CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS wedges
+          FROM deg GROUP BY city_key
+        ), tri AS (
+          SELECT e1.city_key, CAST(count(*) AS BIGINT) AS triangles
+          FROM proj e1
+          JOIN proj e2 ON e2.city_key = e1.city_key AND e2.a = e1.b
+          JOIN proj e3 ON e3.city_key = e1.city_key AND e3.a = e1.a
+                      AND e3.b = e2.b
+          GROUP BY e1.city_key
+        )
+        SELECT w.city_key, w.n_nodes, w.wedges,
+               CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+               round(CASE WHEN w.wedges = 0 THEN NULL
+                     ELSE 3.0 * cast(coalesce(t.triangles, 0) as double)
+                          / cast(w.wedges as double) END, 6)
+                   AS transitivity
+        FROM wed w LEFT JOIN tri t USING (city_key)
+    """.replace("{WSQL}", _WITNESS_SQL)
+
+QUERIES["cowitness_lift_capped"] = G.cowitness_lift_capped
+ORACLE["cowitness_lift_capped"] = f"""
+        WITH {_CO_CAPPED_CTES},
+        deg AS (
+          SELECT city_key, src, CAST(count(*) AS BIGINT) AS d
+          FROM e GROUP BY 1, 2
+        ), nw AS (
+          SELECT city_key, CAST(count(DISTINCT dst) AS BIGINT)
+                     AS n_witnesses
+          FROM e GROUP BY 1
+        )
+        SELECT cw.city_key, cw.src_a, cw.src_b, cw.shared_witnesses,
+               da.d AS deg_a, db.d AS deg_b, nw.n_witnesses,
+               round(cast(cw.shared_witnesses * nw.n_witnesses as double)
+                     / cast(da.d * db.d as double), 6) AS lift
+        FROM cw
+        JOIN deg da ON da.city_key = cw.city_key AND da.src = cw.src_a
+        JOIN deg db ON db.city_key = cw.city_key AND db.src = cw.src_b
+        JOIN nw ON nw.city_key = cw.city_key
+    """.replace("{WSQL}", _WITNESS_SQL)
+
+
+# The capped-vs-exact registry convention, machine-readable (VERDICT r8
+# #3): every registered query whose plan rides the UNCAPPED co-witness
+# projection (`co_witness_pairs` / an uncapped `_co_pairs` call) must be
+# listed here as a documented oracle-exact demo — each has a `*_capped`
+# production twin registered beside it.  A new consumer that silently
+# defaults onto the k²/2 exact projection fails
+# tests/test_graph_pipeline.py::test_exact_demo_convention_is_closed.
+EXACT_DEMO_QUERIES = {
+    "co_witness_pairs": "co_witness_pairs_capped",
+    "city_triangle_stats": "city_triangle_stats_capped",
+    "degree_assortativity": "degree_assortativity_capped",
+    "co_witness_recommendations": "co_witness_recommendations_capped",
+    "contrastive_pairs": "contrastive_pairs_capped",
+    "adamic_adar_scores": "adamic_adar_scores_capped",
+    "neighborhood_jaccard": "neighborhood_jaccard_capped",
+    "butterfly_stats": "butterfly_stats_capped",
+    "local_clustering_coeff": "local_clustering_coeff_capped",
+    "rich_club_coefficient": "rich_club_coefficient_capped",
+    "tip_decomposition": "tip_decomposition_capped",
+    "ktruss_edges": "ktruss_edges_capped",
+    "city_transitivity": "city_transitivity_capped",
+    "cowitness_lift": "cowitness_lift_capped",
+}
+
+
 # ---------- driver-window ordering (auto-derived, round 7+) ----------
 #
 # The driver's CORRECTNESS gate certifies the first 50 insertion-order

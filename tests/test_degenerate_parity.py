@@ -63,6 +63,30 @@ def _canon(v):
     return str(v)
 
 
+def _regen_seed_fixture(spark, tmp_path_factory, seed: int, degen: bool = False):
+    """Regenerate the exact randomized-audit corpus for a pinned seed.
+
+    The fixture dir comes from pytest's tmp_path_factory (unique per
+    session) instead of a fixed shared path under <repo>/.tmp — two
+    concurrent runs over the same checkout could race on the same
+    parquet dir mid-overwrite (ADVICE r8).  Returns (tmp_dir, the
+    loaded tools/random_audit module)."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "random_audit", os.path.join(repo, "tools", "random_audit.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    tmp = str(
+        tmp_path_factory.mktemp(f"pin_seed{seed}{'_degen' if degen else ''}")
+    )
+    mod._gen(seed, tmp, spark, degen=degen)
+    return tmp, mod
+
+
 @pytest.fixture(scope="module")
 def degen(spark, tmp_path_factory):
     from helium_arango_etl_spark.operators.dedup import clear_sig_cache
@@ -548,26 +572,16 @@ def test_total_churn_offset_zeroes_survival(spark, tmp_path_factory):
     assert surv[8] == 0.0, surv
 
 
-def test_brown_forsythe_round_half_boundary(spark):
+def test_brown_forsythe_round_half_boundary(spark, tmp_path_factory):
     """Pin the seed-16 randomized-audit find: ss_between's fresh
     fractional round(x, 6) landed on a .5 half boundary the two engines
     resolve differently (Spark BigDecimal saw ...87049..., DuckDB's
     scaled round saw ...8705) — both sides now quantize via
     round-to-integer of the 1e6-scaled double.  Regenerates the exact
     seed-16 events fixture from the checked-in audit tool."""
-    import importlib.util
-    import os
-
     import duckdb
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location(
-        "random_audit", os.path.join(repo, "tools", "random_audit.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    tmp = os.path.join(repo, ".tmp", "pin_seed16")
-    mod._gen(16, tmp, spark)
+    tmp, _ = _regen_seed_fixture(spark, tmp_path_factory, 16)
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{tmp}/events.parquet/*.parquet'"
@@ -575,25 +589,15 @@ def test_brown_forsythe_round_half_boundary(spark):
     _compare(spark, tmp, con, "brown_forsythe_levene")
 
 
-def test_seed21_power_of_two_group_means(spark):
+def test_seed21_power_of_two_group_means(spark, tmp_path_factory):
     """Pin the seed-21 randomized-audit find: a 32-event purchase group
     put Σcents/n on an exact .5 at the 6th decimal (power-of-two group
     sizes divide exactly in binary), and the fresh round(x, 6) in
     bootstrap_ci / winsorized_mean_by_type resolved the half differently
     per engine — both now round the 1e4-scaled cent sum to an integer."""
-    import importlib.util
-    import os
-
     import duckdb
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location(
-        "random_audit", os.path.join(repo, "tools", "random_audit.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    tmp = os.path.join(repo, ".tmp", "pin_seed21")
-    mod._gen(21, tmp, spark)
+    tmp, _ = _regen_seed_fixture(spark, tmp_path_factory, 21)
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{tmp}/events.parquet/*.parquet'"
@@ -602,25 +606,15 @@ def test_seed21_power_of_two_group_means(spark):
         _compare(spark, tmp, con, name)
 
 
-def test_degen_seed33_embedding_norms(spark):
+def test_degen_seed33_embedding_norms(spark, tmp_path_factory):
     """Pin the seed-33 --degen audit find: re-rounding a 6dp-quantized
     l2 norm at 4dp lands on .5 halves at the 5th digit (the COVERAGE
     rule's blind spot: 'already-quantized' is only safe at the SAME
     precision).  embedding_norms now carries integer-micro norms
     end-to-end and rounds the integer for the 4dp surface."""
-    import importlib.util
-    import os
-
     import duckdb
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location(
-        "random_audit", os.path.join(repo, "tools", "random_audit.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    tmp = os.path.join(repo, ".tmp", "pin_seed33_degen")
-    mod._gen(33, tmp, spark, degen=True)
+    tmp, _ = _regen_seed_fixture(spark, tmp_path_factory, 33, degen=True)
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM '{tmp}/embeddings.parquet/*.parquet'"
@@ -628,7 +622,7 @@ def test_degen_seed33_embedding_norms(spark):
     _compare(spark, tmp, con, "embedding_norms")
 
 
-def test_seed25_silhouette_and_seed34_zero_centroid(spark):
+def test_seed25_silhouette_and_seed34_zero_centroid(spark, tmp_path_factory):
     """Pin two more randomized-audit finds:
 
     - seed 25: simplified_silhouette's mean over a 4-member cluster put
@@ -639,25 +633,13 @@ def test_seed25_silhouette_and_seed34_zero_centroid(spark):
       now probe the exact-integer norm and NULL out, the shared-COSINE
       convention.
     """
-    import importlib.util
-    import os
-
     import duckdb
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location(
-        "random_audit", os.path.join(repo, "tools", "random_audit.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
     for seed, degen, names in (
         (25, False, ("simplified_silhouette",)),
         (34, True, ("label_centroid_cosine", "simplified_silhouette")),
     ):
-        tmp = os.path.join(
-            repo, ".tmp", f"pin_seed{seed}{'_degen' if degen else ''}"
-        )
-        mod._gen(seed, tmp, spark, degen=degen)
+        tmp, _ = _regen_seed_fixture(spark, tmp_path_factory, seed, degen=degen)
         con = duckdb.connect()
         con.execute(
             "CREATE VIEW embeddings AS SELECT * FROM "
@@ -671,7 +653,7 @@ def test_seed25_silhouette_and_seed34_zero_centroid(spark):
         clear_emb_cache(spark)
 
 
-def test_degen_seed41_celebrity_binds_cap_cross_engine(spark):
+def test_degen_seed41_celebrity_binds_cap_cross_engine(spark, tmp_path_factory):
     """The --degen fixture embeds a CELEBRITY WITNESS (one customer with
     valid lines from 12 same-nation suppliers, fan-in 12 >
     CO_WITNESS_MAX_GROUP=8), so the co-witness cap BINDS on random data
@@ -679,21 +661,11 @@ def test_degen_seed41_celebrity_binds_cap_cross_engine(spark):
     oracle byte-for-byte.  The crafted celebrity fixture asserts
     boundedness; this asserts cross-engine cap SEMANTICS on a random
     graph."""
-    import importlib.util
-    import os
-
     import duckdb
 
     from helium_arango_etl_spark.operators.graph import clear_edge_cache
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location(
-        "random_audit", os.path.join(repo, "tools", "random_audit.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    tmp = os.path.join(repo, ".tmp", "pin_seed41_degen")
-    mod._gen(41, tmp, spark, degen=True)
+    tmp, mod = _regen_seed_fixture(spark, tmp_path_factory, 41, degen=True)
     con = duckdb.connect()
     for t in mod.tables_list():
         con.execute(
@@ -715,34 +687,30 @@ def test_degen_seed41_celebrity_binds_cap_cross_engine(spark):
             "ktruss_edges_capped",
             "co_witness_recommendations_capped",
             "tip_decomposition_capped",
+            # round-9 twins: the family is now closed 13/13
+            "city_triangle_stats_capped",
+            "degree_assortativity_capped",
+            "contrastive_pairs_capped",
+            "city_transitivity_capped",
+            "cowitness_lift_capped",
         ):
             _compare(spark, tmp, con, name)
     finally:
         clear_edge_cache(spark)
 
 
-def test_degen_seed46_dim_stats_propagation(spark):
+def test_degen_seed46_dim_stats_propagation(spark, tmp_path_factory):
     """Pin the seed-46 --degen find: a 32-vector corpus (power-of-two n)
     landed embedding_dim_stats' mean on an exact .5 micro, and the
     divergence PROPAGATED into embedding_whiten_audit through the
     published stats (8 of 32 rows).  Both stats surfaces now round the
     scaled integer division; the whiten audit is pinned alongside to
     guard the propagation path."""
-    import importlib.util
-    import os
-
     import duckdb
 
     from helium_arango_etl_spark.operators.similarity import clear_emb_cache
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location(
-        "random_audit", os.path.join(repo, "tools", "random_audit.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    tmp = os.path.join(repo, ".tmp", "pin_seed46_degen")
-    mod._gen(46, tmp, spark, degen=True)
+    tmp, _ = _regen_seed_fixture(spark, tmp_path_factory, 46, degen=True)
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW embeddings AS SELECT * FROM "
@@ -756,7 +724,7 @@ def test_degen_seed46_dim_stats_propagation(spark):
         clear_emb_cache(spark)
 
 
-def test_degen_seed31_theil_and_hurst(spark):
+def test_degen_seed31_theil_and_hurst(spark, tmp_path_factory):
     """Pin the two --degen randomized-audit finds (random corpus WITH
     the pathological rows embedded; tools/random_audit.py seed 31):
 
@@ -767,19 +735,9 @@ def test_degen_seed31_theil_and_hurst(spark):
       degen corpus landed rs_sum_micro/n_chunks on an exact .5 micro —
       now quantized by rounding at the micro scale.
     """
-    import importlib.util
-    import os
-
     import duckdb
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location(
-        "random_audit", os.path.join(repo, "tools", "random_audit.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    tmp = os.path.join(repo, ".tmp", "pin_seed31_degen")
-    mod._gen(31, tmp, spark, degen=True)
+    tmp, _ = _regen_seed_fixture(spark, tmp_path_factory, 31, degen=True)
     con = duckdb.connect()
     for t in ("orders", "customer", "events"):
         con.execute(

@@ -373,9 +373,10 @@ def test_round8_capped_twins_bounded_on_celebrity(spark):
             assert (r["src"], r["rec"]) not in adj_capped
             assert r["rank"] >= 1
 
-    # the three unregistered bounded-emit bodies (oracle-exact demos keep
-    # the exact default; the capped path must still be callable and
-    # bounded): triangle census, assortativity, contrastive sampling
+    # the remaining bounded-emit bodies (registered as capped twins in
+    # round 9 — city_triangle_stats_capped, degree_assortativity_capped,
+    # contrastive_pairs_capped): triangle census, assortativity,
+    # contrastive sampling
     from helium_arango_etl_spark.operators.graph import (
         _assortativity_body,
         _contrastive_pairs_body,
@@ -404,6 +405,99 @@ def test_round8_capped_twins_bounded_on_celebrity(spark):
     }
     assert set(sup_capped) <= set(sup_exact)
     assert all(sup_capped[k] <= sup_exact[k] for k in sup_capped)
+
+
+def test_exact_demo_convention_is_closed():
+    """Machine check of the capped-vs-exact registry convention
+    (VERDICT r8 #3): sweep every registered graph-module query's source
+    for the uncapped co-witness projection accessors; the flagged set
+    must equal EXACT_DEMO_QUERIES exactly, and every demo's `*_capped`
+    production twin must be registered AND oracled and actually ride
+    the capped projection.  A new consumer that silently defaults onto
+    the k²/2 exact projection fails here; so does a demo entry whose
+    twin went missing."""
+    import inspect
+    import re
+
+    import helium_arango_etl_spark.operators.graph as G
+    from helium_arango_etl_spark.registry import (
+        EXACT_DEMO_QUERIES,
+        ORACLE,
+        QUERIES,
+    )
+
+    flagged = set()
+    for name, fn in QUERIES.items():
+        if getattr(fn, "__module__", "") != G.__name__:
+            continue
+        src = inspect.getsource(fn)
+        if re.search(r"\bco_witness_pairs\(spark", src):
+            flagged.add(name)
+            continue
+        # an uncapped direct pair/support/peel call (single-arg
+        # _co_pairs/_tip_support, or _tip_body without a cap argument)
+        for m in re.finditer(r"\b(_co_pairs|_tip_support)\(([^)]*)\)", src):
+            if "," not in m.group(2):
+                flagged.add(name)
+        if re.search(r"\b_tip_body\(\s*spark,\s*sf_dir\s*\)", src):
+            flagged.add(name)
+
+    assert flagged == set(EXACT_DEMO_QUERIES), (
+        f"unmarked exact-projection consumers: {sorted(flagged - set(EXACT_DEMO_QUERIES))}; "
+        f"stale demo entries: {sorted(set(EXACT_DEMO_QUERIES) - flagged)}"
+    )
+    for demo, twin in EXACT_DEMO_QUERIES.items():
+        assert twin in QUERIES, f"{demo}: production twin {twin} not registered"
+        assert twin in ORACLE, f"{demo}: production twin {twin} not oracled"
+        twin_src = inspect.getsource(QUERIES[twin])
+        assert (
+            "_co_witness_pairs_capped_cached" in twin_src
+            or "CO_WITNESS_MAX_GROUP" in twin_src
+        ), f"{twin}: does not ride the capped projection"
+
+
+def test_round9_capped_twins_bounded_on_celebrity(spark):
+    """The round-9 registered twins (transitivity, lift) inherit the
+    bounded emit on the celebrity fixture: capped wedge/triangle counts
+    are lower bounds, and capped lift rows keep EXACT null-model
+    degrees under an undercounted observed weight."""
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_spark.operators.graph import (
+        CO_WITNESS_MAX_GROUP,
+        _city_transitivity_body,
+        _co_pairs,
+    )
+
+    edges = spark.createDataFrame(
+        [("c1", f"h{i:02d}", "celebrity") for i in range(20)]
+        + [("c1", "h00", "w2"), ("c1", "h01", "w2")],
+        "city_key string, src string, dst string",
+    )
+    exact = _co_pairs(edges).localCheckpoint()
+    capped = _co_pairs(edges, CO_WITNESS_MAX_GROUP).localCheckpoint()
+
+    tr_exact = _city_transitivity_body(exact).collect()[0]
+    tr_capped = _city_transitivity_body(capped).collect()[0]
+    assert tr_capped["wedges"] <= tr_exact["wedges"]
+    assert tr_capped["triangles"] <= tr_exact["triangles"]
+    # the exact projection of one celebrity witness is a clique:
+    # transitivity 1.0; the capped one keeps only chunk-cliques, still
+    # internally transitive
+    assert tr_exact["transitivity"] == 1.0
+
+    # lift twin: deg/nw come from the edge set (exact null model, its
+    # per-SF parity is pinned by the oracle), so the capped-vs-exact
+    # delta is entirely in the pair weights — the surviving capped
+    # weights are an exact-form subset with undercounted counts
+    w_exact = {
+        (r["src_a"], r["src_b"]): r["shared_witnesses"] for r in exact.collect()
+    }
+    w_capped = {
+        (r["src_a"], r["src_b"]): r["shared_witnesses"] for r in capped.collect()
+    }
+    assert set(w_capped) <= set(w_exact)
+    assert all(w_capped[k] <= w_exact[k] for k in w_capped)
 
 
 @pytest.mark.parametrize("seed", [3, 17, 41])

@@ -794,6 +794,11 @@ def test_capped_consumers_ride_shared_capped_projection(spark, sf_dir):
         "adamic_adar_scores_capped",
         "local_clustering_coeff_capped",
         "co_witness_recommendations_capped",
+        # round-9 twins (VERDICT r8 #2 + the convention-sweep finds)
+        "city_triangle_stats_capped",
+        "degree_assortativity_capped",
+        "contrastive_pairs_capped",
+        "cowitness_lift_capped",
     ):
         plan = plan_of(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, plan
@@ -802,7 +807,13 @@ def test_capped_consumers_ride_shared_capped_projection(spark, sf_dir):
     # the shared capped projection; tip checkpoints the edge set and
     # re-derives capped pairs per round), so their final plans read
     # checkpoint RDDs — never a fact-table rescan per round
-    for name in ("ktruss_edges_capped", "tip_decomposition_capped"):
+    # city_transitivity_capped localCheckpoints the capped projection
+    # before its triangle self-join, so it reads a checkpoint RDD too
+    for name in (
+        "ktruss_edges_capped",
+        "tip_decomposition_capped",
+        "city_transitivity_capped",
+    ):
         plan = plan_of(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, plan
         assert "ExistingRDD" in plan, plan
@@ -825,3 +836,53 @@ def test_compaction_shards_single_keyed_window(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Window") == 2, plan  # one Window node
+
+
+def test_bench_host_signature_diagnostics():
+    """The bench harness's mechanized host-vs-plan verdict (VERDICT r8
+    #4): targets parse from BASELINE.md's CURRENT TARGETS table for
+    every headline query, a uniform inflation reads as host, a single
+    skewed sub-total query reads as plan-suspect, and near-target runs
+    read quiet.  No Spark needed — pure dict arithmetic."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(repo, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    targets = bench._baseline_targets()
+    missing = [n for n in bench.HEADLINE if n not in targets]
+    assert not missing, f"headline queries without a BASELINE target: {missing}"
+    assert bench.PY_WORKER_QUERIES <= set(bench.HEADLINE)
+
+    headline_targets = {n: targets[n] for n in bench.HEADLINE}
+    quiet = bench._host_signature({n: v * 1.02 for n, v in headline_targets.items()})
+    assert quiet["verdict"] == "quiet", quiet
+
+    uniform = bench._host_signature({n: v * 1.4 for n, v in headline_targets.items()})
+    assert uniform["verdict"].startswith("host-inflated"), uniform
+    assert not uniform["plan_suspects"], uniform
+
+    degraded = {
+        n: v * (2.2 if n in bench.PY_WORKER_QUERIES else 1.3)
+        for n, v in headline_targets.items()
+    }
+    deg = bench._host_signature(degraded)
+    assert deg["verdict"].startswith("host-degraded"), deg
+
+    skewed = {n: v * 1.1 for n, v in headline_targets.items()}
+    skewed["city_ppr_joins"] = headline_targets["city_ppr_joins"] * 3.0
+    sk = bench._host_signature(skewed)
+    assert sk["verdict"] == "plan-suspect: city_ppr_joins", sk
+
+    # sub-0.5 s entries never become suspects (noise floor)
+    noisy = {n: v * 1.1 for n, v in headline_targets.items()}
+    noisy["exact_dedup"] = 0.4  # 2.4x its 0.166 s target, but tiny
+    nz = bench._host_signature(noisy)
+    assert nz["plan_suspects"] == [], nz
+
+    assert bench._host_signature({"unknown_query": 1.0}) == {"verdict": "no-baseline"}
