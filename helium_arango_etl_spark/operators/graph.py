@@ -1450,7 +1450,16 @@ def adamic_adar_scores_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     above the cap (drops accounted by :func:`co_witness_bucket_stats`);
     within the surviving projection the arithmetic is the exact form's.
     Scan count over the largest fact table: 1 (the session-cached capped
-    pair table; degrees derive from the projection itself)."""
+    pair table; degrees derive from the projection itself).
+
+    Residual scale term: the 2-hop expansion emits Σ_m deg(m)² over
+    PROJECTION degrees — the cap bounds each witness group's
+    contribution, not a hub node's total degree across groups.  Measured
+    at 10× fan-in (BASELINE.md round-9 fan-in probe): 12.3× wall for 38×
+    projection edges, i.e. sub-linear per edge at that scale; a corpus
+    with genuine projection hubs would additionally want a per-node
+    neighbor cap before the h1⋈h2 join (same undercount-and-account
+    pattern, not yet needed at tested scales)."""
     return _adamic_adar_body(_co_witness_pairs_capped_cached(spark, sf_dir))
 
 
@@ -2143,7 +2152,12 @@ def ktruss_edges_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped truss is a subgraph of the exact one — peeling is monotone in
     the edge set.  Scan count over the largest fact table: 1 (the
     session-cached capped pair table; each peel round re-joins the
-    checkpointed projection, never the fact table)."""
+    checkpointed projection, never the fact table).
+
+    Measured at 10× fan-in (BASELINE.md round-9 fan-in probe): 22.4×
+    wall for 38× projection edges — per-edge cost FALLS as density
+    grows, because the per-round support join amortizes over fuller
+    partitions; the peel round count stays bounded by TRUSS_K."""
     return _ktruss_body(_co_witness_pairs_capped_cached(spark, sf_dir))
 
 
