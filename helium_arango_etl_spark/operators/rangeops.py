@@ -23,6 +23,8 @@ tolerance band instead of an oracle (tests/test_rangeops.py).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -833,6 +835,21 @@ def cusum_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 3σ·sqrt(λ/(2−λ)) EWMA band scale, computed ONCE in Python and embedded
+# verbatim in BOTH engines' SQL.  Writing `sqrt(0.2 / 1.8)` inline is NOT
+# engine-portable: Spark parses 0.2 and 1.8 as DECIMAL(1,1) and performs
+# DECIMAL division (quantized to 6 fractional digits BEFORE the sqrt),
+# while DuckDB's literal division is double-precision — the results differ
+# in the 7th significant digit, which the seed-66 randomized audit caught
+# as a band_micro off-by-one on a perfect-square variance where the first
+# observation sits exactly on μ−band.  Rule: a fractional constant built
+# from literal arithmetic must be folded to ONE double in Python and
+# shared by both SQL strings (the integer-weight recurrences never had
+# this problem — this is the constant's analog of the round-to-integer
+# convention).
+EWMA_BAND_SCALE = 3.0 * math.sqrt(0.2 / 1.8)
+
+
 def ewma_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA control chart (Roberts 1959) per event type over daily
     counts — the smoothed companion of CUSUM: E_t = λ·n_t + (1−λ)·E_{t−1}
@@ -863,7 +880,7 @@ def ewma_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "cast(round(sqrt(cast(count(*) * sum(n * n) - sum(n) * sum(n)"
             " as double)) / count(*) * 1000000"
-            " * sqrt(0.2 / 1.8) * 3) as bigint)"
+            f" * cast({EWMA_BAND_SCALE!r} as double)) as bigint)"
         ).alias("band_micro"),
     )
     folded = (
@@ -1594,6 +1611,10 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SPRT design: H0 p=0.19 vs H1 p=0.21, alpha = beta = 0.05
 SPRT_P0 = (19, 100)
 SPRT_P1 = (21, 100)
+# Wald bounds at alpha = beta = 0.05, folded to integer micro in Python
+# and shared verbatim by both engines' SQL (see EWMA_BAND_SCALE note).
+SPRT_A_MICRO = round(math.log(19.0) * 1_000_000)
+SPRT_B_MICRO = round(math.log(1.0 / 19.0) * 1_000_000)
 
 
 def sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1626,9 +1647,13 @@ def sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cast(round(ln(({p1d} - {p1n}) / cast({p0d} - {p0n} as double))"
         " * 1000000) as bigint)"
     )
-    # alpha = beta = 0.05: A = ln(0.95/0.05) = ln(19), B = ln(0.05/0.95)
-    a_bound = "cast(round(ln(19.0) * 1000000) as bigint)"
-    b_bound = "cast(round(ln(1.0 / 19.0) * 1000000) as bigint)"
+    # alpha = beta = 0.05: A = ln(0.95/0.05) = ln(19), B = ln(0.05/0.95).
+    # Integer micro bounds folded in Python (same decimal-literal-division
+    # hazard as EWMA_BAND_SCALE: Spark's ln(1.0 / 19.0) is ln of the
+    # DECIMAL quotient 0.052632 = −2944431 micro, 8 off the double's
+    # −2944439 — a latent decision flip for any cum_llr in the gap).
+    a_bound = str(SPRT_A_MICRO)
+    b_bound = str(SPRT_B_MICRO)
     ev = read_table(spark, sf_dir, "events").select(
         F.expr("user_id % 2").alias("variant"),
         F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),

@@ -3215,6 +3215,8 @@ def _toppc_sql() -> str:
 ORACLE_TRAINING["embedding_top_pc"] = _toppc_sql()
 
 
+from .operators.rangeops import EWMA_BAND_SCALE  # noqa: E402
+
 ORACLE_TRAINING["ewma_daily_counts"] = f"""
         WITH RECURSIVE daily AS (
           SELECT event_type, epoch_us(ts) // {86_400 * 1_000_000} AS day,
@@ -3225,7 +3227,8 @@ ORACLE_TRAINING["ewma_daily_counts"] = f"""
                  CAST(round(sum(n) * 1000000.0 / count(*)) AS BIGINT) AS mu_micro,
                  CAST(round(sqrt(CAST(count(*) * sum(n * n) - sum(n) * sum(n)
                                       AS DOUBLE)) / count(*) * 1000000
-                            * sqrt(0.2 / 1.8) * 3) AS BIGINT) AS band_micro
+                            * CAST({EWMA_BAND_SCALE!r} AS DOUBLE))
+                      AS BIGINT) AS band_micro
           FROM daily GROUP BY event_type
         ), seq AS (
           SELECT d.event_type, d.day, d.n, s.mu_micro, s.band_micro,
@@ -4330,7 +4333,12 @@ ORACLE_TRAINING["rolling_median_value"] = f"""
         FROM daily
     """
 
-from .operators.rangeops import SPRT_P0, SPRT_P1  # noqa: E402
+from .operators.rangeops import (  # noqa: E402
+    SPRT_A_MICRO,
+    SPRT_B_MICRO,
+    SPRT_P0,
+    SPRT_P1,
+)
 from .operators.textops import KN_TOP_K, PRF_EXP_K  # noqa: E402
 
 ORACLE_TRAINING["kn_bigram_lm"] = f"""
@@ -4416,11 +4424,9 @@ ORACLE_TRAINING["sprt_monitor"] = f"""
         )
         SELECT variant, day_idx, n_succ, n_fail,
                round(cum_llr_micro / 1e6, 6) AS cum_llr,
-               CASE WHEN cum_llr_micro
-                         >= CAST(round(ln(19.0) * 1000000) AS BIGINT)
+               CASE WHEN cum_llr_micro >= {SPRT_A_MICRO}
                     THEN 'accept_h1'
-                    WHEN cum_llr_micro
-                         <= CAST(round(ln(1.0 / 19.0) * 1000000) AS BIGINT)
+                    WHEN cum_llr_micro <= {SPRT_B_MICRO}
                     THEN 'accept_h0'
                     ELSE 'continue' END AS decision
         FROM cum

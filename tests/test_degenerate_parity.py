@@ -747,6 +747,62 @@ def test_degen_seed31_theil_and_hurst(spark, tmp_path_factory):
         _compare(spark, tmp, con, name)
 
 
+def test_degen_seed66_decimal_literal_division_constants(spark, tmp_path_factory):
+    """Pin the seed-66 --degen find (round 9): a fractional constant
+    written as LITERAL/LITERAL inside Spark SQL is DECIMAL division —
+    quantized to 6 fractional digits before any enclosing sqrt/ln —
+    while DuckDB's literal division is double-precision.
+
+    - ewma_daily_counts: `sqrt(0.2 / 1.8) * 3` made band_micro 999999 vs
+      the double's 1000000; seed 66's 'error' type has a perfect-square
+      variance (14·70−28² = 196) putting the first observation EXACTLY on
+      μ−band, so the alarm flipped.  Fixed by folding the constant once
+      in Python (rangeops.EWMA_BAND_SCALE) and sharing it verbatim with
+      the oracle.
+    - sprt_monitor: the same class LATENT — Spark's ln(1.0/19.0) read
+      −2944431 micro vs the double's −2944439, a decision flip for any
+      cum_llr in the 8-micro gap (never yet hit by a fixture).  Bounds
+      now folded to integers in Python (SPRT_A_MICRO/SPRT_B_MICRO) and
+      shared.  The boundary itself is asserted below so the constants
+      cannot silently drift apart again."""
+    import math
+
+    import duckdb
+
+    from helium_arango_etl_spark.operators.rangeops import (
+        EWMA_BAND_SCALE,
+        SPRT_A_MICRO,
+        SPRT_B_MICRO,
+    )
+
+    assert EWMA_BAND_SCALE == 3.0 * math.sqrt(0.2 / 1.8)
+    assert SPRT_B_MICRO == -2944439 and SPRT_A_MICRO == 2944439
+
+    tmp, _ = _regen_seed_fixture(spark, tmp_path_factory, 66, degen=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp}/events.parquet/*.parquet'"
+    )
+    # the fixture must still exercise the boundary: a perfect-square
+    # variance numerator for at least one event type (else the pin is vacuous)
+    sq = con.execute(
+        """
+        WITH daily AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT count(*) FROM (
+          SELECT count(*) * sum(n * n) - sum(n) * sum(n) AS v
+          FROM daily GROUP BY event_type)
+        WHERE CAST(sqrt(CAST(v AS DOUBLE)) AS BIGINT)
+              * CAST(sqrt(CAST(v AS DOUBLE)) AS BIGINT) = v
+        """
+    ).fetchone()[0]
+    assert sq >= 1, "seed-66 fixture no longer has a perfect-square variance"
+    for name in ("ewma_daily_counts", "sprt_monitor"):
+        _compare(spark, tmp, con, name)
+
+
 def test_bpe_survives_fully_merged_words(spark, tmp_path_factory):
     import duckdb
 
