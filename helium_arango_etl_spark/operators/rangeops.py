@@ -846,7 +846,10 @@ def cusum_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from literal arithmetic must be folded to ONE double in Python and
 # shared by both SQL strings (the integer-weight recurrences never had
 # this problem — this is the constant's analog of the round-to-integer
-# convention).
+# convention).  NOTE (ADVICE r9): with λ=0.2 this folds to EXACTLY 1.0
+# in IEEE doubles — the multiply is currently a no-op; the literal value
+# is pinned in test_degen_seed66_decimal_literal_division_constants so a
+# lambda edit that changes it is caught explicitly.
 EWMA_BAND_SCALE = 3.0 * math.sqrt(0.2 / 1.8)
 
 

@@ -776,6 +776,11 @@ def test_degen_seed66_decimal_literal_division_constants(spark, tmp_path_factory
     )
 
     assert EWMA_BAND_SCALE == 3.0 * math.sqrt(0.2 / 1.8)
+    # ADVICE r9: 3·√(λ/(2−λ)) with λ=0.2 is EXACTLY 1.0 in IEEE doubles
+    # (0.2/1.8 = 1/9 rounds to a value whose sqrt·3 folds to 1.0), so the
+    # line above alone would still pass if a lambda edit changed the
+    # value — pin the literal so any such edit is caught explicitly.
+    assert EWMA_BAND_SCALE == 1.0
     assert SPRT_B_MICRO == -2944439 and SPRT_A_MICRO == 2944439
 
     tmp, _ = _regen_seed_fixture(spark, tmp_path_factory, 66, degen=True)
@@ -799,6 +804,32 @@ def test_degen_seed66_decimal_literal_division_constants(spark, tmp_path_factory
         """
     ).fetchone()[0]
     assert sq >= 1, "seed-66 fixture no longer has a perfect-square variance"
+    # ADVICE r9: the perfect square alone doesn't prove the ALARM boundary
+    # is exercised — also require an observation landing exactly on μ−band
+    # at micro precision (n·1e6 == mu_micro − band_micro), mirroring the
+    # original divergence where the off-by-one band flipped the alarm.
+    boundary = con.execute(
+        f"""
+        WITH daily AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        stats AS (
+          SELECT event_type,
+                 CAST(round(sum(n) * 1000000.0 / count(*)) AS BIGINT)
+                     AS mu_micro,
+                 CAST(round(sqrt(CAST(count(*) * sum(n * n) - sum(n) * sum(n)
+                      AS DOUBLE)) / count(*) * 1000000
+                      * CAST({EWMA_BAND_SCALE!r} AS DOUBLE)) AS BIGINT)
+                     AS band_micro
+          FROM daily GROUP BY event_type)
+        SELECT count(*) FROM daily JOIN stats USING (event_type)
+        WHERE n * 1000000 = mu_micro - band_micro
+        """
+    ).fetchone()[0]
+    assert boundary >= 1, (
+        "seed-66 fixture no longer has an observation exactly on mu-band"
+    )
     for name in ("ewma_daily_counts", "sprt_monitor"):
         _compare(spark, tmp, con, name)
 

@@ -55,6 +55,10 @@ def build_corpus(spark: SparkSession) -> None:
     for t in TABLES:
         df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
         if t == "embeddings":
+            # ADVICE r9: F.slice is forgiving, so a dimension mismatch
+            # would silently corrupt the rotated copies — fail loudly.
+            dim = df.select(F.size("embedding").alias("d")).head()["d"]
+            assert dim == DIM, f"embeddings dim {dim} != probe DIM {DIM}"
             parts = []
             for i in range(COPIES):
                 rot = (
