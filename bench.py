@@ -152,7 +152,60 @@ def _baseline_targets() -> dict:
     return targets
 
 
-def _host_signature(timings: dict) -> dict:
+# Nominal Python-substrate fingerprints (VERDICT r9 #4 — mechanizing the
+# BASELINE.md d5662cf prose calibration): a warm uncontended VM runs the
+# 10M-iteration pure-Python loop in ~0.4-0.6 s and imports pandas+pyarrow
+# in a FRESH interpreter in ~0.9-1.3 s; this container has been observed
+# at 1.08 s / 2.7 s under load — the same degradation that inflates the
+# applyInPandas/mapInPandas bucket (worker spawn pays the import, UDF
+# bodies pay the interpreter).  Measuring both once per bench run lets
+# the classifier judge a pyworker ratio against the SAME-RUN substrate
+# instead of a prose note.
+PY_LOOP_NOMINAL_S = 0.5
+PY_IMPORT_NOMINAL_S = 1.1
+
+
+def _py_substrate() -> dict:
+    """Same-run Python-substrate fingerprint: the 10M-iteration loop
+    (interpreter speed under current host load) and a fresh-interpreter
+    pandas+pyarrow import (what every Spark Python worker pays at spawn).
+    substrate_factor is the worse of the two vs nominal — the factor the
+    pyworker bucket is ENTITLED to without being a plan suspect."""
+    import subprocess
+    import sys as _sys
+
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    loop = time.perf_counter() - t0
+    imp = None
+    try:
+        r = subprocess.run(
+            [
+                _sys.executable,
+                "-c",
+                "import time; t = time.perf_counter(); import pandas, pyarrow;"
+                " print(time.perf_counter() - t)",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        imp = float(r.stdout.strip())
+    except Exception:
+        pass
+    factors = [loop / PY_LOOP_NOMINAL_S]
+    if imp is not None:
+        factors.append(imp / PY_IMPORT_NOMINAL_S)
+    return {
+        "loop10m_sec": round(loop, 3),
+        "pandas_pyarrow_import_sec": round(imp, 3) if imp is not None else None,
+        "substrate_factor": round(max(factors), 2),
+    }
+
+
+def _host_signature(timings: dict, substrate: dict | None = None) -> dict:
     """One-line machine verdict on whether this run's inflation vs the
     consolidated targets looks like HOST degradation or a PLAN break
     (VERDICT r8 #4, mechanizing BASELINE.md's host-drift signature):
@@ -190,22 +243,42 @@ def _host_signature(timings: dict) -> dict:
     elif med_jvm is not None and med_jvm <= 1.15:
         verdict = "quiet"
     elif med_py is not None and med_jvm is not None and med_py >= 1.5 * med_jvm:
-        verdict = (
-            f"host-degraded (uniform jvm x{med_jvm}, python-worker x{med_py})"
-        )
+        # VERDICT r9 #4: judge the pyworker bucket against the SAME-RUN
+        # substrate fingerprint mechanically, not a prose note — the
+        # bucket's excess over the JVM median is legitimate exactly when
+        # the interpreter/import substrate degraded comparably.
+        sub = substrate.get("substrate_factor") if substrate else None
+        excess = med_py / max(med_jvm, 1e-9)
+        if sub is not None and sub >= 0.6 * excess:
+            verdict = (
+                f"host-degraded (uniform jvm x{med_jvm}, python-worker"
+                f" x{med_py}; substrate x{sub} corroborates)"
+            )
+        elif sub is not None:
+            verdict = (
+                f"pyworker-suspect (python-worker x{med_py} vs jvm"
+                f" x{med_jvm} with substrate only x{sub})"
+            )
+        else:
+            verdict = (
+                f"host-degraded (uniform jvm x{med_jvm}, python-worker x{med_py})"
+            )
     else:
         verdict = f"host-inflated (uniform x{med_jvm})"
     try:
         load1 = round(os.getloadavg()[0], 2)
     except OSError:
         load1 = None
-    return {
+    out = {
         "median_jvm_ratio": med_jvm,
         "median_pyworker_ratio": med_py,
         "plan_suspects": suspects,
         "loadavg_end": load1,
         "verdict": verdict,
     }
+    if substrate is not None:
+        out["py_substrate"] = substrate
+    return out
 
 
 def main() -> None:
@@ -286,7 +359,9 @@ def main() -> None:
         timings[name] = round(min(timings[name], run(name)), 3)
     total = sum(timings.values())
 
-    host = _host_signature(timings)
+    # same-run substrate fingerprint AFTER the timed passes (the probe
+    # must never compete with a measurement for the interpreter)
+    host = _host_signature(timings, substrate=_py_substrate())
     if suspects:
         host["reprobed_suspects"] = suspects
     host["loadavg_start"] = load_start

@@ -646,6 +646,50 @@ def co_witness_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CO_WITNESS_MAX_GROUP = 8
 
+# Per-node neighbor cap for the 2-hop consumers of the capped projection
+# (VERDICT r9 #3): the group cap bounds each witness GROUP's pair emit,
+# but a hub node that co-occurs in many groups still accumulates an
+# unbounded PROJECTION degree, and the h1⋈h2 middle-vertex expansion
+# pays Σ_m deg(m)² over projection degrees.  The capped 2-hop consumers
+# therefore truncate every node's adjacency list to its
+# PROJ_NEIGHBOR_CAP smallest neighbor ids (deterministic — a pure
+# function of the projection edge set, replicated verbatim by the
+# DuckDB oracles via row_number).  The capped expansion through a
+# middle m emits keepers(m)·min(deg(m), cap) — keepers(m) ≤ deg(m) is
+# how many OTHER nodes retained m — so total emit ≤ cap·|capped
+# adjacency| ≤ cap²·n, LINEAR in node count where the uncapped join
+# pays Σ deg² (quadratic in hub degree).  Scores/counts UNDERCOUNT for
+# projection hubs; every dropped adjacency entry and the exact
+# before/after emit are priced by `neighbor_cap_stats` (no silent caps).
+PROJ_NEIGHBOR_CAP = 16
+
+
+def _symmetrized_adjacency(pairs: DataFrame) -> DataFrame:
+    """Both-direction (city_key, a, b) adjacency off a pair table whose
+    rows are unique with src_a < src_b — so the output is unique per
+    (city_key, a, b) and any window over it is deterministic."""
+    cw = pairs.select(
+        "city_key", F.col("src_a").alias("a"), F.col("src_b").alias("b")
+    )
+    return cw.unionByName(
+        cw.select("city_key", F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+
+
+def _capped_adjacency(adj: DataFrame, cap: int) -> DataFrame:
+    """Truncate each node's neighbor list to its `cap` smallest neighbor
+    ids — the deterministic per-node analog of the positional group cap.
+    One keyed window sort over the (pairs-sized) adjacency; no extra
+    scan of any fact table."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("city_key", "a").orderBy(F.col("b").asc())
+    return (
+        adj.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+
 
 def _co_witness_pairs_capped_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached capped projection, the cache twin of
@@ -714,6 +758,44 @@ def co_witness_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("capped_pairs").cast("bigint").alias("capped_pairs"),
         (F.sum("all_pairs") - F.sum("capped_pairs")).cast("bigint").alias("dropped_pairs"),
     )
+
+
+def neighbor_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection-degree distribution + per-node neighbor-cap accounting
+    for the capped 2-hop consumers (VERDICT r9 #3) — the mirror of
+    :func:`co_witness_bucket_stats` for PROJ_NEIGHBOR_CAP: node count,
+    the largest projection degree, how many nodes exceed the cap, every
+    adjacency entry the truncation drops, and the EXACT h1⋈h2 emit
+    before vs after — uncapped Σ_m deg(m)² vs capped
+    Σ_m keepers(m)·min(deg(m), cap), where keepers(m) counts the nodes
+    that retained m in their truncated list (≤ deg(m), so the capped
+    emit is ≤ cap·|capped adjacency| ≤ cap²·n, linear in node count).
+    Cheap by construction: keyed counts over the session-cached capped
+    pair projection, sizes only, no path materialization."""
+    adj = _symmetrized_adjacency(_co_witness_pairs_capped_cached(spark, sf_dir))
+    deg = adj.groupBy("city_key", "a").agg(F.count(F.lit(1)).alias("deg"))
+    c = PROJ_NEIGHBOR_CAP
+    hop = _capped_adjacency(adj, c)
+    keep = hop.groupBy("city_key", F.col("b").alias("m")).agg(
+        F.count(F.lit(1)).alias("keepers")
+    )
+    lst = hop.groupBy("city_key", F.col("a").alias("m")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    emit = keep.join(lst, ["city_key", "m"]).agg(
+        F.sum(F.expr("keepers * out_deg")).cast("bigint").alias("capped_two_hop_emit")
+    )
+    return deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.max("deg").cast("bigint").alias("max_proj_degree"),
+        F.sum(F.when(F.col("deg") > c, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_capped_nodes"),
+        F.sum(F.when(F.col("deg") > c, F.col("deg") - c).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_neighbors"),
+        F.sum(F.expr("deg * deg")).cast("bigint").alias("sum_deg_sq"),
+    ).crossJoin(F.broadcast(emit))
 
 
 def witness_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1052,26 +1134,36 @@ def co_witness_recommendations_capped(spark: SparkSession, sf_dir: str) -> DataF
     """Production form of :func:`co_witness_recommendations`: rides the
     CO_WITNESS_MAX_GROUP-capped pair projection (VERDICT r7 #3), so both
     the projection build AND the Σ deg(m)² middle-vertex expansion are
-    bounded by the cap instead of a celebrity's k²/2.  Counts UNDERCOUNT
-    for fan-ins above the cap (drops accounted by
-    :func:`co_witness_bucket_stats`).  Scan count over the largest fact
-    table: 1 (the session-cached capped pair table)."""
-    return _co_witness_recs_body(_co_witness_pairs_capped_cached(spark, sf_dir))
+    bounded: the group cap bounds per-group pair emit, and (VERDICT r9
+    #3) each node's neighbor list is additionally truncated to
+    PROJ_NEIGHBOR_CAP before the h1⋈h2 join, so a projection hub
+    spanning many groups cannot re-inflate the expansion
+    (≤ cap·|capped adjacency|, linear in node count; exact before/after
+    emit priced by :func:`neighbor_cap_stats`).
+    Counts UNDERCOUNT for fan-ins above either cap (group-cap drops
+    accounted by :func:`co_witness_bucket_stats`); direct-edge removal
+    stays exact.  Scan count over the largest fact table: 1 (the
+    session-cached capped pair table)."""
+    return _co_witness_recs_body(
+        _co_witness_pairs_capped_cached(spark, sf_dir),
+        neighbor_cap=PROJ_NEIGHBOR_CAP,
+    )
 
 
-def _co_witness_recs_body(pairs: DataFrame) -> DataFrame:
+def _co_witness_recs_body(
+    pairs: DataFrame, neighbor_cap: int | None = None
+) -> DataFrame:
     """Common-neighbor recommendation scoring over an arbitrary
-    co-witness pair table — shared by the exact and capped forms."""
+    co-witness pair table — shared by the exact demo (neighbor_cap=None)
+    and the capped form (PROJ_NEIGHBOR_CAP).  With a cap, 2-hop paths
+    ride per-node truncated neighbor lists; the direct-edge anti-join
+    stays exact."""
     from pyspark.sql import Window
 
-    cw = pairs.select(
-        "city_key", F.col("src_a").alias("a"), F.col("src_b").alias("b")
-    )
-    adj = cw.unionByName(
-        cw.select("city_key", F.col("b").alias("a"), F.col("a").alias("b"))
-    )
-    h1 = adj.select("city_key", F.col("a").alias("src"), F.col("b").alias("m"))
-    h2 = adj.select("city_key", F.col("a").alias("m"), F.col("b").alias("rec"))
+    adj = _symmetrized_adjacency(pairs)
+    hop = adj if neighbor_cap is None else _capped_adjacency(adj, neighbor_cap)
+    h1 = hop.select("city_key", F.col("a").alias("src"), F.col("b").alias("m"))
+    h2 = hop.select("city_key", F.col("a").alias("m"), F.col("b").alias("rec"))
     counts = (
         h1.join(h2, ["city_key", "m"])
         .filter(F.col("src") != F.col("rec"))
@@ -1452,33 +1544,41 @@ def adamic_adar_scores_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scan count over the largest fact table: 1 (the session-cached capped
     pair table; degrees derive from the projection itself).
 
-    Residual scale term: the 2-hop expansion emits Σ_m deg(m)² over
-    PROJECTION degrees — the cap bounds each witness group's
-    contribution, not a hub node's total degree across groups.  Measured
-    at 10× fan-in (BASELINE.md round-9 fan-in probe): 12.3× wall for 38×
-    projection edges, i.e. sub-linear per edge at that scale; a corpus
-    with genuine projection hubs would additionally want a per-node
-    neighbor cap before the h1⋈h2 join (same undercount-and-account
-    pattern, not yet needed at tested scales)."""
-    return _adamic_adar_body(_co_witness_pairs_capped_cached(spark, sf_dir))
+    Scale term closed this round (VERDICT r9 #3): the 2-hop expansion
+    pays Σ_m deg(m)² over PROJECTION degrees, which the group cap does
+    NOT bound for a hub node spanning many groups — so this form also
+    truncates each node's neighbor list to PROJ_NEIGHBOR_CAP before the
+    h1⋈h2 join (expansion ≤ cap·|capped adjacency|, linear in node
+    count; exact before/after emit priced by
+    :func:`neighbor_cap_stats`).  Middle-vertex WEIGHTS still use the
+    exact projection degree and direct-edge removal stays exact — only
+    path ENUMERATION is truncated.  Measured at 10× fan-in (BASELINE.md
+    round-9 fan-in probe) the group cap alone held 12.3× wall for 38×
+    edges; the hub-heavy direction that probe did not stress is covered
+    by the round-10 hub probe (tools/scale_probe_r10_hub.py)."""
+    return _adamic_adar_body(
+        _co_witness_pairs_capped_cached(spark, sf_dir),
+        neighbor_cap=PROJ_NEIGHBOR_CAP,
+    )
 
 
-def _adamic_adar_body(pairs: DataFrame) -> DataFrame:
+def _adamic_adar_body(
+    pairs: DataFrame, neighbor_cap: int | None = None
+) -> DataFrame:
     """Adamic-Adar scoring over an arbitrary co-witness pair table —
-    shared by the exact and the capped registered forms."""
+    shared by the exact demo (neighbor_cap=None) and the capped
+    registered form (PROJ_NEIGHBOR_CAP).  With a cap, 2-hop paths are
+    enumerated over per-node truncated neighbor lists; degrees (the
+    1/ln(deg) weights) and the direct-edge anti-join stay exact."""
     from pyspark.sql import Window
 
-    cw = pairs.select(
-        "city_key", F.col("src_a").alias("a"), F.col("src_b").alias("b")
-    )
-    adj = cw.unionByName(
-        cw.select("city_key", F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    adj = _symmetrized_adjacency(pairs).persist()
     deg = adj.groupBy("city_key", F.col("a").alias("m")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    h1 = adj.select("city_key", F.col("a").alias("src"), F.col("b").alias("m"))
-    h2 = adj.select("city_key", F.col("a").alias("m"), F.col("b").alias("rec"))
+    hop = adj if neighbor_cap is None else _capped_adjacency(adj, neighbor_cap)
+    h1 = hop.select("city_key", F.col("a").alias("src"), F.col("b").alias("m"))
+    h2 = hop.select("city_key", F.col("a").alias("m"), F.col("b").alias("rec"))
     scored = (
         h1.join(h2, ["city_key", "m"])
         .filter(F.col("src") != F.col("rec"))

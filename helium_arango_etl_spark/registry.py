@@ -3573,12 +3573,20 @@ ORACLE["adamic_adar_scores_capped"] = f"""
         ), deg AS (
           SELECT city_key, a AS m2, CAST(count(*) AS BIGINT) AS deg
           FROM adj GROUP BY city_key, a
+        ), adjc AS (
+          -- per-node neighbor cap (VERDICT r9 #3): 2-hop paths ride
+          -- truncated lists; degrees/anti-join stay on the full adj
+          SELECT city_key, a, b FROM (
+            SELECT city_key, a, b, row_number() OVER (
+                     PARTITION BY city_key, a ORDER BY b) AS rn
+            FROM adj)
+          WHERE rn <= {G.PROJ_NEIGHBOR_CAP}
         ), scored AS (
           SELECT h1.city_key, h1.a AS src, h2.b AS rec,
                  CAST(sum(CAST(round(1000000.0 / ln(CAST(d.deg AS DOUBLE)))
                                AS BIGINT)) AS BIGINT) AS s
-          FROM adj h1
-          JOIN adj h2 ON h2.city_key = h1.city_key AND h2.a = h1.b
+          FROM adjc h1
+          JOIN adjc h2 ON h2.city_key = h1.city_key AND h2.a = h1.b
           JOIN deg d ON d.city_key = h1.city_key AND d.m2 = h1.b
           WHERE h1.a <> h2.b AND d.deg > 1
           GROUP BY h1.city_key, h1.a, h2.b
@@ -3639,11 +3647,19 @@ ORACLE["co_witness_recommendations_capped"] = f"""
         adj AS (
           SELECT city_key, src_a AS a, src_b AS b FROM cw
           UNION ALL SELECT city_key, src_b AS a, src_a AS b FROM cw
+        ), adjc AS (
+          -- per-node neighbor cap (VERDICT r9 #3): 2-hop paths ride
+          -- truncated lists; the direct-edge anti-join stays on adj
+          SELECT city_key, a, b FROM (
+            SELECT city_key, a, b, row_number() OVER (
+                     PARTITION BY city_key, a ORDER BY b) AS rn
+            FROM adj)
+          WHERE rn <= {G.PROJ_NEIGHBOR_CAP}
         ), counts AS (
           SELECT h1.city_key, h1.a AS src, h2.b AS rec,
                  CAST(count(DISTINCT h1.b) AS BIGINT) AS shared_partners
-          FROM adj h1
-          JOIN adj h2 ON h2.city_key = h1.city_key AND h2.a = h1.b
+          FROM adjc h1
+          JOIN adjc h2 ON h2.city_key = h1.city_key AND h2.a = h1.b
           WHERE h1.a <> h2.b
           GROUP BY h1.city_key, h1.a, h2.b
         ), nond AS (
@@ -3833,6 +3849,55 @@ ORACLE["cowitness_lift_capped"] = f"""
         JOIN deg da ON da.city_key = cw.city_key AND da.src = cw.src_a
         JOIN deg db ON db.city_key = cw.city_key AND db.src = cw.src_b
         JOIN nw ON nw.city_key = cw.city_key
+    """.replace("{WSQL}", _WITNESS_SQL)
+
+
+# ---------- round-10: per-node neighbor-cap accounting (VERDICT r9 #3) ----------
+# The 2-hop capped consumers (adamic_adar_scores_capped,
+# co_witness_recommendations_capped) now truncate each node's adjacency
+# list to G.PROJ_NEIGHBOR_CAP before the h1⋈h2 join; this query prices
+# every dropped adjacency entry and the expansion bound before/after —
+# the no-silent-caps ledger, mirror of co_witness_bucket_stats.
+
+QUERIES["neighbor_cap_stats"] = G.neighbor_cap_stats
+ORACLE["neighbor_cap_stats"] = f"""
+        WITH {_CO_CAPPED_CTES},
+        adj AS (
+          SELECT city_key, src_a AS a, src_b AS b FROM cw
+          UNION ALL SELECT city_key, src_b AS a, src_a AS b FROM cw
+        ), deg AS (
+          SELECT city_key, a, CAST(count(*) AS BIGINT) AS deg
+          FROM adj GROUP BY city_key, a
+        ), adjc AS (
+          SELECT city_key, a, b FROM (
+            SELECT city_key, a, b, row_number() OVER (
+                     PARTITION BY city_key, a ORDER BY b) AS rn
+            FROM adj)
+          WHERE rn <= {G.PROJ_NEIGHBOR_CAP}
+        ), keep AS (
+          SELECT city_key, b AS m, CAST(count(*) AS BIGINT) AS keepers
+          FROM adjc GROUP BY city_key, b
+        ), lst AS (
+          SELECT city_key, a AS m, CAST(count(*) AS BIGINT) AS out_deg
+          FROM adjc GROUP BY city_key, a
+        ), emit AS (
+          SELECT CAST(sum(keepers * out_deg) AS BIGINT)
+                     AS capped_two_hop_emit
+          FROM keep JOIN lst USING (city_key, m)
+        ), dstat AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(max(deg) AS BIGINT) AS max_proj_degree,
+                 CAST(sum(CASE WHEN deg > {G.PROJ_NEIGHBOR_CAP}
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_capped_nodes,
+                 CAST(sum(CASE WHEN deg > {G.PROJ_NEIGHBOR_CAP}
+                               THEN deg - {G.PROJ_NEIGHBOR_CAP}
+                               ELSE 0 END) AS BIGINT)
+                     AS dropped_neighbors,
+                 CAST(sum(deg * deg) AS BIGINT) AS sum_deg_sq
+          FROM deg
+        )
+        SELECT dstat.*, emit.capped_two_hop_emit FROM dstat, emit
     """.replace("{WSQL}", _WITNESS_SQL)
 
 

@@ -500,6 +500,103 @@ def test_round9_capped_twins_bounded_on_celebrity(spark):
     assert all(w_capped[k] <= w_exact[k] for k in w_capped)
 
 
+def test_neighbor_cap_bounds_projection_hub(spark):
+    """Per-node neighbor cap on the 2-hop consumers (VERDICT r9 #3): a
+    PROJECTION hub — one node co-witnessed with a distinct partner in 30
+    small groups, so the GROUP cap never binds but projection degree is
+    30 > PROJ_NEIGHBOR_CAP — must have its h1⋈h2 expansion truncated to
+    its 16 smallest-id neighbors, with the emit matching the
+    keepers(m)·out_deg(m) accounting exactly, while middle WEIGHTS keep
+    the exact degree (ln 30, not ln 16)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_spark.operators.graph import (
+        PROJ_NEIGHBOR_CAP,
+        _adamic_adar_body,
+        _capped_adjacency,
+        _co_pairs,
+        _co_witness_recs_body,
+        _symmetrized_adjacency,
+    )
+
+    assert PROJ_NEIGHBOR_CAP == 16
+    n = 30
+    edges = spark.createDataFrame(
+        [("c1", "hub", f"w{i:02d}") for i in range(n)]
+        + [("c1", f"p{i:02d}", f"w{i:02d}") for i in range(n)],
+        "city_key string, src string, dst string",
+    )
+    # every witness group has size 2: the group cap (8) never binds, so
+    # capped pairs == exact pairs — the hub's degree survives to the
+    # projection untouched
+    pairs = _co_pairs(edges, 8).localCheckpoint()
+    assert pairs.count() == n
+    adj = _symmetrized_adjacency(pairs).localCheckpoint()
+    hop = _capped_adjacency(adj, PROJ_NEIGHBOR_CAP).localCheckpoint()
+
+    # hub keeps exactly its 16 smallest partners; every partner keeps hub
+    kept = sorted(
+        r["b"] for r in hop.filter(F.col("a") == "hub").collect()
+    )
+    assert kept == [f"p{i:02d}" for i in range(PROJ_NEIGHBOR_CAP)]
+    assert hop.filter(F.col("b") == "hub").count() == n
+
+    # exact emit Σ deg² = 30² + 30·1²; capped emit = keepers·out_deg
+    # summed: hub 30·16 + 16 partners kept by hub at 1·1 each
+    h1 = adj.select("city_key", F.col("a").alias("src"), F.col("b").alias("m"))
+    h2 = adj.select("city_key", F.col("a").alias("m"), F.col("b").alias("rec"))
+    assert h1.join(h2, ["city_key", "m"]).count() == n * n + n
+    c1 = hop.select("city_key", F.col("a").alias("src"), F.col("b").alias("m"))
+    c2 = hop.select("city_key", F.col("a").alias("m"), F.col("b").alias("rec"))
+    capped_emit = c1.join(c2, ["city_key", "m"]).count()
+    assert capped_emit == n * PROJ_NEIGHBOR_CAP + PROJ_NEIGHBOR_CAP
+    # ...which is what neighbor_cap_stats' keepers⋈out_deg ledger prices
+    keep = hop.groupBy(F.col("b").alias("m")).count().withColumnRenamed(
+        "count", "keepers"
+    )
+    lst = hop.groupBy(F.col("a").alias("m")).count().withColumnRenamed(
+        "count", "out_deg"
+    )
+    priced = (
+        keep.join(lst, "m")
+        .agg(F.sum(F.expr("keepers * out_deg")))
+        .collect()[0][0]
+    )
+    assert priced == capped_emit
+
+    # capped recs: every partner still reaches the hub middle (its own
+    # 1-entry list survives the cap), but the hub's OUT-list is
+    # truncated, so recommendation targets collapse to the 16 kept
+    # partners — and every (src, rec) pair the capped form emits exists
+    # in the exact one
+    rec_exact = _co_witness_recs_body(pairs).collect()
+    rec_capped = _co_witness_recs_body(
+        pairs, neighbor_cap=PROJ_NEIGHBOR_CAP
+    ).collect()
+    pe = {(r["src"], r["rec"]) for r in rec_exact}
+    pc = {(r["src"], r["rec"]) for r in rec_capped}
+    assert pc <= pe
+    assert {r["src"] for r in rec_capped} == {f"p{i:02d}" for i in range(n)}
+    assert {r["rec"] for r in rec_capped} <= {
+        f"p{i:02d}" for i in range(PROJ_NEIGHBOR_CAP)
+    }
+    assert {r["src"] for r in rec_exact} == {f"p{i:02d}" for i in range(n)}
+    assert all(r["shared_partners"] == 1 for r in rec_capped)
+
+    # capped adamic-adar: same truncation shape, and the 1/ln(deg)
+    # weight uses the EXACT hub degree 30 — truncation changes which
+    # paths are enumerated, never the middle's weight
+    aa_capped = _adamic_adar_body(pairs, neighbor_cap=PROJ_NEIGHBOR_CAP).collect()
+    assert {r["src"] for r in aa_capped} == {f"p{i:02d}" for i in range(n)}
+    assert {r["rec"] for r in aa_capped} <= {
+        f"p{i:02d}" for i in range(PROJ_NEIGHBOR_CAP)
+    }
+    want = round(round(1_000_000.0 / math.log(float(n))) / 1_000_000.0, 6)
+    assert all(r["aa_score"] == want for r in aa_capped)
+
+
 @pytest.mark.parametrize("seed", [3, 17, 41])
 def test_capped_pairs_invariants_random_bipartite(spark, seed):
     """Cap-vs-exact invariants on varied bipartite edge sets: the capped

@@ -874,6 +874,41 @@ def test_bench_host_signature_diagnostics():
     deg = bench._host_signature(degraded)
     assert deg["verdict"].startswith("host-degraded"), deg
 
+    # VERDICT r9 #4: the pyworker bucket is judged against the SAME-RUN
+    # substrate fingerprint — a comparable substrate factor corroborates
+    # (host), a clean substrate makes the bucket a suspect in its own
+    # right, and the fingerprint is carried in the JSON either way
+    corroborated = bench._host_signature(
+        degraded,
+        substrate={
+            "loop10m_sec": 1.08,
+            "pandas_pyarrow_import_sec": 2.7,
+            "substrate_factor": 2.45,
+        },
+    )
+    assert "corroborates" in corroborated["verdict"], corroborated
+    assert corroborated["py_substrate"]["substrate_factor"] == 2.45
+    clean_sub = bench._host_signature(
+        degraded,
+        substrate={
+            "loop10m_sec": 0.45,
+            "pandas_pyarrow_import_sec": 1.0,
+            "substrate_factor": 0.91,
+        },
+    )
+    assert clean_sub["verdict"].startswith("pyworker-suspect"), clean_sub
+
+    # the live probe measures both fingerprints and derives the factor
+    live = bench._py_substrate()
+    assert live["loop10m_sec"] > 0
+    assert live["substrate_factor"] >= round(
+        live["loop10m_sec"] / bench.PY_LOOP_NOMINAL_S, 2
+    ) - 0.01
+    if live["pandas_pyarrow_import_sec"] is not None:
+        assert live["substrate_factor"] >= round(
+            live["pandas_pyarrow_import_sec"] / bench.PY_IMPORT_NOMINAL_S, 2
+        ) - 0.01
+
     skewed = {n: v * 1.1 for n, v in headline_targets.items()}
     skewed["city_ppr_joins"] = headline_targets["city_ppr_joins"] * 3.0
     sk = bench._host_signature(skewed)

@@ -1,0 +1,235 @@
+"""Round-10 scale probe: a PROJECTION HUB vs the per-node neighbor cap.
+
+The r9 fan-in probe grew witness GROUP sizes (the direction the
+CO_WITNESS_MAX_GROUP group cap bounds).  This probe stresses the
+direction r9 explicitly did NOT: one hotspot that co-occurs in MANY
+SMALL groups, so the group cap never binds but the node's PROJECTION
+degree grows without bound — the Σ_m deg(m)² term the r9 docstrings
+named as the residual (graph.py `_adamic_adar_body`), closed this round
+by PROJ_NEIGHBOR_CAP (VERDICT r9 #3).
+
+Corpus: sf0.1 plus a synthetic hub supplier co-witnessed with H distinct
+partner suppliers through H distinct single-sighting witnesses (every
+witness group has size 2 — group cap irrelevant; hub projection degree
+= H).  Two hub sizes, 2k and 20k, give a 10x hub-degree step.
+
+Predicted shapes (the design claims being tested):
+  - group-cap-only 2-hop (the pre-r10 form): emit through the hub is
+    keepers(hub)·deg(hub) ≈ H² — wall grows ~100x for the 10x step and
+    should blow past the 600 s guard at H=20k;
+  - node-capped 2-hop (this round's production form): emit ≈ H·cap —
+    wall grows ~10x (linear in H);
+  - neighbor_cap_stats' ledger prices both exactly: sum_deg_sq ≈ H²,
+    capped_two_hop_emit ≈ H·cap, dropped_neighbors ≈ H − cap.
+
+Timing protocol: caches cleared per measurement, two runs, min taken;
+both scales in ONE session so host state cancels in the ratio.  The
+uncapped variants run under a watchdog that cancels the Spark job group
+at TIMEOUT_S and records "timeout".
+
+Usage: python tools/scale_probe_r10_hub.py        (writes JSON to stdout)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT_BASE = os.path.join(REPO, ".tmp", "hub_probe")
+HUB_SIZES = {"hub2k": 2_000, "hub20k": 20_000}
+TIMEOUT_S = 600
+HUB_SUPP = 10_000_000
+OFF_PART = 20_000_000
+OFF_ORD = 200_000_000
+OFF_CUST = 50_000_000
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def build_corpus(spark: SparkSession, h: int, out_dir: str) -> None:
+    """sf0.1 + one hub supplier sharing a size-2 witness group with each
+    of `h` distinct partner suppliers (all in the hub's nation, so the
+    whole star lands in one city — the mega-hub direction)."""
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        if t == "supplier":
+            tmpl = df.limit(1).drop("s_suppkey")
+            hub = tmpl.select(
+                F.lit(HUB_SUPP).cast("bigint").alias("s_suppkey"),
+                F.lit("hub").alias("s_name"),
+                F.lit(0).cast("int").alias("s_nationkey"),
+                F.lit(0.0).alias("s_acctbal"),
+            )
+            partners = spark.range(h).select(
+                (F.lit(OFF_PART) + F.col("id")).cast("bigint").alias("s_suppkey"),
+                F.concat(F.lit("partner"), F.col("id")).alias("s_name"),
+                F.lit(0).cast("int").alias("s_nationkey"),
+                F.lit(0.0).alias("s_acctbal"),
+            )
+            out = df.unionByName(hub).unionByName(partners)
+        elif t == "orders":
+            extra = spark.range(h).select(
+                (F.lit(OFF_ORD) + F.col("id")).cast("bigint").alias("o_orderkey"),
+                (F.lit(OFF_CUST) + F.col("id")).cast("bigint").alias("o_custkey"),
+                F.lit("F").alias("o_orderstatus"),
+                F.lit(0.0).alias("o_totalprice"),
+                F.lit("2024-01-01 00:00:00").cast("timestamp").alias("o_orderdate"),
+                F.lit("3-MEDIUM").alias("o_orderpriority"),
+            )
+            out = df.unionByName(extra)
+        elif t == "lineitem":
+            base = spark.range(h)
+            mk = lambda supp: base.select(
+                (F.lit(OFF_ORD) + F.col("id")).cast("bigint").alias("l_orderkey"),
+                F.lit(1).cast("bigint").alias("l_partkey"),
+                supp.cast("bigint").alias("l_suppkey"),
+                F.lit(1).cast("int").alias("l_linenumber"),
+                F.lit(1.0).alias("l_quantity"),
+                F.lit(1.0).alias("l_extendedprice"),
+                F.lit(0.0).alias("l_discount"),
+                F.lit(0.0).alias("l_tax"),
+                F.lit("N").alias("l_returnflag"),
+                F.lit("O").alias("l_linestatus"),
+                F.lit("2024-01-01 00:00:00").cast("timestamp").alias("l_shipdate"),
+            )
+            out = df.unionByName(mk(F.lit(HUB_SUPP))).unionByName(
+                mk(F.lit(OFF_PART) + F.col("id"))
+            )
+        else:
+            out = df
+        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def _clear(spark: SparkSession) -> None:
+    from helium_arango_etl_spark.operators.graph import clear_edge_cache
+
+    clear_edge_cache(spark)
+
+
+def timed(spark: SparkSession, fn, sf_dir: str, guard: bool = False):
+    """(best_sec, rows) over two runs; with guard=True a watchdog cancels
+    the job group at TIMEOUT_S and reports a timeout (one run only —
+    a guarded probe is expected to either finish fast or die)."""
+    runs = 1 if guard else 2
+    best, rows = float("inf"), -1
+    for _ in range(runs):
+        _clear(spark)
+        out = {}
+
+        def run():
+            try:
+                spark.sparkContext.setJobGroup(
+                    "r10-hub-probe", "guarded 2-hop", interruptOnCancel=True
+                )
+                t0 = time.time()
+                out["rows"] = fn(spark, sf_dir).count()
+                out["sec"] = time.time() - t0
+            except Exception as e:  # cancelled or genuine failure
+                out["error"] = str(e)[:160]
+
+        th = threading.Thread(target=run, daemon=True)
+        t0 = time.time()
+        th.start()
+        th.join(TIMEOUT_S if guard else None)
+        if th.is_alive():
+            spark.sparkContext.cancelJobGroup("r10-hub-probe")
+            th.join(30)
+            _clear(spark)
+            return "timeout", -1
+        if "error" in out and "cancelled" not in out["error"].lower():
+            _clear(spark)
+            return f"error: {out['error']}", -1
+        best, rows = min(best, out["sec"]), out["rows"]
+    _clear(spark)
+    return round(best, 3), rows
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .appName("scale-probe-r10-hub")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dirs = {}
+    for name, h in HUB_SIZES.items():
+        d = os.path.join(OUT_BASE, name)
+        print(f"building {name} (H={h}) ...", file=sys.stderr)
+        t0 = time.time()
+        build_corpus(spark, h, d)
+        print(f"built in {time.time() - t0:.1f}s", file=sys.stderr)
+        dirs[name] = d
+
+    from helium_arango_etl_spark.operators import graph as G
+
+    # the ledger first: neighbor_cap_stats must price the hub exactly
+    stats = {}
+    for name, d in dirs.items():
+        _clear(spark)
+        row = G.neighbor_cap_stats(spark, d).collect()[0]
+        stats[name] = {k: int(v) for k, v in row.asDict().items()}
+        print(f"neighbor_cap_stats {name}: {stats[name]}", file=sys.stderr)
+
+    # pre-r10 forms: group cap only, NO per-node neighbor cap — the
+    # residual the r9 docstrings named; expected quadratic in hub degree
+    uncapped_aa = lambda s, d: G._adamic_adar_body(
+        G._co_witness_pairs_capped_cached(s, d)
+    )
+    uncapped_recs = lambda s, d: G._co_witness_recs_body(
+        G._co_witness_pairs_capped_cached(s, d)
+    )
+    probes = {
+        "adamic_adar_groupcap_only": (uncapped_aa, True),
+        "adamic_adar_scores_capped": (G.adamic_adar_scores_capped, False),
+        "recs_groupcap_only": (uncapped_recs, True),
+        "co_witness_recommendations_capped": (
+            G.co_witness_recommendations_capped,
+            False,
+        ),
+    }
+    results = {}
+    for name, (fn, guard) in probes.items():
+        r = {}
+        for scale, d in dirs.items():
+            sec, rows = timed(spark, fn, d, guard=guard)
+            r[scale] = {"sec": sec, "rows": rows}
+            print(f"{name} {scale}: {sec}, {rows} rows", file=sys.stderr)
+        a, b = (r[k]["sec"] for k in HUB_SIZES)
+        r["time_ratio"] = (
+            round(b / max(a, 1e-9), 2)
+            if isinstance(a, float) and isinstance(b, float)
+            else None
+        )
+        results[name] = r
+
+    print(json.dumps({"neighbor_cap_stats": stats, "probes": results}, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
