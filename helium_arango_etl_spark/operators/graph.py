@@ -24,6 +24,7 @@ O(world)).
 
 from __future__ import annotations
 
+import os
 import weakref
 
 import pandas as pd
@@ -616,6 +617,63 @@ def city_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scale guard for the oracle-exact demos (VERDICT r9 #7, closing the
+# bare-name question): a caller of an undecorated exact-demo name over a
+# corpus with real hubs now gets an explicit refusal pointing at the
+# bounded twin, instead of silently building a k²/2 plan.  Two CHEAP
+# metrics gate it (sizes only, never a pair emit), cached per
+# (session, sf_dir): the max witness-group fan-in (bounds per-group pair
+# generation) and the max per-node Σ(|g|−1) over its groups (an upper
+# bound on EXACT projection degree — the 2-hop Σ deg² driver, which a
+# hub in many small groups inflates without ever tripping the fan-in
+# metric).  sf0.1 measures 7 / 183; the r9 10× fan-in probe and the hub
+# probe both cross the threshold by design and opt in via the env var.
+EXACT_DEMO_MAX_FANIN = 1024
+ALLOW_EXACT_DEMO_ENV = "SPARK_GRAFT_ALLOW_EXACT_DEMO"
+_FANIN_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _guard_exact_demo(spark: SparkSession, sf_dir: str, name: str, twin: str) -> None:
+    """Refuse to build an exact-demo plan over a hub-bearing corpus
+    unless the caller opted in explicitly (ALLOW_EXACT_DEMO_ENV=1)."""
+    if os.environ.get(ALLOW_EXACT_DEMO_ENV) == "1":
+        return
+    per = _FANIN_CACHE.setdefault(spark, {})
+    stats = per.get(sf_dir)
+    if stats is None:
+        edges = (
+            witness_subgraph(spark, sf_dir)
+            .select("city_key", "src", "dst")
+            .distinct()
+        )
+        g = edges.groupBy("city_key", "dst").agg(F.count(F.lit(1)).alias("k"))
+        row = (
+            edges.join(g, ["city_key", "dst"])
+            .groupBy("city_key", "src")
+            .agg(F.sum(F.col("k") - 1).alias("pd"))
+            .agg(
+                F.coalesce(F.max("pd"), F.lit(0)).alias("max_projdeg_bound"),
+            )
+            .crossJoin(
+                g.agg(F.coalesce(F.max("k"), F.lit(0)).alias("max_fanin"))
+            )
+            .collect()[0]
+        )
+        stats = (int(row["max_fanin"]), int(row["max_projdeg_bound"]))
+        per[sf_dir] = stats
+    mx_fanin, mx_pd = stats
+    worst = max(mx_fanin, mx_pd)
+    if worst > EXACT_DEMO_MAX_FANIN:
+        raise RuntimeError(
+            f"{name} is a documented oracle-exact DEMO whose pair/2-hop emit"
+            f" is quadratic in hub size; this corpus has witness fan-in"
+            f" {mx_fanin} / projection-degree bound {mx_pd}"
+            f" (> {EXACT_DEMO_MAX_FANIN}). Use the bounded production twin"
+            f" `{twin}` instead, or set {ALLOW_EXACT_DEMO_ENV}=1 to opt in"
+            f" explicitly."
+        )
+
+
 def co_witness_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bipartite projection of the witness graph onto hotspots: two
     hotspots are co-witnesses when the same witness node saw both, with
@@ -634,6 +692,9 @@ def co_witness_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_session = _PAIRS_CACHE.setdefault(spark, {})
     df = per_session.get(sf_dir)
     if df is None:
+        _guard_exact_demo(
+            spark, sf_dir, "co_witness_pairs", "co_witness_pairs_capped"
+        )
         edges = (
             witness_subgraph(spark, sf_dir)
             .select("city_key", "src", "dst")
@@ -2154,6 +2215,12 @@ def _tip_body(
     """Fixed-threshold tip peel over the witness edge set — shared by
     the exact and capped registered forms (``max_group`` flows into the
     per-round pair generation)."""
+    if max_group is None:
+        # the exact form regenerates UNCAPPED pairs every peel round —
+        # the one demo path that does not route through co_witness_pairs
+        _guard_exact_demo(
+            spark, sf_dir, "tip_decomposition", "tip_decomposition_capped"
+        )
     edges = (
         witness_subgraph(spark, sf_dir)
         .select("city_key", "src", "dst")

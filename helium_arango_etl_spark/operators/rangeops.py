@@ -600,6 +600,19 @@ def price_quantity_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Benford expectations folded ONCE in Python (the seed-66 constant
+# convention, applied proactively in the round-10 oracle-side sweep):
+# `log10(1 + 1.0/d)` written as SQL was literal/literal — DECIMAL
+# division in Spark (quantized before the log) vs double in DuckDB.
+# The folded micro-ints are embedded verbatim in BOTH engines' CASE.
+# (Verified identical to what both engines previously produced: the
+# decimal-vs-double gap is ~3e-13 and no digit's value sits within
+# 3e-7 of a rounding boundary — this is hardening, not a result change.)
+BENFORD_EXP_MICRO = {
+    d: round(math.log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)
+}
+
+
 def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit over event values — the classic
     anomalous-data screen (fabricated or capped values bend the
@@ -626,12 +639,12 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
     )
     tot = obs.agg(F.sum("observed").alias("n"))
-    # expected share in micro-units: round(log10(1 + 1/d) * 1e6)
+    # expected share in micro-units, folded in Python (BENFORD_EXP_MICRO)
     exp_micro = (
         "CASE digit "
         + " ".join(
-            f"WHEN {d} THEN cast(round(log10(1 + 1.0 / {d}) * 1000000) as bigint)"
-            for d in range(1, 10)
+            f"WHEN {d} THEN cast({m} as bigint)"
+            for d, m in BENFORD_EXP_MICRO.items()
         )
         + " END"
     )

@@ -1571,6 +1571,12 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_K = 5
 
+# Scale guard for the corpus² demo (VERDICT r9 #7): sf0.1 carries 2k
+# vectors; the r9 ANN probe's 20k-vector corpus is where the exact form
+# times out — the threshold sits between them so harness scales run
+# free and a production-sized corpus gets the refusal + twin pointer.
+EXACT_DEMO_MAX_VECTORS = 10_000
+
 
 def mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual k-nearest-neighbor graph over the embedding corpus: an
@@ -1590,9 +1596,29 @@ def mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical downstream rank/mutual logic — the rank window keys on
     vec_id either way, and norms come precomputed off the shared
     embedding table so per-pair work is one fold.
+
+    Scale guard (VERDICT r9 #7): above EXACT_DEMO_MAX_VECTORS rows the
+    corpus² plan refuses with a pointer to `mutual_knn_graph_lsh`
+    unless SPARK_GRAFT_ALLOW_EXACT_DEMO=1 — the r9 ANN probe measured
+    the exact form timing out (>600 s) at 20k vectors where the LSH
+    twin finishes in 14 s.
     """
+    import os
+
     from pyspark.sql import Window
 
+    if os.environ.get("SPARK_GRAFT_ALLOW_EXACT_DEMO") != "1":
+        # raw-table count: parquet row-group metadata, no column eval —
+        # the guard must stay cheap on exactly the corpora it refuses
+        n = read_table(spark, sf_dir, "embeddings").count()
+        if n > EXACT_DEMO_MAX_VECTORS:
+            raise RuntimeError(
+                f"mutual_knn_graph is the documented corpus-squared DEMO;"
+                f" this corpus has {n} vectors"
+                f" (> {EXACT_DEMO_MAX_VECTORS}). Use the bounded"
+                f" production twin `mutual_knn_graph_lsh` instead, or set"
+                f" SPARK_GRAFT_ALLOW_EXACT_DEMO=1 to opt in explicitly."
+            )
     emb = embedding_table(spark, sf_dir)
     a = emb.select(
         F.col("vec_id").alias("ia"),

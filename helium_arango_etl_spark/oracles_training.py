@@ -2751,11 +2751,16 @@ ORACLE_TRAINING["ohlc_daily"] = f"""
         FROM ev GROUP BY event_type, day
     """
 
+# expectations folded once in Python and shared verbatim with the Spark
+# side (rangeops.BENFORD_EXP_MICRO — the seed-66 constant convention;
+# `log10(1 + 1.0/d)` as SQL was DECIMAL division on Spark, double here)
+from .operators.rangeops import BENFORD_EXP_MICRO  # noqa: E402
+
 _BENFORD_EXP = (
     "CASE digit "
     + " ".join(
-        f"WHEN {d} THEN CAST(round(log10(1 + 1.0 / {d}) * 1000000) AS BIGINT)"
-        for d in range(1, 10)
+        f"WHEN {d} THEN CAST({m} AS BIGINT)"
+        for d, m in BENFORD_EXP_MICRO.items()
     )
     + " END"
 )

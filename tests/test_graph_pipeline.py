@@ -500,6 +500,83 @@ def test_round9_capped_twins_bounded_on_celebrity(spark):
     assert all(w_capped[k] <= w_exact[k] for k in w_capped)
 
 
+def test_exact_demo_guard_refuses_hub_corpus(spark, tmp_path, monkeypatch):
+    """The exact-demo scale guard (VERDICT r9 #7): on a corpus whose
+    projection-degree bound crosses EXACT_DEMO_MAX_FANIN, the bare demo
+    names refuse with a pointer to the capped twin; the capped twins
+    keep working; SPARK_GRAFT_ALLOW_EXACT_DEMO=1 opts back in.  The
+    fixture is the hub-star shape: every witness group has size 2 (the
+    fan-in metric alone stays tiny) but the hub's Σ(|g|−1) = 1100."""
+    import datetime
+
+    import pytest as _pytest
+
+    from helium_arango_etl_spark.operators import graph as G
+
+    n = 1100
+    sf = str(tmp_path)
+    ts = datetime.datetime(2024, 1, 1)
+    li = [(i, 1, "N", ts) for i in range(n)] + [
+        (i, 100 + i, "N", ts) for i in range(n)
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_suppkey long, l_returnflag string,"
+        " l_shipdate timestamp",
+    ).write.parquet(sf + "/lineitem.parquet")
+    spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "o_orderkey long, o_custkey long"
+    ).write.parquet(sf + "/orders.parquet")
+    spark.createDataFrame(
+        [(s, 0) for s in [1] + [100 + i for i in range(n)]],
+        "s_suppkey long, s_nationkey long",
+    ).write.parquet(sf + "/supplier.parquet")
+    spark.createDataFrame(
+        [(0, "NATION0", 0)], "n_nationkey long, n_name string, n_regionkey long"
+    ).write.parquet(sf + "/nation.parquet")
+    spark.createDataFrame(
+        [(0, "R0")], "r_regionkey long, r_name string"
+    ).write.parquet(sf + "/region.parquet")
+
+    monkeypatch.delenv(G.ALLOW_EXACT_DEMO_ENV, raising=False)
+    G.clear_edge_cache(spark)
+    G._FANIN_CACHE.pop(spark, None)
+    with _pytest.raises(RuntimeError, match="co_witness_pairs_capped"):
+        G.co_witness_pairs(spark, sf)
+    with _pytest.raises(RuntimeError, match="tip_decomposition_capped"):
+        G.tip_decomposition(spark, sf)
+    # the bounded production twins keep working on the same corpus
+    assert G.co_witness_pairs_capped(spark, sf).count() == n
+    assert G.neighbor_cap_stats(spark, sf).collect()[0]["max_proj_degree"] == n
+
+    # explicit opt-in restores the demo (fresh caches so the guard re-runs)
+    monkeypatch.setenv(G.ALLOW_EXACT_DEMO_ENV, "1")
+    G.clear_edge_cache(spark)
+    G._FANIN_CACHE.pop(spark, None)
+    assert G.co_witness_pairs(spark, sf).count() == n
+    G.clear_edge_cache(spark)
+
+    # the corpus-squared ANN demo has the same guard on vector count
+    from helium_arango_etl_spark.operators import similarity as S
+
+    from pyspark.sql import functions as F
+
+    sf2 = str(tmp_path / "emb")
+    spark.range(S.EXACT_DEMO_MAX_VECTORS + 1).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64),"
+            " i -> cast((id % i) + 1 as double))"
+        ).alias("embedding"),
+        F.lit("l").alias("label"),
+    ).write.parquet(sf2 + "/embeddings.parquet")
+    monkeypatch.delenv(G.ALLOW_EXACT_DEMO_ENV, raising=False)
+    S.clear_emb_cache(spark)
+    with _pytest.raises(RuntimeError, match="mutual_knn_graph_lsh"):
+        S.mutual_knn_graph(spark, sf2)
+    S.clear_emb_cache(spark)
+
+
 def test_neighbor_cap_bounds_projection_hub(spark):
     """Per-node neighbor cap on the 2-hop consumers (VERDICT r9 #3): a
     PROJECTION hub — one node co-witnessed with a distinct partner in 30

@@ -18,6 +18,15 @@ random x degenerate INTERACTION space neither sweep covers alone.
 
 Each seed writes its fixture under .tmp/rand_audit_<seed>/ and prints
 one MATCH/MISMATCH line per query; exit code 1 if anything diverged.
+
+Non-vacuity guard (VERDICT r9 #2): some capped graph twins return 0
+rows at the driver's sf0.01 (no non-direct 2-hop candidates exist in
+that tiny graph), so their driver green is a 0=0 hash match.  This
+audit therefore also REQUIRES every capped co-witness twin to return
+>0 rows on at least one audited seed — a vacuous-everywhere twin is a
+failure (escape hatch: --allow-vacuous, for deliberately tiny seed
+sets).  The per-twin max row counts print as NONVACUOUS lines that
+COVERAGE.md's round-10 table cites.
 """
 
 from __future__ import annotations
@@ -34,7 +43,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 from pyspark.sql import SparkSession  # noqa: E402
 
-from helium_arango_etl_spark.registry import ORACLE, QUERIES  # noqa: E402
+from helium_arango_etl_spark.registry import (  # noqa: E402
+    EXACT_DEMO_QUERIES,
+    ORACLE,
+    QUERIES,
+)
 
 VOCAB = (
     "the fast key order sort table scan merge part window small hash join "
@@ -240,7 +253,10 @@ def _clear_caches(spark: SparkSession) -> None:
 def main() -> int:
     args = sys.argv[1:]
     degen = "--degen" in args
-    seeds = [int(s) for s in args if s != "--degen"] or [11, 12, 13]
+    allow_vacuous = "--allow-vacuous" in args
+    seeds = [
+        int(s) for s in args if s not in ("--degen", "--allow-vacuous")
+    ] or [11, 12, 13]
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "8")
@@ -252,6 +268,9 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     failures: list[tuple[int, str, str]] = []
+    twin_max_rows: dict[str, int] = {
+        t: 0 for t in EXACT_DEMO_QUERIES.values() if t in ORACLE
+    }
     for seed in seeds:
         tmp = os.path.join(
             repo, ".tmp", f"rand_audit_{seed}{'_degen' if degen else ''}"
@@ -280,6 +299,8 @@ def main() -> int:
                 failures.append((seed, name, f"ERROR {type(exc).__name__}: {exc}"))
                 print(f"seed {seed} {name} ERROR {type(exc).__name__}: {exc}")
                 continue
+            if name in twin_max_rows:
+                twin_max_rows[name] = max(twin_max_rows[name], len(srows))
             if srows == drows:
                 n_ok += 1
             else:
@@ -290,6 +311,12 @@ def main() -> int:
                 )
         _clear_caches(spark)
         print(f"seed {seed}: {n_ok}/{len(ORACLE)} MATCH")
+    # non-vacuity guard: every capped twin must have produced real rows
+    # on at least one audited seed (VERDICT r9 #2)
+    for twin, mx in sorted(twin_max_rows.items()):
+        print(f"NONVACUOUS {twin}: max_rows={mx} over seeds {seeds}")
+        if mx == 0 and not allow_vacuous:
+            failures.append((-1, twin, "vacuous (0 rows) on every audited seed"))
     print("RESULT:", "ALL MATCH" if not failures else failures)
     return 1 if failures else 0
 

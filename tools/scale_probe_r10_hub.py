@@ -22,12 +22,17 @@ Predicted shapes (the design claims being tested):
   - neighbor_cap_stats' ledger prices both exactly: sum_deg_sq ≈ H²,
     capped_two_hop_emit ≈ H·cap, dropped_neighbors ≈ H − cap.
 
-Timing protocol: caches cleared per measurement, two runs, min taken;
-both scales in ONE session so host state cancels in the ratio.  The
-uncapped variants run under a watchdog that cancels the Spark job group
-at TIMEOUT_S and records "timeout".
+Timing protocol: the bounded (production) forms run in the main
+session, caches cleared per measurement, two runs, min taken.  The
+UNCAPPED variants are expected to die at the larger scale, so each runs
+in its own SUBPROCESS under a hard kill at TIMEOUT_S (cancelJobGroup
+from a sibling Python thread proved unreliable — the orphaned stage
+kept its task slots and contaminated later measurements); a subprocess
+measurement is one cold-session run, which only widens the gap it is
+demonstrating.
 
 Usage: python tools/scale_probe_r10_hub.py        (writes JSON to stdout)
+       python tools/scale_probe_r10_hub.py --single NAME DIR   (internal)
 """
 
 from __future__ import annotations
@@ -35,8 +40,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
-import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -123,46 +128,20 @@ def _clear(spark: SparkSession) -> None:
     clear_edge_cache(spark)
 
 
-def timed(spark: SparkSession, fn, sf_dir: str, guard: bool = False):
-    """(best_sec, rows) over two runs; with guard=True a watchdog cancels
-    the job group at TIMEOUT_S and reports a timeout (one run only —
-    a guarded probe is expected to either finish fast or die)."""
-    runs = 1 if guard else 2
+def timed(spark: SparkSession, fn, sf_dir: str):
+    """(best_sec, rows) over two cache-cleared runs in the main session."""
     best, rows = float("inf"), -1
-    for _ in range(runs):
+    for _ in range(2):
         _clear(spark)
-        out = {}
-
-        def run():
-            try:
-                spark.sparkContext.setJobGroup(
-                    "r10-hub-probe", "guarded 2-hop", interruptOnCancel=True
-                )
-                t0 = time.time()
-                out["rows"] = fn(spark, sf_dir).count()
-                out["sec"] = time.time() - t0
-            except Exception as e:  # cancelled or genuine failure
-                out["error"] = str(e)[:160]
-
-        th = threading.Thread(target=run, daemon=True)
         t0 = time.time()
-        th.start()
-        th.join(TIMEOUT_S if guard else None)
-        if th.is_alive():
-            spark.sparkContext.cancelJobGroup("r10-hub-probe")
-            th.join(30)
-            _clear(spark)
-            return "timeout", -1
-        if "error" in out and "cancelled" not in out["error"].lower():
-            _clear(spark)
-            return f"error: {out['error']}", -1
-        best, rows = min(best, out["sec"]), out["rows"]
+        rows = fn(spark, sf_dir).count()
+        best = min(best, time.time() - t0)
     _clear(spark)
     return round(best, 3), rows
 
 
-def main() -> None:
-    spark = (
+def _session(app: str) -> SparkSession:
+    return (
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
         )
@@ -171,9 +150,57 @@ def main() -> None:
         .config("spark.driver.memory", "48g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .appName("scale-probe-r10-hub")
+        .appName(app)
         .getOrCreate()
     )
+
+
+def _uncapped_probes():
+    """The pre-r10 forms: group cap only, NO per-node neighbor cap —
+    the residual the r9 docstrings named; expected quadratic in hub
+    degree."""
+    from helium_arango_etl_spark.operators import graph as G
+
+    return {
+        "adamic_adar_groupcap_only": lambda s, d: G._adamic_adar_body(
+            G._co_witness_pairs_capped_cached(s, d)
+        ),
+        "recs_groupcap_only": lambda s, d: G._co_witness_recs_body(
+            G._co_witness_pairs_capped_cached(s, d)
+        ),
+    }
+
+
+def run_single(name: str, d: str) -> None:
+    """Subprocess mode: one cold-session measurement, JSON on stdout."""
+    spark = _session(f"hub-probe-single-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    fn = _uncapped_probes()[name]
+    t0 = time.time()
+    rows = fn(spark, d).count()
+    print(json.dumps({"sec": round(time.time() - t0, 3), "rows": rows}))
+    spark.stop()
+
+
+def timed_subprocess(name: str, d: str):
+    """Run one guarded measurement in a subprocess with a hard kill."""
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", name, d],
+            capture_output=True,
+            text=True,
+            timeout=TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        return "timeout", -1
+    if r.returncode != 0:
+        return f"error: {r.stderr.strip()[-160:]}", -1
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    return out["sec"], out["rows"]
+
+
+def main() -> None:
+    spark = _session("scale-probe-r10-hub")
     spark.sparkContext.setLogLevel("ERROR")
 
     dirs = {}
@@ -195,28 +222,27 @@ def main() -> None:
         stats[name] = {k: int(v) for k, v in row.asDict().items()}
         print(f"neighbor_cap_stats {name}: {stats[name]}", file=sys.stderr)
 
-    # pre-r10 forms: group cap only, NO per-node neighbor cap — the
-    # residual the r9 docstrings named; expected quadratic in hub degree
-    uncapped_aa = lambda s, d: G._adamic_adar_body(
-        G._co_witness_pairs_capped_cached(s, d)
-    )
-    uncapped_recs = lambda s, d: G._co_witness_recs_body(
-        G._co_witness_pairs_capped_cached(s, d)
-    )
-    probes = {
-        "adamic_adar_groupcap_only": (uncapped_aa, True),
-        "adamic_adar_scores_capped": (G.adamic_adar_scores_capped, False),
-        "recs_groupcap_only": (uncapped_recs, True),
-        "co_witness_recommendations_capped": (
-            G.co_witness_recommendations_capped,
-            False,
-        ),
-    }
     results = {}
-    for name, (fn, guard) in probes.items():
+    # bounded production forms: warm main session, min-of-2
+    for name, fn in {
+        "adamic_adar_scores_capped": G.adamic_adar_scores_capped,
+        "co_witness_recommendations_capped": G.co_witness_recommendations_capped,
+    }.items():
         r = {}
         for scale, d in dirs.items():
-            sec, rows = timed(spark, fn, d, guard=guard)
+            sec, rows = timed(spark, fn, d)
+            r[scale] = {"sec": sec, "rows": rows}
+            print(f"{name} {scale}: {sec}, {rows} rows", file=sys.stderr)
+        a, b = (r[k]["sec"] for k in HUB_SIZES)
+        r["time_ratio"] = round(b / max(a, 1e-9), 2)
+        results[name] = r
+    spark.stop()
+
+    # uncapped pre-r10 forms: one cold subprocess each, hard kill
+    for name in _uncapped_probes():
+        r = {}
+        for scale, d in dirs.items():
+            sec, rows = timed_subprocess(name, d)
             r[scale] = {"sec": sec, "rows": rows}
             print(f"{name} {scale}: {sec}, {rows} rows", file=sys.stderr)
         a, b = (r[k]["sec"] for k in HUB_SIZES)
@@ -228,8 +254,10 @@ def main() -> None:
         results[name] = r
 
     print(json.dumps({"neighbor_cap_stats": stats, "probes": results}, indent=1))
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--single":
+        run_single(sys.argv[2], sys.argv[3])
+    else:
+        main()

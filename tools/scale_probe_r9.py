@@ -41,6 +41,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+# this probe EXISTS to measure the exact demo's quadratic blow-up at 10x
+# fan-in — explicitly opt past the r10 exact-demo scale guard
+os.environ.setdefault("SPARK_GRAFT_ALLOW_EXACT_DEMO", "1")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT_DIR = os.path.join(REPO, ".tmp", "sf1x_fanin")
