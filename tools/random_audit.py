@@ -19,14 +19,17 @@ random x degenerate INTERACTION space neither sweep covers alone.
 Each seed writes its fixture under .tmp/rand_audit_<seed>/ and prints
 one MATCH/MISMATCH line per query; exit code 1 if anything diverged.
 
-Non-vacuity guard (VERDICT r9 #2): some capped graph twins return 0
+Non-vacuity guard (VERDICT r9 #2): the two 2-hop capped twins return 0
 rows at the driver's sf0.01 (no non-direct 2-hop candidates exist in
-that tiny graph), so their driver green is a 0=0 hash match.  This
-audit therefore also REQUIRES every capped co-witness twin to return
->0 rows on at least one audited seed — a vacuous-everywhere twin is a
-failure (escape hatch: --allow-vacuous, for deliberately tiny seed
-sets).  The per-twin max row counts print as NONVACUOUS lines that
-COVERAGE.md's round-10 table cites.
+that tiny graph), so their driver green is a 0=0 hash match — the ONLY
+evidence they compute real rows correctly would otherwise be sf0.1
+parity.  This audit therefore REQUIRES each DRIVER-VACUOUS twin
+(DRIVER_VACUOUS_TWINS below; the COVERAGE.md round-10 row-count table
+is the source) to return >0 rows on at least one audited seed (escape
+hatch: --allow-vacuous, for deliberately tiny seed sets).  Every capped
+twin's max row count still prints as a NONVACUOUS line — twins with
+real driver-scale rows (e.g. ktruss at 186) may legitimately be empty
+on a sparse random corpus and are not failed for it.
 """
 
 from __future__ import annotations
@@ -48,6 +51,15 @@ from helium_arango_etl_spark.registry import (  # noqa: E402
     ORACLE,
     QUERIES,
 )
+
+# The capped twins whose sf0.01 driver certification is a 0=0 hash
+# match (COVERAGE.md round-10 row-count table) — the audit must prove
+# these compute real rows on random corpora; all other twins have
+# non-vacuous driver greens already.
+DRIVER_VACUOUS_TWINS = {
+    "adamic_adar_scores_capped",
+    "co_witness_recommendations_capped",
+}
 
 VOCAB = (
     "the fast key order sort table scan merge part window small hash join "
@@ -311,11 +323,11 @@ def main() -> int:
                 )
         _clear_caches(spark)
         print(f"seed {seed}: {n_ok}/{len(ORACLE)} MATCH")
-    # non-vacuity guard: every capped twin must have produced real rows
-    # on at least one audited seed (VERDICT r9 #2)
+    # non-vacuity guard: every DRIVER-VACUOUS twin must have produced
+    # real rows on at least one audited seed (VERDICT r9 #2)
     for twin, mx in sorted(twin_max_rows.items()):
         print(f"NONVACUOUS {twin}: max_rows={mx} over seeds {seeds}")
-        if mx == 0 and not allow_vacuous:
+        if mx == 0 and twin in DRIVER_VACUOUS_TWINS and not allow_vacuous:
             failures.append((-1, twin, "vacuous (0 rows) on every audited seed"))
     print("RESULT:", "ALL MATCH" if not failures else failures)
     return 1 if failures else 0
