@@ -834,6 +834,28 @@ def test_degen_seed66_decimal_literal_division_constants(spark, tmp_path_factory
         _compare(spark, tmp, con, name)
 
 
+def test_benford_constants_folded_and_pinned():
+    """Round-10 oracle-side sweep find (the seed-66 literal/literal
+    class, latent): Benford expectations written as `log10(1 + 1.0/d)`
+    in SQL were DECIMAL division on Spark vs double on DuckDB.  Both
+    engines now share rangeops.BENFORD_EXP_MICRO, pinned here by literal
+    value (the EWMA_BAND_SCALE discipline) so a drift is caught
+    explicitly; the sum sanity check guards against a fat-finger edit
+    (the nine shares must cover ~100% minus rounding)."""
+    from helium_arango_etl_spark.operators.rangeops import BENFORD_EXP_MICRO
+
+    assert BENFORD_EXP_MICRO == {
+        1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+        6: 66947, 7: 57992, 8: 51153, 9: 45757,
+    }
+    assert abs(sum(BENFORD_EXP_MICRO.values()) - 1_000_000) <= 5
+    # and the oracle-side CASE embeds the same folded ints
+    from helium_arango_etl_spark.registry import ORACLE
+
+    for d, m in BENFORD_EXP_MICRO.items():
+        assert f"WHEN {d} THEN CAST({m} AS BIGINT)" in ORACLE["benford_audit"]
+
+
 def test_bpe_survives_fully_merged_words(spark, tmp_path_factory):
     import duckdb
 
