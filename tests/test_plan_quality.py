@@ -237,6 +237,24 @@ def test_triangle_stats_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_neighbor_cap_reaches_physical_plan(spark, sf_dir):
+    """The per-node neighbor cap (VERDICT r9 #3) must survive into the
+    physical plan of the 2-hop capped consumers: the rn <= 16 filter
+    over the adjacency window appears on BOTH hop sides (two occurrences
+    — h1 and h2 each ride the truncated lists), and the 2-hop close
+    stays keyed equi-joins (no cartesian / nested loop).  If a rewrite
+    ever drops the filter, the plan silently reverts to the unbounded
+    Σ deg² expansion this cap exists to prevent."""
+    from helium_arango_etl_spark.operators.graph import PROJ_NEIGHBOR_CAP
+
+    for name in ("adamic_adar_scores_capped", "co_witness_recommendations_capped"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        cap_filters = len(re.findall(rf"rn#\d+ <= {PROJ_NEIGHBOR_CAP}\b", plan))
+        assert cap_filters >= 2, f"{name}: cap filter on {cap_filters} hop sides\n{plan}"
+
+
 def test_ann_recall_audit_broadcasts_queries(spark, sf_dir):
     """Both rankings in the recall audit must broadcast the bounded query
     block — a SortMergeJoin would shuffle the whole corpus per ranking."""
