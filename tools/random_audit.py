@@ -9,6 +9,8 @@ every oracled registry query on Spark AND DuckDB per seed and compares
 collected rows byte-for-byte.
 
 Usage:  python tools/random_audit.py [--degen] [seed ...]   (default: 11 12 13)
+        (pass --allow-vacuous for 1-seed smoke runs — the 2-hop twins
+        legitimately miss rows on ~half of single random corpora)
 
 With --degen, each random fixture additionally carries the pathological
 rows the crafted sweeps test in isolation (empty/whitespace docs, a zero
