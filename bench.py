@@ -249,7 +249,12 @@ def _host_signature(timings: dict, substrate: dict | None = None) -> dict:
         # the interpreter/import substrate degraded comparably.
         sub = substrate.get("substrate_factor") if substrate else None
         excess = med_py / max(med_jvm, 1e-9)
-        if sub is not None and sub >= 0.6 * excess:
+        # corroboration requires the substrate to be BOTH genuinely
+        # degraded (>= 1.3 — a clean at-rest reading is ~0.9-1.1) AND
+        # comparable to the bucket's excess; without the floor, a clean
+        # substrate near the branch boundary (e.g. 0.94 vs excess 1.54)
+        # would excuse a real pyworker-only regression
+        if sub is not None and sub >= 1.3 and sub >= 0.6 * excess:
             verdict = (
                 f"host-degraded (uniform jvm x{med_jvm}, python-worker"
                 f" x{med_py}; substrate x{sub} corroborates)"

@@ -148,6 +148,9 @@ def clear_edge_cache(spark: SparkSession) -> None:
         df.unpersist()
     for df in _PAIRS_CACHE.pop(spark, {}).values():
         df.unpersist()
+    # the exact-demo guard's fan-in stats derive from the same edge set —
+    # drop them with it so a rebuilt corpus re-measures (test/probe hygiene)
+    _FANIN_CACHE.pop(spark, None)
 
 
 def witness_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1511,9 +1514,11 @@ def _contrastive_pairs_body(pairs: DataFrame) -> DataFrame:
     cw = pairs.select(
         "city_key", F.col("src_a").alias("a"), F.col("src_b").alias("b")
     )
+    # no persist: the build-time persist/unpersist pair never survived to
+    # an action (same no-op class as the adamic body — review find, r10)
     adj = cw.unionByName(
         cw.select("city_key", F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    )
     nodes = adj.select("city_key", F.col("a").alias("node")).distinct()
     nn = nodes.groupBy("city_key").agg(F.count(F.lit(1)).alias("n_nodes"))
     anchors = (
@@ -1557,7 +1562,6 @@ def _contrastive_pairs_body(pairs: DataFrame) -> DataFrame:
         "city_key", "anchor", "other", F.col("label").cast("int").alias("label"),
         F.col("rnk").cast("int").alias("rnk"),
     )
-    adj.unpersist()
     return out
 
 
@@ -1633,7 +1637,13 @@ def _adamic_adar_body(
     1/ln(deg) weights) and the direct-edge anti-join stay exact."""
     from pyspark.sql import Window
 
-    adj = _symmetrized_adjacency(pairs).persist()
+    # NOTE: no persist here — a lazily-returned plan cannot hold a cache
+    # across the call boundary (the old persist/unpersist pair dropped
+    # the marker at build time, before any action ever materialized it —
+    # review find, round 10).  The symmetrize union is a cheap projection
+    # of the already-persisted pair table, so letting the four consumers
+    # (deg, h1, h2, direct) recompute it rides that cache instead.
+    adj = _symmetrized_adjacency(pairs)
     deg = adj.groupBy("city_key", F.col("a").alias("m")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -1666,7 +1676,6 @@ def _adamic_adar_body(
             F.round(F.col("s") / 1_000_000.0, 6).alias("aa_score"), "rank",
         )
     )
-    adj.unpersist()
     return out
 
 

@@ -1607,7 +1607,9 @@ def mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    if os.environ.get("SPARK_GRAFT_ALLOW_EXACT_DEMO") != "1":
+    from .graph import ALLOW_EXACT_DEMO_ENV
+
+    if os.environ.get(ALLOW_EXACT_DEMO_ENV) != "1":
         # raw-table count: parquet row-group metadata, no column eval —
         # the guard must stay cheap on exactly the corpora it refuses
         n = read_table(spark, sf_dir, "embeddings").count()
@@ -1617,7 +1619,7 @@ def mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" this corpus has {n} vectors"
                 f" (> {EXACT_DEMO_MAX_VECTORS}). Use the bounded"
                 f" production twin `mutual_knn_graph_lsh` instead, or set"
-                f" SPARK_GRAFT_ALLOW_EXACT_DEMO=1 to opt in explicitly."
+                f" {ALLOW_EXACT_DEMO_ENV}=1 to opt in explicitly."
             )
     emb = embedding_table(spark, sf_dir)
     a = emb.select(

@@ -915,6 +915,22 @@ def test_bench_host_signature_diagnostics():
         },
     )
     assert clean_sub["verdict"].startswith("pyworker-suspect"), clean_sub
+    # boundary guard (review find): a clean substrate near the branch
+    # boundary must NOT corroborate — the 1.3 floor, not 0.6*excess
+    # alone, decides (excess ~1.55 here, 0.6*excess = 0.93 < 0.94)
+    near_boundary = {
+        n: v * (1.85 if n in bench.PY_WORKER_QUERIES else 1.2)
+        for n, v in headline_targets.items()
+    }
+    nb = bench._host_signature(
+        near_boundary,
+        substrate={
+            "loop10m_sec": 0.47,
+            "pandas_pyarrow_import_sec": 0.57,
+            "substrate_factor": 0.94,
+        },
+    )
+    assert nb["verdict"].startswith("pyworker-suspect"), nb
 
     # the live probe measures both fingerprints and derives the factor
     live = bench._py_substrate()

@@ -75,8 +75,9 @@ def build_corpus(spark: SparkSession, h: int, out_dir: str) -> None:
     for t in TABLES:
         df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
         if t == "supplier":
-            tmpl = df.limit(1).drop("s_suppkey")
-            hub = tmpl.select(
+            # hub/partner rows are built from literal columns matching the
+            # supplier schema (a schema change fails the unionByName loudly)
+            hub = spark.range(1).select(
                 F.lit(HUB_SUPP).cast("bigint").alias("s_suppkey"),
                 F.lit("hub").alias("s_name"),
                 F.lit(0).cast("int").alias("s_nationkey"),
