@@ -226,6 +226,30 @@ def _gen(seed: int, tmp: str, spark: SparkSession, degen: bool = False) -> None:
              round(rng.uniform(100, 500), 2), 0.0, 0.0, "N", "F", ts(4))
             for i in range(14)
         ]
+        # ...and a deterministic 2-HOP BRIDGE (round 10): two witnesses
+        # with one shared supplier — groups ⊇{30,31,32} (customer 2) and
+        # ⊇{32,33,34} (customer 3), all nation 0.  Suppliers 30/31 are
+        # never co-grouped with 33/34 (random lines only use suppliers
+        # 0-9), so non-direct 2-hop candidates through supplier 32 exist
+        # on EVERY degen seed — making the NONVACUOUS guard for the two
+        # driver-vacuous 2-hop twins deterministic instead of a per-seed
+        # coin flip (seeds 84/85 were both vacuous without this).
+        supplier += [
+            (30 + i, f"Supplier#{30 + i}", 0, 50.0) for i in range(5)
+        ]
+        orders += [
+            (130, 2, "O", 2000.0, ts(6), "4-NOT SPECIFIED"),
+            (131, 3, "O", 2000.0, ts(6), "4-NOT SPECIFIED"),
+        ]
+        lineitem += [
+            (130, rng.randrange(15), 30 + i, 1 + i, 1.0,
+             round(rng.uniform(100, 300), 2), 0.0, 0.0, "N", "O", ts(6))
+            for i in range(3)
+        ] + [
+            (131, rng.randrange(15), 32 + i, 1 + i, 1.0,
+             round(rng.uniform(100, 300), 2), 0.0, 0.0, "N", "O", ts(6))
+            for i in range(3)
+        ]
         tables["documents"] = (documents, tables["documents"][1])
         tables["embeddings"] = (embeddings, tables["embeddings"][1])
         tables["supplier"] = (supplier, tables["supplier"][1])
