@@ -3183,7 +3183,21 @@ def best_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(
             F.col("idx").cast("int").alias("candidate_idx"),
-            F.round(F.expr("thr / 100.0"), 2).alias("threshold_price"),
+            # seed-87 randomized-audit find: thr is a percentile midpoint
+            # over integer cents, so it lands on EXACT .5 cents whenever
+            # the interpolation fraction is a half — round(thr/100.0, 2)
+            # is then the fresh-fractional half-boundary class (Spark's
+            # BigDecimal shortest-repr HALF_UP read 2135.305 → 2135.31
+            # while DuckDB rounds the binary 2135.30499… → 2135.3).
+            # Convention fix: round at the INTEGER cents scale (exact
+            # halves are exactly representable; both engines round them
+            # away from zero identically), then one exact division.
+            # double division (bigint / DECIMAL-literal would surface a
+            # Decimal column, which the driver hashes differently)
+            F.expr(
+                "cast(cast(round(thr) as bigint) as double)"
+                " / cast(100.0 as double)"
+            ).alias("threshold_price"),
             "n_l",
             "n_r",
             F.round("g_parent", 6).alias("gini_parent"),

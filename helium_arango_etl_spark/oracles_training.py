@@ -7920,7 +7920,9 @@ ORACLE_TRAINING["best_gini_split"] = f"""
           FROM cells
         )
         SELECT CAST(idx AS INTEGER) AS candidate_idx,
-               round(thr / 100.0, 2) AS threshold_price,
+               -- integer-cents round shared with the Spark plan
+               -- (seed-87 half-cent boundary; see mlstats.best_gini_split)
+               CAST(round(thr) AS BIGINT) / 100.0 AS threshold_price,
                n_l, n_r,
                round(g_parent, 6) AS gini_parent,
                round(w_raw, 6) AS gini_weighted,

@@ -834,7 +834,40 @@ def test_degen_seed66_decimal_literal_division_constants(spark, tmp_path_factory
         _compare(spark, tmp, con, name)
 
 
-def test_benford_constants_folded_and_pinned():
+def test_degen_seed87_gini_threshold_half_cent(spark, tmp_path_factory):
+    """Pin the seed-87 --degen audit find (round 10): best_gini_split's
+    winning threshold is a percentile midpoint over integer cents, so it
+    lands on an EXACT .5 cents whenever the interpolation fraction is a
+    half — and the fresh round(thr/100.0, 2) resolved it differently per
+    engine (Spark's shortest-repr HALF_UP: 2135.305 → 2135.31; DuckDB's
+    binary round: 2135.30499… → 2135.3).  Both sides now round at the
+    INTEGER cents scale, where exact halves are exactly representable
+    and both engines round them away from zero identically."""
+    import duckdb
+
+    tmp, _ = _regen_seed_fixture(spark, tmp_path_factory, 87, degen=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp}/orders.parquet/*.parquet'"
+    )
+    # the fixture must still exercise the boundary: the winning
+    # candidate's RAW thr (pre-round percentile midpoint) sits on an
+    # exact .5 cents half (else the pin is vacuous)
+    from helium_arango_etl_spark.operators.mlstats import GINI_N_CANDIDATES
+    from helium_arango_etl_spark.registry import QUERIES
+
+    idx = QUERIES["best_gini_split"](spark, tmp).collect()[0]["candidate_idx"]
+    k = GINI_N_CANDIDATES
+    qs = ", ".join(str(i / (k + 1)) for i in range(1, k + 1))
+    thr = con.execute(
+        f"""
+        WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                   FROM orders)
+        SELECT (quantile_cont(v, [{qs}]))[{idx}] FROM o
+        """
+    ).fetchone()[0]
+    assert thr % 1 == 0.5, f"winning thr {thr} no longer on a half cent"
+    _compare(spark, tmp, con, "best_gini_split")
     """Round-10 oracle-side sweep find (the seed-66 literal/literal
     class, latent): Benford expectations written as `log10(1 + 1.0/d)`
     in SQL were DECIMAL division on Spark vs double on DuckDB.  Both
