@@ -246,38 +246,83 @@ NUM_CENTROIDS = 16
 NPROBE = 2
 
 
+def _centroid_array_row(cent: DataFrame) -> DataFrame:
+    """Collapse a (centroid_id, cv) table to ONE row holding every
+    centroid as an id-sorted struct array.  Broadcast-joined to the
+    corpus, per-vector assignment becomes a pure expression sort/fold
+    over K elements — the previous form exploded the corpus ×K and
+    ranked with a row_number() window whose partitionBy(vec_id) hash
+    Exchange shuffled corpus×K rows INCLUDING the v64 payload arrays
+    (optimization guide §2.3/§2.4: decide locally, never ship payload
+    bytes through an exchange the decision doesn't need).  K is bounded
+    by construction (the coarse-quantizer codebook), so the single
+    collected row stays broadcast-sized at any corpus scale."""
+    return cent.agg(
+        F.sort_array(F.collect_list(F.struct("centroid_id", "cv"))).alias("cents")
+    )
+
+
+# Per-centroid dot scores of v64 against every centroid in `cents`.
+_CENT_SCORED = (
+    "transform(cents, c -> named_struct("
+    "'dot', aggregate(zip_with(v64, c.cv, (x, y) -> x * y),"
+    " cast(0 as double), (acc, v) -> acc + v),"
+    "'centroid_id', c.centroid_id, 'cv', c.cv))"
+)
+
+# Comparator replicating EXACTLY the row_number() ordering it replaces:
+# dot DESC (Spark sort semantics: NaN before every non-NaN under DESC,
+# NULLs last), centroid_id ASC tie-break.
+_BY_DOT_DESC = (
+    "(l, r) -> CASE"
+    " WHEN l.dot IS NULL AND r.dot IS NOT NULL THEN 1"
+    " WHEN r.dot IS NULL AND l.dot IS NOT NULL THEN -1"
+    " WHEN l.dot IS NOT NULL AND r.dot IS NOT NULL"
+    "  AND isnan(l.dot) AND NOT isnan(r.dot) THEN -1"
+    " WHEN l.dot IS NOT NULL AND r.dot IS NOT NULL"
+    "  AND isnan(r.dot) AND NOT isnan(l.dot) THEN 1"
+    " WHEN l.dot > r.dot THEN -1"
+    " WHEN l.dot < r.dot THEN 1"
+    " WHEN l.centroid_id < r.centroid_id THEN -1"
+    " WHEN l.centroid_id > r.centroid_id THEN 1"
+    " ELSE 0 END"
+)
+
+_CENT_RANKED = f"array_sort({_CENT_SCORED}, {_BY_DOT_DESC})"
+
+
 def _with_centroid_assignment(emb: DataFrame) -> DataFrame:
     """IVF coarse quantization over a prepared (vec_id, label, v64, nv)
     table: centroids are the NUM_CENTROIDS seed vectors (vec_id 0..15 —
     training-free, deterministic, oracle-reproducible); every vector is
-    assigned to the centroid with the highest dot product.
+    assigned to its NPROBE best centroids by dot product.
 
-    Scale shape: the centroid table is broadcast (it is tiny by
-    construction); assignment is one map-side pass — the inverted-file
-    build never shuffles the corpus.
+    Scale shape: the centroid array is broadcast as ONE row (it is tiny
+    by construction); assignment is one map-side expression pass — the
+    inverted-file build never shuffles (or ×K-explodes) the corpus.
     """
     seeds = (
         emb.filter(F.col("vec_id") < NUM_CENTROIDS)
         .select(F.col("vec_id").alias("centroid_id"), F.col("v64").alias("cv"))
     )
-    scored = (
-        emb.select("vec_id", "label", "v64", "nv")
-        .join(F.broadcast(seeds))
-        .withColumn(
-            "dot",
-            F.expr(
-                "aggregate(zip_with(v64, cv, (x, y) -> x * y),"
-                " cast(0 as double), (acc, v) -> acc + v)"
-            ),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("centroid_id").asc())
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= NPROBE)
-        .select("vec_id", "label", "v64", "nv", "centroid_id", F.col("rnk").alias("probe_rank"))
+        emb.select("vec_id", "label", "v64", "nv")
+        .join(F.broadcast(_centroid_array_row(seeds)))
+        .select(
+            "vec_id",
+            "label",
+            "v64",
+            "nv",
+            F.posexplode(F.expr(f"slice({_CENT_RANKED}, 1, {NPROBE})")),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "v64",
+            "nv",
+            F.col("col.centroid_id").alias("centroid_id"),
+            (F.col("pos") + 1).cast("int").alias("probe_rank"),
+        )
     )
 
 
@@ -318,22 +363,22 @@ KMEANS_ITERS = 2
 
 def _kmeans_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """Assign every vector to its best centroid (max dot product, ties to
-    the smallest centroid_id).  The centroid table is broadcast — K×DIM
-    doubles — so assignment is one map-side pass over the corpus."""
-    from pyspark.sql import Window
-
-    dot = (
-        "aggregate(zip_with(v64, cv, (x, y) -> x * y),"
-        " cast(0 as double), (acc, v) -> acc + v)"
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("centroid_id").asc())
+    the smallest centroid_id).  The centroid array is broadcast as ONE
+    row — K×DIM doubles — so assignment is one map-side expression pass
+    over the corpus (no ×K fan-out, no window exchange).  The
+    size-guard keeps the empty-centroid-table degenerate case identical
+    to the old inner-join-with-empty semantics (zero rows out)."""
     return (
         emb.select("vec_id", "v64")
-        .join(F.broadcast(cent))
-        .withColumn("dot", F.expr(dot))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "v64", "centroid_id", "cv")
+        .join(F.broadcast(_centroid_array_row(cent)))
+        .where(F.expr("size(cents) > 0"))
+        .withColumn("best", F.expr(f"{_CENT_RANKED}[0]"))
+        .select(
+            "vec_id",
+            "v64",
+            F.col("best.centroid_id").alias("centroid_id"),
+            F.col("best.cv").alias("cv"),
+        )
     )
 
 
@@ -440,21 +485,26 @@ def ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     K×DIM and broadcasts everywhere; the corpus is scanned once for
     assignment and only the probed lists are scored.
     """
-    from pyspark.sql import Window
-
     emb = embedding_table(spark, sf_dir)
     cent = kmeans_fit_cached(spark, sf_dir)
-    dot = (
-        "aggregate(zip_with(v64, cv, (x, y) -> x * y),"
-        " cast(0 as double), (acc, v) -> acc + v)"
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("centroid_id").asc())
     assigned = (
         emb.select("vec_id", "label", "v64", "nv")
-        .join(F.broadcast(cent))
-        .withColumn("dot", F.expr(dot))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= NPROBE)
+        .join(F.broadcast(_centroid_array_row(cent)))
+        .select(
+            "vec_id",
+            "label",
+            "v64",
+            "nv",
+            F.posexplode(F.expr(f"slice({_CENT_RANKED}, 1, {NPROBE})")),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "v64",
+            "nv",
+            F.col("col.centroid_id").alias("centroid_id"),
+            (F.col("pos") + 1).cast("int").alias("rnk"),
+        )
     )
     q = assigned.filter(
         (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rnk") == 1)
@@ -1102,26 +1152,24 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     entire point.  Vector bodies leave the join immediately; only
     (vec_id, cosine) pairs reach the verdict aggregation.
     """
-    from pyspark.sql import Window
-
     emb = embedding_table(spark, sf_dir)
     cent = kmeans_fit_cached(spark, sf_dir)
-    dot = (
-        "aggregate(zip_with(v64, cv, (x, y) -> x * y),"
-        " cast(0 as double), (acc, v) -> acc + v)"
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("centroid_id").asc())
     # assigned is consumed three times (both pair sides + the verdict
     # spine) — materialize the single assignment pass instead of running
-    # the broadcast-cross + argmax window shuffle once per consumer (a
-    # cluster run persists this to storage between pipeline stages)
+    # the broadcast argmax once per consumer (a cluster run persists
+    # this to storage between pipeline stages); the argmax itself is a
+    # map-side expression fold, so the checkpointed job has NO exchange
     assigned = (
         emb.select("vec_id", "v64", "nv")
-        .join(F.broadcast(cent))
-        .withColumn("dot", F.expr(dot))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "v64", "nv", "centroid_id")
+        .join(F.broadcast(_centroid_array_row(cent)))
+        .where(F.expr("size(cents) > 0"))
+        .withColumn("best", F.expr(f"{_CENT_RANKED}[0]"))
+        .select(
+            "vec_id",
+            "v64",
+            "nv",
+            F.col("best.centroid_id").alias("centroid_id"),
+        )
         .localCheckpoint()
     )
     a = assigned.select(
