@@ -644,21 +644,26 @@ def _guard_exact_demo(spark: SparkSession, sf_dir: str, name: str, twin: str) ->
     per = _FANIN_CACHE.setdefault(spark, {})
     stats = per.get(sf_dir)
     if stats is None:
-        edges = (
-            witness_subgraph(spark, sf_dir)
-            .select("city_key", "src", "dst")
-            .distinct()
+        # both stats derive from the session-cached per-witness member
+        # arrays (the same table the pair projections explode), so the
+        # guard no longer re-scans + re-shuffles the edge table on its
+        # own: groups of size 1 have fan-in 1 and projection-degree
+        # contribution 0, so restricting to the cached size>=2 groups
+        # cannot change the `worst > EXACT_DEMO_MAX_FANIN` decision.
+        groups = _witness_groups_cached(spark, sf_dir)
+        g = groups.select(
+            "city_key", F.size("ss").alias("k"), F.explode("ss").alias("src")
         )
-        g = edges.groupBy("city_key", "dst").agg(F.count(F.lit(1)).alias("k"))
         row = (
-            edges.join(g, ["city_key", "dst"])
-            .groupBy("city_key", "src")
+            g.groupBy("city_key", "src")
             .agg(F.sum(F.col("k") - 1).alias("pd"))
             .agg(
                 F.coalesce(F.max("pd"), F.lit(0)).alias("max_projdeg_bound"),
             )
             .crossJoin(
-                g.agg(F.coalesce(F.max("k"), F.lit(0)).alias("max_fanin"))
+                groups.agg(
+                    F.coalesce(F.max(F.size("ss")), F.lit(0)).alias("max_fanin")
+                )
             )
             .collect()[0]
         )
@@ -698,12 +703,7 @@ def co_witness_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _guard_exact_demo(
             spark, sf_dir, "co_witness_pairs", "co_witness_pairs_capped"
         )
-        edges = (
-            witness_subgraph(spark, sf_dir)
-            .select("city_key", "src", "dst")
-            .distinct()
-        )
-        df = _co_pairs(edges).persist()
+        df = _pairs_from_groups(_witness_groups_cached(spark, sf_dir)).persist()
         per_session[sf_dir] = df
     return df
 
@@ -764,12 +764,9 @@ def _co_witness_pairs_capped_cached(spark: SparkSession, sf_dir: str) -> DataFra
     key = (sf_dir, CO_WITNESS_MAX_GROUP)
     df = per_session.get(key)
     if df is None:
-        edges = (
-            witness_subgraph(spark, sf_dir)
-            .select("city_key", "src", "dst")
-            .distinct()
-        )
-        df = _co_pairs(edges, CO_WITNESS_MAX_GROUP).persist()
+        df = _pairs_from_groups(
+            _witness_groups_cached(spark, sf_dir), CO_WITNESS_MAX_GROUP
+        ).persist()
         per_session[key] = df
     return df
 
@@ -1225,7 +1222,13 @@ def _co_witness_recs_body(
     from pyspark.sql import Window
 
     adj = _symmetrized_adjacency(pairs)
-    hop = adj if neighbor_cap is None else _capped_adjacency(adj, neighbor_cap)
+    # checkpoint the capped adjacency once for its two hop consumers
+    # (same rationale as _adamic_adar_body)
+    hop = (
+        adj
+        if neighbor_cap is None
+        else _capped_adjacency(adj, neighbor_cap).localCheckpoint()
+    )
     h1 = hop.select("city_key", F.col("a").alias("src"), F.col("b").alias("m"))
     h2 = hop.select("city_key", F.col("a").alias("m"), F.col("b").alias("rec"))
     counts = (
@@ -1647,7 +1650,15 @@ def _adamic_adar_body(
     deg = adj.groupBy("city_key", F.col("a").alias("m")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    hop = adj if neighbor_cap is None else _capped_adjacency(adj, neighbor_cap)
+    # the capped adjacency is consumed twice (h1 and h2) and costs a
+    # keyed window shuffle to build — checkpoint it once (≤ cap·n rows,
+    # node-linear) instead of paying the truncation pass per hop side;
+    # the uncapped demo's hop is a free projection of the cached pairs
+    hop = (
+        adj
+        if neighbor_cap is None
+        else _capped_adjacency(adj, neighbor_cap).localCheckpoint()
+    )
     h1 = hop.select("city_key", F.col("a").alias("src"), F.col("b").alias("m"))
     h2 = hop.select("city_key", F.col("a").alias("m"), F.col("b").alias("rec"))
     scored = (
@@ -2128,21 +2139,45 @@ TIP_K = 150  # butterfly-support threshold for the k-tip peel
 MAX_TIP_ITERS = 8
 
 
-def _co_pairs(edges: DataFrame, max_group: int | None = None) -> DataFrame:
-    """Group-local co-witness pair weights over an arbitrary (city_key,
-    src, dst) DISTINCT edge set — the `co_witness_pairs` body
-    parameterized so iterative peels can recompute pairs per round.
+def _witness_groups_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached per-witness sorted member arrays (size ≥ 2) off the
+    distinct valid edge set — the ONE edge-table pass the exact-demo
+    guard, the exact pair projection and the capped pair projection all
+    previously re-ran independently (three scan+shuffle passes per sync
+    cycle → one; guide §2.4, share the exchange).  The cap applies at
+    pair GENERATION, never here, so one groups table serves both
+    projections byte-identically.  Cleared with the edge cache."""
+    per_session = _PAIRS_CACHE.setdefault(spark, {})
+    key = (sf_dir, "groups")
+    df = per_session.get(key)
+    if df is None:
+        edges = (
+            witness_subgraph(spark, sf_dir)
+            .select("city_key", "src", "dst")
+            .distinct()
+        )
+        df = (
+            edges.groupBy("city_key", "dst")
+            .agg(F.sort_array(F.collect_list("src")).alias("ss"))
+            .filter(F.size("ss") >= 2)
+            .select("city_key", "ss")
+            .persist()
+        )
+        per_session[key] = df
+    return df
+
+
+def _pairs_from_groups(
+    groups: DataFrame, max_group: int | None = None
+) -> DataFrame:
+    """In-group pair generation + weight aggregation over a (city_key,
+    ss) member-array table — the shared second half of the projection.
 
     ``max_group`` caps in-group pair generation to src-contiguous chunks
     of that size — the same idiom as ``dedup._bucket_pairs(max_bucket)``:
     a celebrity witness with fan-in k emits O(k·max_group) pairs instead
     of k²/2, and :func:`co_witness_bucket_stats` accounts for every pair
     the cap drops.  None = exact, every pair."""
-    groups = (
-        edges.groupBy("city_key", "dst")
-        .agg(F.sort_array(F.collect_list("src")).alias("ss"))
-        .filter(F.size("ss") >= 2)
-    )
     if max_group is None:
         end = "size(ss)"
     else:
@@ -2161,6 +2196,20 @@ def _co_pairs(edges: DataFrame, max_group: int | None = None) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared_witnesses"))
     )
+
+
+def _co_pairs(edges: DataFrame, max_group: int | None = None) -> DataFrame:
+    """Group-local co-witness pair weights over an arbitrary (city_key,
+    src, dst) DISTINCT edge set — the `co_witness_pairs` body
+    parameterized so iterative peels can recompute pairs per round (the
+    session-cached projections ride :func:`_witness_groups_cached`
+    instead, sharing one groups pass)."""
+    groups = (
+        edges.groupBy("city_key", "dst")
+        .agg(F.sort_array(F.collect_list("src")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    return _pairs_from_groups(groups, max_group)
 
 
 def _tip_support(edges: DataFrame, max_group: int | None = None) -> DataFrame:
@@ -2694,11 +2743,15 @@ def _rich_club_body(pairs: DataFrame) -> DataFrame:
     exact and the capped registered forms.  Degrees are derived FROM
     the pair set, so the capped form's club membership is consistent
     with its own (capped) edge counts."""
+    # deg is consumed three times (the k-grid node census + both sides
+    # of the club-edge join) — checkpoint the node-sized table once so
+    # the union+aggregate pass over the pair table runs once, not thrice
     deg = (
         pairs.select("city_key", F.col("src_a").alias("node"))
         .unionByName(pairs.select("city_key", F.col("src_b").alias("node")))
         .groupBy("city_key", "node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .localCheckpoint()
     )
     kgrid = F.array(*[F.lit(k) for k in RICH_CLUB_KS])
     nodes_k = (

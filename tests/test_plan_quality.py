@@ -239,20 +239,41 @@ def test_triangle_stats_no_cartesian(spark, sf_dir):
 
 def test_neighbor_cap_reaches_physical_plan(spark, sf_dir):
     """The per-node neighbor cap (VERDICT r9 #3) must survive into the
-    physical plan of the 2-hop capped consumers: the rn <= 16 filter
-    over the adjacency window appears on BOTH hop sides (two occurrences
-    — h1 and h2 each ride the truncated lists), and the 2-hop close
-    stays keyed equi-joins (no cartesian / nested loop).  If a rewrite
-    ever drops the filter, the plan silently reverts to the unbounded
-    Σ deg² expansion this cap exists to prevent."""
-    from helium_arango_etl_spark.operators.graph import PROJ_NEIGHBOR_CAP
+    physical plan of the 2-hop capped consumers.  Since the round-10
+    optimization the truncated adjacency is built ONCE and
+    localCheckpoint'ed (one window pass instead of one per hop side),
+    so the pin has two halves: (1) the checkpointed hop table's OWN
+    plan carries the rn <= 16 window filter — if a rewrite drops it,
+    the plan reverts to the unbounded Σ deg² expansion the cap exists
+    to prevent; (2) the consumer plan reads the checkpointed hop (Scan
+    ExistingRDD) on BOTH hop sides and keeps keyed equi-joins (no
+    cartesian / nested loop)."""
+    from helium_arango_etl_spark.operators.graph import (
+        PROJ_NEIGHBOR_CAP,
+        _capped_adjacency,
+        _co_witness_pairs_capped_cached,
+        _symmetrized_adjacency,
+    )
+
+    hop_plan = plan_of(
+        _capped_adjacency(
+            _symmetrized_adjacency(
+                _co_witness_pairs_capped_cached(spark, sf_dir)
+            ),
+            PROJ_NEIGHBOR_CAP,
+        )
+    )
+    cap_filters = len(re.findall(rf"rn#\d+ <= {PROJ_NEIGHBOR_CAP}\b", hop_plan))
+    assert cap_filters >= 1, f"cap filter missing from hop plan\n{hop_plan}"
 
     for name in ("adamic_adar_scores_capped", "co_witness_recommendations_capped"):
         plan = plan_of(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
-        cap_filters = len(re.findall(rf"rn#\d+ <= {PROJ_NEIGHBOR_CAP}\b", plan))
-        assert cap_filters >= 2, f"{name}: cap filter on {cap_filters} hop sides\n{plan}"
+        hop_scans = len(re.findall(r"Scan ExistingRDD", plan))
+        assert hop_scans >= 2, (
+            f"{name}: checkpointed hop on {hop_scans} sides\n{plan}"
+        )
 
 
 def test_ann_recall_audit_broadcasts_queries(spark, sf_dir):

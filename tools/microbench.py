@@ -58,11 +58,17 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
-    timings: dict[str, float] = {}
+    # whole-list passes (warmup + n measured), per-query min over the
+    # measured passes — the bench.py methodology, preserving the shared
+    # cache clear/rebuild attribution between coupled queries
     for name in names:
-        run(name)  # warmup
-        timings[name] = round(min(run(name) for _ in range(n)), 3)
-    print(json.dumps({"queries": timings, "n": n}))
+        run(name)  # warmup pass
+    timings: dict[str, float] = {name: float("inf") for name in names}
+    for _ in range(n):
+        for name in names:
+            timings[name] = min(timings[name], run(name))
+    timings = {k: round(v, 3) for k, v in timings.items()}
+    print(json.dumps({"queries": timings, "n": n, "total": round(sum(timings.values()), 3)}))
 
 
 if __name__ == "__main__":
