@@ -937,6 +937,7 @@ def witness_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     prev = edges.count()
+    prev_ckpt = edges
     converged = False
     for _ in range(MAX_KCORE_ITERS):
         deg = (
@@ -945,7 +946,14 @@ def witness_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("city_key", "node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        keep = deg.filter(F.col("deg") >= KCORE_K).select("city_key", "node")
+        # keep is consumed by BOTH semi-join sides — checkpoint the
+        # node-sized survivor list once so the degree aggregation over
+        # the full edge table runs once per round, not per side
+        keep = (
+            deg.filter(F.col("deg") >= KCORE_K)
+            .select("city_key", "node")
+            .localCheckpoint()
+        )
         edges = (
             edges.join(
                 keep.withColumnRenamed("node", "src"), ["city_key", "src"], "left_semi"
@@ -955,6 +963,11 @@ def witness_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+        # release the superseded round state (the ADVICE r8 discipline —
+        # executor storage holds one edge-set copy, not one per round)
+        _release_local_checkpoint(prev_ckpt)
+        _release_local_checkpoint(keep)
+        prev_ckpt = edges
         cur = edges.count()
         if cur == prev:
             converged = True
@@ -2286,12 +2299,17 @@ def _tip_body(
         .localCheckpoint()
     )
     prev = edges.count()
-    converged = False
     prev_ckpt = edges
     for _ in range(MAX_TIP_ITERS):
+        # checkpoint the round's support table so the converged round
+        # can RETURN it instead of re-running the pair-gen + support
+        # pass over the final edge set: at the fixpoint the edge set did
+        # not change, so this table (every present node survived the
+        # TIP_K filter, else the round would have peeled it) IS
+        # _tip_support(final_edges) — one full pass saved (round 10)
+        sup = _tip_support(edges, max_group).localCheckpoint()
         keep = (
-            _tip_support(edges, max_group)
-            .filter(F.col("support") >= TIP_K)
+            sup.filter(F.col("support") >= TIP_K)
             .select("city_key", F.col("node").alias("src"))
         )
         edges = edges.join(keep, ["city_key", "src"], "left_semi").localCheckpoint()
@@ -2302,18 +2320,16 @@ def _tip_body(
         prev_ckpt = edges
         cur = edges.count()
         if cur == prev:
-            converged = True
-            break
+            return sup.select(
+                "city_key", F.col("node").alias("src"), "support"
+            )
         prev = cur
-    if not converged:
-        from .cc import ConvergenceError
+        _release_local_checkpoint(sup)
+    from .cc import ConvergenceError
 
-        raise ConvergenceError(
-            f"tip peeling did not reach a fixpoint within {MAX_TIP_ITERS} "
-            "iterations"
-        )
-    return _tip_support(edges, max_group).select(
-        "city_key", F.col("node").alias("src"), "support"
+    raise ConvergenceError(
+        f"tip peeling did not reach a fixpoint within {MAX_TIP_ITERS} "
+        "iterations"
     )
 
 
@@ -2388,35 +2404,49 @@ def ktruss_edges_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ktruss_body(pairs: DataFrame) -> DataFrame:
     """Edge-triangle peel over an arbitrary oriented (a<b) co-witness
-    pair table — shared by the exact and capped registered forms."""
+    pair table — shared by the exact and capped registered forms.
+
+    Round-10 optimization: the filtered support table IS the next
+    edge set (its keys are a subset of the current edges), so the old
+    per-iteration ``proj ⋉ keep`` semi-join was a no-op join — peel
+    directly on the support output.  And at the fixpoint the converged
+    iteration's filtered support table already equals
+    ``_edge_support(final_proj)`` (the edge set did not change), so the
+    final re-enumeration pass is returned directly instead of being
+    recomputed: N-iteration peel = N triangle passes, down from
+    N+1 passes + N semi-joins.  Superseded per-iteration checkpoints
+    are released once their successor materializes (the PPR
+    discipline), so executor storage holds one edge-set copy."""
     proj = (
         pairs
         .select("city_key", F.col("src_a").alias("a"), F.col("src_b").alias("b"))
         .localCheckpoint()
     )
+    prev_ckpt = proj
     prev = proj.count()
-    converged = False
     for _ in range(MAX_TRUSS_ITERS):
-        keep = (
+        sup = (
             _edge_support(proj)
             .filter(F.col("support") >= TRUSS_SUPPORT)
-            .select("city_key", "a", "b")
+            .localCheckpoint()
         )
-        proj = proj.join(keep, ["city_key", "a", "b"], "left_semi").localCheckpoint()
-        cur = proj.count()
+        cur = sup.count()
+        _release_local_checkpoint(prev_ckpt)
+        prev_ckpt = sup
         if cur == prev:
-            converged = True
-            break
+            return sup.select(
+                "city_key",
+                F.col("a").alias("src_a"),
+                F.col("b").alias("src_b"),
+                "support",
+            )
         prev = cur
-    if not converged:
-        from .cc import ConvergenceError
+        proj = sup.select("city_key", "a", "b")
+    from .cc import ConvergenceError
 
-        raise ConvergenceError(
-            f"truss peeling did not reach a fixpoint within {MAX_TRUSS_ITERS} "
-            "iterations"
-        )
-    return _edge_support(proj).select(
-        "city_key", F.col("a").alias("src_a"), F.col("b").alias("src_b"), "support"
+    raise ConvergenceError(
+        f"truss peeling did not reach a fixpoint within {MAX_TRUSS_ITERS} "
+        "iterations"
     )
 
 
@@ -2837,19 +2867,26 @@ def city_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("city_key", "src", "dst")
         .distinct()
     )
+    # the reversed copy cannot collide with the forward copy (src ids
+    # are 'S'-prefixed suppliers, dst ids 'C'-prefixed customers —
+    # witness_edges construction), and each copy is distinct because
+    # edges is, so the union IS distinct: the former outer .distinct()
+    # was a full extra shuffle of the doubled edge table for nothing
+    # (round 10; guide §2.4 — a distinct on data that is already unique)
     und = edges.select(
         "city_key", F.col("src").alias("a"), F.col("dst").alias("b")
     ).unionByName(
         edges.select(
             "city_key", F.col("dst").alias("a"), F.col("src").alias("b")
         )
-    ).distinct()
+    )
     # the edge table is probed once per hop and the frontier state
     # feeds back into itself — checkpoint both so hop k's plan doesn't
     # re-derive hops 0..k-1 (the waterfill/PPR lesson)
     und = und.localCheckpoint(eager=True)
-    nodes = und.select("city_key", F.col("a").alias("node")).distinct()
-    seed = nodes.groupBy("city_key").agg(F.min("node").alias("node"))
+    # min() is duplicate-blind, so the seed needs no distinct node
+    # census — one aggregate straight off the checkpointed edge table
+    seed = und.groupBy("city_key").agg(F.min("a").alias("node"))
     frontier = seed.select("city_key", "node").localCheckpoint(eager=True)
     # visited is kept as the plain union of the per-hop frontier
     # checkpoints: hop frontiers are pairwise DISJOINT by construction
@@ -2881,8 +2918,13 @@ def city_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.expr("city_key = vc AND node = vn"),
             "left_anti",
-        ).localCheckpoint(eager=True)
-        visited = visited.unionByName(frontier)
+        )
+        if hop < BFS_MAX_HOPS:
+            # the last layer never feeds back (no hop probes it, visited
+            # is done) — checkpointing it would be one dead eager job +
+            # materialization; it flows lazily into the final census
+            frontier = frontier.localCheckpoint(eager=True)
+            visited = visited.unionByName(frontier)
         layers.append(
             frontier.select(
                 "city_key", F.lit(hop).cast("int").alias("hop"), "node"
