@@ -157,7 +157,7 @@ def read_jdbc_table(spark: SparkSession, url: str, table: str, **kwargs) -> Data
     return spark.read.format("jdbc").options(**jdbc_scan_options(url, table, **kwargs)).load()
 
 
-def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
+def spread(df: DataFrame, min_factor: int = 2, per_task_bytes: int = 0) -> DataFrame:
     """Round-robin repartition to the cluster's parallelism — but ONLY when
     the source is under-split (fewer than parallelism/min_factor partitions).
 
@@ -194,6 +194,7 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
         spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
     )
     est_splits = 0
+    total_bytes = 0
     for f in files:
         parsed = urlparse(f)
         size = 0
@@ -202,9 +203,24 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
                 size = os.path.getsize(parsed.path)
             except OSError:
                 size = 0
+        total_bytes += size
         est_splits += max(1, -(-size // max_bytes))  # ceil-div, >=1 per file
-        if est_splits >= threshold:
+        if est_splits >= threshold and per_task_bytes <= 0:
             return df
+    if est_splits >= threshold:
+        return df
+    if per_task_bytes > 0:
+        # Work-aware fan-out cap (guide §2.2/§4): a tiny under-split input
+        # does NOT deserve one task per core — the per-task fixed cost
+        # (scheduling + Python worker handshake + Arrow framing for the
+        # opaque-map callers) exceeds the per-task work, and the 8-vs-32
+        # core scaling probe showed the full fan-out ANTI-scaling at small
+        # inputs (BENCH_r10 image_features ratio 0.49).  Target one task
+        # per `per_task_bytes` of input, still capped at the cluster's
+        # parallelism, so a genuinely large input keeps every core busy.
+        target = max(1, min(target, total_bytes // per_task_bytes))
+        if target == 1 and est_splits <= 1:
+            return df  # already a single split; repartition adds pure cost
     return df.repartition(target)
 
 

@@ -260,7 +260,19 @@ def combined_city_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = witness_subgraph(spark, sf_dir).select(
             "city_key", "src", "dst", "distance_m", "edge_ts"
         )
-        df = edges.groupBy("city_key").applyInPandas(
+        # Pin the group-shuffle partition count for the Python stage: AQE's
+        # coalescing is byte-advisory and collapses this small-but-CPU-heavy
+        # shuffle to a handful of partitions, serializing the per-city
+        # Brandes/PageRank/HITS work that dominates the stage (measured at
+        # sf0.1: 25 cities -> 4 AQE partitions, 1.07 s; pinned fan-out,
+        # 0.72 s).  4x parallelism so the ~#cities groups spread without
+        # birthday collisions; an explicit count on repartition(col) is a
+        # hard requirement AQE will not re-coalesce, and hash(city_key)
+        # already satisfies applyInPandas' clustering, so no second
+        # exchange appears (plans/r11).  Scale-adaptive: derives from the
+        # cluster's core count, not a local constant.
+        fanout = 4 * spark.sparkContext.defaultParallelism
+        df = edges.repartition(fanout, "city_key").groupBy("city_key").applyInPandas(
             _city_all_metrics, schema=_ALL_METRICS_SCHEMA
         ).persist()
         per_session[sf_dir] = df

@@ -31,6 +31,16 @@ try:  # pragma: no cover - not installed in this container
 except ImportError:
     _HAVE_PIL = False
 
+# Work-aware fan-out floor for the Python-boundary map stages (guide
+# §2.2/§4): one task per ~1 MiB of input file bytes, capped at cluster
+# parallelism inside spread().  The mapInPandas bodies here do light
+# vectorized numpy per byte — at small inputs the per-task fixed cost
+# (scheduler + Python worker handshake + Arrow framing) dominates, and
+# BENCH_r10's 8-vs-32-core probe showed the full fan-out ANTI-scaling
+# (image_features ratio 0.49).  A genuinely large input still fans out to
+# every core; a well-split source bypasses spread() entirely.
+PY_TASK_MIN_BYTES = 1 << 20
+
 FEATURE_SCHEMA = (
     "doc_id bigint, width int, height int, format string, "
     "n_bytes int, mean_byte double, byte_histogram array<int>"
@@ -252,14 +262,14 @@ def extract_audio_features(binary_df: DataFrame, n_windows: int = 4) -> DataFram
 def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: documents -> binary payload -> decoded features."""
     feats = extract_image_features(
-        attach_binary_payload(spread(read_table(spark, sf_dir, "documents")))
+        attach_binary_payload(spread(read_table(spark, sf_dir, "documents"), per_task_bytes=PY_TASK_MIN_BYTES))
     )
     return feats.withColumn("byte_histogram", F.array_join("byte_histogram", ","))
 
 
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: documents -> binary payload -> 4 sampled frames each."""
-    frames = sample_frames(attach_binary_payload(spread(read_table(spark, sf_dir, "documents"))))
+    frames = sample_frames(attach_binary_payload(spread(read_table(spark, sf_dir, "documents"), per_task_bytes=PY_TASK_MIN_BYTES)))
     return frames.select(
         "doc_id", "frame_idx", F.hex("frame_bytes").alias("frame_hex"), "frame_mean"
     )
@@ -267,7 +277,7 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: documents -> binary payload -> 8x8 nearest-neighbor."""
-    small = resize_images(attach_binary_payload(spread(read_table(spark, sf_dir, "documents"))))
+    small = resize_images(attach_binary_payload(spread(read_table(spark, sf_dir, "documents"), per_task_bytes=PY_TASK_MIN_BYTES)))
     return small.select(
         "doc_id", "out_width", "out_height", F.hex("resized").alias("resized_hex"), "resized_mean"
     )
@@ -276,7 +286,7 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: documents -> binary payload as PCM -> waveform stats."""
     feats = extract_audio_features(
-        attach_binary_payload(spread(read_table(spark, sf_dir, "documents")))
+        attach_binary_payload(spread(read_table(spark, sf_dir, "documents"), per_task_bytes=PY_TASK_MIN_BYTES))
     )
     return feats.select(
         "doc_id",
@@ -331,7 +341,7 @@ def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash — the image-dedup fingerprint (images that survive re-encoding /
     mild edits keep a small phash Hamming distance)."""
     return compute_phash(
-        attach_binary_payload(spread(read_table(spark, sf_dir, "documents")))
+        attach_binary_payload(spread(read_table(spark, sf_dir, "documents"), per_task_bytes=PY_TASK_MIN_BYTES))
     )
 
 
@@ -347,7 +357,7 @@ def phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never an all-pairs self-join.  Only (doc_id, 16-char hash) pairs ever
     shuffle."""
     ph = compute_phash(
-        attach_binary_payload(spread(read_table(spark, sf_dir, "documents")))
+        attach_binary_payload(spread(read_table(spark, sf_dir, "documents"), per_task_bytes=PY_TASK_MIN_BYTES))
     )
     buckets = (
         ph.withColumn("bucket", F.substring("phash", 1, PHASH_BUCKET_HEX))
@@ -404,7 +414,7 @@ def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, columns=["doc_id", "n_in", "n_out", "resampled_hex", "out_rms"]
             )
 
-    binary_df = attach_binary_payload(spread(read_table(spark, sf_dir, "documents")))
+    binary_df = attach_binary_payload(spread(read_table(spark, sf_dir, "documents"), per_task_bytes=PY_TASK_MIN_BYTES))
     return binary_df.mapInPandas(resample, schema=RESAMPLE_SCHEMA)
 
 
@@ -418,7 +428,7 @@ def _frame_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 hashes executor-locally; empty frames excluded so short payloads
     cannot form a corpus-wide mega-bucket."""
     frames = sample_frames(
-        attach_binary_payload(spread(read_table(spark, sf_dir, "documents")))
+        attach_binary_payload(spread(read_table(spark, sf_dir, "documents"), per_task_bytes=PY_TASK_MIN_BYTES))
     )
     return (
         frames.filter(F.length("frame_bytes") > 0)
