@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import read_table, spread
+from .graph import _release_local_checkpoint
 
 # token array: whitespace split, empties dropped (both engines agree on this)
 TOKS = "filter(split(text, ' '), x -> x != '')"
@@ -675,33 +676,44 @@ def _bpe_merge_once(vocab: DataFrame, step: int):
         F.expr("element_at(t, i + 1)").alias("b"),
         "n",
     )
+    # Lazy checkpoint: the 1-row argmax is consumed twice (the broadcast
+    # crossJoin below and the rule row the caller unions into the result).
+    # eager=True spent a whole extra job per merge step materializing it;
+    # eager=False lets the rebuilt-vocab checkpoint job run the pair-count
+    # plan once (inside its broadcast exchange) and persist the row as a
+    # side effect, so the rule projection later reads the persisted RDD.
     best = (
         pairs.groupBy("a", "b")
         .agg(F.sum("n").cast("bigint").alias("pair_count"))
         .orderBy(F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc())
         .limit(1)
-    ).localCheckpoint()
-    from pyspark.sql import Window
+    ).localCheckpoint(eager=False)
 
     withbest = vocab.crossJoin(F.broadcast(best))
-    pos = withbest.filter(F.expr("size(t) >= 2")).select(
-        "w", F.explode(F.expr("sequence(1, size(t) - 1)")).alias("i"), "t", "a", "b"
-    ).filter(
-        (F.expr("element_at(t, i)") == F.col("a"))
-        & (F.expr("element_at(t, i + 1)") == F.col("b"))
-    )
-    w_rn = Window.partitionBy("w").orderBy("i")
-    runs = pos.withColumn("run", F.col("i") - F.row_number().over(w_rn))
-    w_run = Window.partitionBy("w", "run")
-    kept = (
-        runs.withColumn("start", F.min("i").over(w_run))
-        .filter((F.col("i") - F.col("start")) % 2 == 0)
-        .groupBy("w")
-        .agg(F.collect_list("i").alias("kept"))
+    # The greedy left-to-right fold is a per-row array computation: Spark's
+    # `aggregate` higher-order function IS the fold, so the kept-position
+    # set no longer needs the position explode + two keyed windows + join
+    # back that the round-8 form paid (2 Exchanges + 2 sorts + 1 join per
+    # merge step, all vocabulary-sized, now zero — the rewrite is a pure
+    # projection over the broadcast crossJoin).  Semantics are identical:
+    # scanning match positions ascending and dropping any position whose
+    # predecessor was just kept keeps exactly the even offsets inside each
+    # maximal run of consecutive matches.  Nested CASE (not AND) so the
+    # empty-accumulator probe never evaluates element_at on an empty array
+    # under ANSI.
+    kept_expr = (
+        "CASE WHEN size(t) < 2 THEN cast(array() as array<int>)"
+        " ELSE aggregate("
+        "   filter(sequence(1, size(t) - 1),"
+        "          i -> element_at(t, i) = a AND element_at(t, i + 1) = b),"
+        "   cast(array() as array<int>),"
+        "   (acc, i) -> CASE WHEN size(acc) = 0 THEN array(i)"
+        "                    WHEN element_at(acc, -1) = i - 1 THEN acc"
+        "                    ELSE array_append(acc, i) END)"
+        " END"
     )
     rebuilt = (
-        withbest.join(kept, "w", "left")
-        .withColumn("kept", F.coalesce("kept", F.expr("array()")))
+        withbest.withColumn("kept", F.expr(kept_expr))
         .select(
             "w",
             "n",
@@ -755,7 +767,11 @@ def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rules = None
     for step in range(1, BPE_MERGES + 1):
+        prev = vocab
         vocab, rule = _bpe_merge_once(vocab, step)
+        # the new vocab checkpoint (and the persisted argmax row) no
+        # longer read the previous vocab state — release it (§5)
+        _release_local_checkpoint(prev)
         rules = rule if rules is None else rules.unionByName(rule)
     return rules
 
@@ -827,7 +843,9 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     for step in range(1, BPE_MERGES + 1):
+        prev = vocab
         vocab, _ = _bpe_merge_once(vocab, step)
+        _release_local_checkpoint(prev)  # superseded merge state (§5)
     enc = vocab.select("w", F.size("t").cast("bigint").alias("n_sym"))
     dw = docs.select("doc_id", F.explode("t").alias("w"))
     return (
