@@ -918,19 +918,24 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     docf = fc.select("doc_id", "f", "n")
     fx = fc.filter(F.col("f").isNotNull())
-    raw = fx.groupBy("f").agg(F.sum("n").alias("cr"))
-    tgt = (
-        fx.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("f")
-        .agg(F.sum("n").alias("ct"))
+    # BOTH distributions in ONE keyed aggregation (the target count is a
+    # conditional sum, never a separate scan + join), and the two global
+    # totals are exact bigint sums of the B-cell table itself — so the
+    # checkpointed feature table is scanned twice (doc weights + this),
+    # not four times, and the raw⋈target join disappears.  A bucket with
+    # no target-language rows had ct NULL (absent) before and an exact 0
+    # now — coalesce(ct, 0) made those identical, all-integer arithmetic
+    # keeps lr_micro bit-equal.
+    per_f = fx.groupBy("f").agg(
+        F.sum("n").alias("cr"),
+        F.sum(F.expr(f"IF(lang = '{DSIR_TARGET_LANG}', n, 0)")).alias("ct"),
     )
-    totals = fx.agg(
-        F.sum("n").alias("r_total"),
-        F.sum(F.expr(f"IF(lang = '{DSIR_TARGET_LANG}', n, 0)")).alias("t_total"),
+    totals = per_f.agg(
+        F.sum("cr").alias("r_total"),
+        F.sum("ct").alias("t_total"),
     )
     lr = (
-        raw.join(tgt, "f", "left")
-        .crossJoin(F.broadcast(totals))
+        per_f.crossJoin(F.broadcast(totals))
         .select(
             "f",
             F.expr(
