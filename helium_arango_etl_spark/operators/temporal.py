@@ -1652,50 +1652,62 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
     )
-    conv = ev.where(F.col("event_type") == "purchase").select(
-        "user_id"
-    ).distinct()
-    tch = ev.where(F.expr(f"event_type in ({tlist})"))
+    # ONE user-keyed pass builds every transition row (round 11; the
+    # round-10 form unioned four branches — mid/first/last/touchless —
+    # that re-derived the conversion set and the touch stream per branch:
+    # a purchase-user distinct, two more user distincts, an anti-join and
+    # two left joins, all shuffling on user_id).  Both per-user flags are
+    # window maxima over the raw stream, the touch-sequence window reuses
+    # the same hash(user_id) clustering, and the three touch-row
+    # transition kinds emit from a single null-filtered array explode —
+    # so exactly one exchange carries user-keyed data, then one tiny
+    # (a, b) count shuffle.  Counts are the identical multiset (a user
+    # with one touch still emits both its START row and its absorbing
+    # row from the two CASE arms).
+    w_u = Window.partitionBy("user_id")
+    ev2 = ev.withColumn(
+        "has_purchase",
+        F.max(F.expr("if(event_type = 'purchase', 1, 0)")).over(w_u),
+    ).withColumn(
+        "has_touch",
+        F.max(F.expr(f"if(event_type in ({tlist}), 1, 0)")).over(w_u),
+    )
+    tch = ev2.where(F.expr(f"event_type in ({tlist})"))
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     seq = tch.select(
         "user_id",
         "event_type",
+        "has_purchase",
         F.lag("event_type").over(w).alias("prev"),
         F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("ntch"),
+        F.count(F.lit(1)).over(w_u).alias("ntch"),
     )
-    mid = seq.where(F.col("prev").isNotNull()).select(
-        F.col("prev").alias("a"), F.col("event_type").alias("b")
-    )
-    first = seq.where(F.col("rn") == 1).select(
-        F.lit(MA_START).alias("a"), F.col("event_type").alias("b")
-    )
-    last = (
-        seq.where(F.col("rn") == F.col("ntch"))
-        .join(conv.withColumn("is_conv", F.lit(1)), "user_id", "left")
-        .select(
-            F.col("event_type").alias("a"),
+    absorb = f"IF(has_purchase = 1, '{MA_CONV}', '{MA_LOST}')"
+    touch_trans = seq.select(
+        F.explode(
             F.expr(
-                f"if(is_conv is not null, '{MA_CONV}', '{MA_LOST}')"
-            ).alias("b"),
-        )
-    )
+                f"""filter(array(
+                  CASE WHEN rn = 1
+                       THEN named_struct('a', '{MA_START}', 'b', event_type) END,
+                  CASE WHEN prev IS NOT NULL
+                       THEN named_struct('a', prev, 'b', event_type) END,
+                  CASE WHEN rn = ntch
+                       THEN named_struct('a', event_type, 'b', {absorb}) END
+                ), x -> x IS NOT NULL)"""
+            )
+        ).alias("t")
+    ).select(F.col("t.a").alias("a"), F.col("t.b").alias("b"))
     touchless = (
-        ev.select("user_id")
-        .distinct()
-        .join(tch.select("user_id").distinct(), "user_id", "left_anti")
-        .join(conv.withColumn("is_conv", F.lit(1)), "user_id", "left")
+        ev2.where(F.col("has_touch") == 0)
+        .groupBy("user_id")
+        .agg(F.max("has_purchase").alias("has_purchase"))
         .select(
             F.lit(MA_START).alias("a"),
-            F.expr(
-                f"if(is_conv is not null, '{MA_CONV}', '{MA_LOST}')"
-            ).alias("b"),
+            F.expr(absorb).alias("b"),
         )
     )
     tr = (
-        mid.unionByName(first)
-        .unionByName(last)
-        .unionByName(touchless)
+        touch_trans.unionByName(touchless)
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .localCheckpoint(eager=True)
@@ -1720,24 +1732,38 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     starts = _ma_absorption_all(tr_all).where(F.col("st") == MA_START)
-    p_full = starts.where(F.col("variant") == "full").select(
-        F.col("h").alias("p_full_nano")
+    # The two scalars (full-chain conversion, removal-effect total) ride
+    # unbounded windows over the |channels|+1-row start table instead of
+    # crossJoin(broadcast(agg)) — the round-10 form consumed `starts` and
+    # `scored` twice each, so the absorption fold and its three keyed
+    # aggregations executed TWICE in the final job (plans/r11: 20 -> 10
+    # exchanges).  Values unchanged: the window max picks the unique
+    # 'full' row, the window sum is the same exact bigint total.
+    w_all = Window.partitionBy(F.lit(1))
+    scored = (
+        starts.withColumn(
+            "p_full_nano",
+            F.max(F.expr("if(variant = 'full', h, null)")).over(w_all),
+        )
+        .where(F.col("variant") != "full")
+        .select(
+            F.col("variant").alias("channel"),
+            "p_full_nano",
+            F.col("h").alias("p_removed_nano"),
+        )
+        .select(
+            "channel",
+            "p_full_nano",
+            "p_removed_nano",
+            F.expr(
+                "cast(round(greatest(0.0, 1.0 - cast(p_removed_nano as double)"
+                " / cast(p_full_nano as double)) * 1000000000.0) as bigint)"
+            ).alias("re_nano"),
+        )
     )
-    res = starts.where(F.col("variant") != "full").select(
-        F.col("variant").alias("channel"),
-        F.col("h").alias("p_removed_nano"),
-    )
-    scored = res.crossJoin(F.broadcast(p_full)).select(
-        "channel",
-        "p_full_nano",
-        "p_removed_nano",
-        F.expr(
-            "cast(round(greatest(0.0, 1.0 - cast(p_removed_nano as double)"
-            " / cast(p_full_nano as double)) * 1000000000.0) as bigint)"
-        ).alias("re_nano"),
-    )
-    tot = scored.agg(F.sum("re_nano").cast("bigint").alias("re_tot"))
-    return scored.crossJoin(F.broadcast(tot)).select(
+    return scored.withColumn(
+        "re_tot", F.sum("re_nano").over(w_all).cast("bigint")
+    ).select(
         "channel",
         F.round(
             F.expr("cast(p_full_nano as double) / 1000000000.0"), 6
