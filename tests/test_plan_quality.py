@@ -270,10 +270,25 @@ def test_neighbor_cap_reaches_physical_plan(spark, sf_dir):
         plan = plan_of(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
-        hop_scans = len(re.findall(r"Scan ExistingRDD", plan))
-        assert hop_scans >= 2, (
-            f"{name}: checkpointed hop on {hop_scans} sides\n{plan}"
+        # ADVICE r10: any two checkpointed scans used to satisfy this pin.
+        # Match the HOP table specifically by its distinguishing schema —
+        # an ExistingRDD whose output is exactly the (city_key, a, b)
+        # adjacency triple — so wiring a consumer to the uncapped inline
+        # adjacency (while unrelated checkpoints still appear) fails.
+        hop_scans = len(
+            re.findall(
+                r"Scan ExistingRDD[^\n]*\nOutput \[3\]: "
+                r"\[city_key#\d+, a#\d+, b#\d+\]",
+                plan,
+            )
         )
+        assert hop_scans >= 2, (
+            f"{name}: checkpointed (city_key, a, b) hop on {hop_scans} sides\n{plan}"
+        )
+        # and the consumer must not re-derive the cap inline: the rn <=
+        # PROJ_NEIGHBOR_CAP filter lives in the hop checkpoint's plan
+        # (asserted above), never in the consumer's own plan
+        assert not re.search(rf"rn#\d+ <= {PROJ_NEIGHBOR_CAP}\b", plan), name
 
 
 def test_ann_recall_audit_broadcasts_queries(spark, sf_dir):

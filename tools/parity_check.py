@@ -58,12 +58,19 @@ def main() -> int:
             print(f"{name}: MATCH rows={len(srows)}")
         else:
             bad += 1
-            diff = [
-                (s, d) for s, d in zip(srows, drows) if s != d
-            ][:2]
+            # Report SET differences (ADVICE r10): zipping two
+            # independently sorted lists misaligns every pair after the
+            # first extra row, and zip truncation can print an empty diff
+            # for a pure extra-rows mismatch.  Multiset-aware: rows only
+            # in one side, with duplicates respected via Counter.
+            from collections import Counter
+
+            sc, dc = Counter(srows), Counter(drows)
+            only_s = sorted((sc - dc).elements())[:2]
+            only_d = sorted((dc - sc).elements())[:2]
             print(
                 f"{name}: MISMATCH spark={len(srows)} duck={len(drows)}"
-                f" first_diff={diff}"
+                f" only_spark={only_s} only_duck={only_d}"
             )
     return 1 if bad else 0
 
