@@ -2113,13 +2113,14 @@ def local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct projection edge set (src_a < src_b canonical); one rounded
     division per node.
 
-    Scale shape: triangles enumerate via two keyed joins of the ORIENTED
-    (a<b) edge list — each triangle found exactly once, no node ever
-    joins its full neighborhood both ways; per-corner counts are one
-    explode + keyed agg.  At 100 TB the orientation is by degree
-    (low-degree node first) to bound the join fan-out — the standard
-    degree-ordered triangle counting rewrite; id-orientation here keeps
-    the oracle bit-exact.
+    Scale shape: triangles enumerate via two keyed joins of the
+    DEGREE-ORDERED edge list (low-degree node first — the standard
+    degree-ordered triangle counting rewrite, round 11) — each triangle
+    found exactly once, no node ever joins its full neighborhood both
+    ways, and a hub's wedge fan-out is bounded by its out-degree
+    O(sqrt(m)); per-corner counts are one explode + keyed agg.  The
+    triangle set is orientation-independent, so the oracle stays
+    bit-exact.
     """
     return _local_clustering_body(
         co_witness_pairs(spark, sf_dir).select(
@@ -2153,22 +2154,18 @@ def _local_clustering_body(proj: DataFrame) -> DataFrame:
         .groupBy("city_key", "node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
-    e1 = proj
-    e2 = proj.select(
-        "city_key", F.col("a").alias("b"), F.col("b").alias("c")
-    )
-    e3 = proj.select(
-        "city_key", F.col("a").alias("a"), F.col("b").alias("c")
-    )
-    tris = (
-        e1.join(e2, ["city_key", "b"])
-        .join(e3, ["city_key", "a", "c"])
-        .select("city_key", "a", "b", "c")
-    )
+    # Degree-ordered triangle enumeration (round 11): per-node corner
+    # counts only need the triangle SET, which is orientation-independent
+    # — see _oriented_triangles.  The old lexicographic two-join paid
+    # in(b)·out(b) wedge rows through a mixed-id hub b.  The oriented
+    # list is checkpointed once: the enumeration references it three
+    # times, and without materialization each reference re-runs the
+    # degree agg + two orientation joins (measured 3x plan blowup).
+    tris = _oriented_triangles(_oriented_by_degree(proj).localCheckpoint())
     corner = (
-        tris.select("city_key", F.col("a").alias("node"))
-        .unionByName(tris.select("city_key", F.col("b").alias("node")))
-        .unionByName(tris.select("city_key", F.col("c").alias("node")))
+        tris.select("city_key", F.col("v0").alias("node"))
+        .unionByName(tris.select("city_key", F.col("x").alias("node")))
+        .unionByName(tris.select("city_key", F.col("y").alias("node")))
         .groupBy("city_key", "node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
@@ -2384,26 +2381,113 @@ TRUSS_SUPPORT = 2  # min triangles per surviving edge (a 4-truss)
 MAX_TRUSS_ITERS = 8
 
 
-def _edge_support(proj: DataFrame) -> DataFrame:
-    """Triangle support per ORIENTED (a<b) projection edge: enumerate
-    each triangle once via the oriented two-join, then credit all three
-    of its edges."""
-    e2 = proj.select("city_key", F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = proj.select("city_key", F.col("a").alias("a"), F.col("b").alias("c"))
-    tris = (
-        proj.join(e2, ["city_key", "b"])
-        .join(e3, ["city_key", "a", "c"])
-        .select("city_key", "a", "b", "c")
+def _oriented_by_degree(cw: DataFrame) -> DataFrame:
+    """Re-orient a canonical (a<b) edge list by (degree, id) — the
+    Chiba–Nishizeki / node-iterator++ ordering `_triangle_stats_body`
+    already uses: each edge points from the endpoint with the smaller
+    (degree, id) to the larger, which bounds any node's out-degree by
+    O(sqrt(m)).  A degree-d hub therefore feeds the wedge self-join only
+    through its (few) out-edges; the in(hub)·out(hub) wedge emit the
+    lexicographic orientation pays on a mixed-id hub (round-11 wedge
+    probe: ~(H/2)² intermediate rows) never materializes.  Returns
+    (city_key, lo, hi, hi_d) with hi_d = degree(hi) carried for the
+    wedge-dedup comparison."""
+    deg = (
+        cw.select("city_key", F.col("a").alias("node"))
+        .unionByName(cw.select("city_key", F.col("b").alias("node")))
+        .groupBy("city_key", "node")
+        .agg(F.count(F.lit(1)).alias("d"))
     )
     return (
-        tris.select("city_key", "a", "b")
+        cw.join(
+            deg.select("city_key", F.col("node").alias("a"), F.col("d").alias("da")),
+            ["city_key", "a"],
+        )
+        .join(
+            deg.select("city_key", F.col("node").alias("b"), F.col("d").alias("db")),
+            ["city_key", "b"],
+        )
+        .select(
+            "city_key",
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct("a", "b", "db"),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("a"),
+                    F.col("a").alias("b"),
+                    F.col("da").alias("db"),
+                )
+            )
+            .alias("o"),
+        )
+        .select(
+            "city_key",
+            F.col("o.a").alias("lo"),
+            F.col("o.b").alias("hi"),
+            F.col("o.db").alias("hi_d"),
+        )
+    )
+
+
+def _oriented_triangles(e: DataFrame) -> DataFrame:
+    """Enumerate each triangle exactly once from a degree-oriented edge
+    list (city_key, lo, hi, hi_d): wedges pair a source's out-edges
+    (ordered by (degree, id) so each unordered out-pair appears once),
+    closed by the oriented third edge.  Returns corner triples
+    (city_key, v0, x, y) with v0 the minimum-order vertex and x before
+    y in the same order.  The triangle SET is orientation-independent,
+    so any consumer counting corners or edges gets bit-identical
+    results to the lexicographic form."""
+    e1 = e.select("city_key", "lo", F.col("hi").alias("x"), F.col("hi_d").alias("xd"))
+    e2 = e.select("city_key", "lo", F.col("hi").alias("y"), F.col("hi_d").alias("yd"))
+    wedges = e1.join(e2, ["city_key", "lo"]).filter(
+        (F.col("xd") < F.col("yd"))
+        | ((F.col("xd") == F.col("yd")) & (F.col("x") < F.col("y")))
+    )
+    closing = e.select("city_key", F.col("lo").alias("x"), F.col("hi").alias("y"))
+    return wedges.join(closing, ["city_key", "x", "y"]).select(
+        "city_key", F.col("lo").alias("v0"), "x", "y"
+    )
+
+
+def _oriented_support(ori: DataFrame) -> DataFrame:
+    """Triangle support per ORIENTED edge (city_key, lo, hi, hi_d):
+    enumerate each triangle once via the degree-ordered two-join
+    (round 11 — the old lexicographic orientation paid in(b)·out(b)
+    wedge rows through any mixed-id hub b; supports are exact triangle
+    counts either way), then credit all three edges IN ORIENTED FORM,
+    with hi_d carried through.  The output's key set is therefore a
+    ready-to-use oriented edge subset: the truss peel iterates in
+    oriented space with no per-round re-orientation, no semi-join, and
+    the original (degree, id) order stays a valid total order on every
+    shrinking subset."""
+    e1 = ori.select("city_key", "lo", F.col("hi").alias("x"), F.col("hi_d").alias("xd"))
+    e2 = ori.select("city_key", "lo", F.col("hi").alias("y"), F.col("hi_d").alias("yd"))
+    wedges = e1.join(e2, ["city_key", "lo"]).filter(
+        (F.col("xd") < F.col("yd"))
+        | ((F.col("xd") == F.col("yd")) & (F.col("x") < F.col("y")))
+    )
+    tris = wedges.join(
+        ori.select("city_key", F.col("lo").alias("x"), F.col("hi").alias("y")),
+        ["city_key", "x", "y"],
+    ).select("city_key", "lo", "x", "xd", "y", "yd")
+    return (
+        tris.select("city_key", "lo", F.col("x").alias("hi"), F.col("xd").alias("hi_d"))
         .unionByName(
-            tris.select("city_key", F.col("b").alias("a"), F.col("c").alias("b"))
+            tris.select("city_key", "lo", F.col("y").alias("hi"), F.col("yd").alias("hi_d"))
         )
         .unionByName(
-            tris.select("city_key", "a", F.col("c").alias("b"))
+            tris.select(
+                "city_key",
+                F.col("x").alias("lo"),
+                F.col("y").alias("hi"),
+                F.col("yd").alias("hi_d"),
+            )
         )
-        .groupBy("city_key", "a", "b")
+        .groupBy("city_key", "lo", "hi", "hi_d")
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
     )
 
@@ -2457,23 +2541,31 @@ def _ktruss_body(pairs: DataFrame) -> DataFrame:
     edge set (its keys are a subset of the current edges), so the old
     per-iteration ``proj ⋉ keep`` semi-join was a no-op join — peel
     directly on the support output.  And at the fixpoint the converged
-    iteration's filtered support table already equals
-    ``_edge_support(final_proj)`` (the edge set did not change), so the
-    final re-enumeration pass is returned directly instead of being
+    iteration's filtered support table already equals the support of
+    the final edge set (the edge set did not change), so the final
+    re-enumeration pass is returned directly instead of being
     recomputed: N-iteration peel = N triangle passes, down from
     N+1 passes + N semi-joins.  Superseded per-iteration checkpoints
     are released once their successor materializes (the PPR
-    discipline), so executor storage holds one edge-set copy."""
-    proj = (
-        pairs
-        .select("city_key", F.col("src_a").alias("a"), F.col("src_b").alias("b"))
-        .localCheckpoint()
-    )
-    prev_ckpt = proj
-    prev = proj.count()
+    discipline), so executor storage holds one edge-set copy.
+
+    Round-11: the peel runs in DEGREE-ORDERED oriented space — edges
+    orient once by initial (degree, id) before the loop, the support
+    pass (:func:`_oriented_support`) credits triangles to still-
+    oriented edges, and the surviving support table is directly the
+    next oriented edge set.  The initial order stays a valid total
+    order on every shrinking subset, so each round's triangle set is
+    exact; only the enumeration's hub fan-out changes (round-11 wedge
+    probe: the lexicographic form paid ~(H/2)² wedge rows through a
+    mixed-id hub, the oriented form is flat in hub degree)."""
+    ori = _oriented_by_degree(
+        pairs.select("city_key", F.col("src_a").alias("a"), F.col("src_b").alias("b"))
+    ).localCheckpoint()
+    prev_ckpt = ori
+    prev = ori.count()
     for _ in range(MAX_TRUSS_ITERS):
         sup = (
-            _edge_support(proj)
+            _oriented_support(ori)
             .filter(F.col("support") >= TRUSS_SUPPORT)
             .localCheckpoint()
         )
@@ -2483,12 +2575,12 @@ def _ktruss_body(pairs: DataFrame) -> DataFrame:
         if cur == prev:
             return sup.select(
                 "city_key",
-                F.col("a").alias("src_a"),
-                F.col("b").alias("src_b"),
+                F.least("lo", "hi").alias("src_a"),
+                F.greatest("lo", "hi").alias("src_b"),
                 "support",
             )
         prev = cur
-        proj = sup.select("city_key", "a", "b")
+        ori = sup.select("city_key", "lo", "hi", "hi_d")
     from .cc import ConvergenceError
 
     raise ConvergenceError(
